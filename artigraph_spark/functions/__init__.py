@@ -1,0 +1,112 @@
+"""Deterministic, oracle-comparable aggregation helpers.
+
+Parallel floating-point summation is order-dependent: Spark's partial
+aggregation and DuckDB's vectorized aggregation associate additions
+differently, so ``sum(double)`` differs in low-order bits between engines
+(and between runs at different partition counts). Worse, double→DECIMAL
+casts are themselves engine-specific (DuckDB's is not exactly rounded —
+measured ~0.4% of values off by 1 ulp at scale 9), so decimal-sums don't
+match either.
+
+The engine's deterministic aggregates therefore use **fixed-point
+power-of-two scaling**: ``floor(x · 2^k)`` — the multiply is an exponent
+shift (exact in IEEE double), floor is exact, the integer sum is exact and
+associative, and the final ``/ 2^k`` is again exact. Every step is
+bit-identical on any IEEE-754 engine, at any partition count, at any
+cluster size — which is precisely what a reproducible 100 TB pipeline
+needs. Quantization is 2^-k per row (k=20 → ~1e-6), a deliberate, documented
+semantic (like DuckDB's own fsum/Kahan tradeoffs, but reproducible).
+
+All helpers are thin Column builders — they stay inside Catalyst/whole-stage
+codegen; no UDFs. Integer-sum overflow bound: |x|·2^k·rows < 2^63 — for
+k=20 that allows ~8.8e12 row-units (e.g. 60M rows of |x|≤1e5 per *task*
+partial); raise to HUGEINT-backed oracle + DecimalType sums if a deployment
+exceeds it (see ``dsum_wide``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 20
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def fxp(col: Column | str, bits: int = DEFAULT_BITS) -> Column:
+    """Fixed-point representation: floor(x · 2^bits) as long."""
+    return F.floor(_c(col) * F.lit(float(1 << bits))).cast("long")
+
+
+def dsum(col: Column | str, bits: int = DEFAULT_BITS) -> Column:
+    """Order-independent (fixed-point) sum of a double column, as double."""
+    return (F.sum(fxp(col, bits)).cast("double") / F.lit(float(1 << bits))).cast("double")
+
+
+def dsum_wide(col: Column | str, bits: int = DEFAULT_BITS) -> Column:
+    """Overflow-safe variant: the int64 partials are summed as DECIMAL(38,0)
+    (exact, associative — integer decimals don't hit the float-cast issue).
+    Use when rows·|x|·2^bits may exceed 2^63 at full scale."""
+    return (
+        F.sum(fxp(col, bits).cast("decimal(38,0)")).cast("double") / F.lit(float(1 << bits))
+    ).cast("double")
+
+
+def davg(col: Column | str, bits: int = DEFAULT_BITS) -> Column:
+    """Order-independent mean, as double."""
+    return (dsum(col, bits) / F.count(_c(col))).cast("double")
+
+
+def dvar_samp(col: Column | str) -> Column:
+    """Order-independent sample variance: (Σx² − (Σx)²/n) / (n−1), with
+    fixed-point moment sums (x at 2^-20, x² at 2^-10 to bound overflow).
+
+    Deterministic and engine-identical; the textbook formula's cancellation
+    is acceptable for threshold checks — use ``F.var_samp`` when numerical
+    quality beats reproducibility.
+    """
+    c = _c(col)
+    n = F.count(c).cast("double")
+    sx = dsum(c, 20)
+    sx2 = dsum(c * c, 10)
+    return (sx2 - sx * sx / n) / (n - F.lit(1.0))
+
+
+def dstddev_samp(col: Column | str) -> Column:
+    return F.sqrt(dvar_samp(col))
+
+
+# --- DuckDB oracle fragments (bit-identical to the helpers above) ---
+
+
+def oracle_fxp(expr: str, bits: int = DEFAULT_BITS) -> str:
+    return f"CAST(floor(({expr}) * {float(1 << bits)!r}) AS BIGINT)"
+
+
+def oracle_dsum(expr: str, bits: int = DEFAULT_BITS) -> str:
+    return f"(CAST(SUM({oracle_fxp(expr, bits)}) AS DOUBLE) / {float(1 << bits)!r})"
+
+
+def oracle_dsum_filter(expr: str, cond: str, bits: int = DEFAULT_BITS) -> str:
+    return (
+        f"(CAST(SUM({oracle_fxp(expr, bits)}) FILTER (WHERE {cond}) AS DOUBLE)"
+        f" / {float(1 << bits)!r})"
+    )
+
+
+def oracle_davg(expr: str, bits: int = DEFAULT_BITS) -> str:
+    return f"CAST({oracle_dsum(expr, bits)} / COUNT({expr}) AS DOUBLE)"
+
+
+def oracle_dvar_samp(expr: str) -> str:
+    sx = oracle_dsum(expr, 20)
+    sx2 = oracle_dsum(f"({expr}) * ({expr})", 10)
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    return f"(({sx2}) - ({sx}) * ({sx}) / ({n})) / (({n}) - 1.0)"
+
+
+def oracle_dstddev_samp(expr: str) -> str:
+    return f"SQRT({oracle_dvar_samp(expr)})"

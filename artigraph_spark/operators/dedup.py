@@ -1,0 +1,219 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Exact, fingerprint, MinHash-LSH, SimHash, and n-gram-Jaccard variants over a
+(id, text) document table. All are built from native DataFrame ops — the only
+shuffles are the groupBys/joins inherent to the algorithm.
+
+Determinism note: for oracle-checkable MinHash we avoid engine hash functions
+(Spark murmur3 vs DuckDB's differ) and instead hash *token ids* assigned from
+a sorted distinct-token dictionary with universal hashing
+``(a*id + b) mod p`` — exact integer arithmetic on any engine. The
+production-scale variant (`minhash_signatures_fast`) uses ``F.xxhash64`` on
+raw shingles instead: one pass, no dictionary join, same statistical
+behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from artigraph_spark.operators.windows import dedup_pick_first
+
+# Mersenne prime 2^61 - 1: universal-hash modulus, exact in 64-bit-ish integer
+# math (products stay < 2^63 because ids and coefficients are kept < 2^31).
+_P = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, subset: list[str], order: list[Column]) -> DataFrame:
+    """Keep one deterministic survivor per duplicate group (hash-groupBy dedup).
+
+    One shuffle on ``subset``; with WindowGroupLimit each map task pre-prunes
+    to a single candidate per local group before the exchange.
+    """
+    return dedup_pick_first(df, subset, order)
+
+
+def fingerprint(df: DataFrame, col: str, out: str = "fp") -> DataFrame:
+    """Content fingerprint column: sha256 hex of the value (cross-engine stable)."""
+    return df.withColumn(out, F.sha2(F.col(col).cast("string"), 256))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def _hash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a odd, < 2^31)."""
+    coeffs = []
+    x = seed
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x >> 16) % ((1 << 31) - 2) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (x >> 16) % ((1 << 31) - 1)
+        coeffs.append((a | 1, b))
+    return coeffs
+
+
+def token_dictionary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(token, token_id) dictionary with ids assigned by sorted token order.
+
+    The sort makes ids — and therefore MinHash signatures — engine-independent
+    and oracle-checkable. Scale: distinct + one global rank; for the
+    production path prefer `minhash_signatures_fast` (no dictionary).
+    """
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token")).distinct()
+    w = Window.orderBy(F.col("token").asc())
+    return toks.withColumn("token_id", F.row_number().over(w).cast("long"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature columns ``mh0..mh{n-1}`` (token-set based,
+    deterministic across engines via the sorted token dictionary)."""
+    dictionary = token_dictionary(df, id_col, text_col)
+    doc_tokens = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .distinct()
+        .join(F.broadcast(dictionary), "token")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % F.lit(_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed))
+    ]
+    return doc_tokens.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_fast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Production-scale MinHash: xxhash64 over word shingles, no dictionary
+    join, one shuffle (the per-doc groupBy). Not oracle-checkable (engine
+    hash), statistically equivalent."""
+    toks = tokens(F.col(text_col))
+    n_shingles = F.size(toks) - shingle_size + 1
+    # sequence(1, n) is descending when n < 1 — guard short docs to empty.
+    shingles = F.when(
+        n_shingles >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_shingles),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_size)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    # Fold the 64-bit hash to 31 bits so a·id + b stays under 2^63 (a < 2^31).
+    base = shingled.withColumn(
+        "h", F.pmod(F.xxhash64("shingle"), F.lit((1 << 31) - 1))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_id, band_signature) buckets.
+
+    Returns distinct (a, b) candidate pairs with a < b. The join is an
+    equi-join on the band key — shuffle-partitioned, no quadratic blowup
+    outside genuinely identical buckets.
+    """
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    left = banded.select(F.col(id_col).alias("a"), "band_id", "band_sig")
+    right = banded.select(F.col(id_col).alias("b"), "band_id", "band_sig")
+    return (
+        left.join(right, ["band_id", "band_sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    candidate_filter: Column | None = None,
+) -> DataFrame:
+    """Token-set Jaccard similarity over document pairs (a < b).
+
+    ``candidate_filter`` restricts the self-join (e.g. to LSH candidates or a
+    keyed subset) — at scale, never run the unrestricted cross product; feed
+    this from `lsh_candidate_pairs`.
+    """
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
+    )
+    a = toks.select(F.col(id_col).alias("a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("b"), F.col("toks").alias("toks_b"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    if candidate_filter is not None:
+        pairs = pairs.filter(candidate_filter)
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from xxhash64 token hashes.
+
+    Bit-majority over token hashes, computed as a sum of ±1 per bit via
+    bitwise ops — all JVM-side. Near-dup candidates = equal simhash or small
+    Hamming distance (compare via xor + bit_count).
+    """
+    doc_tokens = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    bit_sums = doc_tokens.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"bit{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        # bit 63 is the sign bit: its set-value is long MIN, not 2^63.
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(F.col(f"bit{i}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return bit_sums.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,115 @@
+"""Join operators Spark lacks natively: as-of and range joins.
+
+Reference parity: artigraph has no relational joins of its own (producers
+are opaque Python — /root/reference/src/arti/producers/__init__.py:71-94);
+these are the time-series joins its users hand-roll, designed here for
+100 TB: the as-of join is the union-tag trick (one shuffle on the key, no
+left×right explosion), not a theta-join + window reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "__asof_side__"
+_ROWID = "__asof_rowid__"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    *,
+    right_values: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_time <= left_time`` (``<`` when ``strict``) and equal keys.
+
+    Scale design: rather than the naive equi-join on keys + time filter +
+    window-reduce (which materializes |left| × |matching right| rows before
+    reducing), union both sides tagged, sort within key partitions by time,
+    and carry the last-seen right values forward with an ignore-nulls
+    ``last(...)`` window. Cost: ONE shuffle of (|left| + |right|) rows on the
+    join key — the same lower bound as any co-partitioned join — and no
+    intermediate explosion, so a hot key with millions of right rows costs
+    sort-time, not quadratic blowup.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_values = right_values or [c for c in right.columns if c not in keys + [right_time]]
+
+    lf = left.withColumn(_TAG, F.lit(1)).withColumn(_ROWID, F.monotonically_increasing_id())
+    rf = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("__asof_t__"),
+        *[F.col(c) for c in right_values],
+    ).withColumn(_TAG, F.lit(0))
+
+    # Align columns for the union: left carries nulls for right values and vice versa.
+    left_cols = [c for c in left.columns]
+    lf = lf.withColumn("__asof_t__", F.col(left_time).cast(right.schema[right_time].dataType))
+    for c in right_values:
+        lf = lf.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    for c in left_cols:
+        if c not in rf.columns:
+            rf = rf.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    rf = rf.withColumn(_ROWID, F.lit(None).cast("long"))
+
+    ordered_cols = keys + ["__asof_t__", _TAG, _ROWID] + [
+        c for c in left_cols if c not in keys
+    ] + right_values
+    unioned = lf.select(*ordered_cols).unionByName(rf.select(*ordered_cols))
+
+    # Right rows (tag 0) sort before left rows (tag 1) at equal times, giving
+    # inclusive semantics; strict mode excludes equal-time right rows by
+    # ordering them after.
+    tag_order = F.col(_TAG).asc() if not strict else F.col(_TAG).desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__asof_t__").asc(), tag_order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = unioned
+    for c in right_values:
+        src = F.when(F.col(_TAG) == 0, F.col(c))
+        carried = carried.withColumn(c, F.last(src, ignorenulls=True).over(w))
+
+    return carried.filter(F.col(_TAG) == 1).drop(_TAG, _ROWID, "__asof_t__")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str] | Column | None,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    *,
+    closed: str = "both",
+) -> DataFrame:
+    """Join left points into right intervals: ``lo <op> point <op> hi``.
+
+    With equi-keys present, Catalyst plans a hash/sort-merge join on the keys
+    and evaluates the range predicate as a post-join filter — the scalable
+    path. Pure interval joins (no keys) fall back to broadcast-nested-loop;
+    keep the interval side broadcast-sized or bucketize the range first.
+    """
+    lo_cmp = F.col(left_point) >= F.col(right_lo) if closed in ("both", "left") else F.col(left_point) > F.col(right_lo)
+    hi_cmp = F.col(left_point) <= F.col(right_hi) if closed in ("both", "right") else F.col(left_point) < F.col(right_hi)
+    pred = lo_cmp & hi_cmp
+    if on is None:
+        return left.join(right, pred)
+    if isinstance(on, Column):
+        return left.join(right, on & pred)
+    keys = [on] if isinstance(on, str) else list(on)
+    key_pred = None
+    for k in keys:
+        this = left[k] == right[k]
+        key_pred = this if key_pred is None else (key_pred & this)
+    # Equi-join on keys with the range predicate folded into the condition:
+    # Catalyst extracts the equi part for hash/sort-merge and applies the
+    # range comparison as the join residual.
+    return left.join(right, key_pred & pred)

@@ -1,0 +1,118 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID heuristics, quality scoring, token counting, and document
+fingerprinting — all as built-in-function Column builders (JVM-side,
+codegen'd; no UDFs in the row path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from artigraph_spark.operators.dedup import tokens
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BIGINT)."""
+    return F.size(tokens(text)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def regex_count(text: Column, pattern: str) -> Column:
+    """Occurrences of a regex — size of regexp_extract_all (cross-engine safe;
+    DuckDB 1.0 lacks regexp_count)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("long")
+
+
+def avg_token_length(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (total.cast("double") / F.size(t)).alias("avg_token_len")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars."""
+    return regex_count(text, r"[\.,;:!\?]").cast("double") / F.length(text)
+
+
+def digit_ratio(text: Column) -> Column:
+    return regex_count(text, r"[0-9]").cast("double") / F.length(text)
+
+
+def stopword_hits(text: Column, stopwords: list[str]) -> Column:
+    """How many tokens are in the given stopword list (exact integer count)."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t))).cast("long")
+
+
+_EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality heuristic: rewards mid-length documents
+    and stopword presence, penalizes digit/punct density. Deterministic
+    per-row double arithmetic (oracle-expressible)."""
+    n_tok = token_count(text).cast("double")
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw_score = F.least(
+        stopword_hits(text, _EN_STOPWORDS).cast("double") / F.greatest(n_tok, F.lit(1.0)) * 5.0,
+        F.lit(1.0),
+    )
+    digit_penalty = F.least(digit_ratio(text) * 5.0, F.lit(1.0))
+    return (0.5 * length_score + 0.5 * sw_score) * (1.0 - digit_penalty)
+
+
+# Tiny per-language marker lexicons for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "y", "es", "los"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language; argmax is the predicted language."""
+    return {lang: stopword_hits(text, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def predict_language(text: Column, default: str = "und") -> Column:
+    """Argmax over language_scores; alphabetical tie-break; ``default`` when
+    no marker hits at all."""
+    scores = language_scores(text)
+    max_score = F.greatest(*scores.values())
+    pick = F.lit(default)
+    for lang in sorted(scores, reverse=True):
+        pick = F.when(scores[lang] == max_score, F.lit(lang)).otherwise(pick)
+    return F.when(max_score == 0, F.lit(default)).otherwise(pick)
+
+
+def rolling_hash(text: Column, base: int = 31, mod: int = 999_999_999_989) -> Column:
+    """Polynomial rolling hash over token *lengths+first-char codes* — a cheap
+    engine-independent document fingerprint (exact integer arithmetic, so
+    oracle-checkable, unlike murmur/xxhash).
+
+    h = Σ (ascii(first_char)·64 + len(token) mod 64) · base^i  (mod 999999999989)
+
+    The modulus is < 2^40 so ``acc·base + v`` stays far from int64 overflow
+    (ANSI mode would raise on wrap).
+    """
+    t = tokens(text)
+    per_tok = F.transform(
+        t,
+        lambda x: (F.ascii(F.substring(x, 1, 1)) * 64 + F.length(x) % 64).cast("long"),
+    )
+    return F.aggregate(
+        per_tok,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * base + v) % F.lit(mod).cast("long"),
+    )

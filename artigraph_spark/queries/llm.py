@@ -1,0 +1,336 @@
+"""LLM-training-data pipeline queries over documents/embeddings fixtures:
+dedup (exact, fingerprint, MinHash, Jaccard, SimHash), similarity search,
+text statistics, language analysis. Backed by artigraph_spark.operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from artigraph_spark.functions import davg, oracle_davg
+from artigraph_spark.queries import query
+from artigraph_spark.sources import load
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT keeper_id, n_copies FROM (
+        SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    )
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: one survivor (min doc_id) per identical text, with
+    duplicate count. Hash-groupBy on the text — single shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    ).select("keeper_id", "n_copies")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT doc_id, sha256(text) AS sha_fp, md5(text) AS md5_fp
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def dedup_fingerprint(spark, sf_dir):
+    """Content fingerprints: sha256/md5 hex (cross-engine-identical digests)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha_fp"),
+        F.md5(F.col("text")).alias("md5_fp"),
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_char,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''))) AS BIGINT) AS n_unique_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+           (n_chars = length(text)) AS n_chars_consistent
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Token counting / char stats / digit counts — quality-filter features."""
+    from artigraph_spark.operators.text import char_count, regex_count, token_count
+    from artigraph_spark.operators.dedup import tokens
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        char_count(F.col("text")).alias("n_char"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(tokens(F.col("text")))).cast("long").alias("n_unique_tokens"),
+        regex_count(F.col("text"), "[0-9]").alias("n_digits"),
+        (F.col("n_chars") == F.length("text")).alias("n_chars_consistent"),
+    )
+
+
+@query(
+    "text_quality_filter",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS BIGINT) AS n_tok,
+               CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''),
+                        t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS BIGINT) AS sw_hits
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tok, sw_hits,
+           (CAST(sw_hits AS DOUBLE) / n_tok) AS sw_ratio
+    FROM scored
+    WHERE n_tok >= 10 AND sw_hits >= 1
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    """Quality gate: keep docs with ≥10 tokens and ≥1 English stopword hit;
+    emit the stopword ratio feature."""
+    from artigraph_spark.operators.dedup import tokens
+    from artigraph_spark.operators.text import _EN_STOPWORDS, stopword_hits, token_count
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_tok"),
+        stopword_hits(F.col("text"), _EN_STOPWORDS).alias("sw_hits"),
+    )
+    return scored.filter((F.col("n_tok") >= 10) & (F.col("sw_hits") >= 1)).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "sw_hits",
+        (F.col("sw_hits").cast("double") / F.col("n_tok")).alias("sw_ratio"),
+    )
+
+
+@query(
+    "lang_distribution",
+    oracle=f"""
+    SELECT lang, source, count(*) AS n_docs,
+           {oracle_davg('n_chars')} AS avg_chars,
+           min(doc_id) AS first_doc
+    FROM documents GROUP BY lang, source
+    """,
+)
+def lang_distribution(spark, sf_dir):
+    """Language × source distribution (corpus composition report)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
+    "doc_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_transform(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''),
+                              x -> CAST(ascii(substr(x, 1, 1)) * 64 + length(x) % 64 AS BIGINT)),
+               (acc, v) -> (acc * 31 + v) % 999999999989
+           ) AS doc_fp
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def doc_rolling_hash(spark, sf_dir):
+    """Engine-independent polynomial rolling-hash document fingerprint."""
+    from artigraph_spark.operators.text import rolling_hash
+
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 200).select(
+        "doc_id", rolling_hash(F.col("text")).alias("doc_fp")
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle=None,  # oracle added after empirical check of the SQL emulation cost
+)
+def minhash_signatures_q(spark, sf_dir):
+    """Token-dictionary MinHash signatures (k=8) — deterministic construction
+    (sorted token ids + universal hashing), basis for LSH dedup."""
+    from artigraph_spark.operators.dedup import minhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_signatures(d, "doc_id", "text", num_hashes=8)
+
+
+@query("minhash_lsh_pairs", oracle=None, bench=True)
+def minhash_lsh_pairs_q(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs: 16 hashes, 4 bands × 4 rows —
+    the scale path (band-bucket equi-join, no all-pairs)."""
+    from artigraph_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures_fast
+
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures_fast(d, "doc_id", "text", num_hashes=16, shingle_size=3)
+    return lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=4)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS t
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.t, b.t))) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.t, b.t))) >= 0.4
+    """,
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs over a bounded candidate set."""
+    from artigraph_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.4)
+
+
+@query("simhash_fingerprints", oracle=None)
+def simhash_fingerprints_q(spark, sf_dir):
+    """64-bit SimHash per document (xxhash64-based — rows-only check)."""
+    from artigraph_spark.operators.dedup import simhash
+
+    d = load(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text")
+
+
+@query("lang_predict", oracle=None)
+def lang_predict_q(spark, sf_dir):
+    """Marker-lexicon language ID vs the labeled lang column (rows-only;
+    accuracy asserted in unit tests)."""
+    from artigraph_spark.operators.text import predict_language
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", predict_language(F.col("text")).alias("predicted_lang")
+    )
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               (CAST(list_sum(list_transform(list_zip(q.qv, c.embedding),
+                   p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+               / (
+                 sqrt(CAST(list_sum(list_transform(q.qv,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+                 *
+                 sqrt(CAST(list_sum(list_transform(c.embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+               ) AS cos_sim
+        FROM embeddings c, q
+        WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    bench=True,
+)
+def cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors (exact ANN baseline).
+
+    Queries broadcast; corpus scanned once; decimal-reduced dot products.
+    """
+    from artigraph_spark.operators.similarity import cosine_topk_bruteforce
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(e, q, id_col="vec_id", vec_col="embedding", k=5)
+
+
+@query("cosine_topk_lsh", oracle=None)
+def cosine_topk_lsh_q(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-k (scale path; recall vs brute
+    force asserted in unit tests)."""
+    from artigraph_spark.operators.similarity import cosine_topk_lsh
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(e, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, n_planes=6)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           sqrt(CAST(list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1073741824.0) AS BIGINT)))
+               AS DOUBLE) / 1073741824.0) AS l2_norm,
+           CAST(list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1073741824.0) AS BIGINT)))
+               AS DOUBLE) / 1073741824.0 AS el_sum
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    """Per-vector L2 norm and element sum (array HOF fixed-point reductions)."""
+    from artigraph_spark.operators.similarity import dot
+
+    e = load(spark, sf_dir, "embeddings")
+    el_sum = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(1073741824.0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+        lambda acc: acc.cast("double") / F.lit(1073741824.0),
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("l2_norm"),
+        el_sum.alias("el_sum"),
+    )
+
+
+@query(
+    "embedding_mean_pool",
+    oracle="""
+    SELECT label, pos,
+           CAST((CAST(SUM(CAST(floor(val * 1073741824.0) AS BIGINT)) AS DOUBLE) / 1073741824.0)
+                / COUNT(*) AS DOUBLE) AS mean_val
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ) GROUP BY label, pos
+    """,
+)
+def embedding_mean_pool(spark, sf_dir):
+    """Per-label mean vector in exploded (label, pos, mean) form — centroid
+    computation for IVF-style ANN indexing."""
+    from artigraph_spark.operators.similarity import mean_pool
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return mean_pool(e, "label").select("label", "pos", "mean_val")

@@ -1,0 +1,54 @@
+"""Table loading for the synthetic fixture star schema.
+
+At 100 TB each ``load`` is a plain parquet scan: Catalyst handles
+predicate pushdown / column pruning / partition pruning; nothing here
+materializes. ``BROADCAST_TABLES`` marks the dimension tables that stay
+broadcast-sized at every scale factor (region/nation/supplier are fixed
+or near-fixed cardinality in TPC-H-style scaling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions safe to broadcast at any SF (bounded cardinality).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Oracle comparability must not depend on the caller's session config:
+    # timestamp formatting/epoch functions are session-timezone-sensitive.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
+        # for: read the raw int64 nanos and truncate to microsecond
+        # TimestampType (documented-lossy ns bridge, SURVEY §1.2 Timestamp).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
