@@ -1,0 +1,231 @@
+"""Metadata backends: the engine's catalog of graphs, snapshots, partitions,
+and tags — metadata only, never data (parity with
+/root/reference/src/arti/backends/__init__.py:27-147 and the memory
+implementation backends/memory.py:62-138).
+
+Two implementations: in-process MemoryBackend (tests / ephemeral runs) and
+JsonFileBackend (a single JSON file; cross-process memoization). On a real
+cluster the same 8-method interface fronts a Delta table or a database —
+the catalog is tiny (O(partitions) rows of fingerprints+paths), never a
+scaling concern next to the 100 TB data plane.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+from artigraph_spark.fingerprint import Fingerprint
+from artigraph_spark.partitions import PartitionKey
+from artigraph_spark.storage import StoragePartition
+
+
+def _key_to_jsonable(key: PartitionKey) -> list[list[str]]:
+    return [[name, type(f).__name__, str(f.components[f.default_component])] for name, f in sorted(key.fields.items())]
+
+
+def _partition_to_json(p: StoragePartition) -> dict[str, Any]:
+    return {
+        "path": p.path,
+        "key": _key_to_jsonable(p.partition_key),
+        "input_fp": p.input_fingerprint.key,
+        "content_fp": p.content_fingerprint.key,
+    }
+
+
+def _partition_from_json(d: dict[str, Any]) -> StoragePartition:
+    from artigraph_spark import partitions as pt
+
+    fields = {}
+    for name, cls_name, text in d["key"]:
+        fcls = getattr(pt, cls_name)
+        fields[name] = fcls.parse(fcls.default_component, text)
+    return StoragePartition(
+        path=d["path"],
+        partition_key=PartitionKey(fields=fields),
+        input_fingerprint=Fingerprint(key=d["input_fp"]),
+        content_fingerprint=Fingerprint(key=d["content_fp"]),
+    )
+
+
+class Backend:
+    """Catalog interface. Artifacts are addressed by fingerprint; snapshots
+    by snapshot id."""
+
+    def connect(self) -> Backend:
+        return self
+
+    # graphs / snapshots
+    def write_snapshot(self, snapshot_id: Fingerprint, graph_name: str) -> None:
+        raise NotImplementedError
+
+    def has_snapshot(self, snapshot_id: Fingerprint) -> bool:
+        raise NotImplementedError
+
+    # artifact partitions
+    def write_artifact_partitions(
+        self, artifact_fp: Fingerprint, partitions: list[StoragePartition]
+    ) -> None:
+        raise NotImplementedError
+
+    def read_artifact_partitions(
+        self,
+        artifact_fp: Fingerprint,
+        input_fingerprints: set[int | None] | None = None,
+    ) -> list[StoragePartition]:
+        """Partitions for an artifact, optionally filtered to given input
+        fingerprints (the memoization probe, memory.py:75-82)."""
+        raise NotImplementedError
+
+    # snapshot <-> partition links
+    def link_snapshot_partitions(
+        self, snapshot_id: Fingerprint, artifact_fp: Fingerprint, partitions: list[StoragePartition]
+    ) -> None:
+        raise NotImplementedError
+
+    def read_snapshot_partitions(
+        self, snapshot_id: Fingerprint, artifact_fp: Fingerprint
+    ) -> list[StoragePartition]:
+        raise NotImplementedError
+
+    # tags
+    def write_tag(self, graph_name: str, tag: str, snapshot_id: Fingerprint, *, overwrite: bool = False) -> None:
+        raise NotImplementedError
+
+    def read_tag(self, graph_name: str, tag: str) -> Fingerprint:
+        raise NotImplementedError
+
+
+class MemoryBackend(Backend):
+    def __init__(self) -> None:
+        self._snapshots: dict[int | None, str] = {}
+        self._partitions: dict[int | None, dict[str, StoragePartition]] = {}
+        self._links: dict[tuple[int | None, int | None], dict[str, StoragePartition]] = {}
+        self._tags: dict[tuple[str, str], Fingerprint] = {}
+
+    def write_snapshot(self, snapshot_id: Fingerprint, graph_name: str) -> None:
+        self._snapshots[snapshot_id.key] = graph_name
+
+    def has_snapshot(self, snapshot_id: Fingerprint) -> bool:
+        return snapshot_id.key in self._snapshots
+
+    def write_artifact_partitions(
+        self, artifact_fp: Fingerprint, partitions: list[StoragePartition]
+    ) -> None:
+        store = self._partitions.setdefault(artifact_fp.key, {})
+        for p in partitions:
+            store[p.path] = p
+
+    def read_artifact_partitions(
+        self,
+        artifact_fp: Fingerprint,
+        input_fingerprints: set[int | None] | None = None,
+    ) -> list[StoragePartition]:
+        parts = list(self._partitions.get(artifact_fp.key, {}).values())
+        if input_fingerprints is not None:
+            parts = [p for p in parts if p.input_fingerprint.key in input_fingerprints]
+        return parts
+
+    def link_snapshot_partitions(
+        self, snapshot_id: Fingerprint, artifact_fp: Fingerprint, partitions: list[StoragePartition]
+    ) -> None:
+        store = self._links.setdefault((snapshot_id.key, artifact_fp.key), {})
+        for p in partitions:
+            store[p.path] = p
+
+    def read_snapshot_partitions(
+        self, snapshot_id: Fingerprint, artifact_fp: Fingerprint
+    ) -> list[StoragePartition]:
+        return list(self._links.get((snapshot_id.key, artifact_fp.key), {}).values())
+
+    def write_tag(self, graph_name: str, tag: str, snapshot_id: Fingerprint, *, overwrite: bool = False) -> None:
+        key = (graph_name, tag)
+        if key in self._tags and not overwrite:
+            raise ValueError(f"tag {tag!r} already exists for graph {graph_name!r}")
+        self._tags[key] = snapshot_id
+
+    def read_tag(self, graph_name: str, tag: str) -> Fingerprint:
+        try:
+            return self._tags[(graph_name, tag)]
+        except KeyError:
+            raise LookupError(f"no tag {tag!r} for graph {graph_name!r}") from None
+
+
+class JsonFileBackend(Backend):
+    """Single-JSON-file catalog with atomic rewrite — durable enough for
+    cross-process incremental builds on one host; swap for Delta/DB at
+    multi-writer scale."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._state: dict[str, Any] = {"snapshots": {}, "partitions": {}, "links": {}, "tags": {}}
+        if os.path.exists(path):
+            with open(path) as f:
+                self._state = json.load(f)
+
+    def _flush(self) -> None:
+        d = os.path.dirname(self.path) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._state, f)
+        os.replace(tmp, self.path)
+
+    def write_snapshot(self, snapshot_id: Fingerprint, graph_name: str) -> None:
+        self._state["snapshots"][str(snapshot_id.key)] = graph_name
+        self._flush()
+
+    def has_snapshot(self, snapshot_id: Fingerprint) -> bool:
+        return str(snapshot_id.key) in self._state["snapshots"]
+
+    def write_artifact_partitions(
+        self, artifact_fp: Fingerprint, partitions: list[StoragePartition]
+    ) -> None:
+        store = self._state["partitions"].setdefault(str(artifact_fp.key), {})
+        for p in partitions:
+            store[p.path] = _partition_to_json(p)
+        self._flush()
+
+    def read_artifact_partitions(
+        self,
+        artifact_fp: Fingerprint,
+        input_fingerprints: set[int | None] | None = None,
+    ) -> list[StoragePartition]:
+        parts = [
+            _partition_from_json(d)
+            for d in self._state["partitions"].get(str(artifact_fp.key), {}).values()
+        ]
+        if input_fingerprints is not None:
+            parts = [p for p in parts if p.input_fingerprint.key in input_fingerprints]
+        return parts
+
+    def link_snapshot_partitions(
+        self, snapshot_id: Fingerprint, artifact_fp: Fingerprint, partitions: list[StoragePartition]
+    ) -> None:
+        store = self._state["links"].setdefault(f"{snapshot_id.key}:{artifact_fp.key}", {})
+        for p in partitions:
+            store[p.path] = _partition_to_json(p)
+        self._flush()
+
+    def read_snapshot_partitions(
+        self, snapshot_id: Fingerprint, artifact_fp: Fingerprint
+    ) -> list[StoragePartition]:
+        return [
+            _partition_from_json(d)
+            for d in self._state["links"].get(f"{snapshot_id.key}:{artifact_fp.key}", {}).values()
+        ]
+
+    def write_tag(self, graph_name: str, tag: str, snapshot_id: Fingerprint, *, overwrite: bool = False) -> None:
+        key = f"{graph_name}:{tag}"
+        if key in self._state["tags"] and not overwrite:
+            raise ValueError(f"tag {tag!r} already exists for graph {graph_name!r}")
+        self._state["tags"][key] = snapshot_id.key
+        self._flush()
+
+    def read_tag(self, graph_name: str, tag: str) -> Fingerprint:
+        key = f"{graph_name}:{tag}"
+        if key not in self._state["tags"]:
+            raise LookupError(f"no tag {tag!r} for graph {graph_name!r}")
+        return Fingerprint(key=self._state["tags"][key])

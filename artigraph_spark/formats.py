@@ -1,0 +1,31 @@
+"""Data formats (parity with /root/reference/src/arti/formats/: json, pickle;
+plus the columnar formats a Spark engine actually runs on: parquet, csv).
+A Format is metadata — IO handlers in artigraph_spark.io do the work.
+"""
+
+from __future__ import annotations
+
+from typing import ClassVar
+
+from artigraph_spark.internal.models import Model
+
+
+class Format(Model):
+    extension: ClassVar[str] = ""
+
+
+class Parquet(Format):
+    extension: ClassVar[str] = ".parquet"
+
+
+class JSON(Format):
+    extension: ClassVar[str] = ".json"
+
+
+class CSV(Format):
+    extension: ClassVar[str] = ".csv"
+    header: bool = True
+
+
+class Pickle(Format):
+    extension: ClassVar[str] = ".pickle"

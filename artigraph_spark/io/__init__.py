@@ -1,0 +1,244 @@
+"""IO registry: (Format × Storage × View) → reader/writer.
+
+Parity with the reference's multiple-dispatch io layer
+(/root/reference/src/arti/io/__init__.py:30-82, dispatch registry
+internal/dispatch.py) — simplified to an explicit keyed registry with
+subclass-aware lookup (views are few; a full multimethod library buys
+nothing here).
+
+Readers take (type_, format, partitions, view, spark) and return the view's
+representation; multi-partition reads union partitions (requiring a
+partitioned Collection, io/__init__.py:42-62). Writers take (data, type_,
+format, partition, view, spark) and materialize one partition.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import pickle
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from artigraph_spark import types as at
+from artigraph_spark.formats import CSV, JSON, Format, Parquet, Pickle
+from artigraph_spark.storage import LocalFile, Storage, StoragePartition, StringLiteral
+from artigraph_spark.types.spark import struct_to_spark, to_spark_type
+from artigraph_spark.views import (
+    PythonListView,
+    PythonScalarView,
+    SparkDataFrameView,
+    View,
+)
+
+_READERS: dict[tuple[type, type, type], Callable[..., Any]] = {}
+_WRITERS: dict[tuple[type, type, type], Callable[..., Any]] = {}
+
+
+def register_reader(fmt: type, storage: type, view: type):
+    def deco(fn):
+        _READERS[(fmt, storage, view)] = fn
+        return fn
+
+    return deco
+
+
+def register_writer(fmt: type, storage: type, view: type):
+    def deco(fn):
+        _WRITERS[(fmt, storage, view)] = fn
+        return fn
+
+    return deco
+
+
+def _lookup(registry: dict, fmt: Format, storage: Storage, view: type[View]):
+    for (f, s, v), fn in registry.items():
+        if isinstance(fmt, f) and isinstance(storage, s) and issubclass(view, v):
+            return fn
+    raise LookupError(
+        f"no IO handler for ({type(fmt).__name__}, {type(storage).__name__}, {view.__name__})"
+    )
+
+
+def can_read(fmt: Format, storage: Storage, view: type[View]) -> bool:
+    try:
+        _lookup(_READERS, fmt, storage, view)
+        return True
+    except LookupError:
+        return False
+
+
+def read(
+    type_: at.Type,
+    fmt: Format,
+    storage: Storage,
+    partitions: list[StoragePartition],
+    view: type[View],
+    spark: SparkSession | None,
+) -> Any:
+    if not partitions:
+        raise FileNotFoundError("No data (no partitions to read)")
+    if len(partitions) > 1 and not (
+        isinstance(type_, at.Collection) and type_.partition_by
+    ):
+        raise ValueError("multi-partition read requires a partitioned Collection")
+    fn = _lookup(_READERS, fmt, storage, view)
+    return fn(type_, fmt, storage, partitions, spark)
+
+
+def write(
+    data: Any,
+    type_: at.Type,
+    fmt: Format,
+    partition: StoragePartition,
+    view: type[View],
+    spark: SparkSession | None,
+) -> None:
+    fn = _lookup(_WRITERS, fmt, _storage_of(partition), view)
+    fn(data, type_, fmt, partition, spark)
+
+
+def _storage_of(partition: StoragePartition) -> Storage:
+    if partition.path.startswith("literal://"):
+        return StringLiteral()
+    return LocalFile()
+
+
+def _schema_for(type_: at.Type):
+    if isinstance(type_, at.Collection):
+        return struct_to_spark(type_.element)
+    if isinstance(type_, at.Struct):
+        return struct_to_spark(type_)
+    raise ValueError(f"DataFrame IO needs a Collection/Struct type, got {type_!r}")
+
+
+def _data_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            f
+            for f in _glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        )
+    return [path]
+
+
+# --- Spark DataFrame view ---------------------------------------------------
+
+
+@register_reader(Parquet, LocalFile, SparkDataFrameView)
+def _read_parquet_df(type_, fmt, storage, partitions, spark) -> DataFrame:
+    # Explicit schema: never infer/merge footers across 100k files; leaf
+    # partition dirs are read directly (no Hive inference needed — all
+    # columns live in the files, mirroring the reference's concat read).
+    return spark.read.schema(_schema_for(type_)).parquet(*[p.path for p in partitions])
+
+
+@register_writer(Parquet, LocalFile, SparkDataFrameView)
+def _write_parquet_df(data: DataFrame, type_, fmt, partition, spark) -> None:
+    data.write.mode("overwrite").parquet(partition.path)
+
+
+@register_reader(JSON, LocalFile, SparkDataFrameView)
+def _read_json_df(type_, fmt, storage, partitions, spark) -> DataFrame:
+    # Schema always supplied from the artifact Type — never inferred at read.
+    return spark.read.schema(_schema_for(type_)).json([p.path for p in partitions])
+
+
+@register_writer(JSON, LocalFile, SparkDataFrameView)
+def _write_json_df(data: DataFrame, type_, fmt, partition, spark) -> None:
+    data.write.mode("overwrite").json(partition.path)
+
+
+@register_reader(CSV, LocalFile, SparkDataFrameView)
+def _read_csv_df(type_, fmt, storage, partitions, spark) -> DataFrame:
+    return spark.read.schema(_schema_for(type_)).csv(
+        [p.path for p in partitions], header=getattr(fmt, "header", True)
+    )
+
+
+@register_writer(CSV, LocalFile, SparkDataFrameView)
+def _write_csv_df(data: DataFrame, type_, fmt, partition, spark) -> None:
+    data.write.mode("overwrite").csv(partition.path, header=getattr(fmt, "header", True))
+
+
+# --- Driver-local python views (reference-parity escape hatches) ------------
+
+
+@register_reader(JSON, LocalFile, PythonListView)
+def _read_json_list(type_, fmt, storage, partitions, spark) -> list:
+    out: list = []
+    for p in partitions:
+        for f in _data_files(p.path):
+            with open(f) as fh:
+                content = fh.read()
+            try:
+                loaded = json.loads(content)
+                out.extend(loaded if isinstance(loaded, list) else [loaded])
+            except json.JSONDecodeError:
+                # Spark-written JSON: one object per line.
+                out.extend(json.loads(line) for line in content.splitlines() if line)
+    return out
+
+
+@register_writer(JSON, LocalFile, PythonListView)
+def _write_json_list(data: list, type_, fmt, partition, spark) -> None:
+    os.makedirs(partition.path, exist_ok=True)
+    with open(os.path.join(partition.path, "part-0.json"), "w") as fh:
+        json.dump(data, fh, default=str)
+
+
+@register_reader(JSON, LocalFile, PythonScalarView)
+def _read_json_scalar(type_, fmt, storage, partitions, spark) -> Any:
+    (p,) = partitions
+    files = _data_files(p.path)
+    with open(files[0]) as fh:
+        return json.load(fh)
+
+
+@register_writer(JSON, LocalFile, PythonScalarView)
+def _write_json_scalar(data: Any, type_, fmt, partition, spark) -> None:
+    os.makedirs(partition.path, exist_ok=True)
+    with open(os.path.join(partition.path, "part-0.json"), "w") as fh:
+        json.dump(data, fh, default=str)
+
+
+@register_reader(JSON, StringLiteral, PythonScalarView)
+def _read_literal_scalar(type_, fmt, storage: StringLiteral, partitions, spark) -> Any:
+    if storage.value is None:
+        raise FileNotFoundError("literal storage has no value")
+    return json.loads(storage.value)
+
+
+@register_reader(JSON, StringLiteral, PythonListView)
+def _read_literal_list(type_, fmt, storage: StringLiteral, partitions, spark) -> list:
+    if storage.value is None:
+        raise FileNotFoundError("literal storage has no value")
+    v = json.loads(storage.value)
+    return v if isinstance(v, list) else [v]
+
+
+@register_reader(Pickle, LocalFile, PythonScalarView)
+def _read_pickle_scalar(type_, fmt, storage, partitions, spark) -> Any:
+    (p,) = partitions
+    with open(_data_files(p.path)[0], "rb") as fh:
+        return pickle.load(fh)
+
+
+@register_writer(Pickle, LocalFile, PythonScalarView)
+def _write_pickle_scalar(data: Any, type_, fmt, partition, spark) -> None:
+    os.makedirs(partition.path, exist_ok=True)
+    with open(os.path.join(partition.path, "part-0.pickle"), "wb") as fh:
+        pickle.dump(data, fh)
+
+
+# --- Literal + DataFrame (small inline tables) ------------------------------
+
+
+@register_reader(JSON, StringLiteral, SparkDataFrameView)
+def _read_literal_df(type_, fmt, storage: StringLiteral, partitions, spark) -> DataFrame:
+    if storage.value is None:
+        raise FileNotFoundError("literal storage has no value")
+    rows = json.loads(storage.value)
+    return spark.createDataFrame(rows, schema=_schema_for(type_))

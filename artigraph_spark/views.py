@@ -1,0 +1,83 @@
+"""Views: the in-memory representation producer code works with.
+
+Parity with /root/reference/src/arti/views/__init__.py: a registry mapping
+python annotations to View classes, used to validate producer signatures and
+pick IO handlers. The DataFrame view is the engine's default for Collections
+(the reference's default was ``list[dict]`` — kept here as an explicit,
+driver-local escape hatch for small data).
+"""
+
+from __future__ import annotations
+
+from typing import Any, ClassVar, get_origin
+
+from pyspark.sql import DataFrame
+
+from artigraph_spark import types as at
+from artigraph_spark.internal.models import Model
+
+
+class View(Model):
+    """A representation class; ``python_type`` is what build() receives."""
+
+    python_type: ClassVar[Any]
+
+    _registry: ClassVar[list[type[View]]] = []
+
+    def __init_subclass__(cls, **kwargs: Any) -> None:
+        super().__init_subclass__(**kwargs)
+        View._registry.append(cls)
+
+    @classmethod
+    def matches_annotation(cls, annotation: Any) -> bool:
+        return annotation is cls.python_type or get_origin(annotation) is cls.python_type
+
+    @classmethod
+    def get_class_for(cls, annotation: Any) -> type[View]:
+        for view in View._registry:
+            if view.matches_annotation(annotation):
+                return view
+        raise LookupError(f"no View registered for annotation {annotation!r}")
+
+    @classmethod
+    def supports_type(cls, type_: at.Type) -> bool:
+        return True
+
+
+class SparkDataFrameView(View):
+    """The default Collection view: a lazy Spark DataFrame (never collected
+    by the engine; producer bodies stay distributed)."""
+
+    python_type: ClassVar[Any] = DataFrame
+
+    @classmethod
+    def supports_type(cls, type_: at.Type) -> bool:
+        return isinstance(type_, at.Collection | at.Struct)
+
+
+class PythonListView(View):
+    """Driver-local list[dict] — the reference's default; small data only."""
+
+    python_type: ClassVar[Any] = list
+
+    @classmethod
+    def supports_type(cls, type_: at.Type) -> bool:
+        return isinstance(type_, at.Collection | at.List)
+
+
+class PythonScalarView(View):
+    """Driver-local scalar (int/float/str/bool/...)."""
+
+    python_type: ClassVar[Any] = object
+
+    @classmethod
+    def matches_annotation(cls, annotation: Any) -> bool:
+        return annotation in (int, float, str, bool, bytes, dict)
+
+    @classmethod
+    def supports_type(cls, type_: at.Type) -> bool:
+        return not isinstance(type_, at.Collection)
+
+
+def view_for_annotation(annotation: Any) -> type[View]:
+    return View.get_class_for(annotation)

@@ -1,0 +1,127 @@
+"""Partition keys/fields + storage templating/discovery (mirrors
+tests/arti/partitions/test_partitions.py and tests/arti/storage/*)."""
+
+import datetime
+import os
+
+import pytest
+
+from artigraph_spark import types as at
+from artigraph_spark.fingerprint import Fingerprint
+from artigraph_spark.partitions import (
+    DateField,
+    IntField,
+    NullField,
+    PartitionKey,
+    StringField,
+)
+from artigraph_spark.storage import LocalFile, StringLiteral
+
+
+def test_date_field_components():
+    f = DateField(key=datetime.date(2021, 10, 1))
+    assert f.components == {"Y": "2021", "m": "10", "d": "01", "iso": "2021-10-01"}
+    assert DateField.parse("iso", "2021-10-01") == f
+
+
+def test_int_field_components():
+    f = IntField(key=255)
+    assert f.components == {"value": "255", "hex": "0xff"}
+    assert IntField.parse("value", "255") == f
+    assert IntField.parse("hex", "0xff") == f
+
+
+def test_null_and_string_fields():
+    assert NullField().components["value"] == "_NONE"
+    assert StringField(key="x").components["value"] == "x"
+
+
+def test_partition_key_from_types():
+    types = {"date": at.Date(), "bucket": at.Int32()}
+    key = PartitionKey.from_types(
+        types, {"date": datetime.date(2021, 1, 2), "bucket": 3}
+    )
+    assert key.values() == {"date": datetime.date(2021, 1, 2), "bucket": 3}
+    assert not key.is_not_partitioned
+    assert PartitionKey.not_partitioned().is_not_partitioned
+
+
+def test_key_types_from_collection():
+    coll = at.Collection(
+        element=at.Struct(fields={"d": at.Date(), "x": at.Int64()}),
+        partition_by=("d",),
+    )
+    assert PartitionKey.types_from(coll) == {"d": DateField}
+
+
+def test_template_resolution_and_generation(tmp_path):
+    storage = LocalFile(root=str(tmp_path)).resolve_templates(
+        graph_name="g", names="ns/a", name="a"
+    )
+    key = PartitionKey(fields={"date": DateField(key=datetime.date(2021, 10, 1))})
+    p = storage.generate_partition(key, Fingerprint.from_int(42))
+    assert p.path == f"{tmp_path}/g/ns/a/a/date=2021-10-01/_fingerprint=42"
+    raw = storage.resolve_templates(strip_input_fingerprint=True).generate_partition(
+        key, Fingerprint.empty()
+    )
+    assert raw.path == f"{tmp_path}/g/ns/a/a/date=2021-10-01"
+
+
+def test_unresolved_placeholder_rejected(tmp_path):
+    storage = LocalFile(root=str(tmp_path))  # templates not resolved
+    with pytest.raises(ValueError, match="unresolved"):
+        storage.generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+
+
+def test_discovery_round_trip(tmp_path):
+    storage = LocalFile(root=str(tmp_path)).resolve_templates(
+        graph_name="g", names="t", name="t", strip_input_fingerprint=True
+    )
+    for d in ("2021-10-01", "2021-10-02"):
+        os.makedirs(f"{tmp_path}/g/t/t/date={d}", exist_ok=True)
+        with open(f"{tmp_path}/g/t/t/date={d}/part-0.json", "w") as f:
+            f.write("{}")
+    parts = storage.discover_partitions({"date": DateField})
+    assert len(parts) == 2
+    assert sorted(p.partition_key.values()["date"].isoformat() for p in parts) == [
+        "2021-10-01",
+        "2021-10-02",
+    ]
+
+
+def test_discovery_with_fingerprint(tmp_path):
+    storage = LocalFile(root=str(tmp_path)).resolve_templates(
+        graph_name="g", names="o", name="o"
+    )
+    os.makedirs(f"{tmp_path}/g/o/o/_fingerprint=-7", exist_ok=True)
+    parts = storage.discover_partitions({})
+    assert len(parts) == 1
+    assert parts[0].input_fingerprint == Fingerprint.from_int(-7)
+
+
+def test_content_fingerprint_changes_with_content(tmp_path):
+    p = tmp_path / "f.txt"
+    p.write_text("hello")
+    storage_part = (
+        LocalFile(root=str(tmp_path))
+        .resolve_templates(graph_name="g", names="x", name="x", strip_input_fingerprint=True)
+        .generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+    )
+    from artigraph_spark.storage import StoragePartition
+
+    sp = StoragePartition(path=str(p))
+    fp1 = sp.compute_content_fingerprint(strict=True).content_fingerprint
+    p.write_text("world")
+    fp2 = sp.compute_content_fingerprint(strict=True).content_fingerprint
+    assert fp1 != fp2
+    p.write_text("hello")
+    fp3 = sp.compute_content_fingerprint(strict=True).content_fingerprint
+    assert fp1 == fp3  # content-addressed: reverting re-hits the old identity
+
+
+def test_string_literal():
+    s = StringLiteral(value='{"a": 1}')
+    parts = s.discover_partitions({})
+    assert len(parts) == 1
+    assert not parts[0].content_fingerprint.is_empty
+    assert StringLiteral(value=None).discover_partitions({}) == []
