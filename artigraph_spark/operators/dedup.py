@@ -91,6 +91,11 @@ def minhash_signatures(
     return doc_tokens.groupBy(id_col).agg(*aggs)
 
 
+def _rot64(c, r: int):
+    """Bitwise 64-bit rotation (no ANSI overflow — pure bit ops)."""
+    return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, 64 - r))
+
+
 def minhash_signatures_fast(
     df: DataFrame,
     id_col: str,
@@ -99,29 +104,53 @@ def minhash_signatures_fast(
     shingle_size: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Production-scale MinHash: xxhash64 over word shingles, no dictionary
-    join, one shuffle (the per-doc groupBy). Not oracle-checkable (engine
-    hash), statistically equivalent."""
-    toks = tokens(F.col(text_col))
-    n_shingles = F.size(toks) - shingle_size + 1
-    # sequence(1, n) is descending when n < 1 — guard short docs to empty.
-    shingles = F.when(
-        n_shingles >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_shingles),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_size)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    shingled = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-    # Fold the 64-bit hash to 31 bits so a·id + b stays under 2^63 (a < 2^31).
-    base = shingled.withColumn(
-        "h", F.pmod(F.xxhash64("shingle"), F.lit((1 << 31) - 1))
+    """Production-scale MinHash: xxhash64 token hashes combined into shingle
+    hashes with position-dependent rotations, then ``array_min`` over k
+    universal-hash transforms — ALL per-row array expressions. Zero shuffles,
+    zero explodes: an embarrassingly-parallel single scan, which is exactly
+    what you want feeding 100 TB of documents through LSH dedup. Not
+    oracle-checkable (engine hash), statistically equivalent to the
+    dictionary-based `minhash_signatures`.
+    """
+    # Stage the intermediate arrays as real columns: every stage references
+    # the previous one many times, and inlining (what a single select would
+    # do) makes the expression tree — and the work — multiply out.
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks"), F.col(text_col).alias("__txt")
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"mh{i}")
+    staged = staged.select(
+        F.col(id_col),
+        F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__tokh"),
+        "__txt",
+    )
+
+    def shingle_hash(i):
+        h = F.element_at(F.col("__tokh"), i)
+        for j in range(1, shingle_size):
+            h = h.bitwiseXOR(
+                _rot64(F.element_at(F.col("__tokh"), i + j), (j * 21) % 63 + 1)
+            )
+        return h
+
+    n_shingles = F.size(F.col("__tokh")) - shingle_size + 1
+    staged = staged.select(
+        F.col(id_col),
+        F.when(n_shingles >= 1, F.transform(F.sequence(F.lit(1), n_shingles), shingle_hash))
+        .otherwise(F.array(F.xxhash64(F.col("__txt"))))
+        .alias("__sh"),
+    )
+    # Fold to 31 bits so a·h + b stays under 2^63 (a < 2^31).
+    staged = staged.select(
+        F.col(id_col),
+        F.transform(F.col("__sh"), lambda h: F.pmod(h, F.lit((1 << 31) - 1))).alias("__fh"),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("__fh"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P))
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed))
     ]
-    return base.groupBy(id_col).agg(*aggs)
+    return staged.select(F.col(id_col), *sig_cols)
 
 
 def lsh_candidate_pairs(
