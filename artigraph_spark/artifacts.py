@@ -27,6 +27,10 @@ class Artifact(Model):
     format: Format = Parquet()
     storage: Storage = LocalFile()
     annotations: SkipFingerprint(dict[str, Any]) = {}
+    # Quality gates evaluated on build (one agg pass per output partition;
+    # see artigraph_spark.statistics). Not fingerprinted: tightening a
+    # threshold must not invalidate already-built data.
+    statistics: SkipFingerprint(tuple[Any, ...]) = ()
 
     # Set when a Producer output is bound to this artifact; excluded from the
     # fingerprint so adding/changing a producer doesn't cascade-invalidate

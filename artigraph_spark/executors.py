@@ -122,11 +122,28 @@ class LocalSparkExecutor:
         if not ok:
             raise BuildError(f"{type(producer).__name__} validate_outputs failed: {msg}")
         for pos, artifact in output_artifacts.items():
+            self._check_statistics(artifact, results[pos], producer)
             snapshot.write(
                 results[pos],
                 artifact,
                 partition_key=partition_key,
                 input_fingerprint=input_fp,
+            )
+
+    def _check_statistics(self, artifact: Any, result: Any, producer: Producer) -> None:
+        """The reference's stubbed statistics/threshold hook
+        (executors/local.py:26-29), for real: one agg pass, gate the write."""
+        from pyspark.sql import DataFrame
+
+        from artigraph_spark import statistics as st
+
+        if not artifact.statistics or not isinstance(result, DataFrame):
+            return
+        res = st.evaluate(result, tuple(artifact.statistics))
+        if not res.ok:
+            raise BuildError(
+                f"{type(producer).__name__} output failed statistics thresholds: "
+                + "; ".join(res.failures)
             )
 
 

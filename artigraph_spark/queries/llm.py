@@ -224,6 +224,29 @@ def lang_predict_q(spark, sf_dir):
 
 
 @query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST((strlen(text) % 640) + 1 AS INTEGER) AS width,
+           CAST(((strlen(text) * 7919) % 480) + 1 AS INTEGER) AS height
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → mapInPandas decode stub →
+    typed feature row. The decode is a deterministic fake (real codecs not in
+    this env); the distributed path — binary columns, Arrow batches, schema —
+    is real and oracle-checked on the byte-derived metadata."""
+    from artigraph_spark.operators.multimodal import attach_binary_payload, extract_features
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_binary_payload(d, "text", "doc_id")
+    feats = extract_features(media, decoder="fake")
+    return feats.select("media_id", "n_bytes", "width", "height")
+
+
+@query(
     "cosine_topk",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

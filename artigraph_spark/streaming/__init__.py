@@ -1,0 +1,167 @@
+"""Structured Streaming extension.
+
+The reference is batch-only (sequential executor,
+/root/reference/src/arti/executors/local.py:22-57) — streaming is a declared
+*extension*, not compat surface (SURVEY §2). The contract here: every
+streaming transformation has a batch twin in artigraph_spark.queries
+(window_tumbling / window_sliding / window_session), and
+``run_stream_to_batch`` lets tests prove stream/batch parity by driving a
+bounded parquet-backed stream to completion with the memory sink.
+
+Scale posture: watermarks bound state; aggregations are keyed by
+(window, key) so state partitions shuffle-evenly; ``foreachBatch`` writes
+land through the same partitioned-sink path as batch builds.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from artigraph_spark.sources import TABLES
+
+
+def read_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open a fixture table as a bounded file stream (schema from the batch
+    read — never inferred; nanos→µs bridge applied for events, matching
+    sources.load)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}")
+    from artigraph_spark.sources import load
+
+    batch = load(spark, sf_dir, name)
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # File-stream sources require a DIRECTORY path; the fixtures are single
+    # files, so stream the SF dir with a glob filter selecting the one file.
+    reader = reader.option("pathGlobFilter", f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stream = reader.schema(raw.schema).parquet(sf_dir)
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(sf_dir)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of queries.timeseries.window_tumbling."""
+    from artigraph_spark.functions import fxp
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), key)
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(fxp("value")).cast("double") / F.lit(1048576.0)).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            key,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, *, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    from artigraph_spark.functions import fxp
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(fxp("value")).cast("double") / F.lit(1048576.0)).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native streaming sessionization (F.session_window); the batch twin is
+    operators.windows.sessionize (lag+cumsum)."""
+    from artigraph_spark.functions import fxp
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(fxp("value")).cast("double") / F.lit(1048576.0)).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_batch(
+    stream_df: DataFrame, *, query_name: str = "stream_out", output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a bounded stream to completion through the memory sink and
+    return the result as a batch DataFrame (test/parity harness)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_to_partitioned_sink(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = (),
+    checkpoint: str,
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+):
+    """foreachBatch → partitioned parquet sink: exactly-once per epoch via
+    checkpointing; each micro-batch lands through the same
+    write-partitionBy path as batch builds."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        writer = batch_df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        if on_batch is not None:
+            on_batch(batch_df, epoch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
