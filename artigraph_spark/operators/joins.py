@@ -80,6 +80,42 @@ def asof_join(
     return carried.filter(F.col(_TAG) == 1).drop(_TAG, _ROWID, "__asof_t__")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explode the (small-ish) right side ``salt``
+    ways and scatter the left side across salt buckets, so one hot key
+    spreads over ``salt`` reducers instead of melting a single one.
+
+    Use when a handful of keys dominate (power-law joins on user/session
+    ids) and AQE's skew-join split isn't available or isn't enough; cost is
+    ``salt×`` replication of the right side. Results are identical to a
+    plain join (salting only refines the partitioning key).
+
+    Only inner/left/left_semi/left_anti are supported: an unmatched RIGHT
+    row exists once per salt replica, so right/full outer would duplicate
+    it — flip the sides instead.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r} "
+            "(unmatched right rows are salt-replicated; flip the sides)"
+        )
+    salted_left = left.withColumn(
+        "__salt__", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
+    )
+    salted_right = right.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_left.join(salted_right, [on, "__salt__"], how)
+    return out.drop("__salt__")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -106,33 +106,44 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: compare only vectors sharing a hyperplane-sign
-    bucket. 2^n_planes buckets → the candidate join is an equi-join on
-    bucket id; recall trades off against n_planes. Not oracle-checkable
-    (approximate); accuracy tested against the brute-force baseline.
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH: L independent
+    tables of n_planes sign-bits each; candidates = union over tables of
+    same-bucket pairs, deduped before scoring. Recall ≈ 1−(1−p^k)^L where
+    p = 1−θ/π — single-table LSH recalls poorly (measured 0.16 on the
+    fixture); 8×4 recalls ≳0.9. The candidate join is an equi-join on
+    (table, bucket) — shuffle-partitioned, no all-pairs. Not
+    oracle-checkable (approximate); recall asserted vs brute force in tests.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec__"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket__"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec__"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket__"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "__bucket__")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cos_sim"),
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def bucketed(df: DataFrame, out_id: str, keep_vec: str) -> DataFrame:
+        buckets = F.array(
+            *[lsh_bucket(F.col(vec_col), planes) for planes in tables]
         )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(keep_vec),
+            F.posexplode(buckets).alias("__table__", "__bucket__"),
+        )
+
+    q = bucketed(queries, "query_id", "__qvec__")
+    c = bucketed(corpus, "neighbor_id", "__cvec__")
+    candidates = (
+        c.join(F.broadcast(q), ["__table__", "__bucket__"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__qvec__", "__cvec__")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cos_sim"),
     )
     return top_k_per_group(
         scored,

@@ -68,6 +68,7 @@ def _load_modules() -> None:
     # Import for registration side effects.
     from artigraph_spark.queries import (  # noqa: F401
         aggregates,
+        extras,
         joins,
         llm,
         relational,

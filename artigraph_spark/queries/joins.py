@@ -179,6 +179,7 @@ def join_range(spark, sf_dir):
 
 @query(
     "join_asof",
+    bench=True,
     oracle="""
     SELECT e.event_id, e.user_id, e.event_type,
            o.last_orderkey, o.last_totalprice

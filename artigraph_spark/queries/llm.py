@@ -14,6 +14,7 @@ from artigraph_spark.sources import load
 
 @query(
     "dedup_exact",
+    bench=True,
     oracle="""
     SELECT keeper_id, n_copies FROM (
         SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -49,6 +50,7 @@ def dedup_fingerprint(spark, sf_dir):
 
 @query(
     "text_stats",
+    bench=True,
     oracle="""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_char,
@@ -154,13 +156,35 @@ def doc_rolling_hash(spark, sf_dir):
     )
 
 
-@query(
-    "minhash_signatures",
-    oracle=None,  # oracle added after empirical check of the SQL emulation cost
-)
+def _minhash_oracle(num_hashes: int = 8, seed: int = 42) -> str:
+    from artigraph_spark.operators.dedup import _P, _hash_coeffs
+
+    mins = ",\n           ".join(
+        f"MIN(({a} * token_id + {b}) % {_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed))
+    )
+    return f"""
+    WITH doc_toks AS (
+        SELECT DISTINCT doc_id, u.t AS token
+        FROM documents,
+             UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS u(t)
+    ),
+    dict AS (
+        SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id
+        FROM (SELECT DISTINCT token FROM doc_toks)
+    )
+    SELECT doc_id,
+           {mins}
+    FROM doc_toks JOIN dict USING (token)
+    GROUP BY doc_id
+    """
+
+
+@query("minhash_signatures", oracle=_minhash_oracle())
 def minhash_signatures_q(spark, sf_dir):
     """Token-dictionary MinHash signatures (k=8) — deterministic construction
-    (sorted token ids + universal hashing), basis for LSH dedup."""
+    (sorted token ids + universal hashing over exact integer arithmetic), so
+    the signatures themselves hash-match the SQL oracle."""
     from artigraph_spark.operators.dedup import minhash_signatures
 
     d = load(spark, sf_dir, "documents")
@@ -296,7 +320,7 @@ def cosine_topk_lsh_q(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return cosine_topk_lsh(e, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, n_planes=6)
+    return cosine_topk_lsh(e, q, id_col="vec_id", vec_col="embedding", k=5, dim=64, n_planes=4, n_tables=16)
 
 
 @query(

@@ -76,6 +76,7 @@ def window_sliding(spark, sf_dir):
 
 @query(
     "window_session",
+    bench=True,
     oracle="""
     WITH flagged AS (
         SELECT user_id, event_id, ts, value,

@@ -1,0 +1,117 @@
+"""Operator-library unit tests: salted join equivalence, LSH recall vs
+brute force, sessionize, asof correctness vs naive, arrow round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from artigraph_spark import types as at
+from artigraph_spark.operators.joins import asof_join, salted_join
+from artigraph_spark.sources import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").groupBy().agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("s")
+    ).collect()[0]
+    salted = salted_join(li, o, "l_orderkey", salt=8).groupBy().agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("s")
+    ).collect()[0]
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+def test_asof_join_matches_naive(spark):
+    """The union-window asof must equal the naive (explode + reduce) asof."""
+    e = load(spark, SF, "events").select("event_id", "user_id", "ts").limit(200)
+    o_raw = load(spark, SF, "orders")
+    o = (
+        o_raw.select(
+            o_raw.o_custkey.alias("user_id"), "o_orderdate", "o_orderkey"
+        )
+        # unique (key, time): keep max orderkey
+        .groupBy("user_id", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    fast = asof_join(
+        e, o, on="user_id", left_time="ts", right_time="o_orderdate",
+        right_values=["o_orderkey"],
+    )
+    naive = (
+        e.join(o, "user_id")
+        .filter(F.col("o_orderdate") <= F.col("ts"))
+        .groupBy("event_id")
+        .agg(F.max_by("o_orderkey", "o_orderdate").alias("o_orderkey"))
+    )
+    fast_map = {r["event_id"]: r["o_orderkey"] for r in fast.collect() if r["o_orderkey"] is not None}
+    naive_map = {r["event_id"]: r["o_orderkey"] for r in naive.collect()}
+    assert fast_map == naive_map
+
+
+def test_asof_strict_excludes_equal_times(spark):
+    rows = [(1, 10), (1, 20)]
+    left = spark.createDataFrame(rows, "k int, t int")
+    right = spark.createDataFrame([(1, 10, "a"), (1, 15, "b")], "k int, t2 int, v string")
+    inclusive = asof_join(left, right, on="k", left_time="t", right_time="t2")
+    strict = asof_join(left, right, on="k", left_time="t", right_time="t2", strict=True)
+    inc = {r["t"]: r["v"] for r in inclusive.collect()}
+    st = {r["t"]: r["v"] for r in strict.collect()}
+    assert inc == {10: "a", 20: "b"}
+    assert st == {10: None, 20: "b"}  # strict: t2 < t only
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """Approximate cosine top-k must recover most of the exact top-k."""
+    from artigraph_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(e, q, k=5)
+    approx = cosine_topk_lsh(e, q, k=5, dim=64, n_planes=4, n_tables=16)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, recall  # 8 tables x 4 planes
+
+
+def test_arrow_type_round_trip():
+    from artigraph_spark.types import arrow as ats
+
+    coll = at.Collection(
+        element=at.Struct(
+            fields={
+                "d": at.Date(),
+                "ts": at.Timestamp(precision="nanosecond"),
+                "v": at.Float32(),
+                "tags": at.List(element=at.String(nullable=False)),
+                "m": at.Map(key=at.String(nullable=False), value=at.Int64()),
+                "u": at.UInt32(),
+            }
+        ),
+        partition_by=("d",),
+    )
+    schema = ats.collection_to_arrow_schema(coll)
+    back = ats.arrow_schema_to_collection(schema)
+    assert back.partition_by == ("d",)
+    assert back.element.fields["ts"] == at.Timestamp(precision="nanosecond")
+    assert back.element.fields["u"] == at.UInt32()
+    assert isinstance(back.element.fields["tags"], at.List)
+
+
+def test_predict_language_accuracy(spark):
+    """Marker-based language ID: sanity floor on the labeled fixture (the
+    synthetic text is English-ish words for all langs, so just assert the
+    operator runs and emits only known labels)."""
+    from artigraph_spark.operators.text import LANG_MARKERS, predict_language
+
+    d = load(spark, SF, "documents")
+    out = d.select(predict_language(F.col("text")).alias("p")).distinct().collect()
+    allowed = set(LANG_MARKERS) | {"und"}
+    assert {r["p"] for r in out} <= allowed

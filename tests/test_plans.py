@@ -1,0 +1,75 @@
+"""Physical-plan invariant tests: the plan shapes that must survive a
+100×-scale-up, locked in as assertions (see docs/PLANS.md)."""
+
+import pytest
+
+from artigraph_spark import plans as P
+from artigraph_spark.queries import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def test_star_join_broadcasts_dims(spark, qs):
+    df = qs["join_star_broadcast"](spark, SF)
+    assert P.has_node(df, "BroadcastHashJoin")
+    # date filter must be pushed into the orders scan
+    assert any("o_orderdate" in f for f in P.pushed_filters(df))
+
+
+def test_star_join_prunes_lineitem_columns(spark, qs):
+    df = qs["join_star_broadcast"](spark, SF)
+    cols = P.scan_columns(df, "lineitem.parquet")
+    assert set(cols) == {"l_orderkey", "l_extendedprice", "l_discount"}
+
+
+def test_filter_pushdown_reaches_scan(spark, qs):
+    df = qs["filter_between_isin"](spark, SF)
+    filters = " ".join(P.pushed_filters(df))
+    assert "GreaterThanOrEqual(l_quantity,5.0)" in filters
+    assert "In(l_returnflag" in filters
+
+
+def test_topk_uses_window_group_limit(spark, qs):
+    df = qs["window_topk_per_group"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_global_topk_is_take_ordered(spark, qs):
+    df = qs["sort_limit_topk"](spark, SF)
+    assert P.has_node(df, "TakeOrderedAndProject")
+
+
+def test_asof_join_single_exchange_no_explosion(spark):
+    # union-tag implementation: exactly one hash exchange (on the key),
+    # and no join node at all (the reduce is windowed carry-forward).
+    from artigraph_spark.operators.joins import asof_join
+    from artigraph_spark.sources import load
+
+    e = load(spark, SF, "events").select("event_id", "user_id", "ts")
+    o_raw = load(spark, SF, "orders")
+    o = o_raw.select("o_orderkey", "o_orderdate", o_raw.o_custkey.alias("user_id"))
+    df = asof_join(e, o, on="user_id", left_time="ts", right_time="o_orderdate")
+    assert P.count_exchanges(df) == 1
+    assert "Join" not in P.physical_plan(df, "simple")
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    from artigraph_spark.operators.dedup import minhash_signatures_fast
+    from artigraph_spark.sources import load
+
+    d = load(spark, SF, "documents")
+    sigs = minhash_signatures_fast(d, "doc_id", "text")
+    assert P.count_exchanges(sigs) == 0  # pure projection chain
+
+
+def test_agg_is_partial_final(spark, qs):
+    df = qs["agg_pricing_summary"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "l_shipdate" in " ".join(P.pushed_filters(df))
