@@ -135,9 +135,18 @@ def _read_parquet_df(type_, fmt, storage, partitions, spark) -> DataFrame:
     return spark.read.schema(_schema_for(type_)).parquet(*[p.path for p in partitions])
 
 
+def _apply_layout(data: DataFrame, type_: at.Type) -> DataFrame:
+    """Honor the Collection's declared cluster_by: sort rows within each
+    task partition before writing (better row-group locality + min/max
+    pruning for readers filtering on the cluster keys)."""
+    if isinstance(type_, at.Collection) and type_.cluster_by:
+        return data.sortWithinPartitions(*type_.cluster_by)
+    return data
+
+
 @register_writer(Parquet, LocalFile, SparkDataFrameView)
 def _write_parquet_df(data: DataFrame, type_, fmt, partition, spark) -> None:
-    data.write.mode("overwrite").parquet(partition.path)
+    _apply_layout(data, type_).write.mode("overwrite").parquet(partition.path)
 
 
 @register_reader(JSON, LocalFile, SparkDataFrameView)
@@ -148,7 +157,7 @@ def _read_json_df(type_, fmt, storage, partitions, spark) -> DataFrame:
 
 @register_writer(JSON, LocalFile, SparkDataFrameView)
 def _write_json_df(data: DataFrame, type_, fmt, partition, spark) -> None:
-    data.write.mode("overwrite").json(partition.path)
+    _apply_layout(data, type_).write.mode("overwrite").json(partition.path)
 
 
 @register_reader(CSV, LocalFile, SparkDataFrameView)

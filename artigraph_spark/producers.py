@@ -101,6 +101,11 @@ class Producer(Model):
         ret = sig.return_annotation
         if ret is inspect.Signature.empty:
             raise TypeError(f"{cls.__name__}.build needs a return annotation")
+        # Resolve PEP 563 string annotations before shape inspection.
+        try:
+            ret = get_type_hints(cls.build).get("return", ret)
+        except Exception:
+            pass
         cls._output_count = len(ret.__args__) if _is_tuple_annotation(ret) else 1
 
     @classmethod

@@ -240,3 +240,93 @@ def union_by_name_missing(spark, sf_dir):
         F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("bal"), "s_suppkey"
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS names,
+           count(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def string_agg(spark, sf_dir):
+    """String aggregation (listagg): order-normalized concat of group values."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("names"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "percent_of_total",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+           o_totalprice / (CAST(SUM(CAST(floor(o_totalprice * 1048576.0) AS BIGINT))
+                OVER (PARTITION BY o_orderstatus) AS DOUBLE) / 1048576.0) AS pct_of_status
+    FROM orders
+    """,
+)
+def percent_of_total(spark, sf_dir):
+    """Percent-of-group-total via an unframed partition window (fixed-point
+    denominator for cross-engine determinism)."""
+    from pyspark.sql import Window as W
+
+    from artigraph_spark.functions import fxp
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus")
+    denom = F.sum(fxp("o_totalprice")).over(w).cast("double") / F.lit(1048576.0)
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_totalprice") / denom).alias("pct_of_status"),
+    )
+
+
+@query(
+    "correlated_group_filter",
+    oracle=f"""
+    WITH stats AS (
+        SELECT c_nationkey, {oracle_davg('c_acctbal')} AS nation_avg
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal, s.nation_avg
+    FROM customer c JOIN stats s USING (c_nationkey)
+    WHERE c.c_acctbal > s.nation_avg
+    """,
+)
+def correlated_group_filter(spark, sf_dir):
+    """Rows above their group mean (correlated-subquery shape as a
+    broadcast-able self-aggregation join)."""
+    c = load(spark, sf_dir, "customer")
+    stats = c.groupBy("c_nationkey").agg(davg("c_acctbal").alias("nation_avg"))
+    return (
+        c.join(F.broadcast(stats), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "nation_avg")
+    )
+
+
+@query(
+    "conditional_distinct",
+    oracle="""
+    SELECT l_linestatus,
+           count(DISTINCT l_orderkey) FILTER (WHERE l_returnflag = 'A') AS orders_a,
+           count(DISTINCT l_orderkey) FILTER (WHERE l_returnflag = 'R') AS orders_r,
+           count(DISTINCT l_partkey) AS parts
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def conditional_distinct(spark, sf_dir):
+    """Multiple filtered DISTINCT aggregates in one pass (Catalyst expands
+    to a single multi-distinct aggregate)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.countDistinct(F.when(F.col("l_returnflag") == "A", F.col("l_orderkey"))).alias("orders_a"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_orderkey"))).alias("orders_r"),
+        F.countDistinct("l_partkey").alias("parts"),
+    )

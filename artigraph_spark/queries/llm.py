@@ -226,6 +226,18 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.4)
 
 
+@query("dedup_clusters", oracle=None)
+def dedup_clusters_q(spark, sf_dir):
+    """Full near-dup clustering pipeline: LSH candidates → Jaccard verify →
+    connected components (iterative label propagation — genuinely
+    non-SQL-expressible, so rows-only check; correctness is asserted against
+    a driver-side union-find in tests)."""
+    from artigraph_spark.operators.dedup import dedup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    return dedup_clusters(d, "doc_id", "text", jaccard_threshold=0.7)
+
+
 @query("simhash_fingerprints", oracle=None)
 def simhash_fingerprints_q(spark, sf_dir):
     """64-bit SimHash per document (xxhash64-based — rows-only check)."""

@@ -71,6 +71,22 @@ def to_artigraph(annotation: Any) -> at.Type:
     if isinstance(annotation, type) and annotation in _SIMPLE:
         t = _SIMPLE[annotation]
         return t(nullable=annotation is type(None))
+    # pydantic models → Struct (the reference's pydantic adapter,
+    # /root/reference/src/arti/types/pydantic.py, which extends the python
+    # system the same way).
+    try:
+        from pydantic import BaseModel
+
+        if isinstance(annotation, type) and issubclass(annotation, BaseModel):
+            return at.Struct(
+                fields={
+                    name: to_artigraph(field.annotation)
+                    for name, field in annotation.model_fields.items()
+                },
+                nullable=False,
+            )
+    except ImportError:  # pragma: no cover
+        pass
     raise NotImplementedError(f"cannot infer artigraph type from {annotation!r}")
 
 
