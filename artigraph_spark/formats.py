@@ -29,3 +29,12 @@ class CSV(Format):
 
 class Pickle(Format):
     extension: ClassVar[str] = ".pickle"
+
+
+class Delta(Format):
+    """Delta Lake format — gives atomic overwrite + time travel for the
+    memoization layer on a real deployment. The delta-spark jars are not in
+    this environment; the IO handler raises a clear error until they are
+    (import-try gate, per the environment contract)."""
+
+    extension: ClassVar[str] = ""

@@ -23,7 +23,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from artigraph_spark import types as at
-from artigraph_spark.formats import CSV, JSON, Format, Parquet, Pickle
+from artigraph_spark.formats import CSV, JSON, Delta, Format, Parquet, Pickle
 from artigraph_spark.storage import LocalFile, Storage, StoragePartition, StringLiteral
 from artigraph_spark.types.spark import struct_to_spark, to_spark_type
 from artigraph_spark.views import (
@@ -170,6 +170,29 @@ def _read_csv_df(type_, fmt, storage, partitions, spark) -> DataFrame:
 @register_writer(CSV, LocalFile, SparkDataFrameView)
 def _write_csv_df(data: DataFrame, type_, fmt, partition, spark) -> None:
     data.write.mode("overwrite").csv(partition.path, header=getattr(fmt, "header", True))
+
+
+def _require_delta(spark: SparkSession) -> None:
+    try:
+        spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: B018
+    except Exception as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "Delta format requires the delta-spark jars on the classpath "
+            "(not present in this environment); use Parquet, or deploy with "
+            "--packages io.delta:delta-spark_2.13:<version>"
+        ) from e
+
+
+@register_reader(Delta, LocalFile, SparkDataFrameView)
+def _read_delta_df(type_, fmt, storage, partitions, spark) -> DataFrame:
+    _require_delta(spark)
+    return spark.read.format("delta").load(partitions[0].path)
+
+
+@register_writer(Delta, LocalFile, SparkDataFrameView)
+def _write_delta_df(data: DataFrame, type_, fmt, partition, spark) -> None:
+    _require_delta(spark)
+    _apply_layout(data, type_).write.format("delta").mode("overwrite").save(partition.path)
 
 
 # --- Driver-local python views (reference-parity escape hatches) ------------

@@ -330,3 +330,24 @@ def conditional_distinct(spark, sf_dir):
         F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_orderkey"))).alias("orders_r"),
         F.countDistinct("l_partkey").alias("parts"),
     )
+
+
+@query(
+    "grouped_map_pandas",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(row_number() OVER w AS INTEGER) AS ordinal,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def grouped_map_pandas(spark, sf_dir):
+    """applyInPandas grouped-map (the UDTF-style escape hatch) computing
+    per-user ordered deltas — proven bit-identical to the window-function
+    formulation, so imperative per-group code can be swapped in safely."""
+    from artigraph_spark.operators.grouped import grouped_ordered_delta
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = grouped_ordered_delta(e, "user_id", ["ts", "event_id"], "value")
+    return out.select("event_id", "user_id", "value", "ordinal", "delta")
