@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 from typing import Any
 
 from artigraph_spark.fingerprint import Fingerprint
@@ -160,18 +161,20 @@ class JsonFileBackend(Backend):
 
     def __init__(self, path: str) -> None:
         self.path = path
+        self._lock = threading.RLock()
         self._state: dict[str, Any] = {"snapshots": {}, "partitions": {}, "links": {}, "tags": {}}
         if os.path.exists(path):
             with open(path) as f:
                 self._state = json.load(f)
 
     def _flush(self) -> None:
-        d = os.path.dirname(self.path) or "."
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(self._state, f)
-        os.replace(tmp, self.path)
+        with self._lock:
+            d = os.path.dirname(self.path) or "."
+            os.makedirs(d, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(self._state, f)
+            os.replace(tmp, self.path)
 
     def write_snapshot(self, snapshot_id: Fingerprint, graph_name: str) -> None:
         self._state["snapshots"][str(snapshot_id.key)] = graph_name

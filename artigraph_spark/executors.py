@@ -17,6 +17,7 @@ transits the driver.
 from __future__ import annotations
 
 import inspect
+import threading
 from typing import Any, get_type_hints
 
 from artigraph_spark import io
@@ -39,54 +40,59 @@ class LocalSparkExecutor:
         self.strict = strict_fingerprints
         self.built_partitions = 0
         self.skipped_partitions = 0
+        self._lock = threading.Lock()  # counter safety for threaded subclass
 
     def build(self, snapshot: GraphSnapshot) -> None:
         graph = snapshot.graph
-        backend = graph.backend
         for producer, outputs in graph.build_order():
-            input_partitions = {
-                name: tuple(
-                    backend.read_snapshot_partitions(
-                        snapshot.snapshot_id, artifact.fingerprint
-                    )
+            self._build_producer(snapshot, producer, outputs)
+
+    def _build_producer(
+        self, snapshot: GraphSnapshot, producer: Producer, outputs: dict[int, str]
+    ) -> None:
+        graph = snapshot.graph
+        backend = graph.backend
+        input_partitions = {
+            name: tuple(
+                backend.read_snapshot_partitions(snapshot.snapshot_id, artifact.fingerprint)
+            )
+            for name, artifact in producer.inputs().items()
+        }
+        for name, parts in input_partitions.items():
+            if not parts:
+                raise BuildError(
+                    f"{type(producer).__name__} input {name!r} has no partitions "
+                    f"for this snapshot — upstream build missing?"
                 )
-                for name, artifact in producer.inputs().items()
-            }
-            for name, parts in input_partitions.items():
-                if not parts:
-                    raise BuildError(
-                        f"{type(producer).__name__} input {name!r} has no partitions "
-                        f"for this snapshot — upstream build missing?"
-                    )
-            dependencies = producer.map(**input_partitions)
-            output_artifacts = {
-                pos: graph._artifacts[key] for pos, key in sorted(outputs.items())
-            }
-            for partition_key, dep_inputs in dependencies.items():
-                input_fp = producer.compute_input_fingerprint(dep_inputs)
-                existing_per_output = {}
+        dependencies = producer.map(**input_partitions)
+        output_artifacts = {
+            pos: graph._artifacts[key] for pos, key in sorted(outputs.items())
+        }
+        for partition_key, dep_inputs in dependencies.items():
+            input_fp = producer.compute_input_fingerprint(dep_inputs)
+            existing_per_output = {}
+            for pos, artifact in output_artifacts.items():
+                existing = backend.read_artifact_partitions(
+                    artifact.fingerprint, input_fingerprints={input_fp.key}
+                )
+                match = [p for p in existing if p.partition_key == partition_key]
+                if match:
+                    existing_per_output[pos] = match
+            if len(existing_per_output) == len(output_artifacts):
+                # Memoized: link existing partitions to this snapshot, skip.
                 for pos, artifact in output_artifacts.items():
-                    existing = backend.read_artifact_partitions(
-                        artifact.fingerprint, input_fingerprints={input_fp.key}
+                    backend.link_snapshot_partitions(
+                        snapshot.snapshot_id,
+                        artifact.fingerprint,
+                        existing_per_output[pos],
                     )
-                    match = [
-                        p for p in existing if p.partition_key == partition_key
-                    ]
-                    if match:
-                        existing_per_output[pos] = match
-                if len(existing_per_output) == len(output_artifacts):
-                    # Memoized: link existing partitions to this snapshot, skip.
-                    for pos, artifact in output_artifacts.items():
-                        backend.link_snapshot_partitions(
-                            snapshot.snapshot_id,
-                            artifact.fingerprint,
-                            existing_per_output[pos],
-                        )
+                with self._lock:
                     self.skipped_partitions += 1
-                    continue
-                self._build_partition(
-                    snapshot, producer, dep_inputs, partition_key, input_fp, output_artifacts
-                )
+                continue
+            self._build_partition(
+                snapshot, producer, dep_inputs, partition_key, input_fp, output_artifacts
+            )
+            with self._lock:
                 self.built_partitions += 1
 
     def _build_partition(
@@ -145,6 +151,72 @@ class LocalSparkExecutor:
                 f"{type(producer).__name__} output failed statistics thresholds: "
                 + "; ".join(res.failures)
             )
+
+
+class ThreadedSparkExecutor(LocalSparkExecutor):
+    """Topological executor running INDEPENDENT producers concurrently.
+
+    The reference's sequential loop is an acknowledged TODO
+    (/root/reference/src/arti/executors/local.py:14-16); here ready
+    producers are submitted to a thread pool — each thread drives its own
+    Spark jobs (Spark's scheduler interleaves them across the cluster), so
+    a wide graph keeps the cluster busy instead of serializing whole
+    subtrees. Counters and backend mutations are lock-protected; partition
+    memoization semantics are identical to the sequential executor.
+    """
+
+    def __init__(self, *, strict_fingerprints: bool = False, max_workers: int = 4) -> None:
+        super().__init__(strict_fingerprints=strict_fingerprints)
+        self.max_workers = max_workers
+
+    def build(self, snapshot: GraphSnapshot) -> None:
+        import graphlib
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        graph = snapshot.graph
+        deps = graph.dependencies()
+        # Collapse the artifact nodes: producer -> set of upstream producers.
+        def upstream_producers(node: str, seen: frozenset[str] = frozenset()) -> set[str]:
+            out: set[str] = set()
+            for dep in deps.get(node, ()):
+                if dep in seen:
+                    continue
+                if dep.startswith("producer:"):
+                    out.add(dep)
+                else:
+                    out |= upstream_producers(dep, seen | {node})
+            return out
+
+        producer_nodes = {n for n in deps if n.startswith("producer:")}
+        pgraph = {n: upstream_producers(n) for n in producer_nodes}
+        by_node = {
+            f"producer:{fp}": entry for fp, entry in graph._producers.items()
+        }
+
+        ts = graphlib.TopologicalSorter(pgraph)
+        ts.prepare()
+        errors: list[Exception] = []
+        with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+            futures = {}
+            while ts.is_active():
+                for node in ts.get_ready():
+                    producer, outputs = by_node[node]
+                    futures[pool.submit(self._build_producer, snapshot, producer, outputs)] = node
+                if not futures:
+                    break
+                done, _ = wait(futures, return_when=FIRST_COMPLETED)
+                for f in done:
+                    node = futures.pop(f)
+                    exc = f.exception()
+                    if exc is not None:
+                        errors.append(exc)
+                    ts.done(node)
+                if errors:
+                    for f in futures:
+                        f.cancel()
+                    break
+        if errors:
+            raise errors[0]
 
 
 def _build_param_views(producer: Producer) -> dict[str, type[View]]:

@@ -76,8 +76,11 @@ class Graph:
         self.backend = backend or MemoryBackend()
         self._spark = spark
         self._artifacts: dict[str, Artifact] = {}
-        # producer bound-output fingerprint -> (producer, {position: artifact key})
-        self._producers: dict[int | None, tuple[Producer, dict[int, str]]] = {}
+        # producer node id -> (producer, {position: artifact key}); the node id
+        # combines the fingerprint with the instance id so two IDENTICALLY
+        # configured producers (same code, same inputs, different outputs)
+        # stay distinct nodes.
+        self._producers: dict[str, tuple[Producer, dict[int, str]]] = {}
         self.sealed = False
 
     # -- definition ---------------------------------------------------------
@@ -108,13 +111,13 @@ class Graph:
 
     def _register_producer(self, key: str, artifact: Artifact) -> None:
         bound = artifact.producer_output
-        pfp = bound.producer_fingerprint.key
         producer = bound.producer if hasattr(bound, "producer") else None
         if producer is None:
             raise ValueError("artifact has producer_output but no producer reference")
-        entry = self._producers.get(pfp)
+        node_id = f"{bound.producer_fingerprint.key}@{id(producer)}"
+        entry = self._producers.get(node_id)
         if entry is None:
-            self._producers[pfp] = (producer, {bound.position: key})
+            self._producers[node_id] = (producer, {bound.position: key})
         else:
             entry[1][bound.position] = key
 
@@ -131,8 +134,8 @@ class Graph:
         """node -> set of prerequisite nodes. Artifact nodes are their dotted
         keys; producer nodes are ``producer:<fingerprint>``."""
         deps: dict[str, set[str]] = {k: set() for k in self._artifacts}
-        for pfp, (producer, outputs) in self._producers.items():
-            pnode = f"producer:{pfp}"
+        for node_id, (producer, outputs) in self._producers.items():
+            pnode = f"producer:{node_id}"
             deps[pnode] = set()
             for _name, input_artifact in producer.inputs().items():
                 deps[pnode].add(self.artifact_key(input_artifact))
@@ -145,8 +148,7 @@ class Graph:
         out = []
         for node in order:
             if node.startswith("producer:"):
-                fp_key = node.split(":", 1)[1]
-                out.append(self._producers[int(fp_key) if fp_key != "None" else None])
+                out.append(self._producers[node.split(":", 1)[1]])
         return out
 
     def raw_artifacts(self) -> dict[str, Artifact]:

@@ -39,14 +39,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp formatting/epoch functions are session-timezone-sensitive.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-        # for: read the raw int64 nanos and truncate to microsecond
-        # TimestampType (documented-lossy ns bridge, SURVEY §1.2 Timestamp).
+        # The fixture events.ts is parquet TIMESTAMP(NANOS), which Spark has
+        # no native type for: read the raw int64 nanos and truncate to
+        # microsecond TimestampType (documented-lossy ns bridge, SURVEY §1.2
+        # Timestamp). Derived copies written by Spark already carry a real
+        # timestamp — only convert when the column actually reads as long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
