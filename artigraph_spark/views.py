@@ -34,7 +34,8 @@ class View(Model):
 
     @classmethod
     def get_class_for(cls, annotation: Any) -> type[View]:
-        for view in View._registry:
+        # Latest registration wins so user-defined views can override built-ins.
+        for view in reversed(View._registry):
             if view.matches_annotation(annotation):
                 return view
         raise LookupError(f"no View registered for annotation {annotation!r}")
