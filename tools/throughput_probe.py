@@ -1,0 +1,90 @@
+"""Single-node throughput comparison on the Q1-shaped pricing summary at a
+given SF: (a) reference-style execution (driver-local Python over
+list[dict] rows — how artigraph's shipped JSON/pickle views compute,
+/root/reference/src/arti/io/json_localfile_python.py), (b) this engine
+(Spark DataFrame), (c) DuckDB (the oracle engine) as the in-process
+columnar yardstick.
+
+Usage: python tools/throughput_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from artigraph_spark.queries import queries
+from artigraph_spark.session import get_spark
+
+
+def python_rows_q1(rows: list[dict]) -> dict:
+    """The computation a reference user writes inside build() over the
+    list[dict] view (single thread, row-at-a-time)."""
+    acc: dict = defaultdict(lambda: [0.0, 0.0, 0.0, 0.0, 0])
+    cutoff = "1998-09-02"
+    for r in rows:
+        if str(r["l_shipdate"])[:10] <= cutoff:
+            k = (r["l_returnflag"], r["l_linestatus"])
+            a = acc[k]
+            disc_price = r["l_extendedprice"] * (1 - r["l_discount"])
+            a[0] += r["l_quantity"]
+            a[1] += r["l_extendedprice"]
+            a[2] += disc_price
+            a[3] += disc_price * (1 + r["l_tax"])
+            a[4] += 1
+    return dict(acc)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    con = duckdb.connect()
+    rows = con.sql(f"SELECT * FROM '{sf_dir}/lineitem.parquet'").fetchall()
+    cols = [d[0] for d in con.sql(f"DESCRIBE SELECT * FROM '{sf_dir}/lineitem.parquet'").fetchall()]
+    dict_rows = [dict(zip(cols, r)) for r in rows]
+
+    t0 = time.perf_counter()
+    python_rows_q1(dict_rows)
+    t_python = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    con.sql(
+        f"""SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
+            sum(l_extendedprice*(1-l_discount)), sum(l_extendedprice*(1-l_discount)*(1+l_tax)),
+            avg(l_quantity), avg(l_discount), count(*)
+            FROM '{sf_dir}/lineitem.parquet'
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus"""
+    ).fetchall()
+    t_duckdb = time.perf_counter() - t0
+
+    spark = get_spark("throughput_probe")
+    q = queries()["agg_pricing_summary"]
+    q(spark, sf_dir).foreach(lambda _: None)  # warm (codegen/readers)
+    t0 = time.perf_counter()
+    q(spark, sf_dir).foreach(lambda _: None)
+    t_spark = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "rows": len(dict_rows),
+                "reference_style_python_sec": round(t_python, 3),
+                "spark_engine_sec": round(t_spark, 3),
+                "duckdb_sec": round(t_duckdb, 3),
+                "speedup_vs_reference_style": round(t_python / t_spark, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
