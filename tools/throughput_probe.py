@@ -26,8 +26,9 @@ from artigraph_spark.session import get_spark
 
 def python_rows_q1(rows: list[dict]) -> dict:
     """The computation a reference user writes inside build() over the
-    list[dict] view (single thread, row-at-a-time)."""
-    acc: dict = defaultdict(lambda: [0.0, 0.0, 0.0, 0.0, 0])
+    list[dict] view (single thread, row-at-a-time) — same 7 aggregates as
+    the Spark/DuckDB sides (avg_qty/avg_disc derive from sums + count)."""
+    acc: dict = defaultdict(lambda: [0.0, 0.0, 0.0, 0.0, 0.0, 0])
     cutoff = "1998-09-02"
     for r in rows:
         if str(r["l_shipdate"])[:10] <= cutoff:
@@ -38,7 +39,8 @@ def python_rows_q1(rows: list[dict]) -> dict:
             a[1] += r["l_extendedprice"]
             a[2] += disc_price
             a[3] += disc_price * (1 + r["l_tax"])
-            a[4] += 1
+            a[4] += r["l_discount"]
+            a[5] += 1
     return dict(acc)
 
 
@@ -46,13 +48,17 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
     con = duckdb.connect()
-    rows = con.sql(f"SELECT * FROM '{sf_dir}/lineitem.parquet'").fetchall()
-    cols = [d[0] for d in con.sql(f"DESCRIBE SELECT * FROM '{sf_dir}/lineitem.parquet'").fetchall()]
-    dict_rows = [dict(zip(cols, r)) for r in rows]
+    rel = con.sql(f"SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    cols = rel.columns
+    dict_rows = [dict(zip(cols, r)) for r in rel.fetchall()]
+    n_rows = len(dict_rows)
 
     t0 = time.perf_counter()
     python_rows_q1(dict_rows)
     t_python = time.perf_counter() - t0
+    # Free the multi-GB python row copies before timing the other engines —
+    # resident garbage perturbs exactly what we're measuring.
+    del dict_rows
 
     t0 = time.perf_counter()
     con.sql(
@@ -76,7 +82,7 @@ def main() -> None:
         json.dumps(
             {
                 "sf_dir": sf_dir,
-                "rows": len(dict_rows),
+                "rows": n_rows,
                 "reference_style_python_sec": round(t_python, 3),
                 "spark_engine_sec": round(t_spark, 3),
                 "duckdb_sec": round(t_duckdb, 3),
