@@ -72,7 +72,8 @@ def dvar_samp(col: Column | str) -> Column:
     n = F.count(c).cast("double")
     sx = dsum(c, 20)
     sx2 = dsum(c * c, 10)
-    return (sx2 - sx * sx / n) / (n - F.lit(1.0))
+    # NULL for n <= 1, matching F.var_samp (ANSI mode raises on 0-division).
+    return F.when(n > 1, (sx2 - sx * sx / n) / (n - F.lit(1.0)))
 
 
 def dstddev_samp(col: Column | str) -> Column:
@@ -105,7 +106,10 @@ def oracle_dvar_samp(expr: str) -> str:
     sx = oracle_dsum(expr, 20)
     sx2 = oracle_dsum(f"({expr}) * ({expr})", 10)
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    return f"(({sx2}) - ({sx}) * ({sx}) / ({n})) / (({n}) - 1.0)"
+    return (
+        f"CASE WHEN {n} > 1 THEN "
+        f"(({sx2}) - ({sx}) * ({sx}) / ({n})) / (({n}) - 1.0) ELSE NULL END"
+    )
 
 
 def oracle_dstddev_samp(expr: str) -> str:

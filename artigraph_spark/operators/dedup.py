@@ -84,11 +84,26 @@ def minhash_signatures(
         .distinct()
         .join(F.broadcast(dictionary), "token")
     )
+    coeffs = _hash_coeffs(num_hashes, seed)
     aggs = [
         F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % F.lit(_P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed))
+        for i, (a, b) in enumerate(coeffs)
     ]
-    return doc_tokens.groupBy(id_col).agg(*aggs)
+    sigs = doc_tokens.groupBy(id_col).agg(*aggs)
+    # Token-less documents must still get a (deterministic, id-derived)
+    # signature — dropping them would silently lose rows downstream and
+    # diverge from minhash_signatures_fast's fallback behavior.
+    fallback_id = F.pmod(F.col(id_col).cast("long"), F.lit((1 << 31) - 1))
+    out = df.select(F.col(id_col)).join(sigs, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        *[
+            F.coalesce(
+                F.col(f"mh{i}"), (F.lit(a) * fallback_id + F.lit(b)) % F.lit(_P)
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
 
 
 def _rot64(c, r: int):
@@ -165,6 +180,12 @@ def lsh_candidate_pairs(
     equi-join on the band key — shuffle-partitioned, no quadratic blowup
     outside genuinely identical buckets.
     """
+    if bands <= 0 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes evenly (got num_hashes={num_hashes}, "
+            f"bands={bands}); otherwise trailing hashes are ignored or every "
+            "document lands in one bucket"
+        )
     rows_per_band = num_hashes // bands
     banded = signatures.select(
         F.col(id_col),
@@ -214,8 +235,11 @@ def ngram_jaccard_pairs(
         pairs = pairs.filter(candidate_filter)
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    # Two empty token sets are identical documents: J(∅,∅)=1 (and guards the
+    # ANSI divide-by-zero that whitespace-only duplicates would trigger).
+    jaccard = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
     return (
-        pairs.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
@@ -264,6 +288,9 @@ def connected_components(
             "node",
             F.least(F.col("label"), F.coalesce("l_label", F.col("label"))).alias("label"),
         )
+        # Checkpoint FIRST so the convergence probe reuses the materialized
+        # round instead of re-executing the two joins a second time.
+        jumped = jumped.localCheckpoint(eager=True)  # cut the lineage per round
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")
@@ -271,7 +298,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = jumped.localCheckpoint(eager=True)  # cut the lineage per round
+        labels = jumped
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
@@ -300,9 +327,15 @@ def dedup_clusters(
         candidates.join(toks.withColumnsRenamed({id_col: "a", "toks": "toks_a"}), "a")
         .join(toks.withColumnsRenamed({id_col: "b", "toks": "toks_b"}), "b")
         .withColumn(
+            "__union__", F.size(F.array_union("toks_a", "toks_b")).cast("double")
+        )
+        .withColumn(
             "jaccard",
-            F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-            / F.size(F.array_union("toks_a", "toks_b")),
+            F.when(
+                F.col("__union__") > 0,
+                F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+                / F.col("__union__"),
+            ).otherwise(F.lit(1.0)),  # empty ≡ empty
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b")

@@ -40,17 +40,33 @@ def asof_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_values = right_values or [c for c in right.columns if c not in keys + [right_time]]
+    clash = sorted(set(right_values) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"right_values {clash} also exist on the left side; rename one side "
+            "before the as-of join (carried right columns must be unique)"
+        )
 
     lf = left.withColumn(_TAG, F.lit(1)).withColumn(_ROWID, F.monotonically_increasing_id())
+    # Compare times at the WIDER type: narrowing (e.g. timestamp→date) would
+    # silently truncate left times to midnight and corrupt strict semantics.
+    from pyspark.sql import types as T
+
+    lt, rt = left.schema[left_time].dataType, right.schema[right_time].dataType
+    common = lt if lt == rt else (
+        T.TimestampType() if T.TimestampType() in (lt, rt)
+        else T.TimestampNTZType() if T.TimestampNTZType() in (lt, rt)
+        else lt
+    )
     rf = right.select(
         *[F.col(k) for k in keys],
-        F.col(right_time).alias("__asof_t__"),
+        F.col(right_time).cast(common).alias("__asof_t__"),
         *[F.col(c) for c in right_values],
     ).withColumn(_TAG, F.lit(0))
 
     # Align columns for the union: left carries nulls for right values and vice versa.
     left_cols = [c for c in left.columns]
-    lf = lf.withColumn("__asof_t__", F.col(left_time).cast(right.schema[right_time].dataType))
+    lf = lf.withColumn("__asof_t__", F.col(left_time).cast(common))
     for c in right_values:
         lf = lf.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
     for c in left_cols:

@@ -35,16 +35,22 @@ def avg_token_length(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return (total.cast("double") / F.size(t)).alias("avg_token_len")
+    # NULL for token-less text (ANSI mode would raise on the 0-division).
+    return F.when(F.size(t) > 0, total.cast("double") / F.size(t)).alias("avg_token_len")
 
 
 def punct_ratio(text: Column) -> Column:
-    """Punctuation chars / total chars."""
-    return regex_count(text, r"[\.,;:!\?]").cast("double") / F.length(text)
+    """Punctuation chars / total chars (0.0 for empty text)."""
+    return F.when(
+        F.length(text) > 0, regex_count(text, r"[\.,;:!\?]").cast("double") / F.length(text)
+    ).otherwise(F.lit(0.0))
 
 
 def digit_ratio(text: Column) -> Column:
-    return regex_count(text, r"[0-9]").cast("double") / F.length(text)
+    """Digit chars / total chars (0.0 for empty text)."""
+    return F.when(
+        F.length(text) > 0, regex_count(text, r"[0-9]").cast("double") / F.length(text)
+    ).otherwise(F.lit(0.0))
 
 
 def stopword_hits(text: Column, stopwords: list[str]) -> Column:

@@ -159,9 +159,13 @@ def doc_rolling_hash(spark, sf_dir):
 def _minhash_oracle(num_hashes: int = 8, seed: int = 42) -> str:
     from artigraph_spark.operators.dedup import _P, _hash_coeffs
 
+    coeffs = _hash_coeffs(num_hashes, seed)
     mins = ",\n           ".join(
-        f"MIN(({a} * token_id + {b}) % {_P}) AS mh{i}"
-        for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed))
+        f"MIN(({a} * token_id + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    fallbacks = ",\n           ".join(
+        f"COALESCE(s.mh{i}, ({a} * (d.doc_id % 2147483647) + {b}) % {_P}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs)
     )
     return f"""
     WITH doc_toks AS (
@@ -172,11 +176,16 @@ def _minhash_oracle(num_hashes: int = 8, seed: int = 42) -> str:
     dict AS (
         SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id
         FROM (SELECT DISTINCT token FROM doc_toks)
-    )
-    SELECT doc_id,
+    ),
+    sigs AS (
+        SELECT doc_id,
            {mins}
-    FROM doc_toks JOIN dict USING (token)
-    GROUP BY doc_id
+        FROM doc_toks JOIN dict USING (token)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           {fallbacks}
+    FROM documents d LEFT JOIN sigs s USING (doc_id)
     """
 
 

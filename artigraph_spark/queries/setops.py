@@ -116,7 +116,7 @@ def set_intersect_all(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity
     FROM lineitem
-    WHERE ((l_orderkey * 2654435761 + l_linenumber * 40503) % 1000000007) % 100 < 10
+    WHERE (((l_orderkey % 1000000007) * 2654435761 + l_linenumber * 40503) % 1000000007) % 100 < 10
     """,
 )
 def sample_deterministic(spark, sf_dir):
@@ -124,5 +124,10 @@ def sample_deterministic(spark, sf_dir):
     df.sample(seed=..), identical on every engine and immune to partitioning
     (reproducible sampling is what a training pipeline actually needs)."""
     li = load(spark, sf_dir, "lineitem")
-    h = (F.col("l_orderkey") * 2654435761 + F.col("l_linenumber") * 40503) % 1000000007
+    # Reduce the key BEFORE the multiply: keeps the product < 2^62 at any
+    # scale factor (raw keys overflow int64 past ~3.5e9 under ANSI mode).
+    h = (
+        (F.col("l_orderkey") % 1000000007) * 2654435761
+        + F.col("l_linenumber") * 40503
+    ) % 1000000007
     return li.filter((h % 100) < 10).select("l_orderkey", "l_linenumber", "l_quantity")

@@ -1,0 +1,99 @@
+"""ANSI-mode edge cases found by review: empty/whitespace documents,
+single-row groups, large keys, name collisions — each previously a crash or
+silent wrong answer under Spark 4's ANSI default."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from artigraph_spark.functions import dvar_samp
+from artigraph_spark.operators.dedup import (
+    dedup_clusters,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    minhash_signatures_fast,
+    ngram_jaccard_pairs,
+)
+from artigraph_spark.operators.joins import asof_join
+from artigraph_spark.operators.text import avg_token_length, punct_ratio, quality_score
+
+
+def test_dedup_clusters_with_empty_docs(spark):
+    """Whitespace-only duplicates are the most common near-dups in real
+    corpora — must cluster, not crash with DIVIDE_BY_ZERO."""
+    d = spark.createDataFrame(
+        [(1, " "), (2, " "), (3, "hello world foo bar baz")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(d, "doc_id", "text").collect()}
+    assert len(rows) == 3
+    assert rows[2]["cluster_id"] == 1  # the two empty docs cluster together
+    assert rows[1]["is_keeper"] and not rows[2]["is_keeper"]
+
+
+def test_ngram_jaccard_empty_pair(spark):
+    d = spark.createDataFrame([(1, " "), (2, "  ")], "doc_id long, text string")
+    out = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5).collect()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_text_ratios_on_empty_text(spark):
+    d = spark.createDataFrame([("",), (" ",), ("real text here",)], "text string")
+    rows = d.select(
+        punct_ratio(F.col("text")).alias("p"),
+        avg_token_length(F.col("text")).alias("a"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert rows[0]["p"] == 0.0 and rows[0]["a"] is None
+    assert rows[2]["a"] is not None and rows[2]["q"] > 0
+
+
+def test_dvar_samp_single_row_group(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 1.0), (2, 3.0)], "g int, x double")
+    rows = {r["g"]: r["v"] for r in df.groupBy("g").agg(dvar_samp("x").alias("v")).collect()}
+    assert rows[1] is None  # matches F.var_samp semantics
+    assert rows[2] == pytest.approx(2.0)
+
+
+def test_minhash_signatures_total_over_empty_docs(spark):
+    d = spark.createDataFrame([(1, "a b c"), (2, "")], "doc_id long, text string")
+    slow = minhash_signatures(d, "doc_id", "text", num_hashes=4)
+    fast = minhash_signatures_fast(d, "doc_id", "text", num_hashes=4)
+    assert slow.count() == 2 and fast.count() == 2  # nobody dropped
+
+
+def test_lsh_band_validation(spark):
+    d = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    sigs = minhash_signatures_fast(d, "doc_id", "text", num_hashes=16)
+    with pytest.raises(ValueError, match="divide num_hashes"):
+        lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="divide num_hashes"):
+        lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=32)
+
+
+def test_asof_rejects_name_collision(spark):
+    left = spark.createDataFrame([(1, 10, 1.0)], "k int, t int, price double")
+    right = spark.createDataFrame([(1, 5, 2.0)], "k int, t2 int, price double")
+    with pytest.raises(ValueError, match="rename one side"):
+        asof_join(left, right, on="k", left_time="t", right_time="t2")
+
+
+def test_asof_widens_date_to_timestamp(spark):
+    """A DATE right side must not truncate timestamp left times to midnight."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00")], "k int, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-05", "same-day"), (1, "2024-01-04", "prev-day")],
+        "k int, d string, v string",
+    ).select("k", F.col("d").cast("date").alias("d"), "v")
+    strict = asof_join(left, right, on="k", left_time="ts", right_time="d", strict=True)
+    # event at 10:00 is strictly AFTER the same-day midnight order -> matches it
+    assert strict.collect()[0]["v"] == "same-day"
+
+
+def test_sample_hash_no_overflow_on_large_keys(spark):
+    df = spark.createDataFrame([(4_000_000_000, 1, 1.0)], "l_orderkey long, l_linenumber int, l_quantity double")
+    h = (
+        (F.col("l_orderkey") % 1000000007) * 2654435761
+        + F.col("l_linenumber") * 40503
+    ) % 1000000007
+    assert df.select((h % 100).alias("b")).collect()[0]["b"] is not None
