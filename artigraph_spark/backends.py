@@ -177,8 +177,9 @@ class JsonFileBackend(Backend):
             os.replace(tmp, self.path)
 
     def write_snapshot(self, snapshot_id: Fingerprint, graph_name: str) -> None:
-        self._state["snapshots"][str(snapshot_id.key)] = graph_name
-        self._flush()
+        with self._lock:
+            self._state["snapshots"][str(snapshot_id.key)] = graph_name
+            self._flush()
 
     def has_snapshot(self, snapshot_id: Fingerprint) -> bool:
         return str(snapshot_id.key) in self._state["snapshots"]
@@ -186,10 +187,11 @@ class JsonFileBackend(Backend):
     def write_artifact_partitions(
         self, artifact_fp: Fingerprint, partitions: list[StoragePartition]
     ) -> None:
-        store = self._state["partitions"].setdefault(str(artifact_fp.key), {})
-        for p in partitions:
-            store[p.path] = _partition_to_json(p)
-        self._flush()
+        with self._lock:
+            store = self._state["partitions"].setdefault(str(artifact_fp.key), {})
+            for p in partitions:
+                store[p.path] = _partition_to_json(p)
+            self._flush()
 
     def read_artifact_partitions(
         self,
@@ -207,10 +209,11 @@ class JsonFileBackend(Backend):
     def link_snapshot_partitions(
         self, snapshot_id: Fingerprint, artifact_fp: Fingerprint, partitions: list[StoragePartition]
     ) -> None:
-        store = self._state["links"].setdefault(f"{snapshot_id.key}:{artifact_fp.key}", {})
-        for p in partitions:
-            store[p.path] = _partition_to_json(p)
-        self._flush()
+        with self._lock:
+            store = self._state["links"].setdefault(f"{snapshot_id.key}:{artifact_fp.key}", {})
+            for p in partitions:
+                store[p.path] = _partition_to_json(p)
+            self._flush()
 
     def read_snapshot_partitions(
         self, snapshot_id: Fingerprint, artifact_fp: Fingerprint
@@ -222,10 +225,11 @@ class JsonFileBackend(Backend):
 
     def write_tag(self, graph_name: str, tag: str, snapshot_id: Fingerprint, *, overwrite: bool = False) -> None:
         key = f"{graph_name}:{tag}"
-        if key in self._state["tags"] and not overwrite:
-            raise ValueError(f"tag {tag!r} already exists for graph {graph_name!r}")
-        self._state["tags"][key] = snapshot_id.key
-        self._flush()
+        with self._lock:
+            if key in self._state["tags"] and not overwrite:
+                raise ValueError(f"tag {tag!r} already exists for graph {graph_name!r}")
+            self._state["tags"][key] = snapshot_id.key
+            self._flush()
 
     def read_tag(self, graph_name: str, tag: str) -> Fingerprint:
         key = f"{graph_name}:{tag}"

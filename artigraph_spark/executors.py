@@ -134,6 +134,7 @@ class LocalSparkExecutor:
                 artifact,
                 partition_key=partition_key,
                 input_fingerprint=input_fp,
+                strict_fingerprint=self.strict,
             )
 
     def _check_statistics(self, artifact: Any, result: Any, producer: Producer) -> None:
@@ -220,7 +221,14 @@ class ThreadedSparkExecutor(LocalSparkExecutor):
 
 
 def _build_param_views(producer: Producer) -> dict[str, type[View]]:
-    hints = get_type_hints(type(producer).build)
+    build = type(producer).build
+    try:
+        hints = get_type_hints(build)
+    except NameError:
+        # PEP 563 strings evaluated against the wrong globals (e.g. a
+        # @producer-wrapped function): fall back to the raw annotations —
+        # view_for_annotation handles live types; strings fail loudly below.
+        hints = dict(getattr(build, "__annotations__", {}))
     views = {}
     for name in producer._input_names:
         ann = hints.get(name, inspect.Parameter.empty)

@@ -118,6 +118,13 @@ class Graph:
         entry = self._producers.get(node_id)
         if entry is None:
             self._producers[node_id] = (producer, {bound.position: key})
+        elif bound.position in entry[1]:
+            raise ValueError(
+                f"output position {bound.position} of {type(producer).__name__} is "
+                f"already assigned to {entry[1][bound.position]!r}; assigning it "
+                f"again as {key!r} would orphan the first key — call .out() once "
+                "per producer and assign each output to exactly one key"
+            )
         else:
             entry[1][bound.position] = key
 
@@ -159,7 +166,12 @@ class Graph:
     def definition_fingerprint(self) -> Fingerprint:
         fp = Fingerprint.from_string(f"Graph:{self.name}")
         for key, artifact in sorted(self._artifacts.items()):
-            fp = fp.combine(Fingerprint.from_string(key), artifact.fingerprint)
+            # BIND key to artifact (hash of the pair) — combining them as two
+            # separate XOR terms is separable, so swapping two artifacts
+            # between keys would collide on the same graph fingerprint.
+            fp = fp.combine(
+                Fingerprint.from_string(f"{key}={artifact.fingerprint.key}")
+            )
         return fp
 
     def snapshot(self, *, strict_fingerprints: bool = False) -> GraphSnapshot:
@@ -211,6 +223,7 @@ class Graph:
         input_fingerprint: Fingerprint | None = None,
         view: type[View] | None = None,
         snapshot: GraphSnapshot | None = None,
+        strict_fingerprint: bool = False,
     ) -> StoragePartition:
         key = partition_key or PartitionKey.not_partitioned()
         fp = input_fingerprint or Fingerprint.empty()
@@ -224,7 +237,7 @@ class Graph:
                 else PythonScalarView
             )
         io.write(data, artifact.type, artifact.format, partition, view, self.spark)
-        partition = partition.compute_content_fingerprint()
+        partition = partition.compute_content_fingerprint(strict=strict_fingerprint)
         self.backend.write_artifact_partitions(artifact.fingerprint, [partition])
         if snapshot is not None:
             self.backend.link_snapshot_partitions(
@@ -264,7 +277,10 @@ class GraphSnapshot:
                 for p in partitions
             ]
             for p in snapped:
-                fp = fp.combine(p.content_fingerprint)
+                # Bind content to its artifact key (see definition_fingerprint).
+                fp = fp.combine(
+                    Fingerprint.from_string(f"{key}~{p.content_fingerprint.key}")
+                )
             raw_partitions[artifact.fingerprint] = snapped
         snap = cls(graph, fp)
         backend.write_snapshot(fp, graph.name)

@@ -54,7 +54,9 @@ def register_writer(fmt: type, storage: type, view: type):
 
 
 def _lookup(registry: dict, fmt: Format, storage: Storage, view: type[View]):
-    for (f, s, v), fn in registry.items():
+    # Latest registration wins so user handlers for subclasses can override
+    # built-ins (same convention as the View registry).
+    for (f, s, v), fn in reversed(list(registry.items())):
         if isinstance(fmt, f) and isinstance(storage, s) and issubclass(view, v):
             return fn
     raise LookupError(
@@ -186,7 +188,11 @@ def _require_delta(spark: SparkSession) -> None:
 @register_reader(Delta, LocalFile, SparkDataFrameView)
 def _read_delta_df(type_, fmt, storage, partitions, spark) -> DataFrame:
     _require_delta(spark)
-    return spark.read.format("delta").load(partitions[0].path)
+    dfs = [spark.read.format("delta").load(p.path) for p in partitions]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 @register_writer(Delta, LocalFile, SparkDataFrameView)

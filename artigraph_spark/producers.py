@@ -234,6 +234,13 @@ def producer(
     def wrap(fn: Any) -> type[Producer]:
         sig = inspect.signature(fn)
         params = list(sig.parameters)
+        # Resolve PEP 563 string annotations NOW, in the caller's module
+        # globals — the generated build lives in this module, where names
+        # like DataFrame may not resolve later.
+        try:
+            resolved = get_type_hints(fn)
+        except Exception:
+            resolved = dict(fn.__annotations__)
         namespace: dict[str, Any] = {
             "__annotations__": {p: Artifact for p in params},
             "__module__": fn.__module__,
@@ -251,18 +258,35 @@ def producer(
                 inspect.Parameter(
                     p,
                     inspect.Parameter.KEYWORD_ONLY,
-                    annotation=sig.parameters[p].annotation,
+                    annotation=resolved.get(p, sig.parameters[p].annotation),
                 )
                 for p in params
             ],
-            return_annotation=sig.return_annotation,
+            return_annotation=resolved.get("return", sig.return_annotation),
         )
-        build.__annotations__ = dict(fn.__annotations__)
+        build.__annotations__ = dict(resolved)
         namespace["build"] = build
+        # map/validate_outputs are plain functions from the caller — wrap
+        # them so binding as methods doesn't shove the instance into their
+        # first user argument.
         if map is not None:
-            namespace["map"] = map
+            map_fn = map
+
+            def map_method(self: Producer, **input_partitions: Any) -> Any:
+                return map_fn(**input_partitions)
+
+            map_method.__signature__ = inspect.signature(map_fn).replace(  # type: ignore[attr-defined]
+                parameters=[inspect.Parameter("self", inspect.Parameter.POSITIONAL_OR_KEYWORD)]
+                + list(inspect.signature(map_fn).parameters.values())
+            )
+            namespace["map"] = map_method
         if validate_outputs is not None:
-            namespace["validate_outputs"] = validate_outputs
+            validate_fn = validate_outputs
+
+            def validate_method(self: Producer, *outputs: Any) -> Any:
+                return validate_fn(*outputs)
+
+            namespace["validate_outputs"] = validate_method
         cls = type(name or fn.__name__, (Producer,), namespace)
         return cls
 

@@ -21,6 +21,7 @@ import glob as _glob
 import hashlib
 import os
 import re
+from urllib.parse import quote, unquote
 from typing import Any, ClassVar
 
 from artigraph_spark.fingerprint import Fingerprint
@@ -28,6 +29,12 @@ from artigraph_spark.internal.models import Model
 from artigraph_spark.partitions import PartitionField, PartitionKey
 
 _FP_SEGMENT = "_fingerprint={input_fingerprint}"
+
+
+def _collapse_slashes(path: str) -> str:
+    """Collapse duplicate slashes WITHOUT corrupting URI schemes
+    (s3a://bucket, hdfs://nn) — only slashes not preceded by ':' fold."""
+    return re.sub(r"(?<!:)//+", "/", path)
 
 
 class StoragePartition(Model):
@@ -118,7 +125,7 @@ class LocalFile(Storage):
         values.setdefault("root", self.root)
         for k, v in values.items():
             template = template.replace("{" + k + "}", str(v))
-        template = re.sub(r"//+", "/", template)
+        template = _collapse_slashes(template)
         return self.model_copy(update={"template": template})
 
     # -- concrete path generation -------------------------------------------
@@ -126,8 +133,10 @@ class LocalFile(Storage):
     def _render_key_spec(self, key: PartitionKey) -> str:
         if key.is_not_partitioned:
             return ""
+        # Percent-escape values so '/', '=', '%' in partition values can't
+        # inject path segments discovery would never re-match.
         return "/".join(
-            f"{name}={field.components[field.default_component]}"
+            f"{name}={quote(str(field.components[field.default_component]), safe='')}"
             for name, field in sorted(key.fields.items())
         )
 
@@ -139,7 +148,7 @@ class LocalFile(Storage):
             path = path.replace("/" + _FP_SEGMENT, "")
         else:
             path = path.replace("{input_fingerprint}", str(input_fingerprint.key))
-        path = re.sub(r"//+", "/", path)
+        path = _collapse_slashes(path)
         if "{" in path:
             raise ValueError(f"unresolved placeholders remain in {path!r}")
         return StoragePartition(
@@ -155,7 +164,7 @@ class LocalFile(Storage):
         pattern = self.template.replace("{partition_key_spec}", key_spec_glob)
         has_fp = _FP_SEGMENT in pattern
         pattern = pattern.replace(_FP_SEGMENT, "_fingerprint=*")
-        pattern = re.sub(r"//+", "/", pattern)
+        pattern = _collapse_slashes(pattern)
 
         regex_src = re.escape(pattern)
         for name in sorted(key_types):
@@ -176,7 +185,9 @@ class LocalFile(Storage):
             ok = True
             for name, fcls in key_types.items():
                 try:
-                    fields[name] = fcls.parse(fcls.default_component, m.group(f"k_{name}"))
+                    fields[name] = fcls.parse(
+                        fcls.default_component, unquote(m.group(f"k_{name}"))
+                    )
                 except ValueError:
                     ok = False
                     break
