@@ -351,3 +351,61 @@ def grouped_map_pandas(spark, sf_dir):
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = grouped_ordered_delta(e, "user_id", ["ts", "event_id"], "value")
     return out.select("event_id", "user_id", "value", "ordinal", "delta")
+
+
+@query(
+    "map_explode",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, mk, mv FROM (
+        SELECT l_orderkey, l_linenumber, 'qty' AS mk, l_quantity AS mv FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'disc', l_discount FROM lineitem
+    )
+    """,
+)
+def map_explode(spark, sf_dir):
+    """Explode a MapType column to (key, value) rows (map → long form)."""
+    li = load(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("disc"), F.col("l_discount")
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", F.explode(m).alias("mk", "mv")
+    )
+
+
+@query(
+    "describe_summary",
+    oracle=f"""
+    SELECT 'l_quantity' AS col, count(l_quantity) AS n, {oracle_davg('l_quantity')} AS mean,
+           min(l_quantity) AS min_v, max(l_quantity) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(l_extendedprice), {oracle_davg('l_extendedprice')},
+           min(l_extendedprice), max(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(l_discount), {oracle_davg('l_discount')},
+           min(l_discount), max(l_discount)
+    FROM lineitem
+    """,
+)
+def describe_summary(spark, sf_dir):
+    """df.describe()-style per-column summary (count/mean/min/max), long form
+    — the Statistics layer as a queryable report."""
+    li = load(spark, sf_dir, "lineitem")
+    parts = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        parts.append(
+            li.agg(
+                F.lit(c).alias("col"),
+                F.count(c).alias("n"),
+                davg(c).alias("mean"),
+                F.min(c).alias("min_v"),
+                F.max(c).alias("max_v"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
