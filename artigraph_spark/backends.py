@@ -12,11 +12,17 @@ scaling concern next to the 100 TB data plane.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
 import threading
 from typing import Any
+
+try:  # POSIX cross-process lock; absent on some platforms (then in-process only)
+    import fcntl
+except ImportError:  # pragma: no cover - non-POSIX
+    fcntl = None  # type: ignore[assignment]
 
 from artigraph_spark.fingerprint import Fingerprint
 from artigraph_spark.partitions import PartitionKey
@@ -155,39 +161,68 @@ class MemoryBackend(Backend):
 
 
 class JsonFileBackend(Backend):
-    """Single-JSON-file catalog with atomic rewrite — durable enough for
-    cross-process incremental builds on one host; swap for Delta/DB at
-    multi-writer scale."""
+    """Single-JSON-file catalog safe for concurrent processes on one host.
+
+    Every operation takes an OS-level lock (``flock`` on a sidecar ``.lock``
+    file — the data file itself is swapped by ``os.replace`` so its inode
+    cannot be the lock) and re-reads the file before acting, so writers merge
+    instead of clobbering each other and readers never serve a stale
+    construction-time snapshot. Mutations are add-only upserts, so
+    reload-then-apply IS the merge. Swap for Delta/DB at multi-host scale.
+    """
 
     def __init__(self, path: str) -> None:
         self.path = path
-        self._lock = threading.RLock()
-        self._state: dict[str, Any] = {"snapshots": {}, "partitions": {}, "links": {}, "tags": {}}
-        if os.path.exists(path):
-            with open(path) as f:
+        self._lock = threading.RLock()  # in-process; flock guards cross-process
+        self._state: dict[str, Any] = self._empty_state()
+        self._reload()
+
+    @staticmethod
+    def _empty_state() -> dict[str, Any]:
+        return {"snapshots": {}, "partitions": {}, "links": {}, "tags": {}}
+
+    def _reload(self) -> None:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
                 self._state = json.load(f)
+        else:
+            self._state = self._empty_state()
+
+    @contextlib.contextmanager
+    def _locked(self):
+        d = os.path.dirname(self.path) or "."
+        os.makedirs(d, exist_ok=True)
+        with self._lock, open(self.path + ".lock", "a+") as lf:
+            if fcntl is not None:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                self._reload()
+                yield
+            finally:
+                if fcntl is not None:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
 
     def _flush(self) -> None:
-        with self._lock:
-            d = os.path.dirname(self.path) or "."
-            os.makedirs(d, exist_ok=True)
-            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-            with os.fdopen(fd, "w") as f:
-                json.dump(self._state, f)
-            os.replace(tmp, self.path)
+        d = os.path.dirname(self.path) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._state, f)
+        os.replace(tmp, self.path)
 
     def write_snapshot(self, snapshot_id: Fingerprint, graph_name: str) -> None:
-        with self._lock:
+        with self._locked():
             self._state["snapshots"][str(snapshot_id.key)] = graph_name
             self._flush()
 
     def has_snapshot(self, snapshot_id: Fingerprint) -> bool:
-        return str(snapshot_id.key) in self._state["snapshots"]
+        with self._locked():
+            return str(snapshot_id.key) in self._state["snapshots"]
 
     def write_artifact_partitions(
         self, artifact_fp: Fingerprint, partitions: list[StoragePartition]
     ) -> None:
-        with self._lock:
+        with self._locked():
             store = self._state["partitions"].setdefault(str(artifact_fp.key), {})
             for p in partitions:
                 store[p.path] = _partition_to_json(p)
@@ -198,10 +233,11 @@ class JsonFileBackend(Backend):
         artifact_fp: Fingerprint,
         input_fingerprints: set[int | None] | None = None,
     ) -> list[StoragePartition]:
-        parts = [
-            _partition_from_json(d)
-            for d in self._state["partitions"].get(str(artifact_fp.key), {}).values()
-        ]
+        with self._locked():
+            parts = [
+                _partition_from_json(d)
+                for d in self._state["partitions"].get(str(artifact_fp.key), {}).values()
+            ]
         if input_fingerprints is not None:
             parts = [p for p in parts if p.input_fingerprint.key in input_fingerprints]
         return parts
@@ -209,7 +245,7 @@ class JsonFileBackend(Backend):
     def link_snapshot_partitions(
         self, snapshot_id: Fingerprint, artifact_fp: Fingerprint, partitions: list[StoragePartition]
     ) -> None:
-        with self._lock:
+        with self._locked():
             store = self._state["links"].setdefault(f"{snapshot_id.key}:{artifact_fp.key}", {})
             for p in partitions:
                 store[p.path] = _partition_to_json(p)
@@ -218,14 +254,15 @@ class JsonFileBackend(Backend):
     def read_snapshot_partitions(
         self, snapshot_id: Fingerprint, artifact_fp: Fingerprint
     ) -> list[StoragePartition]:
-        return [
-            _partition_from_json(d)
-            for d in self._state["links"].get(f"{snapshot_id.key}:{artifact_fp.key}", {}).values()
-        ]
+        with self._locked():
+            return [
+                _partition_from_json(d)
+                for d in self._state["links"].get(f"{snapshot_id.key}:{artifact_fp.key}", {}).values()
+            ]
 
     def write_tag(self, graph_name: str, tag: str, snapshot_id: Fingerprint, *, overwrite: bool = False) -> None:
         key = f"{graph_name}:{tag}"
-        with self._lock:
+        with self._locked():
             if key in self._state["tags"] and not overwrite:
                 raise ValueError(f"tag {tag!r} already exists for graph {graph_name!r}")
             self._state["tags"][key] = snapshot_id.key
@@ -233,6 +270,7 @@ class JsonFileBackend(Backend):
 
     def read_tag(self, graph_name: str, tag: str) -> Fingerprint:
         key = f"{graph_name}:{tag}"
-        if key not in self._state["tags"]:
-            raise LookupError(f"no tag {tag!r} for graph {graph_name!r}")
-        return Fingerprint(key=self._state["tags"][key])
+        with self._locked():
+            if key not in self._state["tags"]:
+                raise LookupError(f"no tag {tag!r} for graph {graph_name!r}")
+            return Fingerprint(key=self._state["tags"][key])

@@ -236,7 +236,10 @@ class Graph:
                 if isinstance(artifact.type, at.Collection)
                 else PythonScalarView
             )
-        io.write(data, artifact.type, artifact.format, partition, view, self.spark)
+        io.write(
+            data, artifact.type, artifact.format, partition, view, self.spark,
+            storage=artifact.storage,
+        )
         partition = partition.compute_content_fingerprint(strict=strict_fingerprint)
         self.backend.write_artifact_partitions(artifact.fingerprint, [partition])
         if snapshot is not None:

@@ -97,8 +97,13 @@ def write(
     partition: StoragePartition,
     view: type[View],
     spark: SparkSession | None,
+    storage: Storage | None = None,
 ) -> None:
-    fn = _lookup(_WRITERS, fmt, _storage_of(partition), view)
+    # Dispatch on the artifact's actual Storage instance when the caller has
+    # it (Graph.write always does) so writers registered for custom Storage
+    # subclasses are honored; the path-prefix sniff is only a fallback for
+    # legacy direct calls.
+    fn = _lookup(_WRITERS, fmt, storage if storage is not None else _storage_of(partition), view)
     fn(data, type_, fmt, partition, spark)
 
 

@@ -61,12 +61,35 @@ def token_dictionary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(token, token_id) dictionary with ids assigned by sorted token order.
 
     The sort makes ids — and therefore MinHash signatures — engine-independent
-    and oracle-checkable. Scale: distinct + one global rank; for the
-    production path prefer `minhash_signatures_fast` (no dictionary).
+    and oracle-checkable. Ids are assigned in TWO stages so no single-partition
+    global window exists: tokens bucket by first-char codepoint (UTF-8 byte
+    order == Spark string order, so buckets are ordered ranges — deterministic,
+    unlike sampling-based range partitioning), rank within bucket, then add
+    cumulative bucket offsets (a window over ≤ |alphabet| rows). For the
+    production path prefer `minhash_signatures_fast` (no dictionary at all).
     """
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("token")).distinct()
-    w = Window.orderBy(F.col("token").asc())
-    return toks.withColumn("token_id", F.row_number().over(w).cast("long"))
+    bucketed = toks.withColumn("__bkt__", F.ascii(F.substring(F.col("token"), 1, 1)))
+    local = bucketed.withColumn(
+        "__rank__",
+        F.row_number()
+        .over(Window.partitionBy("__bkt__").orderBy(F.col("token").asc()))
+        .cast("long"),
+    )
+    counts = bucketed.groupBy("__bkt__").agg(F.count("*").alias("__cnt__"))
+    # Cumulative offsets via a triangular self-join over ≤ |alphabet| rows —
+    # a window orderBy here would reintroduce a single-partition exchange.
+    lower = counts.select(
+        F.col("__bkt__").alias("__lb__"), F.col("__cnt__").alias("__lc__")
+    )
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("__lb__") < F.col("__bkt__"), "left")
+        .groupBy("__bkt__")
+        .agg(F.coalesce(F.sum("__lc__"), F.lit(0)).cast("long").alias("__offset__"))
+    )
+    return local.join(F.broadcast(offsets), "__bkt__").select(
+        "token", (F.col("__offset__") + F.col("__rank__")).alias("token_id")
+    )
 
 
 def minhash_signatures(
@@ -92,8 +115,18 @@ def minhash_signatures(
     sigs = doc_tokens.groupBy(id_col).agg(*aggs)
     # Token-less documents must still get a (deterministic, id-derived)
     # signature — dropping them would silently lose rows downstream and
-    # diverge from minhash_signatures_fast's fallback behavior.
-    fallback_id = F.pmod(F.col(id_col).cast("long"), F.lit((1 << 31) - 1))
+    # diverge from minhash_signatures_fast's fallback behavior. Numeric ids
+    # use the id value (oracle-expressible as `id % 2^31-1`); non-numeric
+    # string ids fall back to an engine-independent polynomial char hash —
+    # a plain cast would raise under ANSI mode.
+    str_hash = F.aggregate(
+        F.filter(F.split(F.col(id_col).cast("string"), ""), lambda ch: ch != ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 131 + F.ascii(ch)) % F.lit((1 << 31) - 1),
+    )
+    fallback_id = F.pmod(
+        F.coalesce(F.col(id_col).try_cast("long"), str_hash), F.lit((1 << 31) - 1)
+    )
     out = df.select(F.col(id_col)).join(sigs, id_col, "left")
     return out.select(
         F.col(id_col),
@@ -217,22 +250,38 @@ def ngram_jaccard_pairs(
     text_col: str,
     *,
     threshold: float = 0.5,
+    candidates: DataFrame | None = None,
     candidate_filter: Column | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Token-set Jaccard similarity over document pairs (a < b).
 
-    ``candidate_filter`` restricts the self-join (e.g. to LSH candidates or a
-    keyed subset) — at scale, never run the unrestricted cross product; feed
-    this from `lsh_candidate_pairs`.
+    The scale path is ``candidates`` — an (a, b) pair DataFrame (e.g. from
+    `lsh_candidate_pairs`) joined with two equi-joins, never all-pairs. The
+    unrestricted self-join is a broadcast-nested-loop cross product and must
+    be opted into with ``allow_quadratic=True`` on a provably bounded input;
+    calling without either raises rather than silently planning O(n²) work.
     """
     toks = df.select(
         F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
     )
-    a = toks.select(F.col(id_col).alias("a"), F.col("toks").alias("toks_a"))
-    b = toks.select(F.col(id_col).alias("b"), F.col("toks").alias("toks_b"))
-    pairs = a.join(b, F.col("a") < F.col("b"))
-    if candidate_filter is not None:
-        pairs = pairs.filter(candidate_filter)
+    if candidates is not None:
+        ta = toks.select(F.col(id_col).alias("a"), F.col("toks").alias("toks_a"))
+        tb = toks.select(F.col(id_col).alias("b"), F.col("toks").alias("toks_b"))
+        pairs = candidates.select("a", "b").join(ta, "a").join(tb, "b")
+    else:
+        if candidate_filter is None and not allow_quadratic:
+            raise ValueError(
+                "ngram_jaccard_pairs without `candidates` is an all-pairs "
+                "cross product; pass candidates= (e.g. from "
+                "lsh_candidate_pairs) or opt in with allow_quadratic=True "
+                "on a bounded input"
+            )
+        a = toks.select(F.col(id_col).alias("a"), F.col("toks").alias("toks_a"))
+        b = toks.select(F.col(id_col).alias("b"), F.col("toks").alias("toks_b"))
+        pairs = a.join(b, F.col("a") < F.col("b"))
+        if candidate_filter is not None:
+            pairs = pairs.filter(candidate_filter)
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
     # Two empty token sets are identical documents: J(∅,∅)=1 (and guards the

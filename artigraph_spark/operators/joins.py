@@ -81,17 +81,35 @@ def asof_join(
 
     # Right rows (tag 0) sort before left rows (tag 1) at equal times, giving
     # inclusive semantics; strict mode excludes equal-time right rows by
-    # ordering them after.
+    # ordering them after. Ties among right rows at equal (key, time) are
+    # broken by a deterministic value-hash so the carried row is well-defined
+    # on any partitioning.
     tag_order = F.col(_TAG).asc() if not strict else F.col(_TAG).desc()
+    tiebreak = F.when(
+        F.col(_TAG) == 0,
+        F.xxhash64(*[F.col(c).cast("string") for c in right_values]) if right_values else F.lit(0),
+    ).otherwise(F.lit(0))
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__asof_t__").asc(), tag_order)
+        .orderBy(F.col("__asof_t__").asc(), tag_order, tiebreak.asc())
         .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
     )
-    carried = unioned
-    for c in right_values:
-        src = F.when(F.col(_TAG) == 0, F.col(c))
-        carried = carried.withColumn(c, F.last(src, ignorenulls=True).over(w))
+    # Carry the whole right row as ONE struct (single window pass, not one per
+    # column) that is non-null exactly when a right row exists: a matched right
+    # row whose individual value is NULL still wins — last(col, ignorenulls)
+    # per column would skip it and resurrect an older row's value.
+    if right_values:
+        rv_struct = F.when(
+            F.col(_TAG) == 0, F.struct(*[F.col(c).alias(c) for c in right_values])
+        )
+        carried = unioned.withColumn(
+            "__asof_rv__", F.last(rv_struct, ignorenulls=True).over(w)
+        )
+        for c in right_values:
+            carried = carried.withColumn(c, F.col("__asof_rv__").getField(c))
+        carried = carried.drop("__asof_rv__")
+    else:
+        carried = unioned
 
     return carried.filter(F.col(_TAG) == 1).drop(_TAG, _ROWID, "__asof_t__")
 

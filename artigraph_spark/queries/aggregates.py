@@ -316,14 +316,38 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
-@query("agg_approx", oracle=None)
+@query(
+    "agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS acd_ok,
+           TRUE AS amed_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx(spark, sf_dir):
-    """Sketch aggregates (approximate → rows-only check): HLL distinct,
-    quantile sketch. The scale path for 100 TB cardinality estimation."""
+    """Sketch aggregates — HLL distinct + quantile sketch, the 100 TB
+    cardinality-estimation scale path. The sketches themselves are
+    engine-specific, so the checkable output asserts their error bounds
+    in-query: `acd_ok` = HLL within 3× the configured rsd of the exact
+    distinct count, `amed_ok` = approx median within 2 quantity units of the
+    exact median; the oracle reproduces the exact count and expects TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(1000)).alias("approx_med"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__acd__"),
+        F.median("l_quantity").alias("__med__"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(1000)).alias("__amed__"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("__acd__") - F.col("exact_orders"))
+            <= F.col("exact_orders").cast("double") * 0.06
+        ).alias("acd_ok"),
+        (F.abs(F.col("__amed__") - F.col("__med__")) <= F.lit(2.0)).alias("amed_ok"),
     )
 
 

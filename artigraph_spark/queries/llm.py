@@ -232,7 +232,7 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     from artigraph_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.4)
+    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.4, allow_quadratic=True)
 
 
 @query("dedup_clusters", oracle=None)
@@ -256,10 +256,47 @@ def simhash_fingerprints_q(spark, sf_dir):
     return simhash(d, "doc_id", "text")
 
 
-@query("lang_predict", oracle=None)
+def _lang_predict_oracle() -> str:
+    """DuckDB twin of operators.text.predict_language, generated from the
+    same LANG_MARKERS so the lexicons cannot drift apart. Argmax with
+    alphabetical tie-break, 'und' when no marker hits."""
+    from artigraph_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ",\n               ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], t))) AS s_{lang}"
+        for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = "\n                ".join(
+        f"WHEN s_{lang} = __m__ THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               {score_exprs}
+        FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN __m__ = 0 THEN 'und'
+                {cases}
+           END AS predicted_lang
+    FROM (SELECT *, {greatest} AS __m__ FROM scored)
+    """
+
+
+@query("lang_predict", oracle=_lang_predict_oracle())
 def lang_predict_q(spark, sf_dir):
-    """Marker-lexicon language ID vs the labeled lang column (rows-only;
-    accuracy asserted in unit tests)."""
+    """Marker-lexicon language ID vs the labeled lang column. The heuristic is
+    pure per-row integer arithmetic, so the oracle replays it exactly
+    (accuracy against the label is additionally asserted in unit tests)."""
     from artigraph_spark.operators.text import predict_language
 
     d = load(spark, sf_dir, "documents")

@@ -85,15 +85,22 @@ def set_intersect(spark, sf_dir):
 @query(
     "set_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_orderkey % 7 < 4
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT o_orderkey AS orderkey FROM orders WHERE o_orderkey % 7 < 2
     """,
 )
 def set_except(spark, sf_dir):
-    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    """EXCEPT over partially-overlapping key sets: keys with mod-7 residue in
+    {2,3} survive, so the result is non-empty at every scale factor (an
+    empty-vs-empty match would prove nothing about EXCEPT semantics)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 < 4).select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 < 2).select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    return li.subtract(o)
 
 
 @query(

@@ -52,6 +52,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
+    # Plain scan, no up-front repartition: an injected "parallelism floor"
+    # repartition was measured 2.5x SLOWER end-to-end at sf0.01/sf0.1 (the
+    # extra full-table exchange dwarfs any scan-parallelism gain on local
+    # fixtures), and at 100 TB real inputs have thousands of splittable row
+    # groups so the floor would never fire. Let Catalyst/AQE own parallelism.
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -31,7 +31,9 @@ def test_dedup_clusters_with_empty_docs(spark):
 
 def test_ngram_jaccard_empty_pair(spark):
     d = spark.createDataFrame([(1, " "), (2, "  ")], "doc_id long, text string")
-    out = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5).collect()
+    out = ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.5, allow_quadratic=True
+    ).collect()
     assert [(r["a"], r["b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
 
 

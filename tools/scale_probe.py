@@ -73,7 +73,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     timings = {}
     for name, fn in sorted(bench_queries().items()):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).foreach(lambda _: None)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 2)
     return timings
 
