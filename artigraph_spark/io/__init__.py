@@ -27,6 +27,7 @@ from artigraph_spark.formats import CSV, JSON, Delta, Format, Parquet, Pickle
 from artigraph_spark.storage import LocalFile, Storage, StoragePartition, StringLiteral
 from artigraph_spark.types.spark import struct_to_spark, to_spark_type
 from artigraph_spark.views import (
+    PandasDataFrameView,
     PythonListView,
     PythonScalarView,
     SparkDataFrameView,
@@ -204,6 +205,24 @@ def _read_delta_df(type_, fmt, storage, partitions, spark) -> DataFrame:
 def _write_delta_df(data: DataFrame, type_, fmt, partition, spark) -> None:
     _require_delta(spark)
     _apply_layout(data, type_).write.format("delta").mode("overwrite").save(partition.path)
+
+
+# --- pandas DataFrame view (Arrow-bridged, driver-local small data) ---------
+
+
+@register_reader(Parquet, LocalFile, PandasDataFrameView)
+def _read_parquet_pandas(type_, fmt, storage, partitions, spark):
+    # Distributed scan → Arrow-batched collect: the Spark reader applies the
+    # declared schema; toPandas keeps the transfer columnar.
+    return spark.read.schema(_schema_for(type_)).parquet(
+        *[p.path for p in partitions]
+    ).toPandas()
+
+
+@register_writer(Parquet, LocalFile, PandasDataFrameView)
+def _write_parquet_pandas(data, type_, fmt, partition, spark) -> None:
+    df = spark.createDataFrame(data, schema=_schema_for(type_))
+    _apply_layout(df, type_).write.mode("overwrite").parquet(partition.path)
 
 
 # --- Driver-local python views (reference-parity escape hatches) ------------

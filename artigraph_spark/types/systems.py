@@ -1,8 +1,8 @@
 """Registered TypeSystem instances wiring the functional bridges into the
 priority-ordered adapter registry (reference architecture:
 /root/reference/src/arti/types/__init__.py:284-391 — priorities resolve
-overlapping adapters, ``extends`` delegates to parent systems, e.g. pandas
-extending numpy there, pandas extending arrow here)."""
+overlapping adapters, ``extends`` delegates to parent systems — e.g. the
+pandas system in .pandas extends the numpy system in .numpy)."""
 
 from __future__ import annotations
 
@@ -99,57 +99,7 @@ class _ArrowBridge(TypeAdapter):
         return to_arrow(type_)
 
 
-# --- pandas (extends arrow — dtype strings resolve through arrow types) -----
-
-pandas_type_system = TypeSystem("pandas", extends=(arrow_type_system,))
-
-
-@pandas_type_system.register_adapter
-class _PandasDtypeBridge(TypeAdapter):
-    """numpy/pandas dtype → arti Type; anything it can't place falls through
-    to the arrow parent system (the ``extends`` mechanism)."""
-
-    artigraph = at.Type
-    priority = 10
-
-    _DTYPES = {
-        "int8": at.Int8,
-        "int16": at.Int16,
-        "int32": at.Int32,
-        "int64": at.Int64,
-        "uint8": at.UInt8,
-        "uint16": at.UInt16,
-        "uint32": at.UInt32,
-        "uint64": at.UInt64,
-        "float16": at.Float16,
-        "float32": at.Float32,
-        "float64": at.Float64,
-        "bool": at.Boolean,
-        "object": at.String,
-        "string": at.String,
-    }
-
-    @classmethod
-    def matches_system(cls, type_: Any, *, hints: dict[str, Any]) -> bool:
-        import numpy as np
-
-        return isinstance(type_, np.dtype | str) and str(type_) in cls._DTYPES
-
-    @classmethod
-    def matches_artigraph(cls, type_: at.Type, *, hints: dict[str, Any]) -> bool:
-        return type(type_) in {v: k for k, v in cls._DTYPES.items()} or any(
-            isinstance(type_, c) for c in cls._DTYPES.values()
-        )
-
-    @classmethod
-    def to_artigraph(cls, type_: Any, *, hints: dict[str, Any]) -> at.Type:
-        return cls._DTYPES[str(type_)]()
-
-    @classmethod
-    def to_system(cls, type_: at.Type, *, hints: dict[str, Any]) -> Any:
-        import numpy as np
-
-        for name, t in cls._DTYPES.items():
-            if type(type_) is t and name != "object":
-                return np.dtype(name)
-        raise NotImplementedError(f"no pandas dtype for {type_!r}")
+# The pandas system (Series/DataFrame/dtype adapters, extends numpy + arrow)
+# lives in artigraph_spark.types.pandas; the numpy system in .numpy; the
+# pydantic system in .pydantic. They import the parents defined here, so
+# they are separate modules rather than re-exports (no import cycles).

@@ -56,6 +56,36 @@ class SparkDataFrameView(View):
         return isinstance(type_, at.Collection | at.Struct)
 
 
+class PandasDataFrameView(View):
+    """Driver-local pandas DataFrame (Arrow-bridged via Spark's
+    toPandas/createDataFrame) — small data only; the distributed pandas
+    path is applyInPandas/mapInPandas inside a producer body. Type
+    support is delegated to the pandas TypeSystem: a Collection is
+    viewable iff its row Struct converts to a pandas frame."""
+
+    python_type: ClassVar[Any] = None  # set below to pd.DataFrame
+
+    @classmethod
+    def supports_type(cls, type_: at.Type) -> bool:
+        if not isinstance(type_, at.Collection | at.Struct):
+            return False
+        try:
+            from artigraph_spark.types.pandas import collection_to_pandas_exemplar
+
+            collection_to_pandas_exemplar(type_)
+            return True
+        except NotImplementedError:
+            return False
+
+
+try:  # pandas is a hard Spark dependency in practice, but stay import-safe
+    import pandas as _pd
+
+    PandasDataFrameView.python_type = _pd.DataFrame
+except ImportError:  # pragma: no cover
+    pass
+
+
 class PythonListView(View):
     """Driver-local list[dict] — the reference's default; small data only."""
 

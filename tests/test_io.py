@@ -82,3 +82,28 @@ def test_unregistered_combination_raises(spark, tmp_path):
 def test_can_read_lookup():
     assert io.can_read(Parquet(), LocalFile(), SparkDataFrameView)
     assert not io.can_read(Pickle(), StringLiteral(), SparkDataFrameView)
+
+
+def test_pandas_dataframe_round_trip(spark, tmp_path):
+    """PandasDataFrameView: pandas in, Arrow-bridged parquet, pandas out —
+    with the declared schema (not inference) governing both directions."""
+    import pandas as pd
+
+    from artigraph_spark.views import PandasDataFrameView
+
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    p = _partition(tmp_path, "pandas")
+    io.write(pdf, COLL, Parquet(), p, PandasDataFrameView, spark)
+    back = io.read(COLL, Parquet(), LocalFile(), [p], PandasDataFrameView, spark)
+    assert isinstance(back, pd.DataFrame)
+    assert sorted(zip(back["a"], back["b"])) == [(1, "x"), (2, "y")]
+
+
+def test_pandas_view_annotation_and_type_support():
+    import pandas as pd
+
+    from artigraph_spark.views import PandasDataFrameView, view_for_annotation
+
+    assert view_for_annotation(pd.DataFrame) is PandasDataFrameView
+    assert PandasDataFrameView.supports_type(COLL)
+    assert not PandasDataFrameView.supports_type(at.Int64())

@@ -8,9 +8,9 @@ from pyspark.sql import types as T
 
 from artigraph_spark import types as at
 from artigraph_spark.types import TypeAdapter, TypeSystem
+from artigraph_spark.types.pandas import pandas_type_system
 from artigraph_spark.types.systems import (
     arrow_type_system,
-    pandas_type_system,
     python_type_system,
     spark_type_system,
 )
