@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from artigraph_spark import types as at
 from artigraph_spark.formats import CSV, JSON, Delta, Format, Parquet, Pickle
-from artigraph_spark.storage import LocalFile, Storage, StoragePartition, StringLiteral
+from artigraph_spark.storage import (
+    LocalFile,
+    ObjectStore,
+    Storage,
+    StoragePartition,
+    StringLiteral,
+)
 from artigraph_spark.types.spark import struct_to_spark, to_spark_type
 from artigraph_spark.views import (
     PandasDataFrameView,
@@ -111,6 +117,9 @@ def write(
 def _storage_of(partition: StoragePartition) -> Storage:
     if partition.path.startswith("literal://"):
         return StringLiteral()
+    if "://" in partition.path and not partition.path.startswith("file://"):
+        scheme, rest = partition.path.split("://", 1)
+        return ObjectStore(scheme=scheme, bucket=rest.split("/", 1)[0])
     return LocalFile()
 
 
@@ -205,6 +214,17 @@ def _read_delta_df(type_, fmt, storage, partitions, spark) -> DataFrame:
 def _write_delta_df(data: DataFrame, type_, fmt, partition, spark) -> None:
     _require_delta(spark)
     _apply_layout(data, type_).write.format("delta").mode("overwrite").save(partition.path)
+
+
+# Object-store URIs (s3a://, gs://, ...) go through the same Spark reader/
+# writer code — Spark's Hadoop connectors resolve the scheme; only the
+# dispatch key differs.
+register_reader(Parquet, ObjectStore, SparkDataFrameView)(_read_parquet_df)
+register_writer(Parquet, ObjectStore, SparkDataFrameView)(_write_parquet_df)
+register_reader(JSON, ObjectStore, SparkDataFrameView)(_read_json_df)
+register_writer(JSON, ObjectStore, SparkDataFrameView)(_write_json_df)
+register_reader(CSV, ObjectStore, SparkDataFrameView)(_read_csv_df)
+register_writer(CSV, ObjectStore, SparkDataFrameView)(_write_csv_df)
 
 
 # --- pandas DataFrame view (Arrow-bridged, driver-local small data) ---------

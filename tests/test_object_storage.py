@@ -1,0 +1,130 @@
+"""ObjectStore storage: templating, listing-based discovery, and content
+fingerprints against a local-directory-backed mock filesystem (mirrors the
+LocalFile suite in test_partitions_storage.py and the reference's GCS
+storage contract, /root/reference/src/arti/storage/google/cloud/storage.py).
+
+The ``mock://`` scheme mounts a pyarrow SubTreeFileSystem rooted at a tmp
+dir — same public pyarrow.fs API a real s3://, gs://, or hdfs:// resolves
+to, no credentials required.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyarrow import fs as pafs
+
+from artigraph_spark.fingerprint import Fingerprint
+from artigraph_spark.partitions import DateField, PartitionKey
+from artigraph_spark.storage import (
+    ObjectStore,
+    StoragePartition,
+    _FS_FACTORIES,
+    register_filesystem,
+)
+
+BUCKET = "test-bucket"
+
+
+@pytest.fixture()
+def mock_fs(tmp_path):
+    local = pafs.LocalFileSystem()
+
+    def factory(uri: str):
+        # mock://test-bucket/a/b -> (fs rooted at tmp_path, "a/b")
+        rest = uri.split("://", 1)[1]
+        assert rest.split("/", 1)[0] == BUCKET
+        within = rest.split("/", 1)[1] if "/" in rest else ""
+        return pafs.SubTreeFileSystem(str(tmp_path), local), within
+
+    register_filesystem("mock", factory)
+    yield tmp_path
+    _FS_FACTORIES.pop("mock", None)
+
+
+def _storage() -> ObjectStore:
+    return ObjectStore(bucket=BUCKET, scheme="mock").resolve_templates(
+        graph_name="g", names="t", name="t"
+    )
+
+
+def test_template_resolution_and_generation(mock_fs):
+    key = PartitionKey(fields={"date": DateField(key=datetime.date(2021, 10, 1))})
+    p = _storage().generate_partition(key, Fingerprint.from_int(42))
+    assert p.path == f"mock://{BUCKET}/g/t/t/date=2021-10-01/_fingerprint=42"
+    raw = (
+        ObjectStore(bucket=BUCKET, scheme="mock")
+        .resolve_templates(graph_name="g", names="t", name="t", strip_input_fingerprint=True)
+        .generate_partition(key, Fingerprint.empty())
+    )
+    assert raw.path == f"mock://{BUCKET}/g/t/t/date=2021-10-01"
+
+
+def test_scheme_double_slash_survives_collapse(mock_fs):
+    p = _storage().generate_partition(PartitionKey.not_partitioned(), Fingerprint.from_int(1))
+    assert p.path.startswith("mock://")
+    assert "//" not in p.path.split("://", 1)[1]
+
+
+def test_discovery_round_trip(mock_fs):
+    storage = ObjectStore(bucket=BUCKET, scheme="mock").resolve_templates(
+        graph_name="g", names="t", name="t", strip_input_fingerprint=True
+    )
+    for d in ("2021-10-01", "2021-10-02"):
+        part_dir = mock_fs / "g" / "t" / "t" / f"date={d}"
+        part_dir.mkdir(parents=True)
+        (part_dir / "part-0.parquet").write_bytes(b"xx")
+    parts = storage.discover_partitions({"date": DateField})
+    assert len(parts) == 2
+    assert sorted(p.partition_key.values()["date"].isoformat() for p in parts) == [
+        "2021-10-01",
+        "2021-10-02",
+    ]
+    assert all(p.path.startswith(f"mock://{BUCKET}/") for p in parts)
+
+
+def test_discovery_with_fingerprint(mock_fs):
+    storage = _storage()
+    (mock_fs / "g" / "t" / "t" / "_fingerprint=-7").mkdir(parents=True)
+    (mock_fs / "g" / "t" / "t" / "_fingerprint=-7" / "f").write_bytes(b"d")
+    parts = storage.discover_partitions({})
+    assert len(parts) == 1
+    assert parts[0].input_fingerprint == Fingerprint.from_int(-7)
+
+
+def test_discovery_empty_prefix(mock_fs):
+    assert _storage().discover_partitions({"date": DateField}) == []
+
+
+def test_content_fingerprint_fast_and_strict(mock_fs):
+    d = mock_fs / "g" / "t" / "t"
+    d.mkdir(parents=True)
+    f = d / "obj.bin"
+    f.write_bytes(b"hello")
+    sp = StoragePartition(path=f"mock://{BUCKET}/g/t/t")
+    fast1 = sp.compute_content_fingerprint().content_fingerprint
+    strict1 = sp.compute_content_fingerprint(strict=True).content_fingerprint
+    assert fast1 != Fingerprint.empty()
+    f.write_bytes(b"world")
+    strict2 = sp.compute_content_fingerprint(strict=True).content_fingerprint
+    assert strict1 != strict2
+    f.write_bytes(b"hello")
+    strict3 = sp.compute_content_fingerprint(strict=True).content_fingerprint
+    assert strict1 == strict3  # content-addressed
+
+
+def test_content_fingerprint_missing_raises(mock_fs):
+    sp = StoragePartition(path=f"mock://{BUCKET}/nope")
+    with pytest.raises(FileNotFoundError):
+        sp.compute_content_fingerprint()
+
+
+def test_io_storage_sniff():
+    from artigraph_spark.io import _storage_of
+
+    sp = StoragePartition(path="s3a://bkt/g/t/t/part")
+    st = _storage_of(sp)
+    assert isinstance(st, ObjectStore)
+    assert st.scheme == "s3a"
+    assert st.bucket == "bkt"
