@@ -68,7 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "minhash_signatures", "join_asof",
     # new queries registered this round (appended by modules below)
     "minhash_lsh_pairs_checked", "simhash_checked", "text_quality_score",
-    "token_bpe_counts", "dedup_minhash_end2end",
+    "token_bpe_counts", "dedup_minhash_end2end", "cosine_topk_lsh_checked",
     # rows-only (err: no_oracle in the driver record, but rows get counted)
     "minhash_lsh_pairs", "dedup_clusters", "simhash_fingerprints",
     "cosine_topk_lsh",

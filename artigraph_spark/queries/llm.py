@@ -439,3 +439,221 @@ def embedding_mean_pool(spark, sf_dir):
         "label", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return mean_pool(e, "label").select("label", "pos", "mean_val")
+
+
+# --- checkable companions for the engine-hash (rows-only) dedup ops ----------
+# The hashes themselves (xxhash64) are engine-specific, but their CONTRACTS
+# are not: identical texts must collide. Each companion asserts the contract
+# engine-side and emits booleans the DuckDB oracle reproduces as constants —
+# a FALSE anywhere hash-mismatches the driver's correctness gate.
+#
+# The fixtures contain NO byte-identical texts (verified at sf0.001/0.01), so
+# each companion first plants ground-truth duplicates: a shifted-id copy of
+# every 10th document, constructed identically in both engines. An empty
+# check would prove nothing (the set_except lesson from round 1).
+
+_DUP_OFFSET = 10_000_000
+
+_AUG_DOCS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+_EXACT_DUP_PAIRS_SQL = f"""
+    WITH aug AS ({_AUG_DOCS_SQL})
+    SELECT a.doc_id AS a, b.doc_id AS b
+    FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+def _augmented_docs(d):
+    """documents ∪ shifted-id copy of every 10th doc — deterministic planted
+    exact duplicates (the fixtures ship none)."""
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text"
+    )
+    return d.select("doc_id", "text").unionAll(copies)
+
+
+def _exact_dup_pairs(d):
+    """(a, b) pairs of documents with byte-identical text, a < b — an
+    equi-join on the text (the exact-dedup shuffle shape, never all-pairs)."""
+    x = d.select(F.col("doc_id").alias("a"), F.col("text").alias("__t"))
+    y = d.select(F.col("doc_id").alias("b"), F.col("text").alias("__t"))
+    return x.join(y, "__t").filter(F.col("a") < F.col("b")).select("a", "b")
+
+
+@query(
+    "minhash_lsh_pairs_checked",
+    oracle=f"SELECT a, b, TRUE AS in_candidates FROM ({_EXACT_DUP_PAIRS_SQL})",
+)
+def minhash_lsh_pairs_checked(spark, sf_dir):
+    """LSH recall floor: identical texts have identical MinHash signatures
+    (the token-less fallback hashes the raw text, so this holds for every
+    document), hence share every band bucket — every exact-duplicate pair
+    MUST appear in the candidate set. `in_candidates` false anywhere fails
+    the oracle hash-compare."""
+    from artigraph_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures_fast
+
+    d = _augmented_docs(load(spark, sf_dir, "documents"))
+    sigs = minhash_signatures_fast(d, "doc_id", "text", num_hashes=16, shingle_size=3)
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=4).withColumn(
+        "in_candidates", F.lit(True)
+    )
+    return _exact_dup_pairs(d).join(cands, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("in_candidates", F.lit(False)).alias("in_candidates")
+    )
+
+
+@query(
+    "simhash_checked",
+    oracle=f"""
+    WITH aug AS ({_AUG_DOCS_SQL}),
+    tokful AS (
+        SELECT doc_id, text FROM aug
+        WHERE len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) > 0
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(0 AS BIGINT) AS hamming, TRUE AS identical_simhash
+    FROM tokful a JOIN tokful b ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
+def simhash_checked(spark, sf_dir):
+    """SimHash determinism contract: identical (token-bearing) texts must get
+    bit-identical 64-bit SimHash — Hamming distance exactly 0. Token-less
+    docs are excluded in BOTH engines (simhash emits no row for them)."""
+    from artigraph_spark.operators.dedup import simhash, tokens
+
+    d = _augmented_docs(load(spark, sf_dir, "documents"))
+    tokful = d.filter(F.size(tokens(F.col("text"))) > 0)
+    sigs = simhash(d, "doc_id", "text")
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("__ha"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("__hb"))
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("long")
+    return (
+        _exact_dup_pairs(tokful)
+        .join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            hamming.alias("hamming"),
+            (hamming == 0).alias("identical_simhash"),
+        )
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''),
+                    t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS BIGINT) AS sw_hits,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+               length(text) AS n_char
+        FROM documents
+    )
+    SELECT doc_id,
+           (0.5 * least(n_tok / 100.0, 1.0)
+            + 0.5 * least(CAST(sw_hits AS DOUBLE) / greatest(n_tok, 1.0) * 5.0, 1.0))
+           * (1.0 - least(CASE WHEN n_char > 0
+                               THEN CAST(n_digits AS DOUBLE) / n_char
+                               ELSE 0.0 END * 5.0, 1.0)) AS quality
+    FROM f
+    """,
+)
+def text_quality_score_q(spark, sf_dir):
+    """Composite quality heuristic (operators.text.quality_score) — pure
+    per-row IEEE double arithmetic replayed operation-for-operation by the
+    oracle, so the scores hash-match exactly."""
+    from artigraph_spark.operators.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "token_bpe_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pieces,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_runs,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_symbols
+    FROM documents
+    """,
+)
+def token_bpe_counts(spark, sf_dir):
+    """BPE-ish pre-tokenization counts: letter runs, digit runs, and single
+    non-space symbols (the GPT-2-style pre-split classes, simplified to a
+    regex both engines implement identically). Pure scan projection."""
+    from artigraph_spark.operators.text import regex_count
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        regex_count(F.col("text"), r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]").alias("n_pieces"),
+        regex_count(F.col("text"), r"[A-Za-z]+").alias("n_word_runs"),
+        regex_count(F.col("text"), r"[0-9]+").alias("n_digit_runs"),
+        regex_count(F.col("text"), r"[^A-Za-z0-9\s]").alias("n_symbols"),
+    )
+
+
+@query(
+    "dedup_minhash_end2end",
+    oracle=f"SELECT a, b, TRUE AS same_cluster FROM ({_EXACT_DUP_PAIRS_SQL})",
+)
+def dedup_minhash_end2end(spark, sf_dir):
+    """End-to-end clustering contract through the FULL pipeline (fast
+    signatures → LSH → Jaccard ≥ 0.7 → connected components): exact
+    duplicates have Jaccard 1.0 and guaranteed candidacy, so every
+    exact-duplicate pair must land in the same cluster."""
+    from artigraph_spark.operators.dedup import dedup_clusters
+
+    d = _augmented_docs(load(spark, sf_dir, "documents"))
+    clusters = dedup_clusters(d, "doc_id", "text", jaccard_threshold=0.7)
+    ca = clusters.select(F.col("doc_id").alias("a"), F.col("cluster_id").alias("__ca"))
+    cb = clusters.select(F.col("doc_id").alias("b"), F.col("cluster_id").alias("__cb"))
+    return (
+        _exact_dup_pairs(d)
+        .join(ca, "a")
+        .join(cb, "b")
+        .select("a", "b", (F.col("__ca") == F.col("__cb")).alias("same_cluster"))
+    )
+
+
+@query(
+    "cosine_topk_lsh_checked",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def cosine_topk_lsh_checked(spark, sf_dir):
+    """ANN quality contract: MEAN recall of the 16-table LSH top-5 against
+    the exact brute-force top-5, over the 10-query batch, must clear 0.7
+    (measured 0.89–0.96 across fixtures; individual queries legitimately dip
+    — LSH's guarantee is probabilistic per query, so the floor is on the
+    batch mean). Both sides are fully deterministic — seeded hyperplanes,
+    fixed-point dot products — so the boolean is a stable value."""
+    from artigraph_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    kw = dict(id_col="vec_id", vec_col="embedding", k=5)
+    exact = cosine_topk_bruteforce(e, q, **kw).select("query_id", "neighbor_id")
+    approx = cosine_topk_lsh(e, q, dim=64, n_planes=4, n_tables=16, **kw).select(
+        "query_id", "neighbor_id"
+    ).withColumn("__hit__", F.lit(1))
+    per_query = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg((F.sum(F.coalesce("__hit__", F.lit(0))) / F.count("*")).alias("__recall__"))
+    )
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("__recall__") >= 0.7).alias("recall_ok"),
+    )
