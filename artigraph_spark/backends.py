@@ -182,19 +182,32 @@ class JsonFileBackend(Backend):
         return {"snapshots": {}, "partitions": {}, "links": {}, "tags": {}}
 
     def _reload(self) -> None:
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                self._state = json.load(f)
-        else:
+        # Reload only when the file changed (os.replace updates mtime/inode):
+        # repeated reads — e.g. has_snapshot polled per-artifact during an
+        # incremental build — skip re-parsing an unchanged catalog.
+        try:
+            st = os.stat(self.path)
+            stamp = (st.st_mtime_ns, st.st_ino, st.st_size)
+        except FileNotFoundError:
             self._state = self._empty_state()
+            self._stamp = None
+            return
+        if getattr(self, "_stamp", None) == stamp:
+            return
+        with open(self.path) as f:
+            self._state = json.load(f)
+        self._stamp = stamp
 
     @contextlib.contextmanager
-    def _locked(self):
+    def _locked(self, *, exclusive: bool = True):
+        # Readers take a SHARED flock (concurrent cross-process reads don't
+        # serialize); mutators take EXCLUSIVE. The in-process RLock stays
+        # exclusive either way — cheap next to the JSON parse it guards.
         d = os.path.dirname(self.path) or "."
         os.makedirs(d, exist_ok=True)
         with self._lock, open(self.path + ".lock", "a+") as lf:
             if fcntl is not None:
-                fcntl.flock(lf, fcntl.LOCK_EX)
+                fcntl.flock(lf, fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH)
             try:
                 self._reload()
                 yield
@@ -209,6 +222,8 @@ class JsonFileBackend(Backend):
         with os.fdopen(fd, "w") as f:
             json.dump(self._state, f)
         os.replace(tmp, self.path)
+        st = os.stat(self.path)
+        self._stamp = (st.st_mtime_ns, st.st_ino, st.st_size)
 
     def write_snapshot(self, snapshot_id: Fingerprint, graph_name: str) -> None:
         with self._locked():
@@ -216,7 +231,7 @@ class JsonFileBackend(Backend):
             self._flush()
 
     def has_snapshot(self, snapshot_id: Fingerprint) -> bool:
-        with self._locked():
+        with self._locked(exclusive=False):
             return str(snapshot_id.key) in self._state["snapshots"]
 
     def write_artifact_partitions(
@@ -233,7 +248,7 @@ class JsonFileBackend(Backend):
         artifact_fp: Fingerprint,
         input_fingerprints: set[int | None] | None = None,
     ) -> list[StoragePartition]:
-        with self._locked():
+        with self._locked(exclusive=False):
             parts = [
                 _partition_from_json(d)
                 for d in self._state["partitions"].get(str(artifact_fp.key), {}).values()
@@ -254,7 +269,7 @@ class JsonFileBackend(Backend):
     def read_snapshot_partitions(
         self, snapshot_id: Fingerprint, artifact_fp: Fingerprint
     ) -> list[StoragePartition]:
-        with self._locked():
+        with self._locked(exclusive=False):
             return [
                 _partition_from_json(d)
                 for d in self._state["links"].get(f"{snapshot_id.key}:{artifact_fp.key}", {}).values()
@@ -270,7 +285,7 @@ class JsonFileBackend(Backend):
 
     def read_tag(self, graph_name: str, tag: str) -> Fingerprint:
         key = f"{graph_name}:{tag}"
-        with self._locked():
+        with self._locked(exclusive=False):
             if key not in self._state["tags"]:
                 raise LookupError(f"no tag {tag!r} for graph {graph_name!r}")
             return Fingerprint(key=self._state["tags"][key])

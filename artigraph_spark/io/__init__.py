@@ -218,13 +218,17 @@ def _write_delta_df(data: DataFrame, type_, fmt, partition, spark) -> None:
 
 # Object-store URIs (s3a://, gs://, ...) go through the same Spark reader/
 # writer code — Spark's Hadoop connectors resolve the scheme; only the
-# dispatch key differs.
+# dispatch key differs. Delta + pandas handlers included: before the
+# ObjectStore sniff existed these paths dispatched via LocalFile, so every
+# (format, view) that worked then must stay registered now.
 register_reader(Parquet, ObjectStore, SparkDataFrameView)(_read_parquet_df)
 register_writer(Parquet, ObjectStore, SparkDataFrameView)(_write_parquet_df)
 register_reader(JSON, ObjectStore, SparkDataFrameView)(_read_json_df)
 register_writer(JSON, ObjectStore, SparkDataFrameView)(_write_json_df)
 register_reader(CSV, ObjectStore, SparkDataFrameView)(_read_csv_df)
 register_writer(CSV, ObjectStore, SparkDataFrameView)(_write_csv_df)
+register_reader(Delta, ObjectStore, SparkDataFrameView)(_read_delta_df)
+register_writer(Delta, ObjectStore, SparkDataFrameView)(_write_delta_df)
 
 
 # --- pandas DataFrame view (Arrow-bridged, driver-local small data) ---------
@@ -241,8 +245,16 @@ def _read_parquet_pandas(type_, fmt, storage, partitions, spark):
 
 @register_writer(Parquet, LocalFile, PandasDataFrameView)
 def _write_parquet_pandas(data, type_, fmt, partition, spark) -> None:
-    df = spark.createDataFrame(data, schema=_schema_for(type_))
+    schema = _schema_for(type_)
+    # createDataFrame(pandas, schema) maps columns by POSITION; align the
+    # frame to the declared field order by NAME first, or reordered frames
+    # silently write values under the wrong columns.
+    df = spark.createDataFrame(data[list(schema.names)], schema=schema)
     _apply_layout(df, type_).write.mode("overwrite").parquet(partition.path)
+
+
+register_reader(Parquet, ObjectStore, PandasDataFrameView)(_read_parquet_pandas)
+register_writer(Parquet, ObjectStore, PandasDataFrameView)(_write_parquet_pandas)
 
 
 # --- Driver-local python views (reference-parity escape hatches) ------------

@@ -369,26 +369,11 @@ def dedup_clusters(
     stage is the scale path (no all-pairs anywhere)."""
     sigs = minhash_signatures_fast(df, id_col, text_col, num_hashes=num_hashes)
     candidates = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
-    toks = df.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
-    )
-    verified = (
-        candidates.join(toks.withColumnsRenamed({id_col: "a", "toks": "toks_a"}), "a")
-        .join(toks.withColumnsRenamed({id_col: "b", "toks": "toks_b"}), "b")
-        .withColumn(
-            "__union__", F.size(F.array_union("toks_a", "toks_b")).cast("double")
-        )
-        .withColumn(
-            "jaccard",
-            F.when(
-                F.col("__union__") > 0,
-                F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-                / F.col("__union__"),
-            ).otherwise(F.lit(1.0)),  # empty ≡ empty
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("a", "b")
-    )
+    # Jaccard verification reuses the candidates-based path (two equi-joins,
+    # J(∅,∅)=1 guard, threshold filter) — single implementation, no drift.
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, threshold=jaccard_threshold, candidates=candidates
+    ).select("a", "b")
     comps = connected_components(verified)
     out = df.select(F.col(id_col)).join(
         comps, df[id_col] == comps.node, "left"

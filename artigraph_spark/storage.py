@@ -89,6 +89,59 @@ def _fingerprint_path(path: str, *, strict: bool = False) -> Fingerprint:
     return fp
 
 
+def _build_discovery_spec(
+    template: str, key_types: dict[str, type[PartitionField]]
+) -> tuple[str, re.Pattern[str], bool]:
+    """Render a storage template into (glob pattern, parse regex, has_fp) —
+    the shared half of partition discovery. Candidate ENUMERATION is
+    per-storage (filesystem glob vs object listing); the spec/parse contract
+    is identical, so it lives once here."""
+    key_spec_glob = "/".join(f"{name}=*" for name in sorted(key_types)) or ""
+    pattern = template.replace("{partition_key_spec}", key_spec_glob)
+    has_fp = _FP_SEGMENT in pattern
+    pattern = pattern.replace(_FP_SEGMENT, "_fingerprint=*")
+    pattern = _collapse_slashes(pattern)
+
+    regex_src = re.escape(pattern)
+    for name in sorted(key_types):
+        regex_src = regex_src.replace(
+            re.escape(f"{name}=*"), f"{re.escape(name)}=(?P<k_{name}>[^/]+)", 1
+        )
+    regex_src = regex_src.replace(
+        re.escape("_fingerprint=*"), r"_fingerprint=(?P<fp>-?\d+)"
+    )
+    return pattern, re.compile("^" + regex_src + "$"), has_fp
+
+
+def _parse_partition_path(
+    path: str,
+    rx: re.Pattern[str],
+    key_types: dict[str, type[PartitionField]],
+    has_fp: bool,
+) -> StoragePartition | None:
+    """Parse one candidate path against the discovery regex; None if it does
+    not match the spec or a key value fails its field parser."""
+    m = rx.match(path)
+    if not m:
+        return None
+    fields: dict[str, PartitionField] = {}
+    for name, fcls in key_types.items():
+        try:
+            fields[name] = fcls.parse(
+                fcls.default_component, unquote(m.group(f"k_{name}"))
+            )
+        except ValueError:
+            return None
+    fp = (
+        Fingerprint.from_int(int(m.group("fp")))
+        if has_fp and m.groupdict().get("fp")
+        else Fingerprint.empty()
+    )
+    return StoragePartition(
+        path=path, partition_key=PartitionKey(fields=fields), input_fingerprint=fp
+    )
+
+
 class Storage(Model):
     """Abstract storage template."""
 
@@ -163,52 +216,12 @@ class LocalFile(Storage):
     def discover_partitions(
         self, key_types: dict[str, type[PartitionField]]
     ) -> list[StoragePartition]:
-        key_spec_glob = "/".join(f"{name}=*" for name in sorted(key_types)) or ""
-        pattern = self.template.replace("{partition_key_spec}", key_spec_glob)
-        has_fp = _FP_SEGMENT in pattern
-        pattern = pattern.replace(_FP_SEGMENT, "_fingerprint=*")
-        pattern = _collapse_slashes(pattern)
-
-        regex_src = re.escape(pattern)
-        for name in sorted(key_types):
-            regex_src = regex_src.replace(
-                re.escape(f"{name}=*"), f"{re.escape(name)}=(?P<k_{name}>[^/]+)", 1
-            )
-        regex_src = regex_src.replace(
-            re.escape("_fingerprint=*"), r"_fingerprint=(?P<fp>-?\d+)"
+        pattern, rx, has_fp = _build_discovery_spec(self.template, key_types)
+        parsed = (
+            _parse_partition_path(path, rx, key_types, has_fp)
+            for path in sorted(_glob.glob(pattern))
         )
-        rx = re.compile("^" + regex_src + "$")
-
-        partitions = []
-        for path in sorted(_glob.glob(pattern)):
-            m = rx.match(path)
-            if not m:
-                continue
-            fields: dict[str, PartitionField] = {}
-            ok = True
-            for name, fcls in key_types.items():
-                try:
-                    fields[name] = fcls.parse(
-                        fcls.default_component, unquote(m.group(f"k_{name}"))
-                    )
-                except ValueError:
-                    ok = False
-                    break
-            if not ok:
-                continue
-            fp = (
-                Fingerprint.from_int(int(m.group("fp")))
-                if has_fp and m.groupdict().get("fp")
-                else Fingerprint.empty()
-            )
-            partitions.append(
-                StoragePartition(
-                    path=path,
-                    partition_key=PartitionKey(fields=fields),
-                    input_fingerprint=fp,
-                )
-            )
-        return partitions
+        return [p for p in parsed if p is not None]
 
 
 # --- object-store storage ----------------------------------------------------
@@ -318,26 +331,13 @@ class ObjectStore(Storage):
     ) -> list[StoragePartition]:
         from pyarrow import fs as pafs
 
-        key_spec_glob = "/".join(f"{name}=*" for name in sorted(key_types)) or ""
-        pattern = self.template.replace("{partition_key_spec}", key_spec_glob)
-        has_fp = _FP_SEGMENT in pattern
-        pattern = pattern.replace(_FP_SEGMENT, "_fingerprint=*")
-        pattern = _collapse_slashes(pattern)
-
-        regex_src = re.escape(pattern)
-        for name in sorted(key_types):
-            regex_src = regex_src.replace(
-                re.escape(f"{name}=*"), f"{re.escape(name)}=(?P<k_{name}>[^/]+)", 1
-            )
-        regex_src = regex_src.replace(
-            re.escape("_fingerprint=*"), r"_fingerprint=(?P<fp>-?\d+)"
-        )
-        rx = re.compile("^" + regex_src + "$")
+        pattern, rx, has_fp = _build_discovery_spec(self.template, key_types)
 
         # One recursive listing under the longest static prefix (everything
-        # before the first wildcard), then regex-parse. Object stores have no
-        # real directories, so partition "paths" are reconstructed from both
-        # listed entries and every ancestor prefix of each object.
+        # before the first wildcard), then the shared spec parse. Object
+        # stores have no real directories, so partition "paths" are
+        # reconstructed from both listed entries and every ancestor prefix
+        # of each object.
         scheme = pattern.split("://", 1)[0]
         static_prefix = pattern.split("*", 1)[0].rsplit("/", 1)[0]
         try:
@@ -353,36 +353,11 @@ class ObjectStore(Storage):
             for depth in range(1, len(parts) + 1):
                 candidates.add(static_prefix + "/" + "/".join(parts[:depth]))
 
-        partitions = []
-        for path in sorted(candidates):
-            m = rx.match(path)
-            if not m:
-                continue
-            fields: dict[str, PartitionField] = {}
-            ok = True
-            for name, fcls in key_types.items():
-                try:
-                    fields[name] = fcls.parse(
-                        fcls.default_component, unquote(m.group(f"k_{name}"))
-                    )
-                except ValueError:
-                    ok = False
-                    break
-            if not ok:
-                continue
-            fp = (
-                Fingerprint.from_int(int(m.group("fp")))
-                if has_fp and m.groupdict().get("fp")
-                else Fingerprint.empty()
-            )
-            partitions.append(
-                StoragePartition(
-                    path=path,
-                    partition_key=PartitionKey(fields=fields),
-                    input_fingerprint=fp,
-                )
-            )
-        return partitions
+        parsed = (
+            _parse_partition_path(path, rx, key_types, has_fp)
+            for path in sorted(candidates)
+        )
+        return [p for p in parsed if p is not None]
 
 
 class StringLiteral(Storage):

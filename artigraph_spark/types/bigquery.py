@@ -246,6 +246,15 @@ class TableAdapter(TypeAdapter):
                 raise NotImplementedError(
                     f"BigQuery time partitioning other than 'DAY' is not implemented (got {tp['type']!r})"
                 )
+            if not tp.get("field"):
+                # Ingestion-time partitioning (_PARTITIONTIME pseudo-column,
+                # what the REST API emits when no column is named) has no
+                # schema field to map to a Collection partition key.
+                raise NotImplementedError(
+                    "BigQuery ingestion-time partitioning (timePartitioning "
+                    "without 'field') is not implemented; use column-based "
+                    "DAY partitioning"
+                )
             kwargs["partition_by"] = (tp["field"],)
         if type_.get("rangePartitioning"):
             raise NotImplementedError("BigQuery integer range partitioning is not implemented")
@@ -290,6 +299,11 @@ class TableAdapter(TypeAdapter):
             head, *tail = partition
             if tail:
                 cluster = (*tail, *cluster)
+            if head not in type_.element.fields:
+                raise ValueError(
+                    f"partition_by field {head!r} is not in the Collection "
+                    f"element; known fields: {sorted(type_.element.fields)}"
+                )
             head_type = type_.element.fields[head]
             if isinstance(head_type, at.Date | at.DateTime | at.Timestamp):
                 table["timePartitioning"] = {"type": "DAY", "field": head}

@@ -103,8 +103,17 @@ class SeriesAdapter(TypeAdapter):
             example = type_.iloc[0]
             if isinstance(example, str):
                 return at.List(element=at.String())
+            if isinstance(example, np.ndarray | list):
+                # Array column (how Spark's toPandas/applyInPandas presents
+                # array<T>): element is itself a List.
+                arr = example if isinstance(example, np.ndarray) else np.array(example)
+                return at.List(
+                    element=at.List(
+                        element=pandas_type_system.to_artigraph(arr.dtype, hints=hints)
+                    )
+                )
             raise NotImplementedError(
-                f"non-string object series not supported yet; got {example!r}"
+                f"unsupported object series element; got {example!r}"
             )
         return at.List(element=pandas_type_system.to_artigraph(dtype, hints=hints))
 
@@ -113,6 +122,16 @@ class SeriesAdapter(TypeAdapter):
         assert isinstance(type_, at.List)
         if isinstance(type_.element, at.String):
             return pd.Series([""])  # object dtype, pandas' string default
+        if isinstance(type_.element, at.List):
+            # Array column: object-dtype Series of ndarrays (the shape Spark's
+            # Arrow bridge hands applyInPandas bodies for array<T> columns).
+            # NOTE: np.dtype(<pd.Series>) would silently resolve to the
+            # element's scalar dtype and flatten the column — never fall
+            # through to the scalar path here.
+            inner = pandas_type_system.to_system(
+                at.List(element=type_.element.element), hints=hints
+            )
+            return pd.Series([np.asarray(inner)])
         dtype = pandas_type_system.to_system(type_.element, hints=hints)
         if not isinstance(dtype, np.dtype):  # numpy parent returns scalar classes
             dtype = np.dtype(dtype)

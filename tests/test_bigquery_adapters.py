@@ -164,3 +164,10 @@ def test_int_partitioning_not_implemented():
     )
     with pytest.raises(NotImplementedError, match="integer range"):
         bigquery_type_system.to_system(coll, hints={})
+
+
+def test_ingestion_time_partitioning_rejected(bq_table):
+    t = dict(bq_table)
+    t["timePartitioning"] = {"type": "DAY"}  # no field: ingestion-time
+    with pytest.raises(NotImplementedError, match="ingestion-time"):
+        bigquery_type_system.to_artigraph(t, hints={})

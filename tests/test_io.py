@@ -107,3 +107,19 @@ def test_pandas_view_annotation_and_type_support():
     assert view_for_annotation(pd.DataFrame) is PandasDataFrameView
     assert PandasDataFrameView.supports_type(COLL)
     assert not PandasDataFrameView.supports_type(at.Int64())
+
+
+def test_pandas_write_respects_column_names_not_positions(spark, tmp_path):
+    """A reordered pandas frame must still write values under the declared
+    column names (createDataFrame maps by position; the writer realigns)."""
+    import pandas as pd
+
+    from artigraph_spark.views import PandasDataFrameView
+
+    coll = at.Collection(element=at.Struct(fields={"x": at.String(), "y": at.String()}))
+    pdf = pd.DataFrame({"y": ["Y1"], "x": ["X1"]})  # reversed order
+    p = _partition(tmp_path, "pandas_reorder")
+    io.write(pdf, coll, Parquet(), p, PandasDataFrameView, spark)
+    back = io.read(coll, Parquet(), LocalFile(), [p], PandasDataFrameView, spark)
+    assert back.iloc[0]["x"] == "X1"
+    assert back.iloc[0]["y"] == "Y1"

@@ -146,3 +146,20 @@ def test_pydantic_nested_struct_to_model():
     inner = model.model_fields["inner"].annotation
     assert issubclass(inner, BaseModel)
     assert inner.__name__ == "Inner"
+
+
+def test_pandas_array_column_not_flattened():
+    """List(List(Float64)) — an embeddings-style array column — must become
+    an object-dtype Series of arrays, not a flat float column."""
+    coll = at.Collection(
+        element=at.Struct(
+            fields={"id": at.Int64(), "embedding": at.List(element=at.Float64())}
+        )
+    )
+    pdf = collection_to_pandas_exemplar(coll)
+    assert pdf["embedding"].dtype == np.dtype("object")
+    assert isinstance(pdf["embedding"].iloc[0], np.ndarray)
+    back = pandas_type_system.to_artigraph(pdf["embedding"], hints={})
+    assert isinstance(back, at.List)
+    assert isinstance(back.element, at.List)
+    assert isinstance(back.element.element, at.Float64)
