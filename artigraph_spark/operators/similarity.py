@@ -168,6 +168,236 @@ def cosine_topk_lsh(
     )
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Deterministic fixed-point squared L2 distance of two float arrays."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+            * F.lit(_SCALE)
+        ).cast("long"),
+    )
+    return F.aggregate(
+        diffs,
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+        lambda acc: acc.cast("double") / F.lit(_SCALE),
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: k centroids = the first
+    ``n_cells`` vectors by id (engine-independent seed), refined by a fixed
+    number of Lloyd iterations whose means use fixed-point 2^30 sums — so the
+    result is independent of partitioning and executor count (an mllib
+    KMeans would drift with float summation order).
+
+    The centroid table is index METADATA (n_cells × dim floats): the two
+    driver collects here move kilobytes, not data. Each iteration is one
+    corpus scan + one tiny aggregation — the standard distributed k-means
+    shape.
+    """
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[float(v) for v in r[vec_col]] for r in seed_rows]
+    for _ in range(iterations):
+        assigned = assign_ivf_cells(corpus, centroids, vec_col=vec_col)
+        # Fixed-point per-dimension mean per cell (same reduction as
+        # mean_pool): deterministic under any partitioning.
+        exploded = assigned.select(
+            "__cell__", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        scaled_sum = F.sum(
+            F.floor(F.col("val").cast("double") * F.lit(_SCALE)).cast("long")
+        ).cast("double") / F.lit(_SCALE)
+        means = (
+            exploded.groupBy("__cell__", "pos")
+            .agg((scaled_sum / F.count("val")).alias("mean_val"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # keep empty cells put
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell__"], {})[r["pos"]] = float(r["mean_val"])
+        for cell, dims in by_cell.items():
+            new_centroids[cell] = [dims.get(p, 0.0) for p in range(dim)]
+        centroids = new_centroids
+    return centroids
+
+
+def assign_ivf_cells(
+    df: DataFrame, centroids: list[list[float]], *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append ``__cell__`` = argmin squared-distance centroid id — a pure
+    per-row JVM expression over literal centroids (no shuffle, no UDF)."""
+    dists = F.array(
+        *[
+            F.struct(
+                _sq_dist(
+                    F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    # array_min over (distance, id) structs: ties break to the lowest cell id.
+    return df.withColumn("__cell__", F.array_min(dists).getField("i"))
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus vectors bucketed into coarse cells,
+    each query probes its ``nprobe`` nearest cells, candidates scored exactly.
+
+    The scale path complement to `cosine_topk_lsh`: data-DEPENDENT cells
+    (centroids track corpus density; LSH planes are data-oblivious), so
+    recall per probed candidate is typically higher. The candidate join is
+    an equi-join on cell id — shuffle-partitioned, never all-pairs; scan
+    cost is |corpus| · n_cells distance expressions, all inside codegen'd
+    JVM expressions.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, dim=dim
+        )
+    c = assign_ivf_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec__"),
+            norm(F.col(vec_col)).alias("__cnorm__"),
+        ),
+        centroids,
+        vec_col="__cvec__",
+    )
+    # Query side: nprobe nearest cells via array_sort over (distance, id)
+    # structs — JVM-side, no driver collect of query vectors.
+    dists = F.array(
+        *[
+            F.struct(
+                _sq_dist(
+                    F.col("__qvec__"), F.array(*[F.lit(float(v)) for v in cen])
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, cen in enumerate(centroids)
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec__"),
+            norm(F.col(vec_col)).alias("__qnorm__"),
+        )
+        .withColumn(
+            "__cell__",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dists), 1, nprobe), lambda s: s.getField("i")
+                )
+            ),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell__")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("__qvec__"), F.col("__cvec__"))
+                / (F.col("__qnorm__") * F.col("__cnorm__"))
+            ).alias("cos_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        "query_id",
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold) — the
+    vector-space member of the dedup family (exact / MinHash / SimHash /
+    Jaccard / THIS).
+
+    Candidates come from the multi-table random-hyperplane buckets (equi-join
+    on (table, bucket) — never all-pairs), then exact fixed-point cosine
+    filters. Identical vectors agree on every hyperplane sign, so exact
+    duplicates are GUARANTEED candidates in every table; near-dups are
+    recalled with the standard 1−(1−p^k)^L probability."""
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    buckets = F.array(*[lsh_bucket(F.col(vec_col), planes) for planes in tables])
+    bucketed = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(vec_col).alias("__vec__"),
+        norm(F.col(vec_col)).alias("__norm__"),
+        F.posexplode(buckets).alias("__table__", "__bucket__"),
+    )
+    left = bucketed.select(
+        F.col("__id__").alias("a"),
+        F.col("__vec__").alias("__va__"),
+        F.col("__norm__").alias("__na__"),
+        "__table__",
+        "__bucket__",
+    )
+    right = bucketed.select(
+        F.col("__id__").alias("b"),
+        F.col("__vec__").alias("__vb__"),
+        F.col("__norm__").alias("__nb__"),
+        "__table__",
+        "__bucket__",
+    )
+    pairs = (
+        left.join(right, ["__table__", "__bucket__"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    cos = dot(F.col("__va__"), F.col("__vb__")) / (F.col("__na__") * F.col("__nb__"))
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
+    )
+
+
 def mean_pool(df: DataFrame, group_col: str, vec_col: str = "embedding") -> DataFrame:
     """Per-group mean vector, exploded representation (group, pos, mean_val).
 

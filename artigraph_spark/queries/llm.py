@@ -657,3 +657,82 @@ def cosine_topk_lsh_checked(spark, sf_dir):
         F.count("*").alias("n_queries"),
         (F.avg("__recall__") >= 0.7).alias("recall_ok"),
     )
+
+
+@query(
+    "cosine_topk_ivf_checked",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def cosine_topk_ivf_checked(spark, sf_dir):
+    """IVF ANN quality contract: batch-mean recall of nprobe=4/16-cell IVF
+    top-5 vs exact top-5 must clear 0.7 (measured 0.9/0.9/1.0 across the
+    fixtures). Fully deterministic: first-k centroid seed + fixed-point
+    Lloyd refinement is partitioning-independent, unlike an mllib KMeans."""
+    from artigraph_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    kw = dict(id_col="vec_id", vec_col="embedding", k=5)
+    exact = cosine_topk_bruteforce(e, q, **kw).select("query_id", "neighbor_id")
+    approx = cosine_topk_ivf(e, q, n_cells=16, nprobe=4, **kw).select(
+        "query_id", "neighbor_id"
+    ).withColumn("__hit__", F.lit(1))
+    per_query = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg((F.sum(F.coalesce("__hit__", F.lit(0))) / F.count("*")).alias("__recall__"))
+    )
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("__recall__") >= 0.7).alias("recall_ok"),
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH aug AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+        WHERE vec_id < 200 AND vec_id % 20 = 0
+    ),
+    scored AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               (CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+               / (
+                 sqrt(CAST(list_sum(list_transform(a.embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+                 *
+                 sqrt(CAST(list_sum(list_transform(b.embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+               ) AS cos_sim
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    )
+    SELECT a, b, cos_sim FROM scored WHERE cos_sim >= 0.95
+    """,
+)
+def embedding_near_dup_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over LSH-bucketed candidates. The
+    fixtures hold no natural pairs above 0.95 (verified: zero at >= 0.7), so
+    the query plants identical-vector duplicates (shifted-id copy of every
+    20th vector) in both engines; identical vectors are guaranteed
+    candidates (all hyperplane signs equal), so the bucketed scale path
+    provably matches the oracle's bounded brute force."""
+    from artigraph_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    copies = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    aug = e.select("vec_id", "embedding").unionAll(copies)
+    return embedding_near_dup_pairs(
+        aug, id_col="vec_id", vec_col="embedding", threshold=0.95, n_tables=8
+    )

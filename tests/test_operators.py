@@ -115,3 +115,48 @@ def test_predict_language_accuracy(spark):
     out = d.select(predict_language(F.col("text")).alias("p")).distinct().collect()
     allowed = set(LANG_MARKERS) | {"und"}
     assert {r["p"] for r in out} <= allowed
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF (data-dependent cells) must recover most of the exact top-k with
+    nprobe=4 of 16 cells."""
+    from artigraph_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(e, q, k=5)
+    approx = cosine_topk_ivf(e, q, k=5, n_cells=16, nprobe=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.7, recall
+
+
+def test_ivf_centroids_deterministic(spark):
+    """Centroid training must not depend on partitioning (fixed-point sums)."""
+    from artigraph_spark.operators.similarity import train_ivf_centroids
+
+    e = load(spark, SF, "embeddings")
+    c1 = train_ivf_centroids(e, n_cells=4, iterations=1)
+    c2 = train_ivf_centroids(e.repartition(7), n_cells=4, iterations=1)
+    assert c1 == c2
+
+
+def test_embedding_near_dup_finds_planted_duplicates(spark):
+    """Identical vectors agree on every hyperplane sign, so planted copies
+    are guaranteed candidates and score cos=1.0."""
+    from artigraph_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = load(spark, SF, "embeddings").filter(F.col("vec_id") < 100)
+    copies = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    aug = e.select("vec_id", "embedding").unionAll(copies)
+    pairs = embedding_near_dup_pairs(aug, threshold=0.95).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    expected = {(v, v + 1000) for v in range(0, 100, 10)}
+    assert expected <= found
+    assert all(r["cos_sim"] >= 0.95 for r in pairs)
