@@ -73,3 +73,32 @@ def test_agg_is_partial_final(spark, qs):
     plan = P.physical_plan(df, "simple")
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "l_shipdate" in " ".join(P.pushed_filters(df))
+
+
+def test_ivf_candidate_join_not_cartesian(spark):
+    """IVF probing must plan as an equi-join on cell id (broadcast or
+    shuffled hash), never a nested-loop cross product; the cosine projection
+    must land before the top-k exchange."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.similarity import cosine_topk_ivf
+    from artigraph_spark.sources import load
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    df = cosine_topk_ivf(e, q, k=3, n_cells=4, nprobe=2)
+    plan = P.physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_embedding_near_dup_is_bucketed_equi_join(spark):
+    from artigraph_spark.operators.similarity import embedding_near_dup_pairs
+    from artigraph_spark.sources import load
+
+    e = load(spark, SF, "embeddings")
+    df = embedding_near_dup_pairs(e, n_tables=2)
+    plan = P.physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
