@@ -121,6 +121,51 @@ def session_counts(
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, fixed-point value sum) carried in
+    explicit GroupState across micro-batches, emitting the updated totals
+    each batch.
+
+    This is the escape hatch for stateful logic ``groupBy().agg()`` can't
+    express (custom eviction, session stitching, per-key models). State is
+    two longs per user — keyed state partitions shuffle-evenly by user_id
+    and the fixed-point sum keeps totals exact and batch/stream identical
+    (float accumulation order would otherwise differ between the streaming
+    state path and the batch partial+final aggregate).
+
+    Batch twin: ``events.groupBy(user_id).agg(count, dsum(value))`` — tests
+    assert final-state parity on the bounded fixture stream.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bits = 20
+
+    def update(key, pdfs, state: GroupState):
+        n, sv = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sv += int(np.floor(pdf["value"].to_numpy() * (1 << bits)).sum())
+        state.update((n, sv))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [sv / float(1 << bits)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, sv long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_batch(
     stream_df: DataFrame, *, query_name: str = "stream_out", output_mode: str = "complete"
 ) -> DataFrame:

@@ -64,3 +64,41 @@ def test_stream_to_partitioned_sink(spark, tmp_path):
     written = spark.read.parquet(str(tmp_path / "out"))
     assert written.count() == 1000
     assert "day" in written.columns
+
+
+def test_stateful_user_totals_parity(spark, tmp_path):
+    """applyInPandasWithState: per-user running totals carried across REAL
+    micro-batch boundaries (3 input files, 1 per trigger) must converge to
+    the batch groupBy totals exactly (fixed-point sums both sides)."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.functions import dsum
+    from artigraph_spark.sources import load
+
+    events = load(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_split")
+    events.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    result = stx.run_stream_to_batch(
+        stx.stateful_user_totals(stream),
+        query_name="t_stateful",
+        output_mode="update",
+    )
+    # Update mode emits one row per user per batch that touched it; the
+    # final state is the row with the max n_events per user.
+    final = (
+        result.groupBy("user_id")
+        .agg(F.max_by("total_value", "n_events").alias("total_value"),
+             F.max("n_events").alias("n_events"))
+    )
+    batch = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert got == want
