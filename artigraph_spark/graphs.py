@@ -50,6 +50,7 @@ class ArtifactBox:
         artifact = Artifact.cast(value)
         resolved_storage = artifact.storage.resolve_templates(
             graph_name=graph.name,
+            path_tags="/".join(f"{t}={v}" for t, v in graph.path_tags.items()),
             names=key.replace(".", "/"),
             name=name,
             strip_input_fingerprint=not artifact.is_produced,
@@ -71,10 +72,22 @@ class ArtifactBox:
 
 
 class Graph:
-    def __init__(self, name: str, *, backend: Backend | None = None, spark: SparkSession | None = None) -> None:
+    def __init__(
+        self,
+        name: str,
+        *,
+        backend: Backend | None = None,
+        spark: SparkSession | None = None,
+        path_tags: dict[str, str] | None = None,
+    ) -> None:
         self.name = name
         self.backend = backend or MemoryBackend()
         self._spark = spark
+        # Rendered into storage templates as tag=value segments (reference:
+        # graphs/__init__.py:105, storage/__init__.py:146-148) — lets two
+        # deployments of the same graph (e.g. env=prod / env=dev) write to
+        # disjoint path trees without changing artifact identity.
+        self.path_tags: dict[str, str] = dict(path_tags or {})
         self._artifacts: dict[str, Artifact] = {}
         # producer node id -> (producer, {position: artifact key}); the node id
         # combines the fingerprint with the instance id so two IDENTICALLY

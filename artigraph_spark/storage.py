@@ -171,7 +171,9 @@ class LocalFile(Storage):
     """
 
     root: str = "/tmp/artigraph_spark"
-    template: str = "{root}/{graph_name}/{names}/{name}/{partition_key_spec}/" + _FP_SEGMENT
+    template: str = (
+        "{root}/{graph_name}/{path_tags}/{names}/{name}/{partition_key_spec}/" + _FP_SEGMENT
+    )
     format_extension: str = ""
 
     def resolve_templates(self, **values: str) -> LocalFile:
@@ -179,6 +181,7 @@ class LocalFile(Storage):
         if values.pop("strip_input_fingerprint", False):
             template = template.replace("/" + _FP_SEGMENT, "")
         values.setdefault("root", self.root)
+        values.setdefault("path_tags", "")  # empty segment collapses away
         for k, v in values.items():
             template = template.replace("{" + k + "}", str(v))
         template = _collapse_slashes(template)
@@ -205,6 +208,8 @@ class LocalFile(Storage):
         else:
             path = path.replace("{input_fingerprint}", str(input_fingerprint.key))
         path = _collapse_slashes(path)
+        if len(path) > 1 and not path.endswith("://"):
+            path = path.rstrip("/")  # empty trailing segments (no key, no fp)
         if "{" in path:
             raise ValueError(f"unresolved placeholders remain in {path!r}")
         return StoragePartition(
@@ -302,7 +307,7 @@ class ObjectStore(Storage):
     bucket: str = "artigraph"
     scheme: str = "s3"
     template: str = (
-        "{scheme}://{bucket}/{graph_name}/{names}/{name}/{partition_key_spec}/"
+        "{scheme}://{bucket}/{graph_name}/{path_tags}/{names}/{name}/{partition_key_spec}/"
         + _FP_SEGMENT
     )
     format_extension: str = ""
@@ -313,6 +318,7 @@ class ObjectStore(Storage):
             template = template.replace("/" + _FP_SEGMENT, "")
         values.setdefault("scheme", self.scheme)
         values.setdefault("bucket", self.bucket)
+        values.setdefault("path_tags", "")  # empty segment collapses away
         for k, v in values.items():
             template = template.replace("{" + k + "}", str(v))
         template = _collapse_slashes(template)

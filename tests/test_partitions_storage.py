@@ -125,3 +125,35 @@ def test_string_literal():
     assert len(parts) == 1
     assert not parts[0].content_fingerprint.is_empty
     assert StringLiteral(value=None).discover_partitions({}) == []
+
+
+def test_path_tags_render_into_paths(tmp_path):
+    """Graph path_tags become tag=value path segments (reference
+    graphs/__init__.py:105, storage/__init__.py:146-148); empty tags
+    collapse away entirely."""
+    storage = LocalFile(root=str(tmp_path)).resolve_templates(
+        graph_name="g", path_tags="env=prod/region=eu", names="t", name="t",
+        strip_input_fingerprint=True,
+    )
+    from artigraph_spark.fingerprint import Fingerprint
+    from artigraph_spark.partitions import PartitionKey
+
+    p = storage.generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+    assert p.path == f"{tmp_path}/g/env=prod/region=eu/t/t"
+    untagged = LocalFile(root=str(tmp_path)).resolve_templates(
+        graph_name="g", names="t", name="t", strip_input_fingerprint=True
+    ).generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+    assert untagged.path == f"{tmp_path}/g/t/t"
+
+
+def test_graph_path_tags_flow_to_artifact_storage(tmp_path):
+    from artigraph_spark import types as at
+    from artigraph_spark.artifacts import Artifact
+    from artigraph_spark.formats import JSON
+    from artigraph_spark.graphs import Graph
+
+    with Graph("tagged", path_tags={"env": "dev"}) as g:
+        g.artifacts.x = Artifact(
+            type=at.Int64(), format=JSON(), storage=LocalFile(root=str(tmp_path))
+        )
+    assert f"{tmp_path}/tagged/env=dev/x/x" in g.artifacts.x.storage.template
