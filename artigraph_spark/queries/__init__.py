@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "minhash_lsh_pairs_checked", "simhash_checked", "text_quality_score",
     "token_bpe_counts", "dedup_minhash_end2end", "cosine_topk_lsh_checked",
     "cosine_topk_ivf_checked", "embedding_near_dup",
+    "window_gap_fill", "edit_distance_pairs",
     # rows-only (err: no_oracle in the driver record, but rows get counted)
     "minhash_lsh_pairs", "dedup_clusters", "simhash_fingerprints",
     "cosine_topk_lsh",

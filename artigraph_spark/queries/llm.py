@@ -736,3 +736,35 @@ def embedding_near_dup_q(spark, sf_dir):
     return embedding_near_dup_pairs(
         aug, id_col="vec_id", vec_col="embedding", threshold=0.95, n_tables=8
     )
+
+
+@query(
+    "edit_distance_pairs",
+    oracle="""
+    WITH d AS (SELECT doc_id, substr(text, 1, 40) AS prefix FROM documents WHERE doc_id < 80)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 25
+    """,
+)
+def edit_distance_pairs(spark, sf_dir):
+    """Levenshtein near-dup pairs over bounded 40-char prefixes — the
+    character-level member of the dedup family (exact / MinHash / SimHash /
+    Jaccard / embedding / THIS). Quadratic by nature, so the query bounds
+    the candidate set (80 docs); at scale feed candidates from LSH exactly
+    like ngram_jaccard_pairs. F.levenshtein and DuckDB levenshtein agree on
+    plain-ASCII fixtures."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80).select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    a = d.select(F.col("doc_id").alias("a"), F.col("prefix").alias("__pa"))
+    b = d.select(F.col("doc_id").alias("b"), F.col("prefix").alias("__pb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.levenshtein("__pa", "__pb").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 25)
+    )

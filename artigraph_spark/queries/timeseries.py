@@ -111,3 +111,62 @@ def window_session(spark, sf_dir):
         F.count("*").alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@query(
+    "window_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+               time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+        FROM events
+    ),
+    buckets AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+        FROM bounds
+    ),
+    spine AS (
+        SELECT buckets.bucket, et.event_type
+        FROM buckets, (SELECT DISTINCT event_type FROM events) AS et
+    ),
+    agg AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(spine.bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+           spine.event_type,
+           COALESCE(agg.n, 0) AS n,
+           (agg.n IS NULL) AS is_gap
+    FROM spine LEFT JOIN agg USING (bucket, event_type)
+    """,
+)
+def window_gap_fill(spark, sf_dir):
+    """Time-series densification: a complete hourly (bucket × event_type)
+    spine over the data's span, with empty buckets filled as zero-count gap
+    rows. The spine is built from a broadcast single-row min/max aggregate
+    crossed with the distinct key set — F.sequence + explode generates the
+    buckets distributed, never on the driver; the fill join is a keyed
+    left join (shuffle on (bucket, type), no BNLJ)."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket")
+        )
+        .crossJoin(F.broadcast(e.select("event_type").distinct()))
+    )
+    agg = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count("*").alias("__n__"))
+    return spine.join(agg, ["bucket", "event_type"], "left").select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.coalesce("__n__", F.lit(0)).alias("n"),
+        F.col("__n__").isNull().alias("is_gap"),
+    )
