@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import graphlib
 from typing import Any
+from urllib.parse import quote
 
 from pyspark.sql import SparkSession
 
@@ -48,9 +49,16 @@ class ArtifactBox:
             raise RuntimeError(f"graph {graph.name!r} is sealed")
         key = self._key(name)
         artifact = Artifact.cast(value)
+        # Percent-escape tag names/values like partition key values: a glob
+        # metacharacter or '/' in a tag would otherwise write to a path that
+        # discovery's pattern can never re-match.
+        rendered_tags = "/".join(
+            f"{quote(str(t), safe='')}={quote(str(v), safe='')}"
+            for t, v in graph.path_tags.items()
+        )
         resolved_storage = artifact.storage.resolve_templates(
             graph_name=graph.name,
-            path_tags="/".join(f"{t}={v}" for t, v in graph.path_tags.items()),
+            path_tags=rendered_tags,
             names=key.replace(".", "/"),
             name=name,
             strip_input_fingerprint=not artifact.is_produced,

@@ -214,21 +214,23 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = [[float(v) for v in r[vec_col]] for r in seed_rows]
+    if centroids:
+        # The declared dim must not drive centroid shape: deriving it from
+        # the seed vectors prevents silent zero-padding/truncation (which
+        # would null out every zip_with distance) when a caller's dim
+        # disagrees with the data.
+        dim = len(centroids[0])
     for _ in range(iterations):
         assigned = assign_ivf_cells(corpus, centroids, vec_col=vec_col)
-        # Fixed-point per-dimension mean per cell (same reduction as
-        # mean_pool): deterministic under any partitioning.
-        exploded = assigned.select(
-            "__cell__", F.posexplode(F.col(vec_col)).alias("pos", "val")
-        )
-        scaled_sum = F.sum(
-            F.floor(F.col("val").cast("double") * F.lit(_SCALE)).cast("long")
-        ).cast("double") / F.lit(_SCALE)
-        means = (
-            exploded.groupBy("__cell__", "pos")
-            .agg((scaled_sum / F.count("val")).alias("mean_val"))
-            .collect()
-        )
+        # Fixed-point per-dimension mean per cell via mean_pool —
+        # deterministic under any partitioning, single implementation.
+        means = mean_pool(
+            assigned.select(
+                "__cell__", F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col)
+            ),
+            "__cell__",
+            vec_col,
+        ).collect()
         new_centroids = [list(c) for c in centroids]  # keep empty cells put
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:

@@ -102,6 +102,12 @@ def _build_discovery_spec(
     pattern = pattern.replace(_FP_SEGMENT, "_fingerprint=*")
     pattern = _collapse_slashes(pattern)
 
+    # Strip empty trailing segments exactly like generate_partition does —
+    # otherwise discovery would return ".../t/t/" while generation returns
+    # ".../t/t" and the SAME physical data gets two catalog identities
+    # (backends key partitions by path).
+    if len(pattern) > 1 and not pattern.endswith("://"):
+        pattern = pattern.rstrip("/")
     regex_src = re.escape(pattern)
     for name in sorted(key_types):
         regex_src = regex_src.replace(

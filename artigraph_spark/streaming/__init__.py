@@ -146,8 +146,11 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         n, sv = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            n += len(pdf)
-            sv += int(np.floor(pdf["value"].to_numpy() * (1 << bits)).sum())
+            n += len(pdf)  # count("*") semantics: nulls count
+            vals = pdf["value"].to_numpy(dtype="float64")
+            vals = vals[~np.isnan(vals)]  # F.sum semantics: nulls skipped
+            if len(vals):
+                sv += int(np.floor(vals * (1 << bits)).sum())
         state.update((n, sv))
         yield pd.DataFrame(
             {

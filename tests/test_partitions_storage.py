@@ -157,3 +157,44 @@ def test_graph_path_tags_flow_to_artifact_storage(tmp_path):
             type=at.Int64(), format=JSON(), storage=LocalFile(root=str(tmp_path))
         )
     assert f"{tmp_path}/tagged/env=dev/x/x" in g.artifacts.x.storage.template
+
+
+def test_generate_and_discover_agree_on_unpartitioned_paths(tmp_path):
+    """The path generate_partition writes must be byte-identical to the path
+    discover_partitions finds — backends key partitions by path, so a
+    trailing-slash disagreement would give one dataset two identities."""
+    from artigraph_spark.fingerprint import Fingerprint
+    from artigraph_spark.partitions import PartitionKey
+
+    storage = LocalFile(root=str(tmp_path)).resolve_templates(
+        graph_name="g", names="t", name="t", strip_input_fingerprint=True
+    )
+    p = storage.generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+    os.makedirs(p.path, exist_ok=True)
+    with open(os.path.join(p.path, "part-0.json"), "w") as f:
+        f.write("{}")
+    found = storage.discover_partitions({})
+    assert [f.path for f in found] == [p.path]
+
+
+def test_path_tags_with_glob_metacharacters_survive_discovery(tmp_path):
+    """Tag values containing glob metacharacters are percent-escaped at
+    render time, so discovery's pattern still matches what was written."""
+    from artigraph_spark import types as at
+    from artigraph_spark.artifacts import Artifact
+    from artigraph_spark.fingerprint import Fingerprint
+    from artigraph_spark.formats import JSON
+    from artigraph_spark.graphs import Graph
+    from artigraph_spark.partitions import PartitionKey
+
+    with Graph("g2", path_tags={"env": "v[1]/x"}) as g:
+        g.artifacts.x = Artifact(
+            type=at.Int64(), format=JSON(), storage=LocalFile(root=str(tmp_path))
+        )
+    storage = g.artifacts.x.storage
+    p = storage.generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+    assert "[" not in p.path and "env=v%5B1%5D%2Fx" in p.path
+    os.makedirs(p.path, exist_ok=True)
+    with open(os.path.join(p.path, "d"), "w") as f:
+        f.write("{}")
+    assert [f.path for f in storage.discover_partitions({})] == [p.path]
