@@ -71,9 +71,12 @@ _PRIORITY: tuple[str, ...] = (
     "token_bpe_counts", "dedup_minhash_end2end", "cosine_topk_lsh_checked",
     "cosine_topk_ivf_checked", "embedding_near_dup",
     "window_gap_fill", "edit_distance_pairs",
-    # rows-only (err: no_oracle in the driver record, but rows get counted)
-    "minhash_lsh_pairs", "dedup_clusters", "simhash_fingerprints",
-    "cosine_topk_lsh",
+    # NOT prioritized: the 4 rows-only queries (minhash_lsh_pairs,
+    # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) — the driver
+    # records them as `err: no_oracle` (r1 evidence), which would waste
+    # sampled-window slots; their oracle-checked `*_checked` contract twins
+    # above carry the hard signal instead. Remaining slots fall through to
+    # registration order (r1-green queries re-verify first).
 )
 
 
