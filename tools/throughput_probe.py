@@ -11,6 +11,7 @@ Usage: python tools/throughput_probe.py [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from collections import defaultdict
@@ -44,11 +45,28 @@ def python_rows_q1(rows: list[dict]) -> dict:
     return dict(acc)
 
 
+def python_rows_tumbling(rows: list[dict]) -> dict:
+    """Hourly tumbling-window counts/sums as a reference user writes them:
+    single-thread dict loop over list[dict] event rows."""
+    acc: dict = defaultdict(lambda: [0, 0.0])
+    for r in rows:
+        bucket = str(r["ts"])[:13]  # YYYY-mm-dd HH
+        a = acc[(bucket, r["event_type"])]
+        a[0] += 1
+        a[1] += r["value"]
+    return dict(acc)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
+    def pq(name: str) -> str:
+        # Single-file fixtures and directory (multi-file) scale copies.
+        path = f"{sf_dir}/{name}.parquet"
+        return f"{path}/*.parquet" if os.path.isdir(path) else path
+
     con = duckdb.connect()
-    rel = con.sql(f"SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    rel = con.sql(f"SELECT * FROM '{pq('lineitem')}'")
     cols = rel.columns
     dict_rows = [dict(zip(cols, r)) for r in rel.fetchall()]
     n_rows = len(dict_rows)
@@ -65,7 +83,7 @@ def main() -> None:
         f"""SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
             sum(l_extendedprice*(1-l_discount)), sum(l_extendedprice*(1-l_discount)*(1+l_tax)),
             avg(l_quantity), avg(l_discount), count(*)
-            FROM '{sf_dir}/lineitem.parquet'
+            FROM '{pq('lineitem')}'
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus"""
     ).fetchall()
@@ -73,10 +91,34 @@ def main() -> None:
 
     spark = get_spark("throughput_probe")
     q = queries()["agg_pricing_summary"]
-    q(spark, sf_dir).foreach(lambda _: None)  # warm (codegen/readers)
+    q(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
-    q(spark, sf_dir).foreach(lambda _: None)
+    q(spark, sf_dir).write.format("noop").mode("overwrite").save()
     t_spark = time.perf_counter() - t0
+
+    # Second workload: hourly tumbling-window analytics over events (the
+    # time-series shape of a reference producer body).
+    ev = con.sql(f"SELECT * FROM '{pq('events')}'")
+    ev_rows = [dict(zip(ev.columns, r)) for r in ev.fetchall()]
+    n_events = len(ev_rows)
+    t0 = time.perf_counter()
+    python_rows_tumbling(ev_rows)
+    t_python_tumbling = time.perf_counter() - t0
+    del ev_rows
+
+    t0 = time.perf_counter()
+    con.sql(
+        f"""SELECT time_bucket(INTERVAL '1 hour', ts) AS b, event_type,
+            count(*), sum(value)
+            FROM '{pq('events')}' GROUP BY 1, 2"""
+    ).fetchall()
+    t_duckdb_tumbling = time.perf_counter() - t0
+
+    qt = queries()["window_tumbling"]
+    qt(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    qt(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    t_spark_tumbling = time.perf_counter() - t0
 
     print(
         json.dumps(
@@ -87,6 +129,15 @@ def main() -> None:
                 "spark_engine_sec": round(t_spark, 3),
                 "duckdb_sec": round(t_duckdb, 3),
                 "speedup_vs_reference_style": round(t_python / t_spark, 1),
+                "tumbling": {
+                    "rows": n_events,
+                    "reference_style_python_sec": round(t_python_tumbling, 3),
+                    "spark_engine_sec": round(t_spark_tumbling, 3),
+                    "duckdb_sec": round(t_duckdb_tumbling, 3),
+                    "speedup_vs_reference_style": round(
+                        t_python_tumbling / t_spark_tumbling, 1
+                    ),
+                },
             }
         )
     )
