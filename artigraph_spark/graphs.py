@@ -193,6 +193,19 @@ class Graph:
             fp = fp.combine(
                 Fingerprint.from_string(f"{key}={artifact.fingerprint.key}")
             )
+        # Producer nodes must contribute too: artifact fingerprints exclude
+        # producer_output (so attaching a producer doesn't cascade-invalidate
+        # data), which means div(a=x, b=y) and div(a=y, b=x) graphs would
+        # otherwise collide — the producer's Model fingerprint hashes its
+        # input artifacts BY FIELD NAME, making the binding part of graph
+        # identity (reference: snapshot combines node.fingerprint for every
+        # node, graphs/__init__.py:330-332). The in-memory node id (which
+        # embeds id(obj)) must NOT leak in — it changes every process.
+        for _node_id, (prod, outputs) in self._producers.items():
+            binding = ",".join(f"{pos}:{key}" for pos, key in sorted(outputs.items()))
+            fp = fp.combine(
+                Fingerprint.from_string(f"producer:{prod.fingerprint.key}=>{binding}")
+            )
         return fp
 
     def snapshot(self, *, strict_fingerprints: bool = False) -> GraphSnapshot:

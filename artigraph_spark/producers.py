@@ -151,16 +151,21 @@ class Producer(Model):
     def compute_input_fingerprint(
         cls, dependencies: dict[str, tuple[StoragePartition, ...]]
     ) -> Fingerprint:
-        """fp(class) ⊕ fp(version) ⊕ ⊕(content fps) — path-independent, so
-        reverting data re-hits memoized outputs."""
+        """fp(class) ⊕ fp(version) ⊕ ⊕(name-bound content fps) —
+        path-independent, so reverting data re-hits memoized outputs. Each
+        content fp is BOUND to its parameter name: a bare XOR of content fps
+        would give div(a=x, b=y) and div(a=y, b=x) the same memoization key,
+        and the second build would silently serve the first's output."""
         fp = cls.class_fingerprint()
-        for _name, partitions in sorted(dependencies.items()):
+        for name, partitions in sorted(dependencies.items()):
             for p in partitions:
                 if p.content_fingerprint.is_empty:
                     raise ValueError(
                         f"partition {p.path} has no content fingerprint; snapshot first"
                     )
-                fp = fp.combine(p.content_fingerprint)
+                fp = fp.combine(
+                    Fingerprint.from_string(f"{name}:{p.content_fingerprint.key}")
+                )
         return fp
 
     def inputs(self) -> dict[str, Artifact]:

@@ -210,3 +210,48 @@ def test_dataframe_roundtrip_collection(tmp_root, spark):
     snap = g.build()
     df = snap.read(g.artifacts.doubled)
     assert sorted(r["value"] for r in df.collect()) == [2, 4, 6]
+
+
+class DivNums(Producer):
+    """Two same-typed inputs — identity must track WHICH artifact binds to
+    which parameter (reference test_Graph_snapshot_id_producer_arg_order)."""
+
+    version = SemVer(major=1)
+
+    a: Num
+    b: Num
+
+    def build(self, a: int, b: int) -> int:
+        return a // b
+
+
+def test_snapshot_id_distinguishes_producer_arg_order(tmp_root):
+    """div(a=x, b=y) and div(a=y, b=x) are different computations: their
+    graph definition fingerprints AND memoization keys must differ."""
+    from artigraph_spark.fingerprint import Fingerprint
+    from artigraph_spark.storage import StoragePartition
+
+    def scalar(name: str, value: int) -> Num:
+        d = os.path.join(tmp_root, f"g2/{name}/{name}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.json"), "w") as f:
+            f.write(json.dumps(value))
+        return Num(type=at.Int64(), format=JSON(), storage=LocalFile(root=tmp_root))
+
+    def make(order: str) -> Graph:
+        with Graph("g2") as g:
+            g.artifacts.x = scalar("x", 10)
+            g.artifacts.y = scalar("y", 5)
+            first, second = (
+                (g.artifacts.x, g.artifacts.y) if order == "xy" else (g.artifacts.y, g.artifacts.x)
+            )
+            g.artifacts.q = DivNums(a=first, b=second).out()
+        return g
+
+    assert make("xy").definition_fingerprint() != make("yx").definition_fingerprint()
+
+    pa = StoragePartition(path="/a", content_fingerprint=Fingerprint.from_int(111))
+    pb = StoragePartition(path="/b", content_fingerprint=Fingerprint.from_int(222))
+    f_ab = DivNums.compute_input_fingerprint({"a": (pa,), "b": (pb,)})
+    f_ba = DivNums.compute_input_fingerprint({"a": (pb,), "b": (pa,)})
+    assert f_ab != f_ba
