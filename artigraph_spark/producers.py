@@ -156,6 +156,11 @@ class Producer(Model):
         content fp is BOUND to its parameter name: a bare XOR of content fps
         would give div(a=x, b=y) and div(a=y, b=x) the same memoization key,
         and the second build would silently serve the first's output."""
+        if set(dependencies) != set(cls._input_names):
+            raise ValueError(
+                f"Mismatched dependency inputs; expected {set(cls._input_names)}, "
+                f"got {set(dependencies)}"
+            )
         fp = cls.class_fingerprint()
         for name, partitions in sorted(dependencies.items()):
             for p in partitions:

@@ -180,3 +180,21 @@ def test_version_changes_input_fingerprint():
     assert V1.compute_input_fingerprint({"src": parts}) != V2.compute_input_fingerprint(
         {"src": parts}
     )
+
+
+def test_compute_input_fingerprint_rejects_mismatched_names():
+    """Reference parity (test_Producer_compute_input_fingerprint): a
+    dependency dict whose keys don't match the declared inputs raises
+    instead of silently producing a different fingerprint."""
+    import pytest
+
+    from artigraph_spark.producers import Producer
+
+    class P(Producer):
+        nums: Artifact
+
+        def build(self, nums: int) -> int:
+            return nums
+
+    with pytest.raises(ValueError, match="Mismatched dependency inputs"):
+        P.compute_input_fingerprint({"junk": ()})
