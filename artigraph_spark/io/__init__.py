@@ -253,8 +253,40 @@ def _write_parquet_pandas(data, type_, fmt, partition, spark) -> None:
     _apply_layout(df, type_).write.mode("overwrite").parquet(partition.path)
 
 
-register_reader(Parquet, ObjectStore, PandasDataFrameView)(_read_parquet_pandas)
-register_writer(Parquet, ObjectStore, PandasDataFrameView)(_write_parquet_pandas)
+# The driver-local pandas view reaches object stores through pyarrow's own
+# filesystem layer (registered scheme factories included), not through a
+# Spark job — works for s3://gs:// AND the credential-free mock:// test
+# scheme, mirroring the reference's GCS IO handlers.
+
+
+@register_reader(Parquet, ObjectStore, PandasDataFrameView)
+def _read_parquet_pandas_object(type_, fmt, storage, partitions, spark):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from artigraph_spark.storage import _resolve_fs
+
+    schema = _schema_for(type_)
+    frames = []
+    for p in partitions:
+        fs, root = _resolve_fs(p.path)
+        frames.append(pq.read_table(root, filesystem=fs).to_pandas())
+    out = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    return out[list(schema.names)]
+
+
+@register_writer(Parquet, ObjectStore, PandasDataFrameView)
+def _write_parquet_pandas_object(data, type_, fmt, partition, spark) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from artigraph_spark.storage import _resolve_fs
+
+    schema = _schema_for(type_)
+    fs, root = _resolve_fs(partition.path)
+    fs.create_dir(root, recursive=True)
+    table = pa.Table.from_pandas(data[list(schema.names)], preserve_index=False)
+    pq.write_table(table, f"{root}/part-0.parquet", filesystem=fs)
 
 
 # --- Driver-local python views (reference-parity escape hatches) ------------

@@ -128,3 +128,35 @@ def test_io_storage_sniff():
     assert isinstance(st, ObjectStore)
     assert st.scheme == "s3a"
     assert st.bucket == "bkt"
+
+
+def test_object_store_pandas_io_round_trip(mock_fs):
+    """Reference test_gcs_io analogue: write a pandas frame to an object
+    store partition via the pyarrow filesystem layer, fingerprint it, read
+    it back — no Spark job, no credentials (mock:// scheme)."""
+    import pandas as pd
+
+    from artigraph_spark import io
+    from artigraph_spark import types as at
+    from artigraph_spark.formats import Parquet
+    from artigraph_spark.views import PandasDataFrameView
+
+    coll = at.Collection(element=at.Struct(fields={"a": at.Int64(), "b": at.String()}))
+    # Raw-artifact form: no input-fingerprint segment (matches how Graph
+    # resolves storage for non-produced artifacts).
+    storage = ObjectStore(bucket=BUCKET, scheme="mock").resolve_templates(
+        graph_name="g", names="t", name="t", strip_input_fingerprint=True
+    )
+    p = storage.generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+    pdf = pd.DataFrame({"b": ["x", "y"], "a": [1, 2]})  # reordered on purpose
+    io.write(pdf, coll, Parquet(), p, PandasDataFrameView, spark=None, storage=storage)
+
+    fp = p.compute_content_fingerprint().content_fingerprint
+    assert fp != Fingerprint.empty()
+
+    back = io.read(coll, Parquet(), storage, [p], PandasDataFrameView, spark=None)
+    assert list(back.columns) == ["a", "b"]
+    assert sorted(zip(back["a"], back["b"])) == [(1, "x"), (2, "y")]
+
+    found = storage.discover_partitions({})
+    assert [f.path for f in found] == [p.path]
