@@ -47,7 +47,13 @@ class Fingerprint:
 
     @classmethod
     def from_int(cls, v: int) -> Fingerprint:
-        return cls(key=_to_signed64(v))
+        """Int64 fingerprint. Values outside int64 range are REJECTED (not
+        wrapped) — the reference contract (tests/arti/test_fingerprints.py:
+        from_int(uint64 max) raises); silent wrapping could alias a corrupted
+        catalog/path fingerprint onto a valid one."""
+        if not -(1 << 63) <= v < (1 << 63):
+            raise ValueError(f"{v} is too large for int64")
+        return cls(key=v)
 
     @classmethod
     def from_string(cls, s: str) -> Fingerprint:
@@ -77,6 +83,10 @@ class Fingerprint:
         mirroring the reference's None propagation."""
         key = self.key
         for other in others:
+            if not isinstance(other, Fingerprint):
+                raise TypeError(
+                    f"can only combine with Fingerprint, got {other!r}"
+                )
             if key is None or other.key is None:
                 return Fingerprint.empty()
             key = _to_signed64(key ^ other.key)

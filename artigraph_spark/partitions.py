@@ -19,7 +19,17 @@ NOT_PARTITIONED_SENTINEL = "_NONE"
 
 
 class PartitionField(Model):
-    """One partition-key component with named, formattable renderings."""
+    """One partition-key component with named, formattable renderings.
+
+    ``components`` are the pre-formatted string renderings used in Hive-style
+    path segments; ``component_value`` exposes the TYPED value behind a
+    component so user path templates can apply their own format specs
+    (``{date.m:02}``), mirroring the reference's field-component properties
+    (/root/reference/src/arti/partitions/__init__.py: DateField.Y/m/d are
+    ints, formatted by the template). ``from_components`` reconstructs a
+    field from one-or-more component strings — the discovery-side inverse —
+    matching /root/reference/tests/arti/partitions/test_partitions.py
+    (DateField from Y/m/d, iso, or value; IntField from value or hex)."""
 
     default_component: ClassVar[str]
 
@@ -31,9 +41,19 @@ class PartitionField(Model):
     def value(self) -> Any:
         raise NotImplementedError
 
+    def component_value(self, component: str) -> Any:
+        """Typed value of one component (default: its rendered string)."""
+        return self.components[component]
+
+    @classmethod
+    def from_components(cls, **components: str) -> PartitionField:
+        """Rebuild a field from component name → text. Subclasses accept any
+        unambiguous subset (e.g. DateField: {Y,m,d} jointly, or iso alone)."""
+        raise ValueError(f"Unable to parse {cls.__name__!r} from: {components!r}")
+
     @classmethod
     def parse(cls, component: str, text: str) -> PartitionField:
-        raise NotImplementedError
+        return cls.from_components(**{component: text})  # type: ignore[return-value]
 
     @classmethod
     def for_type(cls, type_: at.Type) -> type[PartitionField]:
@@ -66,11 +86,33 @@ class DateField(PartitionField):
     def value(self) -> datetime.date:
         return self.key
 
-    @classmethod
-    def parse(cls, component: str, text: str) -> DateField:
+    def component_value(self, component: str) -> Any:
+        if component == "value":
+            return self.key  # str() renders ISO, matching from_components(value=)
+        if component == "Y":
+            return self.key.year
+        if component == "m":
+            return self.key.month
+        if component == "d":
+            return self.key.day
         if component == "iso":
-            return cls(key=datetime.date.fromisoformat(text))
-        raise ValueError(f"cannot parse DateField from component {component!r} alone")
+            return self.key.isoformat()
+        raise KeyError(component)
+
+    @classmethod
+    def from_components(cls, **components: str) -> DateField:
+        names = set(components)
+        if names == {"iso"} or names == {"value"}:
+            return cls(key=datetime.date.fromisoformat(next(iter(components.values()))))
+        if names == {"Y", "m", "d"}:
+            # int() tolerates zero-padding ("01" == "1"), matching the
+            # reference's DateField.from_components.
+            return cls(
+                key=datetime.date(
+                    int(components["Y"]), int(components["m"]), int(components["d"])
+                )
+            )
+        raise ValueError(f"Unable to parse 'DateField' from: {components!r}")
 
 
 class IntField(PartitionField):
@@ -86,13 +128,28 @@ class IntField(PartitionField):
     def value(self) -> int:
         return self.key
 
-    @classmethod
-    def parse(cls, component: str, text: str) -> IntField:
+    def component_value(self, component: str) -> Any:
         if component == "value":
-            return cls(key=int(text))
+            return self.key
         if component == "hex":
-            return cls(key=int(text, 16))
-        raise ValueError(f"unknown IntField component {component!r}")
+            return hex(self.key)
+        raise KeyError(component)
+
+    @classmethod
+    def from_components(cls, **components: str) -> IntField:
+        names = set(components)
+        if names == {"value"}:
+            return cls(key=int(components["value"]))
+        if names == {"hex"}:
+            return cls(key=int(components["hex"], 16))
+        if names == {"value", "hex"}:
+            value, via_hex = int(components["value"]), int(components["hex"], 16)
+            if value != via_hex:
+                raise ValueError(
+                    f"IntField components disagree: value={value} hex={via_hex}"
+                )
+            return cls(key=value)
+        raise ValueError(f"Unable to parse 'IntField' from: {components!r}")
 
 
 class StringField(PartitionField):
@@ -109,8 +166,10 @@ class StringField(PartitionField):
         return self.key
 
     @classmethod
-    def parse(cls, component: str, text: str) -> StringField:
-        return cls(key=text)
+    def from_components(cls, **components: str) -> StringField:
+        if set(components) == {"value"}:
+            return cls(key=components["value"])
+        raise ValueError(f"Unable to parse 'StringField' from: {components!r}")
 
 
 class NullField(PartitionField):
@@ -125,10 +184,14 @@ class NullField(PartitionField):
         return None
 
     @classmethod
-    def parse(cls, component: str, text: str) -> NullField:
-        if text != NOT_PARTITIONED_SENTINEL:
-            raise ValueError(f"expected {NOT_PARTITIONED_SENTINEL!r}, got {text!r}")
-        return cls()
+    def from_components(cls, **components: str) -> NullField:
+        if set(components) == {"value"}:
+            # Accept the path sentinel and the reference's literal "None"
+            # rendering (tests/arti/partitions/test_partitions.py:118-129).
+            if components["value"] in (NOT_PARTITIONED_SENTINEL, "None"):
+                return cls()
+            raise ValueError("'NullField' can only be used with 'None'!")
+        raise ValueError(f"Unable to parse 'NullField' from: {components!r}")
 
 
 class PartitionKey(Model):

@@ -30,6 +30,12 @@ from artigraph_spark.partitions import PartitionField, PartitionKey
 
 _FP_SEGMENT = "_fingerprint={input_fingerprint}"
 
+# Per-component key placeholder: "{date.Y}", "{i.value:02}", "{x.hex}" — the
+# reference's template form (tests/arti/storage/test_storage.py:192-213 uses
+# "{i.value:02}/{input_fingerprint}"). The optional ":spec" is a std format
+# spec applied to the TYPED component value.
+_KEY_PH_RX = re.compile(r"\{(?P<name>\w+)\.(?P<component>\w+)(?::(?P<spec>[^}]+))?\}")
+
 
 def _collapse_slashes(path: str) -> str:
     """Collapse duplicate slashes WITHOUT corrupting URI schemes
@@ -95,9 +101,19 @@ def _build_discovery_spec(
     """Render a storage template into (glob pattern, parse regex, has_fp) —
     the shared half of partition discovery. Candidate ENUMERATION is
     per-storage (filesystem glob vs object listing); the spec/parse contract
-    is identical, so it lives once here."""
-    key_spec_glob = "/".join(f"{name}=*" for name in sorted(key_types)) or ""
-    pattern = template.replace("{partition_key_spec}", key_spec_glob)
+    is identical, so it lives once here.
+
+    ``{partition_key_spec}`` expands to Hive-style default-component segments;
+    explicit ``{name.component}`` placeholders anywhere in the template are
+    ALSO discovery spec (reference parse_spec semantics,
+    /root/reference/src/arti/storage/_internal.py:114-183): each becomes a
+    named capture, repeated placeholders must agree (backreference), and all
+    components of one field merge through ``from_components``."""
+    key_spec = "/".join(
+        f"{name}={{{name}.{key_types[name].default_component}}}"
+        for name in sorted(key_types)
+    )
+    pattern = template.replace("{partition_key_spec}", key_spec)
     has_fp = _FP_SEGMENT in pattern
     pattern = pattern.replace(_FP_SEGMENT, "_fingerprint=*")
     pattern = _collapse_slashes(pattern)
@@ -108,15 +124,34 @@ def _build_discovery_spec(
     # (backends key partitions by path).
     if len(pattern) > 1 and not pattern.endswith("://"):
         pattern = pattern.rstrip("/")
-    regex_src = re.escape(pattern)
-    for name in sorted(key_types):
-        regex_src = regex_src.replace(
-            re.escape(f"{name}=*"), f"{re.escape(name)}=(?P<k_{name}>[^/]+)", 1
+
+    placeholders = list(_KEY_PH_RX.finditer(pattern))
+    for m in placeholders:
+        if m.group("name") not in key_types:
+            raise ValueError(
+                f"No {m.group('name')!r} partition key found, expected one of "
+                f"{tuple(sorted(key_types))}"
+            )
+    found = {m.group("name") for m in placeholders}
+    if found != set(key_types):
+        raise ValueError(
+            f"Expected to find partition fields for {sorted(key_types)}, "
+            f"only found {sorted(found)}."
         )
+
+    glob_pattern = _KEY_PH_RX.sub("*", pattern)
+    regex_src, seen, last = "", set(), 0
+    for m in placeholders:
+        regex_src += re.escape(pattern[last : m.start()])
+        gname = f"k_{m.group('name')}__{m.group('component')}"
+        regex_src += f"(?P={gname})" if gname in seen else f"(?P<{gname}>[^/]+)"
+        seen.add(gname)
+        last = m.end()
+    regex_src += re.escape(pattern[last:])
     regex_src = regex_src.replace(
         re.escape("_fingerprint=*"), r"_fingerprint=(?P<fp>-?\d+)"
     )
-    return pattern, re.compile("^" + regex_src + "$"), has_fp
+    return glob_pattern, re.compile("^" + regex_src + "$"), has_fp
 
 
 def _parse_partition_path(
@@ -130,12 +165,17 @@ def _parse_partition_path(
     m = rx.match(path)
     if not m:
         return None
+    by_name: dict[str, dict[str, str]] = {}
+    for gname, text in m.groupdict().items():
+        if gname.startswith("k_") and text is not None:
+            name, component = gname[2:].split("__", 1)
+            by_name.setdefault(name, {})[component] = unquote(text)
+    if set(by_name) != set(key_types):
+        return None
     fields: dict[str, PartitionField] = {}
-    for name, fcls in key_types.items():
+    for name, comps in by_name.items():
         try:
-            fields[name] = fcls.parse(
-                fcls.default_component, unquote(m.group(f"k_{name}"))
-            )
+            fields[name] = key_types[name].from_components(**comps)
         except ValueError:
             return None
     fp = (
@@ -209,9 +249,45 @@ class LocalFile(Storage):
         self, key: PartitionKey, input_fingerprint: Fingerprint
     ) -> StoragePartition:
         path = self.template.replace("{partition_key_spec}", self._render_key_spec(key))
+
+        # Explicit per-component placeholders ({date.Y}, {i.value:02}) — the
+        # reference's custom-template contract incl. its error shapes
+        # (tests/arti/storage/test_storage.py:192-237).
+        refs = {m.group("name") for m in _KEY_PH_RX.finditer(path)}
+        if refs and key.is_not_partitioned:
+            raise ValueError(
+                f"Expected partition key with {tuple(sorted(refs))} but none were passed"
+            )
+        if (
+            not key.is_not_partitioned
+            and not refs
+            and "{partition_key_spec}" not in self.template
+        ):
+            raise ValueError(f"Expected no partition key but got: {key.values()!r}")
+
+        def _render(m: re.Match[str]) -> str:
+            name, component, spec = m.group("name", "component", "spec")
+            if name not in key.fields:
+                raise KeyError(name)
+            value = key.fields[name].component_value(component)
+            return quote(format(value, spec) if spec else str(value), safe="")
+
+        path = _KEY_PH_RX.sub(_render, path)
+
         if input_fingerprint.is_empty:
             path = path.replace("/" + _FP_SEGMENT, "")
+            if "{input_fingerprint}" in path:
+                raise ValueError(
+                    f"{type(self).__name__} requires an input_fingerprint, "
+                    "but none was provided"
+                )
         else:
+            if "{input_fingerprint}" not in path:
+                raise ValueError(
+                    f"{type(self).__name__} does not specify a "
+                    "{input_fingerprint} template, but an input_fingerprint "
+                    "was provided"
+                )
             path = path.replace("{input_fingerprint}", str(input_fingerprint.key))
         path = _collapse_slashes(path)
         if len(path) > 1 and not path.endswith("://"):

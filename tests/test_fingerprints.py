@@ -1,5 +1,7 @@
 """Fingerprint algebra (mirrors /root/reference/tests/arti/test_fingerprints.py:9-50)."""
 
+import pytest
+
 from artigraph_spark.fingerprint import Fingerprint
 
 
@@ -35,5 +37,18 @@ def test_int64_range():
         assert -(1 << 63) <= k < (1 << 63)
 
 
-def test_from_int_wraps():
-    assert Fingerprint.from_int((1 << 63)).key == -(1 << 63)
+def test_from_int_rejects_out_of_range():
+    # Reference contract (tests/arti/test_fingerprints.py): out-of-int64
+    # values raise instead of silently wrapping/aliasing.
+    assert Fingerprint.from_int(-5).key == -5
+    with pytest.raises(ValueError, match="too large for int64"):
+        Fingerprint.from_int(1 << 63)
+    with pytest.raises(ValueError, match="too large for int64"):
+        Fingerprint.from_int((1 << 64) - 1)
+
+
+def test_combine_rejects_non_fingerprint():
+    f1 = Fingerprint.from_int(1)
+    for val in (None, "a", 1):
+        with pytest.raises(TypeError):
+            f1.combine(val)

@@ -4,6 +4,7 @@ cross-engine fixed-point determinism on random inputs."""
 import math
 
 import duckdb
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -24,8 +25,11 @@ def test_fingerprint_combine_laws(a, b, c):
 
 @given(st.integers())
 def test_fingerprint_int64_closure(v):
-    k = Fingerprint.from_int(v).key
-    assert -(1 << 63) <= k < (1 << 63)
+    if -(1 << 63) <= v < (1 << 63):
+        assert Fingerprint.from_int(v).key == v
+    else:
+        with pytest.raises(ValueError, match="too large for int64"):
+            Fingerprint.from_int(v)
 
 
 @st.composite
