@@ -16,7 +16,7 @@ from artigraph_spark import types as at
 from artigraph_spark.formats import JSON, Format, Parquet
 from artigraph_spark.internal.models import Model, SkipFingerprint
 from artigraph_spark.storage import LocalFile, Storage, StringLiteral
-from artigraph_spark.types.python import to_artigraph
+from artigraph_spark.types.python import infer_type
 
 if TYPE_CHECKING:
     from artigraph_spark.producers import ProducerOutput
@@ -57,7 +57,7 @@ class Artifact(Model):
                     f"{type(value).__name__} has multiple outputs; assign each explicitly"
                 )
             return outputs
-        inferred = to_artigraph(type(value))
+        inferred = infer_type(value)
         return cls(
             type=inferred,
             format=JSON(),

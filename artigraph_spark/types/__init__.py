@@ -66,6 +66,22 @@ class Enum(Type):
             raise ValueError("Enum requires at least one item")
         if len(set(map(repr, self.items))) != len(self.items):
             raise ValueError("Enum items must be unique")
+        # Items must match the base type's python representation (reference
+        # contract, tests/arti/types/test_types.py:105-115: Float32 enum with
+        # int items is rejected).
+        from artigraph_spark.types.python import to_python
+
+        try:
+            expected = to_python(self.type.model_copy(update={"nullable": False}))
+        except NotImplementedError:
+            return self  # exotic base type: skip the membership typing check
+        if isinstance(expected, type):
+            bad = [i for i in self.items if type(i) is not expected]
+            if bad:
+                raise ValueError(
+                    f"incompatible {type(self.type).__name__} ({expected!r}) "
+                    f"item(s): {bad}"
+                )
         return self
 
 

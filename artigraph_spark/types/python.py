@@ -90,6 +90,31 @@ def to_artigraph(annotation: Any) -> at.Type:
     raise NotImplementedError(f"cannot infer artigraph type from {annotation!r}")
 
 
+def infer_type(value: Any) -> at.Type:
+    """Infer an arti Type from a VALUE (not an annotation) — the
+    Artifact.cast literal path (reference contract:
+    tests/arti/artifacts/test_artifact.py:36-76 — (1,2,3) and [1,2,3] both
+    infer List(element=Int64()), {"a": 1} infers Map(String, Int64), and
+    mixed-type containers are rejected)."""
+    if isinstance(value, (list, tuple)):
+        element = _infer_uniform([infer_type(v) for v in value], value)
+        return at.List(element=element)
+    if isinstance(value, dict):
+        key = _infer_uniform([infer_type(k) for k in value.keys()], value)
+        val = _infer_uniform([infer_type(v) for v in value.values()], value)
+        return at.Map(key=key, value=val)
+    t = _SIMPLE.get(type(value))
+    if t is None:
+        raise NotImplementedError(f"Unable to determine type of {value}")
+    return t()
+
+
+def _infer_uniform(types: list[at.Type], value: Any) -> at.Type:
+    if not types or any(t != types[0] for t in types):
+        raise NotImplementedError(f"Unable to determine type of {value}")
+    return types[0]
+
+
 def to_python(type_: at.Type) -> Any:
     """arti Type → python annotation (inverse bridge)."""
     if isinstance(type_, at.Enum):

@@ -25,6 +25,18 @@ def test_enum_validators():
         at.Enum(type=at.String(), items=("x", "x"))
 
 
+def test_enum_item_type_compatibility():
+    # Reference contract (tests/arti/types/test_types.py:105-115): items must
+    # match the base type's python representation.
+    at.Enum(type=at.Float32(), items=(1.0, 2.0, 3.0))
+    with pytest.raises(ValueError, match=r"incompatible Float32.*\[1, 2, 3\]"):
+        at.Enum(type=at.Float32(), items=(1, 2, 3))
+    with pytest.raises(ValueError, match=r"incompatible Float32.*\[3\]"):
+        at.Enum(type=at.Float32(), items=(1.0, 2.0, 3))
+    with pytest.raises(ValueError, match="incompatible Int64"):
+        at.Enum(type=at.Int64(), items=(True,))  # bool is not an int item
+
+
 def test_description_not_fingerprinted():
     a = at.Int64(description="one thing")
     b = at.Int64(description="another thing")
