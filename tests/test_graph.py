@@ -99,6 +99,41 @@ def test_incremental_build_and_memoization(tmp_root, spark):
     assert snap4.read(total4, annotation=int) == 6
 
 
+def test_unrelated_input_change_does_not_rebuild(tmp_root, spark):
+    """Reference contract (tests/arti/graphs/test_graph.py:151-169): changing
+    an input that is NOT consumed by a producer yields a NEW snapshot id but
+    must not rebuild that producer — memoization is keyed by the producer's
+    own (inputs ⊕ code ⊕ version) fingerprint, not by the snapshot."""
+    backend = JsonFileBackend(os.path.join(tmp_root, "catalog.json"))
+    seed_nums(tmp_root, [1, 2, 3])
+
+    def make(phase_values):
+        d = os.path.join(tmp_root, "g/phase/phase")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.json"), "w") as f:
+            f.write("\n".join(json.dumps({"value": v}) for v in phase_values))
+        with Graph("g", backend=backend) as g:
+            g.artifacts.nums = Num(type=NUM_TYPE, format=JSON(), storage=LocalFile(root=tmp_root))
+            g.artifacts.phase = Num(type=NUM_TYPE, format=JSON(), storage=LocalFile(root=tmp_root))
+            p = SumNums(nums=g.artifacts.nums)
+            g.artifacts.total = p.out(
+                Total(type=at.Int64(), format=JSON(), storage=LocalFile(root=tmp_root))
+            )
+        return g
+
+    ex1 = LocalSparkExecutor()
+    snap1 = make([0]).snapshot(strict_fingerprints=True).build(ex1)
+    assert ex1.built_partitions == 1
+
+    # Change ONLY phase: new snapshot id, but total is served from the cache.
+    ex2 = LocalSparkExecutor()
+    g2 = make([9])
+    snap2 = g2.snapshot(strict_fingerprints=True).build(ex2)
+    assert snap2.snapshot_id != snap1.snapshot_id
+    assert (ex2.built_partitions, ex2.skipped_partitions) == (0, 1)
+    assert snap2.read(g2.artifacts.total, annotation=int) == 6
+
+
 def test_strict_vs_fast_fingerprints(tmp_root):
     """Fast (file-status) fingerprints change when bytes change because mtime
     moves; strict mode hashes contents. Both detect the mutation."""
