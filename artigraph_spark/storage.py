@@ -30,6 +30,10 @@ from artigraph_spark.partitions import PartitionField, PartitionKey
 
 _FP_SEGMENT = "_fingerprint={input_fingerprint}"
 
+# Internal discovery marker standing in for "{input_fingerprint}" while the
+# spec is turned into a glob (→ "*") and parse regex (→ signed-int capture).
+_FP_WILDCARD = "\x00FP\x00"
+
 # Per-component key placeholder: "{date.Y}", "{i.value:02}", "{x.hex}" — the
 # reference's template form (tests/arti/storage/test_storage.py:192-213 uses
 # "{i.value:02}/{input_fingerprint}"). The optional ":spec" is a std format
@@ -114,8 +118,11 @@ def _build_discovery_spec(
         for name in sorted(key_types)
     )
     pattern = template.replace("{partition_key_spec}", key_spec)
-    has_fp = _FP_SEGMENT in pattern
-    pattern = pattern.replace(_FP_SEGMENT, "_fingerprint=*")
+    # Both the standard "_fingerprint={input_fingerprint}" segment AND a bare
+    # "{input_fingerprint}" anywhere in the path (reference layout, e.g.
+    # ".../{date.d}/{input_fingerprint}/test") are discovery spec.
+    has_fp = "{input_fingerprint}" in pattern
+    pattern = pattern.replace("{input_fingerprint}", _FP_WILDCARD)
     pattern = _collapse_slashes(pattern)
 
     # Strip empty trailing segments exactly like generate_partition does —
@@ -139,7 +146,7 @@ def _build_discovery_spec(
             f"only found {sorted(found)}."
         )
 
-    glob_pattern = _KEY_PH_RX.sub("*", pattern)
+    glob_pattern = _KEY_PH_RX.sub("*", pattern).replace(_FP_WILDCARD, "*")
     regex_src, seen, last = "", set(), 0
     for m in placeholders:
         regex_src += re.escape(pattern[last : m.start()])
@@ -149,8 +156,8 @@ def _build_discovery_spec(
         last = m.end()
     regex_src += re.escape(pattern[last:])
     regex_src = regex_src.replace(
-        re.escape("_fingerprint=*"), r"_fingerprint=(?P<fp>-?\d+)"
-    )
+        re.escape(_FP_WILDCARD), r"(?P<fp>-?\d+)", 1
+    ).replace(re.escape(_FP_WILDCARD), r"(?P=fp)")
     return glob_pattern, re.compile("^" + regex_src + "$"), has_fp
 
 

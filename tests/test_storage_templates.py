@@ -183,6 +183,24 @@ def test_discover_repeated_placeholder_backreference(tmp_path):
     assert parts[0].partition_key.values()["i"] == 1
 
 
+def test_discover_bare_fingerprint_segment(tmp_path):
+    # Reference layout (tests/arti/storage/test_local_storage.py:87-110):
+    # "{date.Y}/{date.m}/{date.d}/{input_fingerprint}/test" — the input
+    # fingerprint is a bare path segment, not a "_fingerprint=" pair.
+    s = _storage(tmp_path, "{date.Y}/{date.m:02}/{date.d:02}/{input_fingerprint}/test")
+    key = PartitionKey(fields={"date": DateField(key=datetime.date(1970, 1, 2))})
+    p = s.generate_partition(key, Fingerprint.from_int(42))
+    assert p.path == f"{tmp_path}/1970/01/02/42/test"
+    os.makedirs(os.path.dirname(p.path), exist_ok=True)
+    with open(p.path, "w") as f:
+        f.write("x")
+    parts = s.discover_partitions({"date": DateField})
+    assert len(parts) == 1
+    assert parts[0].path == p.path
+    assert parts[0].partition_key == key
+    assert parts[0].input_fingerprint == Fingerprint.from_int(42)
+
+
 def test_discover_unknown_key_in_template_raises(tmp_path):
     s = _storage(tmp_path, "{junk.value}")
     with pytest.raises(ValueError, match="No 'junk' partition key found"):
