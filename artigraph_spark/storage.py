@@ -471,6 +471,14 @@ class StringLiteral(Storage):
     ) -> StoragePartition:
         if not key.is_not_partitioned:
             raise ValueError("StringLiteral storage cannot be partitioned")
+        if not input_fingerprint.is_empty and self.value is not None:
+            # Reference contract (storage/literal.py via
+            # tests/arti/storage/test_literal_storage.py:31-40): a literal
+            # holding a preset value cannot also be a Producer output slot.
+            raise ValueError(
+                f"Literal storage cannot have a `value` preset ({self.value}) "
+                "for a Producer output"
+            )
         return StoragePartition(
             path=f"literal://{self.fingerprint.key}",
             partition_key=key,

@@ -119,6 +119,18 @@ def test_content_fingerprint_changes_with_content(tmp_path):
     assert fp1 == fp3  # content-addressed: reverting re-hits the old identity
 
 
+def test_string_literal_preset_value_rejects_producer_output():
+    from artigraph_spark.storage import StringLiteral
+
+    s = StringLiteral(value="test")
+    with pytest.raises(ValueError, match="cannot have a `value` preset"):
+        s.generate_partition(PartitionKey.not_partitioned(), Fingerprint.from_int(5))
+    # Raw (non-produced) literals still generate fine.
+    assert s.generate_partition(
+        PartitionKey.not_partitioned(), Fingerprint.empty()
+    ).path.startswith("literal://")
+
+
 def test_string_literal():
     s = StringLiteral(value='{"a": 1}')
     parts = s.discover_partitions({})
