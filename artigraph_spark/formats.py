@@ -27,6 +27,13 @@ class CSV(Format):
     header: bool = True
 
 
+class ORC(Format):
+    """Columnar ORC — Spark-native (predicate pushdown + column pruning like
+    parquet); useful for interop with Hive-era warehouses."""
+
+    extension: ClassVar[str] = ".orc"
+
+
 class Pickle(Format):
     extension: ClassVar[str] = ".pickle"
 

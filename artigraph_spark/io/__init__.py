@@ -23,7 +23,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from artigraph_spark import types as at
-from artigraph_spark.formats import CSV, JSON, Delta, Format, Parquet, Pickle
+from artigraph_spark.formats import CSV, JSON, ORC, Delta, Format, Parquet, Pickle
 from artigraph_spark.storage import (
     LocalFile,
     ObjectStore,
@@ -177,6 +177,16 @@ def _write_json_df(data: DataFrame, type_, fmt, partition, spark) -> None:
     _apply_layout(data, type_).write.mode("overwrite").json(partition.path)
 
 
+@register_reader(ORC, LocalFile, SparkDataFrameView)
+def _read_orc_df(type_, fmt, storage, partitions, spark) -> DataFrame:
+    return spark.read.schema(_schema_for(type_)).orc(*[p.path for p in partitions])
+
+
+@register_writer(ORC, LocalFile, SparkDataFrameView)
+def _write_orc_df(data: DataFrame, type_, fmt, partition, spark) -> None:
+    _apply_layout(data, type_).write.mode("overwrite").orc(partition.path)
+
+
 @register_reader(CSV, LocalFile, SparkDataFrameView)
 def _read_csv_df(type_, fmt, storage, partitions, spark) -> DataFrame:
     return spark.read.schema(_schema_for(type_)).csv(
@@ -227,6 +237,8 @@ register_reader(JSON, ObjectStore, SparkDataFrameView)(_read_json_df)
 register_writer(JSON, ObjectStore, SparkDataFrameView)(_write_json_df)
 register_reader(CSV, ObjectStore, SparkDataFrameView)(_read_csv_df)
 register_writer(CSV, ObjectStore, SparkDataFrameView)(_write_csv_df)
+register_reader(ORC, ObjectStore, SparkDataFrameView)(_read_orc_df)
+register_writer(ORC, ObjectStore, SparkDataFrameView)(_write_orc_df)
 register_reader(Delta, ObjectStore, SparkDataFrameView)(_read_delta_df)
 register_writer(Delta, ObjectStore, SparkDataFrameView)(_write_delta_df)
 

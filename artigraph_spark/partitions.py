@@ -32,6 +32,11 @@ class PartitionField(Model):
     (DateField from Y/m/d, iso, or value; IntField from value or hex)."""
 
     default_component: ClassVar[str]
+    # Exact component-name sets ``from_components`` can rebuild a field from.
+    # Discovery validates a template's captured components against this BEFORE
+    # matching paths, so an unreconstructable template (e.g. "{date.Y}" alone)
+    # fails loudly instead of silently discovering nothing.
+    component_sets: ClassVar[tuple[frozenset[str], ...]] = ()
 
     @property
     def components(self) -> dict[str, str]:
@@ -72,6 +77,11 @@ class DateField(PartitionField):
     key: datetime.date
 
     default_component: ClassVar[str] = "iso"
+    component_sets: ClassVar[tuple[frozenset[str], ...]] = (
+        frozenset({"iso"}),
+        frozenset({"value"}),
+        frozenset({"Y", "m", "d"}),
+    )
 
     @property
     def components(self) -> dict[str, str]:
@@ -119,6 +129,11 @@ class IntField(PartitionField):
     key: int
 
     default_component: ClassVar[str] = "value"
+    component_sets: ClassVar[tuple[frozenset[str], ...]] = (
+        frozenset({"value"}),
+        frozenset({"hex"}),
+        frozenset({"value", "hex"}),
+    )
 
     @property
     def components(self) -> dict[str, str]:
@@ -156,6 +171,7 @@ class StringField(PartitionField):
     key: str
 
     default_component: ClassVar[str] = "value"
+    component_sets: ClassVar[tuple[frozenset[str], ...]] = (frozenset({"value"}),)
 
     @property
     def components(self) -> dict[str, str]:
@@ -174,6 +190,7 @@ class StringField(PartitionField):
 
 class NullField(PartitionField):
     default_component: ClassVar[str] = "value"
+    component_sets: ClassVar[tuple[frozenset[str], ...]] = (frozenset({"value"}),)
 
     @property
     def components(self) -> dict[str, str]:

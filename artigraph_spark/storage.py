@@ -145,14 +145,38 @@ def _build_discovery_spec(
             f"Expected to find partition fields for {sorted(key_types)}, "
             f"only found {sorted(found)}."
         )
+    # Validate each field's captured component set is one from_components can
+    # actually rebuild — otherwise every candidate path would silently fail
+    # to parse and discovery would report no data for data that exists.
+    for name in found:
+        captured = frozenset(
+            m.group("component") for m in placeholders if m.group("name") == name
+        )
+        if captured not in key_types[name].component_sets:
+            raise ValueError(
+                f"Cannot reconstruct partition field {name!r} from components "
+                f"{sorted(captured)}; {key_types[name].__name__} supports "
+                f"{[sorted(s) for s in key_types[name].component_sets]}"
+            )
 
     glob_pattern = _KEY_PH_RX.sub("*", pattern).replace(_FP_WILDCARD, "*")
-    regex_src, seen, last = "", set(), 0
+    # Group names carry the format spec: occurrences of the same component
+    # with the SAME spec render identical text (→ backreference); different
+    # specs render differently ("05" vs "5") and get independent captures.
+    regex_src, group_by_key, variants, last = "", {}, {}, 0
     for m in placeholders:
         regex_src += re.escape(pattern[last : m.start()])
-        gname = f"k_{m.group('name')}__{m.group('component')}"
-        regex_src += f"(?P={gname})" if gname in seen else f"(?P<{gname}>[^/]+)"
-        seen.add(gname)
+        gkey = (m.group("name"), m.group("component"), m.group("spec"))
+        gname = group_by_key.get(gkey)
+        if gname is not None:
+            regex_src += f"(?P={gname})"
+        else:
+            base = (m.group("name"), m.group("component"))
+            n = variants[base] = variants.get(base, 0) + 1
+            suffix = "" if n == 1 else f"__v{n}"
+            gname = f"k_{m.group('name')}__{m.group('component')}{suffix}"
+            group_by_key[gkey] = gname
+            regex_src += f"(?P<{gname}>[^/]+)"
         last = m.end()
     regex_src += re.escape(pattern[last:])
     regex_src = regex_src.replace(
@@ -176,6 +200,9 @@ def _parse_partition_path(
     for gname, text in m.groupdict().items():
         if gname.startswith("k_") and text is not None:
             name, component = gname[2:].split("__", 1)
+            # Strip the "__vN" variant suffix of repeated differently-specced
+            # placeholders; their texts parse equivalently ("05" vs "5").
+            component = component.split("__", 1)[0]
             by_name.setdefault(name, {})[component] = unquote(text)
     if set(by_name) != set(key_types):
         return None
@@ -185,11 +212,14 @@ def _parse_partition_path(
             fields[name] = key_types[name].from_components(**comps)
         except ValueError:
             return None
-    fp = (
-        Fingerprint.from_int(int(m.group("fp")))
-        if has_fp and m.groupdict().get("fp")
-        else Fingerprint.empty()
-    )
+    try:
+        fp = (
+            Fingerprint.from_int(int(m.group("fp")))
+            if has_fp and m.groupdict().get("fp")
+            else Fingerprint.empty()
+        )
+    except ValueError:
+        return None  # out-of-int64 junk in a _fingerprint segment: not ours
     return StoragePartition(
         path=path, partition_key=PartitionKey(fields=fields), input_fingerprint=fp
     )
@@ -265,12 +295,21 @@ class LocalFile(Storage):
             raise ValueError(
                 f"Expected partition key with {tuple(sorted(refs))} but none were passed"
             )
-        if (
-            not key.is_not_partitioned
-            and not refs
-            and "{partition_key_spec}" not in self.template
-        ):
-            raise ValueError(f"Expected no partition key but got: {key.values()!r}")
+        if not key.is_not_partitioned and "{partition_key_spec}" not in self.template:
+            if not refs:
+                raise ValueError(f"Expected no partition key but got: {key.values()!r}")
+            missing = refs - set(key.fields)
+            if missing:
+                raise KeyError(sorted(missing)[0])
+            unreferenced = set(key.fields) - refs
+            if unreferenced:
+                # A field the template never renders means distinct keys
+                # would collide onto one path and overwrite each other.
+                raise ValueError(
+                    f"Partition key fields {sorted(unreferenced)} are not "
+                    "referenced by the path template; distinct keys would "
+                    "collide onto the same path"
+                )
 
         def _render(m: re.Match[str]) -> str:
             name, component, spec = m.group("name", "component", "spec")
@@ -311,9 +350,12 @@ class LocalFile(Storage):
         self, key_types: dict[str, type[PartitionField]]
     ) -> list[StoragePartition]:
         pattern, rx, has_fp = _build_discovery_spec(self.template, key_types)
+        # include_hidden: a bare "{s.value}" component may render a
+        # dot-leading segment that glob's "*" would otherwise skip, making
+        # discovery blind to partitions generate_partition just wrote.
         parsed = (
             _parse_partition_path(path, rx, key_types, has_fp)
-            for path in sorted(_glob.glob(pattern))
+            for path in sorted(_glob.glob(pattern, include_hidden=True))
         )
         return [p for p in parsed if p is not None]
 

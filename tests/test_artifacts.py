@@ -39,6 +39,16 @@ def test_cast_literals_errors(value):
         Artifact.cast(value)
 
 
+def test_cast_unserializable_literals_raise_cleanly():
+    import datetime
+
+    # Typed (date is a known scalar) but not JSON-storable: keep the cast
+    # error contract (NotImplementedError), not a raw json TypeError.
+    for value in (datetime.date(2021, 1, 1), b"hi"):
+        with pytest.raises(NotImplementedError, match="Unable to serialize"):
+            Artifact.cast(value)
+
+
 def test_cast_artifact_identity():
     a = Artifact.cast(10)
     assert Artifact.cast(a) is a

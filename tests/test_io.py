@@ -6,7 +6,7 @@ import pytest
 from artigraph_spark import io
 from artigraph_spark import types as at
 from artigraph_spark.fingerprint import Fingerprint
-from artigraph_spark.formats import CSV, JSON, Parquet, Pickle
+from artigraph_spark.formats import CSV, JSON, ORC, Parquet, Pickle
 from artigraph_spark.partitions import PartitionKey
 from artigraph_spark.storage import LocalFile, StoragePartition, StringLiteral
 from artigraph_spark.views import PythonListView, PythonScalarView, SparkDataFrameView
@@ -18,7 +18,7 @@ def _partition(tmp_path, name):
     return StoragePartition(path=str(tmp_path / name), partition_key=PartitionKey.not_partitioned())
 
 
-@pytest.mark.parametrize("fmt", [Parquet(), JSON(), CSV()])
+@pytest.mark.parametrize("fmt", [Parquet(), JSON(), CSV(), ORC()])
 def test_dataframe_round_trip(spark, tmp_path, fmt):
     df = spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string")
     p = _partition(tmp_path, type(fmt).__name__.lower())

@@ -219,3 +219,65 @@ def test_discover_unparseable_value_skipped(tmp_path):
     with open(f"{tmp_path}/notanint/file", "w") as f:
         f.write("x")
     assert s.discover_partitions({"i": IntField}) == []
+
+
+# --- review-hardening edges ----------------------------------------------------
+
+
+def test_discover_oversized_fingerprint_skipped(tmp_path):
+    # A stray _fingerprint dir beyond int64 is junk, not a crash.
+    s = _storage(tmp_path, "{i.value}/_fingerprint={input_fingerprint}")
+    os.makedirs(f"{tmp_path}/1/_fingerprint=18446744073709551616", exist_ok=True)
+    os.makedirs(f"{tmp_path}/2/_fingerprint=42", exist_ok=True)
+    parts = s.discover_partitions({"i": IntField})
+    assert len(parts) == 1
+    assert parts[0].input_fingerprint == Fingerprint.from_int(42)
+
+
+def test_generate_unreferenced_key_field_raises(tmp_path):
+    # {i:5,j:7} and {i:5,j:8} would both render "<root>/5" — refuse.
+    s = _storage(tmp_path, "{i.value}")
+    key = PartitionKey(fields={"i": IntField(key=5), "j": IntField(key=7)})
+    with pytest.raises(ValueError, match=r"\['j'\] are not referenced"):
+        s.generate_partition(key, Fingerprint.empty())
+
+
+def test_discover_unreconstructable_component_set_raises(tmp_path):
+    # {Y, iso} is not a set DateField.from_components accepts: fail loudly at
+    # spec build instead of silently discovering nothing.
+    s = _storage(tmp_path, "{date.Y}/{date.iso}/f")
+    with pytest.raises(ValueError, match="Cannot reconstruct partition field 'date'"):
+        s.discover_partitions({"date": DateField})
+    # A single un-mergeable component is equally invalid.
+    s2 = _storage(tmp_path, "{date.Y}/f")
+    with pytest.raises(ValueError, match="Cannot reconstruct partition field 'date'"):
+        s2.discover_partitions({"date": DateField})
+
+
+def test_discover_same_component_different_specs(tmp_path):
+    # "{i.value:02}/{i.value}" renders "05/5" — discovery must not demand the
+    # two renderings be byte-identical.
+    s = _storage(tmp_path, "{i.value:02}/{i.value}/f")
+    key = PartitionKey(fields={"i": IntField(key=5)})
+    p = s.generate_partition(key, Fingerprint.empty())
+    assert p.path == f"{tmp_path}/05/5/f"
+    os.makedirs(os.path.dirname(p.path), exist_ok=True)
+    with open(p.path, "w") as f:
+        f.write("x")
+    parts = s.discover_partitions({"i": IntField})
+    assert len(parts) == 1
+    assert parts[0].partition_key == key
+
+
+def test_discover_dot_leading_segment(tmp_path):
+    # A StringField value like ".hidden" renders a dot-leading segment;
+    # discovery must still see it (glob include_hidden).
+    s = _storage(tmp_path, "{s.value}/f")
+    key = PartitionKey(fields={"s": StringField(key=".hidden")})
+    p = s.generate_partition(key, Fingerprint.empty())
+    os.makedirs(os.path.dirname(p.path), exist_ok=True)
+    with open(p.path, "w") as f:
+        f.write("x")
+    parts = s.discover_partitions({"s": StringField})
+    assert len(parts) == 1
+    assert parts[0].partition_key == key
