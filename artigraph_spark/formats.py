@@ -34,6 +34,15 @@ class ORC(Format):
     extension: ClassVar[str] = ".orc"
 
 
+class Text(Format):
+    """Raw line-oriented text — one row per line, exactly one string column.
+
+    The corpus interchange format for LLM pipelines (one doc or one line per
+    row); splittable on read, so giant dumps still parallelize."""
+
+    extension: ClassVar[str] = ".txt"
+
+
 class Pickle(Format):
     extension: ClassVar[str] = ".pickle"
 

@@ -21,9 +21,10 @@ import pickle
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType as SparkStringType
 
 from artigraph_spark import types as at
-from artigraph_spark.formats import CSV, JSON, ORC, Delta, Format, Parquet, Pickle
+from artigraph_spark.formats import CSV, JSON, ORC, Delta, Format, Parquet, Pickle, Text
 from artigraph_spark.storage import (
     LocalFile,
     ObjectStore,
@@ -199,6 +200,33 @@ def _write_csv_df(data: DataFrame, type_, fmt, partition, spark) -> None:
     data.write.mode("overwrite").csv(partition.path, header=getattr(fmt, "header", True))
 
 
+def _text_field(type_: at.Type) -> str:
+    """Text IO carries exactly one string column; return its name."""
+    schema = _schema_for(type_)
+    if len(schema.fields) != 1 or not isinstance(
+        schema.fields[0].dataType, SparkStringType
+    ):
+        raise ValueError(
+            "Text format requires a Collection with exactly one String field, "
+            f"got {schema.simpleString()}"
+        )
+    return schema.fields[0].name
+
+
+@register_reader(Text, LocalFile, SparkDataFrameView)
+def _read_text_df(type_, fmt, storage, partitions, spark) -> DataFrame:
+    name = _text_field(type_)
+    return spark.read.text([p.path for p in partitions]).withColumnRenamed(
+        "value", name
+    )
+
+
+@register_writer(Text, LocalFile, SparkDataFrameView)
+def _write_text_df(data: DataFrame, type_, fmt, partition, spark) -> None:
+    name = _text_field(type_)
+    data.select(name).write.mode("overwrite").text(partition.path)
+
+
 def _require_delta(spark: SparkSession) -> None:
     try:
         spark._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: B018
@@ -239,6 +267,8 @@ register_reader(CSV, ObjectStore, SparkDataFrameView)(_read_csv_df)
 register_writer(CSV, ObjectStore, SparkDataFrameView)(_write_csv_df)
 register_reader(ORC, ObjectStore, SparkDataFrameView)(_read_orc_df)
 register_writer(ORC, ObjectStore, SparkDataFrameView)(_write_orc_df)
+register_reader(Text, ObjectStore, SparkDataFrameView)(_read_text_df)
+register_writer(Text, ObjectStore, SparkDataFrameView)(_write_text_df)
 register_reader(Delta, ObjectStore, SparkDataFrameView)(_read_delta_df)
 register_writer(Delta, ObjectStore, SparkDataFrameView)(_write_delta_df)
 

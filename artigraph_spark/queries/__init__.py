@@ -71,6 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     "token_bpe_counts", "dedup_minhash_end2end", "cosine_topk_lsh_checked",
     "cosine_topk_ivf_checked", "embedding_near_dup",
     "window_gap_fill", "edit_distance_pairs",
+    "tpch_q3_shipping_priority", "tpch_q4_late_orders",
+    "tpch_q9_nation_margin", "tpch_q10_returned_items",
     # NOT prioritized: the 4 rows-only queries (minhash_lsh_pairs,
     # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) — the driver
     # records them as `err: no_oracle` (r1 evidence), which would waste
@@ -115,6 +117,7 @@ def _load_modules() -> None:
     # Import for registration side effects.
     from artigraph_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         extras,
         joins,
         llm,

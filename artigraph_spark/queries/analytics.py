@@ -1,0 +1,203 @@
+"""Multi-join analytic queries (TPC-H-flavored Q3/Q4/Q9/Q10 shapes).
+
+The reference's users compose multi-artifact joins inside producers (e.g.
+``docs/examples/spend/demo.py`` joins two artifacts then aggregates); these
+queries are the same pattern at warehouse scale: 3-to-5-way joins with
+selective filters, group-bys and deterministic top-k.
+
+Plan notes (verified with .explain, see docs/PLANS.md):
+  - region/nation/supplier/part are broadcast at every SF (bounded dims);
+    fact-fact joins (lineitem x orders) shuffle on the order key with AQE.
+  - Date/segment filters sit in PushedFilters of the parquet scans, and
+    ReadSchema carries only the referenced columns.
+  - Top-k is a TakeOrderedAndProject over fixed-point (bigint) revenue —
+    deterministic and cheap: no global sort materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from artigraph_spark.functions import dsum, oracle_dsum
+from artigraph_spark.queries import query
+from artigraph_spark.sources import load
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue_fx,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_fx DESC, orderkey ASC
+    LIMIT 10
+    """,
+    bench=True,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """Q3 shape: segment-filtered customers x date-bracketed orders x
+    late-shipping lineitems, top-10 open orders by revenue.
+
+    Revenue ranks on the fixed-point (bigint) sum so the ordering is exact
+    and engine-independent; the limit runs as TakeOrderedAndProject (no
+    global sort). Filters push into all three scans.
+    """
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_fx"
+            )
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue_fx",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue_fx").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q4_late_orders",
+    oracle="""
+    SELECT o.o_orderpriority AS priority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def tpch_q4_late_orders(spark, sf_dir):
+    """Q4 shape: order-priority counts for orders with at least one lineitem
+    shipped after the order date — EXISTS as a left-semi join (no row
+    duplication, no distinct needed), then a tiny 5-group aggregate.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        semi.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("priority")
+    )
+
+
+@query(
+    "tpch_q9_nation_margin",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount) - 0.8 * p.p_retailprice * l.l_quantity')} AS margin_fx
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, o_year
+    """,
+)
+def tpch_q9_nation_margin(spark, sf_dir):
+    """Q9 shape: per-(supplier-nation, order-year) margin over parts whose
+    name matches a substring. part/supplier/nation broadcast (bounded dims);
+    the only shuffle joins lineitem to orders on the order key. The LIKE
+    filter pushes down as a string-contains on the part scan, shrinking the
+    broadcast before it ships.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    margin = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.8) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(margin).alias("margin_fx"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue_fx
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_fx DESC, custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """Q10 shape: top-20 customers by revenue lost to returned items in a
+    half-year window. The quarter filter and returnflag push into the fact
+    scans; nation broadcasts; ranking is fixed-point so the top-20 cut is
+    deterministic across engines.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_fx"
+            )
+        )
+        .orderBy(F.col("revenue_fx").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
