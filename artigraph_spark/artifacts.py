@@ -22,6 +22,16 @@ if TYPE_CHECKING:
     from artigraph_spark.producers import ProducerOutput
 
 
+def _has_non_string_dict_keys(value: Any) -> bool:
+    if isinstance(value, dict):
+        return any(not isinstance(k, str) for k in value) or any(
+            _has_non_string_dict_keys(v) for v in value.values()
+        )
+    if isinstance(value, (list, tuple)):
+        return any(_has_non_string_dict_keys(v) for v in value)
+    return False
+
+
 class Artifact(Model):
     type: at.Type
     format: Format = Parquet()
@@ -58,6 +68,13 @@ class Artifact(Model):
                 )
             return outputs
         inferred = infer_type(value)
+        if _has_non_string_dict_keys(value):
+            # json.dumps would silently stringify the keys, so the stored
+            # literal would violate its declared Map key type on round-trip.
+            raise NotImplementedError(
+                f"Unable to serialize literal {value!r} for StringLiteral "
+                "storage: JSON requires string dict keys"
+            )
         try:
             payload = json.dumps(value)
         except TypeError:

@@ -301,6 +301,18 @@ def _write_parquet_pandas(data, type_, fmt, partition, spark) -> None:
 # scheme, mirroring the reference's GCS IO handlers.
 
 
+def _arrow_schema(type_: at.Type):
+    from artigraph_spark.types.arrow import collection_to_arrow_schema, to_arrow
+
+    if isinstance(type_, at.Collection):
+        return collection_to_arrow_schema(type_)
+    import pyarrow as pa
+
+    return pa.schema(
+        [(n, to_arrow(t)) for n, t in type_.fields.items()]  # Struct
+    )
+
+
 @register_reader(Parquet, ObjectStore, PandasDataFrameView)
 def _read_parquet_pandas_object(type_, fmt, storage, partitions, spark):
     import pandas as pd
@@ -308,13 +320,19 @@ def _read_parquet_pandas_object(type_, fmt, storage, partitions, spark):
 
     from artigraph_spark.storage import _resolve_fs
 
-    schema = _schema_for(type_)
+    # Declared schema, not file-inferred: an int32-written file must come
+    # back as the declared Int64, matching the Spark-path readers that pass
+    # spark.read.schema(...).
+    schema = _arrow_schema(type_)
     frames = []
     for p in partitions:
         fs, root = _resolve_fs(p.path)
-        frames.append(pq.read_table(root, filesystem=fs).to_pandas())
-    out = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-    return out[list(schema.names)]
+        frames.append(
+            pq.read_table(root, filesystem=fs).select(schema.names)
+            .cast(schema)
+            .to_pandas()
+        )
+    return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
 
 @register_writer(Parquet, ObjectStore, PandasDataFrameView)
@@ -325,9 +343,18 @@ def _write_parquet_pandas_object(data, type_, fmt, partition, spark) -> None:
     from artigraph_spark.storage import _resolve_fs
 
     schema = _schema_for(type_)
+    # Honor the Collection's declared cluster_by (row-group locality contract
+    # every other writer applies via _apply_layout).
+    if isinstance(type_, at.Collection) and type_.cluster_by:
+        data = data.sort_values(list(type_.cluster_by), ignore_index=True)
     fs, root = _resolve_fs(partition.path)
+    # Overwrite semantics: writing a partition replaces it. Without the wipe,
+    # part files from a previous (e.g. Spark-path) write of the same
+    # partition would survive and readers union stale rows into the data.
+    fs.delete_dir_contents(root, missing_dir_ok=True)
     fs.create_dir(root, recursive=True)
     table = pa.Table.from_pandas(data[list(schema.names)], preserve_index=False)
+    table = table.cast(_arrow_schema(type_))
     pq.write_table(table, f"{root}/part-0.parquet", filesystem=fs)
 
 

@@ -98,7 +98,11 @@ class DateField(PartitionField):
 
     def component_value(self, component: str) -> Any:
         if component == "value":
-            return self.key  # str() renders ISO, matching from_components(value=)
+            # ISO string, not the raw date: str() renders identically, and a
+            # numeric format spec ("{date.value:02}") then fails loudly
+            # instead of date.__format__ treating it as strftime and
+            # collapsing every partition onto the literal spec text.
+            return self.key.isoformat()
         if component == "Y":
             return self.key.year
         if component == "m":

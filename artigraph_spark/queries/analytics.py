@@ -6,8 +6,11 @@ queries are the same pattern at warehouse scale: 3-to-5-way joins with
 selective filters, group-bys and deterministic top-k.
 
 Plan notes (verified with .explain, see docs/PLANS.md):
-  - region/nation/supplier/part are broadcast at every SF (bounded dims);
-    fact-fact joins (lineitem x orders) shuffle on the order key with AQE.
+  - nation/region are broadcast at every SF (truly bounded dims); part and
+    supplier scale with SF, so they get no forced hint — the optimizer
+    broadcasts them while small and AQE switches to a shuffle join beyond
+    the threshold. Fact-fact joins (lineitem x orders) shuffle on the order
+    key with AQE.
   - Date/segment filters sit in PushedFilters of the parquet scans, and
     ReadSchema carries only the referenced columns.
   - Top-k is a TakeOrderedAndProject over fixed-point (bigint) revenue —
@@ -127,10 +130,12 @@ def tpch_q4_late_orders(spark, sf_dir):
 )
 def tpch_q9_nation_margin(spark, sf_dir):
     """Q9 shape: per-(supplier-nation, order-year) margin over parts whose
-    name matches a substring. part/supplier/nation broadcast (bounded dims);
-    the only shuffle joins lineitem to orders on the order key. The LIKE
-    filter pushes down as a string-contains on the part scan, shrinking the
-    broadcast before it ships.
+    name matches a substring. Only nation (25 rows, truly bounded) carries an
+    explicit broadcast hint — part and supplier scale linearly with SF, so
+    their join strategy is left to the optimizer: below the auto-broadcast
+    threshold they broadcast anyway, above it AQE picks a shuffle join
+    instead of OOMing on a forced 2.5M-row broadcast. The LIKE filter pushes
+    down as a string-contains on the part scan.
     """
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
@@ -141,8 +146,8 @@ def tpch_q9_nation_margin(spark, sf_dir):
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(

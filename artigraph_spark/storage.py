@@ -199,10 +199,12 @@ def _parse_partition_path(
     by_name: dict[str, dict[str, str]] = {}
     for gname, text in m.groupdict().items():
         if gname.startswith("k_") and text is not None:
-            name, component = gname[2:].split("__", 1)
-            # Strip the "__vN" variant suffix of repeated differently-specced
-            # placeholders; their texts parse equivalently ("05" vs "5").
-            component = component.split("__", 1)[0]
+            # Group names are k_<name>__<component>[__vN]. Key names may
+            # themselves contain "__", but components never do — so strip the
+            # variant suffix (repeated differently-specced placeholders parse
+            # equivalently: "05" vs "5") and split from the RIGHT.
+            base = re.sub(r"__v\d+$", "", gname[2:])
+            name, component = base.rsplit("__", 1)
             by_name.setdefault(name, {})[component] = unquote(text)
     if set(by_name) != set(key_types):
         return None

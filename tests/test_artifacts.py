@@ -57,3 +57,11 @@ def test_cast_artifact_identity():
 def test_artifact_pickle_round_trip():
     artifact = Artifact.cast(10)
     assert pickle.loads(pickle.dumps(artifact)) == artifact
+
+
+def test_cast_non_string_dict_keys_raise_cleanly():
+    # json.dumps would stringify the keys, silently violating the declared
+    # Map(key=Int64) type on round-trip — refuse instead.
+    for value in ({1: 10, 2: 20}, {"ok": {3: "x"}}, [{4: 2}, {5: 3}]):
+        with pytest.raises(NotImplementedError, match="string dict keys|Unable to"):
+            Artifact.cast(value)

@@ -160,3 +160,84 @@ def test_object_store_pandas_io_round_trip(mock_fs):
 
     found = storage.discover_partitions({})
     assert [f.path for f in found] == [p.path]
+
+
+def test_object_store_pandas_rewrite_replaces_stale_parts(mock_fs):
+    """Rewriting a partition must WIPE it: part files from an earlier write
+    of the same path must not survive and merge stale rows into readers."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from artigraph_spark import io
+    from artigraph_spark import types as at
+    from artigraph_spark.formats import Parquet
+    from artigraph_spark.views import PandasDataFrameView
+
+    coll = at.Collection(element=at.Struct(fields={"a": at.Int64()}))
+    storage = ObjectStore(bucket=BUCKET, scheme="mock").resolve_templates(
+        graph_name="g", names="t", name="t", strip_input_fingerprint=True
+    )
+    p = storage.generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+    # Simulate a prior multi-file (Spark-style) write of the same partition.
+    fs, root = __import__("artigraph_spark.storage", fromlist=["_resolve_fs"])._resolve_fs(p.path)
+    fs.create_dir(root, recursive=True)
+    pq.write_table(pa.table({"a": [100, 200]}), f"{root}/part-00000-stale.parquet", filesystem=fs)
+
+    io.write(pd.DataFrame({"a": [1, 2]}), coll, Parquet(), p, PandasDataFrameView, spark=None, storage=storage)
+    back = io.read(coll, Parquet(), storage, [p], PandasDataFrameView, spark=None)
+    assert sorted(back["a"]) == [1, 2]
+
+
+def test_object_store_pandas_read_applies_declared_schema(mock_fs):
+    """A file written int32 must come back as the DECLARED Int64 (parity
+    with the Spark-path readers that pass spark.read.schema(...))."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from artigraph_spark import io
+    from artigraph_spark import types as at
+    from artigraph_spark.formats import Parquet
+    from artigraph_spark.views import PandasDataFrameView
+
+    coll = at.Collection(element=at.Struct(fields={"a": at.Int64()}))
+    storage = ObjectStore(bucket=BUCKET, scheme="mock").resolve_templates(
+        graph_name="g", names="t", name="t", strip_input_fingerprint=True
+    )
+    p = storage.generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+    fs, root = __import__("artigraph_spark.storage", fromlist=["_resolve_fs"])._resolve_fs(p.path)
+    fs.create_dir(root, recursive=True)
+    pq.write_table(
+        pa.table({"a": pa.array([7, 8], type=pa.int32())}),
+        f"{root}/part-0.parquet",
+        filesystem=fs,
+    )
+    back = io.read(coll, Parquet(), storage, [p], PandasDataFrameView, spark=None)
+    assert str(back["a"].dtype) == "int64"
+    assert sorted(back["a"]) == [7, 8]
+
+
+def test_object_store_pandas_write_honors_cluster_by(mock_fs):
+    """cluster_by is the row-group locality contract every writer applies."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from artigraph_spark import io
+    from artigraph_spark import types as at
+    from artigraph_spark.formats import Parquet
+    from artigraph_spark.views import PandasDataFrameView
+
+    coll = at.Collection(
+        element=at.Struct(fields={"a": at.Int64()}), cluster_by=("a",)
+    )
+    storage = ObjectStore(bucket=BUCKET, scheme="mock").resolve_templates(
+        graph_name="g", names="t", name="t", strip_input_fingerprint=True
+    )
+    p = storage.generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+    io.write(
+        pd.DataFrame({"a": [3, 1, 2]}), coll, Parquet(), p, PandasDataFrameView,
+        spark=None, storage=storage,
+    )
+    fs, root = __import__("artigraph_spark.storage", fromlist=["_resolve_fs"])._resolve_fs(p.path)
+    stored = pq.read_table(f"{root}/part-0.parquet", filesystem=fs)
+    assert stored["a"].to_pylist() == [1, 2, 3]

@@ -281,3 +281,36 @@ def test_discover_dot_leading_segment(tmp_path):
     parts = s.discover_partitions({"s": StringField})
     assert len(parts) == 1
     assert parts[0].partition_key == key
+
+
+def test_discover_key_name_with_double_underscore(tmp_path):
+    # "__" in a partition-field NAME must not collide with the internal
+    # k_<name>__<component> group separator: generated data must be
+    # discoverable, not silently invisible.
+    s = _storage(tmp_path, "{user__id.value}/f")
+    key = PartitionKey(fields={"user__id": IntField(key=7)})
+    p = s.generate_partition(key, Fingerprint.empty())
+    os.makedirs(os.path.dirname(p.path), exist_ok=True)
+    with open(p.path, "w") as f:
+        f.write("x")
+    parts = s.discover_partitions({"user__id": IntField})
+    assert len(parts) == 1
+    assert parts[0].partition_key == key
+
+
+def test_date_value_numeric_spec_is_not_strftime(tmp_path):
+    # A numeric spec on {date.value} (copying the int idiom) must NOT be
+    # interpreted as strftime by date.__format__ — before the isoformat
+    # coercion, "{date.value:02}" rendered the literal segment "02" for
+    # EVERY key, collapsing all partitions onto one path.
+    s = _storage(tmp_path, "{date.value:02}/f")
+    key = PartitionKey(fields={"date": DateField(key=datetime.date(2021, 3, 4))})
+    p = s.generate_partition(key, Fingerprint.empty())
+    assert p.path == f"{tmp_path}/2021-03-04/f"
+
+
+def test_date_value_renders_iso(tmp_path):
+    s = _storage(tmp_path, "{date.value}/f")
+    key = PartitionKey(fields={"date": DateField(key=datetime.date(2021, 3, 4))})
+    p = s.generate_partition(key, Fingerprint.empty())
+    assert p.path == f"{tmp_path}/2021-03-04/f"
