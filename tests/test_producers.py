@@ -198,3 +198,21 @@ def test_compute_input_fingerprint_rejects_mismatched_names():
 
     with pytest.raises(ValueError, match="Mismatched dependency inputs"):
         P.compute_input_fingerprint({"junk": ()})
+
+
+def test_string_annotations_resolved():
+    """Reference contract (test_producer.py:184-193 test_Producer_string_annotation):
+    quoted hints — or a user module with `from __future__ import annotations`,
+    which stringifies EVERY hint — must resolve identically to real ones."""
+    class SDocs(Artifact):
+        type: at.Type = at.Collection(element=at.Struct(fields={"x": at.Int64()}))
+
+    class SClean(Producer):
+        docs: "SDocs"
+
+        @staticmethod
+        def build(docs: "DataFrame") -> "DataFrame":
+            return docs
+
+    out = SClean(docs=SDocs()).out(SDocs())
+    assert isinstance(out, SDocs) and out.is_produced
