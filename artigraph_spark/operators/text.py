@@ -7,9 +7,10 @@ codegen'd; no UDFs in the row path).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from artigraph_spark.functions import dsum
 from artigraph_spark.operators.dedup import tokens
 
 
@@ -121,4 +122,113 @@ def rolling_hash(text: Column, base: int = 31, mod: int = 999_999_999_989) -> Co
         per_tok,
         F.lit(0).cast("long"),
         lambda acc, v: (acc * base + v) % F.lit(mod).cast("long"),
+    )
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, token, tf): per-document term counts.
+
+    One explode + one groupBy — the shuffle is on (doc, token), which is
+    near-unique, so partial aggregation collapses almost nothing but the
+    exchange spreads evenly (no hot keys beyond stopwords-per-doc, bounded
+    by document length)."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_df: int = 1,
+) -> DataFrame:
+    """(doc, token, tf, df_t, tfidf) — smoothed TF-IDF:
+    ``tfidf = tf * (ln((N + 1) / (df_t + 1)) + 1)`` (sklearn-style smooth idf).
+
+    Shape at scale: two aggregations (per-doc term counts; per-token doc
+    freqs) and one equi-join on token. N is a literal-free scalar carried by
+    a broadcast 1-row cross join — no collect(), the plan stays lazy and
+    fully distributed. Token doc-freq skew (stopwords) is bounded because
+    the per-doc distinct already collapsed repeats: df_t rows are at most
+    |vocabulary| and the join's build side (token, df_t) broadcasts when
+    small, shuffles on token otherwise.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    docfreq = (
+        tf.groupBy("token")
+        .agg(F.count("*").cast("long").alias("df_t"))
+        .filter(F.col("df_t") >= F.lit(int(min_df)))
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).cast("long").alias("__n_docs__")
+    )
+    return (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df_t",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n_docs__") + F.lit(1)).cast("double")
+                        / (F.col("df_t") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc, bm25) Okapi BM25 of each document against a bag of query terms.
+
+    idf uses the standard BM25 form ln(1 + (N - df + 0.5)/(df + 0.5)); doc
+    length normalization against the corpus mean. Everything is expressions
+    over two aggregates + one filtered join — no UDFs, no collect; the
+    query-term filter shrinks the tf table before the join.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    tf = term_frequencies(df, id_col, text_col).filter(F.col("token").isin(terms))
+    docfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df_t"))
+    lens = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("__dl__")
+    )
+    stats = lens.select(
+        F.count("*").cast("long").alias("__n_docs__"),
+        F.avg("__dl__").alias("__avg_dl__"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs__") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    norm_tf = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1) * (1 - b + F.lit(b) * F.col("__dl__") / F.col("__avg_dl__"))
+    )
+    return (
+        tf.join(F.broadcast(docfreq), "token")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(dsum(idf * norm_tf).alias("bm25"))  # fixed-point: order-independent
     )

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_gap_fill", "edit_distance_pairs",
     "tpch_q3_shipping_priority", "tpch_q4_late_orders",
     "tpch_q9_nation_margin", "tpch_q10_returned_items",
+    "tfidf_terms", "bm25_ranking",
     # NOT prioritized: the 4 rows-only queries (minhash_lsh_pairs,
     # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) — the driver
     # records them as `err: no_oracle` (r1 evidence), which would waste

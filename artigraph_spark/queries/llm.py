@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from artigraph_spark.functions import davg, oracle_davg
+from artigraph_spark.functions import davg, oracle_davg, oracle_dsum
 from artigraph_spark.queries import query
 from artigraph_spark.sources import load
 
@@ -768,3 +768,77 @@ def edit_distance_pairs(spark, sf_dir):
         )
         .filter(F.col("edit_dist") <= 25)
     )
+
+
+@query(
+    "tfidf_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS token
+        FROM documents WHERE doc_id < 200
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, count(*) AS df_t FROM tf GROUP BY token HAVING count(*) >= 2
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 200
+    )
+    SELECT tf.doc_id, tf.token, tf.tf, df.df_t,
+           round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df_t + 1)::DOUBLE) + 1.0), 6) AS tfidf_r
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+)
+def tfidf_terms(spark, sf_dir):
+    """Smoothed TF-IDF over a bounded doc slice (min_df=2). The tfidf value
+    is a POINTWISE expression over integer aggregates (tf, df_t, N) — no
+    float accumulation anywhere — so it is cross-engine exact; rounded to 6
+    decimals only to absorb ln() ULP differences."""
+    from artigraph_spark.operators.text import tf_idf
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = tf_idf(d, "doc_id", "text", min_df=2)
+    return out.select(
+        "doc_id", "token", "tf", "df_t", F.round("tfidf", 6).alias("tfidf_r")
+    )
+
+
+_BM25_TERM = (
+    "ln(1.0 + (stats.n_docs - df.df_t + 0.5) / (df.df_t + 0.5)) * "
+    "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / stats.avg_dl))"
+)
+
+
+@query(
+    "bm25_ranking",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+    toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS token
+        FROM docs
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE token IN ('the', 'data', 'model') GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, count(*) AS df_t FROM tf GROUP BY token
+    ), lens AS (
+        SELECT doc_id, len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''))::BIGINT AS dl
+        FROM docs
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM lens
+    )
+    SELECT tf.doc_id,
+           round({oracle_dsum(_BM25_TERM)}, 6) AS bm25_r
+    FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def bm25_ranking(spark, sf_dir):
+    """Okapi BM25 of every document against a 3-term query. Per-term
+    contributions go through the shared fixed-point 2^20 scaling (dsum /
+    oracle_dsum) so the per-doc accumulation is order-independent and
+    cross-engine exact; final rounding absorbs ln() ULPs."""
+    from artigraph_spark.operators.text import bm25_scores
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    out = bm25_scores(d, "doc_id", "text", ["the", "data", "model"])
+    return out.select("doc_id", F.round("bm25", 6).alias("bm25_r"))

@@ -160,3 +160,57 @@ def test_embedding_near_dup_finds_planted_duplicates(spark):
     expected = {(v, v + 1000) for v in range(0, 100, 10)}
     assert expected <= found
     assert all(r["cos_sim"] >= 0.95 for r in pairs)
+
+
+class TestTfIdfBm25:
+    def _docs(self, spark):
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "cat and dog"),
+            (4, "completely unrelated words here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_term_frequencies(self, spark):
+        from artigraph_spark.operators.text import term_frequencies
+
+        tf = {(r["doc_id"], r["token"]): r["tf"]
+              for r in term_frequencies(self._docs(spark), "doc_id", "text").collect()}
+        assert tf[(1, "the")] == 2
+        assert tf[(1, "cat")] == 1
+        assert (4, "the") not in tf
+
+    def test_tf_idf_values(self, spark):
+        import math
+
+        from artigraph_spark.operators.text import tf_idf
+
+        out = {(r["doc_id"], r["token"]): r for r in
+               tf_idf(self._docs(spark), "doc_id", "text").collect()}
+        r = out[(1, "the")]
+        # N=4 docs, 'the' appears in 2 -> idf = ln(5/3)+1, tf=2
+        assert r["df_t"] == 2
+        assert abs(r["tfidf"] - 2 * (math.log(5 / 3) + 1)) < 1e-9
+
+    def test_tf_idf_min_df_filters_rare_terms(self, spark):
+        from artigraph_spark.operators.text import tf_idf
+
+        toks = {r["token"] for r in
+                tf_idf(self._docs(spark), "doc_id", "text", min_df=2).collect()}
+        assert "unrelated" not in toks and "the" in toks
+
+    def test_bm25_prefers_matching_docs(self, spark):
+        from artigraph_spark.operators.text import bm25_scores
+
+        scores = {r["doc_id"]: r["bm25"] for r in
+                  bm25_scores(self._docs(spark), "doc_id", "text", ["cat", "dog"]).collect()}
+        assert 4 not in scores          # no query terms -> no row
+        assert scores[3] > scores[1]    # doc 3 matches both terms
+        assert scores[3] > scores[2]
+
+    def test_bm25_requires_terms(self, spark):
+        from artigraph_spark.operators.text import bm25_scores
+
+        with pytest.raises(ValueError, match="non-empty"):
+            bm25_scores(self._docs(spark), "doc_id", "text", [])
