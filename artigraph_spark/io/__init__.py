@@ -14,10 +14,13 @@ format, partition, view, spark) and materialize one partition.
 
 from __future__ import annotations
 
+import contextlib
 import glob as _glob
 import json
 import os
 import pickle
+import shutil
+import uuid
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -130,6 +133,69 @@ def _schema_for(type_: at.Type):
     if isinstance(type_, at.Struct):
         return struct_to_spark(type_)
     raise ValueError(f"DataFrame IO needs a Collection/Struct type, got {type_!r}")
+
+
+def _is_local_path(path: str) -> bool:
+    return "://" not in path or path.startswith("file://")
+
+
+def _fsync_tree(path: str) -> None:
+    """fsync every file and directory under ``path`` so the commit rename
+    cannot be reordered before its contents reach disk."""
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for fname in filenames:
+            fd = os.open(os.path.join(dirpath, fname), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        fd = os.open(dirpath, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+
+@contextlib.contextmanager
+def atomic_dir_write(path: str):
+    """Stage-then-rename commit protocol for directory writes (closes the
+    crash-consistency gap the jar-gated Delta sink would otherwise cover).
+
+    Local paths: yields a staging dir ``<path>.__tmp_<token>__``; on success
+    fsyncs the staged tree and commits with ``os.rename`` — readers (and the
+    memoization layer's partition discovery, whose template regex never
+    matches the suffixed staging/backup names) see the OLD complete
+    partition or the NEW complete partition, never a torn one. A crash while
+    staging leaves the old partition untouched; the only non-atomic window
+    is the two-rename swap when overwriting an existing partition, and a
+    crash there leaves the old content recoverable at ``<path>.__old__``
+    (readers then see a MISSING partition — recompute — not torn data).
+
+    Object-store URIs yield the final path unchanged: single-object PUTs
+    are already atomic, and multi-file commit on object stores requires a
+    manifest log (the Delta sink) — documented, not silently faked.
+    """
+    if not _is_local_path(path):
+        yield path
+        return
+    tmp = f"{path}.__tmp_{os.getpid()}_{uuid.uuid4().hex[:8]}__"
+    try:
+        yield tmp
+        if not os.path.exists(tmp):
+            # Writer produced nothing (e.g. empty plan edge) — nothing to commit.
+            return
+        _fsync_tree(tmp)
+        old = f"{path}.__old__"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _data_files(path: str) -> list[str]:

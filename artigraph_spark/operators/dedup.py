@@ -212,6 +212,22 @@ def lsh_candidate_pairs(
     Returns distinct (a, b) candidate pairs with a < b. The join is an
     equi-join on the band key — shuffle-partitioned, no quadratic blowup
     outside genuinely identical buckets.
+
+    Duplicate-collapse prepass: a real crawl corpus is dominated by verbatim
+    duplicates, whose identical signatures pile into the SAME bucket of every
+    band — banding each copy individually makes the bucket join do
+    ``bands ×`` the (already quadratic) group work and then pushes that
+    inflated intermediate through a pair-level ``distinct``. Instead we band
+    ONE representative per distinct signature and reconstruct the pair set
+    afterwards from the group membership. The emitted set is exactly the
+    original semantics:
+
+    - within-group pairs: identical signatures share every band → always
+      candidates (a linear self-join on the signature key, no band fan-out,
+      no distinct);
+    - cross-group pairs: (x ∈ A, y ∈ B) share a band iff their signatures
+      do → expand signature-level pairs (deduped at signature level, which
+      is tiny) through the two membership joins.
     """
     if bands <= 0 or bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(
@@ -220,8 +236,14 @@ def lsh_candidate_pairs(
             "document lands in one bucket"
         )
     rows_per_band = num_hashes // bands
-    banded = signatures.select(
-        F.col(id_col),
+    mh_names = [f"mh{i}" for i in range(num_hashes)]
+    sig_key = F.concat_ws("_", *[F.col(c) for c in mh_names])
+    members = signatures.select(sig_key.alias("__sig"), F.col(id_col).alias("__id"))
+    # One row per distinct signature (shuffle on the signature — the same
+    # exchange width the band join would have needed, minus the duplicates).
+    uniq = signatures.select(*mh_names).distinct().withColumn("__sig", sig_key)
+    banded = uniq.select(
+        "__sig",
         F.posexplode(
             F.array(
                 *[
@@ -234,14 +256,32 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_sig"),
     )
-    left = banded.select(F.col(id_col).alias("a"), "band_id", "band_sig")
-    right = banded.select(F.col(id_col).alias("b"), "band_id", "band_sig")
-    return (
+    left = banded.select(F.col("__sig").alias("__sa"), "band_id", "band_sig")
+    right = banded.select(F.col("__sig").alias("__sb"), "band_id", "band_sig")
+    sig_pairs = (
         left.join(right, ["band_id", "band_sig"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+        .filter(F.col("__sa") < F.col("__sb"))
+        .select("__sa", "__sb")
+        .distinct()  # signature-level — orders of magnitude below pair-level
     )
+    ma = members.select(F.col("__sig").alias("__sa"), F.col("__id").alias("__ia"))
+    mb = members.select(F.col("__sig").alias("__sb"), F.col("__id").alias("__ib"))
+    cross = (
+        sig_pairs.join(ma, "__sa")
+        .join(mb, "__sb")
+        .select(
+            F.least(F.col("__ia"), F.col("__ib")).alias("a"),
+            F.greatest(F.col("__ia"), F.col("__ib")).alias("b"),
+        )
+    )
+    within = (
+        ma.join(members.select(F.col("__sig").alias("__sa"), F.col("__id").alias("__ib")), "__sa")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .select(F.col("__ia").alias("a"), F.col("__ib").alias("b"))
+    )
+    # cross ∩ within = ∅ (different vs identical signature) and both sides are
+    # already duplicate-free by construction — no pair-level distinct needed.
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(
@@ -366,21 +406,41 @@ def dedup_clusters(
     verification → connected components → (doc_id, cluster_id, is_keeper).
 
     The full training-data dedup pipeline: keep ``is_keeper`` rows. Every
-    stage is the scale path (no all-pairs anywhere)."""
-    sigs = minhash_signatures_fast(df, id_col, text_col, num_hashes=num_hashes)
+    stage is the scale path (no all-pairs anywhere).
+
+    Exact-duplicate collapse: byte-identical texts (the dominant duplicate
+    mass in a real crawl corpus) are collapsed to ONE survivor — the minimum
+    id per sha256(text) group — before signatures/LSH/Jaccard/components run,
+    then every collapsed member is reattached to its survivor's cluster.
+    Cluster semantics are unchanged: Jaccard is a pure function of the text,
+    so interchangeable copies add no connectivity the survivor doesn't
+    already have, and the survivor is its group's min id, so the component's
+    min-id label is identical with or without the copies. What changes is the
+    cost — every downstream stage is linear in *distinct* texts, not total
+    rows (a 10×-replicated corpus does ~1× the near-dup work).
+    """
+    # NULL text gets a sentinel so null-text docs group together (sha2 of
+    # NULL is NULL, and NULL join keys never match).
+    fp = F.coalesce(F.sha2(F.col(text_col).cast("string"), 256), F.lit("__null__"))
+    docs = df.select(F.col(id_col), F.col(text_col), fp.alias("__fp"))
+    reps = docs.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    membership = docs.select(F.col(id_col), "__fp").join(reps, "__fp")
+    survivors = exact_dedup(
+        docs, ["__fp"], [F.col(id_col).asc()]
+    ).select(F.col(id_col), F.col(text_col))
+
+    sigs = minhash_signatures_fast(survivors, id_col, text_col, num_hashes=num_hashes)
     candidates = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
     # Jaccard verification reuses the candidates-based path (two equi-joins,
     # J(∅,∅)=1 guard, threshold filter) — single implementation, no drift.
     verified = ngram_jaccard_pairs(
-        df, id_col, text_col, threshold=jaccard_threshold, candidates=candidates
+        survivors, id_col, text_col, threshold=jaccard_threshold, candidates=candidates
     ).select("a", "b")
     comps = connected_components(verified)
-    out = df.select(F.col(id_col)).join(
-        comps, df[id_col] == comps.node, "left"
-    )
+    out = membership.join(comps, membership["__rep"] == comps.node, "left")
     return out.select(
         F.col(id_col),
-        F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        F.coalesce("component", F.col("__rep")).alias("cluster_id"),
     ).withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
 
 

@@ -42,6 +42,65 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+
+def png_bytes(width: int, height: int, *, color_type: int = 2, bit_depth: int = 8) -> bytes:
+    """Minimal valid PNG prefix (signature + IHDR chunk with CRC). Test/
+    fixture generator for the header parser — not a renderable image."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def jpeg_bytes(width: int, height: int, *, n_channels: int = 3) -> bytes:
+    """Minimal JPEG prefix: SOI + a COM segment (exercises marker walking)
+    + SOF0 frame header carrying the dimensions."""
+    import struct
+
+    comment = b"hdr"
+    com = b"\xff\xfe" + struct.pack(">H", 2 + len(comment)) + comment
+    sof_payload = struct.pack(">BHHB", 8, height, width, n_channels) + bytes(
+        b for c in range(n_channels) for b in (c + 1, 0x11, 0)
+    )
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+    return b"\xff\xd8" + com + sof
+
+
+def gif_bytes(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor (little-endian dims)."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def wav_bytes(channels: int, sample_rate: int) -> bytes:
+    """RIFF/WAVE header + fmt chunk (PCM, 16-bit), no sample data."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+
 
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a media table from a text fixture: payload = UTF-8 bytes, with
@@ -69,18 +128,114 @@ def _fake_decode(payload: bytes | None) -> dict[str, Any]:
     return {"width": width, "height": height, "feature": feature}
 
 
-def _real_decode(payload: bytes | None) -> dict[str, Any]:
-    raise NotImplementedError(
-        "real media decoding requires image/audio libraries not present in "
-        "this environment; use decoder='fake' or install decoders and extend "
-        "_real_decode"
-    )
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample channels (greyscale, RGB, palette, grey+A, RGBA).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOF markers (frame headers carrying dimensions): C0-CF minus C4 (DHT),
+# C8 (JPG extension) and CC (DAC), which are not frame headers.
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = {0x01, *range(0xD0, 0xDA)}  # TEM, RSTn, and SOI/EOI handled apart
+
+
+def parse_media_header(payload: bytes | None) -> dict[str, Any]:
+    """Pure-stdlib media header parse: container dimensions/layout WITHOUT
+    decoding any pixel/sample data.
+
+    Recognizes PNG (IHDR), JPEG (SOF0/SOF2 family scan), GIF (logical screen
+    descriptor), and WAV (RIFF fmt chunk — channels/sample-rate in
+    width/height slots is NOT meaningful, so WAV reports them as None and
+    carries layout in ``channels``/``sample_rate``). Unknown or truncated
+    payloads return all-None fields rather than raising — a 100 TB crawl
+    always contains garbage bytes.
+
+    Returns dict(codec, width, height, channels, sample_rate).
+    """
+    import struct
+
+    none: dict[str, Any] = {
+        "codec": None, "width": None, "height": None,
+        "channels": None, "sample_rate": None,
+    }
+    if not payload:
+        return none
+    try:
+        if payload.startswith(_PNG_SIG) and len(payload) >= 29:
+            # IHDR is required to be the first chunk: length at 8, type at
+            # 12, data at 16 (width, height big-endian, depth, color type).
+            if payload[12:16] == b"IHDR":
+                width, height = struct.unpack(">II", payload[16:24])
+                color_type = payload[25]
+                return {
+                    **none, "codec": "png", "width": width, "height": height,
+                    "channels": _PNG_CHANNELS.get(color_type),
+                }
+            return {**none, "codec": "png"}
+        if payload.startswith(b"\xff\xd8"):
+            i = 2
+            n = len(payload)
+            while i + 1 < n:
+                if payload[i] != 0xFF:  # desynced — bail out, keep codec
+                    break
+                marker = payload[i + 1]
+                if marker == 0xFF:  # fill byte
+                    i += 1
+                    continue
+                if marker in _JPEG_STANDALONE:
+                    i += 2
+                    continue
+                if marker == 0xD9:  # EOI
+                    break
+                if i + 3 >= n:
+                    break
+                (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+                if marker in _JPEG_SOF and i + 9 < n:
+                    height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return {
+                        **none, "codec": "jpeg", "width": width,
+                        "height": height, "channels": payload[i + 9],
+                    }
+                i += 2 + seg_len
+            return {**none, "codec": "jpeg"}
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            width, height = struct.unpack("<HH", payload[6:10])
+            return {**none, "codec": "gif", "width": width, "height": height, "channels": 1}
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            i = 12
+            n = len(payload)
+            while i + 8 <= n:
+                chunk_id = payload[i : i + 4]
+                (chunk_len,) = struct.unpack("<I", payload[i + 4 : i + 8])
+                if chunk_id == b"fmt " and i + 16 <= n:
+                    channels, sample_rate = struct.unpack("<HI", payload[i + 10 : i + 16])
+                    return {
+                        **none, "codec": "wav",
+                        "channels": channels, "sample_rate": sample_rate,
+                    }
+                i += 8 + chunk_len + (chunk_len & 1)  # chunks are word-aligned
+            return {**none, "codec": "wav"}
+    except (struct.error, IndexError):
+        return none
+    return none
+
+
+def _header_decode(payload: bytes | None) -> dict[str, Any]:
+    """Real (header-only) decode: dimensions/channels from the container
+    header via ``parse_media_header``. Pixel/sample-level features would need
+    image/audio libraries not present in this environment, so ``feature`` is
+    None — the honest boundary between parsed metadata and decoded content."""
+    h = parse_media_header(payload)
+    return {"width": h["width"], "height": h["height"], "feature": None}
 
 
 def extract_features(media: DataFrame, *, decoder: str = "fake", batch_hint: int | None = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched, partition-
-    preserving — no shuffle; scales linearly with executors)."""
-    decode = {"fake": _fake_decode, "real": _real_decode}[decoder]
+    preserving — no shuffle; scales linearly with executors).
+
+    decoder="fake": deterministic content-derived stand-in dims+features.
+    decoder="header"/"real": pure-stdlib container-header parse (PNG/JPEG/
+    GIF/WAV) — real decoded metadata, feature=None (pixel decode needs libs
+    not present here)."""
+    decode = {"fake": _fake_decode, "header": _header_decode, "real": _header_decode}[decoder]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -97,6 +252,66 @@ def extract_features(media: DataFrame, *, decoder: str = "fake", batch_hint: int
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def decode_media_headers(media: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table → per-asset container metadata via the pure-stdlib
+    header parser (mapInPandas, Arrow-batched, partition-preserving — the
+    same zero-shuffle scan shape as extract_features; parse cost is a few
+    struct unpacks per asset, amortized per batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_media_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "codec": [h["codec"] for h in parsed],
+                    "width": [h["width"] for h in parsed],
+                    "height": [h["height"] for h in parsed],
+                    "channels": [h["channels"] for h in parsed],
+                    "sample_rate": [h["sample_rate"] for h in parsed],
+                }
+            )
+
+    return media.mapInPandas(run, HEADER_SCHEMA)
+
+
+def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic mixed-media fixture table: REAL container bytes (PNG /
+    JPEG / GIF / WAV round-robin by id, dims/layout derived from the id) in
+    MEDIA_SCHEMA shape. Built executor-side in mapInPandas — the driver never
+    touches payloads — so it scales like any scan."""
+    mimes = {0: "image/png", 1: "image/jpeg", 2: "image/gif", 3: "audio/wav"}
+
+    def build(mid: int) -> bytes:
+        kind = mid % 4
+        width, height = (mid % 600) + 16, (mid % 400) + 16
+        if kind == 0:
+            return png_bytes(width, height)
+        if kind == 1:
+            return jpeg_bytes(width, height)
+        if kind == 2:
+            return gif_bytes(width, height)
+        return wav_bytes((mid % 2) + 1, 8000 + (mid % 8) * 1000)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [build(int(i)) for i in ids],
+                    "mime": [mimes[int(i) % 4] for i in ids],
+                    "meta": [{"source": "synthetic"} for _ in ids],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 def resize_stub(media: DataFrame, *, width: int, height: int) -> DataFrame:

@@ -225,10 +225,14 @@ def bm25_scores(
         F.col("tf")
         + F.lit(k1) * (1 - b + F.lit(b) * F.col("__dl__") / F.col("__avg_dl__"))
     )
+    # Guard-digit rounding BEFORE the fixed-point floor: the term contains
+    # ln(), which can differ by 1 ULP across engines; snapping to a 9-decimal
+    # grid first means a ULP difference can only matter if the true value
+    # straddles BOTH a rounding boundary and a 2^-20 floor boundary.
     return (
         tf.join(F.broadcast(docfreq), "token")
         .join(lens, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(dsum(idf * norm_tf).alias("bm25"))  # fixed-point: order-independent
+        .agg(dsum(F.round(idf * norm_tf, 9)).alias("bm25"))  # fixed-point: order-independent
     )

@@ -38,6 +38,16 @@ class PartitionField(Model):
     # fails loudly instead of silently discovering nothing.
     component_sets: ClassVar[tuple[frozenset[str], ...]] = ()
 
+    def __init_subclass__(cls, **kwargs: Any) -> None:
+        super().__init_subclass__(**kwargs)
+        # A subclass that declares a default_component but no component_sets
+        # must stay discoverable under the default {partition_key_spec}
+        # template (which only renders default_component) — otherwise
+        # _build_discovery_spec rejects it with ValueError even though
+        # from_components can rebuild it.
+        if "component_sets" not in cls.__dict__ and "default_component" in cls.__dict__:
+            cls.component_sets = (frozenset({cls.default_component}),)
+
     @property
     def components(self) -> dict[str, str]:
         raise NotImplementedError

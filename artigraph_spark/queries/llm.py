@@ -329,6 +329,37 @@ def multimodal_features(spark, sf_dir):
 
 
 @query(
+    "media_decode_headers",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           WHEN 2 THEN 'gif' ELSE 'wav' END AS codec,
+           CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE CAST((doc_id % 600) + 16 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE CAST((doc_id % 400) + 16 AS INTEGER) END AS height,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 1
+                                ELSE (doc_id % 2) + 1 END AS INTEGER) AS channels
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def media_decode_headers(spark, sf_dir):
+    """REAL container decoding, no stub: synthesize_media builds actual
+    PNG/JPEG/GIF/WAV bytes executor-side with id-derived dimensions, then
+    decode_media_headers parses the REAL headers back (pure-stdlib IHDR /
+    SOF0 / screen-descriptor / fmt-chunk parsing in mapInPandas). The oracle
+    predicts the dims arithmetically — a hash mismatch means the parser
+    failed to invert the container format."""
+    from artigraph_spark.operators.multimodal import decode_media_headers, synthesize_media
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = synthesize_media(d, "doc_id")
+    return decode_media_headers(media).select(
+        "media_id", "codec", "width", "height", "channels"
+    )
+
+
+@query(
     "cosine_topk",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -803,8 +834,9 @@ def tfidf_terms(spark, sf_dir):
 
 
 _BM25_TERM = (
-    "ln(1.0 + (stats.n_docs - df.df_t + 0.5) / (df.df_t + 0.5)) * "
+    "round(ln(1.0 + (stats.n_docs - df.df_t + 0.5) / (df.df_t + 0.5)) * "
     "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / stats.avg_dl))"
+    ", 9)"
 )
 
 

@@ -487,7 +487,16 @@ class ObjectStore(Storage):
         candidates: set[str] = set()
         base = static_prefix[: len(static_prefix) - len(root)] if root else static_prefix
         for info in fs.get_file_info(selector):
-            uri = f"{base}{info.path}" if not info.path.startswith(scheme) else info.path
+            # Compare against the full "scheme://" prefix: a bare-scheme
+            # startswith check misfires on buckets whose NAME begins with the
+            # scheme string (e.g. bucket "s3-prod" listed as "s3-prod/…"),
+            # yielding scheme-less candidates that never match the parse
+            # regex — discovery would silently report zero partitions.
+            uri = (
+                info.path
+                if info.path.startswith(scheme + "://")
+                else f"{base}{info.path}"
+            )
             parts = uri[len(static_prefix) :].strip("/").split("/")
             for depth in range(1, len(parts) + 1):
                 candidates.add(static_prefix + "/" + "/".join(parts[:depth]))

@@ -45,10 +45,21 @@ def read_stream(
     # files, so stream the SF dir with a glob filter selecting the one file.
     reader = reader.option("pathGlobFilter", f"{name}.parquet")
     if name == "events":
+        from pyspark.sql import types as T
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
         stream = reader.schema(raw.schema).parquet(sf_dir)
-        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Same guard as sources.load: only bridge when ts actually reads as
+        # int64 nanos — fixtures written with µs timestamps stream as-is.
+        if isinstance(raw.schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+            # Watermarks require TIMESTAMP (ltz). Session tz is pinned to UTC
+            # (sources.load), so this cast preserves the wall-clock instant
+            # and keeps stream/batch parity exact.
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        return stream
     return reader.parquet(sf_dir)
 
 
@@ -150,7 +161,10 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             vals = pdf["value"].to_numpy(dtype="float64")
             vals = vals[~np.isnan(vals)]  # F.sum semantics: nulls skipped
             if len(vals):
-                sv += int(np.floor(vals * (1 << bits)).sum())
+                # Sum as int64, not float64: a float sum loses exactness past
+                # 2^53, which would break the promised parity with dsum's
+                # exact long accumulation on very large batches/values.
+                sv += int(np.floor(vals * (1 << bits)).astype("int64").sum())
         state.update((n, sv))
         yield pd.DataFrame(
             {

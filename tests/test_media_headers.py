@@ -1,0 +1,75 @@
+"""Pure-stdlib media header parsing: round-trip through real container
+bytes, garbage tolerance, and the binaryFile-lake → decoded-metadata path."""
+
+from artigraph_spark.operators.multimodal import (
+    decode_media_headers,
+    gif_bytes,
+    jpeg_bytes,
+    parse_media_header,
+    png_bytes,
+    synthesize_media,
+    wav_bytes,
+)
+from artigraph_spark.sources.files import media_from_binary_files
+
+
+def test_png_round_trip():
+    h = parse_media_header(png_bytes(640, 480))
+    assert (h["codec"], h["width"], h["height"], h["channels"]) == ("png", 640, 480, 3)
+    grey = parse_media_header(png_bytes(10, 20, color_type=0))
+    assert grey["channels"] == 1
+    rgba = parse_media_header(png_bytes(10, 20, color_type=6))
+    assert rgba["channels"] == 4
+
+
+def test_jpeg_round_trip_walks_markers():
+    # jpeg_bytes inserts a COM segment before SOF0 — the parser must skip it.
+    h = parse_media_header(jpeg_bytes(1920, 1080))
+    assert (h["codec"], h["width"], h["height"], h["channels"]) == ("jpeg", 1920, 1080, 3)
+    mono = parse_media_header(jpeg_bytes(8, 8, n_channels=1))
+    assert mono["channels"] == 1
+
+
+def test_gif_and_wav():
+    g = parse_media_header(gif_bytes(320, 200))
+    assert (g["codec"], g["width"], g["height"]) == ("gif", 320, 200)
+    w = parse_media_header(wav_bytes(2, 44100))
+    assert (w["codec"], w["channels"], w["sample_rate"]) == ("wav", 2, 44100)
+    assert w["width"] is None and w["height"] is None
+
+
+def test_garbage_and_truncated_payloads():
+    assert parse_media_header(None)["codec"] is None
+    assert parse_media_header(b"")["codec"] is None
+    assert parse_media_header(b"not media at all")["codec"] is None
+    # Truncated PNG: signature present, IHDR cut — codec only, no dims.
+    trunc = parse_media_header(png_bytes(9, 9)[:12])
+    assert trunc["codec"] is None or trunc["width"] is None
+    # Truncated JPEG: SOI only.
+    assert parse_media_header(b"\xff\xd8")["width"] is None
+
+
+def test_synthesize_and_decode_distributed(spark):
+    df = spark.range(0, 40).withColumnRenamed("id", "media_id")
+    out = decode_media_headers(synthesize_media(df, "media_id")).collect()
+    assert len(out) == 40
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[0]["codec"] == "png" and by_id[0]["width"] == 16
+    assert by_id[1]["codec"] == "jpeg" and by_id[1]["height"] == 17
+    assert by_id[2]["codec"] == "gif" and by_id[2]["channels"] == 1
+    assert by_id[3]["codec"] == "wav" and by_id[3]["channels"] == 2
+    assert by_id[3]["sample_rate"] == 8000 + 3 * 1000
+
+
+def test_binary_file_lake_to_decoded_headers(tmp_path, spark):
+    """End-to-end: files on disk → binaryFile scan → header decode."""
+    (tmp_path / "a.png").write_bytes(png_bytes(100, 50))
+    (tmp_path / "b.jpg").write_bytes(jpeg_bytes(30, 40))
+    (tmp_path / "c.wav").write_bytes(wav_bytes(1, 16000))
+    (tmp_path / "junk.bin").write_bytes(b"\x00\x01\x02")
+    media = media_from_binary_files(spark, str(tmp_path))
+    rows = {r["mime"]: r for r in decode_media_headers(media).collect()}
+    assert rows["image/png"]["width"] == 100 and rows["image/png"]["codec"] == "png"
+    assert rows["image/jpeg"]["height"] == 40
+    assert rows["audio/wav"]["sample_rate"] == 16000
+    assert rows["application/octet-stream"]["codec"] is None
