@@ -237,7 +237,14 @@ def lsh_candidate_pairs(
         )
     rows_per_band = num_hashes // bands
     mh_names = [f"mh{i}" for i in range(num_hashes)]
-    sig_key = F.concat_ws("_", *[F.col(c) for c in mh_names])
+
+    # concat_ws silently SKIPS null columns, so signatures differing only in
+    # which mh is NULL would collide into one "exact duplicate" group. NULL-
+    # proof every key with a sentinel no numeric hash string can produce.
+    def _k(name: str) -> F.Column:
+        return F.coalesce(F.col(name).cast("string"), F.lit("∅"))
+
+    sig_key = F.concat_ws("_", *[_k(c) for c in mh_names])
     members = signatures.select(sig_key.alias("__sig"), F.col(id_col).alias("__id"))
     # One row per distinct signature (shuffle on the signature — the same
     # exchange width the band join would have needed, minus the duplicates).
@@ -249,7 +256,7 @@ def lsh_candidate_pairs(
                 *[
                     F.concat_ws(
                         "_",
-                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                        *[_k(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
                     )
                     for b in range(bands)
                 ]

@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, partition-preserving
-``mapInPandas`` over Arrow batches, deterministic batch shapes. The actual
-media decoding is STUBBED (``NotImplementedError`` behind
-``decoder="real"``): the image/audio libraries are not in this container.
-``decoder="fake"`` provides a deterministic, content-derived stand-in so
-pipelines and tests exercise the full distributed path.
+``mapInPandas`` over Arrow batches, deterministic batch shapes.
+``decoder="real"`` (alias ``"header"``) performs a REAL pure-stdlib
+container-header parse (PNG IHDR / JPEG SOF marker walk / GIF screen
+descriptor / WAV fmt chunk): genuine decoded metadata with ``feature=None``,
+since pixel/sample-level decoding needs image/audio libraries not present in
+this container. ``decoder="fake"`` provides a deterministic, content-derived
+stand-in (dims *and* an 8-dim feature) so pipelines and tests exercise the
+full distributed path including the feature column.
 
 At 100 TB: binary payloads stay columnar (parquet binary with dictionary
 off), batches stream through Arrow without driver involvement, and the UDF
@@ -134,7 +137,9 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # JPEG SOF markers (frame headers carrying dimensions): C0-CF minus C4 (DHT),
 # C8 (JPG extension) and CC (DAC), which are not frame headers.
 _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
-_JPEG_STANDALONE = {0x01, *range(0xD0, 0xDA)}  # TEM, RSTn, and SOI/EOI handled apart
+# TEM + RSTn only: SOI (D8) and EOI (D9) are also standalone but handled
+# explicitly below — EOI must terminate the walk, not be skipped over.
+_JPEG_STANDALONE = {0x01, *range(0xD0, 0xD8)}
 
 
 def parse_media_header(payload: bytes | None) -> dict[str, Any]:
@@ -180,10 +185,10 @@ def parse_media_header(payload: bytes | None) -> dict[str, Any]:
                 if marker == 0xFF:  # fill byte
                     i += 1
                     continue
-                if marker in _JPEG_STANDALONE:
-                    i += 2
+                if marker in _JPEG_STANDALONE or marker == 0xD8:
+                    i += 2  # standalone (TEM/RSTn) or concatenated-stream SOI
                     continue
-                if marker == 0xD9:  # EOI
+                if marker == 0xD9:  # EOI — never report dims from trailing bytes
                     break
                 if i + 3 >= n:
                     break

@@ -99,3 +99,20 @@ def test_sample_hash_no_overflow_on_large_keys(spark):
         + F.col("l_linenumber") * 40503
     ) % 1000000007
     assert df.select((h % 100).alias("b")).collect()[0]["b"] is not None
+
+def test_lsh_null_signature_columns_do_not_collide(spark):
+    """concat_ws drops NULL columns, so without a NULL sentinel the
+    signatures (7, NULL) and (NULL, 7) would build the same '7' key and be
+    treated as exact duplicates. They must NOT pair (no shared band)."""
+    sigs = spark.createDataFrame(
+        [(1, 7, None), (2, None, 7)], "doc_id long, mh0 long, mh1 long"
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=2, bands=2).collect()
+    assert pairs == []
+    # Whereas genuinely NULL-identical signatures still group as duplicates.
+    sigs2 = spark.createDataFrame(
+        [(1, None, 7), (2, None, 7)], "doc_id long, mh0 long, mh1 long"
+    )
+    pairs2 = [(r["a"], r["b"]) for r in
+              lsh_candidate_pairs(sigs2, "doc_id", num_hashes=2, bands=2).collect()]
+    assert pairs2 == [(1, 2)]

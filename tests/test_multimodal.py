@@ -1,6 +1,7 @@
-"""Multimodal plumbing: binary columns, mapInPandas decode stub, frame
-sampling. The decode itself is stubbed (no codecs in env) — what's tested is
-the real distributed shape: schemas, batching, determinism, row expansion."""
+"""Multimodal plumbing: binary columns, mapInPandas decode, frame sampling.
+Pixel/sample decode has no codecs in this env, but decoder="real" does a real
+container-header parse (PNG/JPEG/GIF/WAV); tests cover the distributed shape
+(schemas, batching, determinism, row expansion) plus header semantics."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -31,9 +32,33 @@ def test_extract_features_deterministic(media):
     assert all(1 <= v[1] <= 640 and 1 <= v[2] <= 480 for v in by_id_1.values())
 
 
-def test_real_decoder_is_explicit_stub(media):
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
-        mm.extract_features(media, decoder="real").collect()
+def test_real_decoder_parses_headers(spark):
+    # "real" resolves to the pure-stdlib container-header parser: dims come
+    # from the actual PNG/JPEG headers; feature stays None (no pixel decode).
+    rows = [
+        (1, mm.png_bytes(320, 200), "image/png", {}),
+        (2, mm.jpeg_bytes(64, 48), "image/jpeg", {}),
+        (3, b"not a media file", "application/octet-stream", {}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.extract_features(media, decoder="real").collect()}
+    assert (out[1]["width"], out[1]["height"]) == (320, 200)
+    assert (out[2]["width"], out[2]["height"]) == (64, 48)
+    assert out[3]["width"] is None and out[3]["height"] is None  # garbage → NULLs
+    assert all(r["feature"] is None for r in out.values())
+
+
+def test_jpeg_eoi_terminates_marker_walk():
+    # Dimensions must never be read from bytes after EOI (trailing garbage or
+    # a concatenated second stream).
+    truncated = b"\xff\xd8" + b"\xff\xd9"  # SOI then EOI, no frame header
+    trailing = truncated + mm.jpeg_bytes(99, 77)[2:]  # SOF only after EOI
+    h = mm.parse_media_header(trailing)
+    assert h["codec"] == "jpeg" and h["width"] is None and h["height"] is None
+    # RSTn standalone markers are still skipped correctly before SOF.
+    rst = b"\xff\xd8" + b"\xff\xd0" + mm.jpeg_bytes(31, 17)[2:]
+    h2 = mm.parse_media_header(rst)
+    assert (h2["width"], h2["height"]) == (31, 17)
 
 
 def test_resize_stub_annotates_meta(media):
