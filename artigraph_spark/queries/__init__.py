@@ -50,36 +50,40 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 # land inside the recorded window. Everything else follows in registration
 # order; total registration is unchanged.
 _PRIORITY: tuple[str, ...] = (
-    # r1-unsampled, oracle-checkable: whole relational/setops/window families
-    "proj_select_rename", "filter_between_isin", "filter_null_tests",
-    "scalar_math", "scalar_string", "scalar_datetime", "scalar_conditional",
-    "scalar_cast", "array_ops", "map_ops", "json_extract",
-    "sort_limit_topk", "set_union_all", "set_union_distinct", "set_intersect",
-    "set_except", "set_intersect_all", "sample_deterministic",
-    "window_tumbling", "window_sliding", "window_session",
-    "window_rank_family", "window_lag_lead", "window_running_agg",
-    "window_range_frame", "window_topk_per_group",
-    # r1-unsampled, oracle-checkable: similarity/llm surface
-    "ngram_jaccard_pairs", "multimodal_features", "cosine_topk",
-    "embedding_norms", "embedding_mean_pool",
-    # newly oracle-checkable this round
-    "lang_predict", "agg_approx",
-    # implementation changed this round — re-verify
-    "minhash_signatures", "join_asof",
-    # new queries registered this round (appended by modules below)
-    "minhash_lsh_pairs_checked", "simhash_checked", "text_quality_score",
-    "token_bpe_counts", "dedup_minhash_end2end", "cosine_topk_lsh_checked",
-    "cosine_topk_ivf_checked", "embedding_near_dup",
-    "window_gap_fill", "edit_distance_pairs",
-    "tpch_q3_shipping_priority", "tpch_q4_late_orders",
-    "tpch_q9_nation_margin", "tpch_q10_returned_items",
-    "tfidf_terms", "bm25_ranking",
-    # NOT prioritized: the 4 rows-only queries (minhash_lsh_pairs,
-    # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) — the driver
-    # records them as `err: no_oracle` (r1 evidence), which would waste
-    # sampled-window slots; their oracle-checked `*_checked` contract twins
-    # above carry the hard signal instead. Remaining slots fall through to
-    # registration order (r1-green queries re-verify first).
+    # ROUND-4 ROTATION. Recorded-window history: r1 sampled the registration-
+    # order prefix; r2=r3 sampled the families listed in the r2/r3 priority
+    # list. This round leads with the only two oracle-bearing queries that
+    # have NEVER had a driver row, then the two whose implementation changed
+    # this round (LSH NULL-safe signature keys), then the 46 of 47 queries
+    # last recorded in r1 — so after r4 every oracle-bearing query has a
+    # driver row from the last two samplings.
+    "media_decode_headers", "bm25_ranking",
+    # implementation changed this round (operators/dedup.py LSH keys)
+    "minhash_lsh_pairs_checked", "dedup_minhash_end2end",
+    # r1-only rows — refresh (aggregates family)
+    "agg_pricing_summary", "agg_count_distinct", "agg_minmax_stats",
+    "agg_collect", "agg_filtered", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_distinct_rows", "agg_dedup_pick_first",
+    "agg_pivot", "agg_percentiles", "agg_histogram", "agg_global_summary",
+    "agg_argminmax", "string_agg", "percent_of_total", "conditional_distinct",
+    "describe_summary",
+    # r1-only rows — refresh (joins family)
+    "join_inner", "join_left_outer", "join_right_outer", "join_full_outer",
+    "join_left_semi", "join_left_anti", "join_cross", "join_range",
+    "join_self", "join_star_broadcast",
+    # r1-only rows — refresh (relational/extras)
+    "nested_struct_access", "unpivot_stack", "in_subquery_sql",
+    "scalar_subquery_filter", "calendar_functions", "explode_tokens",
+    "literal_inline_table", "union_by_name_missing",
+    "correlated_group_filter", "grouped_map_pandas", "map_explode",
+    # r1-only rows — refresh (llm/text)
+    "dedup_exact", "dedup_fingerprint", "text_stats", "text_quality_filter",
+    "lang_distribution", "doc_rolling_hash",
+    # Left out of the 50 (by design): `range_source` (trivial generator,
+    # r1-green, least at-risk) and the 4 rows-only queries (minhash_lsh_pairs,
+    # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) whose oracle-
+    # checked `*_checked` contract twins carry the hard signal. Remaining
+    # slots fall through to registration order.
 )
 
 
