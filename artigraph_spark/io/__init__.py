@@ -115,7 +115,13 @@ def write(
     # subclasses are honored; the path-prefix sniff is only a fallback for
     # legacy direct calls.
     fn = _lookup(_WRITERS, fmt, storage if storage is not None else _storage_of(partition), view)
-    fn(data, type_, fmt, partition, spark)
+    if _is_local_path(partition.path):
+        # Crash-consistent local materialization: every writer targets a
+        # staging dir; the partition path only comes into existence complete.
+        with atomic_dir_write(partition.path) as staged:
+            fn(data, type_, fmt, partition.model_copy(update={"path": staged}), spark)
+    else:
+        fn(data, type_, fmt, partition, spark)
 
 
 def _storage_of(partition: StoragePartition) -> Storage:
@@ -139,6 +145,14 @@ def _is_local_path(path: str) -> bool:
     return "://" not in path or path.startswith("file://")
 
 
+def _os_path(path: str) -> str:
+    """file:// URI → plain filesystem path for os-level calls (os.rename and
+    friends take paths, not URIs)."""
+    if path.startswith("file://"):
+        return path[len("file://") :] or "/"
+    return path
+
+
 def _fsync_tree(path: str) -> None:
     """fsync every file and directory under ``path`` so the commit rename
     cannot be reordered before its contents reach disk."""
@@ -156,20 +170,36 @@ def _fsync_tree(path: str) -> None:
             os.close(fd)
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync one directory so a rename recorded in it is durable."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 @contextlib.contextmanager
 def atomic_dir_write(path: str):
     """Stage-then-rename commit protocol for directory writes (closes the
     crash-consistency gap the jar-gated Delta sink would otherwise cover).
+    This is the write path's counterpart of the reference's write-then-record
+    contract (/root/reference/src/arti/graphs/__init__.py:272-291): a
+    partition only becomes observable once its bytes are complete.
 
-    Local paths: yields a staging dir ``<path>.__tmp_<token>__``; on success
-    fsyncs the staged tree and commits with ``os.rename`` — readers (and the
-    memoization layer's partition discovery, whose template regex never
-    matches the suffixed staging/backup names) see the OLD complete
-    partition or the NEW complete partition, never a torn one. A crash while
-    staging leaves the old partition untouched; the only non-atomic window
-    is the two-rename swap when overwriting an existing partition, and a
-    crash there leaves the old content recoverable at ``<path>.__old__``
-    (readers then see a MISSING partition — recompute — not torn data).
+    Local paths (including file:// URIs): yields a staging dir
+    ``<path>.__tmp_<token>__``; on success fsyncs the staged tree, commits
+    with ``os.rename``, and fsyncs the PARENT directory so the commit itself
+    is durable. Readers — and the memoization layer's partition discovery,
+    which explicitly rejects the reserved ``.__tmp_``/``.__old_`` markers —
+    see the OLD complete partition or the NEW complete partition, never a
+    torn one. A crash while staging leaves the old partition untouched; the
+    only non-atomic window is the two-rename swap when overwriting an
+    existing partition, and a crash there leaves the old content recoverable
+    at the unique ``<path>.__old_<token>__`` (readers then see a MISSING
+    partition — recompute — not torn data). Token-suffixed names keep
+    concurrent writers of the same partition from stomping each other's
+    staging or backup dirs.
 
     Object-store URIs yield the final path unchanged: single-object PUTs
     are already atomic, and multi-file commit on object stores requires a
@@ -178,27 +208,31 @@ def atomic_dir_write(path: str):
     if not _is_local_path(path):
         yield path
         return
-    tmp = f"{path}.__tmp_{os.getpid()}_{uuid.uuid4().hex[:8]}__"
+    final = _os_path(path)
+    token = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    tmp = f"{final}.__tmp_{token}__"
     try:
         yield tmp
         if not os.path.exists(tmp):
             # Writer produced nothing (e.g. empty plan edge) — nothing to commit.
             return
         _fsync_tree(tmp)
-        old = f"{path}.__old__"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        old = f"{final}.__old_{token}__"
+        had_previous = os.path.exists(final)
+        if had_previous:
+            os.rename(final, old)
+        os.rename(tmp, final)
+        parent = os.path.dirname(final) or "/"
+        _fsync_dir(parent)  # make the commit rename itself durable
+        if had_previous:
+            shutil.rmtree(old, ignore_errors=True)
     finally:
         if os.path.exists(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _data_files(path: str) -> list[str]:
+    path = _os_path(path)  # driver-local os.open, not a Spark reader
     if os.path.isdir(path):
         return sorted(
             f

@@ -193,6 +193,13 @@ def _parse_partition_path(
 ) -> StoragePartition | None:
     """Parse one candidate path against the discovery regex; None if it does
     not match the spec or a key value fails its field parser."""
+    # Reserved engine-internal namespace: io.atomic_dir_write stages under
+    # "<path>.__tmp_<token>__" and parks overwritten content at
+    # "<path>.__old_<token>__". Discovery must NEVER surface either — a
+    # string-typed partition key at the end of a template would otherwise
+    # parse a half-written staging dir as a phantom partition.
+    if ".__tmp_" in path or ".__old_" in path:
+        return None
     m = rx.match(path)
     if not m:
         return None
