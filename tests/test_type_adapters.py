@@ -4,6 +4,8 @@ test_pydantic_adapters.py parametrizations)."""
 
 from __future__ import annotations
 
+from typing import Literal
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -163,3 +165,87 @@ def test_pandas_array_column_not_flattened():
     assert isinstance(back, at.List)
     assert isinstance(back.element, at.List)
     assert isinstance(back.element.element, at.Float64)
+
+# --- remaining reference case tables (tests/arti/types/test_pandas_adapters.py
+# :19-26, test_pydantic_adapters.py:36-159) --------------------------------
+
+
+@pytest.mark.xfail(
+    reason="Map-valued object columns not representable as a pandas dtype "
+    "(mirrors the reference xfail, tests/arti/types/test_pandas_adapters.py:25)"
+)
+def test_pandas_complex_object_columns():
+    coll = at.List(
+        element=at.Struct(
+            fields={
+                "dict": at.Map(key=at.String(), value=at.Int64()),
+                "list": at.List(element=at.Int64()),
+            }
+        )
+    )
+    out = pandas_type_system.to_system(coll, hints={})
+    pd.testing.assert_frame_equal(out, pd.DataFrame({"dict": [{"": 0}], "list": [[0]]}))
+
+
+class ComplexModel(BaseModel):
+    """Mirrors the reference compare_model_to_* coverage: Mapping, sequence
+    tuple, and Literal fields (tests/arti/types/test_pydantic_adapters.py:
+    60-144)."""
+
+    flags: dict[str, int]
+    pair_seq: tuple[int, ...]
+    mode: Literal["a", "b"]
+    sub: MyModel
+
+
+def test_pydantic_complex_fields_to_artigraph():
+    t = pydantic_type_system.to_artigraph(ComplexModel, hints={})
+    assert isinstance(t, at.Struct) and t.description == "ComplexModel"
+    assert isinstance(t.fields["flags"], at.Map)
+    assert isinstance(t.fields["flags"].key, at.String)
+    assert isinstance(t.fields["flags"].value, at.Int64)
+    # Sequence-like tuples convert as List (reference PyTuple contract).
+    assert isinstance(t.fields["pair_seq"], at.List)
+    assert isinstance(t.fields["pair_seq"].element, at.Int64)
+    assert isinstance(t.fields["mode"], at.Enum)
+    assert isinstance(t.fields["mode"].type, at.String)
+    assert set(t.fields["mode"].items) == {"a", "b"}
+    # Nested models recurse into nested Structs.
+    assert isinstance(t.fields["sub"], at.Struct)
+    assert isinstance(t.fields["sub"].fields["x"], at.Int64)
+
+
+def test_pydantic_complex_fields_round_trip():
+    """Reference compare_model_to_generated contract: Mapping→Mapping,
+    tuple→list on the way out, Literal→Literal with the same value set,
+    nested models regenerate as BaseModel subclasses."""
+    from typing import get_args, get_origin
+
+    t = pydantic_type_system.to_artigraph(ComplexModel, hints={})
+    model = pydantic_type_system.to_system(t, hints={})
+    assert issubclass(model, BaseModel) and model.__name__ == "ComplexModel"
+    ann = {k: f.annotation for k, f in model.model_fields.items()}
+    assert get_origin(ann["flags"]) is dict
+    assert get_args(ann["flags"]) == (str, int)
+    assert get_origin(ann["pair_seq"]) is list  # tuples come back as lists
+    assert get_args(ann["pair_seq"]) == (int,)
+    assert get_origin(ann["mode"]) is Literal
+    assert set(get_args(ann["mode"])) == {"a", "b"}
+    sub = ann["sub"]
+    assert issubclass(sub, BaseModel) and sub.__name__ == "MyModel"
+    inst = model(flags={"k": 1}, pair_seq=[1, 2], mode="a", sub={"x": 1, "y": "s", "tags": []})
+    assert inst.flags == {"k": 1} and inst.mode == "a"
+
+
+def test_pydantic_enum_field_naming():
+    """Reference test_pydantic_field_naming (tests/arti/types/
+    test_pydantic_adapters.py:36-41): converting a model whose field is a
+    constrained Literal yields an Enum in that field slot."""
+
+    class Shipment(BaseModel):
+        precision: Literal["s", "ms", "us"]
+
+    t = pydantic_type_system.to_artigraph(Shipment, hints={})
+    assert isinstance(t, at.Struct)
+    assert isinstance(t.fields["precision"], at.Enum)
+    assert set(t.fields["precision"].items) == {"s", "ms", "us"}
