@@ -377,9 +377,25 @@ class LocalFile(Storage):
 # FileSystem.from_uri (s3://, gs://, hdfs://, ...).
 _FS_FACTORIES: dict[str, Any] = {}
 
+# scheme -> checksum(fs, path) returning a provider-reported content checksum
+# string (e.g. GCS md5Hash/crc32c, S3 ETag) or None when the provider has
+# none for that object. pyarrow's public FileInfo carries only
+# path/size/mtime, so provider checksums must come through this hook.
+_FS_CHECKSUMS: dict[str, Any] = {}
 
-def register_filesystem(scheme: str, factory: Any) -> None:
+
+def register_filesystem(scheme: str, factory: Any, *, checksum: Any = None) -> None:
+    """Mount a filesystem factory for a URI scheme; optionally supply a
+    ``checksum(fs, path) -> str | None`` hook exposing provider-side content
+    checksums, which upgrades fast-mode fingerprints from (size, mtime)
+    identity to true content identity at metadata cost — the reference's GCS
+    behavior (/root/reference/src/arti/storage/google/cloud/storage.py:28-33
+    prefers md5Hash, falls back to crc32c)."""
     _FS_FACTORIES[scheme] = factory
+    if checksum is not None:
+        _FS_CHECKSUMS[scheme] = checksum
+    else:
+        _FS_CHECKSUMS.pop(scheme, None)
 
 
 def _resolve_fs(uri: str) -> tuple[Any, str]:
@@ -392,14 +408,27 @@ def _resolve_fs(uri: str) -> tuple[Any, str]:
 
 
 def _fingerprint_object_uri(uri: str, *, strict: bool = False) -> Fingerprint:
-    """Object-store twin of ``_fingerprint_path``: fast mode hashes
-    (relpath, size, mtime) per object from the LISTING only — the analogue of
-    the reference's use of server-side md5Hash/crc32c metadata
-    (/root/reference/src/arti/storage/google/cloud/storage.py:28-33): no
-    object bytes move. Strict mode streams sha256 over the bytes."""
+    """Object-store twin of ``_fingerprint_path``.
+
+    Fast mode (default) is metadata-only — no object bytes move:
+
+    - scheme has a registered checksum hook → per-object
+      ``(relpath, provider_checksum)``: CONTENT identity at listing cost,
+      exactly the reference's GCS fingerprinting
+      (/root/reference/src/arti/storage/google/cloud/storage.py:28-33);
+      objects the hook returns None for fall back per-object to metadata.
+    - no hook (pyarrow FileInfo has no checksum field) → per-object
+      ``(relpath, size, mtime)``: change-detection identity, not content
+      identity — reverting an object's bytes with a fresh mtime reads as
+      "changed". Memoization then rebuilds (safe, just not content-addressed).
+
+    Strict mode streams sha256 over the bytes — content identity regardless
+    of provider metadata, at read cost.
+    """
     from pyarrow import fs as pafs
 
     fs, root = _resolve_fs(uri)
+    checksum = _FS_CHECKSUMS.get(uri.split("://", 1)[0])
     info = fs.get_file_info(root)
     if info.type == pafs.FileType.NotFound:
         raise FileNotFoundError(uri)
@@ -414,6 +443,7 @@ def _fingerprint_object_uri(uri: str, *, strict: bool = False) -> Fingerprint:
         infos = [info]
     fp = Fingerprint.identity()
     for i in infos:
+        rel = i.path[len(root) :].lstrip("/") or os.path.basename(i.path)
         if strict:
             h = hashlib.sha256()
             with fs.open_input_stream(i.path) as fh:
@@ -421,9 +451,12 @@ def _fingerprint_object_uri(uri: str, *, strict: bool = False) -> Fingerprint:
                     h.update(chunk)
             part = Fingerprint.from_bytes(h.digest())
         else:
-            rel = i.path[len(root) :].lstrip("/") or os.path.basename(i.path)
-            mtime = i.mtime_ns if i.mtime_ns is not None else 0
-            part = Fingerprint.from_string(f"{rel}:{i.size}:{mtime}")
+            provided = checksum(fs, i.path) if checksum is not None else None
+            if provided is not None:
+                part = Fingerprint.from_string(f"{rel}:{provided}")
+            else:
+                mtime = i.mtime_ns if i.mtime_ns is not None else 0
+                part = Fingerprint.from_string(f"{rel}:{i.size}:{mtime}")
         fp = fp.combine(part)
     return fp
 

@@ -241,3 +241,59 @@ def test_object_store_pandas_write_honors_cluster_by(mock_fs):
     fs, root = __import__("artigraph_spark.storage", fromlist=["_resolve_fs"])._resolve_fs(p.path)
     stored = pq.read_table(f"{root}/part-0.parquet", filesystem=fs)
     assert stored["a"].to_pylist() == [1, 2, 3]
+
+
+def test_provider_checksum_upgrades_fast_fingerprint(tmp_path):
+    """With a registered checksum hook, fast-mode fingerprints are CONTENT
+    identity (mtime churn invisible, content changes visible) — the
+    reference's GCS md5Hash behavior. Without it, fast mode falls back to
+    (size, mtime) change detection."""
+    import hashlib
+    import os
+
+    local = pafs.LocalFileSystem()
+
+    def factory(uri: str):
+        rest = uri.split("://", 1)[1]
+        within = rest.split("/", 1)[1] if "/" in rest else ""
+        return pafs.SubTreeFileSystem(str(tmp_path), local), within
+
+    def provider_md5(fs, path):  # simulates server-side md5Hash metadata
+        with fs.open_input_stream(path) as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    d = tmp_path / "part"
+    d.mkdir()
+    f = d / "obj.bin"
+    f.write_bytes(b"hello")
+    sp = StoragePartition(path=f"ck://{BUCKET}/part")
+
+    try:
+        register_filesystem("ck", factory, checksum=provider_md5)
+        fp1 = sp.compute_content_fingerprint().content_fingerprint
+        # mtime-only churn (content identical) → fingerprint stable.
+        os.utime(f, ns=(1, 1))
+        assert sp.compute_content_fingerprint().content_fingerprint == fp1
+        # content change → fingerprint moves.
+        f.write_bytes(b"world")
+        fp2 = sp.compute_content_fingerprint().content_fingerprint
+        assert fp2 != fp1
+        # revert content → fingerprint reverts (content-addressed).
+        f.write_bytes(b"hello")
+        assert sp.compute_content_fingerprint().content_fingerprint == fp1
+
+        # strict mode ignores the hook and hashes bytes itself.
+        s1 = sp.compute_content_fingerprint(strict=True).content_fingerprint
+        assert s1 != fp1
+
+        # Without the hook, the same mtime churn DOES move the fingerprint.
+        register_filesystem("ck", factory)  # re-register, no checksum
+        m1 = sp.compute_content_fingerprint().content_fingerprint
+        os.utime(f, ns=(2_000_000_000, 2_000_000_000))
+        m2 = sp.compute_content_fingerprint().content_fingerprint
+        assert m1 != m2
+    finally:
+        _FS_FACTORIES.pop("ck", None)
+        from artigraph_spark.storage import _FS_CHECKSUMS
+
+        _FS_CHECKSUMS.pop("ck", None)
