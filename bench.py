@@ -6,8 +6,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed over a full execution into the JVM-side `noop` sink —
 every row is produced and consumed on executors with no driver collect and
 no Python workers in the action path (a Python `foreach` would bill ~0.25 s
-of worker spin-up per output partition to the query). A warmup pass touches
-every table's read path first so JVM/codegen startup isn't billed either.
+of worker spin-up per output partition to the query). Noise control: every
+query first runs once UNTIMED (absorbs session/codegen/footer-cache
+residue — historically ~2 s billed to whichever query ran first), then the
+reported figure is the MEDIAN of 3 timed runs.
 """
 
 from __future__ import annotations
@@ -38,12 +40,22 @@ def main() -> None:
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         load(spark, sf_dir, t).limit(1000).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, fn in sorted(bench_queries().items()):
+    queries = sorted(bench_queries().items())
+
+    def run(fn) -> float:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # full execution, JVM-side
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    for _name, fn in queries:  # untimed pass: plans compiled, caches warm
+        run(fn)
+
+    samples: dict[str, list[float]] = {name: [] for name, _ in queries}
+    for _ in range(3):
+        for name, fn in queries:
+            samples[name].append(run(fn))
+    timings = {name: round(sorted(ts)[1], 3) for name, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
     print(
