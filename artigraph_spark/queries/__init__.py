@@ -58,6 +58,8 @@ _PRIORITY: tuple[str, ...] = (
     # last recorded in r1 — so after r4 every oracle-bearing query has a
     # driver row from the last two samplings.
     "media_decode_headers", "bm25_ranking",
+    # NEW this round (operators/packing.py) — need first driver rows
+    "pack_sequences", "benchmark_contamination", "stratified_sample_mix",
     # implementation changed this round (operators/dedup.py LSH keys)
     "minhash_lsh_pairs_checked", "dedup_minhash_end2end",
     # r1-only rows — refresh (aggregates family)
@@ -66,24 +68,24 @@ _PRIORITY: tuple[str, ...] = (
     "agg_grouping_sets", "agg_distinct_rows", "agg_dedup_pick_first",
     "agg_pivot", "agg_percentiles", "agg_histogram", "agg_global_summary",
     "agg_argminmax", "string_agg", "percent_of_total", "conditional_distinct",
-    "describe_summary",
     # r1-only rows — refresh (joins family)
     "join_inner", "join_left_outer", "join_right_outer", "join_full_outer",
     "join_left_semi", "join_left_anti", "join_cross", "join_range",
     "join_self", "join_star_broadcast",
     # r1-only rows — refresh (relational/extras)
     "nested_struct_access", "unpivot_stack", "in_subquery_sql",
-    "scalar_subquery_filter", "calendar_functions", "explode_tokens",
-    "literal_inline_table", "union_by_name_missing",
+    "scalar_subquery_filter", "explode_tokens",
+    "literal_inline_table",
     "correlated_group_filter", "grouped_map_pandas", "map_explode",
     # r1-only rows — refresh (llm/text)
     "dedup_exact", "dedup_fingerprint", "text_stats", "text_quality_filter",
     "lang_distribution", "doc_rolling_hash",
-    # Left out of the 50 (by design): `range_source` (trivial generator,
-    # r1-green, least at-risk) and the 4 rows-only queries (minhash_lsh_pairs,
-    # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) whose oracle-
-    # checked `*_checked` contract twins carry the hard signal. Remaining
-    # slots fall through to registration order.
+    # Left out of the 50 (by design): `range_source`, `describe_summary`,
+    # `calendar_functions`, `union_by_name_missing` (r1-green, stablest, no
+    # implementation change since) and the 4 rows-only queries
+    # (minhash_lsh_pairs, dedup_clusters, simhash_fingerprints,
+    # cosine_topk_lsh) whose oracle-checked `*_checked` contract twins carry
+    # the hard signal. Remaining slots fall through to registration order.
 )
 
 
@@ -126,6 +128,7 @@ def _load_modules() -> None:
         extras,
         joins,
         llm,
+        pipeline,
         relational,
         setops,
         timeseries,

@@ -1,0 +1,105 @@
+"""Training-pipeline assembly queries: sequence packing, contamination
+audit, stratified mixing — the operators/packing.py surface, oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from artigraph_spark.queries import query
+from artigraph_spark.sources import load
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH tc AS (
+        SELECT doc_id, len({_TOKS}) AS n FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n,
+               CAST(SUM(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fin
+        FROM tc
+    ),
+    spans AS (SELECT doc_id, fin - n AS strt, fin FROM cum WHERE n > 0)
+    SELECT doc_id, g.b AS bin_id,
+           LEAST(fin, (g.b + 1) * 128) - GREATEST(strt, g.b * 128) AS tokens_in_bin
+    FROM spans,
+         UNNEST(generate_series(CAST(FLOOR(strt / 128.0) AS BIGINT),
+                                CAST(FLOOR((fin - 1) / 128.0) AS BIGINT))) AS g(b)
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """Concat-then-chunk packing of the document corpus into 128-token
+    context windows (distributed two-phase prefix sum — no global window)."""
+    from artigraph_spark.operators.packing import pack_sequences, token_count
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", capacity=128)
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM toks WHERE len(t) >= 3
+    ),
+    tr AS (SELECT doc_id, u.g AS gram FROM grams, UNNEST(g) AS u(g) WHERE doc_id >= 50),
+    bg AS (SELECT DISTINCT u.g AS gram FROM grams, UNNEST(g) AS u(g) WHERE doc_id < 50),
+    tot AS (SELECT doc_id, COUNT(*) AS total_ngrams FROM tr GROUP BY doc_id),
+    hit AS (SELECT tr.doc_id, COUNT(*) AS overlap_ngrams
+            FROM tr JOIN bg USING (gram) GROUP BY tr.doc_id)
+    SELECT t.doc_id, t.total_ngrams,
+           COALESCE(h.overlap_ngrams, 0) AS overlap_ngrams,
+           CAST(COALESCE(h.overlap_ngrams, 0) AS DOUBLE) / t.total_ngrams AS contamination
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def benchmark_contamination_q(spark, sf_dir):
+    """Train/eval trigram-overlap audit: docs 0-49 stand in as the benchmark
+    set, the rest as the training corpus."""
+    from artigraph_spark.operators.packing import benchmark_contamination
+
+    d = load(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        d.filter(F.col("doc_id") >= 50),
+        d.filter(F.col("doc_id") < 50),
+        "doc_id",
+        "text",
+        n=3,
+    )
+
+
+@query(
+    "stratified_sample_mix",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    WHERE ((((((l_orderkey % 1000000007) * 7 + l_linenumber) % 1000000007)
+             * 2654435761) % 1000000007) % 10000) <
+          CASE l_returnflag WHEN 'A' THEN 500 WHEN 'N' THEN 1500
+                            WHEN 'R' THEN 2500 ELSE 0 END
+    """,
+)
+def stratified_sample_mix_q(spark, sf_dir):
+    """Dataset-mixing sampler: reproducible per-stratum rates (5% of 'A',
+    15% of 'N', 25% of 'R') keyed by row identity, not partitioning."""
+    from artigraph_spark.operators.packing import stratified_sample
+
+    li = load(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") % 1_000_000_007) * 7 + F.col("l_linenumber")
+    return stratified_sample(
+        li,
+        "l_returnflag",
+        {"A": 0.05, "N": 0.15, "R": 0.25},
+        key,
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")

@@ -1,0 +1,105 @@
+"""Sequence packing / contamination / stratified sampling operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from artigraph_spark.operators.packing import (
+    benchmark_contamination,
+    ngrams,
+    pack_sequences,
+    stratified_sample,
+    token_count,
+)
+
+
+def test_pack_sequences_exact_layout(spark):
+    # Token stream: 5 + 3 + 6 + 2 = 16 tokens, capacity 8 →
+    # bins: doc1[0,5) doc2[5,8) all bin0; doc3[8,14) bin1; doc4[14,16) bin1.
+    d = spark.createDataFrame(
+        [(1, 5), (2, 3), (3, 6), (4, 2)], "doc_id long, n long"
+    )
+    rows = sorted(
+        (r["doc_id"], r["bin_id"], r["tokens_in_bin"])
+        for r in pack_sequences(d, "doc_id", "n", capacity=8).collect()
+    )
+    assert rows == [(1, 0, 5), (2, 0, 3), (3, 1, 6), (4, 1, 2)]
+
+
+def test_pack_sequences_straddle_and_empty(spark):
+    # 6 + 0 + 5: doc2 (zero tokens) occupies nothing; doc3 straddles the
+    # capacity-8 boundary: [6,11) → 2 tokens in bin0, 3 in bin1.
+    d = spark.createDataFrame([(1, 6), (2, 0), (3, 5)], "doc_id long, n long")
+    rows = sorted(
+        (r["doc_id"], r["bin_id"], r["tokens_in_bin"])
+        for r in pack_sequences(d, "doc_id", "n", capacity=8).collect()
+    )
+    assert rows == [(1, 0, 6), (3, 0, 2), (3, 1, 3)]
+    # Conservation: every token lands in exactly one bin.
+    assert sum(t for _, _, t in rows) == 11
+
+
+def test_pack_sequences_partitioning_independent(spark):
+    d = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n")
+    )
+    a = pack_sequences(d, "doc_id", "n", capacity=64, num_buckets=4).collect()
+    b = pack_sequences(d.repartition(13), "doc_id", "n", capacity=64, num_buckets=32).collect()
+    key = lambda rows: sorted((r["doc_id"], r["bin_id"], r["tokens_in_bin"]) for r in rows)
+    assert key(a) == key(b)
+
+
+def test_pack_sequences_validation_and_empty_input(spark):
+    d = spark.createDataFrame([], "doc_id long, n long")
+    assert pack_sequences(d, "doc_id", "n", capacity=8).count() == 0
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(d, "doc_id", "n", capacity=0)
+
+
+def test_ngrams_and_token_count(spark):
+    d = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "text string")
+    out = d.select(
+        token_count(F.col("text")).alias("n"), ngrams(F.col("text"), 3).alias("g")
+    ).collect()
+    assert out[0]["n"] == 4 and out[0]["g"] == ["a b c", "b c d"]
+    assert out[1]["g"] == []  # shorter than n → no grams, not null
+    assert out[2]["n"] == 0 and out[2]["g"] == []
+
+
+def test_benchmark_contamination_counts(spark):
+    bench = spark.createDataFrame([(0, "the quick brown fox jumps")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (10, "the quick brown fox runs"),  # shares 2 of 3 trigrams
+            (11, "totally novel text here now"),  # clean
+            (12, "a b"),  # too short — not assessable, absent from output
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            benchmark_contamination(train, bench, "doc_id", "text", n=3).collect()}
+    assert set(rows) == {10, 11}
+    assert rows[10]["total_ngrams"] == 3 and rows[10]["overlap_ngrams"] == 2
+    assert rows[10]["contamination"] == pytest.approx(2 / 3)
+    assert rows[11]["overlap_ngrams"] == 0 and rows[11]["contamination"] == 0.0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "a").when(F.col("id") % 3 == 1, "b")
+        .otherwise("c").alias("s"),
+    )
+    out = stratified_sample(df, "s", {"a": 0.5, "b": 0.05}, F.col("k"))
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert "c" not in counts  # unlisted stratum dropped
+    assert counts["a"] == pytest.approx(20000 / 3 * 0.5, rel=0.1)
+    assert counts["b"] == pytest.approx(20000 / 3 * 0.05, rel=0.3)
+    # Partitioning-independent membership.
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(
+        r["k"]
+        for r in stratified_sample(
+            df.repartition(17), "s", {"a": 0.5, "b": 0.05}, F.col("k")
+        ).collect()
+    )
+    assert a == b
