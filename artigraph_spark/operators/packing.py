@@ -190,3 +190,29 @@ def stratified_sample(
     )
     limit = F.element_at(thresholds, F.col(strata_col))
     return df.filter(limit.isNotNull() & ((h % denominator) < limit))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_key: Column,
+) -> DataFrame:
+    """Domain capping: keep at most ``k`` rows per group, chosen
+    deterministically by ``order_key`` (hash the row id for an unbiased,
+    reproducible draw; use a quality score to keep the best instead). The
+    standard defense against a handful of crawl domains dominating a
+    training mixture.
+
+    Scale: one shuffle on the group key; WindowGroupLimit pushes the
+    row_number predicate below the sort at the map side, so only ≤ k rows
+    per group per partition survive into the exchange.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(group_col).orderBy(order_key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -103,3 +103,30 @@ def stratified_sample_mix_q(spark, sf_dir):
         {"A": 0.05, "N": 0.15, "R": 0.25},
         key,
     ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+@query(
+    "domain_cap",
+    oracle="""
+    SELECT doc_id, source, lang
+    FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 25
+    """,
+)
+def domain_cap_q(spark, sf_dir):
+    """Cap each source domain at 25 documents, selected by deterministic
+    id-hash order (unbiased, engine/partitioning independent)."""
+    from artigraph_spark.operators.packing import cap_per_group
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    # Struct ordering = lexicographic over (hash, id) — the id tiebreak makes
+    # the ordering total, so the kept set is unique.
+    return cap_per_group(d, "source", 25, order_key=F.struct(
+        ((F.col("doc_id") * 2_654_435_761) % 1_000_000_007), F.col("doc_id")
+    ))

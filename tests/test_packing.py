@@ -103,3 +103,19 @@ def test_stratified_sample_rates_and_determinism(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_cap_per_group(spark):
+    from artigraph_spark.operators.packing import cap_per_group
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("src")
+    )
+    out = cap_per_group(df, "src", 10, order_key=F.col("doc_id"))
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 10, "1": 10, "2": 10}
+    # Deterministic: lowest ids kept under id ordering.
+    kept0 = sorted(r["doc_id"] for r in out.filter(F.col("src") == "0").collect())
+    assert kept0 == [0, 3, 6, 9, 12, 15, 18, 21, 24, 27]
+    with pytest.raises(ValueError, match="k must be positive"):
+        cap_per_group(df, "src", 0, order_key=F.col("doc_id"))
