@@ -114,8 +114,13 @@ def write(
     # it (Graph.write always does) so writers registered for custom Storage
     # subclasses are honored; the path-prefix sniff is only a fallback for
     # legacy direct calls.
-    fn = _lookup(_WRITERS, fmt, storage if storage is not None else _storage_of(partition), view)
-    if _is_local_path(partition.path):
+    resolved = storage if storage is not None else _storage_of(partition)
+    fn = _lookup(_WRITERS, fmt, resolved, view)
+    # Stage only when the STORAGE says the path is a local filesystem
+    # location — a custom Storage subclass may use scheme-less opaque
+    # identifiers (table names, catalog keys) that a path sniff would
+    # mistake for local dirs and silently mangle with a staging suffix.
+    if isinstance(resolved, LocalFile) and _is_local_path(partition.path):
         # Crash-consistent local materialization: every writer targets a
         # staging dir; the partition path only comes into existence complete.
         with atomic_dir_write(partition.path) as staged:
@@ -209,10 +214,26 @@ def atomic_dir_write(path: str):
         yield path
         return
     final = _os_path(path)
+    # Reconcile leftovers from previously CRASHED writes of this same
+    # partition: token-suffixed backup/staging dirs are post-crash garbage
+    # (live writes clean their own in the finally below). Concurrent writers
+    # of the SAME partition path are unsupported (last-writer-wins at the
+    # rename even with unique tokens) — sweeping here cannot break any
+    # supported pattern, and without it every crashed overwrite would leak a
+    # full partition copy forever.
+    for stale in _glob.glob(f"{_glob.escape(final)}.__old_*__") + _glob.glob(
+        f"{_glob.escape(final)}.__tmp_*__"
+    ):
+        shutil.rmtree(stale, ignore_errors=True)
     token = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
     tmp = f"{final}.__tmp_{token}__"
+    # Writers get the staged path in the SAME form the partition path used:
+    # a file:// URI must stay a URI, or a Spark writer on a cluster whose
+    # default FS is not the local filesystem would write the bare staged
+    # path to HDFS and the local commit would see nothing to rename.
+    staged_for_writer = f"file://{tmp}" if path.startswith("file://") else tmp
     try:
-        yield tmp
+        yield staged_for_writer
         if not os.path.exists(tmp):
             # Writer produced nothing (e.g. empty plan edge) — nothing to commit.
             return
@@ -221,7 +242,15 @@ def atomic_dir_write(path: str):
         had_previous = os.path.exists(final)
         if had_previous:
             os.rename(final, old)
-        os.rename(tmp, final)
+        try:
+            os.rename(tmp, final)
+        except BaseException:
+            # Commit rename failed (e.g. ENOSPC on the parent): restore the
+            # old partition rather than leaving it parked under the backup
+            # name with the final path missing.
+            if had_previous and not os.path.exists(final):
+                os.rename(old, final)
+            raise
         parent = os.path.dirname(final) or "/"
         _fsync_dir(parent)  # make the commit rename itself durable
         if had_previous:
@@ -479,8 +508,9 @@ def _read_json_list(type_, fmt, storage, partitions, spark) -> list:
 
 @register_writer(JSON, LocalFile, PythonListView)
 def _write_json_list(data: list, type_, fmt, partition, spark) -> None:
-    os.makedirs(partition.path, exist_ok=True)
-    with open(os.path.join(partition.path, "part-0.json"), "w") as fh:
+    path = _os_path(partition.path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.json"), "w") as fh:
         json.dump(data, fh, default=str)
 
 
@@ -494,8 +524,9 @@ def _read_json_scalar(type_, fmt, storage, partitions, spark) -> Any:
 
 @register_writer(JSON, LocalFile, PythonScalarView)
 def _write_json_scalar(data: Any, type_, fmt, partition, spark) -> None:
-    os.makedirs(partition.path, exist_ok=True)
-    with open(os.path.join(partition.path, "part-0.json"), "w") as fh:
+    path = _os_path(partition.path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.json"), "w") as fh:
         json.dump(data, fh, default=str)
 
 
@@ -523,8 +554,9 @@ def _read_pickle_scalar(type_, fmt, storage, partitions, spark) -> Any:
 
 @register_writer(Pickle, LocalFile, PythonScalarView)
 def _write_pickle_scalar(data: Any, type_, fmt, partition, spark) -> None:
-    os.makedirs(partition.path, exist_ok=True)
-    with open(os.path.join(partition.path, "part-0.pickle"), "wb") as fh:
+    path = _os_path(partition.path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.pickle"), "wb") as fh:
         pickle.dump(data, fh)
 
 

@@ -36,7 +36,8 @@ def pack_sequences(
     (the standard LLM pretraining packing — documents may straddle a bin
     boundary). Returns one row per (document, bin) overlap:
     ``(id, bin_id, tokens_in_bin)``. Zero-token documents occupy no bin and
-    are omitted.
+    are omitted; rows with a NULL id or NULL count are dropped (a NULL id
+    has no place in the total order, a NULL count no length).
 
     Scale: a naive global ``Window.orderBy`` prefix-sum drags every row into
     ONE partition — a non-starter at 100 TB. This uses the classic two-phase
@@ -49,39 +50,54 @@ def pack_sequences(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    bounds = df.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-    ).first()
+    # Slim the input to (id, count) and truncate lineage ONCE: bounds, bucket
+    # totals, and the window phase below would otherwise each re-execute the
+    # full upstream (scan + tokenization) — 3 scans for one packing. The
+    # checkpointed projection is ~16 bytes/row. NULL ids are unorderable and
+    # NULL/zero counts occupy no bin: both dropped here (documented above).
+    slim = (
+        df.select(F.col(id_col), F.col(count_col).cast("long").alias("__n"))
+        .filter(F.col(id_col).isNotNull() & (F.col("__n") > 0))
+        .localCheckpoint()
+    )
+    bounds = slim.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
     if bounds["lo"] is None:
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, bin_id long, tokens_in_bin long"
         )
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     width = max((hi - lo) // num_buckets + 1, 1)
-    bucketed = df.select(
-        F.col(id_col), F.col(count_col).cast("long").alias("__n")
-    ).withColumn("__bkt", ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("long"))
+    bucketed = slim.withColumn(
+        "__bkt", ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("long")
+    )
 
     # Phase 1: per-bucket totals — num_buckets rows of metadata to the driver.
     totals = {
-        r["__bkt"]: r["total"]
+        r["__bkt"]: int(r["total"])
         for r in bucketed.groupBy("__bkt").agg(F.sum("__n").alias("total")).collect()
     }
     offsets, acc = [], 0
     for b in sorted(totals):
         offsets.append((b, acc))
-        acc += int(totals[b])
+        acc += totals[b]
     offset_df = df.sparkSession.createDataFrame(offsets, "__bkt long, __off long")
 
     # Phase 2: within-bucket prefix sum (buckets sort independently) shifted
-    # by the broadcast bucket offset → exact global running totals.
-    w = Window.partitionBy("__bkt").orderBy(id_col)
+    # by the broadcast bucket offset → exact global running totals. ROWS
+    # frame, not the default RANGE: RANGE sums all ORDER-BY tie peers
+    # together, so duplicate ids would share one cumulative value and claim
+    # overlapping spans (duplicate ids get an arbitrary but valid relative
+    # order; token conservation always holds).
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     fin = (F.sum("__n").over(w) + F.col("__off")).alias("__fin")
     laid = (
         bucketed.join(F.broadcast(offset_df), "__bkt")
         .select(F.col(id_col), F.col("__n"), fin)
         .withColumn("__start", F.col("__fin") - F.col("__n"))
-        .filter(F.col("__n") > 0)
     )
     cap = F.lit(int(capacity))
     first_bin = F.floor(F.col("__start") / cap)
@@ -176,11 +192,14 @@ def stratified_sample(
     training pipeline can re-materialize the exact same mixture anywhere.
 
     ``key`` must be a deterministic integer column expression (reduce it
-    mod a prime first if values can exceed ~2^31, see sample_deterministic).
-    Rows whose stratum is missing from ``fractions`` are dropped. Pure
-    filter over a scan: no shuffle, fully pushdown-friendly.
+    mod a prime first if values can exceed ~2^31, see sample_deterministic);
+    negative keys are fine — hashing uses pmod, so a signed key cannot
+    push a bucket below every threshold. Rows whose stratum is missing from
+    ``fractions`` are dropped. Pure filter over a scan: no shuffle, fully
+    pushdown-friendly.
     """
-    h = (key % F.lit(1_000_000_007)) * F.lit(2_654_435_761) % F.lit(1_000_000_007)
+    p = F.lit(1_000_000_007)
+    h = F.pmod(F.pmod(key, p) * F.lit(2_654_435_761), p)
     thresholds = F.create_map(
         *[
             x
@@ -189,7 +208,7 @@ def stratified_sample(
         ]
     )
     limit = F.element_at(thresholds, F.col(strata_col))
-    return df.filter(limit.isNotNull() & ((h % denominator) < limit))
+    return df.filter(limit.isNotNull() & (F.pmod(h, F.lit(denominator)) < limit))
 
 
 def cap_per_group(

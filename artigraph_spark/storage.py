@@ -84,17 +84,20 @@ def _fingerprint_path(path: str, *, strict: bool = False) -> Fingerprint:
         files = [path]
     fp = Fingerprint.identity()
     for f in files:
+        rel = os.path.relpath(f, path)
         if strict:
-            h = hashlib.sha256()
+            # The relpath is part of the digest: the combine is XOR, so two
+            # files with IDENTICAL bytes would otherwise cancel to the
+            # identity — a partition of two duplicate part files would
+            # fingerprint the same as an empty one.
+            h = hashlib.sha256(rel.encode())
             with open(f, "rb") as fh:
                 for chunk in iter(lambda: fh.read(1 << 20), b""):
                     h.update(chunk)
             part = Fingerprint.from_bytes(h.digest())
         else:
             st = os.stat(f)
-            part = Fingerprint.from_string(
-                f"{os.path.relpath(f, path)}:{st.st_size}:{st.st_mtime_ns}"
-            )
+            part = Fingerprint.from_string(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
         fp = fp.combine(part)
     return fp
 
@@ -349,6 +352,15 @@ class LocalFile(Storage):
             path = path.rstrip("/")  # empty trailing segments (no key, no fp)
         if "{" in path:
             raise ValueError(f"unresolved placeholders remain in {path!r}")
+        if ".__tmp_" in path or ".__old_" in path:
+            # quote() leaves '.' and '_' unescaped, so a key value could
+            # render into the reserved staging/backup namespace — which
+            # discovery unconditionally rejects. Writing there would make
+            # the data permanently undiscoverable; fail at generation.
+            raise ValueError(
+                f"partition path {path!r} collides with the reserved "
+                "'.__tmp_'/'.__old_' staging namespace"
+            )
         return StoragePartition(
             path=path, partition_key=key, input_fingerprint=input_fingerprint
         )
@@ -445,7 +457,9 @@ def _fingerprint_object_uri(uri: str, *, strict: bool = False) -> Fingerprint:
     for i in infos:
         rel = i.path[len(root) :].lstrip("/") or os.path.basename(i.path)
         if strict:
-            h = hashlib.sha256()
+            # relpath seeds the digest so identical-content objects cannot
+            # XOR-cancel (see _fingerprint_path).
+            h = hashlib.sha256(rel.encode())
             with fs.open_input_stream(i.path) as fh:
                 for chunk in iter(lambda: fh.read(1 << 20), b""):
                     h.update(chunk)

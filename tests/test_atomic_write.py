@@ -118,3 +118,67 @@ def test_discovery_rejects_staging_and_backup_dirs(tmp_path):
     found = storage.discover_partitions(key_types)
     assert [p.path for p in found] == [good.path]
     assert found[0].partition_key.fields["lang"].value == "en"
+
+
+def test_staged_path_keeps_file_scheme(tmp_path):
+    """A file:// partition path must yield a file:// staging path — Spark
+    writers resolve scheme-less paths against the cluster default FS."""
+    with io.atomic_dir_write(f"file://{tmp_path}/part") as staged:
+        assert staged.startswith("file://")
+        os.makedirs(staged[len("file://"):], exist_ok=True)
+        with open(os.path.join(staged[len("file://"):], "f"), "w") as fh:
+            fh.write("x")
+    assert os.path.isdir(tmp_path / "part")
+
+
+def test_crashed_write_leftovers_swept_on_next_write(spark, tmp_path):
+    """Token-suffixed backup/staging dirs from a hard-killed writer are
+    reconciled by the next write of the same partition, not leaked forever."""
+    p = _partition(tmp_path, "leaky")
+    io.write([{"a": 1, "b": "x"}], COLL, JSON(), p, PythonListView, spark)
+    for junk in (f"{p.path}.__old_999_dead__", f"{p.path}.__tmp_999_dead__"):
+        os.makedirs(junk)
+        open(os.path.join(junk, "garbage"), "w").close()
+    io.write([{"a": 2, "b": "y"}], COLL, JSON(), p, PythonListView, spark)
+    assert sorted(os.listdir(tmp_path)) == ["leaky"]
+    assert io.read(COLL, JSON(), LocalFile(), [p], PythonListView, spark) == [
+        {"a": 2, "b": "y"}
+    ]
+
+
+def test_non_localfile_storage_paths_never_staged(spark, tmp_path):
+    """A custom Storage whose writer treats the path as an opaque identifier
+    (no scheme) must receive it VERBATIM — staging suffixes would corrupt
+    catalog keys that merely look like local paths."""
+    from artigraph_spark.storage import Storage
+
+    class CatalogStorage(Storage):
+        def resolve_templates(self, **values):
+            return self
+
+    seen = {}
+
+    @io.register_writer(JSON, CatalogStorage, PythonListView)
+    def _catalog_writer(data, type_, fmt, partition, spark) -> None:
+        seen["path"] = partition.path
+
+    p = _partition(tmp_path, "cat_key")
+    io.write(
+        [{"a": 1, "b": "x"}], COLL, JSON(), p, PythonListView, spark,
+        storage=CatalogStorage(),
+    )
+    assert seen["path"] == p.path  # no .__tmp_ suffix
+
+
+def test_generate_partition_rejects_reserved_namespace(tmp_path):
+    from artigraph_spark.fingerprint import Fingerprint
+    from artigraph_spark.partitions import PartitionKey, StringField
+
+    storage = LocalFile(
+        root=str(tmp_path), template="{root}/corpus/{partition_key_spec}"
+    ).resolve_templates()
+    with pytest.raises(ValueError, match="reserved"):
+        storage.generate_partition(
+            PartitionKey(fields={"lang": StringField(key="v.__tmp_x__")}),
+            Fingerprint.empty(),
+        )

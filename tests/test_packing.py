@@ -119,3 +119,38 @@ def test_cap_per_group(spark):
     assert kept0 == [0, 3, 6, 9, 12, 15, 18, 21, 24, 27]
     with pytest.raises(ValueError, match="k must be positive"):
         cap_per_group(df, "src", 0, order_key=F.col("doc_id"))
+
+
+def test_pack_sequences_duplicate_ids_conserve_tokens(spark):
+    # Duplicate ids tie in the ORDER BY; the ROWS frame still gives each row
+    # its own cumulative slot (RANGE would merge tie peers and overlap bins).
+    d = spark.createDataFrame([(1, 5), (1, 5), (2, 2)], "doc_id long, n long")
+    rows = pack_sequences(d, "doc_id", "n", capacity=8).collect()
+    per_bin = {}
+    for r in rows:
+        per_bin[r["bin_id"]] = per_bin.get(r["bin_id"], 0) + r["tokens_in_bin"]
+    assert per_bin == {0: 8, 1: 4}  # 12 tokens → full bin 0, 4 in bin 1
+    assert sum(r["tokens_in_bin"] for r in rows) == 12
+
+
+def test_pack_sequences_drops_null_rows(spark):
+    d = spark.createDataFrame(
+        [(1, 4), (None, 9), (3, None), (4, 4)], "doc_id long, n long"
+    )
+    rows = sorted(
+        (r["doc_id"], r["bin_id"], r["tokens_in_bin"])
+        for r in pack_sequences(d, "doc_id", "n", capacity=8).collect()
+    )
+    assert rows == [(1, 0, 4), (4, 0, 4)]
+
+
+def test_stratified_sample_negative_keys(spark):
+    # Signed keys must hash into [0, denominator), not below every threshold.
+    df = spark.range(0, 1000).select(
+        (F.col("id") - 500).alias("k"), F.lit("a").alias("s")
+    )
+    out = stratified_sample(df, "s", {"a": 0.05}, F.col("k"))
+    n = out.count()
+    assert 10 <= n <= 120  # ~5%, NOT all 1000
+    neg = out.filter(F.col("k") < 0).count()
+    assert neg < 120  # negative keys are sampled at the same rate, not 100%
