@@ -236,3 +236,18 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(dsum(F.round(idf * norm_tf, 9)).alias("bm25"))  # fixed-point: order-independent
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Deterministic normalization chain for crawl text: lowercase,
+    typographic quotes/dashes folded to ASCII, control characters stripped,
+    whitespace collapsed and trimmed. Pure JVM expression pipeline — a
+    zero-shuffle scan at any scale, exactly reproducible on any engine
+    (every step is a plain replace-all regexp_replace)."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, "[\\u2018\\u2019\\u201A\\u201B]", "'")
+    c = F.regexp_replace(c, "[\\u201C\\u201D\\u201E\\u201F]", "\"")
+    c = F.regexp_replace(c, "[\\u2012\\u2013\\u2014\\u2015]", "-")
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)

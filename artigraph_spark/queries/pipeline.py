@@ -130,3 +130,34 @@ def domain_cap_q(spark, sf_dir):
     return cap_per_group(d, "source", 25, order_key=F.struct(
         ((F.col("doc_id") * 2_654_435_761) % 1_000_000_007), F.col("doc_id")
     ))
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(text),
+                               '[\\u2018\\u2019\\u201A\\u201B]', '''', 'g'),
+                           '[\\u201C\\u201D\\u201E\\u201F]', '"', 'g'),
+                       '[\\u2012\\u2013\\u2014\\u2015]', '-', 'g'),
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+               '\\s+', ' ', 'g')) AS norm_text,
+           CAST(length(text) AS BIGINT) AS orig_chars
+    FROM documents
+    """,
+)
+def text_normalize_q(spark, sf_dir):
+    """Crawl-text cleanup: typographic-to-ASCII folding, control-character
+    strip, whitespace collapse — the standard pre-tokenization pass."""
+    from artigraph_spark.operators.text import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("norm_text"),
+        F.length("text").cast("long").alias("orig_chars"),
+    )

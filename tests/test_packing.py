@@ -154,3 +154,15 @@ def test_stratified_sample_negative_keys(spark):
     assert 10 <= n <= 120  # ~5%, NOT all 1000
     neg = out.filter(F.col("k") < 0).count()
     assert neg < 120  # negative keys are sampled at the same rate, not 100%
+
+
+def test_normalize_text(spark):
+    from artigraph_spark.operators.text import normalize_text
+
+    d = spark.createDataFrame(
+        [("“Hello” — It’s   \tFINE\x07",), ("  already clean  ",)],
+        "text string",
+    )
+    out = [r["t"] for r in d.select(normalize_text(F.col("text")).alias("t")).collect()]
+    assert out[0] == '"hello" - it\'s fine'
+    assert out[1] == "already clean"
