@@ -64,3 +64,45 @@ def test_fixed_point_sum_matches_duckdb(values):
         "SELECT CAST(SUM(CAST(floor(x * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0 FROM t"
     ).fetchone()
     assert dk == py
+
+
+# --- sequence packing invariants (operators.packing) -------------------------
+
+pack_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000),
+              st.integers(min_value=0, max_value=50)),
+    min_size=0, max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(pack_rows, st.integers(min_value=1, max_value=64))
+def test_pack_sequences_invariants(spark, rows, capacity):
+    """For ANY input: tokens are conserved per doc, every bin except the
+    last is exactly full, and bin ids are the contiguous prefix 0..B-1."""
+    from artigraph_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(rows or [(0, 0)], "doc_id long, n long")
+    if not rows:
+        df = df.filter("false")
+    out = pack_sequences(df, "doc_id", "n", capacity=capacity).collect()
+
+    total = sum(n for _, n in rows)
+    per_doc_expect = {}
+    for i, n in rows:
+        if n > 0:
+            per_doc_expect[i] = per_doc_expect.get(i, 0) + n
+    per_doc_got, per_bin = {}, {}
+    for r in out:
+        per_doc_got[r["doc_id"]] = per_doc_got.get(r["doc_id"], 0) + r["tokens_in_bin"]
+        per_bin[r["bin_id"]] = per_bin.get(r["bin_id"], 0) + r["tokens_in_bin"]
+        assert r["tokens_in_bin"] > 0
+    assert per_doc_got == per_doc_expect  # conservation, NULL/zero dropped
+    if total > 0:
+        bins = sorted(per_bin)
+        assert bins == list(range((total - 1) // capacity + 1))  # contiguous
+        for b in bins[:-1]:
+            assert per_bin[b] == capacity  # all bins full except the last
+        assert per_bin[bins[-1]] == total - capacity * (len(bins) - 1)
+    else:
+        assert out == []
