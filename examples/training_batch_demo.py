@@ -1,0 +1,160 @@
+"""Training-batch assembly as an incremental Graph — the round-4 operator
+family end-to-end through the framework layer.
+
+documents (external parquet, raw artifact)
+  → NormalizeAndMix (text normalization + per-language stratified mixing
+     + per-source domain cap; statistics-gated)
+  → PackBatches (concat-then-chunk sequence packing into 256-token bins;
+     TWO outputs: the doc→bin layout + a per-bin manifest)
+
+Demonstrates the new operators composing under memoization: the second
+build is a no-op, and the packed layout is content-addressed through the
+snapshot like any other artifact.
+
+Run: python examples/training_batch_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from artigraph_spark import statistics as st
+from artigraph_spark import types as at
+from artigraph_spark.artifacts import Artifact
+from artigraph_spark.backends import JsonFileBackend
+from artigraph_spark.executors import LocalSparkExecutor
+from artigraph_spark.formats import Parquet
+from artigraph_spark.graphs import Graph
+from artigraph_spark.producers import Producer
+from artigraph_spark.storage import LocalFile
+from artigraph_spark.versions import SemVer
+
+DOCS_TYPE = at.Collection(
+    element=at.Struct(
+        fields={
+            "doc_id": at.Int64(),
+            "text": at.String(),
+            "lang": at.String(),
+            "source": at.String(),
+            "n_chars": at.Int64(),
+        }
+    )
+)
+
+LAYOUT_TYPE = at.Collection(
+    element=at.Struct(
+        fields={"doc_id": at.Int64(), "bin_id": at.Int64(), "tokens_in_bin": at.Int64()}
+    )
+)
+
+MANIFEST_TYPE = at.Collection(
+    element=at.Struct(
+        fields={"bin_id": at.Int64(), "n_docs": at.Int64(), "n_tokens": at.Int64()}
+    )
+)
+
+
+class Documents(Artifact):
+    pass
+
+
+class NormalizeAndMix(Producer):
+    version = SemVer(major=1)
+
+    docs: Documents
+
+    def build(self, docs: DataFrame) -> DataFrame:
+        from artigraph_spark.operators.packing import cap_per_group, stratified_sample
+        from artigraph_spark.operators.text import normalize_text
+
+        cleaned = docs.withColumn("text", normalize_text(F.col("text")))
+        mixed = stratified_sample(
+            cleaned,
+            "lang",
+            {"en": 0.9, "de": 0.7, "fr": 0.7, "es": 0.7, "zh": 0.5, "ja": 0.5},
+            F.col("doc_id"),
+        )
+        return cap_per_group(
+            mixed, "source", 200,
+            order_key=F.struct((F.col("doc_id") * 2_654_435_761) % 1_000_000_007, F.col("doc_id")),
+        )
+
+    def validate_outputs(self, out: DataFrame) -> tuple[bool, str]:
+        return (out.limit(1).count() > 0, "mixing removed every document")
+
+
+class PackBatches(Producer):
+    version = SemVer(major=1)
+
+    mixed: Documents
+
+    def build(self, mixed: DataFrame) -> tuple[DataFrame, DataFrame]:
+        from artigraph_spark.operators.packing import pack_sequences, token_count
+
+        counted = mixed.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        layout = pack_sequences(counted, "doc_id", "n_tokens", capacity=256)
+        manifest = layout.groupBy("bin_id").agg(
+            F.count("*").alias("n_docs"), F.sum("tokens_in_bin").alias("n_tokens")
+        )
+        return layout, manifest
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    root = tempfile.mkdtemp(prefix="training_batch_")
+    backend = JsonFileBackend(os.path.join(root, "catalog.json"))
+
+    def build_once() -> tuple[LocalSparkExecutor, Graph]:
+        with Graph("training_batches", backend=backend) as g:
+            g.artifacts.docs = Documents(
+                type=DOCS_TYPE,
+                format=Parquet(),
+                storage=LocalFile(root=sf_dir, template="{root}/documents.parquet"),
+            )
+            g.artifacts.mixed = NormalizeAndMix(docs=g.artifacts.docs).out(
+                Documents(
+                    type=DOCS_TYPE,
+                    storage=LocalFile(root=root),
+                    statistics=(st.Count(threshold=st.RangeThreshold(lo=1)),),
+                )
+            )
+            layout, manifest = PackBatches(mixed=g.artifacts.mixed).out(
+                Artifact(type=LAYOUT_TYPE, storage=LocalFile(root=root)),
+                Artifact(type=MANIFEST_TYPE, storage=LocalFile(root=root)),
+            )
+            g.artifacts.layout = layout
+            g.artifacts.manifest = manifest
+        ex = LocalSparkExecutor()
+        g.snapshot(strict_fingerprints=True).build(ex)
+        return ex, g
+
+    ex1, g1 = build_once()
+    snap = g1.snapshot(strict_fingerprints=True)
+    layout = snap.read(g1.artifacts.layout)
+    manifest = snap.read(g1.artifacts.manifest)
+    n_bins = manifest.count()
+    full = manifest.filter(F.col("n_tokens") == 256).count()
+    print(
+        f"build 1: built={ex1.built_partitions} layout_rows={layout.count()} "
+        f"bins={n_bins} full_bins={full}"
+    )
+    assert ex1.built_partitions == 2
+    assert full >= n_bins - 1  # every bin but the last is exactly full
+
+    ex2, _ = build_once()
+    print(f"build 2: built={ex2.built_partitions} skipped={ex2.skipped_partitions}")
+    assert ex2.built_partitions == 0
+
+    print("training batch demo OK:", root)
+
+
+if __name__ == "__main__":
+    main()
