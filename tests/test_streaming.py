@@ -102,3 +102,29 @@ def test_stateful_user_totals_parity(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
     want = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
     assert got == want
+
+
+def test_stateless_pipeline_ops_run_on_streams(spark):
+    """The round-4 corpus ops that are pure projections/filters
+    (normalize_text, stratified_sample) must compose onto a streaming
+    DataFrame unchanged and agree with their batch results — the
+    cleaning/mixing stages of an ingest pipeline are streaming-safe."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.packing import stratified_sample
+    from artigraph_spark.operators.text import normalize_text
+
+    def transform(df):
+        cleaned = df.select(
+            "doc_id", normalize_text(F.col("text")).alias("t"), "lang"
+        )
+        return stratified_sample(cleaned, "lang", {"en": 0.5, "de": 0.3}, F.col("doc_id"))
+
+    stream = transform(stx.read_stream(spark, SF_DIR, "documents"))
+    assert stream.isStreaming
+    got = stx.run_stream_to_batch(stream, query_name="t_pipeline_ops", output_mode="append")
+    from artigraph_spark.sources import load
+
+    want = transform(load(spark, SF_DIR, "documents"))
+    assert _canon(got, ["doc_id", "t", "lang"]) == _canon(want, ["doc_id", "t", "lang"])
+    assert got.count() > 0
