@@ -211,6 +211,41 @@ def stratified_sample(
     return df.filter(limit.isNotNull() & (F.pmod(h, F.lit(denominator)) < limit))
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each row draws a deterministic pseudo-uniform u from its id and ranks by
+    ``u^(1/weight)``; the global top-k is an exact weighted sample. Rows with
+    non-positive or NULL weight are excluded.
+
+    Determinism across engines: the rank key goes through ``pow``/division,
+    which can differ by an ULP between implementations — the key is snapped
+    to a 9-decimal grid before ranking (the BM25 guard-digit technique) and
+    ties break on the id, so the selected set is identical everywhere.
+
+    Scale: a pure projection plus one TakeOrdered top-k — per-partition
+    heaps of k rows, no global sort, no shuffle beyond the k-row exchange.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    p = F.lit(1_000_000_007)
+    u = (F.pmod(F.pmod(F.col(id_col), p) * F.lit(2_654_435_761), p) + 1) / F.lit(
+        1_000_000_008.0
+    )
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 9)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__sk", key)
+        .orderBy(F.col("__sk").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__sk")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -60,7 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_decode_headers", "bm25_ranking",
     # NEW this round (operators/packing.py) — need first driver rows
     "pack_sequences", "benchmark_contamination", "stratified_sample_mix",
-    "domain_cap", "text_normalize",
+    "domain_cap", "text_normalize", "weighted_sample_topk",
     # implementation changed this round (operators/dedup.py LSH keys)
     "minhash_lsh_pairs_checked", "dedup_minhash_end2end",
     # r1-only rows — refresh (aggregates family)
@@ -76,14 +76,14 @@ _PRIORITY: tuple[str, ...] = (
     # r1-only rows — refresh (relational/extras)
     "nested_struct_access", "unpivot_stack", "in_subquery_sql",
     "scalar_subquery_filter",
-    "correlated_group_filter", "grouped_map_pandas", "map_explode",
+    "correlated_group_filter", "grouped_map_pandas",
     # r1-only rows — refresh (llm/text)
     "dedup_exact", "dedup_fingerprint", "text_stats", "text_quality_filter",
     "lang_distribution", "doc_rolling_hash",
     # Left out of the 50 (by design): `range_source`, `describe_summary`,
     # `calendar_functions`, `union_by_name_missing`, `literal_inline_table`,
-    # `explode_tokens` (r1-green, stablest, no implementation change since)
-    # and the 4 rows-only queries
+    # `explode_tokens`, `map_explode` (r1-green, stablest, no implementation
+    # change since) and the 4 rows-only queries
     # (minhash_lsh_pairs, dedup_clusters, simhash_fingerprints,
     # cosine_topk_lsh) whose oracle-checked `*_checked` contract twins carry
     # the hard signal. Remaining slots fall through to registration order.

@@ -133,6 +133,32 @@ def domain_cap_q(spark, sf_dir):
 
 
 @query(
+    "weighted_sample_topk",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM (
+        SELECT doc_id, n_chars,
+               round(pow(
+                   (((doc_id % 1000000007) * 2654435761) % 1000000007 + 1)
+                       / 1000000008.0,
+                   1.0 / n_chars), 9) AS sk
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    ORDER BY sk DESC, doc_id
+    LIMIT 100
+    """,
+)
+def weighted_sample_topk_q(spark, sf_dir):
+    """Length-weighted document sample (top-100 by Efraimidis–Spirakis key,
+    weight = n_chars): longer docs proportionally more likely, selection
+    exactly reproducible on any engine."""
+    from artigraph_spark.operators.packing import weighted_sample_topk
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_topk(d, "doc_id", "n_chars", k=100)
+
+
+@query(
     "text_normalize",
     oracle="""
     SELECT doc_id,

@@ -166,3 +166,27 @@ def test_normalize_text(spark):
     out = [r["t"] for r in d.select(normalize_text(F.col("text")).alias("t")).collect()]
     assert out[0] == '"hello" - it\'s fine'
     assert out[1] == "already clean"
+
+
+def test_weighted_sample_topk(spark):
+    from artigraph_spark.operators.packing import weighted_sample_topk
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        # two weight classes: 100x heavier rows (ids divisible by 10)
+        F.when(F.col("id") % 10 == 0, 1000).otherwise(10).alias("w"),
+    )
+    out = weighted_sample_topk(df, "doc_id", "w", k=200).collect()
+    assert len(out) == 200
+    heavy = sum(1 for r in out if r["w"] == 1000)
+    # Heavy rows are 10% of the pool but 100x the weight — they must
+    # dominate the sample (statistically near-certain, deterministic here).
+    assert heavy > 120
+    # Partitioning-independent selection.
+    out2 = weighted_sample_topk(df.repartition(17), "doc_id", "w", k=200).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+    # NULL / non-positive weights excluded, k validated.
+    df2 = spark.createDataFrame([(1, None), (2, 0), (3, 5)], "doc_id long, w long")
+    assert [r["doc_id"] for r in weighted_sample_topk(df2, "doc_id", "w", 10).collect()] == [3]
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample_topk(df2, "doc_id", "w", 0)
