@@ -102,3 +102,36 @@ def test_embedding_near_dup_is_bucketed_equi_join(spark):
     plan = P.physical_plan(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_no_global_window(spark, qs):
+    """The prefix sum must be per-bucket (hashpartitioning on __bkt), never
+    a single-partition global window, and the offsets join must broadcast."""
+    df = qs["pack_sequences"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(__bkt" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_domain_cap_map_side_group_limit(spark, qs):
+    """Per-group cap prunes to <=k rows per partition BEFORE the exchange."""
+    df = qs["domain_cap"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, qs):
+    df = qs["weighted_sample_topk"](spark, SF)
+    assert P.has_node(df, "TakeOrderedAndProject")
+
+
+def test_contamination_no_cartesian(spark, qs):
+    plan = P.physical_plan(qs["benchmark_contamination"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_filter_only(spark, qs):
+    """Mixing is a pure filter over the scan — no exchange at all."""
+    df = qs["stratified_sample_mix"](spark, SF)
+    assert P.count_exchanges(df) == 0
