@@ -86,6 +86,15 @@ class Backend:
         fingerprints (the memoization probe, memory.py:75-82)."""
         raise NotImplementedError
 
+    def delete_artifact_partitions(
+        self, artifact_fp: Fingerprint, paths: set[str]
+    ) -> None:
+        """Drop catalog entries for pruned partitions (gc support): a stale
+        entry whose data was deleted would otherwise re-memoize against a
+        path that no longer exists. Snapshot links are NOT touched — reading
+        a pruned snapshot raises FileNotFoundError by design."""
+        raise NotImplementedError
+
     # snapshot <-> partition links
     def link_snapshot_partitions(
         self, snapshot_id: Fingerprint, artifact_fp: Fingerprint, partitions: list[StoragePartition]
@@ -134,6 +143,13 @@ class MemoryBackend(Backend):
         if input_fingerprints is not None:
             parts = [p for p in parts if p.input_fingerprint.key in input_fingerprints]
         return parts
+
+    def delete_artifact_partitions(
+        self, artifact_fp: Fingerprint, paths: set[str]
+    ) -> None:
+        store = self._partitions.get(artifact_fp.key, {})
+        for path in paths:
+            store.pop(path, None)
 
     def link_snapshot_partitions(
         self, snapshot_id: Fingerprint, artifact_fp: Fingerprint, partitions: list[StoragePartition]
@@ -256,6 +272,15 @@ class JsonFileBackend(Backend):
         if input_fingerprints is not None:
             parts = [p for p in parts if p.input_fingerprint.key in input_fingerprints]
         return parts
+
+    def delete_artifact_partitions(
+        self, artifact_fp: Fingerprint, paths: set[str]
+    ) -> None:
+        with self._locked():
+            store = self._state["partitions"].get(str(artifact_fp.key), {})
+            for path in paths:
+                store.pop(path, None)
+            self._flush()
 
     def link_snapshot_partitions(
         self, snapshot_id: Fingerprint, artifact_fp: Fingerprint, partitions: list[StoragePartition]

@@ -1,0 +1,99 @@
+"""Partition garbage collection: reclaim storage from superseded builds.
+
+The memoization layer is content-addressed and append-only — every input
+change materializes NEW output partitions under a new input fingerprint and
+never deletes the old ones (the reference behaves the same way,
+/root/reference/src/arti/executors/__init__.py:34-105: skip-or-build, no
+removal). At pipeline scale that is the right default (old snapshots stay
+readable, reverts re-hit old outputs with zero compute) but storage grows
+without bound. This module adds the retention half the reference leaves
+out: delete produced partitions not referenced by any snapshot the caller
+wants to keep, and drop their catalog entries so memoization cannot serve
+a path whose data is gone.
+
+Raw (non-produced) artifacts are never touched — their data is not ours.
+Snapshot links for discarded snapshots are intentionally retained: reading
+a pruned snapshot raises FileNotFoundError ("this snapshot was retired"),
+rather than silently vanishing from history.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import TYPE_CHECKING, Any, Iterable
+
+from artigraph_spark.fingerprint import Fingerprint
+from artigraph_spark.partitions import PartitionKey
+
+if TYPE_CHECKING:  # pragma: no cover
+    from artigraph_spark.graphs import Graph, GraphSnapshot
+
+
+def _snapshot_id(s: Any) -> Fingerprint:
+    return s if isinstance(s, Fingerprint) else s.snapshot_id
+
+
+def _delete_path(path: str) -> None:
+    if path.startswith("literal://"):
+        return  # inline literal — no physical data
+    if "://" in path and not path.startswith("file://"):
+        from pyarrow import fs as pafs
+
+        from artigraph_spark.storage import _resolve_fs
+
+        fs, root = _resolve_fs(path)
+        info = fs.get_file_info(root)
+        if info.type == pafs.FileType.Directory:
+            fs.delete_dir(root)
+        elif info.type == pafs.FileType.File:
+            fs.delete_file(root)
+        return
+    ospath = path[len("file://") :] if path.startswith("file://") else path
+    if os.path.isdir(ospath):
+        shutil.rmtree(ospath)
+    elif os.path.exists(ospath):
+        os.remove(ospath)
+
+
+def prune_unreferenced_partitions(
+    graph: Graph,
+    keep: Iterable[GraphSnapshot | Fingerprint],
+    *,
+    dry_run: bool = False,
+) -> dict[str, list[str]]:
+    """Delete produced partitions not referenced by any snapshot in ``keep``.
+
+    Returns ``{artifact_key: [pruned paths]}`` (what WOULD be pruned when
+    ``dry_run``). The scan side is partition DISCOVERY — the same listing
+    the snapshot path uses, O(metadata) — so pruning never reads data
+    bytes; deletion is per-partition directory removal.
+
+    Retention is snapshot-driven, not age-driven: pass the snapshots (or
+    snapshot ids / tags resolved via ``GraphSnapshot.from_tag``) that must
+    stay readable. Everything else that this graph's producers wrote for
+    those artifacts is reclaimed.
+    """
+    keep_ids = [_snapshot_id(s) for s in keep]
+    pruned: dict[str, list[str]] = {}
+    for key, artifact in sorted(graph._artifacts.items()):
+        if not artifact.is_produced:
+            continue
+        referenced: set[str] = set()
+        for sid in keep_ids:
+            for p in graph.backend.read_snapshot_partitions(sid, artifact.fingerprint):
+                referenced.add(p.path)
+        on_disk = artifact.storage.discover_partitions(
+            PartitionKey.types_from(artifact.type)
+        )
+        victims = sorted(p.path for p in on_disk if p.path not in referenced)
+        if not victims:
+            continue
+        if not dry_run:
+            for path in victims:
+                _delete_path(path)
+            graph.backend.delete_artifact_partitions(
+                artifact.fingerprint, set(victims)
+            )
+        pruned[key] = victims
+    return pruned

@@ -1,0 +1,81 @@
+"""Partition GC: reclaim superseded produced partitions while keeping
+chosen snapshots readable and the memoization layer consistent (no catalog
+entry may outlive its data)."""
+
+import os
+
+import pytest
+
+from artigraph_spark.backends import JsonFileBackend
+from artigraph_spark.executors import LocalSparkExecutor
+from artigraph_spark.gc import prune_unreferenced_partitions
+
+from tests.test_graph import make_graph, seed_nums
+
+
+def _build(tmp_root, backend):
+    g, _nums, total = make_graph(tmp_root, backend)
+    ex = LocalSparkExecutor()
+    snap = g.snapshot(strict_fingerprints=True).build(ex)
+    return g, total, snap, ex
+
+
+def test_prune_keeps_latest_deletes_superseded(tmp_root, spark):
+    backend = JsonFileBackend(os.path.join(tmp_root, "catalog.json"))
+    seed_nums(tmp_root, [1, 2, 3])
+    g1, total1, snap1, _ = _build(tmp_root, backend)
+
+    seed_nums(tmp_root, [1, 2, 3, 4])
+    g2, total2, snap2, _ = _build(tmp_root, backend)
+    assert snap2.snapshot_id != snap1.snapshot_id
+
+    # Two materialized output partitions exist (one per input fingerprint).
+    out_dir = os.path.join(tmp_root, "g/total/total")
+    assert len(os.listdir(out_dir)) == 2
+
+    # Dry run reports the victim without touching anything.
+    plan = prune_unreferenced_partitions(g2, keep=[snap2], dry_run=True)
+    assert list(plan) == ["total"] and len(plan["total"]) == 1
+    assert len(os.listdir(out_dir)) == 2
+
+    pruned = prune_unreferenced_partitions(g2, keep=[snap2])
+    assert pruned == plan
+    assert len(os.listdir(out_dir)) == 1
+
+    # Kept snapshot still reads; pruned snapshot now reports missing data.
+    assert snap2.read(total2, annotation=int) == 10
+    with pytest.raises(FileNotFoundError):
+        snap1.read(total1, annotation=int)
+
+    # Memoization stays consistent: rebuilding the KEPT state is a no-op...
+    ex = LocalSparkExecutor()
+    make_graph(tmp_root, backend)[0].snapshot(strict_fingerprints=True).build(ex)
+    assert (ex.built_partitions, ex.skipped_partitions) == (0, 1)
+
+    # ...and reverting to the PRUNED state rebuilds (catalog entry was
+    # dropped with the data — a stale entry would serve a dead path).
+    seed_nums(tmp_root, [1, 2, 3])
+    g3, total3, _, ex3 = _build(tmp_root, backend)
+    assert ex3.built_partitions == 1
+    assert g3.snapshot(strict_fingerprints=True).read(total3, annotation=int) == 6
+
+
+def test_prune_never_touches_raw_artifacts(tmp_root, spark):
+    backend = JsonFileBackend(os.path.join(tmp_root, "catalog.json"))
+    raw_path = seed_nums(tmp_root, [5, 6])
+    g, _total, snap, _ = _build(tmp_root, backend)
+    pruned = prune_unreferenced_partitions(g, keep=[snap])
+    assert pruned == {}  # nothing superseded, nothing raw
+    assert os.path.exists(raw_path)
+
+
+def test_prune_keep_multiple_snapshots(tmp_root, spark):
+    backend = JsonFileBackend(os.path.join(tmp_root, "catalog.json"))
+    seed_nums(tmp_root, [1])
+    g1, t1, snap1, _ = _build(tmp_root, backend)
+    seed_nums(tmp_root, [1, 2])
+    g2, t2, snap2, _ = _build(tmp_root, backend)
+    pruned = prune_unreferenced_partitions(g2, keep=[snap1, snap2])
+    assert pruned == {}
+    assert snap1.read(t1, annotation=int) == 1
+    assert snap2.read(t2, annotation=int) == 3
