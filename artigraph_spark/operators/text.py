@@ -238,6 +238,24 @@ def bm25_scores(
     )
 
 
+def dedup_lines(text: Column, sep: str = "\n") -> Column:
+    """Within-document line deduplication (the C4-style cleanup for
+    boilerplate: nav bars, cookie banners, repeated headers): keep the FIRST
+    occurrence of each line, preserve order, rejoin. ``array_distinct``
+    preserves first-occurrence order in Spark — a pure per-row expression,
+    zero shuffles."""
+    return F.array_join(F.array_distinct(F.split(text, sep)), sep)
+
+
+def line_repetition_ratio(text: Column, sep: str = "\n") -> Column:
+    """Share of lines that are repeats of an earlier line — a boilerplate/
+    spam signal (0.0 = all lines unique). NULL-safe: empty text has one
+    empty line and ratio 0."""
+    n = F.size(F.split(text, sep))
+    uniq = F.size(F.array_distinct(F.split(text, sep)))
+    return ((n - uniq) / n).cast("double")
+
+
 def normalize_text(text: Column) -> Column:
     """Deterministic normalization chain for crawl text: lowercase,
     typographic quotes/dashes folded to ASCII, control characters stripped,

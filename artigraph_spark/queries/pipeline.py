@@ -159,6 +159,41 @@ def weighted_sample_topk_q(spark, sf_dir):
 
 
 @query(
+    "dedup_lines_in_doc",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+    lines AS (
+        SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+        FROM t
+    ),
+    firsts AS (SELECT doc_id, line, MIN(pos) AS p FROM lines GROUP BY doc_id, line),
+    agg AS (
+        SELECT doc_id, string_agg(line, ' ' ORDER BY p) AS dedup_text,
+               COUNT(*) AS n_uniq
+        FROM firsts GROUP BY doc_id
+    )
+    SELECT t.doc_id, agg.dedup_text,
+           CAST(len(t.ls) - agg.n_uniq AS DOUBLE) / len(t.ls) AS repetition_ratio
+    FROM t JOIN agg ON t.doc_id = agg.doc_id
+    """,
+)
+def dedup_lines_in_doc_q(spark, sf_dir):
+    """Within-document segment dedup + repetition ratio (the C4 boilerplate
+    cleanup; fixture text is single-line, so segments = tokens here — the
+    operator's `sep` generalizes to real newline-structured docs). Spark
+    side is a pure per-row expression; the oracle re-derives first-
+    occurrence order via explode + min(pos)."""
+    from artigraph_spark.operators.text import dedup_lines, line_repetition_ratio
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        dedup_lines(F.col("text"), sep=" ").alias("dedup_text"),
+        line_repetition_ratio(F.col("text"), sep=" ").alias("repetition_ratio"),
+    )
+
+
+@query(
     "text_normalize",
     oracle="""
     SELECT doc_id,

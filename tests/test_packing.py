@@ -190,3 +190,19 @@ def test_weighted_sample_topk(spark):
     assert [r["doc_id"] for r in weighted_sample_topk(df2, "doc_id", "w", 10).collect()] == [3]
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample_topk(df2, "doc_id", "w", 0)
+
+
+def test_dedup_lines_and_repetition_ratio(spark):
+    from artigraph_spark.operators.text import dedup_lines, line_repetition_ratio
+
+    d = spark.createDataFrame(
+        [("nav\nbody text\nnav\nfooter\nnav",), ("all\nunique\nlines",)],
+        "text string",
+    )
+    rows = d.select(
+        dedup_lines(F.col("text")).alias("t"),
+        line_repetition_ratio(F.col("text")).alias("r"),
+    ).collect()
+    assert rows[0]["t"] == "nav\nbody text\nfooter"  # first occurrences, in order
+    assert rows[0]["r"] == pytest.approx(2 / 5)
+    assert rows[1]["t"] == "all\nunique\nlines" and rows[1]["r"] == 0.0
