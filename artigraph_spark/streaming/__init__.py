@@ -183,6 +183,42 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_exact_dedup(df: DataFrame, id_col: str, hash_col: str) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST row seen for each content
+    hash, across micro-batches. The incremental twin of batch
+    ``dedup_exact`` — an ingest pipeline can drop duplicate documents as
+    they arrive instead of re-scanning the corpus.
+
+    State per key is a single marker (seen), so memory is O(distinct keys)
+    spread shuffle-evenly by the hash; within one micro-batch the kept row
+    is the id-minimum (deterministic regardless of arrival order inside the
+    batch). GroupState has no TTL here — at 100 TB, bound state with a
+    watermarked variant or periodic state-store compaction.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = pdf.loc[pdf[id_col].idxmin()]
+                if best is None or m[id_col] < best[id_col]:
+                    best = m
+        if state.exists or best is None:
+            return  # key already emitted in an earlier batch → pure drop
+        state.update((True,))
+        yield pd.DataFrame({hash_col: [key[0]], id_col: [best[id_col]]})
+
+    return df.groupBy(hash_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{hash_col} string, {id_col} long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_batch(
     stream_df: DataFrame, *, query_name: str = "stream_out", output_mode: str = "complete"
 ) -> DataFrame:

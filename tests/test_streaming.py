@@ -128,3 +128,29 @@ def test_stateless_pipeline_ops_run_on_streams(spark):
     want = transform(load(spark, SF_DIR, "documents"))
     assert _canon(got, ["doc_id", "t", "lang"]) == _canon(want, ["doc_id", "t", "lang"])
     assert got.count() > 0
+
+
+def test_stateful_exact_dedup_stream(spark):
+    """Streaming first-occurrence dedup: one output row per distinct content
+    hash, matching the batch dedup_exact keeper set (min doc_id per hash)."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.sources import load
+
+    docs = stx.read_stream(spark, SF_DIR, "documents", max_files_per_trigger=1)
+    hashed = docs.select(
+        F.col("doc_id"), F.sha2(F.col("text"), 256).alias("h")
+    )
+    out = stx.run_stream_to_batch(
+        stx.stateful_exact_dedup(hashed, "doc_id", "h"),
+        query_name="t_stream_dedup",
+        output_mode="append",
+    )
+    batch = (
+        load(spark, SF_DIR, "documents")
+        .select(F.col("doc_id"), F.sha2(F.col("text"), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert _canon(out, ["h", "doc_id"]) == _canon(batch, ["h", "doc_id"])
+    assert out.count() == out.select("h").distinct().count()
