@@ -117,6 +117,97 @@ def pack_sequences(
     )
 
 
+def pack_sequences_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    count_col: str,
+    capacity: int,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Grouped concat-then-chunk packing: each group (language, source,
+    curriculum stage) gets its OWN bin space, so batches never mix groups —
+    the monolingual-batch / per-source-batch case of ``pack_sequences``.
+    Returns ``(group, id, bin_id, tokens_in_bin)`` with ``bin_id`` counted
+    from 0 within each group.
+
+    Scale: same two-phase distributed prefix sum as ``pack_sequences``, with
+    the bucket key extended to (group, bucket). The driver sees one row per
+    (group, bucket) — metadata-sized while the group count is bounded
+    (languages, sources), which is the use case; an unbounded group column
+    belongs in ``cap_per_group``/``stratified_sample`` first.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    slim = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(id_col),
+            F.col(count_col).cast("long").alias("__n"),
+        )
+        .filter(
+            F.col("__g").isNotNull() & F.col(id_col).isNotNull() & (F.col("__n") > 0)
+        )
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    bounds = slim.groupBy("__g").agg(
+        F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi")
+    )
+    bnds = {r["__g"]: (int(r["__lo"]), int(r["__hi"])) for r in bounds.collect()}
+    if not bnds:
+        return spark.createDataFrame(
+            [], f"{group_col} string, {id_col} long, bin_id long, tokens_in_bin long"
+        )
+    widths = spark.createDataFrame(
+        [(g, lo, max((hi - lo) // num_buckets + 1, 1)) for g, (lo, hi) in bnds.items()],
+        "__g string, __lo long, __w long",
+    )
+    bucketed = slim.join(F.broadcast(widths), "__g").withColumn(
+        "__bkt", ((F.col(id_col) - F.col("__lo")) / F.col("__w")).cast("long")
+    )
+    totals = {
+        (r["__g"], r["__bkt"]): int(r["total"])
+        for r in bucketed.groupBy("__g", "__bkt")
+        .agg(F.sum("__n").alias("total"))
+        .collect()
+    }
+    offsets, acc = [], {}
+    for g, b in sorted(totals):
+        offsets.append((g, b, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + totals[(g, b)]
+    offset_df = spark.createDataFrame(offsets, "__g string, __bkt long, __off long")
+    w = (
+        Window.partitionBy("__g", "__bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fin = (F.sum("__n").over(w) + F.col("__off")).alias("__fin")
+    laid = (
+        bucketed.join(F.broadcast(offset_df), ["__g", "__bkt"])
+        .select("__g", F.col(id_col), F.col("__n"), fin)
+        .withColumn("__start", F.col("__fin") - F.col("__n"))
+    )
+    cap = F.lit(int(capacity))
+    return laid.select(
+        F.col("__g").alias(group_col),
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.floor(F.col("__start") / cap), F.floor((F.col("__fin") - 1) / cap))
+        ).alias("bin_id"),
+        "__start",
+        "__fin",
+    ).select(
+        group_col,
+        id_col,
+        "bin_id",
+        (
+            F.least(F.col("__fin"), (F.col("bin_id") + 1) * cap)
+            - F.greatest(F.col("__start"), F.col("bin_id") * cap)
+        ).alias("tokens_in_bin"),
+    )
+
+
 def ngrams(text: Column, n: int = 3) -> Column:
     """Array of space-joined token n-grams (distinct not applied)."""
     toks = tokens(text)

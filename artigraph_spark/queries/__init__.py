@@ -61,7 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     # NEW this round (operators/packing.py) — need first driver rows
     "pack_sequences", "benchmark_contamination", "stratified_sample_mix",
     "domain_cap", "text_normalize", "weighted_sample_topk",
-    "dedup_lines_in_doc",
+    "dedup_lines_in_doc", "pack_sequences_by_lang",
     # implementation changed this round (operators/dedup.py LSH keys)
     "minhash_lsh_pairs_checked", "dedup_minhash_end2end",
     # r1-only rows — refresh (aggregates family)
@@ -75,7 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_left_semi", "join_left_anti", "join_cross", "join_range",
     "join_self", "join_star_broadcast",
     # r1-only rows — refresh (relational/extras)
-    "nested_struct_access", "unpivot_stack",
+    "nested_struct_access",
     "scalar_subquery_filter",
     "correlated_group_filter", "grouped_map_pandas",
     # r1-only rows — refresh (llm/text)
@@ -83,8 +83,9 @@ _PRIORITY: tuple[str, ...] = (
     "lang_distribution", "doc_rolling_hash",
     # Left out of the 50 (by design): `range_source`, `describe_summary`,
     # `calendar_functions`, `union_by_name_missing`, `literal_inline_table`,
-    # `explode_tokens`, `map_explode`, `in_subquery_sql` (r1-green, stablest,
-    # no implementation change since) and the 4 rows-only queries
+    # `explode_tokens`, `map_explode`, `in_subquery_sql`, `unpivot_stack`
+    # (r1-green, stablest, no implementation change since) and the 4
+    # rows-only queries
     # (minhash_lsh_pairs, dedup_clusters, simhash_fingerprints,
     # cosine_topk_lsh) whose oracle-checked `*_checked` contract twins carry
     # the hard signal. Remaining slots fall through to registration order.

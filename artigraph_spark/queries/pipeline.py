@@ -44,6 +44,37 @@ def pack_sequences_q(spark, sf_dir):
 
 
 @query(
+    "pack_sequences_by_lang",
+    oracle=f"""
+    WITH tc AS (
+        SELECT lang, doc_id, len({_TOKS}) AS n FROM documents
+    ),
+    cum AS (
+        SELECT lang, doc_id, n,
+               CAST(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fin
+        FROM tc WHERE lang IS NOT NULL
+    ),
+    spans AS (SELECT lang, doc_id, fin - n AS strt, fin FROM cum WHERE n > 0)
+    SELECT lang, doc_id, g.b AS bin_id,
+           LEAST(fin, (g.b + 1) * 128) - GREATEST(strt, g.b * 128) AS tokens_in_bin
+    FROM spans,
+         UNNEST(generate_series(CAST(FLOOR(strt / 128.0) AS BIGINT),
+                                CAST(FLOOR((fin - 1) / 128.0) AS BIGINT))) AS g(b)
+    """,
+)
+def pack_sequences_by_lang_q(spark, sf_dir):
+    """Monolingual packing: each language packs into its own 128-token bin
+    space (per-group two-phase prefix sum)."""
+    from artigraph_spark.operators.packing import pack_sequences_by_group, token_count
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences_by_group(d, "lang", "doc_id", "n_tokens", capacity=128)
+
+
+@query(
     "benchmark_contamination",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -206,3 +206,40 @@ def test_dedup_lines_and_repetition_ratio(spark):
     assert rows[0]["t"] == "nav\nbody text\nfooter"  # first occurrences, in order
     assert rows[0]["r"] == pytest.approx(2 / 5)
     assert rows[1]["t"] == "all\nunique\nlines" and rows[1]["r"] == 0.0
+
+
+def test_pack_sequences_by_group(spark):
+    from artigraph_spark.operators.packing import pack_sequences_by_group
+
+    d = spark.createDataFrame(
+        [("en", 1, 5), ("en", 2, 5), ("de", 3, 7), ("de", 4, 3), ("xx", 5, 0), (None, 6, 4)],
+        "lang string, doc_id long, n long",
+    )
+    rows = sorted(
+        (r["lang"], r["doc_id"], r["bin_id"], r["tokens_in_bin"])
+        for r in pack_sequences_by_group(d, "lang", "doc_id", "n", capacity=8).collect()
+    )
+    # en: 5+5=10 tokens → bin0 full (5+3), bin1 gets 2; de: 7+3 → bin0 full, bin1 gets 2.
+    assert rows == [
+        ("de", 3, 0, 7), ("de", 4, 0, 1), ("de", 4, 1, 2),
+        ("en", 1, 0, 5), ("en", 2, 0, 3), ("en", 2, 1, 2),
+    ]
+    # zero-token and NULL-group rows dropped; bin spaces are per group.
+    langs = {r[0] for r in rows}
+    assert langs == {"en", "de"}
+
+
+def test_pack_sequences_by_group_partitioning_independent(spark):
+    from artigraph_spark.operators.packing import pack_sequences_by_group
+
+    d = spark.range(0, 400).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 9 + 1).alias("n"),
+    )
+    key = lambda rows: sorted(
+        (r["g"], r["doc_id"], r["bin_id"], r["tokens_in_bin"]) for r in rows
+    )
+    a = pack_sequences_by_group(d, "g", "doc_id", "n", 64, num_buckets=3).collect()
+    b = pack_sequences_by_group(d.repartition(11), "g", "doc_id", "n", 64, num_buckets=16).collect()
+    assert key(a) == key(b)
