@@ -95,6 +95,22 @@ class Backend:
         a pruned snapshot raises FileNotFoundError by design."""
         raise NotImplementedError
 
+    def delete_partitions_by_path(self, paths: set[str]) -> None:
+        """Drop catalog entries for these paths under EVERY artifact
+        fingerprint (gc support): an artifact definition change alters its
+        fingerprint without moving its storage paths, so path-keyed deletion
+        is the only way to guarantee no stale entry survives a prune."""
+        raise NotImplementedError
+
+    def read_all_snapshot_partitions(
+        self, snapshot_id: Fingerprint
+    ) -> list[StoragePartition]:
+        """Every partition linked to this snapshot across ALL artifact
+        fingerprints (gc support): links are keyed by the artifact
+        fingerprint AT LINK TIME, which a later definition change cannot be
+        expected to reproduce."""
+        raise NotImplementedError
+
     # snapshot <-> partition links
     def link_snapshot_partitions(
         self, snapshot_id: Fingerprint, artifact_fp: Fingerprint, partitions: list[StoragePartition]
@@ -150,6 +166,20 @@ class MemoryBackend(Backend):
         store = self._partitions.get(artifact_fp.key, {})
         for path in paths:
             store.pop(path, None)
+
+    def delete_partitions_by_path(self, paths: set[str]) -> None:
+        for store in self._partitions.values():
+            for path in paths:
+                store.pop(path, None)
+
+    def read_all_snapshot_partitions(
+        self, snapshot_id: Fingerprint
+    ) -> list[StoragePartition]:
+        out: list[StoragePartition] = []
+        for (sid, _afp), store in self._links.items():
+            if sid == snapshot_id.key:
+                out.extend(store.values())
+        return out
 
     def link_snapshot_partitions(
         self, snapshot_id: Fingerprint, artifact_fp: Fingerprint, partitions: list[StoragePartition]
@@ -281,6 +311,24 @@ class JsonFileBackend(Backend):
             for path in paths:
                 store.pop(path, None)
             self._flush()
+
+    def delete_partitions_by_path(self, paths: set[str]) -> None:
+        with self._locked():
+            for store in self._state["partitions"].values():
+                for path in paths:
+                    store.pop(path, None)
+            self._flush()
+
+    def read_all_snapshot_partitions(
+        self, snapshot_id: Fingerprint
+    ) -> list[StoragePartition]:
+        prefix = f"{snapshot_id.key}:"
+        with self._locked(exclusive=False):
+            out: list[StoragePartition] = []
+            for link_key, store in self._state["links"].items():
+                if link_key.startswith(prefix):
+                    out.extend(_partition_from_json(d) for d in store.values())
+            return out
 
     def link_snapshot_partitions(
         self, snapshot_id: Fingerprint, artifact_fp: Fingerprint, partitions: list[StoragePartition]

@@ -74,15 +74,20 @@ def prune_unreferenced_partitions(
     stay readable. Everything else that this graph's producers wrote for
     those artifacts is reclaimed.
     """
-    keep_ids = [_snapshot_id(s) for s in keep]
+    # References are gathered across ALL artifact fingerprints linked to the
+    # kept snapshots — not just the current graph's. Links are keyed by the
+    # artifact fingerprint AT LINK TIME; an artifact definition change (type
+    # widened, format swapped) alters the fingerprint without moving the
+    # storage path, and a fingerprint-scoped lookup would read zero links
+    # and delete a kept snapshot's data.
+    referenced: set[str] = set()
+    for s in keep:
+        for p in graph.backend.read_all_snapshot_partitions(_snapshot_id(s)):
+            referenced.add(p.path)
     pruned: dict[str, list[str]] = {}
     for key, artifact in sorted(graph._artifacts.items()):
         if not artifact.is_produced:
             continue
-        referenced: set[str] = set()
-        for sid in keep_ids:
-            for p in graph.backend.read_snapshot_partitions(sid, artifact.fingerprint):
-                referenced.add(p.path)
         on_disk = artifact.storage.discover_partitions(
             PartitionKey.types_from(artifact.type)
         )
@@ -90,10 +95,13 @@ def prune_unreferenced_partitions(
         if not victims:
             continue
         if not dry_run:
+            # Catalog entries go FIRST, path-keyed across every artifact
+            # fingerprint: if the process dies mid-delete, data without a
+            # catalog entry is invisible garbage (produced artifacts are
+            # read via backend links, never re-discovered), while a catalog
+            # entry without data would memoize a dead path.
+            graph.backend.delete_partitions_by_path(set(victims))
             for path in victims:
                 _delete_path(path)
-            graph.backend.delete_artifact_partitions(
-                artifact.fingerprint, set(victims)
-            )
         pruned[key] = victims
     return pruned

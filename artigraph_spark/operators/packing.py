@@ -24,6 +24,121 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def _pack_impl(
+    df: DataFrame,
+    group_col: str | None,
+    id_col: str,
+    count_col: str,
+    capacity: int,
+    num_buckets: int,
+) -> DataFrame:
+    """Shared two-phase distributed packing core. ``group_col=None`` packs
+    the whole input as one stream; otherwise every group gets its own bin
+    space. See the public wrappers for the semantics/scale story.
+    """
+    from pyspark.sql import types as T
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    gtype = df.schema[group_col].dataType if group_col else T.IntegerType()
+    id_type = df.schema[id_col].dataType
+    gexpr = F.col(group_col) if group_col else F.lit(0)
+    # Slim the input to (group, id, count) and truncate lineage ONCE: bounds,
+    # bucket totals, and the window phase would otherwise each re-execute the
+    # full upstream (scan + tokenization). NULL ids are unorderable, NULL
+    # groups unassignable, and NULL/zero counts occupy no bin: all dropped.
+    slim = (
+        df.select(
+            gexpr.alias("__g"), F.col(id_col), F.col(count_col).cast("long").alias("__n")
+        )
+        .filter(
+            F.col("__g").isNotNull() & F.col(id_col).isNotNull() & (F.col("__n") > 0)
+        )
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    bnds = {
+        r["__g"]: (int(r["__lo"]), int(r["__hi"]))
+        for r in slim.groupBy("__g")
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .collect()
+    }
+    prefix = [T.StructField(group_col, gtype)] if group_col else []
+    if not bnds:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                prefix
+                + [
+                    T.StructField(id_col, id_type),
+                    T.StructField("bin_id", T.LongType()),
+                    T.StructField("tokens_in_bin", T.LongType()),
+                ]
+            ),
+        )
+    # Per-group range-bucket widths — one row per group, broadcast back.
+    # Helper frames carry the group column's REAL type (a string schema would
+    # reject integer curriculum stages or date shards).
+    helper = lambda fields: T.StructType([T.StructField("__g", gtype), *fields])
+    widths = spark.createDataFrame(
+        [(g, lo, max((hi - lo) // num_buckets + 1, 1)) for g, (lo, hi) in bnds.items()],
+        helper([T.StructField("__lo", T.LongType()), T.StructField("__w", T.LongType())]),
+    )
+    bucketed = slim.join(F.broadcast(widths), "__g").withColumn(
+        "__bkt", ((F.col(id_col) - F.col("__lo")) / F.col("__w")).cast("long")
+    )
+    # Phase 1: per-(group, bucket) totals — metadata-sized — rolled into
+    # per-group running offsets on the driver.
+    totals = {
+        (r["__g"], r["__bkt"]): int(r["total"])
+        for r in bucketed.groupBy("__g", "__bkt").agg(F.sum("__n").alias("total")).collect()
+    }
+    offsets, acc = [], {}
+    for g, b in sorted(totals, key=lambda k: (str(k[0]), k[1])):
+        offsets.append((g, b, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + totals[(g, b)]
+    offset_df = spark.createDataFrame(
+        offsets,
+        helper([T.StructField("__bkt", T.LongType()), T.StructField("__off", T.LongType())]),
+    )
+    # Phase 2: within-bucket prefix sum (buckets sort independently) shifted
+    # by the broadcast offsets -> exact running totals per group. ROWS frame,
+    # not the default RANGE: RANGE sums all ORDER-BY tie peers together, so
+    # duplicate ids would share one cumulative value and claim overlapping
+    # spans (duplicate ids get an arbitrary but valid relative order; token
+    # conservation always holds).
+    w = (
+        Window.partitionBy("__g", "__bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fin = (F.sum("__n").over(w) + F.col("__off")).alias("__fin")
+    laid = (
+        bucketed.join(F.broadcast(offset_df), ["__g", "__bkt"])
+        .select("__g", F.col(id_col), F.col("__n"), fin)
+        .withColumn("__start", F.col("__fin") - F.col("__n"))
+    )
+    cap = F.lit(int(capacity))
+    out_prefix = [F.col("__g").alias(group_col)] if group_col else []
+    return laid.select(
+        *out_prefix,
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.floor(F.col("__start") / cap), F.floor((F.col("__fin") - 1) / cap))
+        ).alias("bin_id"),
+        "__start",
+        "__fin",
+    ).select(
+        *([group_col] if group_col else []),
+        id_col,
+        "bin_id",
+        (
+            F.least(F.col("__fin"), (F.col("bin_id") + 1) * cap)
+            - F.greatest(F.col("__start"), F.col("bin_id") * cap)
+        ).alias("tokens_in_bin"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -40,81 +155,15 @@ def pack_sequences(
     has no place in the total order, a NULL count no length).
 
     Scale: a naive global ``Window.orderBy`` prefix-sum drags every row into
-    ONE partition — a non-starter at 100 TB. This uses the classic two-phase
-    distributed scan instead: range-bucket on the id, per-bucket window
-    prefix-sums (each bucket sorts independently), per-bucket totals
-    (``num_buckets`` rows — metadata) rolled into bucket offsets on the
-    driver and broadcast-joined back. The heavy path is one shuffle on the
-    bucket key plus a narrow explode of spanned bins (≤ tokens/capacity + 1
-    rows per doc).
+    ONE partition — a non-starter at 100 TB. The shared core uses the
+    classic two-phase distributed scan instead: range-bucket on the id,
+    per-bucket window prefix-sums (each bucket sorts independently),
+    per-bucket totals (``num_buckets`` rows — metadata) rolled into bucket
+    offsets on the driver and broadcast-joined back. The heavy path is one
+    shuffle on the bucket key plus a narrow explode of spanned bins
+    (≤ tokens/capacity + 1 rows per doc).
     """
-    if capacity <= 0:
-        raise ValueError(f"capacity must be positive, got {capacity}")
-    # Slim the input to (id, count) and truncate lineage ONCE: bounds, bucket
-    # totals, and the window phase below would otherwise each re-execute the
-    # full upstream (scan + tokenization) — 3 scans for one packing. The
-    # checkpointed projection is ~16 bytes/row. NULL ids are unorderable and
-    # NULL/zero counts occupy no bin: both dropped here (documented above).
-    slim = (
-        df.select(F.col(id_col), F.col(count_col).cast("long").alias("__n"))
-        .filter(F.col(id_col).isNotNull() & (F.col("__n") > 0))
-        .localCheckpoint()
-    )
-    bounds = slim.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
-    if bounds["lo"] is None:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, bin_id long, tokens_in_bin long"
-        )
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
-    width = max((hi - lo) // num_buckets + 1, 1)
-    bucketed = slim.withColumn(
-        "__bkt", ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("long")
-    )
-
-    # Phase 1: per-bucket totals — num_buckets rows of metadata to the driver.
-    totals = {
-        r["__bkt"]: int(r["total"])
-        for r in bucketed.groupBy("__bkt").agg(F.sum("__n").alias("total")).collect()
-    }
-    offsets, acc = [], 0
-    for b in sorted(totals):
-        offsets.append((b, acc))
-        acc += totals[b]
-    offset_df = df.sparkSession.createDataFrame(offsets, "__bkt long, __off long")
-
-    # Phase 2: within-bucket prefix sum (buckets sort independently) shifted
-    # by the broadcast bucket offset → exact global running totals. ROWS
-    # frame, not the default RANGE: RANGE sums all ORDER-BY tie peers
-    # together, so duplicate ids would share one cumulative value and claim
-    # overlapping spans (duplicate ids get an arbitrary but valid relative
-    # order; token conservation always holds).
-    w = (
-        Window.partitionBy("__bkt")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fin = (F.sum("__n").over(w) + F.col("__off")).alias("__fin")
-    laid = (
-        bucketed.join(F.broadcast(offset_df), "__bkt")
-        .select(F.col(id_col), F.col("__n"), fin)
-        .withColumn("__start", F.col("__fin") - F.col("__n"))
-    )
-    cap = F.lit(int(capacity))
-    first_bin = F.floor(F.col("__start") / cap)
-    last_bin = F.floor((F.col("__fin") - 1) / cap)
-    return laid.select(
-        F.col(id_col),
-        F.explode(F.sequence(first_bin, last_bin)).alias("bin_id"),
-        "__start",
-        "__fin",
-    ).select(
-        F.col(id_col),
-        F.col("bin_id"),
-        (
-            F.least(F.col("__fin"), (F.col("bin_id") + 1) * cap)
-            - F.greatest(F.col("__start"), F.col("bin_id") * cap)
-        ).alias("tokens_in_bin"),
-    )
+    return _pack_impl(df, None, id_col, count_col, capacity, num_buckets)
 
 
 def pack_sequences_by_group(
@@ -126,86 +175,19 @@ def pack_sequences_by_group(
     num_buckets: int = 32,
 ) -> DataFrame:
     """Grouped concat-then-chunk packing: each group (language, source,
-    curriculum stage) gets its OWN bin space, so batches never mix groups —
-    the monolingual-batch / per-source-batch case of ``pack_sequences``.
-    Returns ``(group, id, bin_id, tokens_in_bin)`` with ``bin_id`` counted
-    from 0 within each group.
+    curriculum stage — any atomic-typed column) gets its OWN bin space, so
+    batches never mix groups — the monolingual-batch / per-source-batch case
+    of ``pack_sequences``. Returns ``(group, id, bin_id, tokens_in_bin)``
+    with ``bin_id`` counted from 0 within each group; NULL-group rows are
+    dropped along with NULL ids and empty documents.
 
-    Scale: same two-phase distributed prefix sum as ``pack_sequences``, with
-    the bucket key extended to (group, bucket). The driver sees one row per
-    (group, bucket) — metadata-sized while the group count is bounded
-    (languages, sources), which is the use case; an unbounded group column
-    belongs in ``cap_per_group``/``stratified_sample`` first.
+    Scale: same two-phase distributed prefix sum, with the bucket key
+    extended to (group, bucket). The driver sees one row per (group, bucket)
+    — metadata-sized while the group count is bounded (languages, sources),
+    which is the use case; an unbounded group column belongs in
+    ``cap_per_group``/``stratified_sample`` first.
     """
-    if capacity <= 0:
-        raise ValueError(f"capacity must be positive, got {capacity}")
-    slim = (
-        df.select(
-            F.col(group_col).alias("__g"),
-            F.col(id_col),
-            F.col(count_col).cast("long").alias("__n"),
-        )
-        .filter(
-            F.col("__g").isNotNull() & F.col(id_col).isNotNull() & (F.col("__n") > 0)
-        )
-        .localCheckpoint()
-    )
-    spark = df.sparkSession
-    bounds = slim.groupBy("__g").agg(
-        F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi")
-    )
-    bnds = {r["__g"]: (int(r["__lo"]), int(r["__hi"])) for r in bounds.collect()}
-    if not bnds:
-        return spark.createDataFrame(
-            [], f"{group_col} string, {id_col} long, bin_id long, tokens_in_bin long"
-        )
-    widths = spark.createDataFrame(
-        [(g, lo, max((hi - lo) // num_buckets + 1, 1)) for g, (lo, hi) in bnds.items()],
-        "__g string, __lo long, __w long",
-    )
-    bucketed = slim.join(F.broadcast(widths), "__g").withColumn(
-        "__bkt", ((F.col(id_col) - F.col("__lo")) / F.col("__w")).cast("long")
-    )
-    totals = {
-        (r["__g"], r["__bkt"]): int(r["total"])
-        for r in bucketed.groupBy("__g", "__bkt")
-        .agg(F.sum("__n").alias("total"))
-        .collect()
-    }
-    offsets, acc = [], {}
-    for g, b in sorted(totals):
-        offsets.append((g, b, acc.get(g, 0)))
-        acc[g] = acc.get(g, 0) + totals[(g, b)]
-    offset_df = spark.createDataFrame(offsets, "__g string, __bkt long, __off long")
-    w = (
-        Window.partitionBy("__g", "__bkt")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fin = (F.sum("__n").over(w) + F.col("__off")).alias("__fin")
-    laid = (
-        bucketed.join(F.broadcast(offset_df), ["__g", "__bkt"])
-        .select("__g", F.col(id_col), F.col("__n"), fin)
-        .withColumn("__start", F.col("__fin") - F.col("__n"))
-    )
-    cap = F.lit(int(capacity))
-    return laid.select(
-        F.col("__g").alias(group_col),
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.floor(F.col("__start") / cap), F.floor((F.col("__fin") - 1) / cap))
-        ).alias("bin_id"),
-        "__start",
-        "__fin",
-    ).select(
-        group_col,
-        id_col,
-        "bin_id",
-        (
-            F.least(F.col("__fin"), (F.col("bin_id") + 1) * cap)
-            - F.greatest(F.col("__start"), F.col("bin_id") * cap)
-        ).alias("tokens_in_bin"),
-    )
+    return _pack_impl(df, group_col, id_col, count_col, capacity, num_buckets)
 
 
 def ngrams(text: Column, n: int = 3) -> Column:
@@ -313,10 +295,16 @@ def weighted_sample_topk(
     ``u^(1/weight)``; the global top-k is an exact weighted sample. Rows with
     non-positive or NULL weight are excluded.
 
-    Determinism across engines: the rank key goes through ``pow``/division,
-    which can differ by an ULP between implementations — the key is snapped
-    to a 9-decimal grid before ranking (the BM25 guard-digit technique) and
-    ties break on the id, so the selected set is identical everywhere.
+    The ranking uses the equivalent LOG-DOMAIN key
+    ``ln(ln(1/u)) - ln(w)`` ascending (a monotone transform of
+    ``u^(1/w)`` descending). Ranking on ``u^(1/w)`` directly would collapse:
+    for large weights the value crowds against 1.0 and any fixed-decimal
+    rounding merges an arbitrarily large tie group (billion-token shards all
+    rounding to 1.000000000 would degrade the "weighted" sample into
+    id-order). The log-domain key spans only tens of units across ANY weight
+    range, so the 9-decimal snap (the BM25 guard-digit technique for
+    cross-engine ULP differences in ln) keeps relative weights intact; ties
+    break on the id.
 
     Scale: a pure projection plus one TakeOrdered top-k — per-partition
     heaps of k rows, no global sort, no shuffle beyond the k-row exchange.
@@ -327,11 +315,11 @@ def weighted_sample_topk(
     u = (F.pmod(F.pmod(F.col(id_col), p) * F.lit(2_654_435_761), p) + 1) / F.lit(
         1_000_000_008.0
     )
-    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 9)
+    key = F.round(F.log(F.log(F.lit(1.0) / u)) - F.log(F.col(weight_col)), 9)
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn("__sk", key)
-        .orderBy(F.col("__sk").desc(), F.col(id_col))
+        .orderBy(F.col("__sk").asc(), F.col(id_col))
         .limit(k)
         .drop("__sk")
     )

@@ -243,17 +243,25 @@ def dedup_lines(text: Column, sep: str = "\n") -> Column:
     boilerplate: nav bars, cookie banners, repeated headers): keep the FIRST
     occurrence of each line, preserve order, rejoin. ``array_distinct``
     preserves first-occurrence order in Spark — a pure per-row expression,
-    zero shuffles."""
-    return F.array_join(F.array_distinct(F.split(text, sep)), sep)
+    zero shuffles. ``sep`` is a LITERAL separator (regex-escaped before the
+    split, since ``F.split`` takes a pattern but ``array_join`` a literal —
+    an unescaped "|" would split between every character and rejoin
+    garbage)."""
+    import re
+
+    return F.array_join(F.array_distinct(F.split(text, re.escape(sep))), sep)
 
 
 def line_repetition_ratio(text: Column, sep: str = "\n") -> Column:
     """Share of lines that are repeats of an earlier line — a boilerplate/
-    spam signal (0.0 = all lines unique). NULL-safe: empty text has one
-    empty line and ratio 0."""
-    n = F.size(F.split(text, sep))
-    uniq = F.size(F.array_distinct(F.split(text, sep)))
-    return ((n - uniq) / n).cast("double")
+    spam signal (0.0 = all lines unique). ``sep`` is a literal separator
+    (see dedup_lines). NULL-safe: empty text has one empty line, ratio 0."""
+    import re
+
+    parts = F.split(text, re.escape(sep))
+    return ((F.size(parts) - F.size(F.array_distinct(parts))) / F.size(parts)).cast(
+        "double"
+    )
 
 
 def normalize_text(text: Column) -> Column:

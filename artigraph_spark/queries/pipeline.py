@@ -169,13 +169,12 @@ def domain_cap_q(spark, sf_dir):
     SELECT doc_id, n_chars
     FROM (
         SELECT doc_id, n_chars,
-               round(pow(
-                   (((doc_id % 1000000007) * 2654435761) % 1000000007 + 1)
-                       / 1000000008.0,
-                   1.0 / n_chars), 9) AS sk
+               round(ln(ln(1000000008.0 /
+                   ((((doc_id % 1000000007) * 2654435761) % 1000000007) + 1)))
+                   - ln(n_chars), 9) AS sk
         FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
     )
-    ORDER BY sk DESC, doc_id
+    ORDER BY sk ASC, doc_id
     LIMIT 100
     """,
 )

@@ -184,19 +184,24 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
 
 def stateful_exact_dedup(df: DataFrame, id_col: str, hash_col: str) -> DataFrame:
-    """Streaming exact dedup: emit only the FIRST row seen for each content
-    hash, across micro-batches. The incremental twin of batch
-    ``dedup_exact`` — an ingest pipeline can drop duplicate documents as
-    they arrive instead of re-scanning the corpus.
+    """Streaming exact dedup: emit the FULL first row seen for each content
+    hash, across micro-batches — the incremental twin of batch
+    ``dedup_exact``. Downstream consumes the kept documents directly (all
+    input columns pass through); duplicates are pure drops, no re-join
+    against the raw stream needed.
 
-    State per key is a single marker (seen), so memory is O(distinct keys)
-    spread shuffle-evenly by the hash; within one micro-batch the kept row
-    is the id-minimum (deterministic regardless of arrival order inside the
-    batch). GroupState has no TTL here — at 100 TB, bound state with a
+    The kept row is the id-minimum WITHIN the first micro-batch containing
+    the hash (deterministic regardless of arrival order inside the batch; a
+    duplicate arriving in a LATER batch is dropped even if its id is
+    smaller — first-seen wins, which is the streaming contract). State per
+    key is a single marker, so memory is O(distinct keys) spread
+    shuffle-evenly by the hash. No TTL here — at 100 TB, bound state with a
     watermarked variant or periodic state-store compaction.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    columns = [f.name for f in df.schema.fields]
 
     def update(key, pdfs, state: GroupState):
         best = None
@@ -208,11 +213,11 @@ def stateful_exact_dedup(df: DataFrame, id_col: str, hash_col: str) -> DataFrame
         if state.exists or best is None:
             return  # key already emitted in an earlier batch → pure drop
         state.update((True,))
-        yield pd.DataFrame({hash_col: [key[0]], id_col: [best[id_col]]})
+        yield pd.DataFrame({c: [best[c]] for c in columns})
 
     return df.groupBy(hash_col).applyInPandasWithState(
         update,
-        outputStructType=f"{hash_col} string, {id_col} long",
+        outputStructType=df.schema,  # full input row passes through
         stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -110,7 +110,7 @@ def test_pack_sequences_no_global_window(spark, qs):
     df = qs["pack_sequences"](spark, SF)
     plan = P.physical_plan(df, "simple")
     assert "SinglePartition" not in plan
-    assert "hashpartitioning(__bkt" in plan
+    assert "hashpartitioning(__g" in plan  # (group, bucket) window key
     assert "BroadcastExchange" in plan
 
 

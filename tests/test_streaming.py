@@ -131,21 +131,26 @@ def test_stateless_pipeline_ops_run_on_streams(spark):
 
 
 def test_stateful_exact_dedup_stream(spark):
-    """Streaming first-occurrence dedup: one output row per distinct content
-    hash, matching the batch dedup_exact keeper set (min doc_id per hash)."""
+    """Streaming first-occurrence dedup: one FULL row per distinct content
+    hash. The fixture is a single parquet file → one micro-batch, so the
+    within-batch id-min rule coincides with the global min and parity with
+    batch dedup_exact is exact. (Across multiple batches the operator's
+    contract is first-SEEN wins, not global min — asserted in the
+    two-batch test below.)"""
     from pyspark.sql import functions as F
 
     from artigraph_spark.sources import load
 
     docs = stx.read_stream(spark, SF_DIR, "documents", max_files_per_trigger=1)
     hashed = docs.select(
-        F.col("doc_id"), F.sha2(F.col("text"), 256).alias("h")
+        F.col("doc_id"), F.col("text"), F.sha2(F.col("text"), 256).alias("h")
     )
     out = stx.run_stream_to_batch(
         stx.stateful_exact_dedup(hashed, "doc_id", "h"),
         query_name="t_stream_dedup",
         output_mode="append",
     )
+    assert set(out.columns) == {"doc_id", "text", "h"}  # full row passes through
     batch = (
         load(spark, SF_DIR, "documents")
         .select(F.col("doc_id"), F.sha2(F.col("text"), 256).alias("h"))
@@ -154,3 +159,39 @@ def test_stateful_exact_dedup_stream(spark):
     )
     assert _canon(out, ["h", "doc_id"]) == _canon(batch, ["h", "doc_id"])
     assert out.count() == out.select("h").distinct().count()
+
+
+def test_stateful_exact_dedup_first_batch_wins(spark, tmp_path):
+    """Across micro-batches the contract is first-SEEN wins: a duplicate
+    arriving in a later batch is dropped even when its id is smaller."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # Two files, forced into separate micro-batches; the duplicate text
+    # appears with id 10 in file A (arrives first lexically) and id 1 in B.
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": [10], "text": ["dup text"]}), d / "a.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["dup text", "fresh"]}), d / "b.parquet"
+    )
+    # The file source orders batches by modification time; same-millisecond
+    # writes would leave the order (and so the test) to chance. Pin it.
+    import os
+
+    os.utime(d / "a.parquet", ns=(1_000_000_000, 1_000_000_000))
+    os.utime(d / "b.parquet", ns=(2_000_000_000_000_000_000, 2_000_000_000_000_000_000))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select("doc_id", "text", F.sha2(F.col("text"), 256).alias("h"))
+    )
+    out = stx.run_stream_to_batch(
+        stx.stateful_exact_dedup(stream, "doc_id", "h"),
+        query_name="t_stream_dedup_batches",
+        output_mode="append",
+    )
+    rows = {r["text"]: r["doc_id"] for r in out.collect()}
+    assert rows == {"dup text": 10, "fresh": 2}  # first-seen id kept, not min
