@@ -79,3 +79,56 @@ def test_prune_keep_multiple_snapshots(tmp_root, spark):
     assert pruned == {}
     assert snap1.read(t1, annotation=int) == 1
     assert snap2.read(t2, annotation=int) == 3
+
+
+def test_prune_survives_artifact_definition_drift(tmp_root, spark):
+    """Snapshot links are keyed by the artifact fingerprint AT LINK TIME. A
+    definition change (here: nullable tweak) alters the fingerprint without
+    moving storage paths — pruning through the NEW graph must still honor
+    links recorded under the OLD fingerprint for kept snapshots."""
+    import json as _json
+    import os as _os
+
+    from artigraph_spark import types as at
+    from artigraph_spark.formats import JSON
+    from artigraph_spark.graphs import Graph
+    from artigraph_spark.storage import LocalFile
+
+    from tests.test_graph import NUM_TYPE, Num, SumNums, Total
+
+    backend = JsonFileBackend(os.path.join(tmp_root, "catalog.json"))
+
+    def build(total_type):
+        with Graph("g", backend=backend) as g:
+            g.artifacts.nums = Num(type=NUM_TYPE, format=JSON(), storage=LocalFile(root=tmp_root))
+            p = SumNums(nums=g.artifacts.nums)
+            g.artifacts.total = p.out(
+                Total(type=total_type, format=JSON(), storage=LocalFile(root=tmp_root))
+            )
+        ex = LocalSparkExecutor()
+        snap = g.snapshot(strict_fingerprints=True).build(ex)
+        return g, g.artifacts.total, snap
+
+    seed_nums(tmp_root, [1, 2, 3])
+    g1, t1, snap1 = build(at.Int64(nullable=False))
+    seed_nums(tmp_root, [1, 2, 3, 4])
+    g2, t2, snap2 = build(at.Int64(nullable=True))
+    assert t1.fingerprint != t2.fingerprint  # the drift under test
+    out_dir = os.path.join(tmp_root, "g/total/total")
+    assert len(_os.listdir(out_dir)) == 2
+
+    # Keeping both snapshots through the NEW graph must delete nothing.
+    assert prune_unreferenced_partitions(g2, keep=[snap1, snap2]) == {}
+    assert snap1.read(t1, annotation=int) == 6
+    assert snap2.read(t2, annotation=int) == 10
+
+    # Dropping snap1 prunes its partition even though its links (and its
+    # catalog entries) live under the OLD fingerprint — path-keyed deletion.
+    pruned = prune_unreferenced_partitions(g2, keep=[snap2])
+    assert len(pruned["total"]) == 1
+    state = _json.load(open(os.path.join(tmp_root, "catalog.json")))
+    for store in state["partitions"].values():
+        assert pruned["total"][0] not in store  # no stale entry under ANY fp
+    assert snap2.read(t2, annotation=int) == 10
+    with pytest.raises(FileNotFoundError):
+        snap1.read(t1, annotation=int)
