@@ -14,6 +14,7 @@ _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
 
 @query(
     "pack_sequences",
+    bench=True,
     oracle=f"""
     WITH tc AS (
         SELECT doc_id, len({_TOKS}) AS n FROM documents
