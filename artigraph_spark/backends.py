@@ -86,20 +86,14 @@ class Backend:
         fingerprints (the memoization probe, memory.py:75-82)."""
         raise NotImplementedError
 
-    def delete_artifact_partitions(
-        self, artifact_fp: Fingerprint, paths: set[str]
-    ) -> None:
-        """Drop catalog entries for pruned partitions (gc support): a stale
-        entry whose data was deleted would otherwise re-memoize against a
-        path that no longer exists. Snapshot links are NOT touched — reading
-        a pruned snapshot raises FileNotFoundError by design."""
-        raise NotImplementedError
-
     def delete_partitions_by_path(self, paths: set[str]) -> None:
         """Drop catalog entries for these paths under EVERY artifact
-        fingerprint (gc support): an artifact definition change alters its
-        fingerprint without moving its storage paths, so path-keyed deletion
-        is the only way to guarantee no stale entry survives a prune."""
+        fingerprint (gc support): a stale entry whose data was deleted would
+        otherwise re-memoize against a dead path, and an artifact definition
+        change alters its fingerprint without moving its storage paths, so
+        deletion must be path-keyed, not fingerprint-keyed. Snapshot links
+        are NOT touched — reading a pruned snapshot raises FileNotFoundError
+        by design."""
         raise NotImplementedError
 
     def read_all_snapshot_partitions(
@@ -159,13 +153,6 @@ class MemoryBackend(Backend):
         if input_fingerprints is not None:
             parts = [p for p in parts if p.input_fingerprint.key in input_fingerprints]
         return parts
-
-    def delete_artifact_partitions(
-        self, artifact_fp: Fingerprint, paths: set[str]
-    ) -> None:
-        store = self._partitions.get(artifact_fp.key, {})
-        for path in paths:
-            store.pop(path, None)
 
     def delete_partitions_by_path(self, paths: set[str]) -> None:
         for store in self._partitions.values():
@@ -302,15 +289,6 @@ class JsonFileBackend(Backend):
         if input_fingerprints is not None:
             parts = [p for p in parts if p.input_fingerprint.key in input_fingerprints]
         return parts
-
-    def delete_artifact_partitions(
-        self, artifact_fp: Fingerprint, paths: set[str]
-    ) -> None:
-        with self._locked():
-            store = self._state["partitions"].get(str(artifact_fp.key), {})
-            for path in paths:
-                store.pop(path, None)
-            self._flush()
 
     def delete_partitions_by_path(self, paths: set[str]) -> None:
         with self._locked():

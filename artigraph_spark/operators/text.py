@@ -7,6 +7,8 @@ codegen'd; no UDFs in the row path).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -247,8 +249,6 @@ def dedup_lines(text: Column, sep: str = "\n") -> Column:
     split, since ``F.split`` takes a pattern but ``array_join`` a literal —
     an unescaped "|" would split between every character and rejoin
     garbage)."""
-    import re
-
     return F.array_join(F.array_distinct(F.split(text, re.escape(sep))), sep)
 
 
@@ -256,8 +256,6 @@ def line_repetition_ratio(text: Column, sep: str = "\n") -> Column:
     """Share of lines that are repeats of an earlier line — a boilerplate/
     spam signal (0.0 = all lines unique). ``sep`` is a literal separator
     (see dedup_lines). NULL-safe: empty text has one empty line, ratio 0."""
-    import re
-
     parts = F.split(text, re.escape(sep))
     return ((F.size(parts) - F.size(F.array_distinct(parts))) / F.size(parts)).cast(
         "double"
