@@ -243,3 +243,24 @@ def test_pack_sequences_by_group_partitioning_independent(spark):
     a = pack_sequences_by_group(d, "g", "doc_id", "n", 64, num_buckets=3).collect()
     b = pack_sequences_by_group(d.repartition(11), "g", "doc_id", "n", 64, num_buckets=16).collect()
     assert key(a) == key(b)
+
+
+def test_weighted_sample_no_collapse_at_extreme_weights(spark):
+    """The rank key must stay weight-sensitive for billion-scale weights:
+    ranking on u^(1/w) directly rounds to 1.0 for large w and silently
+    degrades into id-order. With the log-domain key, a 1000x heavier
+    minority must still dominate the sample at w ~ 1e9."""
+    from artigraph_spark.operators.packing import weighted_sample_topk
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, F.lit(1_000_000_000_000))
+        .otherwise(F.lit(1_000_000_000))
+        .alias("w"),
+    )
+    out = weighted_sample_topk(df, "doc_id", "w", k=200).collect()
+    heavy = sum(1 for r in out if r["w"] == 1_000_000_000_000)
+    assert heavy > 120  # weight still governs selection, not id order
+    # And the selection is NOT simply the smallest ids (the collapse symptom).
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids != list(range(200))
