@@ -132,3 +132,27 @@ def test_prune_survives_artifact_definition_drift(tmp_root, spark):
     assert snap2.read(t2, annotation=int) == 10
     with pytest.raises(FileNotFoundError):
         snap1.read(t1, annotation=int)
+
+
+def test_prune_with_memory_backend(tmp_root, spark):
+    """The gc path (read_all_snapshot_partitions + delete_partitions_by_path)
+    must behave identically on the in-process MemoryBackend."""
+    from artigraph_spark.backends import MemoryBackend
+
+    backend = MemoryBackend()
+    seed_nums(tmp_root, [1, 2])
+    g1, t1, snap1, _ = _build(tmp_root, backend)
+    seed_nums(tmp_root, [1, 2, 3])
+    g2, t2, snap2, _ = _build(tmp_root, backend)
+
+    pruned = prune_unreferenced_partitions(g2, keep=[snap2])
+    assert len(pruned["total"]) == 1
+    assert snap2.read(t2, annotation=int) == 6
+    with pytest.raises(FileNotFoundError):
+        snap1.read(t1, annotation=int)
+    # Catalog entry went with the data: reverting rebuilds instead of
+    # memoizing a dead path.
+    seed_nums(tmp_root, [1, 2])
+    _, t3, snap3, ex3 = _build(tmp_root, backend)
+    assert ex3.built_partitions == 1
+    assert snap3.read(t3, annotation=int) == 3
