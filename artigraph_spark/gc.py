@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from typing import TYPE_CHECKING, Any, Iterable
 
 from artigraph_spark.fingerprint import Fingerprint
@@ -32,6 +33,30 @@ if TYPE_CHECKING:  # pragma: no cover
 
 def _snapshot_id(s: Any) -> Fingerprint:
     return s if isinstance(s, Fingerprint) else s.snapshot_id
+
+
+def _is_older_than(path: str, cutoff: float) -> bool:
+    """True when the partition's storage mtime predates ``cutoff`` — the
+    concurrent-build guard. Unknown age (no mtime exposed, path vanished
+    between listing and stat) reads as old: discovery just surfaced the
+    path, and an mtime-less store cannot distinguish fresh from ancient."""
+    mtime: float | None = None
+    if path.startswith("literal://"):
+        return True  # no physical data; catalog-only
+    if "://" in path and not path.startswith("file://"):
+        from artigraph_spark.storage import _resolve_fs
+
+        fs, root = _resolve_fs(path)
+        info = fs.get_file_info(root)
+        mt = getattr(info, "mtime", None)
+        mtime = mt.timestamp() if mt is not None else None
+    else:
+        ospath = path[len("file://") :] if path.startswith("file://") else path
+        try:
+            mtime = os.path.getmtime(ospath)
+        except OSError:
+            mtime = None
+    return mtime is None or mtime < cutoff
 
 
 def _delete_path(path: str) -> None:
@@ -61,6 +86,7 @@ def prune_unreferenced_partitions(
     keep: Iterable[GraphSnapshot | Fingerprint],
     *,
     dry_run: bool = False,
+    grace_seconds: float = 3600.0,
 ) -> dict[str, list[str]]:
     """Delete produced partitions not referenced by any snapshot in ``keep``.
 
@@ -73,6 +99,18 @@ def prune_unreferenced_partitions(
     snapshot ids / tags resolved via ``GraphSnapshot.from_tag``) that must
     stay readable. Everything else that this graph's producers wrote for
     those artifacts is reclaimed.
+
+    **Concurrent builds**: the build path is write-then-record — partition
+    bytes land BEFORE the snapshot link that references them exists. A
+    prune racing an in-flight build would therefore see fresh,
+    not-yet-linked partitions as garbage and delete them mid-build.
+    ``grace_seconds`` (default 1 h) closes that window: partitions whose
+    storage mtime is younger than the grace are never touched, so only
+    builds stalled longer than the grace between write and record are at
+    risk. Pass ``grace_seconds=0`` ONLY when the caller guarantees no
+    build runs concurrently (e.g. a maintenance window); a partition whose
+    age cannot be determined is treated as old (discovery just listed it,
+    so it exists).
     """
     # References are gathered across ALL artifact fingerprints linked to the
     # kept snapshots — not just the current graph's. Links are keyed by the
@@ -84,6 +122,7 @@ def prune_unreferenced_partitions(
     for s in keep:
         for p in graph.backend.read_all_snapshot_partitions(_snapshot_id(s)):
             referenced.add(p.path)
+    cutoff = time.time() - grace_seconds
     pruned: dict[str, list[str]] = {}
     for key, artifact in sorted(graph._artifacts.items()):
         if not artifact.is_produced:
@@ -91,7 +130,11 @@ def prune_unreferenced_partitions(
         on_disk = artifact.storage.discover_partitions(
             PartitionKey.types_from(artifact.type)
         )
-        victims = sorted(p.path for p in on_disk if p.path not in referenced)
+        victims = sorted(
+            p.path
+            for p in on_disk
+            if p.path not in referenced and _is_older_than(p.path, cutoff)
+        )
         if not victims:
             continue
         if not dry_run:

@@ -221,9 +221,15 @@ def atomic_dir_write(path: str):
     # rename even with unique tokens) — sweeping here cannot break any
     # supported pattern, and without it every crashed overwrite would leak a
     # full partition copy forever.
-    for stale in _glob.glob(f"{_glob.escape(final)}.__old_*__") + _glob.glob(
-        f"{_glob.escape(final)}.__tmp_*__"
-    ):
+    stale_old = _glob.glob(f"{_glob.escape(final)}.__old_*__")
+    if not os.path.exists(final) and len(stale_old) == 1:
+        # A crash landed between the two commit renames: the backup is the
+        # ONLY surviving copy of the partition. Restore it rather than sweep
+        # it — if this new attempt then dies during staging, the partition
+        # stays readable instead of being permanently gone.
+        os.rename(stale_old[0], final)
+        stale_old = []
+    for stale in stale_old + _glob.glob(f"{_glob.escape(final)}.__tmp_*__"):
         shutil.rmtree(stale, ignore_errors=True)
     token = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
     tmp = f"{final}.__tmp_{token}__"

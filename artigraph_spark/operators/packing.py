@@ -40,13 +40,30 @@ def _pack_impl(
 
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    # The range-bucketing arithmetic ((id - __lo) / __w, driver-side int()
+    # of the bounds) requires an integral id. A string or date id orders
+    # fine but would fail LATE with an opaque cast/AnalysisException — fail
+    # up front with the actual requirement instead.
+    id_dt = df.schema[id_col].dataType
+    if not isinstance(id_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"packing requires an integral id column for range-bucketing; "
+            f"{id_col!r} is {id_dt.simpleString()} — derive an integral key "
+            f"first (e.g. xxhash64 or a monotonically increasing id)"
+        )
     gtype = df.schema[group_col].dataType if group_col else T.IntegerType()
     id_type = df.schema[id_col].dataType
     gexpr = F.col(group_col) if group_col else F.lit(0)
-    # Slim the input to (group, id, count) and truncate lineage ONCE: bounds,
-    # bucket totals, and the window phase would otherwise each re-execute the
-    # full upstream (scan + tokenization). NULL ids are unorderable, NULL
-    # groups unassignable, and NULL/zero counts occupy no bin: all dropped.
+    # Slim the input to (group, id, count) and persist it for the two
+    # driver-side aggregation passes (bounds, bucket totals) so the upstream
+    # (scan + tokenization) executes once for both, spilling to disk rather
+    # than failing when it doesn't fit. persist — NOT localCheckpoint —
+    # keeps lineage intact: an executor loss recomputes the lost blocks
+    # instead of failing the job, and nothing is pinned after the explicit
+    # unpersist below. NULL ids are unorderable, NULL groups unassignable,
+    # and NULL/zero counts occupy no bin: all dropped.
+    from pyspark.storagelevel import StorageLevel
+
     slim = (
         df.select(
             gexpr.alias("__g"), F.col(id_col), F.col(count_col).cast("long").alias("__n")
@@ -54,45 +71,52 @@ def _pack_impl(
         .filter(
             F.col("__g").isNotNull() & F.col(id_col).isNotNull() & (F.col("__n") > 0)
         )
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     spark = df.sparkSession
-    bnds = {
-        r["__g"]: (int(r["__lo"]), int(r["__hi"]))
-        for r in slim.groupBy("__g")
-        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
-        .collect()
-    }
-    prefix = [T.StructField(group_col, gtype)] if group_col else []
-    if not bnds:
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                prefix
-                + [
-                    T.StructField(id_col, id_type),
-                    T.StructField("bin_id", T.LongType()),
-                    T.StructField("tokens_in_bin", T.LongType()),
-                ]
-            ),
+    try:
+        bnds = {
+            r["__g"]: (int(r["__lo"]), int(r["__hi"]))
+            for r in slim.groupBy("__g")
+            .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+            .collect()
+        }
+        prefix = [T.StructField(group_col, gtype)] if group_col else []
+        if not bnds:
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    prefix
+                    + [
+                        T.StructField(id_col, id_type),
+                        T.StructField("bin_id", T.LongType()),
+                        T.StructField("tokens_in_bin", T.LongType()),
+                    ]
+                ),
+            )
+        # Per-group range-bucket widths — one row per group, broadcast back.
+        # Helper frames carry the group column's REAL type (a string schema
+        # would reject integer curriculum stages or date shards).
+        helper = lambda fields: T.StructType([T.StructField("__g", gtype), *fields])
+        widths = spark.createDataFrame(
+            [(g, lo, max((hi - lo) // num_buckets + 1, 1)) for g, (lo, hi) in bnds.items()],
+            helper([T.StructField("__lo", T.LongType()), T.StructField("__w", T.LongType())]),
         )
-    # Per-group range-bucket widths — one row per group, broadcast back.
-    # Helper frames carry the group column's REAL type (a string schema would
-    # reject integer curriculum stages or date shards).
-    helper = lambda fields: T.StructType([T.StructField("__g", gtype), *fields])
-    widths = spark.createDataFrame(
-        [(g, lo, max((hi - lo) // num_buckets + 1, 1)) for g, (lo, hi) in bnds.items()],
-        helper([T.StructField("__lo", T.LongType()), T.StructField("__w", T.LongType())]),
-    )
-    bucketed = slim.join(F.broadcast(widths), "__g").withColumn(
-        "__bkt", ((F.col(id_col) - F.col("__lo")) / F.col("__w")).cast("long")
-    )
-    # Phase 1: per-(group, bucket) totals — metadata-sized — rolled into
-    # per-group running offsets on the driver.
-    totals = {
-        (r["__g"], r["__bkt"]): int(r["total"])
-        for r in bucketed.groupBy("__g", "__bkt").agg(F.sum("__n").alias("total")).collect()
-    }
+        bucketed = slim.join(F.broadcast(widths), "__g").withColumn(
+            "__bkt", ((F.col(id_col) - F.col("__lo")) / F.col("__w")).cast("long")
+        )
+        # Phase 1: per-(group, bucket) totals — metadata-sized — rolled into
+        # per-group running offsets on the driver.
+        totals = {
+            (r["__g"], r["__bkt"]): int(r["total"])
+            for r in bucketed.groupBy("__g", "__bkt").agg(F.sum("__n").alias("total")).collect()
+        }
+    finally:
+        # Both metadata collects are done; release the cached blocks NOW.
+        # The returned lazy plan still references slim and recomputes it
+        # from source at consumption (one extra upstream pass) — the price
+        # of keeping lineage unbroken and executor storage unpinned.
+        slim.unpersist(blocking=False)
     offsets, acc = [], {}
     for g, b in sorted(totals, key=lambda k: (str(k[0]), k[1])):
         offsets.append((g, b, acc.get(g, 0)))
@@ -154,6 +178,11 @@ def pack_sequences(
     are omitted; rows with a NULL id or NULL count are dropped (a NULL id
     has no place in the total order, a NULL count no length).
 
+    ``id_col`` must be an INTEGRAL column (byte/short/int/long) — the
+    distributed prefix sum range-buckets on id arithmetic. A non-integral
+    id raises ``ValueError`` up front; derive an integral key first
+    (``xxhash64``, ``monotonically_increasing_id``).
+
     Scale: a naive global ``Window.orderBy`` prefix-sum drags every row into
     ONE partition — a non-starter at 100 TB. The shared core uses the
     classic two-phase distributed scan instead: range-bucket on the id,
@@ -179,7 +208,8 @@ def pack_sequences_by_group(
     batches never mix groups — the monolingual-batch / per-source-batch case
     of ``pack_sequences``. Returns ``(group, id, bin_id, tokens_in_bin)``
     with ``bin_id`` counted from 0 within each group; NULL-group rows are
-    dropped along with NULL ids and empty documents.
+    dropped along with NULL ids and empty documents. ``id_col`` must be
+    integral (see ``pack_sequences``) — validated up front.
 
     Scale: same two-phase distributed prefix sum, with the bucket key
     extended to (group, bucket). The driver sees one row per (group, bucket)

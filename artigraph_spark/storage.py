@@ -89,8 +89,10 @@ def _fingerprint_path(path: str, *, strict: bool = False) -> Fingerprint:
             # The relpath is part of the digest: the combine is XOR, so two
             # files with IDENTICAL bytes would otherwise cancel to the
             # identity — a partition of two duplicate part files would
-            # fingerprint the same as an empty one.
-            h = hashlib.sha256(rel.encode())
+            # fingerprint the same as an empty one. The NUL terminator makes
+            # the framing unambiguous: without it, (rel='ab', bytes 'c…') and
+            # (rel='a', bytes 'bc…') share a digest and can still cancel.
+            h = hashlib.sha256(rel.encode() + b"\x00")
             with open(f, "rb") as fh:
                 for chunk in iter(lambda: fh.read(1 << 20), b""):
                     h.update(chunk)
@@ -457,9 +459,10 @@ def _fingerprint_object_uri(uri: str, *, strict: bool = False) -> Fingerprint:
     for i in infos:
         rel = i.path[len(root) :].lstrip("/") or os.path.basename(i.path)
         if strict:
-            # relpath seeds the digest so identical-content objects cannot
-            # XOR-cancel (see _fingerprint_path).
-            h = hashlib.sha256(rel.encode())
+            # relpath + NUL delimiter seeds the digest so identical-content
+            # objects cannot XOR-cancel and the rel/content boundary is
+            # unambiguous (see _fingerprint_path).
+            h = hashlib.sha256(rel.encode() + b"\x00")
             with fs.open_input_stream(i.path) as fh:
                 for chunk in iter(lambda: fh.read(1 << 20), b""):
                     h.update(chunk)

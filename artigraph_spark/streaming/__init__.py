@@ -206,6 +206,10 @@ def stateful_exact_dedup(df: DataFrame, id_col: str, hash_col: str) -> DataFrame
     def update(key, pdfs, state: GroupState):
         best = None
         for pdf in pdfs:
+            # NULL ids can never win "minimum id", and pandas idxmin raises
+            # ValueError on an all-NA series — one bad group would kill the
+            # whole streaming query. Drop them before picking the keeper.
+            pdf = pdf[pdf[id_col].notna()]
             if len(pdf):
                 m = pdf.loc[pdf[id_col].idxmin()]
                 if best is None or m[id_col] < best[id_col]:

@@ -182,3 +182,30 @@ def test_generate_partition_rejects_reserved_namespace(tmp_path):
             PartitionKey(fields={"lang": StringField(key="v.__tmp_x__")}),
             Fingerprint.empty(),
         )
+
+
+def test_interrupted_swap_backup_restored_not_swept(spark, tmp_path):
+    """Crash BETWEEN the two commit renames leaves the partition parked at
+    .__old_<token>__ with the final path missing — the backup is then the
+    only copy. The next write must RESTORE it before attempting anything,
+    so that a second failure during staging does not destroy the data."""
+    p = _partition(tmp_path, "swapcrash")
+    io.write([{"a": 1, "b": "x"}], COLL, JSON(), p, PythonListView, spark)
+    # Simulate the mid-swap crash: final renamed away, new rename never ran.
+    os.rename(p.path, f"{p.path}.__old_42_cafe__")
+    assert not os.path.exists(p.path)
+
+    # Next attempt dies during staging — the old bytes must survive it.
+    with pytest.raises(KilledMidWrite):
+        io.write([{"a": 2, "b": "y"}], COLL, CrashyJSON(), p, PythonListView, spark)
+    assert io.read(COLL, JSON(), LocalFile(), [p], PythonListView, spark) == [
+        {"a": 1, "b": "x"}
+    ]
+    assert sorted(os.listdir(tmp_path)) == ["swapcrash"]
+
+    # And a SUCCESSFUL retry supersedes the restored content cleanly.
+    io.write([{"a": 3, "b": "z"}], COLL, JSON(), p, PythonListView, spark)
+    assert io.read(COLL, JSON(), LocalFile(), [p], PythonListView, spark) == [
+        {"a": 3, "b": "z"}
+    ]
+    assert sorted(os.listdir(tmp_path)) == ["swapcrash"]

@@ -52,3 +52,27 @@ def test_combine_rejects_non_fingerprint():
     for val in (None, "a", 1):
         with pytest.raises(TypeError):
             f1.combine(val)
+
+
+def test_strict_path_fingerprint_framing_unambiguous(tmp_path):
+    """The strict digest seeds with relpath + NUL so the rel/content
+    boundary cannot shift: (rel='ab', bytes 'c') and (rel='a', bytes 'bc')
+    must produce DIFFERENT per-file digests — without the delimiter they
+    collide, and two such files in one partition XOR-cancel to identity."""
+    import os
+
+    from artigraph_spark.fingerprint import Fingerprint
+    from artigraph_spark.storage import _fingerprint_path
+
+    d1, d2, both = tmp_path / "d1", tmp_path / "d2", tmp_path / "both"
+    for d in (d1, d2, both):
+        os.makedirs(d)
+    (d1 / "ab").write_bytes(b"c")
+    (d2 / "a").write_bytes(b"bc")
+    assert _fingerprint_path(str(d1), strict=True) != _fingerprint_path(
+        str(d2), strict=True
+    )
+
+    (both / "ab").write_bytes(b"c")
+    (both / "a").write_bytes(b"bc")
+    assert _fingerprint_path(str(both), strict=True) != Fingerprint.identity()

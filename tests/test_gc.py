@@ -34,11 +34,11 @@ def test_prune_keeps_latest_deletes_superseded(tmp_root, spark):
     assert len(os.listdir(out_dir)) == 2
 
     # Dry run reports the victim without touching anything.
-    plan = prune_unreferenced_partitions(g2, keep=[snap2], dry_run=True)
+    plan = prune_unreferenced_partitions(g2, keep=[snap2], dry_run=True, grace_seconds=0)
     assert list(plan) == ["total"] and len(plan["total"]) == 1
     assert len(os.listdir(out_dir)) == 2
 
-    pruned = prune_unreferenced_partitions(g2, keep=[snap2])
+    pruned = prune_unreferenced_partitions(g2, keep=[snap2], grace_seconds=0)
     assert pruned == plan
     assert len(os.listdir(out_dir)) == 1
 
@@ -64,7 +64,7 @@ def test_prune_never_touches_raw_artifacts(tmp_root, spark):
     backend = JsonFileBackend(os.path.join(tmp_root, "catalog.json"))
     raw_path = seed_nums(tmp_root, [5, 6])
     g, _total, snap, _ = _build(tmp_root, backend)
-    pruned = prune_unreferenced_partitions(g, keep=[snap])
+    pruned = prune_unreferenced_partitions(g, keep=[snap], grace_seconds=0)
     assert pruned == {}  # nothing superseded, nothing raw
     assert os.path.exists(raw_path)
 
@@ -75,7 +75,7 @@ def test_prune_keep_multiple_snapshots(tmp_root, spark):
     g1, t1, snap1, _ = _build(tmp_root, backend)
     seed_nums(tmp_root, [1, 2])
     g2, t2, snap2, _ = _build(tmp_root, backend)
-    pruned = prune_unreferenced_partitions(g2, keep=[snap1, snap2])
+    pruned = prune_unreferenced_partitions(g2, keep=[snap1, snap2], grace_seconds=0)
     assert pruned == {}
     assert snap1.read(t1, annotation=int) == 1
     assert snap2.read(t2, annotation=int) == 3
@@ -118,13 +118,13 @@ def test_prune_survives_artifact_definition_drift(tmp_root, spark):
     assert len(_os.listdir(out_dir)) == 2
 
     # Keeping both snapshots through the NEW graph must delete nothing.
-    assert prune_unreferenced_partitions(g2, keep=[snap1, snap2]) == {}
+    assert prune_unreferenced_partitions(g2, keep=[snap1, snap2], grace_seconds=0) == {}
     assert snap1.read(t1, annotation=int) == 6
     assert snap2.read(t2, annotation=int) == 10
 
     # Dropping snap1 prunes its partition even though its links (and its
     # catalog entries) live under the OLD fingerprint — path-keyed deletion.
-    pruned = prune_unreferenced_partitions(g2, keep=[snap2])
+    pruned = prune_unreferenced_partitions(g2, keep=[snap2], grace_seconds=0)
     assert len(pruned["total"]) == 1
     state = _json.load(open(os.path.join(tmp_root, "catalog.json")))
     for store in state["partitions"].values():
@@ -145,7 +145,7 @@ def test_prune_with_memory_backend(tmp_root, spark):
     seed_nums(tmp_root, [1, 2, 3])
     g2, t2, snap2, _ = _build(tmp_root, backend)
 
-    pruned = prune_unreferenced_partitions(g2, keep=[snap2])
+    pruned = prune_unreferenced_partitions(g2, keep=[snap2], grace_seconds=0)
     assert len(pruned["total"]) == 1
     assert snap2.read(t2, annotation=int) == 6
     with pytest.raises(FileNotFoundError):
@@ -156,3 +156,35 @@ def test_prune_with_memory_backend(tmp_root, spark):
     _, t3, snap3, ex3 = _build(tmp_root, backend)
     assert ex3.built_partitions == 1
     assert snap3.read(t3, annotation=int) == 3
+
+
+def test_prune_grace_window_protects_fresh_partitions(tmp_root, spark):
+    """Write-then-record race guard: a partition younger than grace_seconds
+    is never pruned, even when no kept snapshot references it — exactly the
+    state an in-flight build is in between writing bytes and recording the
+    snapshot link."""
+    backend = JsonFileBackend(os.path.join(tmp_root, "catalog.json"))
+    seed_nums(tmp_root, [1, 2, 3])
+    g1, t1, snap1, _ = _build(tmp_root, backend)
+    seed_nums(tmp_root, [1, 2, 3, 4])
+    g2, t2, snap2, _ = _build(tmp_root, backend)
+    out_dir = os.path.join(tmp_root, "g/total/total")
+    assert len(os.listdir(out_dir)) == 2
+
+    # Default grace (1 h): the superseded partition was written seconds ago
+    # — indistinguishable from an in-flight build's output — so it survives,
+    # and the dry-run plan agrees.
+    assert prune_unreferenced_partitions(g2, keep=[snap2], dry_run=True) == {}
+    assert prune_unreferenced_partitions(g2, keep=[snap2]) == {}
+    assert len(os.listdir(out_dir)) == 2
+    assert snap1.read(t1, annotation=int) == 6
+
+    # Age the partition past the cutoff -> it becomes a victim.
+    victim = prune_unreferenced_partitions(
+        g2, keep=[snap2], dry_run=True, grace_seconds=0
+    )["total"][0]
+    old = __import__("time").time() - 7200
+    os.utime(victim, (old, old))
+    pruned = prune_unreferenced_partitions(g2, keep=[snap2])
+    assert pruned["total"] == [victim]
+    assert snap2.read(t2, annotation=int) == 10

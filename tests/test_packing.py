@@ -264,3 +264,45 @@ def test_weighted_sample_no_collapse_at_extreme_weights(spark):
     # And the selection is NOT simply the smallest ids (the collapse symptom).
     ids = sorted(r["doc_id"] for r in out)
     assert ids != list(range(200))
+
+
+def test_pack_rejects_non_integral_id(spark):
+    """The range-bucketing core needs an integral id; a string id must fail
+    up front with the requirement spelled out, not deep in the plan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.packing import pack_sequences, pack_sequences_by_group
+
+    df = spark.createDataFrame(
+        [("a", "en", 5), ("b", "en", 7)], "doc string, lang string, n long"
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        pack_sequences(df, "doc", "n", 10)
+    with pytest.raises(ValueError, match="integral id"):
+        pack_sequences_by_group(df, "lang", "doc", "n", 10)
+    # A double id is equally out: int() truncation of the bounds silently
+    # misbuckets — refuse it too.
+    with pytest.raises(ValueError, match="integral id"):
+        pack_sequences(df.select(F.lit(1.5).alias("doc"), "n"), "doc", "n", 10)
+
+
+def test_pack_persist_not_checkpoint_lineage_intact(spark):
+    """The metadata passes use persist(MEMORY_AND_DISK) + explicit
+    unpersist, NOT localCheckpoint: the returned plan must trace back to
+    the real source (no ExistingRDD lineage break — executor loss means
+    recompute, not job failure) and no cached blocks may stay pinned."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.packing import pack_sequences
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("n")
+    )
+    out = pack_sequences(df, "id", "n", 64)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" not in plan  # lineage reaches the source, unbroken
+    assert out.count() > 0
+    # Explicit unpersist ran: nothing from the pack call is still pinned.
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0

@@ -195,3 +195,45 @@ def test_stateful_exact_dedup_first_batch_wins(spark, tmp_path):
     )
     rows = {r["text"]: r["doc_id"] for r in out.collect()}
     assert rows == {"dup text": 10, "fresh": 2}  # first-seen id kept, not min
+
+
+def test_stateful_exact_dedup_null_ids_do_not_kill_query(spark, tmp_path):
+    """pandas idxmin raises on an all-NA series — one micro-batch whose ids
+    are all NULL for a hash group must not crash the streaming query.
+    NULL-id rows are dropped (they cannot win 'minimum id'); a later
+    non-NULL arrival of the same hash is still admitted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "null_src"
+    d.mkdir()
+    # Batch A: hash 'ghost' arrives with ONLY a NULL id; 'solid' is normal.
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([None, 7], type=pa.int64()), "text": ["ghost", "solid"]}
+        ),
+        d / "a.parquet",
+    )
+    # Batch B: 'ghost' re-arrives with a real id — admitted (never emitted).
+    pq.write_table(
+        pa.table({"doc_id": pa.array([3], type=pa.int64()), "text": ["ghost"]}),
+        d / "b.parquet",
+    )
+    import os
+
+    os.utime(d / "a.parquet", ns=(1_000_000_000, 1_000_000_000))
+    os.utime(d / "b.parquet", ns=(2_000_000_000_000_000_000, 2_000_000_000_000_000_000))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select("doc_id", "text", F.sha2(F.col("text"), 256).alias("h"))
+    )
+    out = stx.run_stream_to_batch(
+        stx.stateful_exact_dedup(stream, "doc_id", "h"),
+        query_name="t_stream_dedup_nulls",
+        output_mode="append",
+    )
+    rows = {r["text"]: r["doc_id"] for r in out.collect()}
+    assert rows == {"solid": 7, "ghost": 3}
