@@ -15,6 +15,7 @@ format, partition, view, spark) and materialize one partition.
 from __future__ import annotations
 
 import contextlib
+import functools
 import glob as _glob
 import json
 import os
@@ -124,6 +125,12 @@ def write(
         # Crash-consistent local materialization: every writer targets a
         # staging dir; the partition path only comes into existence complete.
         with atomic_dir_write(partition.path) as staged:
+            fn(data, type_, fmt, partition.model_copy(update={"path": staged}), spark)
+    elif isinstance(resolved, ObjectStore) and "://" in partition.path:
+        # Manifest-gated object-store materialization: files stage under a
+        # reserved commit prefix; a single-object manifest PUT flips the
+        # partition's visible file set atomically.
+        with atomic_object_commit(partition.path) as staged:
             fn(data, type_, fmt, partition.model_copy(update={"path": staged}), spark)
     else:
         fn(data, type_, fmt, partition, spark)
@@ -266,6 +273,116 @@ def atomic_dir_write(path: str):
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+@contextlib.contextmanager
+def atomic_object_commit(path: str):
+    """Manifest-gated commit for multi-file object-store writes — the
+    object-store counterpart of ``atomic_dir_write``. Object stores have no
+    atomic directory rename, so stage-then-rename cannot apply; what they DO
+    guarantee is atomic single-object PUTs (the property the reference's
+    single-object GCS uploads lean on,
+    /root/reference/src/arti/storage/google/cloud/storage.py:28-64). The
+    protocol generalizes that to multi-file Spark output:
+
+    1. The writer lands its full file set under the reserved staging prefix
+       ``<path>/.__commit_<token>__/`` — invisible to discovery (reserved
+       namespace) and to manifest-following readers.
+    2. One ``_MANIFEST.json`` object naming the exact committed file set
+       (+ sizes) is PUT at the partition root — THE atomic flip.
+    3. Superseded commit dirs, crashed-commit orphans, and legacy loose
+       files are swept only after the flip.
+
+    A reader or discovery listing at ANY point sees the old committed set,
+    or the new committed set, or (for a first write) no partition — never a
+    partial file set. A crash before step 2 leaves an orphaned staging dir
+    (swept by the next write); a crash during the sweep leaves stale but
+    unreferenced objects. Data loss window: none.
+    """
+    import json as _json
+
+    from pyarrow import fs as pafs
+
+    from artigraph_spark.storage import MANIFEST_NAME, _resolve_fs
+
+    fs, root = _resolve_fs(path)
+    root = root.rstrip("/")
+    token = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    commit_rel = f".__commit_{token}__"
+    staged_root = f"{root}/{commit_rel}"
+    try:
+        yield f"{path.rstrip('/')}/{commit_rel}"
+    except BaseException:
+        # Failed write: drop our staging dir; committed state untouched.
+        try:
+            fs.delete_dir(staged_root)
+        except (OSError, FileNotFoundError):
+            pass
+        raise
+    infos = [
+        i
+        for i in fs.get_file_info(
+            pafs.FileSelector(staged_root, recursive=True, allow_not_found=True)
+        )
+        if i.type == pafs.FileType.File
+    ]
+    if not infos:
+        return  # writer produced nothing (empty plan edge) — no flip
+    files = sorted(
+        ({"path": i.path[len(staged_root) :].lstrip("/"), "size": i.size} for i in infos),
+        key=lambda f: f["path"],
+    )
+    manifest = {"commit": commit_rel, "files": files}
+    with fs.open_output_stream(f"{root}/{MANIFEST_NAME}") as fh:
+        fh.write(_json.dumps(manifest, indent=1).encode("utf-8"))
+    # Post-flip sweep: everything at the partition root that is not the
+    # live commit or its manifest is superseded (old commits, crashed
+    # orphans, pre-manifest loose files). Overwrite semantics say a write
+    # REPLACES the partition, so nothing here can be load-bearing.
+    for i in fs.get_file_info(pafs.FileSelector(root, recursive=False)):
+        name = i.path.rsplit("/", 1)[-1]
+        if name in (commit_rel, MANIFEST_NAME):
+            continue
+        try:
+            if i.type == pafs.FileType.Directory:
+                fs.delete_dir(i.path)
+            else:
+                fs.delete_file(i.path)
+        except (OSError, FileNotFoundError):
+            pass  # concurrent sweeper got there first — fine
+
+
+def committed_data_path(path: str) -> str:
+    """Resolve a partition URI to its committed data location: the
+    manifest's commit dir when one exists, the path itself otherwise
+    (legacy unmanifested layout, local paths, literals)."""
+    if not path or "://" not in path or path.startswith(("file://", "literal://")):
+        return path
+    from artigraph_spark.storage import _read_object_manifest, _resolve_fs
+
+    try:
+        fs, root = _resolve_fs(path)
+        manifest = _read_object_manifest(fs, root.rstrip("/"))
+    except (OSError, ValueError):
+        return path
+    if manifest is None:
+        return path
+    return f"{path.rstrip('/')}/{manifest['commit']}"
+
+
+def _committed(reader):
+    """Wrap an object-store reader so every partition path is resolved
+    through its commit manifest before any bytes are read."""
+
+    @functools.wraps(reader)
+    def wrapped(type_, fmt, storage, partitions, spark):
+        parts = [
+            p.model_copy(update={"path": committed_data_path(p.path)})
+            for p in partitions
+        ]
+        return reader(type_, fmt, storage, parts, spark)
+
+    return wrapped
+
+
 def _data_files(path: str) -> list[str]:
     path = _os_path(path)  # driver-local os.open, not a Spark reader
     if os.path.isdir(path):
@@ -393,18 +510,20 @@ def _write_delta_df(data: DataFrame, type_, fmt, partition, spark) -> None:
 # writer code — Spark's Hadoop connectors resolve the scheme; only the
 # dispatch key differs. Delta + pandas handlers included: before the
 # ObjectStore sniff existed these paths dispatched via LocalFile, so every
-# (format, view) that worked then must stay registered now.
-register_reader(Parquet, ObjectStore, SparkDataFrameView)(_read_parquet_df)
+# (format, view) that worked then must stay registered now. Readers are
+# wrapped to follow the partition's commit manifest (atomic_object_commit)
+# so they only ever read a committed file set.
+register_reader(Parquet, ObjectStore, SparkDataFrameView)(_committed(_read_parquet_df))
 register_writer(Parquet, ObjectStore, SparkDataFrameView)(_write_parquet_df)
-register_reader(JSON, ObjectStore, SparkDataFrameView)(_read_json_df)
+register_reader(JSON, ObjectStore, SparkDataFrameView)(_committed(_read_json_df))
 register_writer(JSON, ObjectStore, SparkDataFrameView)(_write_json_df)
-register_reader(CSV, ObjectStore, SparkDataFrameView)(_read_csv_df)
+register_reader(CSV, ObjectStore, SparkDataFrameView)(_committed(_read_csv_df))
 register_writer(CSV, ObjectStore, SparkDataFrameView)(_write_csv_df)
-register_reader(ORC, ObjectStore, SparkDataFrameView)(_read_orc_df)
+register_reader(ORC, ObjectStore, SparkDataFrameView)(_committed(_read_orc_df))
 register_writer(ORC, ObjectStore, SparkDataFrameView)(_write_orc_df)
-register_reader(Text, ObjectStore, SparkDataFrameView)(_read_text_df)
+register_reader(Text, ObjectStore, SparkDataFrameView)(_committed(_read_text_df))
 register_writer(Text, ObjectStore, SparkDataFrameView)(_write_text_df)
-register_reader(Delta, ObjectStore, SparkDataFrameView)(_read_delta_df)
+register_reader(Delta, ObjectStore, SparkDataFrameView)(_committed(_read_delta_df))
 register_writer(Delta, ObjectStore, SparkDataFrameView)(_write_delta_df)
 
 
@@ -449,6 +568,7 @@ def _arrow_schema(type_: at.Type):
 
 
 @register_reader(Parquet, ObjectStore, PandasDataFrameView)
+@_committed
 def _read_parquet_pandas_object(type_, fmt, storage, partitions, spark):
     import pandas as pd
     import pyarrow.parquet as pq

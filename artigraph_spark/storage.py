@@ -30,6 +30,27 @@ from artigraph_spark.partitions import PartitionField, PartitionKey
 
 _FP_SEGMENT = "_fingerprint={input_fingerprint}"
 
+# Object-store commit manifest: a single-object PUT of this file flips a
+# partition's visible file set atomically (object stores have no atomic
+# multi-file rename; single-object writes ARE atomic — the property the
+# reference's single-object GCS uploads rely on,
+# /root/reference/src/arti/storage/google/cloud/storage.py:28-64).
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _read_object_manifest(fs: Any, root: str) -> dict | None:
+    """Load a partition's commit manifest, or None when the partition uses
+    the legacy unmanifested layout (files directly under the path)."""
+    import json
+
+    from pyarrow import fs as pafs
+
+    mpath = f"{root.rstrip('/')}/{MANIFEST_NAME}"
+    if fs.get_file_info(mpath).type != pafs.FileType.File:
+        return None
+    with fs.open_input_stream(mpath) as fh:
+        return json.loads(fh.read().decode("utf-8"))
+
 # Internal discovery marker standing in for "{input_fingerprint}" while the
 # spec is turned into a glob (→ "*") and parse regex (→ signed-int capture).
 _FP_WILDCARD = "\x00FP\x00"
@@ -200,10 +221,12 @@ def _parse_partition_path(
     not match the spec or a key value fails its field parser."""
     # Reserved engine-internal namespace: io.atomic_dir_write stages under
     # "<path>.__tmp_<token>__" and parks overwritten content at
-    # "<path>.__old_<token>__". Discovery must NEVER surface either — a
-    # string-typed partition key at the end of a template would otherwise
-    # parse a half-written staging dir as a phantom partition.
-    if ".__tmp_" in path or ".__old_" in path:
+    # "<path>.__old_<token>__"; io.atomic_object_commit stages object-store
+    # file sets under "<path>/.__commit_<token>__/". Discovery must NEVER
+    # surface any of them — a string-typed partition key at the end of a
+    # template would otherwise parse a half-written staging dir as a
+    # phantom partition.
+    if ".__tmp_" in path or ".__old_" in path or ".__commit_" in path:
         return None
     m = rx.match(path)
     if not m:
@@ -354,14 +377,14 @@ class LocalFile(Storage):
             path = path.rstrip("/")  # empty trailing segments (no key, no fp)
         if "{" in path:
             raise ValueError(f"unresolved placeholders remain in {path!r}")
-        if ".__tmp_" in path or ".__old_" in path:
+        if ".__tmp_" in path or ".__old_" in path or ".__commit_" in path:
             # quote() leaves '.' and '_' unescaped, so a key value could
             # render into the reserved staging/backup namespace — which
             # discovery unconditionally rejects. Writing there would make
             # the data permanently undiscoverable; fail at generation.
             raise ValueError(
                 f"partition path {path!r} collides with the reserved "
-                "'.__tmp_'/'.__old_' staging namespace"
+                "'.__tmp_'/'.__old_'/'.__commit_' staging namespace"
             )
         return StoragePartition(
             path=path, partition_key=key, input_fingerprint=input_fingerprint
@@ -447,6 +470,16 @@ def _fingerprint_object_uri(uri: str, *, strict: bool = False) -> Fingerprint:
     if info.type == pafs.FileType.NotFound:
         raise FileNotFoundError(uri)
     if info.type == pafs.FileType.Directory:
+        # Manifest-gated partitions: fingerprint the COMMITTED file set
+        # only, with rels relative to the commit dir — so the fingerprint
+        # stays content-addressed across rewrites (the commit token never
+        # enters the digest) and a concurrent in-flight commit's staging
+        # files never perturb it.
+        manifest = _read_object_manifest(fs, root)
+        if manifest is not None:
+            root = f"{root.rstrip('/')}/{manifest['commit']}"
+            if fs.get_file_info(root).type == pafs.FileType.NotFound:
+                raise FileNotFoundError(f"{uri}: manifested commit dir missing")
         infos = [
             i
             for i in fs.get_file_info(pafs.FileSelector(root, recursive=True))
@@ -476,6 +509,21 @@ def _fingerprint_object_uri(uri: str, *, strict: bool = False) -> Fingerprint:
                 part = Fingerprint.from_string(f"{rel}:{i.size}:{mtime}")
         fp = fp.combine(part)
     return fp
+
+
+def _object_partition_visible(path: str, file_uris: list[str]) -> bool:
+    """True when the partition holds committed content: a manifest, any
+    file outside the reserved ``.__commit_`` staging namespace (legacy
+    unmanifested layout), or the path itself being a single object. A
+    partition whose only files are under an in-flight commit prefix is
+    NOT visible — that is the mid-commit window the manifest closes."""
+    prefix = path.rstrip("/") + "/"
+    for f in file_uris:
+        if f == path:
+            return True
+        if f.startswith(prefix) and not f[len(prefix) :].startswith(".__commit_"):
+            return True
+    return False
 
 
 class ObjectStore(Storage):
@@ -542,6 +590,7 @@ class ObjectStore(Storage):
             return []
         selector = pafs.FileSelector(root, recursive=True, allow_not_found=True)
         candidates: set[str] = set()
+        file_uris: list[str] = []
         base = static_prefix[: len(static_prefix) - len(root)] if root else static_prefix
         for info in fs.get_file_info(selector):
             # Compare against the full "scheme://" prefix: a bare-scheme
@@ -554,6 +603,8 @@ class ObjectStore(Storage):
                 if info.path.startswith(scheme + "://")
                 else f"{base}{info.path}"
             )
+            if info.type == pafs.FileType.File:
+                file_uris.append(uri)
             parts = uri[len(static_prefix) :].strip("/").split("/")
             for depth in range(1, len(parts) + 1):
                 candidates.add(static_prefix + "/" + "/".join(parts[:depth]))
@@ -562,7 +613,15 @@ class ObjectStore(Storage):
             _parse_partition_path(path, rx, key_types, has_fp)
             for path in sorted(candidates)
         )
-        return [p for p in parsed if p is not None]
+        # Manifest gate: a partition whose ONLY content is an in-flight
+        # .__commit_ staging prefix is invisible — a reader listing
+        # mid-commit must see the previously committed set (which includes
+        # its manifest) or no partition at all, never a partial file set.
+        return [
+            p
+            for p in parsed
+            if p is not None and _object_partition_visible(p.path, file_uris)
+        ]
 
 
 class StringLiteral(Storage):

@@ -238,7 +238,10 @@ def test_object_store_pandas_write_honors_cluster_by(mock_fs):
         pd.DataFrame({"a": [3, 1, 2]}), coll, Parquet(), p, PandasDataFrameView,
         spark=None, storage=storage,
     )
-    fs, root = __import__("artigraph_spark.storage", fromlist=["_resolve_fs"])._resolve_fs(p.path)
+    # The physical file lives under the manifested commit dir.
+    committed = io.committed_data_path(p.path)
+    assert committed != p.path
+    fs, root = __import__("artigraph_spark.storage", fromlist=["_resolve_fs"])._resolve_fs(committed)
     stored = pq.read_table(f"{root}/part-0.parquet", filesystem=fs)
     assert stored["a"].to_pylist() == [1, 2, 3]
 
@@ -297,3 +300,138 @@ def test_provider_checksum_upgrades_fast_fingerprint(tmp_path):
         from artigraph_spark.storage import _FS_CHECKSUMS
 
         _FS_CHECKSUMS.pop("ck", None)
+
+
+def test_mid_commit_listing_never_shows_partial_partition(mock_fs):
+    """THE manifest-gate property: at every intermediate state of a
+    multi-file object-store write, discovery + the read path see either the
+    old committed set, the new committed set, or (first write) nothing —
+    never a partial file set."""
+    import json
+
+    import pandas as pd
+
+    from artigraph_spark import io
+    from artigraph_spark import types as at
+    from artigraph_spark.formats import Parquet
+    from artigraph_spark.storage import MANIFEST_NAME, _resolve_fs
+    from artigraph_spark.views import PandasDataFrameView
+
+    coll = at.Collection(element=at.Struct(fields={"a": at.Int64()}))
+    storage = ObjectStore(bucket=BUCKET, scheme="mock").resolve_templates(
+        graph_name="g", names="t", name="t", strip_input_fingerprint=True
+    )
+    p = storage.generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+
+    # --- first write, frozen mid-commit (files staged, manifest not yet PUT)
+    part_dir = mock_fs / "g" / "t" / "t"
+    staging = part_dir / ".__commit_777_feed__"
+    staging.mkdir(parents=True)
+    (staging / "part-00000.parquet").write_bytes(b"partial")
+    assert storage.discover_partitions({}) == []  # invisible mid-commit
+
+    # --- manifest PUT flips it to visible, and readers follow the manifest
+    fs, root = _resolve_fs(p.path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"a": [1, 2]}), str(staging / "part-00000.parquet")
+    )
+    (part_dir / MANIFEST_NAME).write_text(
+        json.dumps(
+            {"commit": ".__commit_777_feed__", "files": [{"path": "part-00000.parquet", "size": 1}]}
+        )
+    )
+    assert [q.path for q in storage.discover_partitions({})] == [p.path]
+    back = io.read(coll, Parquet(), storage, [p], PandasDataFrameView, spark=None)
+    assert sorted(back["a"]) == [1, 2]
+
+    # --- overwrite frozen mid-commit: NEW staging exists alongside, reader
+    # and fingerprint still resolve the OLD committed set only
+    staging2 = part_dir / ".__commit_888_f00d__"
+    staging2.mkdir()
+    (staging2 / "part-00000.parquet").write_bytes(b"torn new half-written")
+    fp_before = p.compute_content_fingerprint(strict=True).content_fingerprint
+    back = io.read(coll, Parquet(), storage, [p], PandasDataFrameView, spark=None)
+    assert sorted(back["a"]) == [1, 2]
+    assert [q.path for q in storage.discover_partitions({})] == [p.path]
+    assert (
+        p.compute_content_fingerprint(strict=True).content_fingerprint == fp_before
+    )
+
+    # --- a REAL overwrite through io.write supersedes atomically and sweeps
+    io.write(
+        pd.DataFrame({"a": [7, 8, 9]}), coll, Parquet(), p, PandasDataFrameView,
+        spark=None, storage=storage,
+    )
+    back = io.read(coll, Parquet(), storage, [p], PandasDataFrameView, spark=None)
+    assert sorted(back["a"]) == [7, 8, 9]
+    leftovers = {e.name for e in part_dir.iterdir()}
+    assert MANIFEST_NAME in leftovers
+    # old commit dir + the torn orphan were swept; exactly one commit remains
+    commits = [n for n in leftovers if n.startswith(".__commit_")]
+    assert len(commits) == 1
+    assert ".__commit_777_feed__" not in leftovers
+    assert ".__commit_888_f00d__" not in leftovers
+
+
+def test_failed_object_write_preserves_committed_state(mock_fs):
+    """A writer that dies mid-stage leaves the committed state byte-for-byte
+    intact: same manifest, same data, no visibility change."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from artigraph_spark import io
+    from artigraph_spark import types as at
+    from artigraph_spark.formats import Parquet
+    from artigraph_spark.views import PandasDataFrameView
+
+    coll = at.Collection(element=at.Struct(fields={"a": at.Int64()}))
+    storage = ObjectStore(bucket=BUCKET, scheme="mock").resolve_templates(
+        graph_name="g", names="t", name="t", strip_input_fingerprint=True
+    )
+    p = storage.generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+    io.write(pd.DataFrame({"a": [1]}), coll, Parquet(), p, PandasDataFrameView, spark=None, storage=storage)
+    fp1 = p.compute_content_fingerprint(strict=True).content_fingerprint
+
+    class Boom(Exception):
+        pass
+
+    class CrashyParquet(Parquet):
+        pass
+
+    @io.register_writer(CrashyParquet, ObjectStore, PandasDataFrameView)
+    def _crashy(data, type_, fmt, partition, spark):
+        from artigraph_spark.storage import _resolve_fs
+
+        fs, root = _resolve_fs(partition.path)
+        fs.create_dir(root, recursive=True)
+        with fs.open_output_stream(f"{root}/part-0.parquet") as fh:
+            fh.write(b"to")  # torn
+        raise Boom
+
+    with _pytest.raises(Boom):
+        io.write(pd.DataFrame({"a": [2]}), coll, CrashyParquet(), p, PandasDataFrameView, spark=None, storage=storage)
+
+    back = io.read(coll, Parquet(), storage, [p], PandasDataFrameView, spark=None)
+    assert list(back["a"]) == [1]
+    assert p.compute_content_fingerprint(strict=True).content_fingerprint == fp1
+    # the failed attempt's staging dir was dropped
+    part_dir = mock_fs / "g" / "t" / "t"
+    assert len([n for n in part_dir.iterdir() if n.name.startswith(".__commit_")]) == 1
+
+
+def test_generate_partition_rejects_commit_namespace(mock_fs):
+    """A key value rendering into .__commit_ would be permanently
+    undiscoverable — refused at generation, like .__tmp_/.__old_ locally."""
+    from artigraph_spark.partitions import StringField
+
+    storage = ObjectStore(
+        bucket=BUCKET, scheme="mock",
+    ).resolve_templates(graph_name="g", names="t", name="t", strip_input_fingerprint=True)
+    with pytest.raises(ValueError, match="reserved"):
+        storage.generate_partition(
+            PartitionKey(fields={"v": StringField(key=".__commit_x__")}),
+            Fingerprint.empty(),
+        )
