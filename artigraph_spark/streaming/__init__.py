@@ -183,7 +183,15 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def stateful_exact_dedup(df: DataFrame, id_col: str, hash_col: str) -> DataFrame:
+def stateful_exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    ts_col: str | None = None,
+    ttl_seconds: int | None = None,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
     """Streaming exact dedup: emit the FULL first row seen for each content
     hash, across micro-batches — the incremental twin of batch
     ``dedup_exact``. Downstream consumes the kept documents directly (all
@@ -195,16 +203,34 @@ def stateful_exact_dedup(df: DataFrame, id_col: str, hash_col: str) -> DataFrame
     duplicate arriving in a LATER batch is dropped even if its id is
     smaller — first-seen wins, which is the streaming contract). State per
     key is a single marker, so memory is O(distinct keys) spread
-    shuffle-evenly by the hash. No TTL here — at 100 TB, bound state with a
-    watermarked variant or periodic state-store compaction.
+    shuffle-evenly by the hash.
+
+    **State bounding** — two modes:
+
+    - ``ts_col=None`` (default): exact, unbounded — ``NoTimeout`` state
+      grows with every distinct hash forever. Correct for bounded
+      backfills; opt into it knowingly for long-running streams.
+    - ``ts_col=..., ttl_seconds=...``: watermark-bounded. The stream gets
+      ``withWatermark(ts_col, watermark_delay)`` and each key's state
+      carries an event-time timeout ``ttl_seconds`` past its LAST sighting
+      (sliding TTL: duplicates refresh it). When the watermark passes the
+      timeout the marker is evicted, so state holds only hashes seen
+      within the TTL horizon — bounded by the stream's distinct-rate ×
+      TTL, not by history. Documented tradeoff: a duplicate arriving
+      AFTER its hash expired is re-admitted (emitted again); pick
+      ``ttl_seconds`` at the scale of real duplicate locality (crawl
+      re-fetch windows), exactly the compaction the 100 TB posture needs.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if (ts_col is None) != (ttl_seconds is None):
+        raise ValueError("ts_col and ttl_seconds must be given together")
+    bounded = ts_col is not None
     columns = [f.name for f in df.schema.fields]
 
-    def update(key, pdfs, state: GroupState):
-        best = None
+    def best_of(pdfs):
+        best, max_ts = None, None
         for pdf in pdfs:
             # NULL ids can never win "minimum id", and pandas idxmin raises
             # ValueError on an all-NA series — one bad group would kill the
@@ -214,11 +240,49 @@ def stateful_exact_dedup(df: DataFrame, id_col: str, hash_col: str) -> DataFrame
                 m = pdf.loc[pdf[id_col].idxmin()]
                 if best is None or m[id_col] < best[id_col]:
                     best = m
+                if bounded:
+                    t = pdf[ts_col].max()
+                    max_ts = t if max_ts is None else max(max_ts, t)
+        return best, max_ts
+
+    def update(key, pdfs, state: GroupState):
+        best, _ = best_of(pdfs)
         if state.exists or best is None:
             return  # key already emitted in an earlier batch → pure drop
         state.update((True,))
         yield pd.DataFrame({c: [best[c]] for c in columns})
 
+    def update_ttl(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # Watermark passed this hash's TTL horizon: evict the marker.
+            # A later duplicate re-admits — the documented bounding trade.
+            state.remove()
+            return
+        best, max_ts = best_of(pdfs)
+        if best is None:
+            return
+        emit = not state.exists
+        state.update((True,))
+        # Sliding TTL from the last sighting; clamp above the current
+        # watermark (Spark rejects a timeout at/behind the watermark,
+        # which very-late data could otherwise produce).
+        candidate = int(max_ts.timestamp() * 1000) + ttl_seconds * 1000
+        state.setTimeoutTimestamp(max(candidate, state.getCurrentWatermarkMs() + 1))
+        if emit:
+            yield pd.DataFrame({c: [best[c]] for c in columns})
+
+    if bounded:
+        return (
+            df.withWatermark(ts_col, watermark_delay)
+            .groupBy(hash_col)
+            .applyInPandasWithState(
+                update_ttl,
+                outputStructType=df.schema,  # full input row passes through
+                stateStructType="seen boolean",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return df.groupBy(hash_col).applyInPandasWithState(
         update,
         outputStructType=df.schema,  # full input row passes through

@@ -237,3 +237,83 @@ def test_stateful_exact_dedup_null_ids_do_not_kill_query(spark, tmp_path):
     )
     rows = {r["text"]: r["doc_id"] for r in out.collect()}
     assert rows == {"solid": 7, "ghost": 3}
+
+
+def _ts(h, m=0):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, h, m, 0)
+
+
+def test_stateful_exact_dedup_ttl_parity_and_bounded_state(spark, tmp_path):
+    """Bounded-state dedup (event-time TTL): (1) with a TTL longer than the
+    stream, results match the exact NoTimeout mode; (2) expired keys are
+    EVICTED — state stays bounded by the TTL horizon — and a duplicate
+    arriving after expiry is re-admitted (the documented trade)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "ttl_src"
+    d.mkdir()
+    batches = [
+        # (file, ids, texts, timestamps)
+        ("a.parquet", [10, 11], ["dup", "x1"], [_ts(10), _ts(10)]),
+        ("b.parquet", [20], ["filler"], [_ts(12)]),
+        ("c.parquet", [30], ["filler2"], [_ts(12, 10)]),
+        ("d.parquet", [40], ["dup"], [_ts(12, 30)]),
+    ]
+    for i, (name, ids, texts, tss) in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts),
+                    "ts": pa.array(tss, type=pa.timestamp("us")),
+                }
+            ),
+            d / name,
+        )
+        ns = (i + 1) * 1_000_000_000_000_000
+        __import__("os").utime(d / name, ns=(ns, ns))
+
+    def run(ttl):
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .select("doc_id", "text", "ts", F.sha2(F.col("text"), 256).alias("h"))
+        )
+        out = stx.stateful_exact_dedup(
+            stream, "doc_id", "h", ts_col="ts", ttl_seconds=ttl
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"t_ttl_{ttl}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        finally:
+            q.stop()
+        return spark.sql(f"SELECT doc_id, text FROM t_ttl_{ttl}").collect(), state_rows
+
+    # TTL far beyond the stream's span: behaves exactly like NoTimeout —
+    # every hash emitted once, first-seen wins, nothing evicted.
+    rows, state_rows = run(10**7)
+    assert sorted((r["text"], r["doc_id"]) for r in rows) == [
+        ("dup", 10), ("filler", 20), ("filler2", 30), ("x1", 11),
+    ]
+    assert state_rows == 4  # all four distinct hashes retained
+
+    # TTL 600 s: 'dup'/'x1' (ts 10:00, timeout 10:10) expire once the
+    # watermark crosses 11:59:50 (batch c) — so state never holds all four
+    # hashes at once, and the late 'dup' at 12:30 is re-admitted.
+    rows, state_rows = run(600)
+    counted = sorted((r["text"], r["doc_id"]) for r in rows)
+    assert counted == [
+        ("dup", 10), ("dup", 40), ("filler", 20), ("filler2", 30), ("x1", 11),
+    ]
+    assert state_rows <= 3  # evictions happened: bounded by the TTL horizon
