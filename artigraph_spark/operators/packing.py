@@ -280,6 +280,39 @@ def benchmark_contamination(
     )
 
 
+def decontaminate_corpus(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end benchmark decontamination: audit train/eval n-gram overlap
+    (``benchmark_contamination``) and REMOVE training documents whose
+    contamination reaches ``threshold``. Returns ``(clean, audit)``:
+    ``clean`` is the training corpus minus flagged documents (all input
+    columns intact), ``audit`` the full per-document contamination table —
+    keep both, the audit is the evidence trail for what was dropped and why.
+
+    Documents too short to form a single n-gram are unassessable and KEPT
+    (they cannot leak a benchmark answer in under n tokens).
+
+    Scale: the audit is the contamination join (bench side collapsed to
+    broadcast-sized distinct grams); the removal is one anti-join of the
+    corpus against the flagged-id set — at any sane threshold that set is
+    a small fraction of the corpus, so AQE turns it into a broadcast
+    anti-join; nothing here re-reads the text twice.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    audit = benchmark_contamination(train, bench, id_col, text_col, n)
+    flagged = audit.filter(F.col("contamination") >= threshold).select(id_col)
+    clean = train.join(flagged, id_col, "left_anti")
+    return clean, audit
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -112,6 +112,49 @@ def benchmark_contamination_q(spark, sf_dir):
 
 
 @query(
+    "decontaminate_corpus",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM toks WHERE len(t) >= 3
+    ),
+    tr AS (SELECT doc_id, u.g AS gram FROM grams, UNNEST(g) AS u(g) WHERE doc_id >= 50),
+    bg AS (SELECT DISTINCT u.g AS gram FROM grams, UNNEST(g) AS u(g) WHERE doc_id < 50),
+    tot AS (SELECT doc_id, COUNT(*) AS total_ngrams FROM tr GROUP BY doc_id),
+    hit AS (SELECT tr.doc_id, COUNT(*) AS overlap_ngrams
+            FROM tr JOIN bg USING (gram) GROUP BY tr.doc_id),
+    flagged AS (
+        SELECT t.doc_id FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+        WHERE CAST(COALESCE(h.overlap_ngrams, 0) AS DOUBLE) / t.total_ngrams >= 0.2
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d
+    WHERE d.doc_id >= 50 AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
+def decontaminate_corpus_q(spark, sf_dir):
+    """Decontamination as a pipeline step: audit trigram overlap against the
+    benchmark stand-in (docs 0-49) and drop training docs at >= 20%
+    contamination; returns the clean corpus (the audit table is the
+    benchmark_contamination query)."""
+    from artigraph_spark.operators.packing import decontaminate_corpus
+
+    d = load(spark, sf_dir, "documents")
+    clean, _audit = decontaminate_corpus(
+        d.filter(F.col("doc_id") >= 50),
+        d.filter(F.col("doc_id") < 50),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.2,
+    )
+    return clean.select("doc_id", "source", "lang")
+
+
+@query(
     "stratified_sample_mix",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity

@@ -1,15 +1,17 @@
-"""Training-batch assembly as an incremental Graph — the round-4 operator
+"""Training-batch assembly as an incremental Graph — the pipeline operator
 family end-to-end through the framework layer.
 
 documents (external parquet, raw artifact)
+  → Decontaminate (benchmark trigram-overlap audit + removal at 20%;
+     TWO outputs: the clean corpus + the per-document audit table)
   → NormalizeAndMix (text normalization + per-language stratified mixing
      + per-source domain cap; statistics-gated)
   → PackBatches (concat-then-chunk sequence packing into 256-token bins;
      TWO outputs: the doc→bin layout + a per-bin manifest)
 
-Demonstrates the new operators composing under memoization: the second
-build is a no-op, and the packed layout is content-addressed through the
-snapshot like any other artifact.
+Demonstrates audit→filter→mix→cap→pack composing under memoization: the
+second build is a no-op, and every intermediate (including the audit
+evidence trail) is content-addressed through the snapshot.
 
 Run: python examples/training_batch_demo.py [sf_dir]
 """
@@ -62,8 +64,39 @@ MANIFEST_TYPE = at.Collection(
 )
 
 
+AUDIT_TYPE = at.Collection(
+    element=at.Struct(
+        fields={
+            "doc_id": at.Int64(),
+            "total_ngrams": at.Int64(),
+            "overlap_ngrams": at.Int64(),
+            "contamination": at.Float64(),
+        }
+    )
+)
+
+
 class Documents(Artifact):
     pass
+
+
+class Decontaminate(Producer):
+    version = SemVer(major=1)
+
+    docs: Documents
+
+    def build(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        from artigraph_spark.operators.packing import decontaminate_corpus
+
+        # Benchmark stand-in: the first 50 doc ids (a real pipeline points
+        # this at the eval-suite artifact).
+        return decontaminate_corpus(
+            docs.filter(F.col("doc_id") >= 50),
+            docs.filter(F.col("doc_id") < 50),
+            "doc_id",
+            "text",
+            threshold=0.2,
+        )
 
 
 class NormalizeAndMix(Producer):
@@ -106,6 +139,16 @@ class PackBatches(Producer):
         return layout, manifest
 
 
+def _short_docs(snap, g) -> int:
+    """Training docs too short to form a trigram — unassessable, always kept."""
+    from artigraph_spark.operators.packing import token_count
+
+    docs = snap.read(g.artifacts.docs)
+    return docs.filter(
+        (F.col("doc_id") >= 50) & (token_count(F.col("text")) < 3)
+    ).count()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     root = tempfile.mkdtemp(prefix="training_batch_")
@@ -118,7 +161,13 @@ def main() -> None:
                 format=Parquet(),
                 storage=LocalFile(root=sf_dir, template="{root}/documents.parquet"),
             )
-            g.artifacts.mixed = NormalizeAndMix(docs=g.artifacts.docs).out(
+            clean, audit = Decontaminate(docs=g.artifacts.docs).out(
+                Documents(type=DOCS_TYPE, storage=LocalFile(root=root)),
+                Artifact(type=AUDIT_TYPE, storage=LocalFile(root=root)),
+            )
+            g.artifacts.clean = clean
+            g.artifacts.audit = audit
+            g.artifacts.mixed = NormalizeAndMix(docs=g.artifacts.clean).out(
                 Documents(
                     type=DOCS_TYPE,
                     storage=LocalFile(root=root),
@@ -139,14 +188,20 @@ def main() -> None:
     snap = g1.snapshot(strict_fingerprints=True)
     layout = snap.read(g1.artifacts.layout)
     manifest = snap.read(g1.artifacts.manifest)
+    audit = snap.read(g1.artifacts.audit)
+    flagged = audit.filter(F.col("contamination") >= 0.2).count()
+    clean_n = snap.read(g1.artifacts.clean).count()
     n_bins = manifest.count()
     full = manifest.filter(F.col("n_tokens") == 256).count()
     print(
-        f"build 1: built={ex1.built_partitions} layout_rows={layout.count()} "
+        f"build 1: built={ex1.built_partitions} clean_docs={clean_n} "
+        f"flagged={flagged} layout_rows={layout.count()} "
         f"bins={n_bins} full_bins={full}"
     )
-    assert ex1.built_partitions == 2
+    assert ex1.built_partitions == 3
     assert full >= n_bins - 1  # every bin but the last is exactly full
+    # the audit is the evidence trail: flagged docs are exactly the removal
+    assert clean_n == audit.count() - flagged + _short_docs(snap, g1)
 
     ex2, _ = build_once()
     print(f"build 2: built={ex2.built_partitions} skipped={ex2.skipped_partitions}")

@@ -306,3 +306,36 @@ def test_pack_persist_not_checkpoint_lineage_intact(spark):
     # Explicit unpersist ran: nothing from the pack call is still pinned.
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_decontaminate_corpus_removes_flagged_keeps_short(spark):
+    """decontaminate_corpus drops training docs at/over the contamination
+    threshold, keeps clean docs, and keeps docs too short to assess (no
+    n-gram can leak in under n tokens); the audit table stays complete."""
+    from artigraph_spark.operators.packing import decontaminate_corpus
+
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog indeed"),  # ~copy
+            (2, "completely unrelated prose about spark partitions"),
+            (3, "hi there"),  # < 3 tokens: unassessable, kept
+        ],
+        "doc_id long, text string",
+    )
+    clean, audit = decontaminate_corpus(train, bench, "doc_id", "text", threshold=0.5)
+    kept = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
+    assert kept == [2, 3]
+    a = {r["doc_id"]: r["contamination"] for r in audit.collect()}
+    assert set(a) == {1, 2}  # short doc has no audit row (no n-grams)
+    assert a[1] >= 0.5 and a[2] == 0.0
+    # the clean frame keeps every input column
+    assert clean.columns == train.columns
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        decontaminate_corpus(train, bench, "doc_id", "text", threshold=0.0)
