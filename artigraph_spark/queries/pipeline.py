@@ -77,6 +77,7 @@ def pack_sequences_by_lang_q(spark, sf_dir):
 
 @query(
     "benchmark_contamination",
+    bench=True,
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     grams AS (
@@ -156,6 +157,7 @@ def decontaminate_corpus_q(spark, sf_dir):
 
 @query(
     "stratified_sample_mix",
+    bench=True,
     oracle="""
     SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
     FROM lineitem
@@ -182,6 +184,7 @@ def stratified_sample_mix_q(spark, sf_dir):
 
 @query(
     "domain_cap",
+    bench=True,
     oracle="""
     SELECT doc_id, source, lang
     FROM (
