@@ -364,6 +364,25 @@ def connected_components(
     )
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
+
+    # ``DataFrame.unpersist`` cannot release localCheckpoint blocks — they
+    # are pinned at the RDD level, not through the CacheManager — so track
+    # the JVM persistent-RDD ids each round and release the previous
+    # round's directly. Keeps pinned executor storage bounded at ~2 rounds
+    # of labels instead of one copy per round (O(log d) copies at 100 TB).
+    jsc = sym.sparkSession.sparkContext._jsc
+
+    def _pinned_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids: set[int]) -> None:
+        jmap = jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    prev_ids: set[int] = set()
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -386,7 +405,9 @@ def connected_components(
         )
         # Checkpoint FIRST so the convergence probe reuses the materialized
         # round instead of re-executing the two joins a second time.
+        before = _pinned_ids()
         jumped = jumped.localCheckpoint(eager=True)  # cut the lineage per round
+        new_ids = _pinned_ids() - before
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")
@@ -394,6 +415,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # The new round is materialized and its lineage truncated, so the
+        # previous round's checkpoint blocks are dead — release them NOW
+        # (the convergence probe above was the last reader of `labels`).
+        _release(prev_ids)
+        prev_ids = new_ids
         labels = jumped
         if changed == 0:
             break

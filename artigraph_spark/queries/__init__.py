@@ -50,45 +50,52 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 # land inside the recorded window. Everything else follows in registration
 # order; total registration is unchanged.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-4 ROTATION. Recorded-window history: r1 sampled the registration-
-    # order prefix; r2=r3 sampled the families listed in the r2/r3 priority
-    # list. This round leads with the only two oracle-bearing queries that
-    # have NEVER had a driver row, then the two whose implementation changed
-    # this round (LSH NULL-safe signature keys), then the 46 of 47 queries
-    # last recorded in r1 — so after r4 every oracle-bearing query has a
-    # driver row from the last two samplings.
-    "media_decode_headers", "bm25_ranking",
-    # NEW this round (operators/packing.py) — need first driver rows
-    "pack_sequences", "benchmark_contamination", "stratified_sample_mix",
-    "domain_cap", "text_normalize", "weighted_sample_topk",
-    "dedup_lines_in_doc", "pack_sequences_by_lang",
-    # implementation changed this round (operators/dedup.py LSH keys)
-    "minhash_lsh_pairs_checked", "dedup_minhash_end2end",
-    # r1-only rows — refresh (aggregates family)
-    "agg_pricing_summary", "agg_count_distinct", "agg_minmax_stats",
-    "agg_collect", "agg_filtered", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_distinct_rows", "agg_dedup_pick_first",
-    "agg_pivot", "agg_percentiles", "agg_histogram", "agg_global_summary",
-    "agg_argminmax", "string_agg", "percent_of_total", "conditional_distinct",
-    # r1-only rows — refresh (joins family)
-    "join_inner", "join_left_outer", "join_right_outer", "join_full_outer",
-    "join_left_semi", "join_left_anti", "join_cross", "join_range",
-    "join_self", "join_star_broadcast",
-    # r1-only rows — refresh (relational/extras)
-    "nested_struct_access",
-    "scalar_subquery_filter",
-    "correlated_group_filter", "grouped_map_pandas",
-    # r1-only rows — refresh (llm/text)
-    "dedup_exact", "dedup_fingerprint", "text_stats", "text_quality_filter",
-    "lang_distribution", "doc_rolling_hash",
-    # Left out of the 50 (by design): `range_source`, `describe_summary`,
-    # `calendar_functions`, `union_by_name_missing`, `literal_inline_table`,
-    # `explode_tokens`, `map_explode`, `in_subquery_sql`, `unpivot_stack`
-    # (r1-green, stablest, no implementation change since) and the 4
-    # rows-only queries
-    # (minhash_lsh_pairs, dedup_clusters, simhash_fingerprints,
-    # cosine_topk_lsh) whose oracle-checked `*_checked` contract twins carry
-    # the hard signal. Remaining slots fall through to registration order.
+    # ROUND-5 ROTATION. Recorded-window history after r4: 50 queries have an
+    # r4 row, 48 were last recorded in r3, 9 in r1 (the stable set r4
+    # deliberately skipped). This round leads with the one oracle-bearing
+    # query that has NEVER had a driver row (new this round), then the four
+    # whose implementation changed this round, then the 9 r1-stale, then 36
+    # of the 48 r3-stale — so every query's driver row is at most two
+    # samplings old except 12 deliberately-excluded trivial relational ops
+    # (see the trailing comment).
+    "decontaminate_corpus",  # NEW r5 (operators/packing.py) — first row
+    # implementation changed this round: connected_components now releases
+    # per-round localCheckpoint blocks (operators/dedup.py); packing gained
+    # integral-id validation + persist/unpersist and the shared n-gram
+    # helper was de-quadraticized (operators/packing.py)
+    "dedup_minhash_end2end", "pack_sequences", "pack_sequences_by_lang",
+    "benchmark_contamination",
+    # r1-stale — last driver row four rounds ago
+    "range_source", "describe_summary", "calendar_functions",
+    "union_by_name_missing", "literal_inline_table", "explode_tokens",
+    "map_explode", "in_subquery_sql", "unpivot_stack",
+    # r3-stale — refresh (windows family)
+    "window_rank_family", "window_lag_lead", "window_running_agg",
+    "window_range_frame", "window_topk_per_group", "window_tumbling",
+    "window_sliding", "window_session", "window_gap_fill",
+    # r3-stale — refresh (TPC-H shapes)
+    "tpch_q3_shipping_priority", "tpch_q4_late_orders",
+    "tpch_q9_nation_margin", "tpch_q10_returned_items",
+    # r3-stale — refresh (similarity / embeddings)
+    "cosine_topk", "cosine_topk_ivf_checked", "cosine_topk_lsh_checked",
+    "embedding_norms", "embedding_mean_pool", "embedding_near_dup",
+    # r3-stale — refresh (text / dedup)
+    "minhash_signatures", "ngram_jaccard_pairs", "simhash_checked",
+    "edit_distance_pairs", "lang_predict", "text_quality_score",
+    "tfidf_terms", "token_bpe_counts", "multimodal_features",
+    # r3-stale — refresh (relational)
+    "join_asof", "agg_approx", "array_ops", "map_ops", "json_extract",
+    "filter_between_isin", "filter_null_tests", "sort_limit_topk",
+    # Left out of the 50 (by design): 12 r3-green trivial relational ops
+    # with no implementation change since (`proj_select_rename`,
+    # `sample_deterministic`, `scalar_math`, `scalar_string`,
+    # `scalar_datetime`, `scalar_conditional`, `scalar_cast`, `set_except`,
+    # `set_intersect`, `set_intersect_all`, `set_union_all`,
+    # `set_union_distinct` — four of which the r4 judge independently
+    # re-verified) and the 4 rows-only queries (minhash_lsh_pairs,
+    # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) whose
+    # oracle-checked `*_checked` contract twins carry the hard signal.
+    # Remaining slots fall through to registration order.
 )
 
 

@@ -58,3 +58,16 @@ def test_dedup_clusters_pipeline(spark):
     # every cluster id is itself a keeper
     cluster_ids = {r["cluster_id"] for r in rows}
     assert all(by_id[c]["is_keeper"] for c in cluster_ids)
+
+
+def test_connected_components_bounded_pinned_storage(spark):
+    """Iterative rounds release the previous round's localCheckpoint once
+    the next materializes: pinned executor storage stays bounded at the
+    final round's blocks (+0 or +1 RDD), never one copy per round."""
+    jsc = spark.sparkContext._jsc.sc()
+    pinned_before = jsc.getPersistentRDDs().size()
+    n = 40  # path graph: many propagation rounds
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+    out = connected_components(df)
+    assert out.count() == n + 1
+    assert jsc.getPersistentRDDs().size() <= pinned_before + 1

@@ -299,13 +299,17 @@ def test_pack_persist_not_checkpoint_lineage_intact(spark):
     df = spark.range(0, 1000).select(
         F.col("id"), (F.col("id") % 7 + 1).alias("n")
     )
+    # Scope the pinned-block assertion to THIS call: other operators (e.g.
+    # connected_components' final localCheckpoint) legitimately hold blocks
+    # for the lifetime of their result DataFrame.
+    jsc = spark.sparkContext._jsc.sc()
+    pinned_before = jsc.getPersistentRDDs().size()
     out = pack_sequences(df, "id", "n", 64)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "ExistingRDD" not in plan  # lineage reaches the source, unbroken
     assert out.count() > 0
     # Explicit unpersist ran: nothing from the pack call is still pinned.
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() == pinned_before
 
 
 def test_decontaminate_corpus_removes_flagged_keeps_short(spark):
