@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from artigraph_spark.operators.dedup import tokens
 
@@ -431,3 +432,199 @@ def cap_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    count_col: str,
+    budget: int,
+    *,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Corpus selection under a token budget: take documents in descending
+    ``score_col`` order (ties broken by ascending ``id_col``) while the
+    running sum of ``count_col`` stays within ``budget``. Returns
+    ``(id, score, count, running_total)`` for the selected documents — the
+    "best N tokens" primitive for quality-filtered pretraining mixes.
+
+    Scale: a naive global ``Window.orderBy(score)`` serializes the whole
+    corpus through one task. Instead: range-bucket on score (bucket 0 =
+    highest scores), roll per-bucket totals into driver-side offsets
+    (``num_buckets`` rows, metadata-sized), PRUNE every bucket whose offset
+    already exceeds the budget — at 100 TB the sub-budget prefix is usually
+    a small fraction of the corpus, so the pruned scan never shuffles the
+    rest — then run the prefix-sum window per bucket. Rows whose score,
+    id, or count is NULL (or count <= 0) are not selectable and are
+    dropped.
+
+    Bucket assignment is floor((hi - score) / width) clamped to
+    [0, num_buckets-1]: monotone non-increasing in score even under IEEE
+    rounding (subtraction and division by a positive constant are monotone,
+    floor is monotone), so cross-bucket order is always consistent with
+    score order and equal scores land in the same bucket — exactness never
+    depends on the float math, only bucket *balance* does.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    slim = (
+        df.select(
+            F.col(id_col),
+            F.col(score_col).alias("__s"),
+            F.col(count_col).cast("long").alias("__n"),
+        )
+        .filter(
+            F.col(id_col).isNotNull() & F.col("__s").isNotNull() & (F.col("__n") > 0)
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField(score_col, df.schema[score_col].dataType),
+            T.StructField(count_col, T.LongType()),
+            T.StructField("running_total", T.LongType()),
+        ]
+    )
+    try:
+        row = slim.agg(
+            F.min(F.col("__s").cast("double")).alias("lo"),
+            F.max(F.col("__s").cast("double")).alias("hi"),
+        ).collect()[0]
+        if row["lo"] is None:
+            return spark.createDataFrame([], out_schema)
+        lo, hi = float(row["lo"]), float(row["hi"])
+        width = (hi - lo) / num_buckets or 1.0
+        bkt = F.least(
+            F.lit(num_buckets - 1).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((F.lit(hi) - F.col("__s").cast("double")) / F.lit(width)),
+            ),
+        )
+        bucketed = slim.withColumn("__bkt", bkt)
+        totals = {
+            int(r["__bkt"]): int(r["total"])
+            for r in bucketed.groupBy("__bkt").agg(F.sum("__n").alias("total")).collect()
+        }
+    finally:
+        slim.unpersist(blocking=False)
+    # Driver-side offsets in score-descending bucket order; find the first
+    # bucket whose offset alone exhausts the budget — everything at or past
+    # it can be pruned BEFORE the shuffle.
+    offsets, acc, cut = {}, 0, None
+    for b in sorted(totals):
+        offsets[b] = acc
+        if acc > budget and cut is None:
+            cut = b
+        acc += totals[b]
+    kept = {b: off for b, off in offsets.items() if cut is None or b < cut}
+    if not kept:
+        return spark.createDataFrame([], out_schema)
+    off_df = spark.createDataFrame(
+        [(b, off) for b, off in kept.items()],
+        T.StructType(
+            [T.StructField("__bkt", T.LongType()), T.StructField("__off", T.LongType())]
+        ),
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("__s").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), "__bkt")  # inner join = bucket pruning
+        .withColumn("running_total", F.sum("__n").over(w) + F.col("__off"))
+        .filter(F.col("running_total") <= budget)
+        .select(
+            F.col(id_col),
+            F.col("__s").alias(score_col),
+            F.col("__n").alias(count_col),
+            F.col("running_total"),
+        )
+    )
+
+
+def upsample_domains(
+    df: DataFrame,
+    domain_col: str,
+    factors: dict[str, float],
+    key: Column,
+    *,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Domain upsampling with fractional repeat factors — the "epochs per
+    source" mixing primitive (e.g. Wikipedia ×3.2, CommonCrawl ×0.8): each
+    row is emitted floor(r) times plus one more with probability frac(r),
+    decided by a deterministic hash of ``key`` (reproducible on any engine/
+    partitioning, like stratified_sample). Output adds ``copy_idx``
+    (1-based). Rows whose domain is missing from ``factors`` are dropped;
+    a factor < 1 behaves as deterministic downsampling.
+
+    Scale: a per-row sequence-explode with small factors — no shuffle; the
+    output size is exactly sum over domains of round(r_d × rows_d).
+    """
+    if not factors:
+        raise ValueError("factors must be non-empty")
+    for d, r in factors.items():
+        if r < 0:
+            raise ValueError(f"factor for {d!r} must be >= 0, got {r}")
+    p = F.lit(1_000_000_007)
+    h = F.pmod(F.pmod(F.pmod(key, p) * F.lit(2_654_435_761), p), F.lit(denominator))
+    base_map = F.create_map(
+        *[x for d, r in sorted(factors.items()) for x in (F.lit(d), F.lit(int(r)))]
+    )
+    frac_map = F.create_map(
+        *[
+            x
+            for d, r in sorted(factors.items())
+            for x in (F.lit(d), F.lit(int(round((r - int(r)) * denominator))))
+        ]
+    )
+    copies = (
+        F.element_at(base_map, F.col(domain_col))
+        + F.when(h < F.element_at(frac_map, F.col(domain_col)), 1).otherwise(0)
+    ).cast("long")
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") >= 1)  # sequence(1, 0) would DESCEND — guard
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__copies"))))
+        .drop("__copies")
+    )
+
+
+def temperature_factors(
+    df: DataFrame,
+    domain_col: str,
+    *,
+    alpha: float = 0.5,
+    total_rows: int | None = None,
+) -> dict[str, float]:
+    """Temperature-based mixing factors: sampling weight per domain
+    proportional to count^alpha (alpha < 1 flattens the natural
+    distribution toward uniform — the multilingual-sampling standard), as
+    repeat factors for :func:`upsample_domains` targeting ``total_rows``
+    output rows (default: input size, i.e. pure re-balancing).
+
+    Driver-side by design: the per-domain count table is metadata-sized
+    (one aggregation), the factor arithmetic is a dict comprehension, and
+    the heavy lifting stays in the deterministic upsample. Not oracle-
+    checked itself (float policy math); the applied result is, through
+    upsample_domains.
+    """
+    counts = {
+        r["d"]: int(r["c"])
+        for r in df.groupBy(F.col(domain_col).alias("d")).agg(F.count("*").alias("c")).collect()
+        if r["d"] is not None
+    }
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    target = total if total_rows is None else total_rows
+    weights = {d: c**alpha for d, c in sorted(counts.items())}
+    z = sum(weights.values())
+    return {d: (weights[d] / z) * target / counts[d] for d in weights}

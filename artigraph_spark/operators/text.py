@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from artigraph_spark.functions import dsum
 from artigraph_spark.operators.dedup import tokens
+from artigraph_spark.operators.packing import ngrams_from_tokens
 
 
 def token_count(text: Column) -> Column:
@@ -275,3 +276,113 @@ def normalize_text(text: Column) -> Column:
     c = F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
     c = F.regexp_replace(c, "\\s+", " ")
     return F.trim(c)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window document chunking — the standard pre-tokenization step
+    for context-window training and embedding pipelines: split each document
+    into token windows of ``chunk_size`` advancing by ``stride`` (overlap =
+    chunk_size - stride). Returns ``(id, chunk_idx, chunk_text, n_tokens)``;
+    empty documents produce no chunks, documents at or under ``chunk_size``
+    produce exactly one.
+
+    Reference parity: the reference exposes chunking only inside opaque
+    producer bodies; this is the declarative equivalent.
+
+    Scale: a pure per-row explode over built-in array functions — no
+    shuffle, no UDF; output row count is ~n_tokens/stride per doc, and the
+    explode streams (never materializes a doc's full chunk set in memory
+    beyond one row's array of start offsets).
+    """
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if stride <= 0 or stride > chunk_size:
+        raise ValueError(
+            f"stride must be in [1, chunk_size]; got stride={stride}, "
+            f"chunk_size={chunk_size}"
+        )
+    # Materialize the token array in a projection FIRST (see
+    # ngrams_from_tokens: HOF/array arguments are re-evaluated per access
+    # when inlined).
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        .withColumn("__n", F.size("__t").cast("long"))
+        .filter(F.col("__n") > 0)
+    )
+    # ceil((n - chunk_size) / stride) + 1 for n > chunk_size, else 1.
+    # Integral DIV (not double floor) keeps it exact at any length.
+    k = F.when(F.col("__n") <= chunk_size, F.lit(1).cast("long")).otherwise(
+        F.expr(f"(__n - {chunk_size} + {stride} - 1) DIV {stride} + 1")
+    )
+    start = (F.col("chunk_idx") * stride).cast("int")
+    return (
+        base.select(
+            F.col(id_col),
+            "__t",
+            "__n",
+            F.explode(F.sequence(F.lit(0).cast("long"), k - 1)).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.array_join(F.slice("__t", start + 1, chunk_size), " ").alias("chunk_text"),
+            F.least(F.lit(chunk_size).cast("long"), F.col("__n") - F.col("chunk_idx") * stride).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: for each document
+    with at least one token, the distinct-token ratio, the most frequent
+    token's share of all tokens, and the most frequent bigram's share of
+    all bigrams (NULL when the doc has fewer than 2 tokens). High top-share
+    / low distinct-ratio marks keyword-stuffed or boilerplate pages that
+    per-line dedup misses.
+
+    Scale: computing a per-row mode with array HOFs is O(tokens × distinct)
+    per document — quadratic on exactly the repetitive documents this
+    filter targets. Instead explode to (doc, token) rows and aggregate:
+    two shuffles keyed by (doc, token) — linear, partition-even, and
+    map-side-combined by Catalyst.
+    """
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t")).filter(
+        F.size("__t") > 0
+    )
+    tok_stats = (
+        base.select(F.col(id_col), F.explode("__t").alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.count("*").alias("__d"),
+            F.max("__c").alias("__topc"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("__d") / F.col("n_tokens")).alias("distinct_token_ratio"),
+            (F.col("__topc") / F.col("n_tokens")).alias("top_token_share"),
+        )
+    )
+    big_stats = (
+        base.select(
+            F.col(id_col),
+            F.explode(ngrams_from_tokens(F.col("__t"), 2)).alias("__bg"),
+        )
+        .groupBy(id_col, "__bg")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.sum("__c").alias("__nb"), F.max("__c").alias("__topb"))
+        .select(F.col(id_col), (F.col("__topb") / F.col("__nb")).alias("top_bigram_share"))
+    )
+    return tok_stats.join(big_stats, id_col, "left")

@@ -59,6 +59,10 @@ _PRIORITY: tuple[str, ...] = (
     # samplings old except 12 deliberately-excluded trivial relational ops
     # (see the trailing comment).
     "decontaminate_corpus",  # NEW r5 (operators/packing.py) — first row
+    # NEW r5 operators (chunking, repetition signals, token-budget
+    # selection, domain upsampling) — first driver rows
+    "chunk_documents", "repetition_scores", "select_token_budget",
+    "upsample_domains",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py); packing gained
     # integral-id validation + persist/unpersist and the shared n-gram
@@ -84,14 +88,14 @@ _PRIORITY: tuple[str, ...] = (
     "edit_distance_pairs", "lang_predict", "text_quality_score",
     "tfidf_terms", "token_bpe_counts", "multimodal_features",
     # r3-stale — refresh (relational)
-    "join_asof", "agg_approx", "array_ops", "map_ops", "json_extract",
-    "filter_between_isin", "filter_null_tests", "sort_limit_topk",
-    # Left out of the 50 (by design): 12 r3-green trivial relational ops
+    "join_asof", "agg_approx", "array_ops", "sort_limit_topk",
+    # Left out of the 50 (by design): 16 r3-green trivial relational ops
     # with no implementation change since (`proj_select_rename`,
     # `sample_deterministic`, `scalar_math`, `scalar_string`,
     # `scalar_datetime`, `scalar_conditional`, `scalar_cast`, `set_except`,
     # `set_intersect`, `set_intersect_all`, `set_union_all`,
-    # `set_union_distinct` — four of which the r4 judge independently
+    # `set_union_distinct`, `filter_between_isin`, `filter_null_tests`,
+    # `map_ops`, `json_extract` — four of which the r4 judge independently
     # re-verified) and the 4 rows-only queries (minhash_lsh_pairs,
     # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) whose
     # oracle-checked `*_checked` contract twins carry the hard signal.

@@ -299,3 +299,118 @@ def text_normalize_q(spark, sf_dir):
         normalize_text(F.col("text")).alias("norm_text"),
         F.length("text").cast("long").alias("orig_chars"),
     )
+
+
+@query(
+    "chunk_documents",
+    bench=True,
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    c AS (SELECT doc_id, t, n,
+                 CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END AS k
+          FROM d)
+    SELECT doc_id, u.i AS chunk_idx,
+           array_to_string(list_slice(t, u.i * 24 + 1, u.i * 24 + 32), ' ') AS chunk_text,
+           LEAST(32, n - u.i * 24) AS n_tokens
+    FROM c, UNNEST(range(0, k)) AS u(i)
+    """,
+)
+def chunk_documents_q(spark, sf_dir):
+    """Sliding-window chunking: 32-token windows advancing by 24 (8-token
+    overlap) — the context-window preparation step."""
+    from artigraph_spark.operators.text import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_size=32, stride=24)
+
+
+@query(
+    "repetition_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, u.x AS tok FROM toks, UNNEST(t) AS u(x)),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+    td AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  COUNT(*) AS d, MAX(c) AS topc
+           FROM tc GROUP BY doc_id),
+    big AS (SELECT doc_id,
+                   list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g
+            FROM toks WHERE len(t) >= 2),
+    bgr AS (SELECT doc_id, u.x AS bg FROM big, UNNEST(g) AS u(x)),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgr GROUP BY doc_id, bg),
+    bd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, MAX(c) AS topb
+           FROM bc GROUP BY doc_id)
+    SELECT td.doc_id, td.n_tokens,
+           td.d / td.n_tokens AS distinct_token_ratio,
+           td.topc / td.n_tokens AS top_token_share,
+           bd.topb / bd.nb AS top_bigram_share
+    FROM td LEFT JOIN bd ON td.doc_id = bd.doc_id
+    """,
+)
+def repetition_scores_q(spark, sf_dir):
+    """Gopher-style repetition signals per document: distinct-token ratio,
+    top-token share, top-bigram share."""
+    from artigraph_spark.operators.text import repetition_scores
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_scores(d, "doc_id", "text")
+
+
+@query(
+    "select_token_budget",
+    bench=True,
+    oracle=f"""
+    WITH tc AS (
+        SELECT doc_id, n_chars, len({_TOKS}) AS n_tok
+        FROM documents
+        WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+          AND len({_TOKS}) > 0
+    )
+    SELECT doc_id, n_chars, n_tok,
+           CAST(SUM(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS running_total
+    FROM tc
+    QUALIFY running_total <= 10000
+    """,
+)
+def select_token_budget_q(spark, sf_dir):
+    """Quality-ordered corpus selection under a 10k-token budget: longest
+    documents first (n_chars standing in for a quality score), ties by id."""
+    from artigraph_spark.operators.packing import select_token_budget, token_count
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count(F.col("text"))
+    )
+    return select_token_budget(d, "doc_id", "n_chars", "n_tok", 10_000)
+
+
+@query(
+    "upsample_domains",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                           WHEN 'src2' THEN 0 ELSE NULL END
+               + CASE WHEN ((((doc_id % 1000000007) * 2654435761) % 1000000007)
+                            % 10000) <
+                           CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 0
+                                       WHEN 'src2' THEN 2500 ELSE NULL END
+                      THEN 1 ELSE 0 END AS copies
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    )
+    SELECT doc_id, source, u.i AS copy_idx
+    FROM d, UNNEST(range(1, copies + 1)) AS u(i)
+    WHERE copies >= 1
+    """,
+)
+def upsample_domains_q(spark, sf_dir):
+    """Epochs-per-source mixing: src0 ×2.5, src1 ×1, src2 ×0.25 — fractional
+    repeats decided by a deterministic id hash; other sources dropped."""
+    from artigraph_spark.operators.packing import upsample_domains
+
+    d = load(spark, sf_dir, "documents")
+    return upsample_domains(
+        d, "source", {"src0": 2.5, "src1": 1.0, "src2": 0.25}, F.col("doc_id")
+    ).select("doc_id", "source", "copy_idx")

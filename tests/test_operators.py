@@ -214,3 +214,56 @@ class TestTfIdfBm25:
 
         with pytest.raises(ValueError, match="non-empty"):
             bm25_scores(self._docs(spark), "doc_id", "text", [])
+
+
+def test_chunk_documents_spans_and_overlap(spark):
+    from artigraph_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(10))), (2, "x y"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, "doc_id", "text", chunk_size=4, stride=3).collect()
+    )
+    assert rows == [
+        (1, 0, "0 1 2 3", 4),
+        (1, 1, "3 4 5 6", 4),
+        (1, 2, "6 7 8 9", 4),
+        (2, 0, "x y", 2),
+    ]
+    # full coverage: every token index is in some chunk; overlap = 1 token
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, "doc_id", "text", chunk_size=4, stride=5)
+    with pytest.raises(ValueError, match="chunk_size"):
+        chunk_documents(df, "doc_id", "text", chunk_size=0, stride=1)
+
+
+def test_chunk_documents_exact_boundary_no_empty_chunk(spark):
+    """n an exact multiple of stride must not emit a zero-token chunk."""
+    from artigraph_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    rows = chunk_documents(df, "doc_id", "text", chunk_size=3, stride=3).collect()
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in sorted(rows, key=lambda r: r["chunk_idx"])] == [
+        (0, 3), (1, 3)
+    ]
+
+
+def test_repetition_scores_values(spark):
+    from artigraph_spark.operators.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam ham"), (2, "one"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_scores(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}  # empty doc unassessable
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_token_ratio"] == 0.5
+    assert r1["top_token_share"] == 0.75
+    assert r1["top_bigram_share"] == 2 / 3  # "spam spam" twice of 3 bigrams
+    r2 = rows[2]
+    assert r2["top_bigram_share"] is None  # single token: no bigram

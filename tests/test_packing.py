@@ -343,3 +343,121 @@ def test_decontaminate_corpus_removes_flagged_keeps_short(spark):
 
     with _pytest.raises(ValueError, match="threshold"):
         decontaminate_corpus(train, bench, "doc_id", "text", threshold=0.0)
+
+
+def test_select_token_budget_exact_prefix(spark):
+    """Selection = the exact greedy prefix by (score desc, id asc) whose
+    running token total fits the budget; running totals are exact."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.packing import select_token_budget
+
+    rows = [(i, float((i * 37) % 100), (i % 5) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n long")
+    budget = 120
+    got = {
+        r["doc_id"]: r["running_total"]
+        for r in select_token_budget(df, "doc_id", "score", "n", budget).collect()
+    }
+    # oracle: greedy prefix in python
+    run, want = 0, {}
+    for i, s, n in sorted(rows, key=lambda t: (-t[1], t[0])):
+        if run + n > budget:
+            break
+        run += n
+        want[i] = run
+    assert got == want
+
+
+def test_select_token_budget_edges(spark):
+    """Empty input, zero budget, all-equal scores (bucket width 0), and
+    NULL/non-positive counts."""
+    from artigraph_spark.operators.packing import select_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 3), (2, 5.0, None), (3, 5.0, 0), (4, 5.0, 2)],
+        "doc_id long, score double, n long",
+    )
+    out = select_token_budget(df, "doc_id", "score", "n", 5).collect()
+    # equal scores -> id order: doc 1 (3), doc 4 (2); NULL/0 counts dropped
+    assert {(r["doc_id"], r["running_total"]) for r in out} == {(1, 3), (4, 5)}
+    assert select_token_budget(df, "doc_id", "score", "n", 0).count() == 0
+    empty = df.filter("doc_id < 0")
+    assert select_token_budget(empty, "doc_id", "score", "n", 10).count() == 0
+
+
+def test_select_token_budget_prunes_over_budget_buckets(spark):
+    """Buckets whose driver-side offset already exceeds the budget never
+    reach the exchange: with a tiny budget the kept-bucket broadcast frame
+    is a single bucket."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.packing import select_token_budget
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("double").alias("score"),
+        F.lit(10).alias("n"),
+    )
+    out = select_token_budget(df, "doc_id", "score", "n", 50)
+    rows = out.collect()
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["running_total"])] == [
+        9999, 9998, 9997, 9996, 9995
+    ]
+    # the pruned offsets frame feeds the plan as a tiny ExistingRDD;
+    # correctness of the prune is visible in the rows, the plan lock in
+    # test_plans asserts no global sort.
+
+
+def test_upsample_domains_counts_and_determinism(spark):
+    """floor(r) copies always, +1 decided by the row hash; repeat runs and
+    repartitioned inputs give byte-identical output; unknown domains drop."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.packing import upsample_domains
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else ("b" if i % 3 == 0 else "c")) for i in range(300)],
+        "doc_id long, src string",
+    )
+    factors = {"a": 2.5, "b": 0.25}
+    out = upsample_domains(df, "src", factors, F.col("doc_id"))
+    rows = sorted((r["doc_id"], r["copy_idx"]) for r in out.collect())
+    again = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in upsample_domains(df.repartition(7), "src", factors, F.col("doc_id")).collect()
+    )
+    assert rows == again
+    by_doc = {}
+    for d, c in rows:
+        by_doc[d] = max(by_doc.get(d, 0), c)
+    # every 'a' doc appears 2 or 3 times; 'b' docs 0 or 1; 'c' never
+    for d, copies in by_doc.items():
+        if d % 2 == 0:
+            assert copies in (2, 3)
+        else:
+            assert d % 3 == 0 and copies == 1
+    assert all(d % 2 == 0 or d % 3 == 0 for d, _ in rows)
+    # copy_idx is dense 1..k per doc
+    from collections import Counter
+
+    per = Counter(d for d, _ in rows)
+    for d, k in per.items():
+        assert {c for dd, c in rows if dd == d} == set(range(1, k + 1))
+
+
+def test_temperature_factors_flatten(spark):
+    """alpha<1 lifts rare domains relative to common ones while preserving
+    the target row total in expectation; alpha=1 is identity."""
+    from artigraph_spark.operators.packing import temperature_factors
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, src string",
+    )
+    f1 = temperature_factors(df, "src", alpha=1.0)
+    assert abs(f1["big"] - 1.0) < 1e-9 and abs(f1["small"] - 1.0) < 1e-9
+    f5 = temperature_factors(df, "src", alpha=0.5)
+    assert f5["small"] > 1.0 > f5["big"]
+    total = 900 * f5["big"] + 100 * f5["small"]
+    assert abs(total - 1000) < 1e-6

@@ -110,7 +110,7 @@ def test_pack_sequences_no_global_window(spark, qs):
     df = qs["pack_sequences"](spark, SF)
     plan = P.physical_plan(df, "simple")
     assert "SinglePartition" not in plan
-    assert "hashpartitioning(__g" in plan  # (group, bucket) window key
+    assert "hashpartitioning(__bkt" in plan  # per-bucket window key
     assert "BroadcastExchange" in plan
 
 
@@ -135,3 +135,33 @@ def test_stratified_sample_filter_only(spark, qs):
     """Mixing is a pure filter over the scan — no exchange at all."""
     df = qs["stratified_sample_mix"](spark, SF)
     assert P.count_exchanges(df) == 0
+
+
+def test_chunk_documents_no_shuffle(spark, qs):
+    """Chunking is a per-row explode over the scan — zero exchanges."""
+    df = qs["chunk_documents"](spark, SF)
+    assert P.count_exchanges(df) == 0
+
+
+def test_upsample_domains_no_shuffle(spark, qs):
+    """Fractional upsampling is a filter + sequence-explode — zero
+    exchanges."""
+    df = qs["upsample_domains"](spark, SF)
+    assert P.count_exchanges(df) == 0
+
+
+def test_select_token_budget_no_global_sort(spark, qs):
+    """Budget selection must never serialize through one task: the prefix
+    sum runs per score-bucket (hash partitioning), never a global
+    rangepartitioning sort, and the bucket-offset join broadcasts."""
+    df = qs["select_token_budget"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(__bkt" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_repetition_scores_no_cartesian(spark, qs):
+    plan = P.physical_plan(qs["repetition_scores"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
