@@ -450,14 +450,25 @@ def select_token_budget(
     "best N tokens" primitive for quality-filtered pretraining mixes.
 
     Scale: a naive global ``Window.orderBy(score)`` serializes the whole
-    corpus through one task. Instead: range-bucket on score (bucket 0 =
-    highest scores), roll per-bucket totals into driver-side offsets
-    (``num_buckets`` rows, metadata-sized), PRUNE every bucket whose offset
-    already exceeds the budget — at 100 TB the sub-budget prefix is usually
-    a small fraction of the corpus, so the pruned scan never shuffles the
-    rest — then run the prefix-sum window per bucket. Rows whose score,
-    id, or count is NULL (or count <= 0) are not selectable and are
-    dropped.
+    corpus through one task. Instead, three passes, each paying only what
+    it needs:
+
+    1. **bounds** — min/max score over a COLUMN-PRUNED scan: the count
+       expression (often an expensive tokenization) is never evaluated.
+    2. **totals** — one full pass computing per-score-bucket token sums
+       (bucket 0 = highest scores), rolled into driver-side offsets
+       (``num_buckets`` rows, metadata-sized). The first bucket whose
+       offset alone exceeds the budget marks the CUT: it and everything
+       past it are dropped from the broadcast offsets frame.
+    3. **consume** — the prefix-sum window per kept bucket. The cut is
+       also turned into a STATIC score-cutoff literal on the source
+       column, so it reaches the parquet scan (``PushedFilters`` /
+       row-group skipping): pruned-bucket rows are never tokenized — at
+       100 TB the sub-budget prefix is usually a small fraction of the
+       corpus, and only it shuffles.
+
+    Rows whose score, id, or count is NULL (or count <= 0) are not
+    selectable and are dropped.
 
     Bucket assignment is floor((hi - score) / width) clamped to
     [0, num_buckets-1]: monotone non-increasing in score even under IEEE
@@ -468,20 +479,7 @@ def select_token_budget(
     """
     if budget < 0:
         raise ValueError(f"budget must be non-negative, got {budget}")
-    from pyspark.storagelevel import StorageLevel
-
     spark = df.sparkSession
-    slim = (
-        df.select(
-            F.col(id_col),
-            F.col(score_col).alias("__s"),
-            F.col(count_col).cast("long").alias("__n"),
-        )
-        .filter(
-            F.col(id_col).isNotNull() & F.col("__s").isNotNull() & (F.col("__n") > 0)
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     out_schema = T.StructType(
         [
             df.schema[id_col],
@@ -490,29 +488,43 @@ def select_token_budget(
             T.StructField("running_total", T.LongType()),
         ]
     )
-    try:
-        row = slim.agg(
-            F.min(F.col("__s").cast("double")).alias("lo"),
-            F.max(F.col("__s").cast("double")).alias("hi"),
-        ).collect()[0]
-        if row["lo"] is None:
-            return spark.createDataFrame([], out_schema)
-        lo, hi = float(row["lo"]), float(row["hi"])
-        width = (hi - lo) / num_buckets or 1.0
-        bkt = F.least(
-            F.lit(num_buckets - 1).cast("long"),
-            F.greatest(
-                F.lit(0).cast("long"),
-                F.floor((F.lit(hi) - F.col("__s").cast("double")) / F.lit(width)),
-            ),
-        )
-        bucketed = slim.withColumn("__bkt", bkt)
-        totals = {
-            int(r["__bkt"]): int(r["total"])
-            for r in bucketed.groupBy("__bkt").agg(F.sum("__n").alias("total")).collect()
-        }
-    finally:
-        slim.unpersist(blocking=False)
+    selectable = df.filter(F.col(id_col).isNotNull() & F.col(score_col).isNotNull())
+    # Pass 1 — bounds, count expression untouched (column-pruned scan).
+    # Rows later dropped for NULL/<=0 counts can only widen the range,
+    # which is harmless: they just leave some buckets lighter.
+    row = selectable.agg(
+        F.min(F.col(score_col).cast("double")).alias("lo"),
+        F.max(F.col(score_col).cast("double")).alias("hi"),
+    ).collect()[0]
+    if row["lo"] is None:
+        return spark.createDataFrame([], out_schema)
+    lo, hi = float(row["lo"]), float(row["hi"])
+    width = (hi - lo) / num_buckets or 1.0
+    bkt = F.least(
+        F.lit(num_buckets - 1).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((F.lit(hi) - F.col("__s").cast("double")) / F.lit(width)),
+        ),
+    )
+
+    # NO eager `__n > 0` filter here: pushing that predicate below the
+    # projection would duplicate the (often expensive — tokenization)
+    # count expression into the filter, evaluating it twice per row
+    # (no cross-operator CSE). Zero/NULL counts contribute nothing to a
+    # SUM and are dropped by the final output filter instead.
+    def slim(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(id_col),
+            F.col(score_col).alias("__s"),
+            F.col(count_col).cast("long").alias("__n"),
+        ).withColumn("__bkt", bkt)
+
+    # Pass 2 — per-bucket token totals (the one unavoidable full pass).
+    totals = {
+        int(r["__bkt"]): int(r["total"])
+        for r in slim(selectable).groupBy("__bkt").agg(F.sum("__n").alias("total")).collect()
+    }
     # Driver-side offsets in score-descending bucket order; find the first
     # bucket whose offset alone exhausts the budget — everything at or past
     # it can be pruned BEFORE the shuffle.
@@ -525,6 +537,28 @@ def select_token_budget(
     kept = {b: off for b, off in offsets.items() if cut is None or b < cut}
     if not kept:
         return spark.createDataFrame([], out_schema)
+    # Pass 3 — consume. Turn the cut into a static score cutoff on the
+    # SOURCE column so it pushes into the scan: kept bucket b satisfies
+    # score > hi - (b+1)*width; one extra bucket of slack absorbs any
+    # float rounding (the offsets inner join still enforces exact
+    # membership — the cutoff is a conservative prefilter, never the
+    # correctness boundary).
+    consume = selectable
+    max_kept = max(kept)
+    if max_kept < num_buckets - 1:
+        cutoff = hi - (max_kept + 2) * width
+        if isinstance(
+            df.schema[score_col].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            # Plain integer comparison (no cast) so the predicate reaches
+            # the parquet scan (PushedFilters / row-group skipping);
+            # floor() keeps it conservative.
+            import math
+
+            consume = consume.filter(F.col(score_col) >= F.lit(int(math.floor(cutoff))))
+        else:
+            consume = consume.filter(F.col(score_col).cast("double") >= F.lit(cutoff))
     off_df = spark.createDataFrame(
         [(b, off) for b, off in kept.items()],
         T.StructType(
@@ -537,9 +571,9 @@ def select_token_budget(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        bucketed.join(F.broadcast(off_df), "__bkt")  # inner join = bucket pruning
+        slim(consume).join(F.broadcast(off_df), "__bkt")  # inner join = bucket pruning
         .withColumn("running_total", F.sum("__n").over(w) + F.col("__off"))
-        .filter(F.col("running_total") <= budget)
+        .filter((F.col("running_total") <= budget) & (F.col("__n") > 0))
         .select(
             F.col(id_col),
             F.col("__s").alias(score_col),

@@ -160,6 +160,11 @@ def test_select_token_budget_no_global_sort(spark, qs):
     assert "SinglePartition" not in plan
     assert "hashpartitioning(__bkt" in plan
     assert "BroadcastExchange" in plan
+    # The driver-computed score cutoff must reach the parquet scan as a
+    # plain integer comparison (row-group skipping): pruned buckets are
+    # never even tokenized.
+    filters = " ".join(P.pushed_filters(df))
+    assert "GreaterThanOrEqual(n_chars" in filters
 
 
 def test_repetition_scores_no_cartesian(spark, qs):
