@@ -37,26 +37,43 @@ def _snapshot_id(s: Any) -> Fingerprint:
 
 def _is_older_than(path: str, cutoff: float) -> bool:
     """True when the partition's storage mtime predates ``cutoff`` — the
-    concurrent-build guard. Unknown age (no mtime exposed, path vanished
-    between listing and stat) reads as old: discovery just surfaced the
-    path, and an mtime-less store cannot distinguish fresh from ancient."""
+    concurrent-build guard. On object stores a "directory" is a synthesized
+    prefix with NO mtime, so the age comes from the NEWEST object under the
+    prefix (S3/GCS objects do carry mtimes). Unknown age after that (no
+    objects, store exposes no mtimes) reads as YOUNG — i.e. NOT prunable:
+    this guard exists to protect in-flight writes, so when age cannot be
+    established the safe answer is to keep, not delete."""
     mtime: float | None = None
     if path.startswith("literal://"):
         return True  # no physical data; catalog-only
     if "://" in path and not path.startswith("file://"):
+        from pyarrow import fs as pafs
+
         from artigraph_spark.storage import _resolve_fs
 
         fs, root = _resolve_fs(path)
         info = fs.get_file_info(root)
         mt = getattr(info, "mtime", None)
-        mtime = mt.timestamp() if mt is not None else None
-    else:
-        ospath = path[len("file://") :] if path.startswith("file://") else path
-        try:
-            mtime = os.path.getmtime(ospath)
-        except OSError:
-            mtime = None
-    return mtime is None or mtime < cutoff
+        if mt is None and info.type == pafs.FileType.Directory:
+            stamps = [
+                i.mtime.timestamp()
+                for i in fs.get_file_info(
+                    pafs.FileSelector(root, recursive=True, allow_not_found=True)
+                )
+                if i.type == pafs.FileType.File and getattr(i, "mtime", None) is not None
+            ]
+            mtime = max(stamps) if stamps else None
+        else:
+            mtime = mt.timestamp() if mt is not None else None
+        return mtime is not None and mtime < cutoff
+    ospath = path[len("file://") :] if path.startswith("file://") else path
+    try:
+        mtime = os.path.getmtime(ospath)
+    except OSError:
+        # Vanished between listing and stat — already gone; nothing to
+        # protect, let the prune's own delete be the no-op.
+        return True
+    return mtime < cutoff
 
 
 def _delete_path(path: str) -> None:

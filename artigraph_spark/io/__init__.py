@@ -325,7 +325,20 @@ def atomic_object_commit(path: str):
         if i.type == pafs.FileType.File
     ]
     if not infos:
-        return  # writer produced nothing (empty plan edge) — no flip
+        # A writer that produced literally zero objects (no _SUCCESS, no
+        # empty part file — every real writer emits at least one) did not
+        # complete; silently returning would leave the PREVIOUS commit
+        # visible as if this overwrite never happened. Surface it, and
+        # drop the empty staging dir so nothing orphans.
+        try:
+            fs.delete_dir(staged_root)
+        except (OSError, FileNotFoundError):
+            pass
+        raise OSError(
+            f"atomic_object_commit: writer produced no files under "
+            f"{staged_root}; refusing to flip the manifest (previous "
+            f"commit left untouched)"
+        )
     files = sorted(
         ({"path": i.path[len(staged_root) :].lstrip("/"), "size": i.size} for i in infos),
         key=lambda f: f["path"],
@@ -361,11 +374,15 @@ def committed_data_path(path: str) -> str:
     try:
         fs, root = _resolve_fs(path)
         manifest = _read_object_manifest(fs, root.rstrip("/"))
-    except (OSError, ValueError):
+        if manifest is None:
+            return path
+        commit = manifest["commit"]
+    except (OSError, ValueError, KeyError, TypeError):
+        # Unreadable OR wrong-shape manifest (well-formed JSON missing
+        # 'commit', a JSON list, ...) — fall back to the legacy layout
+        # rather than crashing every reader of the partition.
         return path
-    if manifest is None:
-        return path
-    return f"{path.rstrip('/')}/{manifest['commit']}"
+    return f"{path.rstrip('/')}/{commit}"
 
 
 def _committed(reader):

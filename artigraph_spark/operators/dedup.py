@@ -366,23 +366,30 @@ def connected_components(
     labels = nodes.withColumn("label", F.col("node"))
 
     # ``DataFrame.unpersist`` cannot release localCheckpoint blocks — they
-    # are pinned at the RDD level, not through the CacheManager — so track
-    # the JVM persistent-RDD ids each round and release the previous
-    # round's directly. Keeps pinned executor storage bounded at ~2 rounds
-    # of labels instead of one copy per round (O(log d) copies at 100 TB).
+    # are pinned at the RDD level, not through the CacheManager — so read
+    # the checkpointed RDD's id straight off the plan (a localCheckpointed
+    # Dataset analyzes to a LogicalRDD node) and release exactly that id
+    # via the JVM persistent-RDD map. Precise per-DataFrame targeting: a
+    # concurrent operator persisting on the same SparkSession is never
+    # touched (a global before/after diff of the map would race it).
+    # Keeps pinned executor storage bounded at ~2 rounds of labels instead
+    # of one copy per round (O(log d) copies at 100 TB).
     jsc = sym.sparkSession.sparkContext._jsc
 
-    def _pinned_ids() -> set[int]:
-        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    def _ckpt_rdd_id(ckpt_df: DataFrame) -> int | None:
+        try:
+            return int(ckpt_df._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:  # plan shape surprise — skip release, never misfire
+            return None
 
-    def _release(ids: set[int]) -> None:
-        jmap = jsc.getPersistentRDDs()
-        for i in ids:
-            rdd = jmap.get(i)
-            if rdd is not None:
-                rdd.unpersist(False)
+    def _release(rdd_id: int | None) -> None:
+        if rdd_id is None:
+            return
+        rdd = jsc.getPersistentRDDs().get(rdd_id)
+        if rdd is not None:
+            rdd.unpersist(False)
 
-    prev_ids: set[int] = set()
+    prev_id: int | None = None
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -405,9 +412,7 @@ def connected_components(
         )
         # Checkpoint FIRST so the convergence probe reuses the materialized
         # round instead of re-executing the two joins a second time.
-        before = _pinned_ids()
         jumped = jumped.localCheckpoint(eager=True)  # cut the lineage per round
-        new_ids = _pinned_ids() - before
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")
@@ -418,8 +423,8 @@ def connected_components(
         # The new round is materialized and its lineage truncated, so the
         # previous round's checkpoint blocks are dead — release them NOW
         # (the convergence probe above was the last reader of `labels`).
-        _release(prev_ids)
-        prev_ids = new_ids
+        _release(prev_id)
+        prev_id = _ckpt_rdd_id(jumped)
         labels = jumped
         if changed == 0:
             break

@@ -302,12 +302,13 @@ def benchmark_contamination(
 
 def decontaminate_corpus(
     train: DataFrame,
-    bench: DataFrame,
+    bench: DataFrame | None,
     id_col: str,
     text_col: str,
     *,
     n: int = 3,
     threshold: float = 0.2,
+    audit: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end benchmark decontamination: audit train/eval n-gram overlap
     (``benchmark_contamination``) and REMOVE training documents whose
@@ -323,11 +324,20 @@ def decontaminate_corpus(
     broadcast-sized distinct grams); the removal is one anti-join of the
     corpus against the flagged-id set — at any sane threshold that set is
     a small fraction of the corpus, so AQE turns it into a broadcast
-    anti-join; nothing here re-reads the text twice.
+    anti-join. Both returned frames SHARE the audit's lineage: a caller
+    that materializes both executes the contamination join once per
+    output. When that matters (it does at 100 TB), write the audit first
+    and pass the materialized table back via ``audit=`` — ``bench`` may
+    then be None — so the removal anti-joins against stored evidence
+    instead of recomputing it (examples/training_batch_demo.py chains two
+    producers exactly this way).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    audit = benchmark_contamination(train, bench, id_col, text_col, n)
+    if audit is None:
+        if bench is None:
+            raise ValueError("bench is required when no precomputed audit is given")
+        audit = benchmark_contamination(train, bench, id_col, text_col, n)
     flagged = audit.filter(F.col("contamination") >= threshold).select(id_col)
     clean = train.join(flagged, id_col, "left_anti")
     return clean, audit
@@ -511,19 +521,28 @@ def select_token_budget(
     # NO eager `__n > 0` filter here: pushing that predicate below the
     # projection would duplicate the (often expensive — tokenization)
     # count expression into the filter, evaluating it twice per row
-    # (no cross-operator CSE). Zero/NULL counts contribute nothing to a
-    # SUM and are dropped by the final output filter instead.
+    # (no cross-operator CSE). Instead non-positive counts are NULLed in
+    # the projection — SUM and the window prefix sum skip NULLs, so a
+    # negative count (upstream tokenizer bug) can never deflate
+    # running_total and over-admit past the budget — and the final output
+    # filter drops the rows. Referencing the count column twice inside
+    # ONE projection is safe: CollapseProject keeps multiply-referenced
+    # non-cheap aliases behind a projection boundary.
     def slim(src: DataFrame) -> DataFrame:
+        c = F.col(count_col).cast("long")
         return src.select(
             F.col(id_col),
             F.col(score_col).alias("__s"),
-            F.col(count_col).cast("long").alias("__n"),
+            F.when(c > 0, c).alias("__n"),
         ).withColumn("__bkt", bkt)
 
     # Pass 2 — per-bucket token totals (the one unavoidable full pass).
+    # A bucket whose rows ALL had non-positive/NULL counts sums to NULL —
+    # it holds no selectable tokens; treat as absent.
     totals = {
         int(r["__bkt"]): int(r["total"])
         for r in slim(selectable).groupBy("__bkt").agg(F.sum("__n").alias("total")).collect()
+        if r["total"] is not None
     }
     # Driver-side offsets in score-descending bucket order; find the first
     # bucket whose offset alone exhausts the budget — everything at or past

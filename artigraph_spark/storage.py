@@ -40,7 +40,10 @@ MANIFEST_NAME = "_MANIFEST.json"
 
 def _read_object_manifest(fs: Any, root: str) -> dict | None:
     """Load a partition's commit manifest, or None when the partition uses
-    the legacy unmanifested layout (files directly under the path)."""
+    the legacy unmanifested layout (files directly under the path) — or
+    when the manifest parses but has the wrong shape (not a dict with a
+    string ``commit``): a reader must degrade to the legacy layout, never
+    crash on a foreign/corrupt manifest."""
     import json
 
     from pyarrow import fs as pafs
@@ -49,7 +52,10 @@ def _read_object_manifest(fs: Any, root: str) -> dict | None:
     if fs.get_file_info(mpath).type != pafs.FileType.File:
         return None
     with fs.open_input_stream(mpath) as fh:
-        return json.loads(fh.read().decode("utf-8"))
+        manifest = json.loads(fh.read().decode("utf-8"))
+    if not isinstance(manifest, dict) or not isinstance(manifest.get("commit"), str):
+        return None
+    return manifest
 
 # Internal discovery marker standing in for "{input_fingerprint}" while the
 # spec is turned into a glob (→ "*") and parse regex (→ signed-int capture).

@@ -235,7 +235,12 @@ def stateful_exact_dedup(
             # NULL ids can never win "minimum id", and pandas idxmin raises
             # ValueError on an all-NA series — one bad group would kill the
             # whole streaming query. Drop them before picking the keeper.
+            # In bounded mode NULL event times are equally fatal (NaT.max()
+            # poisons the TTL arithmetic: NaT.timestamp() raises) AND
+            # meaningless under a watermark — drop those rows too.
             pdf = pdf[pdf[id_col].notna()]
+            if bounded:
+                pdf = pdf[pdf[ts_col].notna()]
             if len(pdf):
                 m = pdf.loc[pdf[id_col].idxmin()]
                 if best is None or m[id_col] < best[id_col]:
@@ -331,18 +336,20 @@ def stateful_exact_dedup_tws(
     you want at 100 TB: state spills off-heap to local disk instead of
     living on the JVM heap.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
     if not has_transform_with_state():
+        # Gate BEFORE the Spark-4-only import below: on 3.x the module
+        # doesn't exist, and the documented contract is this RuntimeError,
+        # not a ModuleNotFoundError.
         raise RuntimeError(
             "transformWithStateInPandas requires Spark 4.x and the "
             "google-protobuf runtime; use stateful_exact_dedup "
             "(applyInPandasWithState) where either is missing"
         )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
     columns = [f.name for f in df.schema.fields]
     ttl_ms = None if ttl_seconds is None else ttl_seconds * 1000
 

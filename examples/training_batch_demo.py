@@ -2,8 +2,10 @@
 family end-to-end through the framework layer.
 
 documents (external parquet, raw artifact)
-  → Decontaminate (benchmark trigram-overlap audit + removal at 20%;
-     TWO outputs: the clean corpus + the per-document audit table)
+  → AuditContamination (benchmark trigram-overlap audit — the expensive
+     join, materialized ONCE as the evidence-trail artifact)
+  → RemoveContaminated (anti-join of the corpus against the STORED audit
+     at 20% — the contamination join is never recomputed)
   → NormalizeAndMix (text normalization + per-language stratified mixing
      + per-source domain cap; statistics-gated)
   → PackBatches (concat-then-chunk sequence packing into 256-token bins;
@@ -80,23 +82,51 @@ class Documents(Artifact):
     pass
 
 
-class Decontaminate(Producer):
+class AuditTable(Artifact):
+    pass
+
+
+class AuditContamination(Producer):
     version = SemVer(major=1)
 
     docs: Documents
 
-    def build(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-        from artigraph_spark.operators.packing import decontaminate_corpus
+    def build(self, docs: DataFrame) -> DataFrame:
+        from artigraph_spark.operators.packing import benchmark_contamination
 
         # Benchmark stand-in: the first 50 doc ids (a real pipeline points
         # this at the eval-suite artifact).
-        return decontaminate_corpus(
+        return benchmark_contamination(
             docs.filter(F.col("doc_id") >= 50),
             docs.filter(F.col("doc_id") < 50),
             "doc_id",
             "text",
-            threshold=0.2,
+            n=3,
         )
+
+
+class RemoveContaminated(Producer):
+    version = SemVer(major=1)
+
+    docs: Documents
+    audit: AuditTable
+
+    def build(self, docs: DataFrame, audit: DataFrame) -> DataFrame:
+        from artigraph_spark.operators.packing import decontaminate_corpus
+
+        # The audit comes in MATERIALIZED (its own artifact): the removal
+        # anti-joins stored evidence, never re-running the contamination
+        # join — the two-producer shape decontaminate_corpus's docstring
+        # prescribes for pipelines that keep both outputs.
+        clean, _ = decontaminate_corpus(
+            docs.filter(F.col("doc_id") >= 50),
+            None,
+            "doc_id",
+            "text",
+            threshold=0.2,
+            audit=audit,
+        )
+        return clean
 
 
 class NormalizeAndMix(Producer):
@@ -161,12 +191,12 @@ def main() -> None:
                 format=Parquet(),
                 storage=LocalFile(root=sf_dir, template="{root}/documents.parquet"),
             )
-            clean, audit = Decontaminate(docs=g.artifacts.docs).out(
-                Documents(type=DOCS_TYPE, storage=LocalFile(root=root)),
-                Artifact(type=AUDIT_TYPE, storage=LocalFile(root=root)),
+            g.artifacts.audit = AuditContamination(docs=g.artifacts.docs).out(
+                AuditTable(type=AUDIT_TYPE, storage=LocalFile(root=root))
             )
-            g.artifacts.clean = clean
-            g.artifacts.audit = audit
+            g.artifacts.clean = RemoveContaminated(
+                docs=g.artifacts.docs, audit=g.artifacts.audit
+            ).out(Documents(type=DOCS_TYPE, storage=LocalFile(root=root)))
             g.artifacts.mixed = NormalizeAndMix(docs=g.artifacts.clean).out(
                 Documents(
                     type=DOCS_TYPE,
@@ -198,7 +228,7 @@ def main() -> None:
         f"flagged={flagged} layout_rows={layout.count()} "
         f"bins={n_bins} full_bins={full}"
     )
-    assert ex1.built_partitions == 3
+    assert ex1.built_partitions == 4
     assert full >= n_bins - 1  # every bin but the last is exactly full
     # the audit is the evidence trail: flagged docs are exactly the removal
     assert clean_n == audit.count() - flagged + _short_docs(snap, g1)

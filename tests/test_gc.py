@@ -188,3 +188,47 @@ def test_prune_grace_window_protects_fresh_partitions(tmp_root, spark):
     pruned = prune_unreferenced_partitions(g2, keep=[snap2])
     assert pruned["total"] == [victim]
     assert snap2.read(t2, annotation=int) == 10
+
+
+def test_is_older_than_object_prefix_uses_newest_object(monkeypatch):
+    """Object-store 'directories' are synthesized prefixes with NO mtime:
+    age must come from the newest object under the prefix, and an
+    unknowable age must read as YOUNG (keep) — the guard exists to protect
+    in-flight writes."""
+    import datetime
+    import time
+
+    from pyarrow import fs as pafs
+
+    import artigraph_spark.storage as storage
+    from artigraph_spark.gc import _is_older_than
+
+    class Info:
+        def __init__(self, type_, mtime_s=None):
+            self.type = type_
+            self.mtime = (
+                datetime.datetime.fromtimestamp(mtime_s) if mtime_s else None
+            )
+
+    class FakeFS:
+        def __init__(self, file_infos):
+            self._files = file_infos
+
+        def get_file_info(self, sel):
+            if isinstance(sel, pafs.FileSelector):
+                return self._files
+            return Info(pafs.FileType.Directory)  # prefix: no mtime
+
+    now = time.time()
+    cutoff = now - 3600
+
+    def mount(files):
+        fs = FakeFS(files)
+        monkeypatch.setattr(storage, "_resolve_fs", lambda p: (fs, "bucket/p"))
+
+    mount([Info(pafs.FileType.File, now - 60)])  # freshly written object
+    assert _is_older_than("s3://bucket/p", cutoff) is False
+    mount([Info(pafs.FileType.File, now - 7200)])  # genuinely old
+    assert _is_older_than("s3://bucket/p", cutoff) is True
+    mount([])  # age unknowable → keep, never delete
+    assert _is_older_than("s3://bucket/p", cutoff) is False

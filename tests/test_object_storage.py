@@ -435,3 +435,54 @@ def test_generate_partition_rejects_commit_namespace(mock_fs):
             PartitionKey(fields={"v": StringField(key=".__commit_x__")}),
             Fingerprint.empty(),
         )
+
+
+def test_zero_file_commit_refuses_flip_and_keeps_previous(mock_fs):
+    """A writer that lands zero objects did not complete: the commit must
+    raise (not silently keep serving the old data as if the overwrite
+    happened) and the previous committed set must stay intact."""
+    import pytest
+
+    from artigraph_spark.io import atomic_object_commit, committed_data_path
+    from artigraph_spark.storage import _resolve_fs
+
+    uri = f"mock://{BUCKET}/zero/p"
+    with atomic_object_commit(uri) as staged:
+        fs, stroot = _resolve_fs(staged)
+        fs.create_dir(stroot, recursive=True)
+        with fs.open_output_stream(f"{stroot}/part-0.bin") as fh:
+            fh.write(b"v1")
+    first_commit = committed_data_path(uri)
+    assert first_commit != uri
+    with pytest.raises(OSError, match="produced no files"):
+        with atomic_object_commit(uri) as staged:
+            fs, stroot = _resolve_fs(staged)
+            fs.create_dir(stroot, recursive=True)  # dir, but zero files
+    # Previous commit still the visible one; no stray staging dirs.
+    assert committed_data_path(uri) == first_commit
+    fs, root = _resolve_fs(uri)
+    import pyarrow.fs as pafs
+
+    names = {
+        i.path.rsplit("/", 1)[-1]
+        for i in fs.get_file_info(pafs.FileSelector(root, recursive=False))
+    }
+    assert not {n for n in names if n.startswith(".__commit_")} - {
+        first_commit.rsplit("/", 1)[-1]
+    }
+
+
+def test_wrong_shape_manifest_degrades_to_legacy_layout(mock_fs):
+    """A manifest that parses as JSON but has the wrong shape (missing
+    'commit', or not a dict) must degrade readers to the legacy layout,
+    never crash them."""
+    from artigraph_spark.io import committed_data_path
+    from artigraph_spark.storage import MANIFEST_NAME, _resolve_fs
+
+    uri = f"mock://{BUCKET}/badmanifest/p"
+    fs, root = _resolve_fs(uri)
+    fs.create_dir(root, recursive=True)
+    for payload in (b"[1, 2, 3]", b'{"files": []}', b'{"commit": 7}'):
+        with fs.open_output_stream(f"{root}/{MANIFEST_NAME}") as fh:
+            fh.write(payload)
+        assert committed_data_path(uri) == uri  # graceful legacy fallback

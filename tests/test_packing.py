@@ -461,3 +461,50 @@ def test_temperature_factors_flatten(spark):
     assert f5["small"] > 1.0 > f5["big"]
     total = 900 * f5["big"] + 100 * f5["small"]
     assert abs(total - 1000) < 1e-6
+
+
+def test_select_token_budget_negative_counts_cannot_deflate_totals(spark):
+    """A negative count (upstream tokenizer bug) must not flow into bucket
+    totals or the running-total window: it would deflate running_total and
+    over-admit past the budget. Non-positive counts are dropped entirely."""
+    from artigraph_spark.operators.packing import select_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 100.0, -1000), (2, 90.0, 4), (3, 80.0, 4), (4, 70.0, 4)],
+        "doc_id long, score double, n long",
+    )
+    out = sorted(
+        (r["doc_id"], r["running_total"])
+        for r in select_token_budget(df, "doc_id", "score", "n", 8).collect()
+    )
+    # Without the guard, doc1's -1000 would admit everything.
+    assert out == [(2, 4), (3, 8)]
+
+
+def test_decontaminate_corpus_precomputed_audit(spark):
+    """A materialized audit table short-circuits the contamination join:
+    same clean output, and bench may be omitted."""
+    from artigraph_spark.operators.packing import decontaminate_corpus
+
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog indeed"),
+            (2, "completely unrelated prose about spark partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    _, audit = decontaminate_corpus(train, bench, "doc_id", "text", threshold=0.5)
+    stored = spark.createDataFrame(audit.collect(), audit.schema)  # "materialized"
+    clean2, audit2 = decontaminate_corpus(
+        train, None, "doc_id", "text", threshold=0.5, audit=stored
+    )
+    assert sorted(r["doc_id"] for r in clean2.collect()) == [2]
+    assert audit2 is stored
+    import pytest
+
+    with pytest.raises(ValueError, match="bench is required"):
+        decontaminate_corpus(train, None, "doc_id", "text")

@@ -368,3 +368,53 @@ def test_stateful_exact_dedup_tws_raises_without_spark4(monkeypatch):
     monkeypatch.setattr(stx, "has_transform_with_state", lambda: False)
     with _pytest.raises(RuntimeError, match="Spark 4"):
         stx.stateful_exact_dedup_tws(None, "doc_id", "h")
+
+
+def test_stateful_exact_dedup_ttl_null_ts_does_not_kill_query(spark, tmp_path):
+    """In bounded mode a NULL event time would poison the TTL arithmetic
+    (NaT.timestamp() raises, killing the query). NULL-ts rows are dropped;
+    the same hash arriving later with a real timestamp is still admitted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "nullts_src"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 7], type=pa.int64()),
+                "ts": pa.array([None, _ts(1)], type=pa.timestamp("us")),
+                "text": ["ghost", "solid"],
+            }
+        ),
+        d / "a.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([3], type=pa.int64()),
+                "ts": pa.array([_ts(2)], type=pa.timestamp("us")),
+                "text": ["ghost"],
+            }
+        ),
+        d / "b.parquet",
+    )
+    import os
+
+    os.utime(d / "a.parquet", ns=(1_000_000_000, 1_000_000_000))
+    os.utime(d / "b.parquet", ns=(2_000_000_000_000_000_000, 2_000_000_000_000_000_000))
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select("doc_id", "ts", "text", F.sha2(F.col("text"), 256).alias("h"))
+    )
+    out = stx.run_stream_to_batch(
+        stx.stateful_exact_dedup(stream, "doc_id", "h", ts_col="ts", ttl_seconds=86400),
+        query_name="t_stream_dedup_nullts",
+        output_mode="append",
+    )
+    rows = {r["text"]: r["doc_id"] for r in out.collect()}
+    # 'ghost' batch-A row had NULL ts → dropped; batch-B real-ts row admitted.
+    assert rows == {"solid": 7, "ghost": 3}

@@ -1,5 +1,5 @@
 """Skewed-key join probe: salted_join vs the plain shuffle join on a
-hot-key distribution, at two skew levels (1% and 10% of all rows on ONE
+hot-key distribution, at two skew levels (5% and 50% of all rows on ONE
 key — a 10x skew step). Evidence for operators/joins.py:salted_join's
 claim that salting spreads a melting reducer across `salt` buckets.
 
