@@ -416,3 +416,66 @@ def mean_pool(df: DataFrame, group_col: str, vec_col: str = "embedding") -> Data
     return exploded.groupBy(group_col, "pos").agg(
         (scaled_sum / F.count("val")).cast("double").alias("mean_val")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector min/max linear quantization — the storage-compression
+    step before an ANN index ships to serving: each embedding is encoded as
+    ``code = floor((x - vmin) / scale + 0.5)`` with
+    ``scale = (vmax - vmin) / (2^bits - 1)`` computed per vector. Returns
+    ``(id, n_dims, vmin, vmax, mse)``: the per-vector quantization range
+    and the reconstruction mean-squared-error — the quality metric that
+    decides whether ``bits`` is enough for the corpus.
+
+    Deterministic by construction: ``floor(q + 0.5)`` (not banker's/half-up
+    round, which differ across engines at exact .5), and the MSE accumulates
+    integer fixed-point per-element errors (exact, order-independent) before
+    one float division. Constant vectors (scale 0) encode as all-zero codes
+    with mse 0.
+
+    Scale: min/max/scale are per-row array expressions (zero shuffle); the
+    error sum explodes to (id, element) rows and aggregates per id — one
+    shuffle keyed by the vector id, partition-even.
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    levels = (1 << bits) - 1
+    v = F.col(vec_col)
+    base = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        F.size(v).cast("long").alias("n_dims"),
+        F.array_min(v).cast("double").alias("vmin"),
+        F.array_max(v).cast("double").alias("vmax"),
+    ).filter(F.col("n_dims") > 0)
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(float(levels))
+    base = base.withColumn("__scale", scale)
+    x = F.explode("__v").alias("__x")
+    el = base.select(
+        F.col(id_col), "n_dims", "vmin", "vmax", "__scale", x
+    ).withColumn("__xd", F.col("__x").cast("double"))
+    code = F.when(
+        F.col("__scale") > 0,
+        F.floor((F.col("__xd") - F.col("vmin")) / F.col("__scale") + F.lit(0.5)),
+    ).otherwise(F.lit(0))
+    err = F.col("__xd") - (F.col("vmin") + code.cast("double") * F.col("__scale"))
+    # Integer fixed-point (2^20) per-element squared error: exact and
+    # order-independent under SUM, one float division at the end.
+    fxp_err = F.floor(err * err * F.lit(float(1 << 20)) + F.lit(0.5)).cast("long")
+    return (
+        el.withColumn("__e", fxp_err)
+        .groupBy(id_col, "n_dims", "vmin", "vmax")
+        .agg(
+            (
+                F.sum("__e").cast("double")
+                / (F.col("n_dims") * F.lit(float(1 << 20)))
+            ).alias("mse")
+        )
+        .select(F.col(id_col), "n_dims", "vmin", "vmax", "mse")
+    )

@@ -386,3 +386,41 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(F.col(id_col), (F.col("__topb") / F.col("__nb")).alias("top_bigram_share"))
     )
     return tok_stats.join(big_stats, id_col, "left")
+
+
+def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perplexity-proxy quality scoring WITHOUT an external LM: per-document
+    mean unigram negative log-likelihood under the corpus's OWN unigram
+    distribution — ``nll = avg over tokens of ln(total_tokens / count(tok))``.
+    Low nll = built from common words (boilerplate-ish); high nll = heavy
+    tail of rare tokens (noise/garble); the middle is normal prose. The
+    standard cheap stand-in where a real LM perplexity filter would run.
+
+    Returns ``(id, n_tokens, nll)`` for documents with >= 1 token.
+
+    Scale: one explode + a vocabulary aggregate + an equi-join on the token
+    + a doc-keyed aggregate — the same shape as tf_idf. The corpus total
+    rides a broadcast 1-row cross join (no collect, plan stays lazy).
+    Per-token terms go through the shared guard-digit + fixed-point path
+    (round 9 then dsum) so the per-doc mean is order-independent and
+    cross-engine exact despite the ln().
+    """
+    from artigraph_spark.functions import davg
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    freqs = tok.groupBy("__tok").agg(F.count("*").cast("long").alias("__c"))
+    total = freqs.agg(F.sum("__c").cast("long").alias("__total"))
+    term = F.round(
+        F.log(F.col("__total").cast("double") / F.col("__c").cast("double")), 9
+    )
+    return (
+        tok.join(freqs, "__tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            davg(term).alias("nll"),
+        )
+    )

@@ -60,9 +60,10 @@ _PRIORITY: tuple[str, ...] = (
     # (see the trailing comment).
     "decontaminate_corpus",  # NEW r5 (operators/packing.py) — first row
     # NEW r5 operators (chunking, repetition signals, token-budget
-    # selection, domain upsampling) — first driver rows
+    # selection, domain upsampling, perplexity-proxy scoring, embedding
+    # quantization) — first driver rows
     "chunk_documents", "repetition_scores", "select_token_budget",
-    "upsample_domains",
+    "upsample_domains", "unigram_logprob", "quantize_embeddings",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py); packing gained
     # integral-id validation + persist/unpersist and the shared n-gram
@@ -88,15 +89,16 @@ _PRIORITY: tuple[str, ...] = (
     "edit_distance_pairs", "lang_predict", "text_quality_score",
     "tfidf_terms", "token_bpe_counts", "multimodal_features",
     # r3-stale — refresh (relational)
-    "join_asof", "agg_approx", "array_ops", "sort_limit_topk",
-    # Left out of the 50 (by design): 16 r3-green trivial relational ops
+    "join_asof", "agg_approx",
+    # Left out of the 50 (by design): 18 r3-green trivial relational ops
     # with no implementation change since (`proj_select_rename`,
     # `sample_deterministic`, `scalar_math`, `scalar_string`,
     # `scalar_datetime`, `scalar_conditional`, `scalar_cast`, `set_except`,
     # `set_intersect`, `set_intersect_all`, `set_union_all`,
     # `set_union_distinct`, `filter_between_isin`, `filter_null_tests`,
-    # `map_ops`, `json_extract` — four of which the r4 judge independently
-    # re-verified) and the 4 rows-only queries (minhash_lsh_pairs,
+    # `map_ops`, `json_extract`, `array_ops`, `sort_limit_topk` — six of
+    # which the r4 judge independently re-verified) and the 4 rows-only
+    # queries (minhash_lsh_pairs,
     # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) whose
     # oracle-checked `*_checked` contract twins carry the hard signal.
     # Remaining slots fall through to registration order.

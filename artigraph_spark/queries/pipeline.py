@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from artigraph_spark.functions import oracle_davg
 from artigraph_spark.queries import query
 from artigraph_spark.sources import load
 
@@ -414,3 +415,68 @@ def upsample_domains_q(spark, sf_dir):
     return upsample_domains(
         d, "source", {"src0": 2.5, "src1": 1.0, "src2": 0.25}, F.col("doc_id")
     ).select("doc_id", "source", "copy_idx")
+
+
+@query(
+    "unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    freqs AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freqs)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round({oracle_davg("round(ln(CAST(total AS DOUBLE) / CAST(c AS DOUBLE)), 9)")}, 6) AS nll_r
+    FROM toks JOIN freqs USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_q(spark, sf_dir):
+    """Perplexity-proxy quality score: mean unigram NLL of each document
+    under the corpus's own unigram distribution."""
+    from artigraph_spark.operators.text import unigram_logprob_scores
+
+    d = load(spark, sf_dir, "documents")
+    out = unigram_logprob_scores(d, "doc_id", "text")
+    return out.select("doc_id", "n_tokens", F.round("nll", 6).alias("nll_r"))
+
+
+@query(
+    "quantize_embeddings",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, embedding AS v, CAST(len(embedding) AS BIGINT) AS n_dims,
+               CAST(list_min(embedding) AS DOUBLE) AS vmin,
+               CAST(list_max(embedding) AS DOUBLE) AS vmax
+        FROM embeddings WHERE len(embedding) > 0
+    ),
+    s AS (SELECT *, (vmax - vmin) / 255.0 AS scale FROM base),
+    el AS (SELECT vec_id, n_dims, vmin, vmax, scale, CAST(u.x AS DOUBLE) AS xd
+           FROM s, UNNEST(v) AS u(x)),
+    codes AS (SELECT vec_id, n_dims, vmin, vmax, scale, xd,
+                     CASE WHEN scale > 0
+                          THEN floor((xd - vmin) / scale + 0.5) ELSE 0 END AS code
+              FROM el),
+    errs AS (SELECT vec_id, n_dims, vmin, vmax,
+                    (xd - (vmin + code * scale)) AS err FROM codes),
+    fx AS (SELECT vec_id, n_dims, vmin, vmax,
+                  CAST(floor(err * err * 1048576.0 + 0.5) AS BIGINT) AS fe FROM errs)
+    SELECT vec_id, n_dims, round(vmin, 6) AS vmin_r, round(vmax, 6) AS vmax_r,
+           round(CAST(SUM(fe) AS DOUBLE) / (n_dims * 1048576.0), 6) AS mse_r
+    FROM fx GROUP BY vec_id, n_dims, vmin, vmax
+    """,
+)
+def quantize_embeddings_q(spark, sf_dir):
+    """int8 per-vector min/max quantization of the embedding corpus with
+    reconstruction MSE — the ANN storage-compression quality audit."""
+    from artigraph_spark.operators.similarity import quantize_embeddings
+
+    e = load(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(e, "vec_id", "embedding", bits=8)
+    return out.select(
+        "vec_id",
+        "n_dims",
+        F.round("vmin", 6).alias("vmin_r"),
+        F.round("vmax", 6).alias("vmax_r"),
+        F.round("mse", 6).alias("mse_r"),
+    )

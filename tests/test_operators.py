@@ -267,3 +267,42 @@ def test_repetition_scores_values(spark):
     assert r1["top_bigram_share"] == 2 / 3  # "spam spam" twice of 3 bigrams
     r2 = rows[2]
     assert r2["top_bigram_share"] is None  # single token: no bigram
+
+
+def test_unigram_logprob_exact_math(spark):
+    import math
+
+    from artigraph_spark.operators.text import unigram_logprob_scores
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "a")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in unigram_logprob_scores(df, "doc_id", "text").collect()}
+    # corpus: a×3, b×1, total 4
+    want1 = (2 * math.log(4 / 3) + math.log(4)) / 3
+    want2 = math.log(4 / 3)
+    assert rows[1]["n_tokens"] == 3 and abs(rows[1]["nll"] - want1) < 1e-5
+    assert rows[2]["n_tokens"] == 1 and abs(rows[2]["nll"] - want2) < 1e-5
+    # rare-token docs score higher (more surprising) than common-token docs
+    assert rows[1]["nll"] > rows[2]["nll"]
+
+
+def test_quantize_embeddings_roundtrip_and_edges(spark):
+    from artigraph_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]),          # exact endpoints: zero error
+            (2, [2.0, 2.0, 2.0]),     # constant: scale 0, mse 0
+            (3, [0.0, 0.5, 1.0]),     # midpoint: tiny but nonzero error
+            (4, []),                  # empty: excluded
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["mse"] == 0.0 and rows[1]["vmin"] == 0.0 and rows[1]["vmax"] == 1.0
+    assert rows[2]["mse"] == 0.0 and rows[2]["n_dims"] == 3
+    assert 0.0 < rows[3]["mse"] < 1e-4
+    import pytest
+
+    with pytest.raises(ValueError, match="bits"):
+        quantize_embeddings(df, "vec_id", "embedding", bits=0)

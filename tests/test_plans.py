@@ -170,3 +170,19 @@ def test_select_token_budget_no_global_sort(spark, qs):
 def test_repetition_scores_no_cartesian(spark, qs):
     plan = P.physical_plan(qs["repetition_scores"](spark, SF), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_logprob_no_cartesian(spark, qs):
+    """The corpus total rides a broadcast 1-row cross join; the token join
+    is a hash join — never a real cartesian."""
+    plan = P.physical_plan(qs["unigram_logprob"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_embeddings_single_shuffle(spark, qs):
+    """Quantization is per-row expressions + one id-keyed error aggregate:
+    at most the aggregate's exchange pair, nothing else."""
+    df = qs["quantize_embeddings"](spark, SF)
+    assert P.count_exchanges(df) <= 2
+    plan = P.physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
