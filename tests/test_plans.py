@@ -186,3 +186,14 @@ def test_quantize_embeddings_single_shuffle(spark, qs):
     assert P.count_exchanges(df) <= 2
     plan = P.physical_plan(df, "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_broadcasts_bounded_dims_and_pushes_dates(spark, qs):
+    """Q5's nation/region joins broadcast; the order-date bracket reaches
+    the orders scan."""
+    df = qs["tpch_q5_local_supplier_volume"](spark, SF)
+    assert P.has_node(df, "BroadcastHashJoin")
+    filters = " ".join(P.pushed_filters(df))
+    assert "o_orderdate" in filters
+    plan = P.physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
