@@ -480,3 +480,45 @@ def quantize_embeddings_q(spark, sf_dir):
         F.round("vmax", 6).alias("vmax_r"),
         F.round("mse", 6).alias("mse_r"),
     )
+
+
+@query(
+    "redact_pii",
+    oracle=r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' at 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                   AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+               '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def redact_pii_q(spark, sf_dir):
+    """PII scrub over documents augmented with deterministic synthetic
+    PII (email + phone + IPv4 derived from doc_id) so the redaction is
+    actually exercised, not a no-op pass-through."""
+    from artigraph_spark.operators.text import redact_pii
+
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    return d.select(F.col("doc_id"), redact_pii(aug).alias("redacted"))

@@ -306,3 +306,26 @@ def test_quantize_embeddings_roundtrip_and_edges(spark):
 
     with pytest.raises(ValueError, match="bits"):
         quantize_embeddings(df, "vec_id", "embedding", bits=0)
+
+
+def test_redact_pii_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org now"),
+            (2, "server at 192.168.10.255 down"),
+            (3, "call +1 (555) 010-1234 today"),
+            (4, "clean text with no pii at all"),
+            (5, "v1.2.3 released"),  # version string: not an IP (only 3 parts)
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["t"] for r in df.select("id", redact_pii(F.col("text")).alias("t")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> down"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "clean text with no pii at all"
+    assert "1.2.3" in out[5]  # conservative: versions survive

@@ -418,3 +418,37 @@ def test_stateful_exact_dedup_ttl_null_ts_does_not_kill_query(spark, tmp_path):
     rows = {r["text"]: r["doc_id"] for r in out.collect()}
     # 'ghost' batch-A row had NULL ts → dropped; batch-B real-ts row admitted.
     assert rows == {"solid": 7, "ghost": 3}
+
+
+def test_stateless_round5_ops_run_on_streams(spark):
+    """Round-5 per-row ops (redact_pii, chunk_documents, upsample_domains)
+    are projections/explodes with no aggregation: they must compose onto a
+    streaming DataFrame unchanged and agree with their batch results."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.packing import upsample_domains
+    from artigraph_spark.operators.text import chunk_documents, redact_pii
+
+    def transform(df):
+        scrubbed = df.select(
+            "doc_id", redact_pii(F.col("text")).alias("text"), "source"
+        )
+        up = upsample_domains(
+            scrubbed, "source", {"src0": 2.0, "src1": 1.0}, F.col("doc_id")
+        )
+        return chunk_documents(
+            up.select("doc_id", F.concat_ws(" ", "text", F.col("copy_idx").cast("string")).alias("text")),
+            "doc_id",
+            "text",
+            chunk_size=16,
+            stride=12,
+        )
+    stream = transform(stx.read_stream(spark, SF_DIR, "documents"))
+    assert stream.isStreaming
+    got = stx.run_stream_to_batch(stream, query_name="t_r5_ops", output_mode="append")
+    from artigraph_spark.sources import load
+
+    want = transform(load(spark, SF_DIR, "documents"))
+    cols = ["doc_id", "chunk_idx", "chunk_text", "n_tokens"]
+    assert _canon(got, cols) == _canon(want, cols)
+    assert got.count() > 0
