@@ -61,17 +61,24 @@ def _pack_impl(
     # than failing when it doesn't fit. persist — NOT localCheckpoint —
     # keeps lineage intact: an executor loss recomputes the lost blocks
     # instead of failing the job, and nothing is pinned after the explicit
-    # unpersist below. NULL ids are unorderable, NULL groups unassignable,
-    # and NULL/zero counts occupy no bin: all dropped.
+    # unpersist below. NULL ids are unorderable and NULL groups
+    # unassignable: filtered (cheap columns). NULL/zero/negative counts
+    # occupy no bin — those are NULLed in the projection rather than
+    # filtered, because a `count > 0` filter would be pushed below the
+    # projection and duplicate the (often expensive — tokenization) count
+    # expression into the filter (no cross-operator CSE). NULL counts are
+    # skipped by every SUM, and the final bin explode drops the rows
+    # (sequence over a NULL span is NULL). Referencing the count column
+    # twice inside ONE projection is safe: CollapseProject keeps
+    # multiply-referenced non-cheap aliases behind a projection boundary.
     from pyspark.storagelevel import StorageLevel
 
+    cnt = F.col(count_col).cast("long")
     slim = (
         df.select(
-            gexpr.alias("__g"), F.col(id_col), F.col(count_col).cast("long").alias("__n")
+            gexpr.alias("__g"), F.col(id_col), F.when(cnt > 0, cnt).alias("__n")
         )
-        .filter(
-            F.col("__g").isNotNull() & F.col(id_col).isNotNull() & (F.col("__n") > 0)
-        )
+        .filter(F.col("__g").isNotNull() & F.col(id_col).isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     spark = df.sparkSession
@@ -108,9 +115,13 @@ def _pack_impl(
         )
         # Phase 1: per-(group, bucket) totals — metadata-sized — rolled into
         # per-group running offsets on the driver.
+        # Buckets whose rows ALL had non-positive/NULL counts sum to NULL —
+        # they hold no tokens; absent from totals ⇒ pruned by the offsets
+        # inner join.
         totals = {
             (r["__g"], r["__bkt"]): int(r["total"])
             for r in bucketed.groupBy("__g", "__bkt").agg(F.sum("__n").alias("total")).collect()
+            if r["total"] is not None
         }
     finally:
         # Both metadata collects are done; release the cached blocks NOW.
