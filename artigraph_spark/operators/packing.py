@@ -692,3 +692,46 @@ def temperature_factors(
     weights = {d: c**alpha for d, c in sorted(counts.items())}
     z = sum(weights.values())
     return {d: (weights[d] / z) * target / counts[d] for d in weights}
+
+
+def split_corpus(
+    df: DataFrame,
+    key: Column,
+    fractions: dict[str, float] | None = None,
+    *,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Deterministic disjoint corpus split — the train/valid/test
+    assignment primitive: every row gets exactly one ``split`` label,
+    decided by a hash of ``key`` alone (never partitioning, engine, or run
+    order), so the same document lands in the same split on any engine,
+    any cluster, any rerun — the property that keeps eval sets honest
+    across pipeline re-materializations.
+
+    ``fractions`` (default 98/1/1 train/valid/test) must sum to 1 within
+    1/denominator; label order follows the dict's insertion order and the
+    LAST label absorbs the integer-rounding remainder, so the union is
+    exactly the input (disjoint and exhaustive by construction).
+
+    Scale: one projection — no shuffle, no UDF; each split is then a
+    pushdown-friendly filter on the label column.
+    """
+    if fractions is None:
+        fractions = {"train": 0.98, "valid": 0.01, "test": 0.01}
+    fractions = dict(fractions)
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1.0 / denominator:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    p = F.lit(1_000_000_007)
+    h = F.pmod(F.pmod(F.pmod(key, p) * F.lit(2_654_435_761), p), F.lit(denominator))
+    bounds, acc = [], 0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += int(round(fractions[name] * denominator))
+        bounds.append((name, acc))
+    expr = F.lit(names[-1])  # last label absorbs the remainder
+    for name, upper in reversed(bounds):
+        expr = F.when(h < upper, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

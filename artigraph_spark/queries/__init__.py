@@ -65,7 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "chunk_documents", "repetition_scores", "select_token_budget",
     "upsample_domains", "unigram_logprob", "quantize_embeddings",
     "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
-    "tpch_q14_promo_revenue", "redact_pii",
+    "tpch_q14_promo_revenue", "redact_pii", "split_corpus",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py); packing gained
     # integral-id validation + persist/unpersist and the shared n-gram
@@ -77,10 +77,11 @@ _PRIORITY: tuple[str, ...] = (
     "union_by_name_missing", "literal_inline_table", "explode_tokens",
     "map_explode", "in_subquery_sql", "unpivot_stack",
     # r3-stale — refresh (windows family; lag_lead/running_agg/range_frame/
-    # tumbling displaced by the new TPC-H shapes + redact_pii — r3-green,
-    # unchanged, tumbling also covered by the streaming parity tests)
+    # tumbling/sliding displaced by the new TPC-H shapes + redact_pii +
+    # split_corpus — r3-green, unchanged, the time windows also covered by
+    # the streaming parity tests)
     "window_rank_family", "window_topk_per_group",
-    "window_sliding", "window_session", "window_gap_fill",
+    "window_session", "window_gap_fill",
     # r3-stale — refresh (TPC-H shapes)
     "tpch_q3_shipping_priority", "tpch_q4_late_orders",
     "tpch_q9_nation_margin", "tpch_q10_returned_items",

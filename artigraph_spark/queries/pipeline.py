@@ -522,3 +522,24 @@ def redact_pii_q(spark, sf_dir):
         ((F.col("doc_id") * 7) % 256).cast("string"),
     )
     return d.select(F.col("doc_id"), redact_pii(aug).alias("redacted"))
+
+
+@query(
+    "split_corpus",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN ((((doc_id % 1000000007) * 2654435761) % 1000000007) % 10000) < 9800
+                THEN 'train'
+                WHEN ((((doc_id % 1000000007) * 2654435761) % 1000000007) % 10000) < 9900
+                THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_corpus_q(spark, sf_dir):
+    """Deterministic 98/1/1 train/valid/test assignment keyed by doc id —
+    disjoint, exhaustive, engine- and partitioning-independent."""
+    from artigraph_spark.operators.packing import split_corpus
+
+    d = load(spark, sf_dir, "documents")
+    return split_corpus(d, F.col("doc_id")).select("doc_id", "source", "split")

@@ -508,3 +508,26 @@ def test_decontaminate_corpus_precomputed_audit(spark):
 
     with pytest.raises(ValueError, match="bench is required"):
         decontaminate_corpus(train, None, "doc_id", "text")
+
+
+def test_split_corpus_validation_and_rates(spark):
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.packing import split_corpus
+
+    df = spark.range(0, 20000).select(F.col("id").alias("k"))
+    counts = {
+        r["split"]: r["n"]
+        for r in split_corpus(df, F.col("k"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sum(counts.values()) == 20000  # exhaustive
+    assert counts["train"] == pytest.approx(19600, rel=0.02)
+    assert counts["valid"] == pytest.approx(200, rel=0.4)
+    assert counts["test"] == pytest.approx(200, rel=0.4)
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(df, F.col("k"), {"train": 0.5, "test": 0.1})
+    with pytest.raises(ValueError, match="non-empty"):
+        split_corpus(df, F.col("k"), {})

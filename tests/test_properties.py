@@ -106,3 +106,110 @@ def test_pack_sequences_invariants(spark, rows, capacity):
         assert per_bin[bins[-1]] == total - capacity * (len(bins) - 1)
     else:
         assert out == []
+
+
+# --- round-5 pipeline operator invariants ------------------------------------
+
+chunk_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1000),
+        st.integers(min_value=0, max_value=60),
+    ),
+    min_size=0, max_size=20, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(chunk_docs, st.integers(min_value=1, max_value=16), st.data())
+def test_chunk_documents_invariants(spark, docs, chunk_size, data):
+    """For ANY corpus and window config: chunk texts concatenate to exactly
+    cover every token (each consecutive pair overlaps by chunk_size-stride),
+    chunk_idx is a dense 0..k-1 prefix, and n_tokens matches the slice."""
+    from artigraph_spark.operators.text import chunk_documents
+
+    stride = data.draw(st.integers(min_value=1, max_value=chunk_size))
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in docs]
+    df = spark.createDataFrame(rows or [(0, "")], "doc_id long, text string")
+    if not rows:
+        df = df.filter("false")
+    out = chunk_documents(df, "doc_id", "text", chunk_size=chunk_size, stride=stride)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for i, n in docs:
+        toks = [f"w{i}_{j}" for j in range(n)]
+        if n == 0:
+            assert i not in got
+            continue
+        chunks = sorted(got[i], key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        covered = set()
+        for c in chunks:
+            start = c["chunk_idx"] * stride
+            want = toks[start : start + chunk_size]
+            assert c["chunk_text"].split(" ") == want
+            assert c["n_tokens"] == len(want)
+            covered.update(range(start, start + len(want)))
+        assert covered == set(range(n))  # full coverage, no token orphaned
+
+
+budget_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=-50, max_value=200),  # score (ties likely)
+        st.integers(min_value=-5, max_value=30),    # count (invalids likely)
+    ),
+    min_size=0, max_size=40, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(budget_rows, st.integers(min_value=0, max_value=300))
+def test_select_token_budget_matches_greedy_oracle(spark, rows, budget):
+    """For ANY input: the selection equals the driver-side greedy prefix by
+    (score desc, id asc) over valid rows, with exact running totals."""
+    from artigraph_spark.operators.packing import select_token_budget
+
+    df = spark.createDataFrame(
+        rows or [(0, 0, 0)], "doc_id long, score long, n long"
+    )
+    if not rows:
+        df = df.filter("false")
+    got = {
+        r["doc_id"]: r["running_total"]
+        for r in select_token_budget(df, "doc_id", "score", "n", budget).collect()
+    }
+    run, want = 0, {}
+    for i, s, n in sorted(rows, key=lambda t: (-t[1], t[0])):
+        if n <= 0:
+            continue
+        if run + n > budget:
+            break
+        run += n
+        want[i] = run
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(10**6), max_value=10**6),
+             min_size=0, max_size=60, unique=True)
+)
+def test_split_corpus_disjoint_exhaustive(spark, keys):
+    """Every row gets exactly one split label; assignment depends only on
+    the key (repartition-invariant)."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.packing import split_corpus
+
+    df = spark.createDataFrame([(k,) for k in keys] or [(0,)], "k long")
+    if not keys:
+        df = df.filter("false")
+    out = {r["k"]: r["split"] for r in split_corpus(df, F.col("k")).collect()}
+    assert set(out) == set(keys)
+    assert set(out.values()) <= {"train", "valid", "test"}
+    again = {
+        r["k"]: r["split"]
+        for r in split_corpus(df.repartition(7), F.col("k")).collect()
+    }
+    assert out == again
