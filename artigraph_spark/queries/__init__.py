@@ -66,6 +66,11 @@ _PRIORITY: tuple[str, ...] = (
     "upsample_domains", "unigram_logprob", "quantize_embeddings",
     "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
     "tpch_q14_promo_revenue", "redact_pii", "split_corpus",
+    # NEW r5 (late additions): eight more TPC-H shapes — first driver rows
+    "tpch_q6_forecast_revenue", "tpch_q8_market_share",
+    "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue", "tpch_q22_sales_opportunity",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py); packing gained
     # integral-id validation + persist/unpersist and the shared n-gram
@@ -87,11 +92,13 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q9_nation_margin", "tpch_q10_returned_items",
     # r3-stale — refresh (similarity / embeddings)
     "cosine_topk", "cosine_topk_ivf_checked", "cosine_topk_lsh_checked",
-    "embedding_norms", "embedding_mean_pool", "embedding_near_dup",
-    # r3-stale — refresh (text / dedup)
-    "minhash_signatures", "ngram_jaccard_pairs", "simhash_checked",
-    "edit_distance_pairs", "lang_predict", "text_quality_score",
-    "tfidf_terms", "token_bpe_counts", "multimodal_features",
+    "embedding_near_dup",
+    # r3-stale — refresh (text / dedup; minhash_signatures,
+    # edit_distance_pairs, lang_predict, text_quality_score,
+    # token_bpe_counts, multimodal_features, embedding_norms and
+    # embedding_mean_pool displaced to r6 by the eight late TPC-H shapes —
+    # all r3-green, implementation unchanged)
+    "ngram_jaccard_pairs", "simhash_checked", "tfidf_terms",
     # r3-stale — refresh (relational)
     "join_asof", "agg_approx",
     # Left out of the 50 (by design): 18 r3-green trivial relational ops

@@ -21,7 +21,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from artigraph_spark.functions import dsum, oracle_dsum
+from artigraph_spark.functions import (
+    davg,
+    dsum,
+    fxp,
+    oracle_davg,
+    oracle_dsum,
+    oracle_fxp,
+)
 from artigraph_spark.queries import query
 from artigraph_spark.sources import load
 
@@ -333,5 +340,365 @@ def tpch_q14_promo_revenue(spark, sf_dir):
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(F.lit(100.0) * dsum(promo) / dsum(rev), 6).alias("promo_pct_r")
+        )
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum('l_extendedprice * l_discount')} AS revenue_fx,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """Q6 shape: pure filter-then-aggregate on the fact table — the
+    canonical predicate-pushdown benchmark. All three predicates land in
+    the parquet scan's PushedFilters (ship-date min/max prune row groups
+    at scale); the only exchange is the single-row partial/final pair.
+
+    The discount BETWEEN bounds compare stored doubles against the same
+    literals in both engines — bit-identical, no epsilon needed.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_fx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round({oracle_dsum("CASE WHEN n2.n_name = 'NATION_3' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}
+                 / {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 6) AS mkt_share_r
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'AMERICA'
+      AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """Q8 shape: national market share — an 8-way star with *two* roles of
+    the nation dim (customer-side region gate, supplier-side share
+    numerator). Both nation aliases and region broadcast; part and
+    supplier stay optimizer-owned; the two fact joins shuffle on their
+    keys with AQE. The share is a ratio of two fixed-point sums (exact
+    IEEE division), rounded to 6 — identical across engines.
+    """
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(dsum(nation_vol) / dsum(vol), 6).alias("mkt_share_r"))
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """Q13 shape: customer order-count distribution — an outer join whose
+    extra predicate lives in the join condition (NOT the where clause, or
+    the outer rows vanish), feeding two stacked aggregations. Pure integer
+    counts: exact on any engine. At scale the first groupBy shuffles on
+    custkey; the second is a tiny (distinct-count-sized) exchange.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue_fx
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name, r.total_revenue_fx
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_fx = (SELECT max(total_revenue_fx) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15 shape: supplier(s) achieving the maximum quarterly revenue — a
+    grouped revenue view compared against its own global max (the classic
+    view + scalar-subquery pattern). The max is a single-row aggregate
+    broadcast back over the per-supplier frame (no global sort, no second
+    scan of lineitem); revenue is fixed-point so the equality is exact.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue_fx")
+    )
+    mx = rev.agg(F.max("total_revenue_fx").alias("__mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue_fx") == F.col("__mx"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            "total_revenue_fx",
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey AS pp_key,
+               count(*) AS pp_cnt,
+               SUM({oracle_fxp('l_quantity')}) AS pp_qty_fx
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT round({oracle_dsum('l.l_extendedprice')} / 7.0, 6) AS avg_yearly_r,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN per_part a ON a.pp_key = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND 5 * {oracle_fxp('l.l_quantity')} * a.pp_cnt < a.pp_qty_fx
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """Q17 shape: revenue lost to small-quantity orders — the correlated
+    ``l_quantity < 0.2 * avg(l_quantity) per part`` subquery, decorrelated
+    into a per-part aggregate joined back to the fact. The comparison is
+    done in integers (``5·q < Σq`` over fixed-point quantities scaled by
+    the group count) so the threshold is exact on both engines — no
+    float-division boundary rows. Two scans of lineitem: the per-part agg
+    reads only (partkey, quantity); the outer scan prunes to the brand via
+    the part join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.count(F.lit(1)).alias("pp_cnt"),
+        F.sum(fxp("l_quantity")).alias("pp_qty_fx"),
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("pp_key") == F.col("l_partkey"))
+        .filter(5 * fxp("l_quantity") * F.col("pp_cnt") < F.col("pp_qty_fx"))
+        .agg(
+            F.round(dsum("l_extendedprice") / 7.0, 6).alias("avg_yearly_r"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_name AS cust_name, c.c_custkey AS custkey,
+           o.o_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_totalprice AS totalprice,
+           SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customers(spark, sf_dir):
+    """Q18 shape: customers behind the largest-volume orders — a
+    grouped-HAVING semi-join (IN subquery) gating a 3-way join, then a
+    top-100 by order value. Quantities are integral-valued doubles in the
+    fixture, so the BIGINT cast makes both the HAVING threshold and the
+    output sum exact integers. The qualifying-order set is tiny (heavy
+    tail), so Catalyst broadcasts the semi-join side; the top-100 runs as
+    TakeOrderedAndProject (orderkey tiebreak makes it total).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("__sq"))
+        .filter(F.col("__sq") > 300)
+        .select("l_orderkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "__bk"), F.col("o_orderkey") == F.col("__bk"), "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .select(
+            F.col("c_name").alias("cust_name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("orderkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue_fx,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """Q19 shape: disjunctive multi-attribute predicate spanning both join
+    sides — the optimizer stress-test for OR-of-ANDs. Catalyst extracts
+    the common-side conjuncts: the brand∈{...} disjunction prunes the part
+    scan and the quantity range prunes lineitem *before* the join; the
+    residual cross-side OR evaluates post-join in codegen. Integer and
+    exact-double comparisons only.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(pred)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue_fx"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_sales_opportunity",
+    oracle=f"""
+    WITH thr AS (
+        SELECT {oracle_davg('c_acctbal')} AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS cntrycode,
+           count(*) AS numcust,
+           {oracle_dsum('c.c_acctbal')} AS totacctbal_fx
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_sales_opportunity(spark, sf_dir):
+    """Q22 shape (adapted: nationkey stands in for the phone country code;
+    the fixture has no dormant customers, so 'no orders at all' becomes
+    'no urgent orders'): well-funded customers with no urgent activity,
+    bucketed by country. Exercises the scalar-subquery threshold (global
+    fixed-point mean, broadcast back) plus an anti-join NOT EXISTS. The
+    anti-join shuffles on custkey; the threshold compare is a single
+    broadcast double, identical in both engines.
+    """
+    c = load(spark, sf_dir, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal").alias("avg_bal"))
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal_fx"),
         )
     )
