@@ -507,3 +507,165 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         term = F.when(F.col(f"bit{i}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseOR(term)
     return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def dedup_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 8,
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-level exact segment dedup: drop every repeated k-token span,
+    keeping only its first occurrence across the whole corpus.
+
+    Documents are cut into consecutive ``seg_tokens``-token segments (the
+    tail keeps its partial segment); a segment survives iff its (id, seg_no)
+    is the lexicographically-smallest occurrence of that exact segment text
+    anywhere in the corpus — so both cross-document boilerplate and
+    within-document repetition collapse to a single copy. Surviving segments
+    are stitched back in order. This is the segment-granularity form of
+    exact-substring training-data dedup (suffix-array dedup quantized to
+    fixed spans so it runs as pure relational ops).
+
+    Three key-partitioned shuffles, no all-pairs anywhere: groupBy(segment)
+    for the arg-min, an equi-join back on the segment, and groupBy(id) for
+    reassembly — each scales linearly and AQE-balances skewed boilerplate
+    segments. Splitting uses the literal ``sep`` (no regex) so
+    reassembly is byte-faithful for single-separator text.
+
+    Returns (id, text, n_segments, n_removed) with ``text`` rebuilt.
+    """
+    if seg_tokens <= 0:
+        raise ValueError(f"seg_tokens must be positive, got {seg_tokens}")
+    toks = F.split(F.col(text_col), sep, -1)
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    seg_list = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), sep),
+    )
+    segs = df.select(
+        F.col(id_col), F.posexplode(seg_list).alias("__seg_no", "__seg")
+    )
+    firsts = segs.groupBy("__seg").agg(
+        F.min(F.struct(F.col(id_col), F.col("__seg_no"))).alias("__first")
+    )
+    marked = segs.join(firsts, "__seg").withColumn(
+        "__keep",
+        (F.col(id_col) == F.col(f"__first.{id_col}"))
+        & (F.col("__seg_no") == F.col("__first.__seg_no")),
+    )
+    rebuilt = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("__seg_no", "__seg", "__keep"))
+                    ),
+                    lambda s: s["__keep"],
+                ),
+                lambda s: s["__seg"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias("n_removed"),
+    )
+    return rebuilt
+
+
+def dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental exact dedup: admit only new documents whose content does
+    not already exist in a reference corpus (the previous snapshot), then
+    collapse duplicates within the incoming batch itself (min-id survivor).
+
+    The reference side collapses to DISTINCT sha256 hashes before the
+    anti-join — at 100 TB the shuffle carries 32-byte digests, never
+    reference text, and a pre-hashed reference corpus can feed this column
+    directly. Both the anti-join and the in-batch dedup shuffle on the
+    digest; nothing is quadratic.
+
+    Returns the surviving new rows (all original columns).
+    """
+    h = F.sha2(F.col(text_col).cast("string"), 256)
+    ref_hashes = ref_df.select(h.alias("__h")).distinct()
+    fresh = new_df.withColumn("__h", h).join(ref_hashes, "__h", "left_anti")
+    survivors = dedup_pick_first(fresh, ["__h"], [F.col(id_col).asc()])
+    return survivors.drop("__h")
+
+
+def lsh_pairs_between(
+    query_sigs: DataFrame,
+    ref_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Cross-corpus LSH: candidate near-duplicate pairs between an incoming
+    batch and a reference corpus (incremental fuzzy dedup — the self-join
+    variant `lsh_candidate_pairs` answers "within one corpus", this answers
+    "against what we already have").
+
+    Same banding scheme, same duplicate-collapse prepass on BOTH sides: one
+    representative per distinct signature is banded, the band equi-join runs
+    at signature granularity (tiny after collapse), and member expansion
+    reconstructs id pairs. Identical signatures share every band, so exact
+    duplicates of anything in the reference are guaranteed candidates — the
+    recall-floor contract `incremental_dedup_checked` locks this.
+
+    Returns distinct (query_id, ref_id) candidate pairs.
+    """
+    if bands <= 0 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes evenly (got num_hashes={num_hashes}, "
+            f"bands={bands})"
+        )
+    rows_per_band = num_hashes // bands
+    mh_names = [f"mh{i}" for i in range(num_hashes)]
+
+    def _k(name: str) -> Column:
+        return F.coalesce(F.col(name).cast("string"), F.lit("∅"))
+
+    sig_key = F.concat_ws("_", *[_k(c) for c in mh_names])
+
+    def _banded(sigs: DataFrame) -> DataFrame:
+        uniq = sigs.select(*mh_names).distinct().withColumn("__sig", sig_key)
+        return uniq.select(
+            "__sig",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "_",
+                            *[
+                                _k(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_id", "band_sig"),
+        )
+
+    q_banded = _banded(query_sigs).select(
+        F.col("__sig").alias("__sq"), "band_id", "band_sig"
+    )
+    r_banded = _banded(ref_sigs).select(
+        F.col("__sig").alias("__sr"), "band_id", "band_sig"
+    )
+    sig_pairs = (
+        q_banded.join(r_banded, ["band_id", "band_sig"])
+        .select("__sq", "__sr")
+        .distinct()  # signature-level, before member fan-out
+    )
+    qm = query_sigs.select(sig_key.alias("__sq"), F.col(id_col).alias("query_id"))
+    rm = ref_sigs.select(sig_key.alias("__sr"), F.col(id_col).alias("ref_id"))
+    return (
+        sig_pairs.join(qm, "__sq").join(rm, "__sr").select("query_id", "ref_id")
+    )

@@ -71,6 +71,9 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_revenue", "tpch_q22_sales_opportunity",
+    # NEW r5 (late additions): corpus-level segment dedup + incremental
+    # (cross-snapshot) dedup — first driver rows
+    "dedup_segments_corpus", "incremental_dedup", "incremental_dedup_checked",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py); packing gained
     # integral-id validation + persist/unpersist and the shared n-gram
@@ -93,12 +96,12 @@ _PRIORITY: tuple[str, ...] = (
     # r3-stale — refresh (similarity / embeddings)
     "cosine_topk", "cosine_topk_ivf_checked", "cosine_topk_lsh_checked",
     "embedding_near_dup",
-    # r3-stale — refresh (text / dedup; minhash_signatures,
+    # (r3-stale text/dedup refreshes — minhash_signatures,
+    # ngram_jaccard_pairs, simhash_checked, tfidf_terms,
     # edit_distance_pairs, lang_predict, text_quality_score,
     # token_bpe_counts, multimodal_features, embedding_norms and
-    # embedding_mean_pool displaced to r6 by the eight late TPC-H shapes —
+    # embedding_mean_pool — displaced to r6 by the eleven late additions;
     # all r3-green, implementation unchanged)
-    "ngram_jaccard_pairs", "simhash_checked", "tfidf_terms",
     # r3-stale — refresh (relational)
     "join_asof", "agg_approx",
     # Left out of the 50 (by design): 18 r3-green trivial relational ops

@@ -874,3 +874,125 @@ def bm25_ranking(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     out = bm25_scores(d, "doc_id", "text", ["the", "data", "model"])
     return out.select("doc_id", F.round("bm25", 6).alias("bm25_r"))
+
+
+@query(
+    "dedup_segments_corpus",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), seg AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+               array_to_string(t[(i*8+1):(i*8+8)], ' ') AS seg
+        FROM toks, (SELECT unnest(range(0, 2000)) AS i) ids
+        WHERE i*8 < len(t)
+    ), ranked AS (
+        SELECT doc_id, seg_no, seg,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+        FROM seg
+    )
+    SELECT doc_id,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_no) FILTER (WHERE rn = 1), '')
+               AS clean_text,
+           count(*) AS n_segments,
+           SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS n_removed
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_segments_corpus(spark, sf_dir):
+    """Corpus-level exact segment dedup (suffix-array-style substring dedup
+    quantized to 8-token spans): repeated spans keep only their first
+    (doc_id, position) occurrence; documents are rebuilt from the surviving
+    spans. The fixture corpus genuinely shares verbatim 8-token spans across
+    near-duplicate documents, so rebuild output differs from the input. The
+    DuckDB oracle replays the identical first-occurrence rule with a window
+    rank (the 2000-segment unnest cap is oracle-side only — documents are
+    ~100 tokens)."""
+    from artigraph_spark.operators.dedup import dedup_segments
+
+    d = load(spark, sf_dir, "documents")
+    out = dedup_segments(d, "doc_id", "text", seg_tokens=8)
+    return out.select(
+        "doc_id", F.col("text").alias("clean_text"), "n_segments", "n_removed"
+    )
+
+
+@query(
+    "incremental_dedup",
+    oracle=f"""
+    WITH ref AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    ), batch AS (
+        SELECT doc_id + {_DUP_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), fresh AS (
+        SELECT b.doc_id, b.text FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.text = b.text)
+    ), ranked AS (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM fresh
+    )
+    SELECT doc_id, text FROM ranked WHERE rn = 1
+    """,
+)
+def incremental_dedup(spark, sf_dir):
+    """Incremental ingestion dedup: an incoming batch (planted copies of
+    every 10th document + the genuinely-new ``doc_id % 7 == 0`` docs) is
+    admitted against the reference snapshot (everything else). Copies of
+    reference content are rejected by the digest anti-join; batch-internal
+    duplicates collapse to the min-id survivor. Exercises
+    ``dedup_against`` end-to-end with an exact NOT-EXISTS oracle.
+
+    The %10 planted copies whose source is itself a %7 doc (i.e. %70) are
+    NOT in the reference — those survive via the in-batch pick-first
+    instead, which is exactly the two-layer semantics."""
+    from artigraph_spark.operators.dedup import dedup_against
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = d.filter(F.col("doc_id") % 7 != 0)
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text")
+        .unionByName(d.filter(F.col("doc_id") % 7 == 0))
+    )
+    return dedup_against(batch, ref, "doc_id", "text")
+
+
+@query(
+    "incremental_dedup_checked",
+    oracle=f"""
+    SELECT doc_id + {_DUP_OFFSET} AS query_id, doc_id AS ref_id,
+           TRUE AS in_candidates
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def incremental_dedup_checked(spark, sf_dir):
+    """Cross-corpus LSH recall floor: every planted verbatim copy in the
+    incoming batch has a signature identical to its reference source, hence
+    shares every band bucket — (copy, source) MUST appear in
+    ``lsh_pairs_between``'s candidates. A false ``in_candidates`` anywhere
+    fails the hash-compare."""
+    from artigraph_spark.operators.dedup import lsh_pairs_between, minhash_signatures_fast
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text"
+    )
+    q_sigs = minhash_signatures_fast(batch, "doc_id", "text", num_hashes=16, shingle_size=3)
+    r_sigs = minhash_signatures_fast(d, "doc_id", "text", num_hashes=16, shingle_size=3)
+    cands = lsh_pairs_between(q_sigs, r_sigs, "doc_id", num_hashes=16, bands=4).withColumn(
+        "in_candidates", F.lit(True)
+    )
+    planted = batch.select(
+        F.col("doc_id").alias("query_id"),
+        (F.col("doc_id") - _DUP_OFFSET).alias("ref_id"),
+    )
+    return planted.join(cands, ["query_id", "ref_id"], "left").select(
+        "query_id",
+        "ref_id",
+        F.coalesce("in_candidates", F.lit(False)).alias("in_candidates"),
+    )

@@ -329,3 +329,82 @@ def test_redact_pii_patterns(spark):
     assert out[3] == "call <PHONE> today"
     assert out[4] == "clean text with no pii at all"
     assert "1.2.3" in out[5]  # conservative: versions survive
+
+
+def test_dedup_segments_first_occurrence_wins(spark):
+    from artigraph_spark.operators.dedup import dedup_segments
+
+    # k=2 segments: doc 1 = [a b][c d], doc 2 = [c d][e f], doc 3 = [a b][a b]
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f"), (3, "a b a b")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_segments(df, "doc_id", "text", seg_tokens=2).collect()
+    }
+    assert out[1]["text"] == "a b c d" and out[1]["n_removed"] == 0
+    # doc 2's leading "c d" already appeared in doc 1
+    assert out[2]["text"] == "e f" and out[2]["n_removed"] == 1
+    # doc 3: both "a b" segments lose to doc 1's first segment
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 2
+    assert out[3]["n_segments"] == 2
+
+
+def test_dedup_segments_partial_tail_segment(spark):
+    from artigraph_spark.operators.dedup import dedup_segments
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    row = dedup_segments(df, "doc_id", "text", seg_tokens=2).collect()[0]
+    # [a b][c] — the 1-token tail is its own segment and survives
+    assert row["text"] == "a b c" and row["n_segments"] == 2
+
+
+def test_dedup_segments_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from artigraph_spark.operators.dedup import dedup_segments
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="seg_tokens"):
+        dedup_segments(df, "doc_id", "text", seg_tokens=0)
+
+
+def test_dedup_against_two_layer_semantics(spark):
+    from artigraph_spark.operators.dedup import dedup_against
+
+    ref = spark.createDataFrame([(1, "old"), (2, "kept")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "old"), (11, "new"), (12, "new"), (13, "fresh")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r["doc_id"], r["text"])
+        for r in dedup_against(batch, ref, "doc_id", "text").collect()
+    )
+    # 10 rejected (exists in ref); 11 beats 12 in-batch; 13 unique
+    assert out == [(11, "new"), (13, "fresh")]
+
+
+def test_lsh_pairs_between_finds_planted_copy(spark):
+    from artigraph_spark.operators.dedup import (
+        lsh_pairs_between,
+        minhash_signatures_fast,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"), (11, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    qs = minhash_signatures_fast(batch, "doc_id", "text", num_hashes=8, shingle_size=2)
+    rs = minhash_signatures_fast(ref, "doc_id", "text", num_hashes=8, shingle_size=2)
+    pairs = {
+        (r["query_id"], r["ref_id"])
+        for r in lsh_pairs_between(qs, rs, "doc_id", num_hashes=8, bands=4).collect()
+    }
+    assert (10, 1) in pairs  # identical text → identical signature → guaranteed
+    assert (11, 2) not in pairs or True  # distinct texts may or may not collide

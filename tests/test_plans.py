@@ -197,3 +197,25 @@ def test_q5_broadcasts_bounded_dims_and_pushes_dates(spark, qs):
     assert "o_orderdate" in filters
     plan = P.physical_plan(df, "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_segments_no_cartesian_no_global_window(spark, qs):
+    df = qs["dedup_segments_corpus"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # reassembly partitions by doc; the arg-min partitions by segment — no
+    # single-partition global window anywhere
+    assert "Window [" not in plan or "partitionBy" in plan  # no unpartitioned Window
+
+
+def test_lsh_pairs_between_is_equi_join(spark, qs):
+    df = qs["incremental_dedup_checked"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_anti_join_on_digest(spark, qs):
+    df = qs["incremental_dedup"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
