@@ -1,0 +1,103 @@
+"""Frequency-sketch operators (count-min) for streaming-scale cardinality
+and heavy-hitter work.
+
+A count-min sketch summarizes an unbounded key stream in O(width × depth)
+integer cells: each of ``depth`` universal hash rows buckets every key into
+``width`` cells; a key's frequency estimate is the MIN of its cells, which
+over-counts (collisions only add) and never under-counts — the one-sided
+error contract `count_min_contract` locks.
+
+Determinism: the bucket hash is exact integer arithmetic
+``((a·k + b) mod p) mod width`` with the same Mersenne-prime modulus and
+seeded coefficients as the MinHash family (`_hash_coeffs`) — bit-identical
+on any engine, so the DuckDB oracle replays the *estimates themselves*, not
+just the contract. Keys are folded to < 2^31 first so products stay in
+int64.
+
+Scale: building the sketch is one groupBy over (depth, bucket) — at most
+``depth × width`` result rows regardless of input volume, with map-side
+partial aggregation doing almost all the work. Point queries join the
+(tiny, broadcastable) sketch table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from artigraph_spark.operators.dedup import _P, _hash_coeffs
+
+
+def _fold(key_col: str):
+    """Fold an integral key below 2^31 so a·k + b stays within int64."""
+    return F.pmod(F.col(key_col).cast("long"), F.lit((1 << 31) - 1))
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Build a count-min sketch over an integral key column.
+
+    Returns the sketch as a (depth_id, bucket, cnt) table — ``depth×width``
+    rows max, safely broadcast-sized for any realistic (width, depth).
+    """
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width and depth must be positive, got {width}x{depth}")
+    k = _fold(key_col)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth_id"),
+                ((F.lit(a) * k + F.lit(b)) % F.lit(_P) % F.lit(width)).alias("bucket"),
+            )
+            for d, (a, b) in enumerate(_hash_coeffs(depth, seed))
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("__cell"))
+        .groupBy(F.col("__cell.depth_id").alias("depth_id"), F.col("__cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Estimate each key's frequency from a sketch built with the same
+    (width, depth, seed). Joins the broadcast sketch per depth row and takes
+    the min cell — ``estimate`` is always >= the true count.
+
+    Keys absent from every stream row still map to real cells, so their
+    estimate is the (possibly zero … well, missing cells mean zero) floor;
+    missing cells coalesce to 0.
+    """
+    k = _fold(key_col)
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth_id"),
+                        ((F.lit(a) * k + F.lit(b)) % F.lit(_P) % F.lit(width)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d, (a, b) in enumerate(_hash_coeffs(depth, seed))
+                ]
+            )
+        ).alias("__cell"),
+    ).select(key_col, F.col("__cell.depth_id").alias("depth_id"), F.col("__cell.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["depth_id", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
+    )

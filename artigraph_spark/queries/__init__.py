@@ -74,6 +74,9 @@ _PRIORITY: tuple[str, ...] = (
     # NEW r5 (late additions): corpus-level segment dedup + incremental
     # (cross-snapshot) dedup — first driver rows
     "dedup_segments_corpus", "incremental_dedup", "incremental_dedup_checked",
+    # NEW r5 (late additions): event analytics (funnel, cohorts) and the
+    # count-min frequency sketch — first driver rows
+    "event_funnel", "cohort_retention", "count_min_contract",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py); packing gained
     # integral-id validation + persist/unpersist and the shared n-gram
@@ -95,15 +98,14 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q9_nation_margin", "tpch_q10_returned_items",
     # r3-stale — refresh (similarity / embeddings)
     "cosine_topk", "cosine_topk_ivf_checked", "cosine_topk_lsh_checked",
-    "embedding_near_dup",
+    # (embedding_near_dup, join_asof, agg_approx displaced to r6 by the
+    # late additions — all r3-green, implementation unchanged)
     # (r3-stale text/dedup refreshes — minhash_signatures,
     # ngram_jaccard_pairs, simhash_checked, tfidf_terms,
     # edit_distance_pairs, lang_predict, text_quality_score,
     # token_bpe_counts, multimodal_features, embedding_norms and
     # embedding_mean_pool — displaced to r6 by the eleven late additions;
     # all r3-green, implementation unchanged)
-    # r3-stale — refresh (relational)
-    "join_asof", "agg_approx",
     # Left out of the 50 (by design): 18 r3-green trivial relational ops
     # with no implementation change since (`proj_select_rename`,
     # `sample_deterministic`, `scalar_math`, `scalar_string`,

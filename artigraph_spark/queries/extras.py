@@ -409,3 +409,60 @@ def describe_summary(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _cms_oracle_sql(width: int, depth: int, seed: int) -> str:
+    """DuckDB replica of the count-min sketch: same coefficients, same
+    integer arithmetic, so the ESTIMATES (not just the >= contract) match
+    bit-for-bit."""
+    from artigraph_spark.operators.dedup import _P, _hash_coeffs
+
+    coeffs = _hash_coeffs(depth, seed)
+    cell = "((({a} * k + {b}) % {p}) % {w})"
+    cells = "\n        UNION ALL ".join(
+        f"SELECT {d} AS depth_id, {cell.format(a=a, b=b, p=_P, w=width)} AS bucket FROM ev"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    probes = "\n        UNION ALL ".join(
+        f"SELECT user_id, {d} AS depth_id, {cell.format(a=a, b=b, p=_P, w=width)} AS bucket FROM keys"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+    WITH ev AS (SELECT user_id % 2147483647 AS k FROM events),
+    cells AS ({cells}),
+    sketch AS (SELECT depth_id, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT user_id, user_id % 2147483647 AS k FROM events),
+    probes AS ({probes}),
+    est AS (
+        SELECT p.user_id, min(coalesce(s.cnt, 0)) AS estimate
+        FROM probes p LEFT JOIN sketch s USING (depth_id, bucket)
+        GROUP BY p.user_id
+    ),
+    exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id)
+    SELECT est.user_id, est.estimate, exact.exact_cnt,
+           est.estimate >= exact.exact_cnt AS never_undercounts
+    FROM est JOIN exact ON est.user_id = exact.user_id
+    """
+
+
+@query("count_min_contract", oracle=_cms_oracle_sql(256, 4, 42))
+def count_min_contract(spark, sf_dir):
+    """Count-min sketch frequency estimates for every user vs their exact
+    event count. The sketch is deterministic universal-hash integer math,
+    so the oracle reproduces the estimates exactly; ``never_undercounts``
+    (CMS's one-sided error guarantee) must be TRUE on every row. The sketch
+    itself is depth×width rows — a fixed-size summary of an unbounded
+    stream, broadcast back for the point queries."""
+    from artigraph_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    e = load(spark, sf_dir, "events")
+    sketch = count_min_sketch(e, "user_id", width=256, depth=4, seed=42)
+    keys = e.select("user_id").distinct()
+    est = cms_estimate(sketch, keys, "user_id", width=256, depth=4, seed=42)
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "estimate",
+        "exact_cnt",
+        (F.col("estimate") >= F.col("exact_cnt")).alias("never_undercounts"),
+    )

@@ -171,3 +171,121 @@ def window_gap_fill(spark, sf_dir):
         F.coalesce("__n__", F.lit(0)).alias("n"),
         F.col("__n__").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS view_at,
+           strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS click_at,
+           strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+           CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS stage_reached
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s2.user_id = s3.user_id
+    """,
+)
+def event_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: each stage's
+    timestamp is the earliest qualifying event STRICTLY AFTER the previous
+    stage (the sequential-pattern shape ANSI engines express with
+    MATCH_RECOGNIZE). Three per-user conditional min-aggregates chained by
+    equi-joins on user_id — every shuffle is key-partitioned on the user,
+    so the funnel co-locates and scales with user cardinality, never event
+    volume. Timestamps are compared raw (µs-exact) and only formatted for
+    output."""
+    e = load(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1.select(F.col("user_id").alias("__u1"), "t1"),
+              (F.col("user_id") == F.col("__u1")) & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2.select(F.col("user_id").alias("__u2"), "t2"),
+              (F.col("user_id") == F.col("__u2")) & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2.select(F.col("user_id").alias("__ub"), "t2"),
+                F.col("user_id") == F.col("__ub"), "left")
+        .join(s3.select(F.col("user_id").alias("__uc"), "t3"),
+              F.col("user_id") == F.col("__uc"), "left")
+        .select(
+            "user_id",
+            F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("view_at"),
+            F.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+            F.date_format("t3", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage_reached"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT f.user_id, f.cohort_week,
+               date_trunc('week', e.ts) AS active_week
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_offset,
+           count(*) AS n_active
+    FROM activity
+    GROUP BY cohort_week, active_week
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users are assigned to the ISO week of their
+    first event; each later week of activity increments that cohort's
+    (cohort, offset) cell. distinct-(user, week) before the count makes the
+    cell an exact active-user count. Both engines truncate to Monday-start
+    weeks and the offset is integer day arithmetic — engine-exact. Shuffles:
+    groupBy(user), join on user, distinct + groupBy on the (cohort, week)
+    pair — all key-partitioned."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.select("user_id", F.date_trunc("week", "ts").alias("active_week"))
+        .join(firsts, "user_id")
+        .select("user_id", "cohort_week", "active_week")
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "active_week").agg(
+        F.count(F.lit(1)).alias("n_active")
+    ).select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("active_week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        "n_active",
+    )

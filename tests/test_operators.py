@@ -408,3 +408,45 @@ def test_lsh_pairs_between_finds_planted_copy(spark):
     }
     assert (10, 1) in pairs  # identical text → identical signature → guaranteed
     assert (11, 2) not in pairs or True  # distinct texts may or may not collide
+
+
+def test_count_min_sketch_exact_when_no_collisions(spark):
+    from artigraph_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    df = spark.createDataFrame([(1,), (1,), (2,), (3,), (3,), (3,)], ["k"])
+    sketch = count_min_sketch(df, "k", width=1024, depth=4)
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["estimate"]
+        for r in cms_estimate(sketch, keys, "k", width=1024, depth=4).collect()
+    }
+    # 3 keys in 1024 buckets x 4 depths: collisions effectively impossible
+    assert est == {1: 2, 2: 1, 3: 3}
+
+
+def test_count_min_sketch_overcounts_never_undercounts(spark):
+    from artigraph_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    df = spark.createDataFrame([(i % 5,) for i in range(50)], ["k"])
+    sketch = count_min_sketch(df, "k", width=2, depth=2)  # forced collisions
+    keys = df.select("k").distinct()
+    for r in cms_estimate(sketch, keys, "k", width=2, depth=2).collect():
+        assert r["estimate"] >= 10  # true count of every key
+
+
+def test_count_min_sketch_bounded_size(spark):
+    from artigraph_spark.operators.sketches import count_min_sketch
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["k"])
+    n = count_min_sketch(df, "k", width=8, depth=3).count()
+    assert n <= 8 * 3
+
+
+def test_count_min_sketch_rejects_bad_dims(spark):
+    import pytest as _pytest
+
+    from artigraph_spark.operators.sketches import count_min_sketch
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with _pytest.raises(ValueError, match="width and depth"):
+        count_min_sketch(df, "k", width=0, depth=4)
