@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     # NEW r5 (late additions): event analytics (funnel, cohorts) and the
     # count-min frequency sketch — first driver rows
     "event_funnel", "cohort_retention", "count_min_contract",
+    "anomaly_zscore_hours",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py); packing gained
     # integral-id validation + persist/unpersist and the shared n-gram
@@ -97,7 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q3_shipping_priority", "tpch_q4_late_orders",
     "tpch_q9_nation_margin", "tpch_q10_returned_items",
     # r3-stale — refresh (similarity / embeddings)
-    "cosine_topk", "cosine_topk_ivf_checked", "cosine_topk_lsh_checked",
+    "cosine_topk", "cosine_topk_ivf_checked",
+    # (cosine_topk_lsh_checked displaced to r6 — r3-green, unchanged)
     # (embedding_near_dup, join_asof, agg_approx displaced to r6 by the
     # late additions — all r3-green, implementation unchanged)
     # (r3-stale text/dedup refreshes — minhash_signatures,

@@ -878,6 +878,7 @@ def bm25_ranking(spark, sf_dir):
 
 @query(
     "dedup_segments_corpus",
+    bench=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents

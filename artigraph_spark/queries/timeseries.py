@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from artigraph_spark.functions import dsum
+from artigraph_spark.functions import davg, dsum, oracle_davg, oracle_dstddev_samp
 from artigraph_spark.queries import query
 from artigraph_spark.sources import load
 
@@ -175,6 +175,7 @@ def window_gap_fill(spark, sf_dir):
 
 @query(
     "event_funnel",
+    bench=True,
     oracle="""
     WITH s1 AS (
         SELECT user_id, min(ts) AS t1 FROM events
@@ -288,4 +289,57 @@ def cohort_retention(spark, sf_dir):
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         (F.datediff("active_week", "cohort_week") / 7).cast("long").alias("week_offset"),
         "n_active",
+    )
+
+
+@query(
+    "anomaly_zscore_hours",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts) AS w,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               {oracle_davg('n')} AS mu,
+               {oracle_dstddev_samp('n')} AS sigma
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type,
+           strftime(h.w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           h.n,
+           round((h.n - s.mu) / s.sigma, 6) AS zscore_r
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE s.sigma > 0 AND abs((h.n - s.mu) / s.sigma) > 2.0
+    """,
+)
+def anomaly_zscore_hours(spark, sf_dir):
+    """Volume-anomaly detection: hourly event counts per type that sit more
+    than 2σ from that type's own hourly mean. Counts are integers; mean and
+    sample-stddev go through the fixed-point moment sums, so the z-scores —
+    and the >2σ boundary decision — are bit-identical across engines. Two
+    aggregates plus a broadcast join of the per-type stats row; the hourly
+    groupBy is the only data-sized shuffle."""
+    from artigraph_spark.functions import dstddev_samp
+
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("w.start").alias("w"), "n")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        davg("n").alias("mu"), dstddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 2.0))
+        .select(
+            "event_type",
+            F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            F.round(z, 6).alias("zscore_r"),
+        )
     )
