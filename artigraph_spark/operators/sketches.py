@@ -101,3 +101,79 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Build a Bloom filter over an integral key column, represented sparsely
+    as the DISTINCT set bit positions (≤ num_bits rows, typically far fewer
+    — broadcastable, and trivially mergeable across partitions/snapshots by
+    union+distinct).
+
+    Same deterministic universal-hash machinery as the count-min sketch, so
+    the filter is engine-replayable. One shuffle (the distinct over bit
+    positions); map-side partial distinct does most of the work.
+    """
+    if num_bits <= 0 or num_hashes <= 0:
+        raise ValueError(
+            f"num_bits and num_hashes must be positive, got {num_bits}/{num_hashes}"
+        )
+    k = _fold(key_col)
+    positions = F.array(
+        *[
+            (F.lit(a) * k + F.lit(b)) % F.lit(_P) % F.lit(num_bits)
+            for a, b in _hash_coeffs(num_hashes, seed)
+        ]
+    )
+    return (
+        df.select(F.explode(positions).alias("bit")).distinct()
+    )
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Pre-filter a (large) table to rows whose key MIGHT be in the set the
+    Bloom filter was built over — the runtime-filter pattern that prunes a
+    fact table BEFORE its shuffle join against a selective dimension.
+    False positives pass (and are eliminated by the real join later);
+    false negatives cannot happen, which `bloom_prefilter_contract` locks.
+
+    Probing is key-level: distinct keys explode to their ``num_hashes`` bit
+    positions, join the broadcast bit set, and a key passes iff ALL its
+    positions are present; the input then left-semi joins the passing keys.
+    The big table is never exploded — only its distinct-key projection.
+    """
+    if num_bits <= 0 or num_hashes <= 0:
+        raise ValueError(
+            f"num_bits and num_hashes must be positive, got {num_bits}/{num_hashes}"
+        )
+    k = _fold(key_col)
+    positions = F.array(
+        *[
+            (F.lit(a) * k + F.lit(b)) % F.lit(_P) % F.lit(num_bits)
+            for a, b in _hash_coeffs(num_hashes, seed)
+        ]
+    )
+    probes = (
+        df.select(key_col).distinct()
+        .select(F.col(key_col), F.explode(positions).alias("bit"))
+    )
+    passing = (
+        probes.join(F.broadcast(bits.withColumn("__hit", F.lit(1))), "bit", "left")
+        .groupBy(key_col)
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"))
+        .filter(F.col("__hits") == num_hashes)
+        .select(key_col)
+    )
+    return df.join(F.broadcast(passing), key_col, "left_semi")

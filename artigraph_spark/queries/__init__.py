@@ -77,7 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     # NEW r5 (late additions): event analytics (funnel, cohorts) and the
     # count-min frequency sketch — first driver rows
     "event_funnel", "cohort_retention", "count_min_contract",
-    "anomaly_zscore_hours",
+    "anomaly_zscore_hours", "bloom_prefilter_contract",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py); packing gained
     # integral-id validation + persist/unpersist and the shared n-gram

@@ -466,3 +466,85 @@ def count_min_contract(spark, sf_dir):
         "exact_cnt",
         (F.col("estimate") >= F.col("exact_cnt")).alias("never_undercounts"),
     )
+
+
+def _bloom_oracle_sql(num_bits: int, num_hashes: int, seed: int) -> str:
+    """DuckDB replica of the Bloom filter: same coefficients and integer
+    arithmetic, so membership decisions (including false positives) match
+    bit-for-bit."""
+    from artigraph_spark.operators.dedup import _P, _hash_coeffs
+
+    coeffs = _hash_coeffs(num_hashes, seed)
+    pos = "((({a} * k + {b}) % {p}) % {m})"
+    member_bits = "\n        UNION ".join(
+        f"SELECT {pos.format(a=a, b=b, p=_P, m=num_bits)} AS bit FROM members"
+        for a, b in coeffs
+    )
+    probe_bits = "\n        UNION ALL ".join(
+        f"SELECT custkey, {pos.format(a=a, b=b, p=_P, m=num_bits)} AS bit FROM cands"
+        for a, b in coeffs
+    )
+    return f"""
+    WITH members AS (
+        SELECT c_custkey % 2147483647 AS k FROM customer WHERE c_nationkey = 3
+    ),
+    bits AS ({member_bits}),
+    cands AS (
+        SELECT DISTINCT o_custkey AS custkey, o_custkey % 2147483647 AS k FROM orders
+    ),
+    probes AS ({probe_bits}),
+    hits AS (
+        SELECT p.custkey, count(b.bit) AS n_hits
+        FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+        GROUP BY p.custkey
+    ),
+    truth AS (
+        SELECT DISTINCT o_custkey AS custkey,
+               EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o_custkey AND c.c_nationkey = 3)
+                   AS is_member
+        FROM orders
+    )
+    SELECT h.custkey, t.is_member, h.n_hits = {num_hashes} AS in_bloom,
+           (NOT t.is_member) OR h.n_hits = {num_hashes} AS no_false_negative
+    FROM hits h JOIN truth t ON h.custkey = t.custkey
+    """
+
+
+@query("bloom_prefilter_contract", oracle=_bloom_oracle_sql(4096, 4, 7))
+def bloom_prefilter_contract(spark, sf_dir):
+    """Bloom-filter runtime-join-pruning contract: a filter built over the
+    nation-3 customers is probed with every ordering customer. Membership
+    decisions replay exactly in the oracle (deterministic universal-hash
+    bits), and ``no_false_negative`` must be TRUE on every row — members
+    always pass; only non-members may occasionally slip through (and are
+    then removed by the real join). The deliberately small 4096-bit filter
+    makes false positives plausible, proving the contract is one-sided."""
+    from artigraph_spark.operators.sketches import bloom_build, bloom_prefilter
+
+    NB, NH, SEED = 4096, 4, 7
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    members = c.filter(F.col("c_nationkey") == 3).select("c_custkey")
+    bits = bloom_build(members, "c_custkey", num_bits=NB, num_hashes=NH, seed=SEED)
+    cands = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    passed = bloom_prefilter(
+        cands, "custkey", bits, num_bits=NB, num_hashes=NH, seed=SEED
+    ).withColumn("__passed", F.lit(True))
+    truth = cands.join(
+        members.select(F.col("c_custkey").alias("custkey")).distinct()
+        .withColumn("__m", F.lit(True)),
+        "custkey",
+        "left",
+    ).select("custkey", F.coalesce("__m", F.lit(False)).alias("is_member"))
+    return (
+        truth.join(passed.select("custkey", "__passed"), "custkey", "left")
+        .select(
+            "custkey",
+            "is_member",
+            F.coalesce("__passed", F.lit(False)).alias("in_bloom"),
+            (~F.col("is_member") | F.coalesce("__passed", F.lit(False))).alias(
+                "no_false_negative"
+            ),
+        )
+    )

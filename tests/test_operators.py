@@ -450,3 +450,34 @@ def test_count_min_sketch_rejects_bad_dims(spark):
     df = spark.createDataFrame([(1,)], ["k"])
     with _pytest.raises(ValueError, match="width and depth"):
         count_min_sketch(df, "k", width=0, depth=4)
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from artigraph_spark.operators.sketches import bloom_build, bloom_prefilter
+
+    members = spark.createDataFrame([(i,) for i in range(0, 100, 2)], ["k"])  # evens
+    big = spark.createDataFrame([(i,) for i in range(1000)], ["k"])
+    bits = bloom_build(members, "k", num_bits=4096, num_hashes=4)
+    kept = {r["k"] for r in bloom_prefilter(big, "k", bits, num_bits=4096, num_hashes=4).collect()}
+    assert set(range(0, 100, 2)) <= kept  # every member passes
+    assert len(kept) < 1000  # and the filter actually prunes
+
+
+def test_bloom_small_filter_overadmits_only(spark):
+    from artigraph_spark.operators.sketches import bloom_build, bloom_prefilter
+
+    members = spark.createDataFrame([(i,) for i in range(20)], ["k"])
+    big = spark.createDataFrame([(i,) for i in range(500)], ["k"])
+    bits = bloom_build(members, "k", num_bits=64, num_hashes=2)  # saturated
+    kept = {r["k"] for r in bloom_prefilter(big, "k", bits, num_bits=64, num_hashes=2).collect()}
+    assert set(range(20)) <= kept  # one-sided error regardless of saturation
+
+
+def test_bloom_rejects_bad_dims(spark):
+    import pytest as _pytest
+
+    from artigraph_spark.operators.sketches import bloom_build
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with _pytest.raises(ValueError, match="num_bits"):
+        bloom_build(df, "k", num_bits=0)
