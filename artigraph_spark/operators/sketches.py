@@ -177,3 +177,66 @@ def bloom_prefilter(
         .select(key_col)
     )
     return df.join(F.broadcast(passing), key_col, "left_semi")
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    quantiles: list[float],
+) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch: a histogram of ``bins`` equal
+    cells over [lo, hi) is the summary; the q-quantile estimate is the upper
+    edge of the first bin whose cumulative count reaches ceil(q·n). The
+    guarantee is rank coverage — at least ceil(q·n) values are ≤ the
+    estimate — with error bounded by one bin width (the contract query
+    asserts the coverage side exactly).
+
+    Deterministic integer math throughout: bin index is floor((x−lo)/w)
+    clamped into range, counts are exact, and the cumulative walk happens
+    over the ≤``bins``-row histogram (a broadcastable summary, mergeable
+    across partitions/snapshots by adding counts). One data-sized shuffle —
+    the groupBy(bin) partial/final count; everything after runs on the
+    bounded summary (the Window and the rank probe never see data rows).
+    """
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    if not quantiles or any(q <= 0 or q > 1 for q in quantiles):
+        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    hist = df.groupBy(idx.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = hist.agg(F.sum("cnt").alias("__n"))
+    targets = (
+        df.sparkSession.createDataFrame([(float(q),) for q in quantiles], ["q"])
+        .crossJoin(F.broadcast(total))
+        # rank = ceil of the IEEE product — deterministic on any engine
+        .withColumn("target_rank", F.ceil(F.col("q") * F.col("__n")).cast("long"))
+    )
+    return (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("q", "target_rank")
+        .agg(F.min("bin").alias("__bin"))
+        .select(
+            "q",
+            "target_rank",
+            (F.lit(lo) + (F.col("__bin") + 1) * F.lit(width)).alias("estimate"),
+        )
+    )

@@ -548,3 +548,66 @@ def bloom_prefilter_contract(spark, sf_dir):
             ),
         )
     )
+
+
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 110000.0, 1024
+_HQ_W = (_HQ_HI - _HQ_LO) / _HQ_BINS  # 107.421875 — exactly representable
+_HQ_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@query(
+    "quantile_sketch_contract",
+    oracle=f"""
+    WITH hist AS (
+        SELECT least({_HQ_BINS - 1}, greatest(0,
+                   CAST(floor((l_extendedprice - {_HQ_LO!r}) / {_HQ_W!r}) AS INT)))
+                   AS bin,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1
+    ), cum AS (
+        SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist
+    ), total AS (
+        SELECT sum(cnt) AS n FROM hist
+    ), targets AS (
+        SELECT q, CAST(ceil(q * n) AS BIGINT) AS target_rank
+        FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q), total
+    ), est AS (
+        SELECT t.q, t.target_rank,
+               {_HQ_LO!r} + (min(c.bin) + 1) * {_HQ_W!r} AS estimate
+        FROM targets t JOIN cum c ON c.cum >= t.target_rank
+        GROUP BY t.q, t.target_rank
+    )
+    SELECT e.q, e.target_rank, e.estimate,
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_extendedprice <= e.estimate) >= e.target_rank AS covered
+    FROM est e
+    """,
+)
+def quantile_sketch_contract(spark, sf_dir):
+    """Fixed-bin quantile sketch over lineitem prices: estimates for five
+    quantiles, each the upper edge of the first histogram bin whose
+    cumulative count reaches ceil(q·n). The oracle replays the identical
+    integer bin math, and ``covered`` asserts the sketch's rank guarantee —
+    at least target_rank values sit at or below every estimate. (The
+    coverage recount is verification-only; the sketch itself never rescans
+    data after its single groupBy(bin).) Bin width 107.421875 is exactly
+    representable, so edge arithmetic is bit-identical across engines."""
+    from artigraph_spark.operators.sketches import histogram_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    est = histogram_quantiles(
+        li, "l_extendedprice", _HQ_LO, _HQ_HI, _HQ_BINS, _HQ_QS
+    )
+    counts = (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(est))
+        .filter(F.col("l_extendedprice") <= F.col("estimate"))
+        .groupBy("q", "target_rank", "estimate")
+        .agg(F.count(F.lit(1)).alias("__le"))
+    )
+    return counts.select(
+        "q",
+        "target_rank",
+        "estimate",
+        (F.col("__le") >= F.col("target_rank")).alias("covered"),
+    )

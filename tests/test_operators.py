@@ -481,3 +481,41 @@ def test_bloom_rejects_bad_dims(spark):
     df = spark.createDataFrame([(1,)], ["k"])
     with _pytest.raises(ValueError, match="num_bits"):
         bloom_build(df, "k", num_bits=0)
+
+
+def test_histogram_quantiles_rank_coverage(spark):
+    from artigraph_spark.operators.sketches import histogram_quantiles
+
+    vals = [float(i) for i in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    est = {
+        r["q"]: (r["estimate"], r["target_rank"])
+        for r in histogram_quantiles(df, "x", 0.0, 100.0, 10, [0.5, 0.9]).collect()
+    }
+    for q, (e, rank) in est.items():
+        covered = sum(1 for v in vals if v <= e)
+        assert covered >= rank
+        assert e - 10.0 <= sorted(vals)[rank - 1] <= e  # within one bin width
+
+
+def test_histogram_quantiles_clamps_out_of_range(spark):
+    from artigraph_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame([(-5.0,), (50.0,), (500.0,)], ["x"])
+    rows = histogram_quantiles(df, "x", 0.0, 100.0, 10, [1.0]).collect()
+    # max clamps into the top bin; estimate is its upper edge
+    assert rows[0]["estimate"] == 100.0
+
+
+def test_histogram_quantiles_validates_args(spark):
+    import pytest as _pytest
+
+    from artigraph_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame([(1.0,)], ["x"])
+    with _pytest.raises(ValueError, match="bins"):
+        histogram_quantiles(df, "x", 0.0, 1.0, 0, [0.5])
+    with _pytest.raises(ValueError, match="quantiles"):
+        histogram_quantiles(df, "x", 0.0, 1.0, 4, [0.0])
+    with _pytest.raises(ValueError, match="hi > lo"):
+        histogram_quantiles(df, "x", 1.0, 1.0, 4, [0.5])

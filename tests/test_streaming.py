@@ -452,3 +452,26 @@ def test_stateless_round5_ops_run_on_streams(spark):
     cols = ["doc_id", "chunk_idx", "chunk_text", "n_tokens"]
     assert _canon(got, cols) == _canon(want, cols)
     assert got.count() > 0
+
+
+def test_count_min_sketch_builds_on_streams(spark):
+    """The count-min sketch build is explode + groupBy-count — in streaming
+    it runs as a stateful aggregation in complete mode and must produce the
+    same depth×bucket cells (and therefore the same estimates) as the batch
+    build over the same file."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.sketches import count_min_sketch
+    from artigraph_spark.sources import load
+
+    ev = stx.read_stream(spark, SF_DIR, "events")
+    stream_sketch = count_min_sketch(ev, "user_id", width=64, depth=3)
+    assert stream_sketch.isStreaming
+    got = stx.run_stream_to_batch(
+        stream_sketch, query_name="t_cms_stream", output_mode="complete"
+    )
+    want = count_min_sketch(load(spark, SF_DIR, "events"), "user_id", width=64, depth=3)
+    assert _canon(got, ["depth_id", "bucket", "cnt"]) == _canon(
+        want, ["depth_id", "bucket", "cnt"]
+    )
+    assert got.count() > 0
