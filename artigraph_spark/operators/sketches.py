@@ -191,15 +191,21 @@ def histogram_quantiles(
     cells over [lo, hi) is the summary; the q-quantile estimate is the upper
     edge of the first bin whose cumulative count reaches ceil(q·n). The
     guarantee is rank coverage — at least ceil(q·n) values are ≤ the
-    estimate — with error bounded by one bin width (the contract query
-    asserts the coverage side exactly).
+    estimate — with error bounded by one bin width while the data stays in
+    range. NULLs are excluded (from both the histogram and n); values below
+    ``lo`` count into bin 0 (they can only push estimates up — coverage
+    still holds); values at/above ``hi`` go to a dedicated overflow bin
+    whose "upper edge" is +Infinity, so a quantile that lands there reports
+    an honest unbounded estimate instead of silently violating coverage.
 
-    Deterministic integer math throughout: bin index is floor((x−lo)/w)
-    clamped into range, counts are exact, and the cumulative walk happens
-    over the ≤``bins``-row histogram (a broadcastable summary, mergeable
-    across partitions/snapshots by adding counts). One data-sized shuffle —
-    the groupBy(bin) partial/final count; everything after runs on the
-    bounded summary (the Window and the rank probe never see data rows).
+    Deterministic throughout: the bin index clamps in double space BEFORE
+    the int cast (no ANSI overflow on extreme values), counts are exact,
+    and the cumulative walk happens over the ≤``bins``+1-row histogram (a
+    broadcastable summary, mergeable across partitions/snapshots by adding
+    counts). One data-sized shuffle — the groupBy(bin) partial/final count;
+    everything after runs on the bounded summary. Rank = ceil of the IEEE
+    double product q·n; an oracle replaying this must also multiply in
+    double (not decimal).
     """
     if bins <= 0:
         raise ValueError(f"bins must be positive, got {bins}")
@@ -210,13 +216,19 @@ def histogram_quantiles(
     from pyspark.sql import Window
 
     width = (hi - lo) / bins
-    idx = F.least(
-        F.lit(bins - 1),
-        F.greatest(
-            F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
-        ),
+    x = F.col(col)
+    idx = (
+        F.when(x >= F.lit(hi), F.lit(bins))  # overflow bin
+        .otherwise(
+            # clamp in double space, then cast — never overflows int32
+            F.least(
+                F.lit(float(bins - 1)),
+                F.greatest(F.lit(0.0), F.floor((x - F.lit(lo)) / F.lit(width))),
+            ).cast("int")
+        )
     )
-    hist = df.groupBy(idx.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+    clean = df.filter(x.isNotNull())
+    hist = clean.groupBy(idx.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(
@@ -227,7 +239,6 @@ def histogram_quantiles(
     targets = (
         df.sparkSession.createDataFrame([(float(q),) for q in quantiles], ["q"])
         .crossJoin(F.broadcast(total))
-        # rank = ceil of the IEEE product — deterministic on any engine
         .withColumn("target_rank", F.ceil(F.col("q") * F.col("__n")).cast("long"))
     )
     return (
@@ -237,6 +248,8 @@ def histogram_quantiles(
         .select(
             "q",
             "target_rank",
-            (F.lit(lo) + (F.col("__bin") + 1) * F.lit(width)).alias("estimate"),
+            F.when(F.col("__bin") >= bins, F.lit(float("inf")))
+            .otherwise(F.lit(lo) + (F.col("__bin") + 1) * F.lit(width))
+            .alias("estimate"),
         )
     )

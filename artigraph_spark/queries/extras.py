@@ -559,21 +559,25 @@ _HQ_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
     "quantile_sketch_contract",
     oracle=f"""
     WITH hist AS (
-        SELECT least({_HQ_BINS - 1}, greatest(0,
-                   CAST(floor((l_extendedprice - {_HQ_LO!r}) / {_HQ_W!r}) AS INT)))
-                   AS bin,
+        SELECT CASE WHEN l_extendedprice >= {_HQ_HI!r} THEN {_HQ_BINS}
+                    ELSE CAST(least({float(_HQ_BINS - 1)!r}, greatest(0.0,
+                         floor((l_extendedprice - {_HQ_LO!r}) / {_HQ_W!r}))) AS INT)
+               END AS bin,
                count(*) AS cnt
-        FROM lineitem GROUP BY 1
+        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
     ), cum AS (
         SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist
     ), total AS (
         SELECT sum(cnt) AS n FROM hist
     ), targets AS (
-        SELECT q, CAST(ceil(q * n) AS BIGINT) AS target_rank
+        -- double multiply, mirroring the sketch's IEEE rank math (a
+        -- DECIMAL product here would round differently for some q)
+        SELECT q, CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT) AS target_rank
         FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q), total
     ), est AS (
         SELECT t.q, t.target_rank,
-               {_HQ_LO!r} + (min(c.bin) + 1) * {_HQ_W!r} AS estimate
+               CASE WHEN min(c.bin) >= {_HQ_BINS} THEN CAST('Infinity' AS DOUBLE)
+                    ELSE {_HQ_LO!r} + (min(c.bin) + 1) * {_HQ_W!r} END AS estimate
         FROM targets t JOIN cum c ON c.cum >= t.target_rank
         GROUP BY t.q, t.target_rank
     )
@@ -587,10 +591,11 @@ def quantile_sketch_contract(spark, sf_dir):
     """Fixed-bin quantile sketch over lineitem prices: estimates for five
     quantiles, each the upper edge of the first histogram bin whose
     cumulative count reaches ceil(q·n). The oracle replays the identical
-    integer bin math, and ``covered`` asserts the sketch's rank guarantee —
-    at least target_rank values sit at or below every estimate. (The
-    coverage recount is verification-only; the sketch itself never rescans
-    data after its single groupBy(bin).) Bin width 107.421875 is exactly
+    bin math — double-space clamp, overflow bin at/above hi, IEEE-double
+    rank product — and ``covered`` asserts the sketch's rank guarantee: at
+    least target_rank values sit at or below every estimate. (The coverage
+    recount is verification-only; the sketch itself never rescans data
+    after its single groupBy(bin).) Bin width 107.421875 is exactly
     representable, so edge arithmetic is bit-identical across engines."""
     from artigraph_spark.operators.sketches import histogram_quantiles
 
@@ -598,12 +603,18 @@ def quantile_sketch_contract(spark, sf_dir):
     est = histogram_quantiles(
         li, "l_extendedprice", _HQ_LO, _HQ_HI, _HQ_BINS, _HQ_QS
     )
+    # Conditional count over the broadcast cross join (NOT filter+groupBy:
+    # an estimate below the column minimum must yield a covered=false row,
+    # not a vanished group).
     counts = (
         li.select("l_extendedprice")
         .crossJoin(F.broadcast(est))
-        .filter(F.col("l_extendedprice") <= F.col("estimate"))
         .groupBy("q", "target_rank", "estimate")
-        .agg(F.count(F.lit(1)).alias("__le"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("estimate"), 1).otherwise(0)
+            ).alias("__le")
+        )
     )
     return counts.select(
         "q",

@@ -498,13 +498,32 @@ def test_histogram_quantiles_rank_coverage(spark):
         assert e - 10.0 <= sorted(vals)[rank - 1] <= e  # within one bin width
 
 
-def test_histogram_quantiles_clamps_out_of_range(spark):
+def test_histogram_quantiles_out_of_range_and_nulls(spark):
+    import math
+
     from artigraph_spark.operators.sketches import histogram_quantiles
 
-    df = spark.createDataFrame([(-5.0,), (50.0,), (500.0,)], ["x"])
-    rows = histogram_quantiles(df, "x", 0.0, 100.0, 10, [1.0]).collect()
-    # max clamps into the top bin; estimate is its upper edge
-    assert rows[0]["estimate"] == 100.0
+    df = spark.createDataFrame(
+        [(-5.0,), (50.0,), (500.0,), (None,)], "x double"
+    )
+    rows = {r["q"]: r for r in histogram_quantiles(df, "x", 0.0, 100.0, 10, [0.5, 1.0]).collect()}
+    # NULL excluded -> n=3; q=1 lands in the overflow bin -> honest +inf
+    assert rows[1.0]["target_rank"] == 3
+    assert math.isinf(rows[1.0]["estimate"])
+    # q=0.5 -> rank 2 -> covered by bin 5 (value 50): upper edge 60
+    assert rows[0.5]["estimate"] == 60.0
+
+
+def test_histogram_quantiles_extreme_value_no_overflow(spark):
+    import math
+
+    from artigraph_spark.operators.sketches import histogram_quantiles
+
+    # 3e11 used to blow up the int cast under ANSI mode; now it's overflow-binned
+    df = spark.createDataFrame([(1.0,), (3.0e11,)], ["x"])
+    rows = {r["q"]: r for r in histogram_quantiles(df, "x", 0.0, 100.0, 10, [0.5, 1.0]).collect()}
+    assert rows[0.5]["estimate"] == 10.0
+    assert math.isinf(rows[1.0]["estimate"])
 
 
 def test_histogram_quantiles_validates_args(spark):
