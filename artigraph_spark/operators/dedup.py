@@ -201,6 +201,45 @@ def minhash_signatures_fast(
     return staged.select(F.col(id_col), *sig_cols)
 
 
+def _null_safe_sig(name: str) -> Column:
+    """NULL-proof band-key component: concat_ws silently SKIPS null columns,
+    so signatures differing only in WHICH mh is NULL would collide —
+    sentinel-coalesce every key with a string no numeric hash can produce."""
+    return F.coalesce(F.col(name).cast("string"), F.lit("∅"))
+
+
+def _signature_key(num_hashes: int) -> Column:
+    return F.concat_ws("_", *[_null_safe_sig(f"mh{i}") for i in range(num_hashes)])
+
+
+def _banded_signatures(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """One row per (distinct signature, band): the duplicate-collapse
+    prepass both LSH variants share. Bands one representative per distinct
+    signature and emits (__sig, band_id, band_sig)."""
+    rows_per_band = num_hashes // bands
+    mh_names = [f"mh{i}" for i in range(num_hashes)]
+    uniq = sigs.select(*mh_names).distinct().withColumn(
+        "__sig", _signature_key(num_hashes)
+    )
+    return uniq.select(
+        "__sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            _null_safe_sig(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -235,34 +274,12 @@ def lsh_candidate_pairs(
             f"bands={bands}); otherwise trailing hashes are ignored or every "
             "document lands in one bucket"
         )
-    rows_per_band = num_hashes // bands
-    mh_names = [f"mh{i}" for i in range(num_hashes)]
-
-    # concat_ws silently SKIPS null columns, so signatures differing only in
-    # which mh is NULL would collide into one "exact duplicate" group. NULL-
-    # proof every key with a sentinel no numeric hash string can produce.
-    def _k(name: str) -> F.Column:
-        return F.coalesce(F.col(name).cast("string"), F.lit("∅"))
-
-    sig_key = F.concat_ws("_", *[_k(c) for c in mh_names])
-    members = signatures.select(sig_key.alias("__sig"), F.col(id_col).alias("__id"))
+    members = signatures.select(
+        _signature_key(num_hashes).alias("__sig"), F.col(id_col).alias("__id")
+    )
     # One row per distinct signature (shuffle on the signature — the same
     # exchange width the band join would have needed, minus the duplicates).
-    uniq = signatures.select(*mh_names).distinct().withColumn("__sig", sig_key)
-    banded = uniq.select(
-        "__sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        *[_k(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_sig"),
-    )
+    banded = _banded_signatures(signatures, num_hashes, bands)
     left = banded.select(F.col("__sig").alias("__sa"), "band_id", "band_sig")
     right = banded.select(F.col("__sig").alias("__sb"), "band_id", "band_sig")
     sig_pairs = (
@@ -538,7 +555,14 @@ def dedup_segments(
     """
     if seg_tokens <= 0:
         raise ValueError(f"seg_tokens must be positive, got {seg_tokens}")
-    toks = F.split(F.col(text_col), sep, -1)
+    import re as _re
+
+    # Literal separator: F.split takes a Java regex, so escape it (else
+    # sep='.' or '|' tokenizes per character / on empty matches while
+    # array_join reassembles with the raw string — garbled rebuilds).
+    # NULL text is treated as the empty document so the row survives the
+    # rebuild instead of silently vanishing at the posexplode.
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
     n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
     seg_list = F.transform(
         F.sequence(F.lit(0), n_segs - 1),
@@ -625,38 +649,10 @@ def lsh_pairs_between(
             f"bands must divide num_hashes evenly (got num_hashes={num_hashes}, "
             f"bands={bands})"
         )
-    rows_per_band = num_hashes // bands
-    mh_names = [f"mh{i}" for i in range(num_hashes)]
-
-    def _k(name: str) -> Column:
-        return F.coalesce(F.col(name).cast("string"), F.lit("∅"))
-
-    sig_key = F.concat_ws("_", *[_k(c) for c in mh_names])
-
-    def _banded(sigs: DataFrame) -> DataFrame:
-        uniq = sigs.select(*mh_names).distinct().withColumn("__sig", sig_key)
-        return uniq.select(
-            "__sig",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            "_",
-                            *[
-                                _k(f"mh{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band_id", "band_sig"),
-        )
-
-    q_banded = _banded(query_sigs).select(
+    q_banded = _banded_signatures(query_sigs, num_hashes, bands).select(
         F.col("__sig").alias("__sq"), "band_id", "band_sig"
     )
-    r_banded = _banded(ref_sigs).select(
+    r_banded = _banded_signatures(ref_sigs, num_hashes, bands).select(
         F.col("__sig").alias("__sr"), "band_id", "band_sig"
     )
     sig_pairs = (
@@ -664,8 +660,12 @@ def lsh_pairs_between(
         .select("__sq", "__sr")
         .distinct()  # signature-level, before member fan-out
     )
-    qm = query_sigs.select(sig_key.alias("__sq"), F.col(id_col).alias("query_id"))
-    rm = ref_sigs.select(sig_key.alias("__sr"), F.col(id_col).alias("ref_id"))
+    qm = query_sigs.select(
+        _signature_key(num_hashes).alias("__sq"), F.col(id_col).alias("query_id")
+    )
+    rm = ref_sigs.select(
+        _signature_key(num_hashes).alias("__sr"), F.col(id_col).alias("ref_id")
+    )
     return (
         sig_pairs.join(qm, "__sq").join(rm, "__sr").select("query_id", "ref_id")
     )

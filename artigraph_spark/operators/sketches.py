@@ -32,6 +32,18 @@ def _fold(key_col: str):
     return F.pmod(F.col(key_col).cast("long"), F.lit((1 << 31) - 1))
 
 
+def _cells(key_col: str, n: int, modulo: int, seed: int) -> list:
+    """The shared universal-hash cell positions ((a·k + b) mod p) mod m for
+    each of the ``n`` seeded hash rows. Build and probe sides of every
+    sketch MUST use this one definition — a drifted copy silently breaks
+    estimates."""
+    k = _fold(key_col)
+    return [
+        (F.lit(a) * k + F.lit(b)) % F.lit(_P) % F.lit(modulo)
+        for a, b in _hash_coeffs(n, seed)
+    ]
+
+
 def count_min_sketch(
     df: DataFrame,
     key_col: str,
@@ -46,14 +58,10 @@ def count_min_sketch(
     """
     if width <= 0 or depth <= 0:
         raise ValueError(f"width and depth must be positive, got {width}x{depth}")
-    k = _fold(key_col)
     rows = F.array(
         *[
-            F.struct(
-                F.lit(d).alias("depth_id"),
-                ((F.lit(a) * k + F.lit(b)) % F.lit(_P) % F.lit(width)).alias("bucket"),
-            )
-            for d, (a, b) in enumerate(_hash_coeffs(depth, seed))
+            F.struct(F.lit(d).alias("depth_id"), cell.alias("bucket"))
+            for d, cell in enumerate(_cells(key_col, depth, width, seed))
         ]
     )
     return (
@@ -79,19 +87,13 @@ def cms_estimate(
     estimate is the (possibly zero … well, missing cells mean zero) floor;
     missing cells coalesce to 0.
     """
-    k = _fold(key_col)
     probes = keys.select(
         F.col(key_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(d).alias("depth_id"),
-                        ((F.lit(a) * k + F.lit(b)) % F.lit(_P) % F.lit(width)).alias(
-                            "bucket"
-                        ),
-                    )
-                    for d, (a, b) in enumerate(_hash_coeffs(depth, seed))
+                    F.struct(F.lit(d).alias("depth_id"), cell.alias("bucket"))
+                    for d, cell in enumerate(_cells(key_col, depth, width, seed))
                 ]
             )
         ).alias("__cell"),
@@ -123,16 +125,8 @@ def bloom_build(
         raise ValueError(
             f"num_bits and num_hashes must be positive, got {num_bits}/{num_hashes}"
         )
-    k = _fold(key_col)
-    positions = F.array(
-        *[
-            (F.lit(a) * k + F.lit(b)) % F.lit(_P) % F.lit(num_bits)
-            for a, b in _hash_coeffs(num_hashes, seed)
-        ]
-    )
-    return (
-        df.select(F.explode(positions).alias("bit")).distinct()
-    )
+    positions = F.array(*_cells(key_col, num_hashes, num_bits, seed))
+    return df.select(F.explode(positions).alias("bit")).distinct()
 
 
 def bloom_prefilter(
@@ -158,13 +152,7 @@ def bloom_prefilter(
         raise ValueError(
             f"num_bits and num_hashes must be positive, got {num_bits}/{num_hashes}"
         )
-    k = _fold(key_col)
-    positions = F.array(
-        *[
-            (F.lit(a) * k + F.lit(b)) % F.lit(_P) % F.lit(num_bits)
-            for a, b in _hash_coeffs(num_hashes, seed)
-        ]
-    )
+    positions = F.array(*_cells(key_col, num_hashes, num_bits, seed))
     probes = (
         df.select(key_col).distinct()
         .select(F.col(key_col), F.explode(positions).alias("bit"))
@@ -176,7 +164,10 @@ def bloom_prefilter(
         .filter(F.col("__hits") == num_hashes)
         .select(key_col)
     )
-    return df.join(F.broadcast(passing), key_col, "left_semi")
+    # NO broadcast hint on `passing`: its size is members + false positives
+    # over the fact's distinct keys — unbounded when the filter saturates.
+    # AQE broadcasts it when it is actually small.
+    return df.join(passing, key_col, "left_semi")
 
 
 def histogram_quantiles(
@@ -192,7 +183,7 @@ def histogram_quantiles(
     edge of the first bin whose cumulative count reaches ceil(q·n). The
     guarantee is rank coverage — at least ceil(q·n) values are ≤ the
     estimate — with error bounded by one bin width while the data stays in
-    range. NULLs are excluded (from both the histogram and n); values below
+    range. NULLs and NaNs are excluded (from both the histogram and n); values below
     ``lo`` count into bin 0 (they can only push estimates up — coverage
     still holds); values at/above ``hi`` go to a dedicated overflow bin
     whose "upper edge" is +Infinity, so a quantile that lands there reports
@@ -227,7 +218,10 @@ def histogram_quantiles(
             ).cast("int")
         )
     )
-    clean = df.filter(x.isNotNull())
+    # Spark orders NaN above every double (and NaN = NaN is true), so NaN
+    # would land in the overflow bin, inflate n, yet never satisfy
+    # x <= estimate — exclude it along with NULL.
+    clean = df.filter(x.isNotNull() & ~F.isnan(x.cast("double")))
     hist = clean.groupBy(idx.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
     cum = hist.withColumn(
         "cum",

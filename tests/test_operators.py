@@ -407,7 +407,8 @@ def test_lsh_pairs_between_finds_planted_copy(spark):
         for r in lsh_pairs_between(qs, rs, "doc_id", num_hashes=8, bands=4).collect()
     }
     assert (10, 1) in pairs  # identical text → identical signature → guaranteed
-    assert (11, 2) not in pairs or True  # distinct texts may or may not collide
+    # every pair joins one query-side and one ref-side id — never two of a kind
+    assert all(q in (10, 11) and r in (1, 2) for q, r in pairs)
 
 
 def test_count_min_sketch_exact_when_no_collisions(spark):
@@ -538,3 +539,35 @@ def test_histogram_quantiles_validates_args(spark):
         histogram_quantiles(df, "x", 0.0, 1.0, 4, [0.0])
     with _pytest.raises(ValueError, match="hi > lo"):
         histogram_quantiles(df, "x", 1.0, 1.0, 4, [0.5])
+
+
+def test_dedup_segments_literal_metachar_separator(spark):
+    from artigraph_spark.operators.dedup import dedup_segments
+
+    df = spark.createDataFrame([(1, "a|b|c|d"), (2, "c|d|e|f")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_segments(df, "doc_id", "text", seg_tokens=2, sep="|").collect()
+    }
+    assert out[1]["text"] == "a|b|c|d"
+    assert out[2]["text"] == "e|f" and out[2]["n_removed"] == 1
+
+
+def test_dedup_segments_null_text_survives_as_empty(spark):
+    from artigraph_spark.operators.dedup import dedup_segments
+
+    df = spark.createDataFrame([(1, "a b"), (2, None)], "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_segments(df, "doc_id", "text", seg_tokens=2).collect()}
+    assert out == {1: "a b", 2: ""}
+
+
+def test_histogram_quantiles_excludes_nan(spark):
+    from artigraph_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("nan"),), (float("nan"),)], ["x"]
+    )
+    rows = {r["q"]: r for r in histogram_quantiles(df, "x", 0.0, 100.0, 10, [0.5]).collect()}
+    # NaNs out of both n and the histogram: n=1, estimate covers the 1.0
+    assert rows[0.5]["target_rank"] == 1
+    assert rows[0.5]["estimate"] == 10.0

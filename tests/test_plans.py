@@ -203,9 +203,10 @@ def test_dedup_segments_no_cartesian_no_global_window(spark, qs):
     df = qs["dedup_segments_corpus"](spark, SF)
     plan = P.physical_plan(df, "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    # reassembly partitions by doc; the arg-min partitions by segment — no
-    # single-partition global window anywhere
-    assert "Window [" not in plan or "partitionBy" in plan  # no unpartitioned Window
+    # reassembly is aggregate-based (groupBy doc), the arg-min groupBys the
+    # segment — no Window node at all; if a rewrite ever introduces one it
+    # must be partitioned, so revisit this lock then
+    assert "Window" not in plan
 
 
 def test_lsh_pairs_between_is_equi_join(spark, qs):
