@@ -622,3 +622,86 @@ def quantile_sketch_contract(spark, sf_dir):
         "estimate",
         (F.col("__le") >= F.col("target_rank")).alias("covered"),
     )
+
+
+def _hll_oracle_sql(m: int, seed: int) -> str:
+    """DuckDB replica of the HLL sketch and raw estimator: same two-seed
+    avalanche mixer, same trailing-zero rank chain, same exact-integer
+    harmonic sum — registers and estimate replay bit-for-bit."""
+    from artigraph_spark.operators.dedup import _hash_coeffs
+    from artigraph_spark.operators.sketches import _HLL_MAX_RHO, _P31
+
+    def mix_sql(expr: str, mix_seed: int) -> str:
+        x = expr
+        for i, (a, b) in enumerate(_hash_coeffs(3, mix_seed)):
+            x = f"(({a} * {x} + {b}) % {_P31})"
+            if i < 2:
+                shift = 1 << (15 - 2 * i)
+                x = f"xor({x}, CAST(floor({x} / {shift}) AS BIGINT))"
+        return x
+
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    big = 1 << _HLL_MAX_RHO
+    rho_branches = " ".join(
+        f"WHEN w % {1 << (t + 1)} = {1 << t} THEN {t + 1}"
+        for t in range(_HLL_MAX_RHO - 1)
+    )
+    return f"""
+    WITH keyed AS (
+        SELECT l_orderkey % 2147483647 AS k FROM lineitem
+        WHERE l_orderkey IS NOT NULL
+    ), regs AS (
+        SELECT {mix_sql('k', seed)} % {m} AS register,
+               {mix_sql('k', seed + 12)} AS w
+        FROM keyed
+    ), ranked AS (
+        SELECT register,
+               CASE WHEN w = 0 THEN {_HLL_MAX_RHO} {rho_branches}
+                    ELSE {_HLL_MAX_RHO} END AS rho
+        FROM regs
+    ), sk AS (
+        SELECT register, max(rho) AS max_rho FROM ranked GROUP BY register
+    ), agg AS (
+        SELECT SUM(CAST(pow(2.0, {_HLL_MAX_RHO} - max_rho) AS BIGINT)) AS present,
+               count(*) AS nreg
+        FROM sk
+    ), est AS (
+        SELECT CAST({alpha_m2!r} AS DOUBLE) * CAST({float(big)!r} AS DOUBLE)
+               / (present + ({m} - nreg) * {big}) AS estimate
+        FROM agg
+    ), ex AS (
+        SELECT count(DISTINCT l_orderkey) AS exact_distinct FROM lineitem
+    )
+    SELECT {m} AS m, ex.exact_distinct,
+           round(est.estimate, 6) AS hll_estimate_r,
+           abs(est.estimate / ex.exact_distinct - 1.0) < 0.15 AS within_15pct
+    FROM est, ex
+    """
+
+
+@query("hll_contract", oracle=_hll_oracle_sql(1024, 11))
+def hll_contract(spark, sf_dir):
+    """HyperLogLog distinct-count contract over lineitem order keys: the
+    1024-register sketch's raw estimate is replayed exactly by the oracle
+    (deterministic hash, modulo-arithmetic rank chain, exact-integer
+    harmonic sum) and must land within 15% of the true distinct count —
+    the standard-error bound for m=1024 is ~3.25%, so the margin is wide.
+    The sketch is a ≤1024-row summary of the scan; merging snapshots is
+    groupBy(register).max."""
+    from artigraph_spark.operators.sketches import hll_estimate, hll_sketch
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = hll_sketch(li, "l_orderkey", m=1024, seed=11)
+    est = hll_estimate(sk, m=1024)
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_distinct"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(1024).alias("m"),
+            "exact_distinct",
+            F.round("estimate", 6).alias("hll_estimate_r"),
+            (
+                F.abs(F.col("estimate") / F.col("exact_distinct") - 1.0) < 0.15
+            ).alias("within_15pct"),
+        )
+    )

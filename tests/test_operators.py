@@ -571,3 +571,50 @@ def test_histogram_quantiles_excludes_nan(spark):
     # NaNs out of both n and the histogram: n=1, estimate covers the 1.0
     assert rows[0.5]["target_rank"] == 1
     assert rows[0.5]["estimate"] == 10.0
+
+
+def test_hll_estimate_accuracy(spark):
+    from artigraph_spark.operators.sketches import hll_estimate, hll_sketch
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], ["k"])
+    sk = hll_sketch(df, "k", m=1024)
+    est = hll_estimate(sk, m=1024).collect()[0]["estimate"]
+    assert abs(est / 5000 - 1.0) < 0.1  # m=1024 standard error ~3.25%
+
+
+def test_hll_insensitive_to_duplicates(spark):
+    from artigraph_spark.operators.sketches import hll_estimate, hll_sketch
+
+    base = [(i,) for i in range(2000)]
+    once = spark.createDataFrame(base, ["k"])
+    thrice = spark.createDataFrame(base * 3, ["k"])
+    e1 = hll_estimate(hll_sketch(once, "k"), m=1024).collect()[0]["estimate"]
+    e3 = hll_estimate(hll_sketch(thrice, "k"), m=1024).collect()[0]["estimate"]
+    assert e1 == e3  # registers see max rank — multiplicity is invisible
+
+
+def test_hll_sketch_is_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.sketches import hll_estimate, hll_sketch
+
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(1500, 4500)], ["k"])
+    merged = (
+        hll_sketch(a, "k").unionByName(hll_sketch(b, "k"))
+        .groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = hll_sketch(a.unionByName(b), "k")
+    em = hll_estimate(merged, m=1024).collect()[0]["estimate"]
+    ew = hll_estimate(whole, m=1024).collect()[0]["estimate"]
+    assert em == ew  # merge-of-sketches == sketch-of-union, exactly
+
+
+def test_hll_rejects_non_power_of_two(spark):
+    import pytest as _pytest
+
+    from artigraph_spark.operators.sketches import hll_sketch
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with _pytest.raises(ValueError, match="power of two"):
+        hll_sketch(df, "k", m=1000)
