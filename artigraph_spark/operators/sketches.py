@@ -1,23 +1,24 @@
-"""Frequency-sketch operators (count-min) for streaming-scale cardinality
-and heavy-hitter work.
+"""Sketch operators for streaming-scale summaries: count-min (frequency),
+Bloom (membership / join pruning), fixed-bin histogram (quantiles), and
+HyperLogLog (distinct count).
 
-A count-min sketch summarizes an unbounded key stream in O(width × depth)
-integer cells: each of ``depth`` universal hash rows buckets every key into
-``width`` cells; a key's frequency estimate is the MIN of its cells, which
-over-counts (collisions only add) and never under-counts — the one-sided
-error contract `count_min_contract` locks.
+Shared design rules:
 
-Determinism: the bucket hash is exact integer arithmetic
-``((a·k + b) mod p) mod width`` with the same Mersenne-prime modulus and
-seeded coefficients as the MinHash family (`_hash_coeffs`) — bit-identical
-on any engine, so the DuckDB oracle replays the *estimates themselves*, not
-just the contract. Keys are folded to < 2^31 first so products stay in
-int64.
-
-Scale: building the sketch is one groupBy over (depth, bucket) — at most
-``depth × width`` result rows regardless of input volume, with map-side
-partial aggregation doing almost all the work. Point queries join the
-(tiny, broadcastable) sketch table.
+- **Bounded summaries.** Every sketch is a small table (depth×width cells,
+  ≤num_bits positions, ≤bins+1 buckets, ≤m registers) produced by ONE
+  data-sized groupBy with map-side partial aggregation; everything after
+  runs on the summary. All four merge across partitions/snapshots with
+  plain relational ops (sum / union+distinct / sum / max).
+- **One-sided or bounded error, contract-locked.** CMS never undercounts,
+  Bloom never false-negatives, the histogram estimate always covers its
+  target rank, HLL lands within its standard-error envelope — each
+  guarantee is asserted per-row by an oracle-checked `*_contract` query.
+- **Engine-replayable determinism.** Hashing is exact integer arithmetic
+  (universal hashes over the Mersenne prime shared with the MinHash
+  family; HLL adds shift-XOR avalanche rounds because a plain affine hash
+  measurably biases rank statistics). The DuckDB oracles replay the
+  *estimates themselves*, not just the contracts. Keys fold below 2^31 so
+  every product stays in int64.
 """
 
 from __future__ import annotations
