@@ -1,0 +1,87 @@
+"""Iterative graph analytics as relational plans.
+
+Connected components (min-label pointer jumping) lives with the dedup
+family (`operators/dedup.py` — it exists to cluster near-duplicate pairs);
+this module holds general graph scoring, starting with PageRank.
+
+Determinism: ranks are fixed-point integers (scale 2^bits). Each
+iteration's per-edge share is ``floor(rank / out_degree)`` — an exact
+integer both engines compute identically (the double quotient of two
+int64s below 2^31 can never round across an integer boundary, since a
+non-integer rational p/q with q < 2^31 sits at least 1/q > 2^-31 from any
+integer) — and the damping multiply is one correctly-rounded double op on
+identical inputs. So a DuckDB oracle can replay every iteration
+bit-for-bit. The floor loses a little rank mass per hop (bounded by
+out_degree·2^-bits per node per iteration); ranking order is unaffected
+and reproducibility is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 8,
+    damping: float = 0.85,
+    bits: int = 30,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns (node, rank_fx) with rank_fx the fixed-point rank (scale
+    2^bits). Dangling nodes (no out-edges) leak their damped mass each
+    iteration — the usual simplification; pass a symmetrized edge list for
+    undirected graphs and there are no dangling nodes.
+
+    Scale shape: per iteration one equi-join (edges x ranks on src) and one
+    groupBy(dst) with map-side partial sums — the standard distributed
+    PageRank step, linear in edges, shuffles keyed on node ids. The
+    iteration count is fixed (default 8), so the lineage is a bounded
+    8-deep DAG; at very large scale checkpoint every few iterations the
+    same way connected_components does.
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations must be positive, got {iterations}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    one = 1 << bits
+    base_num = (1.0 - damping) * one  # python double; oracle uses repr of this
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col(src).alias("__s")).agg(F.count(F.lit(1)).alias("__deg"))
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).join(deg, "__s")
+    n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select(
+            "node",
+            F.floor(F.lit(float(one)) / F.col("__n")).cast("long").alias("r"),
+        )
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "__s"), "__s")
+            .select("__d", F.floor(F.col("r") / F.col("__deg")).cast("long").alias("__share"))
+            .groupBy("__d")
+            .agg(F.sum("__share").alias("__in"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .join(contrib.withColumnRenamed("__d", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.floor(F.lit(base_num) / F.col("__n")).cast("long")
+                    + F.floor(F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0))).cast(
+                        "long"
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_fx"))

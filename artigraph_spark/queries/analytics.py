@@ -702,3 +702,77 @@ def tpch_q22_sales_opportunity(spark, sf_dir):
             dsum("c_acctbal").alias("totacctbal_fx"),
         )
     )
+
+
+def _pagerank_oracle_sql(iterations: int, damping: float, bits: int) -> str:
+    """DuckDB replica of the fixed-point PageRank loop, unrolled one CTE per
+    iteration — every share, damp, and base term replays the Spark math
+    bit-for-bit (see operators/graph.py for why the integer/double mix is
+    engine-exact)."""
+    one = 1 << bits
+    base_num = (1.0 - damping) * one
+    parts = [
+        """
+    WITH pe AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS s,
+                        's' || CAST(l_suppkey AS VARCHAR) AS d
+        FROM lineitem
+    ), edges AS (
+        SELECT s, d FROM pe UNION ALL SELECT d AS s, s AS d FROM pe
+    ), nodes AS (
+        SELECT node FROM (SELECT s AS node FROM edges UNION SELECT d FROM edges)
+    ), deg AS (
+        SELECT s, count(*) AS deg FROM edges GROUP BY s
+    ), nn AS (
+        SELECT count(*) AS n FROM nodes
+    ), r0 AS (
+        SELECT node, CAST(floor(CAST(%(one)r AS DOUBLE) / nn.n) AS BIGINT) AS r
+        FROM nodes, nn
+    )"""
+        % {"one": float(one)}
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", r{i} AS (
+        SELECT nd.node,
+               CAST(floor(CAST({base_num!r} AS DOUBLE) / nn.n) AS BIGINT)
+               + CAST(floor(CAST({damping!r} AS DOUBLE) * coalesce(c.i, 0)) AS BIGINT)
+                   AS r
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.d AS node,
+                   SUM(CAST(floor(CAST(rp.r AS DOUBLE) / dg.deg) AS BIGINT)) AS i
+            FROM edges e
+            JOIN deg dg ON e.s = dg.s
+            JOIN r{i - 1} rp ON rp.node = e.s
+            GROUP BY e.d
+        ) c ON c.node = nd.node
+    )"""
+        )
+    parts.append(f"\n    SELECT node, r AS rank_fx FROM r{iterations}")
+    return "".join(parts)
+
+
+@query("pagerank_copurchase", oracle=_pagerank_oracle_sql(8, 0.85, 30))
+def pagerank_copurchase(spark, sf_dir):
+    """PageRank over the symmetrized part↔supplier co-purchase graph
+    (distinct lineitem pairs, both directions, so no dangling nodes). Eight
+    fixed-point iterations; the oracle unrolls the identical loop as CTEs,
+    so every node's final rank matches bit-for-bit. The iterative-join
+    shape is the engine's general pattern for fixed-iteration graph
+    algorithms (connected components uses the same skeleton with min-label
+    instead of damped sums)."""
+    from artigraph_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    pe = (
+        li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("s"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("d"),
+        )
+        .distinct()
+    )
+    edges = pe.unionByName(pe.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    return pagerank(edges, "s", "d", iterations=8, damping=0.85, bits=30).select(
+        "node", "rank_fx"
+    )

@@ -618,3 +618,40 @@ def test_hll_rejects_non_power_of_two(spark):
     df = spark.createDataFrame([(1,)], ["k"])
     with _pytest.raises(ValueError, match="power of two"):
         hll_sketch(df, "k", m=1000)
+
+
+def test_pagerank_symmetry_and_hub(spark):
+    from artigraph_spark.operators.graph import pagerank
+
+    # path graph a-b-c (symmetrized): b is the hub, a and c tie exactly
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")], ["s", "d"]
+    )
+    r = {row["node"]: row["rank_fx"] for row in pagerank(edges, "s", "d").collect()}
+    assert r["a"] == r["c"]  # symmetric positions → bit-identical ranks
+    assert r["b"] > r["a"]  # the hub outranks the leaves
+    # total mass stays near 2^30 (floor losses only)
+    assert 0.95 * (1 << 30) < sum(r.values()) <= (1 << 30)
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    from artigraph_spark.operators.graph import pagerank
+
+    rows = [(f"n{i}", f"n{(i * 7 + 1) % 40}") for i in range(40)]
+    e1 = spark.createDataFrame(rows, ["s", "d"])
+    e2 = e1.repartition(13)
+    r1 = sorted(map(tuple, pagerank(e1, "s", "d", iterations=4).collect()))
+    r2 = sorted(map(tuple, pagerank(e2, "s", "d", iterations=4).collect()))
+    assert r1 == r2
+
+
+def test_pagerank_validates_args(spark):
+    import pytest as _pytest
+
+    from artigraph_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([("a", "b")], ["s", "d"])
+    with _pytest.raises(ValueError, match="iterations"):
+        pagerank(e, "s", "d", iterations=0)
+    with _pytest.raises(ValueError, match="damping"):
+        pagerank(e, "s", "d", damping=1.0)
