@@ -475,3 +475,21 @@ def test_count_min_sketch_builds_on_streams(spark):
         want, ["depth_id", "bucket", "cnt"]
     )
     assert got.count() > 0
+
+
+def test_hll_sketch_builds_on_streams(spark):
+    """The HLL register build is a projection + groupBy-max — as a streaming
+    stateful aggregation in complete mode it must produce identical
+    registers (and so the identical estimate) to the batch build."""
+    from artigraph_spark.operators.sketches import hll_sketch
+    from artigraph_spark.sources import load
+
+    ev = stx.read_stream(spark, SF_DIR, "events")
+    stream_sk = hll_sketch(ev, "user_id", m=256)
+    assert stream_sk.isStreaming
+    got = stx.run_stream_to_batch(
+        stream_sk, query_name="t_hll_stream", output_mode="complete"
+    )
+    want = hll_sketch(load(spark, SF_DIR, "events"), "user_id", m=256)
+    assert _canon(got, ["register", "max_rho"]) == _canon(want, ["register", "max_rho"])
+    assert got.count() > 0
