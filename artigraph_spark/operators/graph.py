@@ -47,6 +47,11 @@ def pagerank(
         raise ValueError(f"iterations must be positive, got {iterations}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if not 1 <= bits <= 52:
+        # below 1 the integer ranks collapse to zero; above 52 the exactness
+        # arguments in the module docstring (share floors, long sums) no
+        # longer hold and the oracle replay guarantee silently breaks
+        raise ValueError(f"bits must be in [1, 52], got {bits}")
     one = 1 << bits
     base_num = (1.0 - damping) * one  # python double; oracle uses repr of this
     nodes = (
@@ -57,30 +62,29 @@ def pagerank(
     deg = edges.groupBy(F.col(src).alias("__s")).agg(F.count(F.lit(1)).alias("__deg"))
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).join(deg, "__s")
     n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_df))
-        .select(
-            "node",
-            F.floor(F.lit(float(one)) / F.col("__n")).cast("long").alias("r"),
-        )
+    # Loop-invariant per-node base term, built ONCE: re-deriving it inside
+    # every iteration would embed 8 more copies of the nodes-distinct
+    # subtree into the plan for Catalyst to re-reconcile.
+    base = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node",
+        F.floor(F.lit(float(one)) / F.col("__n")).alias("__init"),
+        F.floor(F.lit(base_num) / F.col("__n")).alias("__base"),
     )
+    ranks = base.select("node", F.col("__init").alias("r"))
     for _ in range(iterations):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "__s"), "__s")
-            .select("__d", F.floor(F.col("r") / F.col("__deg")).cast("long").alias("__share"))
+            .select("__d", F.floor(F.col("r") / F.col("__deg")).alias("__share"))
             .groupBy("__d")
             .agg(F.sum("__share").alias("__in"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(n_df))
-            .join(contrib.withColumnRenamed("__d", "node"), "node", "left")
+            base.join(contrib.withColumnRenamed("__d", "node"), "node", "left")
             .select(
                 "node",
                 (
-                    F.floor(F.lit(base_num) / F.col("__n")).cast("long")
-                    + F.floor(F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0))).cast(
-                        "long"
-                    )
+                    F.col("__base")
+                    + F.floor(F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0)))
                 ).alias("r"),
             )
         )

@@ -333,8 +333,11 @@ def hll_estimate(sketch: DataFrame, m: int = 1024) -> DataFrame:
     scaled = F.sum(
         F.pow(F.lit(2.0), F.lit(_HLL_MAX_RHO) - F.col("max_rho")).cast("long")
     )
+    # SUM over an empty register table is NULL — coalesce to 0 so an empty
+    # sketch reports the defined all-empty estimate (α·m), not NULL.
     return sketch.agg(
-        scaled.alias("__present"), F.count(F.lit(1)).alias("__nreg")
+        F.coalesce(scaled, F.lit(0)).alias("__present"),
+        F.count(F.lit(1)).alias("__nreg"),
     ).select(
         (
             F.lit(alpha * m * m)

@@ -1,0 +1,93 @@
+"""Event-analytics operators shared by the declared queries and the
+framework demos — one definition each so the oracle-locked query logic and
+pipeline producers cannot drift apart.
+
+All inputs are (ts timestamp, user_id, event_type, ...) event frames;
+every shuffle is keyed on the user or the (type, window) pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_stages(
+    e: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered three-stage conversion funnel: each stage's timestamp is the
+    earliest qualifying event STRICTLY AFTER the previous stage (the
+    sequential-pattern shape ANSI engines express with MATCH_RECOGNIZE).
+    Three per-user conditional min-aggregates chained by equi-joins on the
+    user — every shuffle is key-partitioned on the user, so the funnel
+    co-locates and scales with user cardinality, never event volume.
+
+    Returns (user_col, t1, t2, t3, stage_reached) with t2/t3 NULL where the
+    user never converted; timestamps stay raw (µs-exact) for the caller to
+    format.
+    """
+    a, b, c = stages
+    u, ts = F.col(user_col), F.col(ts_col)
+    s1 = e.filter(F.col("event_type") == a).groupBy(user_col).agg(
+        F.min(ts_col).alias("t1")
+    )
+    s2 = (
+        e.filter(F.col("event_type") == b)
+        .join(s1.select(u.alias("__u1"), "t1"), (u == F.col("__u1")) & (ts > F.col("t1")))
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == c)
+        .join(s2.select(u.alias("__u2"), "t2"), (u == F.col("__u2")) & (ts > F.col("t2")))
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t3"))
+    )
+    return (
+        s1.join(s2.select(u.alias("__ub"), "t2"), u == F.col("__ub"), "left")
+        .join(s3.select(u.alias("__uc"), "t3"), u == F.col("__uc"), "left")
+        .select(
+            user_col,
+            "t1",
+            "t2",
+            "t3",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage_reached"),
+        )
+    )
+
+
+def hourly_anomalies(
+    e: DataFrame,
+    ts_col: str = "ts",
+    sigmas: float = 2.0,
+) -> DataFrame:
+    """Hourly event-volume cells more than ``sigmas`` standard deviations
+    from their event type's own hourly mean. Counts are integers; mean and
+    sample-stddev go through the fixed-point moment sums, so the z-scores —
+    and the boundary decision — are bit-identical across engines. Two
+    aggregates plus a broadcast join of the per-type stats row; the hourly
+    groupBy is the only data-sized shuffle.
+
+    Returns (event_type, w timestamp, n, zscore_r).
+    """
+    from artigraph_spark.functions import davg, dstddev_samp
+
+    hourly = (
+        e.groupBy(F.window(ts_col, "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("w.start").alias("w"), "n")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        davg("n").alias("mu"), dstddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > F.lit(sigmas)))
+        .select("event_type", "w", "n", F.round(z, 6).alias("zscore_r"))
+    )

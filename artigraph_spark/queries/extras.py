@@ -662,7 +662,8 @@ def _hll_oracle_sql(m: int, seed: int) -> str:
     ), sk AS (
         SELECT register, max(rho) AS max_rho FROM ranked GROUP BY register
     ), agg AS (
-        SELECT SUM(CAST(pow(2.0, {_HLL_MAX_RHO} - max_rho) AS BIGINT)) AS present,
+        SELECT coalesce(SUM(CAST(pow(2.0, {_HLL_MAX_RHO} - max_rho) AS BIGINT)), 0)
+                   AS present,
                count(*) AS nreg
         FROM sk
     ), est AS (

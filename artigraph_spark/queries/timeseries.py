@@ -201,49 +201,20 @@ def window_gap_fill(spark, sf_dir):
     """,
 )
 def event_funnel(spark, sf_dir):
-    """Ordered conversion funnel view → click → purchase: each stage's
-    timestamp is the earliest qualifying event STRICTLY AFTER the previous
-    stage (the sequential-pattern shape ANSI engines express with
-    MATCH_RECOGNIZE). Three per-user conditional min-aggregates chained by
-    equi-joins on user_id — every shuffle is key-partitioned on the user,
-    so the funnel co-locates and scales with user cardinality, never event
-    volume. Timestamps are compared raw (µs-exact) and only formatted for
-    output."""
+    """Ordered conversion funnel view → click → purchase — see
+    ``operators.timeseries.funnel_stages`` for semantics and scale shape
+    (shared with the analytics demo so the oracle-locked logic has exactly
+    one definition). Timestamps are compared raw (µs-exact) and only
+    formatted for output."""
+    from artigraph_spark.operators.timeseries import funnel_stages
+
     e = load(spark, sf_dir, "events")
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1.select(F.col("user_id").alias("__u1"), "t1"),
-              (F.col("user_id") == F.col("__u1")) & (F.col("ts") > F.col("t1")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2.select(F.col("user_id").alias("__u2"), "t2"),
-              (F.col("user_id") == F.col("__u2")) & (F.col("ts") > F.col("t2")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        s1.join(s2.select(F.col("user_id").alias("__ub"), "t2"),
-                F.col("user_id") == F.col("__ub"), "left")
-        .join(s3.select(F.col("user_id").alias("__uc"), "t3"),
-              F.col("user_id") == F.col("__uc"), "left")
-        .select(
-            "user_id",
-            F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("view_at"),
-            F.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
-            F.date_format("t3", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
-            F.when(F.col("t3").isNotNull(), 3)
-            .when(F.col("t2").isNotNull(), 2)
-            .otherwise(1)
-            .alias("stage_reached"),
-        )
+    return funnel_stages(e).select(
+        "user_id",
+        F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("view_at"),
+        F.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+        F.date_format("t3", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
+        "stage_reached",
     )
 
 
@@ -315,31 +286,17 @@ def cohort_retention(spark, sf_dir):
     """,
 )
 def anomaly_zscore_hours(spark, sf_dir):
-    """Volume-anomaly detection: hourly event counts per type that sit more
-    than 2σ from that type's own hourly mean. Counts are integers; mean and
-    sample-stddev go through the fixed-point moment sums, so the z-scores —
-    and the >2σ boundary decision — are bit-identical across engines. Two
-    aggregates plus a broadcast join of the per-type stats row; the hourly
-    groupBy is the only data-sized shuffle."""
-    from artigraph_spark.functions import dstddev_samp
+    """Volume-anomaly detection: hourly event counts per type more than 2σ
+    from that type's own hourly mean — see
+    ``operators.timeseries.hourly_anomalies`` for semantics and scale shape
+    (shared with the analytics demo so the oracle-locked logic has exactly
+    one definition)."""
+    from artigraph_spark.operators.timeseries import hourly_anomalies
 
     e = load(spark, sf_dir, "events")
-    hourly = (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("event_type", F.col("w.start").alias("w"), "n")
-    )
-    stats = hourly.groupBy("event_type").agg(
-        davg("n").alias("mu"), dstddev_samp("n").alias("sigma")
-    )
-    z = (F.col("n") - F.col("mu")) / F.col("sigma")
-    return (
-        hourly.join(F.broadcast(stats), "event_type")
-        .filter((F.col("sigma") > 0) & (F.abs(z) > 2.0))
-        .select(
-            "event_type",
-            F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "n",
-            F.round(z, 6).alias("zscore_r"),
-        )
+    return hourly_anomalies(e).select(
+        "event_type",
+        F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "zscore_r",
     )

@@ -111,39 +111,10 @@ class FunnelReport(Producer):
     events: Events
 
     def build(self, events: DataFrame) -> DataFrame:
-        e = _with_ts(events)
-        s1 = (
-            e.filter(F.col("event_type") == "view")
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t1"))
-        )
-        s2 = (
-            e.filter(F.col("event_type") == "click")
-            .join(s1.select(F.col("user_id").alias("__u"), "t1"),
-                  (F.col("user_id") == F.col("__u")) & (F.col("ts") > F.col("t1")))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t2"))
-        )
-        s3 = (
-            e.filter(F.col("event_type") == "purchase")
-            .join(s2.select(F.col("user_id").alias("__u"), "t2"),
-                  (F.col("user_id") == F.col("__u")) & (F.col("ts") > F.col("t2")))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t3"))
-        )
-        return (
-            s1.join(s2.select(F.col("user_id").alias("__b"), "t2"),
-                    F.col("user_id") == F.col("__b"), "left")
-            .join(s3.select(F.col("user_id").alias("__c"), "t3"),
-                  F.col("user_id") == F.col("__c"), "left")
-            .select(
-                "user_id",
-                F.when(F.col("t3").isNotNull(), 3)
-                .when(F.col("t2").isNotNull(), 2)
-                .otherwise(1)
-                .cast("int")
-                .alias("stage_reached"),
-            )
+        from artigraph_spark.operators.timeseries import funnel_stages
+
+        return funnel_stages(_with_ts(events)).select(
+            "user_id", F.col("stage_reached").cast("int").alias("stage_reached")
         )
 
 
@@ -153,27 +124,13 @@ class AnomalyReport(Producer):
     events: Events
 
     def build(self, events: DataFrame) -> DataFrame:
-        from artigraph_spark.functions import davg, dstddev_samp
+        from artigraph_spark.operators.timeseries import hourly_anomalies
 
-        e = _with_ts(events)
-        hourly = (
-            e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select("event_type", F.col("w.start").alias("w"), "n")
-        )
-        stats = hourly.groupBy("event_type").agg(
-            davg("n").alias("mu"), dstddev_samp("n").alias("sigma")
-        )
-        z = (F.col("n") - F.col("mu")) / F.col("sigma")
-        return (
-            hourly.join(F.broadcast(stats), "event_type")
-            .filter((F.col("sigma") > 0) & (F.abs(z) > 2.0))
-            .select(
-                "event_type",
-                F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-                "n",
-                F.round(z, 6).alias("zscore_r"),
-            )
+        return hourly_anomalies(_with_ts(events)).select(
+            "event_type",
+            F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "zscore_r",
         )
 
 

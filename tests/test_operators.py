@@ -655,3 +655,13 @@ def test_pagerank_validates_args(spark):
         pagerank(e, "s", "d", iterations=0)
     with _pytest.raises(ValueError, match="damping"):
         pagerank(e, "s", "d", damping=1.0)
+
+
+def test_hll_empty_sketch_estimates_alpha_m(spark):
+    from artigraph_spark.operators.sketches import hll_estimate, hll_sketch
+
+    empty = spark.createDataFrame([], "k long")
+    est = hll_estimate(hll_sketch(empty, "k", m=64), m=64).collect()[0]["estimate"]
+    assert est is not None
+    alpha = 0.7213 / (1.0 + 1.079 / 64)
+    assert abs(est - alpha * 64) < 1e-6  # defined all-empty estimate, not NULL
