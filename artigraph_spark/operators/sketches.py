@@ -171,6 +171,19 @@ def bloom_prefilter(
     return df.join(passing, key_col, "left_semi")
 
 
+def _bin_index(x, lo: float, hi: float, bins: int):
+    """Histogram bin for a value: clamp in double space BEFORE the int cast
+    (never overflows under ANSI); values at/above hi go to the overflow
+    bin ``bins``."""
+    width = (hi - lo) / bins
+    return F.when(x >= F.lit(hi), F.lit(bins)).otherwise(
+        F.least(
+            F.lit(float(bins - 1)),
+            F.greatest(F.lit(0.0), F.floor((x - F.lit(lo)) / F.lit(width))),
+        ).cast("int")
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     col: str,
@@ -209,16 +222,7 @@ def histogram_quantiles(
 
     width = (hi - lo) / bins
     x = F.col(col)
-    idx = (
-        F.when(x >= F.lit(hi), F.lit(bins))  # overflow bin
-        .otherwise(
-            # clamp in double space, then cast — never overflows int32
-            F.least(
-                F.lit(float(bins - 1)),
-                F.greatest(F.lit(0.0), F.floor((x - F.lit(lo)) / F.lit(width))),
-            ).cast("int")
-        )
-    )
+    idx = _bin_index(x, lo, hi, bins)
     # Spark orders NaN above every double (and NaN = NaN is true), so NaN
     # would land in the overflow bin, inflate n, yet never satisfy
     # x <= estimate — exclude it along with NULL.
@@ -347,4 +351,69 @@ def hll_estimate(sketch: DataFrame, m: int = 1024) -> DataFrame:
                 + (F.lit(m) - F.col("__nreg")) * F.lit(1 << _HLL_MAX_RHO)
             )
         ).alias("estimate")
+    )
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    quantiles: list[float],
+) -> DataFrame:
+    """Per-group quantile estimates from per-group fixed-bin histograms —
+    the grouped form of `histogram_quantiles` (p95 latency per endpoint,
+    p50 value per event type, …). Same semantics per group: NULL/NaN
+    excluded, at/above-hi overflow bin reporting +Infinity, rank =
+    ceil(IEEE q·n_group), estimate = upper edge of the first bin whose
+    within-group cumulative count reaches it.
+
+    Scale shape: ONE data-sized shuffle (groupBy(group, bin) with map-side
+    partials); the cumulative walk is a window PARTITIONED BY group over
+    ≤bins+1 rows per group, and the rank probe joins summary-sized frames
+    keyed on the group. Returns (group_col, q, target_rank, estimate).
+    """
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    if not quantiles or any(q <= 0 or q > 1 for q in quantiles):
+        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    x = F.col(col)
+    clean = df.filter(x.isNotNull() & ~F.isnan(x.cast("double")))
+    hist = clean.groupBy(
+        F.col(group_col), _bin_index(x, lo, hi, bins).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy(group_col)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = hist.groupBy(group_col).agg(F.sum("cnt").alias("__n"))
+    targets = totals.select(
+        F.col(group_col),
+        F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q"),
+        "__n",
+    ).withColumn("target_rank", F.ceil(F.col("q") * F.col("__n")).cast("long"))
+    return (
+        targets.join(cum, group_col)
+        .filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy(group_col, "q", "target_rank")
+        .agg(F.min("bin").alias("__bin"))
+        .select(
+            group_col,
+            "q",
+            "target_rank",
+            F.when(F.col("__bin") >= bins, F.lit(float("inf")))
+            .otherwise(F.lit(lo) + (F.col("__bin") + 1) * F.lit(width))
+            .alias("estimate"),
+        )
     )

@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_funnel", "cohort_retention", "count_min_contract",
     "anomaly_zscore_hours", "bloom_prefilter_contract",
     "quantile_sketch_contract", "hll_contract", "pagerank_copurchase",
+    "grouped_quantiles_events",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py); packing gained
     # integral-id validation + persist/unpersist and the shared n-gram
@@ -99,8 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q3_shipping_priority", "tpch_q4_late_orders",
     "tpch_q9_nation_margin", "tpch_q10_returned_items",
     # r3-stale — refresh (similarity / embeddings). NOTE: with the late
-    # additions the 50-entry window now ends at tpch_q4 — tpch_q9,
-    # tpch_q10 and the cosine entries below land at positions 51-54 and
+    # additions the 50-entry window now ends at tpch_q3 — tpch_q4, tpch_q9,
+    # tpch_q10 and the cosine entries below land at positions 51-55 and
     # fall to r6 along with the rest of the displaced list; kept here so
     # the r6 rotation starts from an honest ordering.
     "cosine_topk", "cosine_topk_ivf_checked",

@@ -706,3 +706,54 @@ def hll_contract(spark, sf_dir):
             ).alias("within_15pct"),
         )
     )
+
+
+_GQ_LO, _GQ_HI, _GQ_BINS = 0.0, 512.0, 512
+_GQ_W = (_GQ_HI - _GQ_LO) / _GQ_BINS  # 1.0 — exactly representable
+
+
+@query(
+    "grouped_quantiles_events",
+    oracle=f"""
+    WITH hist AS (
+        SELECT event_type,
+               CASE WHEN value >= {_GQ_HI!r} THEN {_GQ_BINS}
+                    ELSE CAST(least({float(_GQ_BINS - 1)!r}, greatest(0.0,
+                         floor((value - {_GQ_LO!r}) / {_GQ_W!r}))) AS INT)
+               END AS bin,
+               count(*) AS cnt
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        FROM hist
+    ), totals AS (
+        SELECT event_type, sum(cnt) AS n FROM hist GROUP BY event_type
+    ), targets AS (
+        SELECT t.event_type, q,
+               CAST(ceil(CAST(q AS DOUBLE) * t.n) AS BIGINT) AS target_rank
+        FROM totals t, (VALUES (0.5), (0.9), (0.95)) v(q)
+    ), est AS (
+        SELECT t.event_type, t.q, t.target_rank,
+               CASE WHEN min(c.bin) >= {_GQ_BINS} THEN CAST('Infinity' AS DOUBLE)
+                    ELSE {_GQ_LO!r} + (min(c.bin) + 1) * {_GQ_W!r} END AS estimate
+        FROM targets t JOIN cum c
+          ON c.event_type = t.event_type AND c.cum >= t.target_rank
+        GROUP BY t.event_type, t.q, t.target_rank
+    )
+    SELECT event_type, q, target_rank, estimate FROM est
+    """,
+)
+def grouped_quantiles_events(spark, sf_dir):
+    """Per-event-type p50/p90/p95 of the value column from per-group
+    fixed-bin histograms — the grouped quantile sketch, replayed exactly by
+    the oracle (1.0-wide bins make every edge arithmetic step a small
+    integer in double). One data shuffle; the cumulative window partitions
+    by group over ≤513 rows per group."""
+    from artigraph_spark.operators.sketches import grouped_histogram_quantiles
+
+    e = load(spark, sf_dir, "events")
+    return grouped_histogram_quantiles(
+        e, "event_type", "value", _GQ_LO, _GQ_HI, _GQ_BINS, [0.5, 0.9, 0.95]
+    )

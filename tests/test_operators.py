@@ -665,3 +665,30 @@ def test_hll_empty_sketch_estimates_alpha_m(spark):
     assert est is not None
     alpha = 0.7213 / (1.0 + 1.079 / 64)
     assert abs(est - alpha * 64) < 1e-6  # defined all-empty estimate, not NULL
+
+
+def test_grouped_histogram_quantiles_per_group(spark):
+    from artigraph_spark.operators.sketches import grouped_histogram_quantiles
+
+    rows = [("a", float(i)) for i in range(1, 101)] + [("b", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = {
+        (r["g"], r["q"]): r
+        for r in grouped_histogram_quantiles(df, "g", "x", 0.0, 100.0, 100, [0.5]).collect()
+    }
+    # value k lives in bin [k, k+1) → the estimate is that bin's UPPER edge
+    assert out[("a", 0.5)]["target_rank"] == 50 and out[("a", 0.5)]["estimate"] == 51.0
+    assert out[("b", 0.5)]["target_rank"] == 5 and out[("b", 0.5)]["estimate"] == 6.0
+
+
+def test_grouped_histogram_quantiles_overflow_and_nulls(spark):
+    import math
+
+    from artigraph_spark.operators.sketches import grouped_histogram_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 500.0), ("a", None)], "g string, x double"
+    )
+    out = {r["q"]: r for r in grouped_histogram_quantiles(df, "g", "x", 0.0, 100.0, 10, [0.5, 1.0]).collect()}
+    assert out[0.5]["target_rank"] == 1 and out[0.5]["estimate"] == 10.0
+    assert math.isinf(out[1.0]["estimate"])
