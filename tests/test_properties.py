@@ -213,3 +213,123 @@ def test_split_corpus_disjoint_exhaustive(spark, keys):
         for r in split_corpus(df.repartition(7), F.col("k")).collect()
     }
     assert out == again
+
+
+sketch_keys = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=120
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(sketch_keys)
+def test_cms_never_undercounts_property(spark, keys):
+    """CMS one-sided error on arbitrary multisets: for EVERY key, the
+    estimate is >= its true frequency, even with forced collisions."""
+    from collections import Counter
+
+    from artigraph_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sketch = count_min_sketch(df, "k", width=16, depth=3)  # tiny → collisions
+    est = {
+        r["k"]: r["estimate"]
+        for r in cms_estimate(
+            sketch, df.select("k").distinct(), "k", width=16, depth=3
+        ).collect()
+    }
+    truth = Counter(keys)
+    for k, n in truth.items():
+        assert est[k] >= n
+
+
+@settings(max_examples=10, deadline=None)
+@given(sketch_keys)
+def test_bloom_membership_property(spark, keys):
+    """Bloom one-sided error on arbitrary key sets: every member passes the
+    prefilter regardless of saturation."""
+    from artigraph_spark.operators.sketches import bloom_build, bloom_prefilter
+
+    members = spark.createDataFrame([(k,) for k in set(keys)], "k long")
+    probe = spark.createDataFrame([(k,) for k in range(0, 200)], "k long")
+    bits = bloom_build(members, "k", num_bits=128, num_hashes=3)
+    kept = {
+        r["k"]
+        for r in bloom_prefilter(probe, "k", bits, num_bits=128, num_hashes=3).collect()
+    }
+    assert {k for k in set(keys) if k < 200} <= kept
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=99.5, allow_nan=False), min_size=1, max_size=80
+    ),
+    st.sampled_from([0.25, 0.5, 0.9, 1.0]),
+)
+def test_histogram_quantile_rank_coverage_property(spark, values, q):
+    """Rank coverage on arbitrary in-range inputs: at least ceil(q·n) values
+    sit at or below the estimate."""
+    import math as _math
+
+    from artigraph_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    row = histogram_quantiles(df, "x", 0.0, 100.0, 8, [q]).collect()[0]
+    covered = sum(1 for v in values if v <= row["estimate"])
+    assert covered >= row["target_rank"]
+    assert row["target_rank"] == _math.ceil(q * len(values)) or q * len(values) == int(q * len(values))
+
+
+@settings(max_examples=8, deadline=None)
+@given(sketch_keys, sketch_keys)
+def test_hll_merge_equals_union_property(spark, a_keys, b_keys):
+    """Sketch-of-union == merge-of-sketches, exactly, for arbitrary splits."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.sketches import hll_estimate, hll_sketch
+
+    a = spark.createDataFrame([(k,) for k in a_keys], "k long")
+    b = spark.createDataFrame([(k,) for k in b_keys], "k long")
+    merged = (
+        hll_sketch(a, "k", m=64)
+        .unionByName(hll_sketch(b, "k", m=64))
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = hll_sketch(a.unionByName(b), "k", m=64)
+    em = hll_estimate(merged, m=64).collect()[0]["estimate"]
+    ew = hll_estimate(whole, m=64).collect()[0]["estimate"]
+    assert em == ew
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24), min_size=1, max_size=12
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_dedup_segments_conservation_property(spark, texts, k):
+    """Segment dedup conserves accounting on arbitrary corpora: per doc,
+    kept + removed == n_segments, and every surviving doc's text rebuilds
+    from a subset of its original segments in order."""
+    from artigraph_spark.operators.dedup import dedup_segments
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = dedup_segments(df, "doc_id", "text", seg_tokens=k)
+    rows = out.collect()
+    assert len(rows) == len(texts)  # no doc vanishes
+    for r in rows:
+        orig = texts[r["doc_id"]]
+        toks = orig.split(" ")
+        segs = [" ".join(toks[i : i + k]) for i in range(0, len(toks), k)]
+        kept = len(segs) - r["n_removed"]
+        assert r["n_segments"] == len(segs)
+        assert 0 <= kept <= len(segs)
+        # the rebuilt text is the in-order join of a subset of segments
+        if r["text"]:
+            rebuilt_segs = r["text"].split(" ")
+            # every rebuilt token appears in the original (multiset-wise subset)
+            from collections import Counter
+
+            assert not Counter(rebuilt_segs) - Counter(toks)
