@@ -91,3 +91,52 @@ def hourly_anomalies(
         .filter((F.col("sigma") > 0) & (F.abs(z) > F.lit(sigmas)))
         .select("event_type", "w", "n", F.round(z, 6).alias("zscore_r"))
     )
+
+
+def time_rollup(
+    e: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bits: int = 20,
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour → day → month
+    aggregates where each coarser level RE-AGGREGATES the finer level's
+    partials instead of rescanning the events — the continuous-aggregate
+    pattern. Counts re-sum exactly; the value sum is fixed-point (an exact
+    integer at every level), so hour partials roll into days and months
+    with zero drift: SUM(day) == SUM(hours of that day) bit-for-bit.
+
+    One data-sized shuffle (the hourly groupBy); the day and month levels
+    shuffle only the hourly/daily summary rows. Returns
+    (level, bucket_start, n, total_value_fx) for levels hour/day/month.
+    """
+    scale = float(1 << bits)
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col(value_col) * F.lit(scale)).cast("long")).alias("__fx"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", F.col("b")).alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("__fx").alias("__fx"))
+    )
+    monthly = (
+        daily.groupBy(F.date_trunc("month", F.col("b")).alias("b"))
+        .agg(F.sum("n").alias("n"), F.sum("__fx").alias("__fx"))
+    )
+
+    def _lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("level"),
+            F.col("b").alias("bucket_start"),
+            "n",
+            (F.col("__fx").cast("double") / F.lit(scale)).alias("total_value_fx"),
+        )
+
+    return (
+        _lvl(hourly, "hour")
+        .unionByName(_lvl(daily, "day"))
+        .unionByName(_lvl(monthly, "month"))
+    )

@@ -79,7 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_funnel", "cohort_retention", "count_min_contract",
     "anomaly_zscore_hours", "bloom_prefilter_contract",
     "quantile_sketch_contract", "hll_contract", "pagerank_copurchase",
-    "grouped_quantiles_events",
+    "grouped_quantiles_events", "rollup_time_hierarchy",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py); packing gained
     # integral-id validation + persist/unpersist and the shared n-gram
@@ -96,14 +96,13 @@ _PRIORITY: tuple[str, ...] = (
     # the streaming parity tests)
     "window_rank_family", "window_topk_per_group",
     "window_session", "window_gap_fill",
-    # r3-stale — refresh (TPC-H shapes)
+    # r3-stale — refresh (TPC-H shapes + similarity). NOTE: the 50-entry
+    # window ends at window_gap_fill above — everything from here down
+    # lands at positions 51+ and falls to r6 along with the rest of the
+    # displaced list (all r3-green, implementation unchanged); kept here so
+    # the r6 rotation starts from an honest ordering.
     "tpch_q3_shipping_priority", "tpch_q4_late_orders",
     "tpch_q9_nation_margin", "tpch_q10_returned_items",
-    # r3-stale — refresh (similarity / embeddings). NOTE: with the late
-    # additions the 50-entry window now ends at tpch_q3 — tpch_q4, tpch_q9,
-    # tpch_q10 and the cosine entries below land at positions 51-55 and
-    # fall to r6 along with the rest of the displaced list; kept here so
-    # the r6 rotation starts from an honest ordering.
     "cosine_topk", "cosine_topk_ivf_checked",
     # (cosine_topk_lsh_checked displaced to r6 — r3-green, unchanged)
     # (embedding_near_dup, join_asof, agg_approx displaced to r6 by the

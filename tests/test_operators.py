@@ -692,3 +692,27 @@ def test_grouped_histogram_quantiles_overflow_and_nulls(spark):
     out = {r["q"]: r for r in grouped_histogram_quantiles(df, "g", "x", 0.0, 100.0, 10, [0.5, 1.0]).collect()}
     assert out[0.5]["target_rank"] == 1 and out[0.5]["estimate"] == 10.0
     assert math.isinf(out[1.0]["estimate"])
+
+
+def test_time_rollup_levels_are_drift_free(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.timeseries import time_rollup
+
+    rows = [
+        (datetime.datetime(2024, 1, 1, h, m), 0.1 * (h + 1))
+        for h in range(5)
+        for m in (0, 30)
+    ] + [(datetime.datetime(2024, 2, 2, 3, 0), 7.25)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = time_rollup(df)
+    lv = {l: out.filter(F.col("level") == l) for l in ("hour", "day", "month")}
+    assert lv["hour"].count() == 6 and lv["day"].count() == 2 and lv["month"].count() == 2
+    # coarser levels re-aggregate finer partials with zero drift
+    for fine, coarse in (("hour", "day"), ("day", "month")):
+        fsum = lv[fine].agg(F.sum("n"), F.sum("total_value_fx")).collect()[0]
+        csum = lv[coarse].agg(F.sum("n"), F.sum("total_value_fx")).collect()[0]
+        assert fsum[0] == csum[0]
+        assert fsum[1] == csum[1]  # bit-identical fixed-point totals
