@@ -171,6 +171,24 @@ def bloom_prefilter(
     return df.join(passing, key_col, "left_semi")
 
 
+def _check_histogram_args(lo: float, hi: float, bins: int, quantiles: list[float]) -> None:
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    if not quantiles or any(q <= 0 or q > 1 for q in quantiles):
+        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+
+
+def _estimate_expr(bin_col, lo: float, hi: float, bins: int):
+    """Upper edge of the covering bin; the overflow bin reports an honest
+    +Infinity. One definition for the grouped and ungrouped sketches."""
+    width = (hi - lo) / bins
+    return F.when(bin_col >= bins, F.lit(float("inf"))).otherwise(
+        F.lit(lo) + (bin_col + 1) * F.lit(width)
+    )
+
+
 def _bin_index(x, lo: float, hi: float, bins: int):
     """Histogram bin for a value: clamp in double space BEFORE the int cast
     (never overflows under ANSI); values at/above hi go to the overflow
@@ -212,15 +230,9 @@ def histogram_quantiles(
     double product q·n; an oracle replaying this must also multiply in
     double (not decimal).
     """
-    if bins <= 0:
-        raise ValueError(f"bins must be positive, got {bins}")
-    if not quantiles or any(q <= 0 or q > 1 for q in quantiles):
-        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
-    if hi <= lo:
-        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    _check_histogram_args(lo, hi, bins, quantiles)
     from pyspark.sql import Window
 
-    width = (hi - lo) / bins
     x = F.col(col)
     idx = _bin_index(x, lo, hi, bins)
     # Spark orders NaN above every double (and NaN = NaN is true), so NaN
@@ -247,9 +259,7 @@ def histogram_quantiles(
         .select(
             "q",
             "target_rank",
-            F.when(F.col("__bin") >= bins, F.lit(float("inf")))
-            .otherwise(F.lit(lo) + (F.col("__bin") + 1) * F.lit(width))
-            .alias("estimate"),
+            _estimate_expr(F.col("__bin"), lo, hi, bins).alias("estimate"),
         )
     )
 
@@ -375,17 +385,18 @@ def grouped_histogram_quantiles(
     ≤bins+1 rows per group, and the rank probe joins summary-sized frames
     keyed on the group. Returns (group_col, q, target_rank, estimate).
     """
-    if bins <= 0:
-        raise ValueError(f"bins must be positive, got {bins}")
-    if not quantiles or any(q <= 0 or q > 1 for q in quantiles):
-        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
-    if hi <= lo:
-        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    _check_histogram_args(lo, hi, bins, quantiles)
     from pyspark.sql import Window
 
-    width = (hi - lo) / bins
     x = F.col(col)
-    clean = df.filter(x.isNotNull() & ~F.isnan(x.cast("double")))
+    # NULL-group rows would be counted into the histogram but dropped by
+    # the NULL-rejecting equi-join on the group key — exclude them up
+    # front so accepted data always yields estimates.
+    clean = df.filter(
+        F.col(group_col).isNotNull()
+        & x.isNotNull()
+        & ~F.isnan(x.cast("double"))
+    )
     hist = clean.groupBy(
         F.col(group_col), _bin_index(x, lo, hi, bins).alias("bin")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -412,8 +423,6 @@ def grouped_histogram_quantiles(
             group_col,
             "q",
             "target_rank",
-            F.when(F.col("__bin") >= bins, F.lit(float("inf")))
-            .otherwise(F.lit(lo) + (F.col("__bin") + 1) * F.lit(width))
-            .alias("estimate"),
+            _estimate_expr(F.col("__bin"), lo, hi, bins).alias("estimate"),
         )
     )

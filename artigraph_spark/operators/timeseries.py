@@ -102,20 +102,27 @@ def time_rollup(
     """Hypertable-style multi-granularity rollup: hour → day → month
     aggregates where each coarser level RE-AGGREGATES the finer level's
     partials instead of rescanning the events — the continuous-aggregate
-    pattern. Counts re-sum exactly; the value sum is fixed-point (an exact
-    integer at every level), so hour partials roll into days and months
-    with zero drift: SUM(day) == SUM(hours of that day) bit-for-bit.
+    pattern. Counts re-sum exactly; the value sum rides the shared
+    fixed-point encoding (``functions.fxp`` — an exact integer at every
+    level), so hour partials roll into days and months with zero drift:
+    SUM(day) == SUM(hours of that day) bit-for-bit. NULL/NaN values are
+    excluded up front (a NaN would otherwise crash the oracle's cast and
+    silently count as 0 in non-ANSI Spark).
 
     One data-sized shuffle (the hourly groupBy); the day and month levels
     shuffle only the hourly/daily summary rows. Returns
-    (level, bucket_start, n, total_value_fx) for levels hour/day/month.
+    (level, bucket_start, n, total_value) — total_value is the descaled
+    double, like the streaming totals — for levels hour/day/month.
     """
-    scale = float(1 << bits)
+    from artigraph_spark.functions import fxp
+
+    v = F.col(value_col)
+    clean = e.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
     hourly = (
-        e.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("b"))
+        clean.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("b"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col(value_col) * F.lit(scale)).cast("long")).alias("__fx"),
+            F.sum(fxp(value_col, bits)).alias("__fx"),
         )
     )
     daily = (
@@ -132,7 +139,9 @@ def time_rollup(
             F.lit(name).alias("level"),
             F.col("b").alias("bucket_start"),
             "n",
-            (F.col("__fx").cast("double") / F.lit(scale)).alias("total_value_fx"),
+            (F.col("__fx").cast("double") / F.lit(float(1 << bits))).alias(
+                "total_value"
+            ),
         )
 
     return (

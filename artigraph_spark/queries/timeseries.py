@@ -304,12 +304,13 @@ def anomaly_zscore_hours(spark, sf_dir):
 
 @query(
     "rollup_time_hierarchy",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
         SELECT time_bucket(INTERVAL '1 hour', ts) AS b,
                count(*) AS n,
-               SUM(CAST(floor(value * 1048576.0) AS BIGINT)) AS fx
-        FROM events GROUP BY 1
+               SUM(CAST(floor(value * {float(1 << 20)!r}) AS BIGINT)) AS fx
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1
     ), daily AS (
         SELECT time_bucket(INTERVAL '1 day', b) AS b, SUM(n) AS n, SUM(fx) AS fx
         FROM hourly GROUP BY 1
@@ -318,31 +319,33 @@ def anomaly_zscore_hours(spark, sf_dir):
         FROM daily GROUP BY 1
     )
     SELECT 'hour' AS level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
-           n, CAST(fx AS DOUBLE) / 1048576.0 AS total_value_fx
+           n, CAST(fx AS DOUBLE) / {float(1 << 20)!r} AS total_value
     FROM hourly
     UNION ALL
     SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), n,
-           CAST(fx AS DOUBLE) / 1048576.0
+           CAST(fx AS DOUBLE) / {float(1 << 20)!r}
     FROM daily
     UNION ALL
     SELECT 'month', strftime(b, '%Y-%m-%d %H:%M:%S'), n,
-           CAST(fx AS DOUBLE) / 1048576.0
+           CAST(fx AS DOUBLE) / {float(1 << 20)!r}
     FROM monthly
     """,
 )
 def rollup_time_hierarchy(spark, sf_dir):
     """Hypertable-style hour→day→month rollup where every coarser level
     re-aggregates the finer level's partials (continuous-aggregate
-    pattern, see ``operators.timeseries.time_rollup``). Fixed-point value
-    sums make the re-aggregation drift-free, so the oracle — which builds
-    its levels the same cascaded way — matches bit-for-bit."""
+    pattern, see ``operators.timeseries.time_rollup``). The shared
+    fixed-point encoding (2^20, ``functions.DEFAULT_BITS``) makes the
+    re-aggregation drift-free, so the oracle — which builds its levels the
+    same cascaded way at the same scale — matches bit-for-bit."""
+    from artigraph_spark.functions import DEFAULT_BITS
     from artigraph_spark.operators.timeseries import time_rollup
 
     e = load(spark, sf_dir, "events")
-    out = time_rollup(e)
+    out = time_rollup(e, bits=DEFAULT_BITS)
     return out.select(
         "level",
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
         "n",
-        "total_value_fx",
+        "total_value",
     )

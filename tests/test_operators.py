@@ -712,7 +712,7 @@ def test_time_rollup_levels_are_drift_free(spark):
     assert lv["hour"].count() == 6 and lv["day"].count() == 2 and lv["month"].count() == 2
     # coarser levels re-aggregate finer partials with zero drift
     for fine, coarse in (("hour", "day"), ("day", "month")):
-        fsum = lv[fine].agg(F.sum("n"), F.sum("total_value_fx")).collect()[0]
-        csum = lv[coarse].agg(F.sum("n"), F.sum("total_value_fx")).collect()[0]
+        fsum = lv[fine].agg(F.sum("n"), F.sum("total_value")).collect()[0]
+        csum = lv[coarse].agg(F.sum("n"), F.sum("total_value")).collect()[0]
         assert fsum[0] == csum[0]
         assert fsum[1] == csum[1]  # bit-identical fixed-point totals

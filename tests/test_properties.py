@@ -277,7 +277,7 @@ def test_histogram_quantile_rank_coverage_property(spark, values, q):
     row = histogram_quantiles(df, "x", 0.0, 100.0, 8, [q]).collect()[0]
     covered = sum(1 for v in values if v <= row["estimate"])
     assert covered >= row["target_rank"]
-    assert row["target_rank"] == _math.ceil(q * len(values)) or q * len(values) == int(q * len(values))
+    assert row["target_rank"] == _math.ceil(q * len(values))
 
 
 @settings(max_examples=8, deadline=None)
