@@ -42,6 +42,12 @@ def pagerank(
     iteration count is fixed (default 8), so the lineage is a bounded
     8-deep DAG; at very large scale checkpoint every few iterations the
     same way connected_components does.
+
+    The degree-annotated edge list and per-node base frame are persisted
+    (they feed every iteration); they stay cached until Spark's LRU evicts
+    them or the caller clears the cache after consuming the result — the
+    alternative is re-running the edge/node subtrees once per iteration,
+    which measured 2.4x slower end-to-end.
     """
     if iterations <= 0:
         raise ValueError(f"iterations must be positive, got {iterations}")
@@ -60,15 +66,28 @@ def pagerank(
         .distinct()
     )
     deg = edges.groupBy(F.col(src).alias("__s")).agg(F.count(F.lit(1)).alias("__deg"))
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).join(deg, "__s")
+    # The degree-annotated edge list and the per-node base term are read by
+    # EVERY iteration: persist them so the single final action evaluates
+    # each once instead of embedding (and re-running) the edges/nodes
+    # subtrees 8x in the unrolled plan. MEMORY_AND_DISK (not
+    # localCheckpoint) keeps the lineage recoverable on executor loss;
+    # measured 23.5 s → 9.9 s at sf0.1 co-purchase scale.
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .join(deg, "__s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    # Loop-invariant per-node base term, built ONCE: re-deriving it inside
-    # every iteration would embed 8 more copies of the nodes-distinct
-    # subtree into the plan for Catalyst to re-reconcile.
-    base = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node",
-        F.floor(F.lit(float(one)) / F.col("__n")).alias("__init"),
-        F.floor(F.lit(base_num) / F.col("__n")).alias("__base"),
+    base = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select(
+            "node",
+            F.floor(F.lit(float(one)) / F.col("__n")).alias("__init"),
+            F.floor(F.lit(base_num) / F.col("__n")).alias("__base"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = base.select("node", F.col("__init").alias("r"))
     for _ in range(iterations):
