@@ -116,3 +116,75 @@ def test_lsh_null_signature_columns_do_not_collide(spark):
     pairs2 = [(r["a"], r["b"]) for r in
               lsh_candidate_pairs(sigs2, "doc_id", num_hashes=2, bands=2).collect()]
     assert pairs2 == [(1, 2)]
+
+
+def test_cms_null_keys_do_not_crash_or_pollute(spark):
+    """NULL keys hash to NULL cells; builds must not crash and the NULL
+    bucket must not leak into real keys' estimates."""
+    from artigraph_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    df = spark.createDataFrame([(1,), (1,), (None,), (None,)], "k long")
+    sketch = count_min_sketch(df, "k", width=64, depth=3)
+    est = {
+        r["k"]: r["estimate"]
+        for r in cms_estimate(
+            sketch, df.filter(F.col("k").isNotNull()).distinct(), "k", width=64, depth=3
+        ).collect()
+    }
+    assert est[1] == 2
+
+
+def test_bloom_negative_keys_fold_safely(spark):
+    """Negative int64 keys must fold below 2^31 (pmod, not %) — no negative
+    bit positions, members still guaranteed to pass."""
+    from artigraph_spark.operators.sketches import bloom_build, bloom_prefilter
+
+    members = spark.createDataFrame([(-5,), (-9_223_372_036_854_775_000,)], "k long")
+    bits = bloom_build(members, "k", num_bits=256, num_hashes=3)
+    assert all(r["bit"] >= 0 for r in bits.collect())
+    kept = {
+        r["k"]
+        for r in bloom_prefilter(members, "k", bits, num_bits=256, num_hashes=3).collect()
+    }
+    assert kept == {-5, -9_223_372_036_854_775_000}
+
+
+def test_hll_negative_and_extreme_keys(spark):
+    """Extreme int64 keys run through fold + mixer without ANSI overflow."""
+    from artigraph_spark.operators.sketches import hll_estimate, hll_sketch
+
+    df = spark.createDataFrame(
+        [(-(1 << 62),), ((1 << 62),), (0,), (-1,)], "k long"
+    )
+    est = hll_estimate(hll_sketch(df, "k", m=64), m=64).collect()[0]["estimate"]
+    assert est is not None and est > 0
+
+
+def test_pagerank_self_loop_and_isolated_edge(spark):
+    """Self-loops are legal edges (node feeds itself); ranks stay positive
+    and bounded."""
+    from artigraph_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "a"), ("a", "b"), ("b", "a")], ["s", "d"])
+    r = {row["node"]: row["rank_fx"] for row in pagerank(edges, "s", "d", iterations=4).collect()}
+    assert set(r) == {"a", "b"} and all(v > 0 for v in r.values())
+    assert sum(r.values()) <= (1 << 30)
+
+
+def test_time_rollup_all_null_hour(spark):
+    """An hour whose values are all NULL/NaN vanishes (no rows survive the
+    guard) rather than reporting n>0 with a NULL total."""
+    import datetime
+
+    from artigraph_spark.operators.timeseries import time_rollup
+
+    df = spark.createDataFrame(
+        [
+            (datetime.datetime(2024, 1, 1, 1, 0), None),
+            (datetime.datetime(2024, 1, 1, 1, 30), float("nan")),
+            (datetime.datetime(2024, 1, 1, 2, 0), 1.5),
+        ],
+        "ts timestamp, value double",
+    )
+    rows = time_rollup(df).filter(F.col("level") == "hour").collect()
+    assert len(rows) == 1 and rows[0]["n"] == 1 and rows[0]["total_value"] is not None
