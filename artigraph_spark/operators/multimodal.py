@@ -105,6 +105,36 @@ def wav_bytes(channels: int, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
 
 
+def mp4_bytes(width: int, height: int, duration_ms: int = 1000) -> bytes:
+    """Minimal ISO-BMFF (MP4) skeleton: ftyp + moov(mvhd + trak(tkhd)) with
+    16.16 fixed-point track dimensions — the real box layout, no media data."""
+    import struct
+
+    def box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)  # version+flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+        + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 0)
+        + struct.pack(">IIII", 0, 0, 1, 0)  # ctime, mtime, track_id, reserved
+        + struct.pack(">I", duration_ms)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + b"\x00" * 36  # identity matrix slot (zeros fine for parsing)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a media table from a text fixture: payload = UTF-8 bytes, with
     typed metadata — the schema/partitioning shape of a real media lake."""
@@ -147,7 +177,8 @@ def parse_media_header(payload: bytes | None) -> dict[str, Any]:
     decoding any pixel/sample data.
 
     Recognizes PNG (IHDR), JPEG (SOF0/SOF2 family scan), GIF (logical screen
-    descriptor), and WAV (RIFF fmt chunk — channels/sample-rate in
+    descriptor), MP4 (ISO-BMFF box walk to trak/tkhd 16.16 dims), and WAV
+    (RIFF fmt chunk — channels/sample-rate in
     width/height slots is NOT meaningful, so WAV reports them as None and
     carries layout in ``channels``/``sample_rate``). Unknown or truncated
     payloads return all-None fields rather than raising — a 100 TB crawl
@@ -204,6 +235,34 @@ def parse_media_header(payload: bytes | None) -> dict[str, Any]:
         if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
             width, height = struct.unpack("<HH", payload[6:10])
             return {**none, "codec": "gif", "width": width, "height": height, "channels": 1}
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            # ISO-BMFF: walk top-level boxes to moov, then its children to
+            # trak/tkhd; track dims are 16.16 fixed-point at the box tail.
+            def _walk(lo: int, hi: int, want: bytes):
+                j = lo
+                while j + 8 <= hi:
+                    (size,) = struct.unpack(">I", payload[j : j + 4])
+                    if size < 8:
+                        return None
+                    if payload[j + 4 : j + 8] == want:
+                        return (j + 8, min(j + size, hi))
+                    j += size
+                return None
+
+            span = _walk(0, len(payload), b"moov")
+            if span:
+                trak = _walk(span[0], span[1], b"trak")
+                if trak:
+                    tkhd = _walk(trak[0], trak[1], b"tkhd")
+                    if tkhd and tkhd[1] - tkhd[0] >= 8:
+                        w16, h16 = struct.unpack(
+                            ">II", payload[tkhd[1] - 8 : tkhd[1]]
+                        )
+                        return {
+                            **none, "codec": "mp4",
+                            "width": w16 >> 16, "height": h16 >> 16,
+                        }
+            return {**none, "codec": "mp4"}
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             i = 12
             n = len(payload)
@@ -347,3 +406,81 @@ def frame_sample_stub(media: DataFrame, *, every_n: int = 10) -> DataFrame:
     return media.select(
         "media_id", F.explode(frames).alias("frame_no"), F.lit(every_n).alias("stride")
     )
+
+
+def synthesize_video(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic video fixture table: REAL minimal MP4 containers
+    (ftyp + moov/trak/tkhd) with id-derived dimensions and durations, in
+    MEDIA_SCHEMA shape. Built executor-side in mapInPandas like
+    `synthesize_media` — the driver never touches payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        mp4_bytes(
+                            (int(i) % 1280) + 16,
+                            (int(i) % 720) + 16,
+                            1000 + (int(i) % 60) * 500,
+                        )
+                        for i in ids
+                    ],
+                    "mime": ["video/mp4" for _ in ids],
+                    "meta": [{"source": "synthetic"} for _ in ids],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
+
+
+def sample_frames_stub(media: DataFrame, *, every_ms: int) -> DataFrame:
+    """Frame-sampling plumbing for video: emits the deterministic frame
+    timestamps a decoder would extract (duration/every_ms instants per
+    clip, parsed from the real container header) with ``frame=None`` —
+    actual pixel decode is decoder territory (no video libs in this
+    environment; the boundary is explicit, like `resize_stub`)."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+    import struct
+
+    def duration_ms(payload: bytes | None) -> int | None:
+        # mvhd v0: timescale/duration right after version+flags+times.
+        if not payload or len(payload) < 12 or payload[4:8] != b"ftyp":
+            return None
+        j = 0
+        while j + 8 <= len(payload):
+            (size,) = struct.unpack(">I", payload[j : j + 4])
+            if size < 8:
+                return None
+            if payload[j + 4 : j + 8] == b"moov":
+                k = j + 8
+                while k + 8 <= j + size:
+                    (s2,) = struct.unpack(">I", payload[k : k + 4])
+                    if s2 < 8:
+                        return None
+                    if payload[k + 4 : k + 8] == b"mvhd" and k + 28 <= len(payload):
+                        ts, dur = struct.unpack(">II", payload[k + 20 : k + 28])
+                        return int(dur * 1000 / ts) if ts else None
+                    k += s2
+                return None
+            j += size
+        return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_ts = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = duration_ms(payload)
+                if d is None:
+                    continue
+                for t in range(0, d, every_ms):
+                    out_ids.append(mid)
+                    out_ts.append(t)
+            yield pd.DataFrame({"media_id": out_ids, "frame_ms": out_ts})
+
+    return media.mapInPandas(run, "media_id long, frame_ms long")

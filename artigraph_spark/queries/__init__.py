@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "anomaly_zscore_hours", "bloom_prefilter_contract",
     "quantile_sketch_contract", "hll_contract", "pagerank_copurchase",
     "grouped_quantiles_events", "rollup_time_hierarchy",
+    "media_decode_mp4",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py); packing gained
     # integral-id validation + persist/unpersist and the shared n-gram
@@ -97,10 +98,10 @@ _PRIORITY: tuple[str, ...] = (
     "window_rank_family", "window_topk_per_group",
     "window_session", "window_gap_fill",
     # r3-stale — refresh (TPC-H shapes + similarity). NOTE: the 50-entry
-    # window ends at window_gap_fill above — everything from here down
-    # lands at positions 51+ and falls to r6 along with the rest of the
-    # displaced list (all r3-green, implementation unchanged); kept here so
-    # the r6 rotation starts from an honest ordering.
+    # window ends at window_session above — window_gap_fill and everything
+    # from here down land at positions 51+ and fall to r6 along with the
+    # rest of the displaced list (all r3-green, implementation unchanged);
+    # kept here so the r6 rotation starts from an honest ordering.
     "tpch_q3_shipping_priority", "tpch_q4_late_orders",
     "tpch_q9_nation_margin", "tpch_q10_returned_items",
     "cosine_topk", "cosine_topk_ivf_checked",

@@ -997,3 +997,41 @@ def incremental_dedup_checked(spark, sf_dir):
         "ref_id",
         F.coalesce("in_candidates", F.lit(False)).alias("in_candidates"),
     )
+
+
+@query(
+    "media_decode_mp4",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'mp4' AS codec,
+           CAST((doc_id % 1280) + 16 AS INTEGER) AS width,
+           CAST((doc_id % 720) + 16 AS INTEGER) AS height,
+           CAST(1000 + (doc_id % 60) * 500 AS BIGINT) AS duration_frames_10s
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def media_decode_mp4(spark, sf_dir):
+    """REAL video-container decoding: synthesize_video builds actual
+    ISO-BMFF MP4 boxes executor-side with id-derived dims and durations;
+    decode_media_headers walks the real box tree back (ftyp → moov → trak
+    → tkhd, 16.16 fixed-point dims), and the frame-sampling stub recovers
+    the mvhd duration as the frame-instant count at a 1-frame/ms-step
+    granularity proxy. The oracle predicts everything arithmetically — a
+    mismatch means the box walk failed to invert the container."""
+    from artigraph_spark.operators.multimodal import (
+        decode_media_headers,
+        sample_frames_stub,
+        synthesize_video,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = synthesize_video(d, "doc_id")
+    headers = decode_media_headers(media).select(
+        "media_id", "codec", "width", "height"
+    )
+    frames = (
+        sample_frames_stub(media, every_ms=1)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("duration_frames_10s"))
+    )
+    return headers.join(frames, "media_id")

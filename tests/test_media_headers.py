@@ -73,3 +73,44 @@ def test_binary_file_lake_to_decoded_headers(tmp_path, spark):
     assert rows["image/jpeg"]["height"] == 40
     assert rows["audio/wav"]["sample_rate"] == 16000
     assert rows["application/octet-stream"]["codec"] is None
+
+
+def test_mp4_roundtrip_and_truncation():
+    from artigraph_spark.operators.multimodal import mp4_bytes, parse_media_header
+
+    b = mp4_bytes(1920, 1080, duration_ms=42_000)
+    h = parse_media_header(b)
+    assert (h["codec"], h["width"], h["height"]) == ("mp4", 1920, 1080)
+    # truncated mid-box: codec recognized, dims honest None
+    t = parse_media_header(b[:20])
+    assert t["codec"] == "mp4" and t["width"] is None
+    # garbage after a valid ftyp magic: no crash
+    g = parse_media_header(b[:12] + b"\xff" * 8)
+    assert g["codec"] == "mp4"
+
+
+def test_frame_sampling_counts_follow_duration(spark):
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.multimodal import sample_frames_stub, synthesize_video
+
+    d = spark.range(4).select(F.col("id").alias("doc_id"))
+    media = synthesize_video(d, "doc_id")
+    frames = sample_frames_stub(media, every_ms=500)
+    counts = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # duration = 1000 + (id % 60)*500 ms → 500 ms sampling → 2 + id frames
+    assert counts == {0: 2, 1: 3, 2: 4, 3: 5}
+
+
+def test_frame_sampling_validates_step(spark):
+    import pytest as _pytest
+
+    from artigraph_spark.operators.multimodal import sample_frames_stub, synthesize_video
+    from pyspark.sql import functions as F
+
+    d = spark.range(1).select(F.col("id").alias("doc_id"))
+    with _pytest.raises(ValueError, match="every_ms"):
+        sample_frames_stub(synthesize_video(d, "doc_id"), every_ms=0)
