@@ -107,4 +107,14 @@ def pagerank(
                 ).alias("r"),
             )
         )
-    return ranks.select("node", F.col("r").alias("rank_fx"))
+    # Materialize the slim (node, rank) result, then RELEASE the two
+    # persisted loop frames — otherwise each pagerank() call leaks
+    # disk-backed cache blocks the caller has no handle to unpersist.
+    # localCheckpoint follows the connected_components precedent: the
+    # result is node-count-sized, its blocks are freed by the
+    # ContextCleaner once the returned frame is garbage-collected, and a
+    # lineage replay would re-run the whole loop anyway.
+    out = ranks.select("node", F.col("r").alias("rank_fx")).localCheckpoint()
+    e.unpersist()
+    base.unpersist()
+    return out

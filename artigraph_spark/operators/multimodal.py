@@ -172,6 +172,27 @@ _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 _JPEG_STANDALONE = {0x01, *range(0xD0, 0xD8)}
 
 
+def _walk_boxes(payload: bytes, lo: int, hi: int, want: bytes):
+    """Find an ISO-BMFF box by type inside [lo, hi): returns the PAYLOAD
+    span (start, end, complete) where ``complete`` is False when the box's
+    declared size overruns the buffer — callers must not read fixed-offset
+    fields from an incomplete box. Never reads past the buffer; malformed
+    sizes terminate the walk. ONE walker for header parsing and frame
+    sampling so truncation behavior cannot diverge."""
+    import struct
+
+    hi = min(hi, len(payload))
+    j = lo
+    while j + 8 <= hi:
+        (size,) = struct.unpack(">I", payload[j : j + 4])
+        if size < 8:
+            return None
+        if payload[j + 4 : j + 8] == want:
+            return (j + 8, min(j + size, hi), j + size <= hi)
+        j += size
+    return None
+
+
 def parse_media_header(payload: bytes | None) -> dict[str, Any]:
     """Pure-stdlib media header parse: container dimensions/layout WITHOUT
     decoding any pixel/sample data.
@@ -238,23 +259,15 @@ def parse_media_header(payload: bytes | None) -> dict[str, Any]:
         if len(payload) >= 12 and payload[4:8] == b"ftyp":
             # ISO-BMFF: walk top-level boxes to moov, then its children to
             # trak/tkhd; track dims are 16.16 fixed-point at the box tail.
-            def _walk(lo: int, hi: int, want: bytes):
-                j = lo
-                while j + 8 <= hi:
-                    (size,) = struct.unpack(">I", payload[j : j + 4])
-                    if size < 8:
-                        return None
-                    if payload[j + 4 : j + 8] == want:
-                        return (j + 8, min(j + size, hi))
-                    j += size
-                return None
-
-            span = _walk(0, len(payload), b"moov")
+            # Dims are read ONLY from a complete tkhd — a box truncated by
+            # the buffer would otherwise yield whatever bytes survived at
+            # the clamped tail as "dimensions".
+            span = _walk_boxes(payload, 0, len(payload), b"moov")
             if span:
-                trak = _walk(span[0], span[1], b"trak")
+                trak = _walk_boxes(payload, span[0], span[1], b"trak")
                 if trak:
-                    tkhd = _walk(trak[0], trak[1], b"tkhd")
-                    if tkhd and tkhd[1] - tkhd[0] >= 8:
+                    tkhd = _walk_boxes(payload, trak[0], trak[1], b"tkhd")
+                    if tkhd and tkhd[2] and tkhd[1] - tkhd[0] >= 84:
                         w16, h16 = struct.unpack(
                             ">II", payload[tkhd[1] - 8 : tkhd[1]]
                         )
@@ -438,38 +451,33 @@ def synthesize_video(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def sample_frames_stub(media: DataFrame, *, every_ms: int) -> DataFrame:
+def video_frame_instants(media: DataFrame, *, every_ms: int) -> DataFrame:
     """Frame-sampling plumbing for video: emits the deterministic frame
-    timestamps a decoder would extract (duration/every_ms instants per
-    clip, parsed from the real container header) with ``frame=None`` —
-    actual pixel decode is decoder territory (no video libs in this
-    environment; the boundary is explicit, like `resize_stub`)."""
+    timestamps a decoder would extract (one instant per ``every_ms`` of the
+    clip, duration parsed from the real container header) with no pixel
+    payload — actual frame decode is decoder territory (no video libs in
+    this environment; the boundary is explicit, like `resize_stub`).
+    Payloads whose header cannot be parsed are skipped, never raised on —
+    the shared `_walk_boxes` walker is bounds-safe on truncated boxes."""
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive, got {every_ms}")
     import struct
 
     def duration_ms(payload: bytes | None) -> int | None:
-        # mvhd v0: timescale/duration right after version+flags+times.
         if not payload or len(payload) < 12 or payload[4:8] != b"ftyp":
             return None
-        j = 0
-        while j + 8 <= len(payload):
-            (size,) = struct.unpack(">I", payload[j : j + 4])
-            if size < 8:
+        try:
+            span = _walk_boxes(payload, 0, len(payload), b"moov")
+            if not span:
                 return None
-            if payload[j + 4 : j + 8] == b"moov":
-                k = j + 8
-                while k + 8 <= j + size:
-                    (s2,) = struct.unpack(">I", payload[k : k + 4])
-                    if s2 < 8:
-                        return None
-                    if payload[k + 4 : k + 8] == b"mvhd" and k + 28 <= len(payload):
-                        ts, dur = struct.unpack(">II", payload[k + 20 : k + 28])
-                        return int(dur * 1000 / ts) if ts else None
-                    k += s2
+            mvhd = _walk_boxes(payload, span[0], span[1], b"mvhd")
+            # mvhd v0: timescale/duration sit 12 bytes into the payload.
+            if not mvhd or not mvhd[2] or mvhd[1] - mvhd[0] < 20:
                 return None
-            j += size
-        return None
+            ts, dur = struct.unpack(">II", payload[mvhd[0] + 12 : mvhd[0] + 20])
+            return int(dur * 1000 / ts) if ts else None
+        except struct.error:
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

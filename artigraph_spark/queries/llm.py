@@ -1006,7 +1006,7 @@ def incremental_dedup_checked(spark, sf_dir):
            'mp4' AS codec,
            CAST((doc_id % 1280) + 16 AS INTEGER) AS width,
            CAST((doc_id % 720) + 16 AS INTEGER) AS height,
-           CAST(1000 + (doc_id % 60) * 500 AS BIGINT) AS duration_frames_10s
+           CAST(2 + (doc_id % 60) AS BIGINT) AS n_frames
     FROM documents WHERE doc_id < 150
     """,
 )
@@ -1014,14 +1014,14 @@ def media_decode_mp4(spark, sf_dir):
     """REAL video-container decoding: synthesize_video builds actual
     ISO-BMFF MP4 boxes executor-side with id-derived dims and durations;
     decode_media_headers walks the real box tree back (ftyp → moov → trak
-    → tkhd, 16.16 fixed-point dims), and the frame-sampling stub recovers
-    the mvhd duration as the frame-instant count at a 1-frame/ms-step
-    granularity proxy. The oracle predicts everything arithmetically — a
+    → tkhd, 16.16 fixed-point dims), and video_frame_instants recovers the
+    mvhd duration as 500 ms frame instants (duration 1000 + (id%60)·500 →
+    2 + id%60 frames). The oracle predicts everything arithmetically — a
     mismatch means the box walk failed to invert the container."""
     from artigraph_spark.operators.multimodal import (
         decode_media_headers,
-        sample_frames_stub,
         synthesize_video,
+        video_frame_instants,
     )
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
@@ -1030,8 +1030,8 @@ def media_decode_mp4(spark, sf_dir):
         "media_id", "codec", "width", "height"
     )
     frames = (
-        sample_frames_stub(media, every_ms=1)
+        video_frame_instants(media, every_ms=500)
         .groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("duration_frames_10s"))
+        .agg(F.count(F.lit(1)).alias("n_frames"))
     )
     return headers.join(frames, "media_id")

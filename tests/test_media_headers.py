@@ -82,21 +82,48 @@ def test_mp4_roundtrip_and_truncation():
     h = parse_media_header(b)
     assert (h["codec"], h["width"], h["height"]) == ("mp4", 1920, 1080)
     # truncated mid-box: codec recognized, dims honest None
-    t = parse_media_header(b[:20])
-    assert t["codec"] == "mp4" and t["width"] is None
+    # truncation anywhere must yield honest None dims, never tail bytes
+    for cut in (4, 8, 20, len(b) - 20):
+        t = parse_media_header(b[:cut] if cut >= 20 else b[:-cut])
+        assert t["codec"] == "mp4" and t["width"] is None, cut
     # garbage after a valid ftyp magic: no crash
     g = parse_media_header(b[:12] + b"\xff" * 8)
     assert g["codec"] == "mp4"
 
 
+def test_mp4_oversized_moov_does_not_crash_sampler(spark):
+    """A moov whose declared size overruns the buffer (with a non-mvhd
+    child) previously drove the duration walk past the payload end —
+    struct.error out of mapInPandas. Now it degrades to zero frames."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.multimodal import MEDIA_SCHEMA, video_frame_instants
+
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    bad = (
+        box(b"ftyp", b"isom")
+        + struct.pack(">I", 300)
+        + b"moov"
+        + box(b"free", b"xx")
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(bad), "video/mp4", {})], MEDIA_SCHEMA
+    )
+    assert video_frame_instants(media, every_ms=500).count() == 0
+
+
 def test_frame_sampling_counts_follow_duration(spark):
     from pyspark.sql import functions as F
 
-    from artigraph_spark.operators.multimodal import sample_frames_stub, synthesize_video
+    from artigraph_spark.operators.multimodal import synthesize_video, video_frame_instants
 
     d = spark.range(4).select(F.col("id").alias("doc_id"))
     media = synthesize_video(d, "doc_id")
-    frames = sample_frames_stub(media, every_ms=500)
+    frames = video_frame_instants(media, every_ms=500)
     counts = {
         r["media_id"]: r["n"]
         for r in frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -108,9 +135,9 @@ def test_frame_sampling_counts_follow_duration(spark):
 def test_frame_sampling_validates_step(spark):
     import pytest as _pytest
 
-    from artigraph_spark.operators.multimodal import sample_frames_stub, synthesize_video
+    from artigraph_spark.operators.multimodal import synthesize_video, video_frame_instants
     from pyspark.sql import functions as F
 
     d = spark.range(1).select(F.col("id").alias("doc_id"))
     with _pytest.raises(ValueError, match="every_ms"):
-        sample_frames_stub(synthesize_video(d, "doc_id"), every_ms=0)
+        video_frame_instants(synthesize_video(d, "doc_id"), every_ms=0)
