@@ -1,9 +1,17 @@
-"""Multi-join analytic queries (TPC-H-flavored Q3/Q4/Q9/Q10 shapes).
+"""Multi-join analytic queries: the full TPC-H-flavored 22-query suite.
+
+All 22 TPC-H shapes are covered: Q1 is ``agg_pricing_summary``
+(queries/aggregates.py); Q3-Q10, Q13-Q15, Q17-Q19, Q22 are direct shapes
+here; Q2/Q11/Q16/Q20 are adapted to the fixture's schema (no partsupp
+table — observed (part, supplier) pairs from lineitem stand in) and
+Q12/Q21 derive lateness from ship-vs-order dates (no commit/receipt
+dates). Each docstring states its adaptation.
 
 The reference's users compose multi-artifact joins inside producers (e.g.
 ``docs/examples/spend/demo.py`` joins two artifacts then aggregates); these
-queries are the same pattern at warehouse scale: 3-to-5-way joins with
-selective filters, group-bys and deterministic top-k.
+queries are the same pattern at warehouse scale: 3-to-8-way joins with
+selective filters, group-bys, correlated subqueries and deterministic
+top-k.
 
 Plan notes (verified with .explain, see docs/PLANS.md):
   - nation/region are broadcast at every SF (truly bounded dims); part and
@@ -701,6 +709,358 @@ def tpch_q22_sales_opportunity(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             dsum("c_acctbal").alias("totacctbal_fx"),
         )
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH costs AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               min({oracle_fxp('l_extendedprice / l_quantity')}) AS cost_fx
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ), regional AS (
+        SELECT c.pk, c.sk, c.cost_fx, s.s_name, n.n_name
+        FROM costs c
+        JOIN supplier s ON s.s_suppkey = c.sk
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+    ), best AS (SELECT pk, min(cost_fx) AS best_fx FROM regional GROUP BY pk)
+    SELECT g.pk AS partkey, p.p_name AS part_name, g.sk AS suppkey,
+           g.s_name AS supp_name, g.n_name AS nation, g.cost_fx
+    FROM regional g
+    JOIN best b ON b.pk = g.pk AND b.best_fx = g.cost_fx
+    JOIN part p ON p.p_partkey = g.pk
+    WHERE p.p_type = 'LARGE' AND p.p_size <= 15
+    ORDER BY g.cost_fx ASC, partkey ASC, suppkey ASC
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape (adapted: the fixture has no partsupp table, so the observed
+    per-(part, supplier) minimum unit price from lineitem stands in for
+    ps_supplycost): for filtered parts, the Asian supplier(s) matching the
+    part's regional minimum cost — the classic correlated-MIN subquery,
+    decorrelated into a per-part aggregate joined back on (part, min).
+
+    Unit price is fixed-point (floor(price/qty · 2^20) as long) so the
+    min-equality join is exact on both engines. nation/region broadcast;
+    the per-(part, supplier) aggregate is one shuffle on the compound key
+    and the min-per-part re-aggregation reuses that partitioning. Top-100
+    runs as TakeOrderedAndProject over the total (cost, part, supp) order.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    costs = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(fxp(F.col("l_extendedprice") / F.col("l_quantity"))).alias("cost_fx"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    regional = (
+        costs.join(s, F.col("s_suppkey") == F.col("sk"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("pk", "sk", "cost_fx", "s_name", "n_name")
+    )
+    best = regional.groupBy("pk").agg(F.min("cost_fx").alias("best_fx"))
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 15)
+    )
+    return (
+        regional.join(
+            best.withColumnRenamed("pk", "__bp"),
+            (F.col("__bp") == F.col("pk")) & (F.col("best_fx") == F.col("cost_fx")),
+        )
+        .join(p, F.col("p_partkey") == F.col("pk"))
+        .select(
+            F.col("pk").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("sk").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            "cost_fx",
+        )
+        .orderBy(F.col("cost_fx").asc(), F.col("partkey").asc(), F.col("suppkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH val AS (
+        SELECT l.l_partkey AS partkey,
+               SUM({oracle_fxp('l.l_extendedprice')}) AS value_fx
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_nationkey = 7
+        GROUP BY l.l_partkey
+    )
+    SELECT val.partkey, val.value_fx
+    FROM val, (SELECT SUM(value_fx) AS tot FROM val) t
+    WHERE val.value_fx * 1000 > t.tot
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11 shape (adapted: shipped line value per part for one nation's
+    suppliers stands in for partsupp stock value): parts whose share of the
+    nation's total value exceeds 0.1% — a grouped aggregate HAVING against
+    a global scalar over the *same* aggregate.
+
+    The threshold compares integers (value_fx · 1000 > Σ value_fx), so the
+    cut is exact — no float-share boundary rows. The global total is a
+    single-row aggregate of the per-part frame broadcast back over it; the
+    fact scans lineitem once (the per-part agg is reused for both sides of
+    the comparison via the broadcast, not recomputed).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    val = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(fxp("l_extendedprice")).alias("value_fx"))
+    )
+    tot = val.agg(F.sum("value_fx").alias("tot"))
+    return val.crossJoin(F.broadcast(tot)).filter(
+        F.col("value_fx") * 1000 > F.col("tot")
+    ).select("partkey", "value_fx")
+
+
+@query(
+    "tpch_q12_late_lines_by_status",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    ORDER BY linestatus
+    """,
+)
+def tpch_q12_late_lines_by_status(spark, sf_dir):
+    """Q12 shape (adapted: the fixture has no ship mode or commit/receipt
+    dates, so linestatus buckets lines shipped >60 days after the order
+    date): conditional split-counting of high- vs low-priority orders per
+    bucket — the CASE-inside-SUM pivot pattern.
+
+    The lateness predicate is a cross-table comparison, so it evaluates
+    post-join in codegen (it cannot push into either scan); the join
+    shuffles both facts on the order key with AQE and the 2-group final
+    aggregate is a broadcast-sized result.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+@query(
+    "tpch_q16_supplier_relationships",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS ptype, p.p_size AS psize,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'STANDARD'
+      AND p.p_size IN (5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_relationships(spark, sf_dir):
+    """Q16 shape (adapted: distinct (part, supplier) pairs observed in
+    lineitem stand in for partsupp; negative account balance stands in for
+    the complaints-comment exclusion): how many suppliers can serve each
+    (brand, type, size) combination, excluding flagged suppliers.
+
+    The pair-distinct collapses lineitem once on the compound key before
+    the dimension join; the NOT IN is an anti-join against a
+    broadcast-sized flagged-supplier list (s_suppkey is non-null in both
+    engines, so anti-join and NOT IN agree). Brand/type/size predicates
+    push into the part scan.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "STANDARD")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35)
+    )
+    flagged = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("__fk"))
+    )
+    return (
+        li.join(F.broadcast(flagged), F.col("l_suppkey") == F.col("__fk"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("ptype"),
+            F.col("p_size").alias("psize"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l.l_suppkey AS sk, l.l_partkey AS pk,
+               SUM(CAST(l.l_quantity AS BIGINT)) AS sq
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'PROMO'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ), tot AS (SELECT pk, SUM(sq) AS tq FROM shipped GROUP BY pk)
+    SELECT su.s_suppkey AS suppkey, su.s_name AS supp_name, n.n_name AS nation
+    FROM (
+        SELECT DISTINCT s.sk FROM shipped s
+        JOIN tot t ON t.pk = s.pk
+        WHERE 10 * s.sq > 3 * t.tq
+    ) q
+    JOIN supplier su ON su.s_suppkey = q.sk
+    JOIN nation n ON n.n_nationkey = su.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+    """,
+)
+def tpch_q20_excess_suppliers(spark, sf_dir):
+    """Q20 shape (adapted: a supplier "holds excess" of a part when it
+    shipped >30% of that part's 1997 volume of PROMO parts — the fixture
+    has no ps_availqty): European suppliers dominating any filtered part —
+    a nested aggregate (per-pair, then per-part totals) gating a semi-join
+    into the supplier dimension.
+
+    The share threshold is integer math on BIGINT quantity sums (10·sq >
+    3·tq) — exact in both engines. The per-part total re-aggregates the
+    per-pair frame (same shuffle key prefix), and the qualifying-supplier
+    set is distinct-collapsed before the tiny dimension joins, so the fact
+    is scanned once.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    shipped = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+    )
+    tot = shipped.groupBy(F.col("pk").alias("__tp")).agg(F.sum("sq").alias("tq"))
+    qualifying = (
+        shipped.join(tot, F.col("__tp") == F.col("pk"))
+        .filter(10 * F.col("sq") > 3 * F.col("tq"))
+        .select("sk")
+        .distinct()
+    )
+    su = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        qualifying.join(su, F.col("s_suppkey") == F.col("sk"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_waiting_orders",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+    )
+    SELECT s.s_name AS supp_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM late l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, supp_name ASC
+    LIMIT 100
+    """,
+)
+def tpch_q21_waiting_orders(spark, sf_dir):
+    """Q21 shape (adapted: "late" is shipping >45 days after the order date
+    — the fixture has no commit/receipt dates): European suppliers who
+    were the *sole* late supplier on finalized multi-supplier orders. The
+    EXISTS/NOT-EXISTS pair becomes a left-semi join (another supplier
+    participated) stacked on a left-anti join (no other supplier was
+    late), both on the order key with a supplier-inequality residual.
+
+    The late set is computed once and reused for the outer frame and the
+    anti side. Both semi/anti joins shuffle on the order key; the
+    supplier-side dims broadcast. Top-100 over (numwait desc, name) is
+    total because supplier names are unique.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3")
+    )
+    sole_late = late.join(
+        other,
+        (F.col("__ok2") == F.col("l_orderkey")) & (F.col("__sk2") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        other_late,
+        (F.col("__ok3") == F.col("l_orderkey")) & (F.col("__sk3") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        sole_late.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("s_name").alias("supp_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("supp_name").asc())
+        .limit(100)
     )
 
 

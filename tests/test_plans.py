@@ -220,3 +220,43 @@ def test_incremental_dedup_anti_join_on_digest(spark, qs):
     plan = P.physical_plan(df, "simple")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q2_min_cost_is_take_ordered_no_cartesian(spark, qs):
+    """Q2's top-100 must run as TakeOrderedAndProject (no global sort
+    materializes) and the min-equality join plans as an equi-join."""
+    df = qs["tpch_q2_min_cost_supplier"](spark, SF)
+    assert P.has_node(df, "TakeOrderedAndProject")
+    plan = P.physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_anti_join_and_part_pushdown(spark, qs):
+    """Q16's NOT-IN plans as a broadcast anti-join and the brand/size
+    predicates reach the part scan."""
+    df = qs["tpch_q16_supplier_relationships"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    filters = " ".join(P.pushed_filters(df))
+    assert "p_size" in filters and "p_brand" in filters
+
+
+def test_q21_semi_anti_stack_no_explosion(spark, qs):
+    """Q21's EXISTS/NOT-EXISTS pair plans as semi+anti joins on the order
+    key — never a nested-loop product (the supplier inequality must ride
+    as a join residual, not a post-product filter)."""
+    df = qs["tpch_q21_waiting_orders"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_share_threshold_is_integer_join(spark, qs):
+    """Q20's nested aggregate gates a distinct-collapsed semi path; no
+    cartesian anywhere and the PROMO/date filters push into their scans."""
+    df = qs["tpch_q20_excess_suppliers"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    filters = " ".join(P.pushed_filters(df))
+    assert "l_shipdate" in filters and "p_type" in filters
