@@ -105,11 +105,10 @@ _PRIORITY: tuple[str, ...] = (
     "pack_sequences", "pack_sequences_by_lang", "benchmark_contamination",
     "window_rank_family", "window_topk_per_group",
     "window_session", "window_gap_fill",
-    # r3-stale — refresh (TPC-H shapes + similarity). NOTE: the 50-entry
-    # window ends at window_session above — window_gap_fill and everything
-    # from here down land at positions 51+ and fall to r6 along with the
-    # rest of the displaced list (all r3-green, implementation unchanged);
-    # kept here so the r6 rotation starts from an honest ordering.
+    # r3-stale — everything from here down also lands at positions 51+
+    # (past the 50-entry window marked above) and falls to r6 (all
+    # r3-green, implementation unchanged); kept here so the r6 rotation
+    # starts from an honest ordering.
     "tpch_q3_shipping_priority", "tpch_q4_late_orders",
     "tpch_q9_nation_margin", "tpch_q10_returned_items",
     "cosine_topk", "cosine_topk_ivf_checked",
