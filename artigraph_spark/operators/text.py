@@ -453,3 +453,70 @@ def redact_pii(
     for _name, pat, repl in patterns or PII_PATTERNS:
         text = F.regexp_replace(text, pat, repl)
     return text
+
+
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 200,
+) -> DataFrame:
+    """Corpus-level collocation extraction: the ``top_k`` adjacent word
+    pairs by pointwise mutual information, ``pmi = ln(p(w1,w2) /
+    (p(w1)·p(w2)))``, among pairs seen at least ``min_count`` times. High
+    PMI marks multiword units ("new york", "machine learning") — the
+    standard signal for tokenizer-vocabulary curation and phrase mining
+    over a pre-training corpus.
+
+    Returns ``(w1, w2, pair_count, pmi_r)`` with PMI rounded to 6 places;
+    ties at the top-k boundary break on (w1, w2), so the cut is total.
+
+    Scale: two corpus aggregates (unigram and bigram counts — each one
+    shuffle with map-side combine), two vocabulary-keyed equi-joins to
+    attach the marginals, broadcast single-row totals, and a TakeOrdered
+    top-k. Never all-pairs: only OBSERVED bigrams are scored, and the
+    ``min_count`` filter drops the hapax tail before the joins. The PMI
+    ratio divides doubles in a fixed shape ((bc/N2) / ((c1/N1)·(c2/N1)))
+    so engines agree bit-for-bit before rounding.
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("__w"))
+        .groupBy("__w")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    n_uni = uni.agg(F.sum("__c").cast("long").alias("__nu"))
+    bgc = (
+        toks.select(F.explode(ngrams_from_tokens(F.col("__t"), 2)).alias("__bg"))
+        .groupBy("__bg")
+        .agg(F.count("*").cast("long").alias("__bc"))
+    )
+    n_big = bgc.agg(F.sum("__bc").cast("long").alias("__nb"))
+    pair = bgc.filter(F.col("__bc") >= min_count).select(
+        F.element_at(F.split("__bg", " "), 1).alias("w1"),
+        F.element_at(F.split("__bg", " "), 2).alias("w2"),
+        F.col("__bc"),
+    )
+    u1 = uni.select(F.col("__w").alias("__w1k"), F.col("__c").alias("__c1"))
+    u2 = uni.select(F.col("__w").alias("__w2k"), F.col("__c").alias("__c2"))
+    pmi = F.log(
+        (F.col("__bc").cast("double") / F.col("__nb"))
+        / (
+            (F.col("__c1").cast("double") / F.col("__nu"))
+            * (F.col("__c2").cast("double") / F.col("__nu"))
+        )
+    )
+    return (
+        pair.join(u1, F.col("__w1k") == F.col("w1"))
+        .join(u2, F.col("__w2k") == F.col("w2"))
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            F.col("__bc").alias("pair_count"),
+            F.round(pmi, 6).alias("pmi_r"),
+        )
+        .orderBy(F.col("pmi_r").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+    )

@@ -82,10 +82,11 @@ _PRIORITY: tuple[str, ...] = (
     "grouped_quantiles_events", "rollup_time_hierarchy",
     "media_decode_mp4",
     # NEW r5 (final additions): the six remaining TPC-H shapes, completing
-    # the 22-query suite — first driver rows
+    # the 22-query suite, plus PMI collocation mining — first driver rows
     "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
     "tpch_q12_late_lines_by_status", "tpch_q16_supplier_relationships",
     "tpch_q20_excess_suppliers", "tpch_q21_waiting_orders",
+    "collocation_pmi",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py). (The packing
     # trio — pack_sequences, pack_sequences_by_lang,
@@ -97,8 +98,11 @@ _PRIORITY: tuple[str, ...] = (
     # r1-stale — last driver row four rounds ago
     "range_source", "describe_summary", "calendar_functions",
     "union_by_name_missing", "literal_inline_table", "explode_tokens",
-    "map_explode", "in_subquery_sql", "unpivot_stack",
-    # ---- 50-entry window ends here (unpivot_stack is position 50) ----
+    "map_explode", "in_subquery_sql",
+    # ---- 50-entry window ends here (in_subquery_sql is position 50;
+    # unpivot_stack fell to 51 when collocation_pmi entered — new queries
+    # outrank stale refreshes per the rotation protocol) ----
+    "unpivot_stack",
     # Displaced to r6 (all green in r3/r4 windows; kept in honest order
     # for the r6 rotation): the changed packing trio, then the windows
     # family (r3-green, unchanged, also covered by streaming parity tests).

@@ -543,3 +543,34 @@ def split_corpus_q(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return split_corpus(d, F.col("doc_id")).select("doc_id", "source", "split")
+
+
+@query(
+    "collocation_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    uni AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+    nuni AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+           FROM toks, UNNEST(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+    bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc FROM bg GROUP BY w1, w2),
+    nbig AS (SELECT CAST(sum(bc) AS BIGINT) AS n FROM bgc)
+    SELECT bgc.w1, bgc.w2, bc AS pair_count,
+           round(ln((CAST(bc AS DOUBLE) / nbig.n) /
+                    ((CAST(u1.c AS DOUBLE) / nuni.n) *
+                     (CAST(u2.c AS DOUBLE) / nuni.n))), 6) AS pmi_r
+    FROM bgc JOIN uni u1 ON u1.w = bgc.w1 JOIN uni u2 ON u2.w = bgc.w2, nuni, nbig
+    WHERE bc >= 5
+    ORDER BY pmi_r DESC, bgc.w1 ASC, bgc.w2 ASC
+    LIMIT 200
+    """,
+)
+def collocation_pmi_q(spark, sf_dir):
+    """Top-200 adjacent-word collocations by pointwise mutual information
+    (pairs seen >= 5 times) — phrase mining for tokenizer-vocabulary
+    curation."""
+    from artigraph_spark.operators.text import collocation_pmi
+
+    d = load(spark, sf_dir, "documents")
+    return collocation_pmi(d, "text", min_count=5, top_k=200)

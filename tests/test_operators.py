@@ -716,3 +716,49 @@ def test_time_rollup_levels_are_drift_free(spark):
         csum = lv[coarse].agg(F.sum("n"), F.sum("total_value")).collect()[0]
         assert fsum[0] == csum[0]
         assert fsum[1] == csum[1]  # bit-identical fixed-point totals
+
+
+def test_collocation_pmi_exact_math(spark):
+    import math
+
+    from artigraph_spark.operators.text import collocation_pmi
+
+    # "a b" ×3 and "c d" ×2 are the only repeated bigrams; doc 3 is a
+    # single token (no bigram), doc 4 empty.
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "c d c d"),
+            (3, "e"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = collocation_pmi(df, "text", min_count=2, top_k=10).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    assert ("a", "b") in got and ("c", "d") in got
+    # corpus: unigrams a×3 b×3 c×2 d×2 e×1 → N1=11; bigrams from doc1: 5
+    # ("a b"×3, "b a"×2), doc2: 3 ("c d"×2, "d c"×1) → N2=8
+    ab = got[("a", "b")]
+    assert ab["pair_count"] == 3
+    expect = round(math.log((3 / 8) / ((3 / 11) * (3 / 11))), 6)
+    assert ab["pmi_r"] == expect
+    cd = got[("c", "d")]
+    assert cd["pair_count"] == 2
+    expect_cd = round(math.log((2 / 8) / ((2 / 11) * (2 / 11))), 6)
+    assert cd["pmi_r"] == expect_cd
+    # "b a" ×2 also qualifies; min_count prunes the once-seen "d c"
+    ba = got[("b", "a")]
+    assert ba["pair_count"] == 2
+    assert ba["pmi_r"] == round(math.log((2 / 8) / ((3 / 11) * (3 / 11))), 6)
+    assert set(got) == {("a", "b"), ("b", "a"), ("c", "d")}
+
+
+def test_collocation_pmi_empty_and_tiny_corpus(spark):
+    from artigraph_spark.operators.text import collocation_pmi
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert collocation_pmi(empty, "text").collect() == []
+    # no bigram reaches min_count → empty, not an error
+    tiny = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    assert collocation_pmi(tiny, "text", min_count=2).collect() == []

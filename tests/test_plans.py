@@ -260,3 +260,13 @@ def test_q20_share_threshold_is_integer_join(spark, qs):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     filters = " ".join(P.pushed_filters(df))
     assert "l_shipdate" in filters and "p_type" in filters
+
+
+def test_collocation_pmi_topk_no_cartesian(spark, qs):
+    """PMI scores only OBSERVED bigrams (vocabulary-keyed hash joins); the
+    two corpus totals ride broadcast 1-row cross joins and the top-k runs
+    as TakeOrderedAndProject — never a real cartesian."""
+    df = qs["collocation_pmi"](spark, SF)
+    assert P.has_node(df, "TakeOrderedAndProject")
+    plan = P.physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan
