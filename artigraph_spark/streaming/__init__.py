@@ -428,3 +428,45 @@ def stream_to_partitioned_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_time: str,
+    right_time: str,
+    upper: str = "10 minutes",
+    watermark: str = "10 minutes",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: pair rows sharing
+    ``key`` where the right event lands strictly after the left one and
+    within ``upper`` of it — the enrichment shape ("purchase within 10
+    minutes of the click"). Works identically on batch frames, so
+    stream/batch parity is testable with the same call.
+
+    On streaming inputs both sides get ``withWatermark``; together with
+    the two-sided time-range condition this lets Spark's symmetric hash
+    join evict state once the watermark passes ``upper`` — per-key state
+    is bounded by (arrival rate × horizon), never unbounded. The join
+    shuffles both sides on ``key``; the time bounds ride as a join-range
+    residual, not a post-join filter.
+
+    The caller must ensure the two sides' column names don't collide
+    (other than ``key``) — alias before calling, as with any self-join.
+    """
+    if join_type not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported interval join type {join_type!r}")
+    lt, rt = F.col(left_time), F.col(right_time)
+    if left.isStreaming:
+        left = left.withWatermark(left_time, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_time, watermark)
+    cond = (
+        (left[key] == right[key])
+        & (rt > lt)
+        & (rt <= lt + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(right, cond, join_type).drop(right[key])
