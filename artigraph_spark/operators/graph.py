@@ -118,3 +118,68 @@ def pagerank(
     e.unpersist()
     base.unpersist()
     return out
+
+
+def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Per-node triangle counts over an undirected graph, returned as
+    ``(node, n_triangles)`` for nodes in at least one triangle. Input
+    edges may be directed/duplicated/self-looped — they are canonicalized
+    (least/greatest, dedup, self-loops dropped) first.
+
+    Scale shape — degree-ordered wedge enumeration, the standard
+    distributed algorithm: orient every edge from its lower-(degree, id)
+    endpoint to the higher one, enumerate wedges by self-joining oriented
+    edges on the center, and close each wedge with an equi-join back to
+    the oriented list. Orientation bounds every node's out-degree by
+    O(√E), so wedge volume is O(E^1.5) even on skewed (power-law) graphs
+    — never the Θ(Σ deg²) of naive neighbor pairing, and each triangle is
+    found exactly once (at its minimum-order vertex, no ÷3 fixup). All
+    three steps are equi-joins keyed on node ids (the order comparison
+    rides as a join residual); counts are exact integers, so any engine
+    agrees with any enumeration order.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("__na"), F.col("d").alias("__da")),
+        F.col("__na") == F.col("a"),
+    ).join(
+        deg.select(F.col("n").alias("__nb"), F.col("d").alias("__db")),
+        F.col("__nb") == F.col("b"),
+    )
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(
+            a_first, F.struct(F.col("__db").alias("d"), F.col("b").alias("n"))
+        )
+        .otherwise(F.struct(F.col("__da").alias("d"), F.col("a").alias("n")))
+        .alias("ordv"),
+    )
+    o1 = o.select("u", F.col("v").alias("v1"), F.col("ordv").alias("ord1"))
+    o2 = o.select(F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("ordv").alias("ord2"))
+    wedges = o1.join(o2, (F.col("u2") == F.col("u")) & (F.col("ord1") < F.col("ord2")))
+    closing = o.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    tri = wedges.join(
+        closing, (F.col("cu") == F.col("v1")) & (F.col("cv") == F.col("v2"))
+    )
+    return (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )

@@ -1136,3 +1136,59 @@ def pagerank_copurchase(spark, sf_dir):
     return pagerank(edges, "s", "d", iterations=8, damping=0.85, bits=30).select(
         "node", "rank_fx"
     )
+
+
+@query(
+    "triangle_counts_copurchase",
+    oracle="""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (
+        SELECT a.ck AS s1, b.ck AS s2
+        FROM cp a JOIN cp b ON a.pk = b.pk AND a.ck < b.ck
+        GROUP BY a.ck, b.ck HAVING count(*) >= 4
+    ),
+    tri AS (
+        SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+        FROM e e1
+        JOIN e e2 ON e2.s1 = e1.s2
+        JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    GROUP BY node
+    """,
+)
+def triangle_counts_copurchase(spark, sf_dir):
+    """Per-customer triangle counts over the co-purchase similarity graph
+    (customers linked when they bought >= 4 common parts) — the clustering
+    -coefficient numerator, a community-density signal. The engine runs
+    degree-ordered wedge enumeration (each triangle found once at its
+    minimum-order vertex, O(E^1.5) wedge volume); the oracle's naive
+    ordered 3-way self-join finds the identical triangle set, so the
+    exact integer counts must agree.
+    """
+    from artigraph_spark.operators.graph import triangle_counts
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    c2 = cp.select(F.col("ck").alias("ck2"), F.col("pk").alias("pk2"))
+    pairs = (
+        cp.join(c2, (F.col("pk2") == F.col("pk")) & (F.col("ck") < F.col("ck2")))
+        .groupBy(F.col("ck").alias("s1"), F.col("ck2").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= 4)
+        .select("s1", "s2")
+    )
+    return triangle_counts(pairs, "s1", "s2")

@@ -762,3 +762,23 @@ def test_collocation_pmi_empty_and_tiny_corpus(spark):
     # no bigram reaches min_count → empty, not an error
     tiny = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
     assert collocation_pmi(tiny, "text", min_count=2).collect() == []
+
+
+def test_triangle_counts_exact_small_graph(spark):
+    from artigraph_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} plus pendant 5: C(4,3)=4 triangles, each K4 vertex
+    # in 3 of them; messy input (duplicates, both directions, self-loop).
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges += [(1, 1), (4, 5), (2, 1)]
+    df = spark.createDataFrame(edges, "s long, d long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df, "s", "d").collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # pendant 5 absent
+
+
+def test_triangle_counts_triangle_free_graph(spark):
+    from artigraph_spark.operators.graph import triangle_counts
+
+    # 4-cycle: no triangles
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], "s long, d long")
+    assert triangle_counts(df, "s", "d").collect() == []

@@ -270,3 +270,10 @@ def test_collocation_pmi_topk_no_cartesian(spark, qs):
     assert P.has_node(df, "TakeOrderedAndProject")
     plan = P.physical_plan(df, "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_counts_equi_joins_only(spark, qs):
+    """Wedge enumeration and closure must plan as hash equi-joins (the
+    order comparison rides as a residual) — never a nested-loop product."""
+    plan = P.physical_plan(qs["triangle_counts_copurchase"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
