@@ -120,7 +120,9 @@ def pagerank(
     return out
 
 
-def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, src: str, dst: str, *, materialize: bool = True
+) -> DataFrame:
     """Per-node triangle counts over an undirected graph, returned as
     ``(node, n_triangles)`` for nodes in at least one triangle. Input
     edges may be directed/duplicated/self-looped — they are canonicalized
@@ -137,7 +139,20 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
     three steps are equi-joins keyed on node ids (the order comparison
     rides as a join residual); counts are exact integers, so any engine
     agrees with any enumeration order.
+
+    With ``materialize=True`` (default) the canonical edge list and the
+    oriented list are persisted for the duration of the computation (the
+    oriented list is referenced three times — both wedge sides and the
+    closure — and the edge list feeds both the degree aggregate and the
+    orientation join; without the persists each reference re-runs the
+    upstream scan+distinct), then released pagerank-style: the slim
+    per-node result is localCheckpointed so the caller holds no lineage
+    into the freed frames. ``materialize=False`` returns the fully lazy
+    plan instead (re-execution cost and all) — for plan inspection or
+    embedding in a larger optimized query.
     """
+    from pyspark import StorageLevel
+
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -146,6 +161,8 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if materialize:
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -171,6 +188,8 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .otherwise(F.struct(F.col("__da").alias("d"), F.col("a").alias("n")))
         .alias("ordv"),
     )
+    if materialize:
+        o = o.persist(StorageLevel.MEMORY_AND_DISK)
     o1 = o.select("u", F.col("v").alias("v1"), F.col("ordv").alias("ord1"))
     o2 = o.select(F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("ordv").alias("ord2"))
     wedges = o1.join(o2, (F.col("u2") == F.col("u")) & (F.col("ord1") < F.col("ord2")))
@@ -178,8 +197,14 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
     tri = wedges.join(
         closing, (F.col("cu") == F.col("v1")) & (F.col("cv") == F.col("v2"))
     )
-    return (
+    counts = (
         tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+    if not materialize:
+        return counts
+    out = counts.localCheckpoint()
+    e.unpersist()
+    o.unpersist()
+    return out

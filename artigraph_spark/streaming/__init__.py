@@ -454,16 +454,20 @@ def interval_join(
     shuffles both sides on ``key``; the time bounds ride as a join-range
     residual, not a post-join filter.
 
-    The caller must ensure the two sides' column names don't collide
-    (other than ``key``) — alias before calling, as with any self-join.
+    ``key`` and the two time columns are frame-qualified internally, so
+    they may share names across the sides; any OTHER shared column names
+    survive into the output ambiguously — alias those before calling, as
+    with any self-join.
     """
     if join_type not in ("inner", "leftOuter"):
         raise ValueError(f"unsupported interval join type {join_type!r}")
-    lt, rt = F.col(left_time), F.col(right_time)
     if left.isStreaming:
         left = left.withWatermark(left_time, watermark)
     if right.isStreaming:
         right = right.withWatermark(right_time, watermark)
+    # frame-qualified references (left[...]/right[...]), so key and time
+    # columns may share names across the two sides without ambiguity
+    lt, rt = left[left_time], right[right_time]
     cond = (
         (left[key] == right[key])
         & (rt > lt)

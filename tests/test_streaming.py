@@ -556,3 +556,18 @@ def test_interval_join_rejects_unknown_type(spark):
             lb, rb, key="user_id", left_time="l_ts", right_time="r_ts",
             join_type="fullOuter",
         )
+
+
+def test_interval_join_allows_shared_time_column_name(spark):
+    """key and time columns are frame-qualified internally, so both sides
+    may call their time column the same thing."""
+    from pyspark.sql import functions as F
+
+    l = spark.createDataFrame([(1, 100)], "k long, ts long").select(
+        "k", F.timestamp_seconds("ts").alias("ts")
+    )
+    r = spark.createDataFrame([(1, 150), (1, 5000)], "k long, ts long").select(
+        "k", F.timestamp_seconds("ts").alias("ts")
+    )
+    out = stx.interval_join(l, r, key="k", left_time="ts", right_time="ts", upper="2 minutes")
+    assert out.count() == 1  # 150s within 2 min of 100s; 5000s outside
