@@ -426,3 +426,64 @@ def grouped_histogram_quantiles(
             _estimate_expr(F.col("__bin"), lo, hi, bins).alias("estimate"),
         )
     )
+
+
+def grouped_hll_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    m: int = 256,
+    seed: int = 11,
+) -> DataFrame:
+    """Per-group HyperLogLog register tables: ``(group, register,
+    max_rho)`` with ≤m rows per group — approximate distinct-count for
+    every group in ONE pass over the data, the groupBy(count distinct)
+    replacement when exactness can be traded for a bounded summary.
+
+    Same two-seed mixer and rank chain as :func:`hll_sketch` (the hashes
+    don't see the group, so a key's register/rank is group-independent
+    and sketches merge across groups or snapshots via max). One shuffle
+    keyed by (group, register) with map-side partial max.
+    """
+    if m <= 0 or m & (m - 1):
+        raise ValueError(f"m must be a positive power of two, got {m}")
+    k = _fold(key_col)
+    reg = _mix31(k, seed) % F.lit(m)
+    w = _mix31(k, seed + 12)
+    return (
+        df.filter(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col), reg.alias("register"), _hll_rho(w).alias("rho"))
+        .groupBy(group_col, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def grouped_hll_estimate(
+    sketch: DataFrame, group_col: str, m: int = 256
+) -> DataFrame:
+    """Per-group raw HLL estimates from a grouped register table —
+    ``(group, estimate)``. Identical exact-integer harmonic sum as
+    :func:`hll_estimate`, evaluated per group; groups absent from the
+    sketch (no non-null keys) are absent from the output.
+    """
+    if m <= 0 or m & (m - 1):
+        raise ValueError(f"m must be a positive power of two, got {m}")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scaled = F.sum(
+        F.pow(F.lit(2.0), F.lit(_HLL_MAX_RHO) - F.col("max_rho")).cast("long")
+    )
+    return (
+        sketch.groupBy(group_col)
+        .agg(scaled.alias("__present"), F.count(F.lit(1)).alias("__nreg"))
+        .select(
+            group_col,
+            (
+                F.lit(alpha * m * m)
+                * F.lit(float(1 << _HLL_MAX_RHO))
+                / (
+                    F.col("__present")
+                    + (F.lit(m) - F.col("__nreg")) * F.lit(1 << _HLL_MAX_RHO)
+                )
+            ).alias("estimate"),
+        )
+    )

@@ -86,7 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
     "tpch_q12_late_lines_by_status", "tpch_q16_supplier_relationships",
     "tpch_q20_excess_suppliers", "tpch_q21_waiting_orders",
-    "collocation_pmi", "triangle_counts_copurchase",
+    "collocation_pmi", "triangle_counts_copurchase", "hll_by_group",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py). (The packing
     # trio — pack_sequences, pack_sequences_by_lang,
@@ -98,13 +98,13 @@ _PRIORITY: tuple[str, ...] = (
     # r1-stale — last driver row four rounds ago
     "range_source", "describe_summary", "calendar_functions",
     "union_by_name_missing", "literal_inline_table", "explode_tokens",
-    "map_explode",
-    # ---- 50-entry window ends here (map_explode is position 50;
-    # in_subquery_sql and unpivot_stack fell to 51-52 when
-    # collocation_pmi and triangle_counts_copurchase entered — new
-    # queries outrank stale refreshes per the rotation protocol; both
-    # displaced queries stay r1-green/unchanged and lead the r6 order) ----
-    "in_subquery_sql", "unpivot_stack",
+    # ---- 50-entry window ends here (explode_tokens is position 50;
+    # map_explode, in_subquery_sql and unpivot_stack fell to 51-53 when
+    # collocation_pmi, triangle_counts_copurchase and hll_by_group
+    # entered — new queries outrank stale refreshes per the rotation
+    # protocol; the displaced three stay r1-green/unchanged and lead the
+    # r6 order) ----
+    "map_explode", "in_subquery_sql", "unpivot_stack",
     # Displaced to r6 (all green in r3/r4 windows; kept in honest order
     # for the r6 rotation): the changed packing trio, then the windows
     # family (r3-green, unchanged, also covered by streaming parity tests).

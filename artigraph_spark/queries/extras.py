@@ -757,3 +757,95 @@ def grouped_quantiles_events(spark, sf_dir):
     return grouped_histogram_quantiles(
         e, "event_type", "value", _GQ_LO, _GQ_HI, _GQ_BINS, [0.5, 0.9, 0.95]
     )
+
+
+def _grouped_hll_oracle_sql(m: int, seed: int) -> str:
+    """DuckDB replica of the grouped HLL (distinct customers per order
+    priority): identical mixer/rank/harmonic-sum chain as the ungrouped
+    oracle, with the group key carried through every stage."""
+    from artigraph_spark.operators.dedup import _hash_coeffs
+    from artigraph_spark.operators.sketches import _HLL_MAX_RHO, _P31
+
+    def mix_sql(expr: str, mix_seed: int) -> str:
+        x = expr
+        for i, (a, b) in enumerate(_hash_coeffs(3, mix_seed)):
+            x = f"(({a} * {x} + {b}) % {_P31})"
+            if i < 2:
+                shift = 1 << (15 - 2 * i)
+                x = f"xor({x}, CAST(floor({x} / {shift}) AS BIGINT))"
+        return x
+
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    big = 1 << _HLL_MAX_RHO
+    rho_branches = " ".join(
+        f"WHEN w % {1 << (t + 1)} = {1 << t} THEN {t + 1}"
+        for t in range(_HLL_MAX_RHO - 1)
+    )
+    return f"""
+    WITH keyed AS (
+        SELECT o_orderpriority AS g, o_custkey % 2147483647 AS k FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), regs AS (
+        SELECT g, {mix_sql('k', seed)} % {m} AS register,
+               {mix_sql('k', seed + 12)} AS w
+        FROM keyed
+    ), ranked AS (
+        SELECT g, register,
+               CASE WHEN w = 0 THEN {_HLL_MAX_RHO} {rho_branches}
+                    ELSE {_HLL_MAX_RHO} END AS rho
+        FROM regs
+    ), sk AS (
+        SELECT g, register, max(rho) AS max_rho FROM ranked GROUP BY g, register
+    ), agg AS (
+        SELECT g,
+               SUM(CAST(pow(2.0, {_HLL_MAX_RHO} - max_rho) AS BIGINT)) AS present,
+               count(*) AS nreg
+        FROM sk GROUP BY g
+    ), est AS (
+        SELECT g, CAST({alpha_m2!r} AS DOUBLE) * CAST({float(big)!r} AS DOUBLE)
+               / (present + ({m} - nreg) * {big}) AS estimate
+        FROM agg
+    ), ex AS (
+        SELECT o_orderpriority AS g, count(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT est.g AS priority, ex.exact_distinct,
+           round(est.estimate, 6) AS hll_estimate_r,
+           abs(est.estimate / ex.exact_distinct - 1.0) < 0.2 AS within_20pct
+    FROM est JOIN ex ON ex.g = est.g
+    """
+
+
+@query("hll_by_group", oracle=_grouped_hll_oracle_sql(256, 11))
+def hll_by_group(spark, sf_dir):
+    """Per-group HLL contract: approximate distinct customers per order
+    priority from one pass (256 registers per group), replayed exactly by
+    the oracle and compared against the exact per-group distinct. The
+    within_20pct flag is ~3σ for m=256 at the gate SF (n/m≈5); at very
+    small SFs the raw estimator's low-cardinality bias can flip it, and
+    the oracle computes the identical flag either way."""
+    from artigraph_spark.operators.sketches import (
+        grouped_hll_estimate,
+        grouped_hll_sketch,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    sk = grouped_hll_sketch(o, "o_orderpriority", "o_custkey", m=256, seed=11)
+    est = grouped_hll_estimate(sk, "o_orderpriority", m=256)
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        est.join(
+            exact.withColumnRenamed("o_orderpriority", "__g"),
+            F.col("__g") == F.col("o_orderpriority"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "exact_distinct",
+            F.round("estimate", 6).alias("hll_estimate_r"),
+            (
+                F.abs(F.col("estimate") / F.col("exact_distinct") - 1.0) < 0.2
+            ).alias("within_20pct"),
+        )
+    )

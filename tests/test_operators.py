@@ -782,3 +782,45 @@ def test_triangle_counts_triangle_free_graph(spark):
     # 4-cycle: no triangles
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], "s long, d long")
     assert triangle_counts(df, "s", "d").collect() == []
+
+
+def test_grouped_hll_matches_per_group_sketch(spark):
+    """The grouped sketch/estimate must equal running the ungrouped HLL on
+    each group's rows separately (hashes never see the group)."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.sketches import (
+        grouped_hll_estimate,
+        grouped_hll_sketch,
+        hll_estimate,
+        hll_sketch,
+    )
+
+    rows = [(g, g * 1000 + i % (50 * (g + 1))) for g in range(3) for i in range(500)]
+    df = spark.createDataFrame(rows, "g int, k long")
+    grouped = {
+        r["g"]: r["estimate"]
+        for r in grouped_hll_estimate(
+            grouped_hll_sketch(df, "g", "k", m=64), "g", m=64
+        ).collect()
+    }
+    for g in range(3):
+        solo = hll_estimate(
+            hll_sketch(df.filter(F.col("g") == g), "k", m=64), m=64
+        ).collect()[0]["estimate"]
+        assert grouped[g] == solo
+
+
+def test_grouped_hll_rejects_bad_m(spark):
+    import pytest as _pytest
+
+    from artigraph_spark.operators.sketches import (
+        grouped_hll_estimate,
+        grouped_hll_sketch,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "g int, k long")
+    with _pytest.raises(ValueError, match="power of two"):
+        grouped_hll_sketch(df, "g", "k", m=48)
+    with _pytest.raises(ValueError, match="power of two"):
+        grouped_hll_estimate(df, "g", m=0)
