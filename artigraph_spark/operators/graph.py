@@ -113,11 +113,14 @@ def pagerank(
     # localCheckpoint follows the connected_components precedent: the
     # result is node-count-sized, its blocks are freed by the
     # ContextCleaner once the returned frame is garbage-collected, and a
-    # lineage replay would re-run the whole loop anyway.
-    out = ranks.select("node", F.col("r").alias("rank_fx")).localCheckpoint()
-    e.unpersist()
-    base.unpersist()
-    return out
+    # lineage replay would re-run the whole loop anyway. The finally
+    # releases the frames even when the eager checkpoint job fails — a
+    # failed call must not leak cache blocks either.
+    try:
+        return ranks.select("node", F.col("r").alias("rank_fx")).localCheckpoint()
+    finally:
+        e.unpersist()
+        base.unpersist()
 
 
 def triangle_counts(
@@ -204,7 +207,10 @@ def triangle_counts(
     )
     if not materialize:
         return counts
-    out = counts.localCheckpoint()
-    e.unpersist()
-    o.unpersist()
-    return out
+    # finally-guarded like pagerank: a failed checkpoint job must not
+    # leak the two persisted frames the caller has no handle to.
+    try:
+        return counts.localCheckpoint()
+    finally:
+        e.unpersist()
+        o.unpersist()

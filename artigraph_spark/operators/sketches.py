@@ -317,8 +317,7 @@ def hll_sketch(
     estimate bit-for-bit. One shuffle: the groupBy(register) max, with
     map-side partial max doing nearly all the work.
     """
-    if m <= 0 or m & (m - 1):
-        raise ValueError(f"m must be a positive power of two, got {m}")
+    _check_hll_m(m)
     k = _fold(key_col)
     reg = _mix31(k, seed) % F.lit(m)
     w = _mix31(k, seed + 12)
@@ -327,6 +326,32 @@ def hll_sketch(
         .select(reg.alias("register"), _hll_rho(w).alias("rho"))
         .groupBy("register")
         .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def _check_hll_m(m: int) -> None:
+    if m <= 0 or m & (m - 1):
+        raise ValueError(f"m must be a positive power of two, got {m}")
+
+
+def _hll_scaled_sum():
+    """Exact-integer harmonic sum term: Σ 2^(32−rho), per-row cast to long
+    BEFORE summing. One definition for the grouped and ungrouped
+    estimators — the oracles replay it bit-for-bit, so a drifted copy
+    silently breaks estimates."""
+    return F.sum(
+        F.pow(F.lit(2.0), F.lit(_HLL_MAX_RHO) - F.col("max_rho")).cast("long")
+    )
+
+
+def _hll_estimate_expr(present, nreg, m: int):
+    """α_m·m²·2^32 / (present + empty·2^32) — shared raw-estimate formula
+    (same sharing rationale as :func:`_hll_scaled_sum`)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return (
+        F.lit(alpha * m * m)
+        * F.lit(float(1 << _HLL_MAX_RHO))
+        / (present + (F.lit(m) - nreg) * F.lit(1 << _HLL_MAX_RHO))
     )
 
 
@@ -341,26 +366,14 @@ def hll_estimate(sketch: DataFrame, m: int = 1024) -> DataFrame:
     behavior differs across engines); raw-estimate bias at very low
     cardinality is the documented tradeoff.
     """
-    if m <= 0 or m & (m - 1):
-        raise ValueError(f"m must be a positive power of two, got {m}")
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    scaled = F.sum(
-        F.pow(F.lit(2.0), F.lit(_HLL_MAX_RHO) - F.col("max_rho")).cast("long")
-    )
+    _check_hll_m(m)
     # SUM over an empty register table is NULL — coalesce to 0 so an empty
     # sketch reports the defined all-empty estimate (α·m), not NULL.
     return sketch.agg(
-        F.coalesce(scaled, F.lit(0)).alias("__present"),
+        F.coalesce(_hll_scaled_sum(), F.lit(0)).alias("__present"),
         F.count(F.lit(1)).alias("__nreg"),
     ).select(
-        (
-            F.lit(alpha * m * m)
-            * F.lit(float(1 << _HLL_MAX_RHO))
-            / (
-                F.col("__present")
-                + (F.lit(m) - F.col("__nreg")) * F.lit(1 << _HLL_MAX_RHO)
-            )
-        ).alias("estimate")
+        _hll_estimate_expr(F.col("__present"), F.col("__nreg"), m).alias("estimate")
     )
 
 
@@ -445,8 +458,7 @@ def grouped_hll_sketch(
     and sketches merge across groups or snapshots via max). One shuffle
     keyed by (group, register) with map-side partial max.
     """
-    if m <= 0 or m & (m - 1):
-        raise ValueError(f"m must be a positive power of two, got {m}")
+    _check_hll_m(m)
     k = _fold(key_col)
     reg = _mix31(k, seed) % F.lit(m)
     w = _mix31(k, seed + 12)
@@ -466,24 +478,14 @@ def grouped_hll_estimate(
     :func:`hll_estimate`, evaluated per group; groups absent from the
     sketch (no non-null keys) are absent from the output.
     """
-    if m <= 0 or m & (m - 1):
-        raise ValueError(f"m must be a positive power of two, got {m}")
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    scaled = F.sum(
-        F.pow(F.lit(2.0), F.lit(_HLL_MAX_RHO) - F.col("max_rho")).cast("long")
-    )
+    _check_hll_m(m)
     return (
         sketch.groupBy(group_col)
-        .agg(scaled.alias("__present"), F.count(F.lit(1)).alias("__nreg"))
+        .agg(_hll_scaled_sum().alias("__present"), F.count(F.lit(1)).alias("__nreg"))
         .select(
             group_col,
-            (
-                F.lit(alpha * m * m)
-                * F.lit(float(1 << _HLL_MAX_RHO))
-                / (
-                    F.col("__present")
-                    + (F.lit(m) - F.col("__nreg")) * F.lit(1 << _HLL_MAX_RHO)
-                )
+            _hll_estimate_expr(
+                F.col("__present"), F.col("__nreg"), m
             ).alias("estimate"),
         )
     )

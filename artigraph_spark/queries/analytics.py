@@ -1176,6 +1176,14 @@ def triangle_counts_copurchase(spark, sf_dir):
     """
     from artigraph_spark.operators.graph import triangle_counts
 
+    return triangle_counts(_copurchase_pairs(spark, sf_dir), "s1", "s2")
+
+
+def _copurchase_pairs(spark, sf_dir):
+    """The co-purchase similarity edge list (customers sharing >= 4 parts,
+    s1 < s2) — separate so the plan test can lock the full production
+    pipeline (this join included) via triangle_counts(materialize=False)
+    without triggering the query's eager checkpoint."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     cp = (
@@ -1184,11 +1192,10 @@ def triangle_counts_copurchase(spark, sf_dir):
         .distinct()
     )
     c2 = cp.select(F.col("ck").alias("ck2"), F.col("pk").alias("pk2"))
-    pairs = (
+    return (
         cp.join(c2, (F.col("pk2") == F.col("pk")) & (F.col("ck") < F.col("ck2")))
         .groupBy(F.col("ck").alias("s1"), F.col("ck2").alias("s2"))
         .agg(F.count(F.lit(1)).alias("__shared"))
         .filter(F.col("__shared") >= 4)
         .select("s1", "s2")
     )
-    return triangle_counts(pairs, "s1", "s2")

@@ -624,28 +624,47 @@ def quantile_sketch_contract(spark, sf_dir):
     )
 
 
+def _hll_mix_sql(expr: str, mix_seed: int) -> str:
+    """DuckDB replica of sketches._mix31 — ONE definition shared by the
+    grouped and ungrouped oracle builders, because a drifted copy silently
+    desynchronizes an oracle from the Spark mixer."""
+    from artigraph_spark.operators.dedup import _hash_coeffs
+    from artigraph_spark.operators.sketches import _P31
+
+    x = expr
+    for i, (a, b) in enumerate(_hash_coeffs(3, mix_seed)):
+        x = f"(({a} * {x} + {b}) % {_P31})"
+        if i < 2:
+            shift = 1 << (15 - 2 * i)
+            x = f"xor({x}, CAST(floor({x} / {shift}) AS BIGINT))"
+    return x
+
+
+def _hll_rho_branches_sql() -> str:
+    """DuckDB replica of sketches._hll_rho's rank chain (shared, as above)."""
+    from artigraph_spark.operators.sketches import _HLL_MAX_RHO
+
+    return " ".join(
+        f"WHEN w % {1 << (t + 1)} = {1 << t} THEN {t + 1}"
+        for t in range(_HLL_MAX_RHO - 1)
+    )
+
+
+def _hll_alpha_m2(m: int) -> float:
+    """α_m · m² — the raw-estimator constant, shared with both oracles."""
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m
+
+
 def _hll_oracle_sql(m: int, seed: int) -> str:
     """DuckDB replica of the HLL sketch and raw estimator: same two-seed
     avalanche mixer, same trailing-zero rank chain, same exact-integer
     harmonic sum — registers and estimate replay bit-for-bit."""
-    from artigraph_spark.operators.dedup import _hash_coeffs
-    from artigraph_spark.operators.sketches import _HLL_MAX_RHO, _P31
+    from artigraph_spark.operators.sketches import _HLL_MAX_RHO
 
-    def mix_sql(expr: str, mix_seed: int) -> str:
-        x = expr
-        for i, (a, b) in enumerate(_hash_coeffs(3, mix_seed)):
-            x = f"(({a} * {x} + {b}) % {_P31})"
-            if i < 2:
-                shift = 1 << (15 - 2 * i)
-                x = f"xor({x}, CAST(floor({x} / {shift}) AS BIGINT))"
-        return x
-
-    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    mix_sql = _hll_mix_sql
+    alpha_m2 = _hll_alpha_m2(m)
     big = 1 << _HLL_MAX_RHO
-    rho_branches = " ".join(
-        f"WHEN w % {1 << (t + 1)} = {1 << t} THEN {t + 1}"
-        for t in range(_HLL_MAX_RHO - 1)
-    )
+    rho_branches = _hll_rho_branches_sql()
     return f"""
     WITH keyed AS (
         SELECT l_orderkey % 2147483647 AS k FROM lineitem
@@ -762,25 +781,14 @@ def grouped_quantiles_events(spark, sf_dir):
 def _grouped_hll_oracle_sql(m: int, seed: int) -> str:
     """DuckDB replica of the grouped HLL (distinct customers per order
     priority): identical mixer/rank/harmonic-sum chain as the ungrouped
-    oracle, with the group key carried through every stage."""
-    from artigraph_spark.operators.dedup import _hash_coeffs
-    from artigraph_spark.operators.sketches import _HLL_MAX_RHO, _P31
+    oracle (shared helpers above), with the group key carried through
+    every stage."""
+    from artigraph_spark.operators.sketches import _HLL_MAX_RHO
 
-    def mix_sql(expr: str, mix_seed: int) -> str:
-        x = expr
-        for i, (a, b) in enumerate(_hash_coeffs(3, mix_seed)):
-            x = f"(({a} * {x} + {b}) % {_P31})"
-            if i < 2:
-                shift = 1 << (15 - 2 * i)
-                x = f"xor({x}, CAST(floor({x} / {shift}) AS BIGINT))"
-        return x
-
-    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    mix_sql = _hll_mix_sql
+    alpha_m2 = _hll_alpha_m2(m)
     big = 1 << _HLL_MAX_RHO
-    rho_branches = " ".join(
-        f"WHEN w % {1 << (t + 1)} = {1 << t} THEN {t + 1}"
-        for t in range(_HLL_MAX_RHO - 1)
-    )
+    rho_branches = _hll_rho_branches_sql()
     return f"""
     WITH keyed AS (
         SELECT o_orderpriority AS g, o_custkey % 2147483647 AS k FROM orders

@@ -455,9 +455,11 @@ def interval_join(
     residual, not a post-join filter.
 
     ``key`` and the two time columns are frame-qualified internally, so
-    they may share names across the sides; any OTHER shared column names
-    survive into the output ambiguously — alias those before calling, as
-    with any self-join.
+    they may share names across the sides: the key appears once in the
+    output, and when both sides name their time column identically the
+    right side's is returned as ``<right_time>_right`` so both remain
+    referencable. Any OTHER shared column names survive into the output
+    ambiguously — alias those before calling, as with any self-join.
     """
     if join_type not in ("inner", "leftOuter"):
         raise ValueError(f"unsupported interval join type {join_type!r}")
@@ -473,4 +475,12 @@ def interval_join(
         & (rt > lt)
         & (rt <= lt + F.expr(f"INTERVAL {upper}"))
     )
-    return left.join(right, cond, join_type).drop(right[key])
+    out_cols = [left[c] for c in left.columns]
+    for c in right.columns:
+        if c == key:
+            continue  # key appears once, from the left side
+        if c == right_time and right_time == left_time:
+            out_cols.append(right[c].alias(f"{c}_right"))
+        else:
+            out_cols.append(right[c])
+    return left.join(right, cond, join_type).select(*out_cols)

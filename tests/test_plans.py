@@ -273,25 +273,15 @@ def test_collocation_pmi_topk_no_cartesian(spark, qs):
 
 
 def test_triangle_counts_equi_joins_only(spark):
-    """Wedge enumeration and closure must plan as hash equi-joins (the
-    order comparison rides as a residual) — never a nested-loop product.
-    Inspected via materialize=False (the default path localCheckpoints the
-    slim result, which would hide the interesting plan behind an RDD scan)."""
+    """The FULL production triangle pipeline — the co-purchase pair
+    construction (its ck < ck2 residual included) plus wedge enumeration
+    and closure — must plan as hash equi-joins, never a nested-loop
+    product. Inspected via materialize=False on the query's own edge
+    builder (the registered query localCheckpoints eagerly, which would
+    hide the interesting plan behind an RDD scan)."""
     from artigraph_spark.operators.graph import triangle_counts
-    from artigraph_spark.sources import load
+    from artigraph_spark.queries.analytics import _copurchase_pairs
 
-    li = load(spark, SF, "lineitem").select(
-        "l_partkey", "l_suppkey"
-    ).distinct().limit(500)
-    import pyspark.sql.functions as F
-
-    other = li.select(
-        F.col("l_partkey").alias("pk2"), F.col("l_suppkey").alias("sk2")
-    )
-    pairs = li.join(
-        other,
-        (F.col("pk2") == F.col("l_partkey")) & (F.col("l_suppkey") < F.col("sk2")),
-    ).select(F.col("l_suppkey").alias("s1"), F.col("sk2").alias("s2"))
-    df = triangle_counts(pairs, "s1", "s2", materialize=False)
+    df = triangle_counts(_copurchase_pairs(spark, SF), "s1", "s2", materialize=False)
     plan = P.physical_plan(df, "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -570,4 +570,7 @@ def test_interval_join_allows_shared_time_column_name(spark):
         "k", F.timestamp_seconds("ts").alias("ts")
     )
     out = stx.interval_join(l, r, key="k", left_time="ts", right_time="ts", upper="2 minutes")
-    assert out.count() == 1  # 150s within 2 min of 100s; 5000s outside
+    assert out.columns == ["k", "ts", "ts_right"]  # both times referencable
+    rows = out.collect()
+    assert len(rows) == 1  # 150s within 2 min of 100s; 5000s outside
+    assert rows[0]["ts_right"] > rows[0]["ts"]
