@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q12_late_lines_by_status", "tpch_q16_supplier_relationships",
     "tpch_q20_excess_suppliers", "tpch_q21_waiting_orders",
     "collocation_pmi", "triangle_counts_copurchase", "hll_by_group",
+    "clustering_coefficient",
     # implementation changed this round: connected_components now releases
     # per-round localCheckpoint blocks (operators/dedup.py). (The packing
     # trio — pack_sequences, pack_sequences_by_lang,
@@ -98,13 +99,13 @@ _PRIORITY: tuple[str, ...] = (
     # r1-stale — last driver row four rounds ago
     "range_source", "describe_summary", "calendar_functions",
     "union_by_name_missing", "literal_inline_table", "explode_tokens",
-    # ---- 50-entry window ends here (explode_tokens is position 50;
-    # map_explode, in_subquery_sql and unpivot_stack fell to 51-53 when
-    # collocation_pmi, triangle_counts_copurchase and hll_by_group
-    # entered — new queries outrank stale refreshes per the rotation
-    # protocol; the displaced three stay r1-green/unchanged and lead the
-    # r6 order) ----
-    "map_explode", "in_subquery_sql", "unpivot_stack",
+    # ---- 50-entry window ends here (literal_inline_table is position
+    # 50; explode_tokens, map_explode, in_subquery_sql and unpivot_stack
+    # fell to 51-54 when collocation_pmi, triangle_counts_copurchase,
+    # hll_by_group and clustering_coefficient entered — new queries
+    # outrank stale refreshes per the rotation protocol; the displaced
+    # four stay r1-green/unchanged and lead the r6 order) ----
+    "explode_tokens", "map_explode", "in_subquery_sql", "unpivot_stack",
     # Displaced to r6 (all green in r3/r4 windows; kept in honest order
     # for the r6 rotation): the changed packing trio, then the windows
     # family (r3-green, unchanged, also covered by streaming parity tests).

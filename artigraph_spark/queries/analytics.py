@@ -1199,3 +1199,74 @@ def _copurchase_pairs(spark, sf_dir):
         .filter(F.col("__shared") >= 4)
         .select("s1", "s2")
     )
+
+
+@query(
+    "clustering_coefficient",
+    oracle="""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (
+        SELECT a.ck AS s1, b.ck AS s2
+        FROM cp a JOIN cp b ON a.pk = b.pk AND a.ck < b.ck
+        GROUP BY a.ck, b.ck HAVING count(*) >= 4
+    ),
+    tri AS (
+        SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+        FROM e e1
+        JOIN e e2 ON e2.s1 = e1.s2
+        JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    ),
+    tc AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e)
+        GROUP BY node
+    )
+    SELECT tc.node, tc.n_triangles, deg.degree,
+           round(2.0 * tc.n_triangles / (deg.degree * (deg.degree - 1)), 6) AS cc_r
+    FROM tc JOIN deg ON deg.node = tc.node
+    """,
+)
+def clustering_coefficient(spark, sf_dir):
+    """Per-node local clustering coefficient over the co-purchase graph:
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close each customer's
+    neighborhood is to a clique, the standard community-density metric on
+    top of triangle counting. Nodes in at least one triangle are reported
+    (their degree is necessarily ≥ 2, so the denominator never vanishes);
+    the ratio is one double division of exact integers, identical in both
+    engines before the round.
+
+    The degree aggregate re-derives the edge list (the triangle operator's
+    internal persist is scoped to its own call); at production scale
+    persist the pair frame and feed both consumers — noted rather than
+    wired because the pair-building aggregate, not the reuse, dominates
+    here.
+    """
+    from artigraph_spark.operators.graph import triangle_counts
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    tc = triangle_counts(pairs, "s1", "s2")
+    deg = (
+        pairs.select(F.col("s1").alias("n"))
+        .unionAll(pairs.select(F.col("s2").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return tc.join(deg, F.col("n") == F.col("node")).select(
+        "node",
+        "n_triangles",
+        "degree",
+        F.round(
+            2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)), 6
+        ).alias("cc_r"),
+    )
