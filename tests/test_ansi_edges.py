@@ -188,3 +188,71 @@ def test_time_rollup_all_null_hour(spark):
     )
     rows = time_rollup(df).filter(F.col("level") == "hour").collect()
     assert len(rows) == 1 and rows[0]["n"] == 1 and rows[0]["total_value"] is not None
+
+
+def test_collocation_pmi_degenerate_docs(spark):
+    """Whitespace-only docs contribute nothing; a single repeated token
+    forms the self-bigram with both marginals the same count — finite PMI,
+    no DIVIDE_BY_ZERO under ANSI."""
+    import math
+
+    from artigraph_spark.operators.text import collocation_pmi
+
+    d = spark.createDataFrame(
+        [(1, "  "), (2, ""), (3, "a a a a a")], "doc_id long, text string"
+    )
+    rows = collocation_pmi(d, "text", min_count=2, top_k=5).collect()
+    assert [(r["w1"], r["w2"], r["pair_count"]) for r in rows] == [("a", "a", 4)]
+    # N1=5 (a x5), N2=4 (all "a a"): pmi = ln((4/4)/((5/5)*(5/5))) = 0
+    assert rows[0]["pmi_r"] == round(math.log(1.0), 6) == 0.0
+
+
+def test_triangle_counts_string_node_ids(spark):
+    """least/greatest, the (degree, id) tie-break, and the ord-struct
+    comparison must all work on string ids, not just integers."""
+    from artigraph_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x"), ("z", "w")], "s string, d string"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df, "s", "d").collect()}
+    assert got == {"x": 1, "y": 1, "z": 1}
+
+
+def test_grouped_hll_negative_keys_and_null_groups(spark):
+    """Negative keys fold below 2^31 without overflow; null groups and null
+    keys are excluded rather than forming a phantom group."""
+    from artigraph_spark.operators.sketches import (
+        grouped_hll_estimate,
+        grouped_hll_sketch,
+    )
+
+    rows = [("g1", -(1 << 62)), ("g1", -7), ("g1", 7), (None, 1), ("g2", None)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    sk = grouped_hll_sketch(df, "g", "k", m=64)
+    est = grouped_hll_estimate(sk, "g", m=64).collect()
+    assert {r["g"] for r in est} == {"g1"}  # g2 had only a null key
+    assert est[0]["estimate"] > 0
+
+
+def test_interval_join_null_times_batch(spark):
+    """Null timestamps can't satisfy the range condition: inner drops them,
+    leftOuter keeps the left row with null right side."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.streaming import interval_join
+
+    l = spark.createDataFrame([(1, 100), (1, None)], "k long, t long").select(
+        "k", F.timestamp_seconds("t").alias("lts")
+    )
+    r = spark.createDataFrame([(1, 130)], "k long, t long").select(
+        "k", F.timestamp_seconds("t").alias("rts")
+    )
+    inner = interval_join(l, r, key="k", left_time="lts", right_time="rts", upper="1 minute")
+    assert inner.count() == 1
+    outer = interval_join(
+        l, r, key="k", left_time="lts", right_time="rts", upper="1 minute",
+        join_type="leftOuter",
+    ).collect()
+    assert len(outer) == 2
+    assert sum(1 for row in outer if row["rts"] is None) == 1
