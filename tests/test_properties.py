@@ -333,3 +333,43 @@ def test_dedup_segments_conservation_property(spark, texts, k):
             from collections import Counter
 
             assert not Counter(rebuilt_segs) - Counter(toks)
+
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_edge_lists)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered wedge enumeration must agree with the O(n^3)
+    brute-force count on arbitrary small graphs — duplicates, reversed
+    edges, and self-loops included."""
+    from itertools import combinations
+
+    from artigraph_spark.operators.graph import triangle_counts
+
+    undirected = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in undirected for n in e})
+    expected: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if (
+            (x, y) in undirected
+            and (y, z) in undirected
+            and (x, z) in undirected
+        ):
+            for n in (x, y, z):
+                expected[n] = expected.get(n, 0) + 1
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if True] or [(0, 0)], "s long, d long"
+    )
+    if not edges:
+        df = df.filter("s <> s")  # truly empty frame with the right schema
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, "s", "d", materialize=False).collect()
+    }
+    assert got == expected
