@@ -572,7 +572,7 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
            o.o_orderkey AS orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_totalprice AS totalprice,
-           SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -792,13 +792,13 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     oracle=f"""
     WITH val AS (
         SELECT l.l_partkey AS partkey,
-               SUM({oracle_fxp('l.l_extendedprice')}) AS value_fx
+               CAST(SUM({oracle_fxp('l.l_extendedprice')}) AS BIGINT) AS value_fx
         FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
         WHERE s.s_nationkey = 7
         GROUP BY l.l_partkey
     )
     SELECT val.partkey, val.value_fx
-    FROM val, (SELECT SUM(value_fx) AS tot FROM val) t
+    FROM val, (SELECT CAST(SUM(value_fx) AS BIGINT) AS tot FROM val) t
     WHERE val.value_fx * 1000 > t.tot
     """,
 )
@@ -831,10 +831,10 @@ def tpch_q11_important_stock(spark, sf_dir):
     "tpch_q12_late_lines_by_status",
     oracle="""
     SELECT l.l_linestatus AS linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
     GROUP BY l.l_linestatus

@@ -896,7 +896,7 @@ def bm25_ranking(spark, sf_dir):
            coalesce(string_agg(seg, ' ' ORDER BY seg_no) FILTER (WHERE rn = 1), '')
                AS clean_text,
            count(*) AS n_segments,
-           SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS n_removed
+           CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
     FROM ranked
     GROUP BY doc_id
     """,

@@ -312,10 +312,10 @@ def anomaly_zscore_hours(spark, sf_dir):
         FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         GROUP BY 1
     ), daily AS (
-        SELECT time_bucket(INTERVAL '1 day', b) AS b, SUM(n) AS n, SUM(fx) AS fx
+        SELECT time_bucket(INTERVAL '1 day', b) AS b, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(fx) AS BIGINT) AS fx
         FROM hourly GROUP BY 1
     ), monthly AS (
-        SELECT date_trunc('month', b) AS b, SUM(n) AS n, SUM(fx) AS fx
+        SELECT date_trunc('month', b) AS b, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(fx) AS BIGINT) AS fx
         FROM daily GROUP BY 1
     )
     SELECT 'hour' AS level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,

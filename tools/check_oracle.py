@@ -76,8 +76,27 @@ def run(sf_dir: str, only: list[str]) -> int:
             continue
         try:
             ores = con.sql(qd.oracle)
-            ocols = [c for c in ores.columns]
-            orows = ores.fetchall()
+            bad = [
+                (c, str(t))
+                for c, t in zip(ores.columns, ores.types)
+                if str(t) in ("HUGEINT", "UHUGEINT")
+            ]
+            if bad:
+                # DuckDB SUM over BIGINT yields HUGEINT (int128); fetched
+                # through arrow (the driver's path) it renders as
+                # Decimal/float where Spark emits int — guaranteed hash
+                # mismatch.  Oracles must CAST(SUM(...) AS BIGINT).
+                print(f"FAIL {name}: oracle schema has HUGEINT column(s) {bad}")
+                n_fail += 1
+                continue
+            # Fetch through arrow, the same path the driver uses, so
+            # type-rendering artifacts (Decimal, float widening) surface
+            # locally instead of only in the driver window.
+            otbl = ores.fetch_arrow_table()
+            ocols = otbl.column_names
+            orows = [
+                tuple(rec[c] for c in ocols) for rec in otbl.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
