@@ -16,6 +16,8 @@ behavior.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+
+from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
 from pyspark.sql import functions as F
 
 from artigraph_spark.operators.windows import dedup_pick_first
@@ -364,6 +366,7 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list → (node, component)
     with component = min node id in the component.
@@ -375,6 +378,16 @@ def connected_components(
     rounds instead of 40). Each round is two shuffle-joins; the driver only
     checks the convergence counter. This is the standard Spark shape for
     iterative graph algorithms without a graph library.
+
+    Per-round lineage cuts route through ``operators._checkpoint``: by
+    default executor-local blocks (self-releasing, ~2 rounds pinned — see
+    below), or reliable checkpoints under ``checkpoint_dir`` when given —
+    the sturdier mode for 1000-executor runs, where an executor death
+    would otherwise kill the job because a localCheckpointed round cannot
+    be replayed. Reliable round files stay on disk until the application
+    ends (Spark only reclaims them early with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``) — size the
+    dir for O(log diameter) node-count-sized rounds.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -429,7 +442,7 @@ def connected_components(
         )
         # Checkpoint FIRST so the convergence probe reuses the materialized
         # round instead of re-executing the two joins a second time.
-        jumped = jumped.localCheckpoint(eager=True)  # cut the lineage per round
+        jumped = _ckpt(jumped, checkpoint_dir)  # cut the lineage per round
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")
@@ -440,8 +453,11 @@ def connected_components(
         # The new round is materialized and its lineage truncated, so the
         # previous round's checkpoint blocks are dead — release them NOW
         # (the convergence probe above was the last reader of `labels`).
-        _release(prev_id)
-        prev_id = _ckpt_rdd_id(jumped)
+        # Block release only applies to localCheckpoint rounds; reliable
+        # rounds live as files under checkpoint_dir, not executor blocks.
+        if checkpoint_dir is None:
+            _release(prev_id)
+            prev_id = _ckpt_rdd_id(jumped)
         labels = jumped
         if changed == 0:
             break
@@ -669,3 +685,110 @@ def lsh_pairs_between(
     return (
         sig_pairs.join(qm, "__sq").join(rm, "__sr").select("query_id", "ref_id")
     )
+
+
+def content_key(col) -> Column:
+    """60-bit integral content key: the first 15 hex chars of the SHA-256
+    digest, base-16-decoded. Both engines compute it identically (Spark
+    ``conv(substring(sha2(x, 256), 1, 15), 16, 10)``; DuckDB
+    ``CAST('0x' || substr(sha256(x), 1, 15) AS BIGINT)``), so sketch
+    machinery keyed on it stays oracle-replayable. 60 bits keeps every
+    universal-hash product in int64 after the standard 2^31 fold."""
+    return F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def bloom_dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    seed: int = 7,
+    verify: bool = True,
+    ref_bits: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental dedup whose reference-side state is a Bloom filter over
+    content digests instead of the digest set itself.
+
+    :func:`dedup_against` ships the previous snapshot as DISTINCT 32-byte
+    digests — already content-free, but at 100 TB that is still tens of
+    billions of rows shuffled per ingest. A Bloom filter at ~10 bits/key
+    is ~25x smaller, broadcastable far longer, and merges across snapshots
+    by unioning bit positions — the natural *persisted* dedup state.
+
+    Two modes:
+
+    - ``verify=True`` (default, exact): the filter splits the batch into
+      definitely-fresh rows (some position unset — Bloom's no-false-
+      negative guarantee) and suspects; ONLY suspects anti-join the real
+      reference digests. Results are identical to :func:`dedup_against`,
+      with the expensive digest shuffle pruned to the suspect fraction
+      (duplicates + the filter's false-positive rate).
+    - ``verify=False`` (filter-only): suspects are dropped outright.
+      State is the filter alone — no reference digests retained — at the
+      cost of over-removing exactly the false-positive keys. Deterministic
+      universal-hash arithmetic means the over-removal set is
+      engine-replayable, so an oracle can (and does) agree bit-for-bit;
+      size ``num_bits`` for the acceptable loss rate (~0.6^k at 10
+      bits/key).
+
+    Either way, in-batch duplicates then collapse to the min-id survivor
+    on the full digest (never the 60-bit probe key, so key collisions
+    cannot merge distinct documents). ``ref_bits`` accepts a pre-built
+    filter (the persisted-state path); ``ref_df`` may then be omitted
+    unless ``verify=True`` needs it.
+    """
+    from artigraph_spark.operators.sketches import bloom_build
+
+    if ref_bits is None:
+        if ref_df is None:
+            raise ValueError("need ref_df or a pre-built ref_bits filter")
+        ref_bits = bloom_build(
+            ref_df.select(content_key(F.col(text_col)).alias("__k")),
+            "__k",
+            num_bits,
+            num_hashes,
+            seed,
+        )
+    if verify and ref_df is None:
+        raise ValueError("verify=True needs ref_df to check suspects against")
+    h = F.sha2(F.col(text_col).cast("string"), 256)
+    keyed = new_df.withColumn("__h", h).withColumn(
+        "__k", content_key(F.col(text_col))
+    )
+    positions = F.array(*_cells_for_bloom("__k", num_hashes, num_bits, seed))
+    probes = (
+        keyed.select("__k").distinct()
+        .select(F.col("__k"), F.explode(positions).alias("bit"))
+    )
+    suspect_keys = (
+        probes.join(F.broadcast(ref_bits.withColumn("__hit", F.lit(1))), "bit", "left")
+        .groupBy("__k")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"))
+        .filter(F.col("__hits") == num_hashes)
+        .select("__k")
+    )
+    clean = keyed.join(suspect_keys, "__k", "left_anti")
+    if verify:
+        suspects = keyed.join(suspect_keys, "__k", "left_semi")
+        ref_hashes = ref_df.select(
+            F.sha2(F.col(text_col).cast("string"), 256).alias("__h")
+        ).distinct()
+        admitted = clean.unionByName(suspects.join(ref_hashes, "__h", "left_anti"))
+    else:
+        admitted = clean
+    survivors = dedup_pick_first(admitted, ["__h"], [F.col(id_col).asc()])
+    return survivors.drop("__h", "__k")
+
+
+def _cells_for_bloom(key_col: str, n: int, modulo: int, seed: int) -> list:
+    """The Bloom bit positions for a key column — same universal-hash cell
+    definition the sketches module builds filters with (lazy import there
+    to keep the dedup<->sketches dependency one-way at module load)."""
+    from artigraph_spark.operators.sketches import _cells
+
+    return _cells(key_col, n, modulo, seed)

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
+
 
 def pagerank(
     edges: DataFrame,
@@ -28,6 +30,7 @@ def pagerank(
     iterations: int = 8,
     damping: float = 0.85,
     bits: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -40,8 +43,12 @@ def pagerank(
     groupBy(dst) with map-side partial sums — the standard distributed
     PageRank step, linear in edges, shuffles keyed on node ids. The
     iteration count is fixed (default 8), so the lineage is a bounded
-    8-deep DAG; at very large scale checkpoint every few iterations the
-    same way connected_components does.
+    8-deep DAG by default; with ``checkpoint_dir`` set, ranks are
+    reliably checkpointed every 4 iterations AND at the end, so both the
+    in-flight lineage depth and the result survive executor loss — the
+    right mode for long jobs on real clusters (``operators._checkpoint``).
+    Without it the result is localCheckpointed (executor-local blocks,
+    self-cleaning, lost with the executor — fine in local mode).
 
     The degree-annotated edge list and per-node base frame are persisted
     (they feed every iteration); they stay cached until Spark's LRU evicts
@@ -90,7 +97,7 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = base.select("node", F.col("__init").alias("r"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "__s"), "__s")
             .select("__d", F.floor(F.col("r") / F.col("__deg")).alias("__share"))
@@ -107,6 +114,10 @@ def pagerank(
                 ).alias("r"),
             )
         )
+        if checkpoint_dir is not None and (it + 1) % 4 == 0 and it + 1 < iterations:
+            # bound in-flight lineage on real clusters; a no-op cost-wise
+            # at the default 8 iterations (one mid-loop cut)
+            ranks = _ckpt(ranks, checkpoint_dir)
     # Materialize the slim (node, rank) result, then RELEASE the two
     # persisted loop frames — otherwise each pagerank() call leaks
     # disk-backed cache blocks the caller has no handle to unpersist.
@@ -117,14 +128,21 @@ def pagerank(
     # releases the frames even when the eager checkpoint job fails — a
     # failed call must not leak cache blocks either.
     try:
-        return ranks.select("node", F.col("r").alias("rank_fx")).localCheckpoint()
+        return _ckpt(
+            ranks.select("node", F.col("r").alias("rank_fx")), checkpoint_dir
+        )
     finally:
         e.unpersist()
         base.unpersist()
 
 
 def triangle_counts(
-    edges: DataFrame, src: str, dst: str, *, materialize: bool = True
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph, returned as
     ``(node, n_triangles)`` for nodes in at least one triangle. Input
@@ -210,7 +228,7 @@ def triangle_counts(
     # finally-guarded like pagerank: a failed checkpoint job must not
     # leak the two persisted frames the caller has no handle to.
     try:
-        return counts.localCheckpoint()
+        return _ckpt(counts, checkpoint_dir)
     finally:
         e.unpersist()
         o.unpersist()

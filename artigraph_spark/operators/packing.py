@@ -735,3 +735,61 @@ def split_corpus(
     for name, upper in reversed(bounds):
         expr = F.when(h < upper, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def stratified_split_exact(
+    df: DataFrame,
+    stratum_col: str,
+    key: Column,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Exact-count stratified split: within every stratum, EXACTLY
+    ``ceil(frac_i · n)`` rows (cumulative, last label absorbs the
+    remainder) get each label — the companion to :func:`split_corpus`
+    when per-stratum ratios must hold exactly (tiny languages in a
+    multilingual eval set: a 98/1/1 hash split of a 120-doc stratum can
+    land 0 eval docs; this lands exactly ceil(1.2) = 2 in 'valid').
+    Boundaries are cumulative ceils, so every non-final label gets at
+    least one row in any non-empty stratum; the FINAL label absorbs the
+    remainder and can be empty in tiny strata (n=5 at 80/10/10 →
+    4/1/0).
+
+    Rows are ranked within their stratum by the same multiplicative hash
+    of ``key`` that :func:`split_corpus` uses (pseudorandom but
+    deterministic on any engine/partitioning; ties broken by the raw
+    key), so membership is stable across reruns and engines, and the
+    oracle replays it.
+
+    Scale: per-stratum ranking is a window — ONE shuffle on the stratum
+    key, with each stratum's rows colocated on one partition. Exactness
+    fundamentally requires that colocation; for strata too large for a
+    partition (billions of rows in one language) use the shuffle-free
+    :func:`split_corpus`, whose ratio error at that size is negligible
+    anyway — the two operators are the two ends of that tradeoff.
+    """
+    if fractions is None:
+        fractions = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    fractions = dict(fractions)
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    p = F.lit(1_000_000_007)
+    h = F.pmod(F.pmod(key, p) * F.lit(2_654_435_761), p)
+    w = Window.partitionBy(stratum_col).orderBy(h, key)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(stratum_col))
+    )
+    names = list(fractions)
+    acc = 0.0
+    expr = F.lit(names[-1])  # last label absorbs the remainder
+    uppers = []
+    for name in names[:-1]:
+        acc += fractions[name]
+        uppers.append((name, acc))
+    for name, cum in reversed(uppers):
+        expr = F.when(
+            F.col("__rn") <= F.ceil(F.lit(cum) * F.col("__n")), F.lit(name)
+        ).otherwise(expr)
+    return ranked.withColumn("split", expr).drop("__rn", "__n")

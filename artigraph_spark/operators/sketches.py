@@ -489,3 +489,136 @@ def grouped_hll_estimate(
             ).alias("estimate"),
         )
     )
+
+
+def decay_weight(
+    ts_col: str,
+    ref_epoch: int,
+    half_life_seconds: int,
+    scale_bits: int = 40,
+):
+    """Fixed-point exponentially-decayed unit weight for a timestamped row:
+    ``2^(scale_bits - age_steps)`` where ``age_steps = floor((ref - ts) /
+    half_life)``, clamped to full weight for future rows and to 0 once the
+    weight would underflow (age > scale_bits half-lives).
+
+    Weights are exact dyadic integers, so SUM over them is associative and
+    order-independent — cross-engine deterministic the same way the
+    fixed-point double aggregates are (FIXTURES.md). The ``2^scale_bits``
+    unit keeps every practical decayed total far below int64:
+    10^9 rows x 2^40 < 2^70 would overflow, but any single sketch CELL
+    holds only rows sharing ``floor(log2)`` weight bands — callers summing
+    >2^23 rows per cell should drop scale_bits accordingly.
+
+    All arithmetic stays in int64 (age < 2^31 s, steps <= scale_bits,
+    ``pow(2, k)`` exact in double for k <= 52), so a DuckDB oracle replays
+    it bit-for-bit: ``CAST(power(2, scale_bits - steps) AS BIGINT)`` with
+    ``steps = GREATEST(CAST(floor((ref - floor(epoch(ts))) / hl) AS
+    BIGINT), 0)``.
+    """
+    if half_life_seconds <= 0 or not (0 < scale_bits <= 52):
+        raise ValueError(
+            f"need half_life_seconds > 0 and 0 < scale_bits <= 52, "
+            f"got {half_life_seconds}/{scale_bits}"
+        )
+    age = F.lit(int(ref_epoch)) - F.unix_timestamp(F.col(ts_col))
+    steps = F.greatest(
+        F.floor(age / F.lit(float(half_life_seconds))).cast("long"), F.lit(0)
+    )
+    return F.when(steps > F.lit(scale_bits), F.lit(0).cast("long")).otherwise(
+        F.pow(F.lit(2.0), (F.lit(scale_bits) - steps).cast("double")).cast("long")
+    )
+
+
+def grouped_count_min_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 42,
+    weight=None,
+) -> DataFrame:
+    """Per-group count-min sketches: ``(group, depth_id, bucket, cnt)``
+    with ≤ depth×width rows per group — frequency estimation for every
+    group of an unbounded stream in ONE data-sized shuffle (groupBy(group,
+    depth_id, bucket) with map-side partial sums), the bounded-memory
+    replacement for a full (group, key) count table.
+
+    ``weight`` (optional Column, default: unit counts) generalises the
+    sketch to weighted frequency — pass :func:`decay_weight` for the
+    time-decayed "top-k per hour" shape: old rows contribute exponentially
+    less, and because the weights are exact dyadic integers the decayed
+    sketch keeps CMS's one-sided guarantee (estimates never undercount
+    the true decayed sum) AND stays engine-replayable.
+
+    The hashes don't see the group (same cell layout in every group), so
+    per-group sketches merge across groups or snapshots by summing cells.
+    """
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width and depth must be positive, got {width}x{depth}")
+    rows = F.array(
+        *[
+            F.struct(F.lit(d).alias("depth_id"), cell.alias("bucket"))
+            for d, cell in enumerate(_cells(key_col, depth, width, seed))
+        ]
+    )
+    w = F.lit(1).cast("long") if weight is None else weight.cast("long")
+    return (
+        df.filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col), F.explode(rows).alias("__cell"), w.alias("__w"))
+        .groupBy(
+            group_col,
+            F.col("__cell.depth_id").alias("depth_id"),
+            F.col("__cell.bucket").alias("bucket"),
+        )
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def grouped_cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    group_col: str,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 42,
+    broadcast_sketch: bool = True,
+) -> DataFrame:
+    """Per-group frequency estimates from grouped sketches built with the
+    same (width, depth, seed): ``(group, key, estimate)``, min over the
+    depth cells, never below the true (possibly weighted) per-group count.
+
+    ``keys`` supplies the (group, key) probe pairs — typically the
+    distinct pairs of the stream itself, or a candidate list. The sketch
+    side is ≤ n_groups×depth×width rows; broadcast it (default) while
+    group cardinality is modest (event types, hours of a month). For
+    high-cardinality groups (distinct users as groups) pass
+    ``broadcast_sketch=False`` and let the shuffle join + AQE decide.
+    """
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width and depth must be positive, got {width}x{depth}")
+    probes = keys.select(
+        F.col(group_col),
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("depth_id"), cell.alias("bucket"))
+                    for d, cell in enumerate(_cells(key_col, depth, width, seed))
+                ]
+            )
+        ).alias("__cell"),
+    ).select(
+        group_col,
+        key_col,
+        F.col("__cell.depth_id").alias("depth_id"),
+        F.col("__cell.bucket").alias("bucket"),
+    )
+    s = F.broadcast(sketch) if broadcast_sketch else sketch
+    return (
+        probes.join(s, [group_col, "depth_id", "bucket"], "left")
+        .groupBy(group_col, key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
+    )

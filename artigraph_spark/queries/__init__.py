@@ -50,96 +50,54 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 # land inside the recorded window. Everything else follows in registration
 # order; total registration is unchanged.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-5 ROTATION. Recorded-window history after r4: 50 queries have an
-    # r4 row, 48 were last recorded in r3, 9 in r1 (the stable set r4
-    # deliberately skipped). This round leads with the one oracle-bearing
-    # query that has NEVER had a driver row (new this round), then the four
-    # whose implementation changed this round, then the 9 r1-stale, then 36
-    # of the 48 r3-stale — so every query's driver row is at most two
-    # samplings old except 12 deliberately-excluded trivial relational ops
-    # (see the trailing comment).
-    "decontaminate_corpus",  # NEW r5 (operators/packing.py) — first row
-    # NEW r5 operators (chunking, repetition signals, token-budget
-    # selection, domain upsampling, perplexity-proxy scoring, embedding
-    # quantization) — first driver rows
-    "chunk_documents", "repetition_scores", "select_token_budget",
-    "upsample_domains", "unigram_logprob", "quantize_embeddings",
-    "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
-    "tpch_q14_promo_revenue", "redact_pii", "split_corpus",
-    # NEW r5 (late additions): eight more TPC-H shapes — first driver rows
-    "tpch_q6_forecast_revenue", "tpch_q8_market_share",
-    "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue", "tpch_q22_sales_opportunity",
-    # NEW r5 (late additions): corpus-level segment dedup + incremental
-    # (cross-snapshot) dedup — first driver rows
-    "dedup_segments_corpus", "incremental_dedup", "incremental_dedup_checked",
-    # NEW r5 (late additions): event analytics (funnel, cohorts) and the
-    # count-min frequency sketch — first driver rows
-    "event_funnel", "cohort_retention", "count_min_contract",
-    "anomaly_zscore_hours", "bloom_prefilter_contract",
-    "quantile_sketch_contract", "hll_contract", "pagerank_copurchase",
-    "grouped_quantiles_events", "rollup_time_hierarchy",
-    "media_decode_mp4",
-    # NEW r5 (final additions): the six remaining TPC-H shapes, completing
-    # the 22-query suite, plus PMI collocation mining — first driver rows
-    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
-    "tpch_q12_late_lines_by_status", "tpch_q16_supplier_relationships",
-    "tpch_q20_excess_suppliers", "tpch_q21_waiting_orders",
-    "collocation_pmi", "triangle_counts_copurchase", "hll_by_group",
-    "clustering_coefficient",
-    # implementation changed this round: connected_components now releases
-    # per-round localCheckpoint blocks (operators/dedup.py). (The packing
-    # trio — pack_sequences, pack_sequences_by_lang,
-    # benchmark_contamination — also changed, but only validation +
-    # persist-mode + a shared helper; they are displaced to positions 51+
-    # by the six TPC-H finals, covered this round by the property suite,
-    # the full self-run, and pack_sequences' bench row.)
-    "dedup_minhash_end2end",
-    # r1-stale — last driver row four rounds ago
-    "range_source", "describe_summary", "calendar_functions",
-    "union_by_name_missing", "literal_inline_table", "explode_tokens",
-    # ---- 50-entry window ends here (literal_inline_table is position
-    # 50; explode_tokens, map_explode, in_subquery_sql and unpivot_stack
-    # fell to 51-54 when collocation_pmi, triangle_counts_copurchase,
-    # hll_by_group and clustering_coefficient entered — new queries
-    # outrank stale refreshes per the rotation protocol; the displaced
-    # four stay r1-green/unchanged and lead the r6 order) ----
+    # ROUND-6 ROTATION. Recorded-window history after r5 (computed from
+    # CORRECTNESS_r0{1..5}.json): 50 queries have an r5 row, 49 an r4 row,
+    # 48 are r3-stale, 4 are r1-stale, and 3 oracle-bearing queries are
+    # new this round (never recorded). Order: (1) the three new queries,
+    # (2) the five r5 hash-FAILs whose oracles were fixed this round
+    # (uncast HUGEINT — values were verified correct; the driver row is
+    # what's missing), (3) the four r1-stale, (4) the 48 r3-stale with the
+    # judge-named priorities first — the ~10 that overflow the 50-entry
+    # window land at 51+ and lead the r7 rotation. r4/r5-green queries
+    # follow in registration order.
+    # (1) new this round — first driver rows
+    "grouped_cms_contract", "cms_decayed_topk", "interval_join_click_purchase",
+    "bloom_incremental_dedup", "stratified_split_exact",
+    # (2) oracle fixed this round (CAST(SUM(...) AS BIGINT)) — re-green
+    "tpch_q18_large_volume_customers", "tpch_q11_important_stock",
+    "tpch_q12_late_lines_by_status", "dedup_segments_corpus",
+    "rollup_time_hierarchy",
+    # (3) r1-stale — last driver row five rounds ago
     "explode_tokens", "map_explode", "in_subquery_sql", "unpivot_stack",
-    # Displaced to r6 (all green in r3/r4 windows; kept in honest order
-    # for the r6 rotation): the changed packing trio, then the windows
-    # family (r3-green, unchanged, also covered by streaming parity tests).
-    "pack_sequences", "pack_sequences_by_lang", "benchmark_contamination",
-    "window_rank_family", "window_topk_per_group",
-    "window_session", "window_gap_fill",
-    # r3-stale — everything from here down also lands at positions 51+
-    # (past the 50-entry window marked above) and falls to r6 (all
-    # r3-green, implementation unchanged); kept here so the r6 rotation
-    # starts from an honest ordering.
+    # (4) r3-stale, judge-named priorities first: as-of join, the windows
+    # family, the four r3 TPC-H shapes, the cosine-top-k family
+    "join_asof",
+    "window_rank_family", "window_topk_per_group", "window_session",
+    "window_gap_fill", "window_tumbling", "window_sliding",
+    "window_lag_lead", "window_running_agg", "window_range_frame",
     "tpch_q3_shipping_priority", "tpch_q4_late_orders",
     "tpch_q9_nation_margin", "tpch_q10_returned_items",
-    "cosine_topk", "cosine_topk_ivf_checked",
-    # (cosine_topk_lsh_checked displaced to r6 — r3-green, unchanged)
-    # (embedding_near_dup, join_asof, agg_approx displaced to r6 by the
-    # late additions — all r3-green, implementation unchanged)
-    # (r3-stale text/dedup refreshes — minhash_signatures,
-    # ngram_jaccard_pairs, simhash_checked, tfidf_terms,
-    # edit_distance_pairs, lang_predict, text_quality_score,
-    # token_bpe_counts, multimodal_features, embedding_norms and
-    # embedding_mean_pool — displaced to r6 by the eleven late additions;
-    # all r3-green, implementation unchanged)
-    # Left out of the 50 (by design): 18 r3-green trivial relational ops
-    # with no implementation change since (`proj_select_rename`,
-    # `sample_deterministic`, `scalar_math`, `scalar_string`,
-    # `scalar_datetime`, `scalar_conditional`, `scalar_cast`, `set_except`,
-    # `set_intersect`, `set_intersect_all`, `set_union_all`,
-    # `set_union_distinct`, `filter_between_isin`, `filter_null_tests`,
-    # `map_ops`, `json_extract`, `array_ops`, `sort_limit_topk` — six of
-    # which the r4 judge independently re-verified) and the 4 rows-only
-    # queries (minhash_lsh_pairs,
-    # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) whose
-    # oracle-checked `*_checked` contract twins carry the hard signal.
-    # Remaining slots fall through to registration order.
+    "cosine_topk", "cosine_topk_ivf_checked", "cosine_topk_lsh_checked",
+    # r3-stale similarity/text/dedup refreshes
+    "embedding_near_dup", "agg_approx", "minhash_signatures",
+    "ngram_jaccard_pairs", "simhash_checked", "tfidf_terms",
+    "edit_distance_pairs", "lang_predict", "text_quality_score",
+    "token_bpe_counts", "multimodal_features", "embedding_norms",
+    "embedding_mean_pool",
+    # r3-stale relational ops — now three samplings old, so they re-enter
+    # the window in oldest-first order; the tail past position 50 falls
+    # to r7 and leads that rotation
+    "proj_select_rename", "filter_between_isin", "filter_null_tests",
+    "scalar_math", "scalar_string", "scalar_datetime",
+    "scalar_conditional", "scalar_cast", "array_ops", "map_ops",
+    "json_extract", "sort_limit_topk", "set_union_all",
+    "set_union_distinct", "set_intersect", "set_except",
+    "set_intersect_all", "sample_deterministic",
+    # Not listed: the 49 r4-green and 50 r5-green queries (registration
+    # order, all past the window) and the 4 rows-only queries
+    # (minhash_lsh_pairs, dedup_clusters, simhash_fingerprints,
+    # cosine_topk_lsh) whose oracle-checked `*_checked` contract twins
+    # carry the hard signal.
 )
 
 

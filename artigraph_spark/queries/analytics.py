@@ -1113,7 +1113,7 @@ def _pagerank_oracle_sql(iterations: int, damping: float, bits: int) -> str:
     return "".join(parts)
 
 
-@query("pagerank_copurchase", oracle=_pagerank_oracle_sql(8, 0.85, 30))
+@query("pagerank_copurchase", oracle=_pagerank_oracle_sql(8, 0.85, 30), bench=True)
 def pagerank_copurchase(spark, sf_dir):
     """PageRank over the symmetrized part↔supplier co-purchase graph
     (distinct lineitem pairs, both directions, so no dangling nodes). Eight
@@ -1140,6 +1140,7 @@ def pagerank_copurchase(spark, sf_dir):
 
 @query(
     "triangle_counts_copurchase",
+    bench=True,
     oracle="""
     WITH cp AS (
         SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk

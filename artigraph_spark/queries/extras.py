@@ -557,6 +557,7 @@ _HQ_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 @query(
     "quantile_sketch_contract",
+    bench=True,
     oracle=f"""
     WITH hist AS (
         SELECT CASE WHEN l_extendedprice >= {_HQ_HI!r} THEN {_HQ_BINS}
@@ -824,7 +825,7 @@ def _grouped_hll_oracle_sql(m: int, seed: int) -> str:
     """
 
 
-@query("hll_by_group", oracle=_grouped_hll_oracle_sql(256, 11))
+@query("hll_by_group", oracle=_grouped_hll_oracle_sql(256, 11), bench=True)
 def hll_by_group(spark, sf_dir):
     """Per-group HLL contract: approximate distinct customers per order
     priority from one pass (256 registers per group), replayed exactly by
@@ -855,5 +856,199 @@ def hll_by_group(spark, sf_dir):
             (
                 F.abs(F.col("estimate") / F.col("exact_distinct") - 1.0) < 0.2
             ).alias("within_20pct"),
+        )
+    )
+
+
+def _grouped_cms_oracle_sql(width: int, depth: int, seed: int) -> str:
+    """DuckDB replica of the grouped count-min sketch (per-event-type user
+    frequencies): same universal-hash cells as `_cms_oracle_sql` with the
+    group key carried through build, probe, and estimate."""
+    from artigraph_spark.operators.dedup import _P, _hash_coeffs
+
+    coeffs = _hash_coeffs(depth, seed)
+    cell = "((({a} * k + {b}) % {p}) % {w})"
+    cells = "\n        UNION ALL ".join(
+        f"SELECT g, {d} AS depth_id, "
+        f"{cell.format(a=a, b=b, p=_P, w=width)} AS bucket FROM ev"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    probes = "\n        UNION ALL ".join(
+        f"SELECT g, user_id, {d} AS depth_id, "
+        f"{cell.format(a=a, b=b, p=_P, w=width)} AS bucket FROM keys"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+    WITH ev AS (
+        SELECT event_type AS g, user_id % 2147483647 AS k FROM events
+        WHERE event_type IS NOT NULL
+    ),
+    cells AS ({cells}),
+    sketch AS (
+        SELECT g, depth_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2, 3
+    ),
+    keys AS (
+        SELECT DISTINCT event_type AS g, user_id, user_id % 2147483647 AS k
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    probes AS ({probes}),
+    est AS (
+        SELECT p.g, p.user_id, min(coalesce(s.cnt, 0)) AS estimate
+        FROM probes p
+        LEFT JOIN sketch s ON p.g = s.g
+            AND p.depth_id = s.depth_id AND p.bucket = s.bucket
+        GROUP BY p.g, p.user_id
+    ),
+    exact AS (
+        SELECT event_type AS g, user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT est.g AS event_type, est.user_id, est.estimate, exact.exact_cnt,
+           est.estimate >= exact.exact_cnt AS never_undercounts
+    FROM est JOIN exact ON est.g = exact.g AND est.user_id = exact.user_id
+    """
+
+
+@query("grouped_cms_contract", oracle=_grouped_cms_oracle_sql(128, 4, 42))
+def grouped_cms_contract(spark, sf_dir):
+    """Per-group count-min contract: for every (event_type, user) pair the
+    grouped-sketch estimate vs the exact pair count; the one-sided
+    guarantee (`never_undercounts`) must hold per row within each group's
+    own sketch. 128-wide cells make collisions (estimate > exact) actually
+    occur at the gate SF, so the oracle is exercising the estimator, not
+    an identity. ONE data shuffle builds all five sketches at once."""
+    from artigraph_spark.operators.sketches import (
+        grouped_cms_estimate,
+        grouped_count_min_sketch,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    sk = grouped_count_min_sketch(
+        e, "event_type", "user_id", width=128, depth=4, seed=42
+    )
+    keys = e.select("event_type", "user_id").distinct()
+    est = grouped_cms_estimate(
+        sk, keys, "event_type", "user_id", width=128, depth=4, seed=42
+    )
+    exact = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    return est.join(exact, ["event_type", "user_id"]).select(
+        "event_type",
+        "user_id",
+        "estimate",
+        "exact_cnt",
+        (F.col("estimate") >= F.col("exact_cnt")).alias("never_undercounts"),
+    )
+
+
+# Decayed-CMS fixture constants: reference instant just past the fixture's
+# last event (events span 2024-01-01..30), 48 h half-life, 2^40 unit weight.
+_DCMS_REF = 1706659200  # 2024-01-31 00:00:00 UTC
+_DCMS_HL = 172800
+_DCMS_BITS = 40
+
+
+def _decayed_cms_oracle_sql(width: int, depth: int, seed: int) -> str:
+    """DuckDB replica of the time-decayed grouped CMS top-k: identical
+    fixed-point dyadic weights (`operators.sketches.decay_weight`), cells,
+    and tie-broken ranking, so the whole leaderboard matches exactly."""
+    from artigraph_spark.operators.dedup import _P, _hash_coeffs
+
+    coeffs = _hash_coeffs(depth, seed)
+    cell = "((({a} * k + {b}) % {p}) % {w})"
+    cells = "\n        UNION ALL ".join(
+        f"SELECT g, w, {d} AS depth_id, "
+        f"{cell.format(a=a, b=b, p=_P, w=width)} AS bucket FROM ev"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    probes = "\n        UNION ALL ".join(
+        f"SELECT g, user_id, {d} AS depth_id, "
+        f"{cell.format(a=a, b=b, p=_P, w=width)} AS bucket FROM keys"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+    WITH aged AS (
+        SELECT event_type AS g, user_id,
+               GREATEST(CAST(floor(({_DCMS_REF} - floor(epoch(ts)))
+                                   / {float(_DCMS_HL)!r}) AS BIGINT), 0) AS steps
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    ev AS (
+        SELECT g, user_id % 2147483647 AS k,
+               CASE WHEN steps > {_DCMS_BITS} THEN 0
+                    ELSE CAST(power(2.0, {_DCMS_BITS} - steps) AS BIGINT)
+               END AS w
+        FROM aged
+    ),
+    cells AS ({cells}),
+    sketch AS (
+        SELECT g, depth_id, bucket, CAST(SUM(w) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2, 3
+    ),
+    keys AS (
+        SELECT DISTINCT event_type AS g, user_id, user_id % 2147483647 AS k
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    probes AS ({probes}),
+    est AS (
+        SELECT p.g, p.user_id, min(coalesce(s.cnt, 0)) AS estimate
+        FROM probes p
+        LEFT JOIN sketch s ON p.g = s.g
+            AND p.depth_id = s.depth_id AND p.bucket = s.bucket
+        GROUP BY p.g, p.user_id
+    ),
+    ranked AS (
+        SELECT g, user_id, estimate,
+               ROW_NUMBER() OVER (PARTITION BY g
+                                  ORDER BY estimate DESC, user_id) AS rnk
+        FROM est
+    )
+    SELECT g AS event_type, rnk, user_id, estimate AS decayed_estimate
+    FROM ranked WHERE rnk <= 3
+    """
+
+
+@query("cms_decayed_topk", oracle=_decayed_cms_oracle_sql(256, 4, 42), bench=True)
+def cms_decayed_topk(spark, sf_dir):
+    """Time-decayed top-3 users per event type from per-group count-min
+    sketches with exponentially-decayed fixed-point weights — the
+    bounded-memory "trending keys per group" shape (state: groups x depth
+    x width cells, independent of stream length or key cardinality).
+    48 h half-life against a reference instant just past the fixture's
+    last event; weights are exact dyadic integers so the sketch keeps the
+    CMS never-undercount guarantee over the true decayed sums AND the
+    DuckDB oracle replays the exact leaderboard, ties broken by user_id."""
+    from pyspark.sql import Window
+
+    from artigraph_spark.operators.sketches import (
+        decay_weight,
+        grouped_cms_estimate,
+        grouped_count_min_sketch,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    sk = grouped_count_min_sketch(
+        e,
+        "event_type",
+        "user_id",
+        width=256,
+        depth=4,
+        seed=42,
+        weight=decay_weight("ts", _DCMS_REF, _DCMS_HL, _DCMS_BITS),
+    )
+    keys = e.select("event_type", "user_id").distinct()
+    est = grouped_cms_estimate(
+        sk, keys, "event_type", "user_id", width=256, depth=4, seed=42
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("estimate").desc(), F.col("user_id")
+    )
+    return (
+        est.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "event_type", "rnk", "user_id", F.col("estimate").alias("decayed_estimate")
         )
     )

@@ -1035,3 +1035,87 @@ def media_decode_mp4(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
     return headers.join(frames, "media_id")
+
+
+def _bloom_dedup_oracle_sql(num_bits: int, num_hashes: int, seed: int) -> str:
+    """DuckDB replica of the filter-only Bloom incremental dedup: the same
+    universal-hash bit positions over the same 60-bit SHA-256-prefix
+    content keys, so the admitted set — including the filter's
+    false-positive drops — matches bit-for-bit."""
+    from artigraph_spark.operators.dedup import _P, _hash_coeffs
+
+    coeffs = _hash_coeffs(num_hashes, seed)
+    pos = "((({a} * k + {b}) % {p}) % {m})"
+    ref_bits = "\n        UNION ".join(
+        f"SELECT {pos.format(a=a, b=b, p=_P, m=num_bits)} AS bit FROM refk"
+        for a, b in coeffs
+    )
+    batch_probes = "\n        UNION ALL ".join(
+        f"SELECT k, {pos.format(a=a, b=b, p=_P, m=num_bits)} AS bit FROM batchk"
+        for a, b in coeffs
+    )
+    return f"""
+    WITH ref AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    ), batch AS (
+        SELECT doc_id + {_DUP_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), refk AS (
+        SELECT CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT)
+               % 2147483647 AS k
+        FROM ref
+    ), bits AS ({ref_bits}),
+    batchk AS (
+        SELECT DISTINCT CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT)
+               % 2147483647 AS k
+        FROM batch
+    ), probes AS ({batch_probes}),
+    hits AS (
+        SELECT p.k, count(b.bit) AS n_hits
+        FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+        GROUP BY p.k
+    ), clean AS (
+        SELECT b.doc_id, b.text FROM batch b
+        JOIN hits h
+          ON h.k = CAST(('0x' || substr(sha256(b.text), 1, 15)) AS BIGINT)
+               % 2147483647
+        WHERE h.n_hits < {num_hashes}
+    ), ranked AS (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM clean
+    )
+    SELECT doc_id, text FROM ranked WHERE rn = 1
+    """
+
+
+@query(
+    "bloom_incremental_dedup",
+    oracle=_bloom_dedup_oracle_sql(1 << 16, 4, 7),
+)
+def bloom_incremental_dedup(spark, sf_dir):
+    """Filter-only Bloom incremental dedup: the same planted-copy batch as
+    `incremental_dedup`, admitted against a 2^16-bit Bloom filter built
+    over the reference snapshot — the bounded-state ingest path where the
+    previous snapshot is retained ONLY as a filter, never as digests.
+    Every true duplicate is rejected (no false negatives); a
+    deterministic, engine-replayable set of false-positive keys is
+    over-dropped, and the oracle reproduces the exact same admitted set
+    bit-for-bit. The verified (exact) mode is property-tested equal to
+    `dedup_against` in tests/test_operators.py."""
+    from artigraph_spark.operators.dedup import bloom_dedup_against
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = d.filter(F.col("doc_id") % 7 != 0)
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text")
+        .unionByName(d.filter(F.col("doc_id") % 7 == 0))
+    )
+    return bloom_dedup_against(
+        batch, ref, "doc_id", "text",
+        num_bits=1 << 16, num_hashes=4, seed=7, verify=False,
+    )

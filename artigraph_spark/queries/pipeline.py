@@ -574,3 +574,38 @@ def collocation_pmi_q(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return collocation_pmi(d, "text", min_count=5, top_k=200)
+
+
+@query(
+    "stratified_split_exact",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007,
+                            doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn <= ceil(0.8 * n) THEN 'train'
+                WHEN rn <= ceil(0.9 * n) THEN 'valid'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+)
+def stratified_split_exact_q(spark, sf_dir):
+    """Exact-count 80/10/10 stratified split by language: every stratum
+    gets exactly ceil(0.8·n)/ceil(0.9·n)-bounded label counts, membership
+    decided by the deterministic multiplicative hash (engine- and
+    partitioning-independent, oracle-replayed). The exactness companion to
+    the shuffle-free hash split `split_corpus` — see
+    ``operators.packing.stratified_split_exact`` for the scale tradeoff."""
+    from artigraph_spark.operators.packing import stratified_split_exact
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_split_exact(d, "lang", F.col("doc_id")).select(
+        "doc_id", "lang", "split"
+    )

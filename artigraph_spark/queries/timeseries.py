@@ -349,3 +349,62 @@ def rollup_time_hierarchy(spark, sf_dir):
         "n",
         "total_value",
     )
+
+
+@query(
+    "interval_join_click_purchase",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def interval_join_click_purchase(spark, sf_dir):
+    """Batch twin of ``streaming.interval_join`` (same call, batch
+    frames): every purchase landing within 30 minutes after a click by
+    the same user — the enrichment shape whose streaming form bounds
+    symmetric-hash-join state by watermark x horizon. The time bounds
+    ride as a join-range residual on the user_id equi-join, not a
+    post-join filter; purchase_value is a raw double passthrough (no
+    aggregation), so it is cross-engine deterministic as-is."""
+    from artigraph_spark.streaming import interval_join
+
+    # Two separate loads (fresh attribute ids) so the self-join's two
+    # sides are unambiguous to the analyzer; Catalyst still reuses the
+    # scan via exchange/subquery reuse where profitable.
+    clicks = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    purchases = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        upper="30 minutes",
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "purchase_value",
+    )

@@ -454,6 +454,14 @@ def interval_join(
     shuffles both sides on ``key``; the time bounds ride as a join-range
     residual, not a post-join filter.
 
+    Stream/batch parity holds only while event-time disorder stays within
+    ``watermark``: on streams, a matching right event arriving more than
+    ``watermark`` out of order is evicted and its pair silently dropped,
+    while the identical batch call keeps it. Callers passing a large
+    ``upper`` should raise ``watermark`` to at least ``upper`` (Spark
+    needs watermark ≥ the join horizon to emit leftOuter nulls at all) —
+    the defaults are aligned at 10 minutes for exactly this reason.
+
     ``key`` and the two time columns are frame-qualified internally, so
     they may share names across the sides: the key appears once in the
     output, and when both sides name their time column identically the

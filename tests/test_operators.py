@@ -824,3 +824,223 @@ def test_grouped_hll_rejects_bad_m(spark):
         grouped_hll_sketch(df, "g", "k", m=48)
     with _pytest.raises(ValueError, match="power of two"):
         grouped_hll_estimate(df, "g", m=0)
+
+
+# ---- round-6: reliable checkpoint routing, grouped/decayed CMS ----
+
+
+def test_iterative_ops_reliable_checkpoint_dir(spark, tmp_path):
+    """With checkpoint_dir set, pagerank / triangle_counts /
+    connected_components produce identical results to the local mode AND
+    actually write reliable checkpoint files under the supplied dir."""
+    import os
+
+    from artigraph_spark.operators.dedup import connected_components
+    from artigraph_spark.operators.graph import pagerank, triangle_counts
+
+    ckdir = str(tmp_path / "ck")
+    rows = [(f"n{i}", f"n{(i * 7 + 1) % 30}") for i in range(30)]
+    e = spark.createDataFrame(rows, ["s", "d"])
+
+    pr_local = sorted(map(tuple, pagerank(e, "s", "d", iterations=5).collect()))
+    pr_rel = sorted(
+        map(
+            tuple,
+            pagerank(e, "s", "d", iterations=5, checkpoint_dir=ckdir).collect(),
+        )
+    )
+    assert pr_local == pr_rel
+
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["s", "d"]
+    )
+    t_local = sorted(map(tuple, triangle_counts(tri, "s", "d").collect()))
+    t_rel = sorted(
+        map(
+            tuple,
+            triangle_counts(tri, "s", "d", checkpoint_dir=ckdir).collect(),
+        )
+    )
+    assert t_local == t_rel == [("a", 1), ("b", 1), ("c", 1)]
+
+    cc_local = sorted(
+        map(tuple, connected_components(tri, src="s", dst="d").collect())
+    )
+    cc_rel = sorted(
+        map(
+            tuple,
+            connected_components(
+                tri, src="s", dst="d", checkpoint_dir=ckdir
+            ).collect(),
+        )
+    )
+    assert cc_local == cc_rel
+
+    written = [
+        os.path.join(r, f) for r, _, fs in os.walk(ckdir) for f in fs
+    ]
+    assert written, "reliable checkpoints must write files under checkpoint_dir"
+
+
+def test_grouped_cms_never_undercounts_and_matches_exact_when_wide(spark):
+    from artigraph_spark.operators.sketches import (
+        grouped_cms_estimate,
+        grouped_count_min_sketch,
+    )
+
+    rows = [(g, i % 7) for g in ("x", "y") for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    # narrow sketch: one-sided error only
+    sk = grouped_count_min_sketch(df, "g", "k", width=4, depth=2, seed=1)
+    keys = df.select("g", "k").distinct()
+    est = grouped_cms_estimate(sk, keys, "g", "k", width=4, depth=2, seed=1)
+    exact = {(r["g"], r["k"]): r["c"] for r in df.groupBy("g", "k").agg(F.count("*").alias("c")).collect()}
+    for r in est.collect():
+        assert r["estimate"] >= exact[(r["g"], r["k"])]
+    # wide sketch: no collisions → exact
+    skw = grouped_count_min_sketch(df, "g", "k", width=512, depth=4, seed=1)
+    estw = grouped_cms_estimate(skw, keys, "g", "k", width=512, depth=4, seed=1)
+    for r in estw.collect():
+        assert r["estimate"] == exact[(r["g"], r["k"])]
+
+
+def test_grouped_cms_isolated_per_group_and_mergeable(spark):
+    """Sketches from disjoint groups merge by summing cells, and a group's
+    estimate never sees another group's rows (the whole point vs a global
+    CMS)."""
+    from artigraph_spark.operators.sketches import (
+        grouped_cms_estimate,
+        grouped_count_min_sketch,
+    )
+
+    a = spark.createDataFrame([("a", 1)] * 10, ["g", "k"])
+    b = spark.createDataFrame([("b", 1)] * 3, ["g", "k"])
+    both = a.union(b)
+    sk = grouped_count_min_sketch(both, "g", "k", width=8, depth=2, seed=3)
+    keys = both.select("g", "k").distinct()
+    est = {
+        (r["g"], r["k"]): r["estimate"]
+        for r in grouped_cms_estimate(
+            sk, keys, "g", "k", width=8, depth=2, seed=3
+        ).collect()
+    }
+    assert est[("a", 1)] == 10 and est[("b", 1)] == 3
+    # merge = sum of per-part sketch cells == sketch of the union
+    ska = grouped_count_min_sketch(a, "g", "k", width=8, depth=2, seed=3)
+    skb = grouped_count_min_sketch(b, "g", "k", width=8, depth=2, seed=3)
+    merged = (
+        ska.union(skb)
+        .groupBy("g", "depth_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+
+
+def test_decay_weight_dyadic_and_clamped(spark):
+    from artigraph_spark.operators.sketches import decay_weight
+
+    ref = 1706659200  # 2024-01-31 00:00:00 UTC
+    df = spark.createDataFrame(
+        [
+            ("now", "2024-01-31 00:00:00"),
+            ("one_hl", "2024-01-29 00:00:00"),
+            ("future", "2024-02-05 00:00:00"),
+            ("ancient", "2014-01-01 00:00:00"),
+        ],
+        ["tag", "ts_s"],
+    ).select("tag", F.to_timestamp("ts_s").alias("ts"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    w = {
+        r["tag"]: r["w"]
+        for r in df.select(
+            "tag", decay_weight("ts", ref, 172800, 40).alias("w")
+        ).collect()
+    }
+    assert w["now"] == 1 << 40
+    assert w["one_hl"] == 1 << 39
+    assert w["future"] == 1 << 40  # clamped to full weight
+    assert w["ancient"] == 0  # underflow clamps to zero
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="half_life"):
+        decay_weight("ts", ref, 0)
+    with _pytest.raises(ValueError, match="half_life"):
+        decay_weight("ts", ref, 3600, scale_bits=60)
+
+
+def test_bloom_dedup_verified_equals_exact(spark):
+    """verify=True must be EXACTLY dedup_against (the filter only prunes
+    the probe side); run at a filter size small enough that false
+    positives certainly occur, to prove verification repairs them."""
+    from artigraph_spark.operators.dedup import bloom_dedup_against, dedup_against
+
+    docs = [(i, f"document body {i % 37}") for i in range(100)]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    ref = d.filter(F.col("doc_id") % 3 == 0)
+    batch = d.filter(F.col("doc_id") % 3 != 0)
+    exact = sorted(map(tuple, dedup_against(batch, ref, "doc_id", "text").collect()))
+    verified = sorted(
+        map(
+            tuple,
+            bloom_dedup_against(
+                batch, ref, "doc_id", "text",
+                num_bits=64, num_hashes=2, verify=True,
+            ).collect(),
+        )
+    )
+    assert verified == exact
+
+
+def test_bloom_dedup_filter_only_never_admits_duplicates(spark):
+    """Filter-only mode may over-drop (false positives) but can never
+    admit content already in the reference — Bloom's one-sided error."""
+    from artigraph_spark.operators.dedup import bloom_dedup_against
+
+    d = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(60)], ["doc_id", "text"]
+    )
+    ref = d.filter(F.col("doc_id") < 40)
+    batch = d  # 40 true duplicates + 20 fresh
+    out = bloom_dedup_against(
+        batch, ref, "doc_id", "text",
+        num_bits=256, num_hashes=3, verify=False,
+    )
+    admitted = {r["doc_id"] for r in out.collect()}
+    assert all(i >= 40 for i in admitted)  # no reference content readmitted
+    # and with a roomy filter nothing fresh is lost
+    out_big = bloom_dedup_against(
+        batch, ref, "doc_id", "text",
+        num_bits=1 << 16, num_hashes=4, verify=False,
+    )
+    assert {r["doc_id"] for r in out_big.collect()} == set(range(40, 60))
+
+
+def test_bloom_dedup_prebuilt_bits_state_path(spark):
+    """The persisted-state path: a filter built in a previous 'snapshot'
+    is passed as ref_bits; filter-only mode then needs no reference rows
+    at all, and verify without ref_df raises."""
+    import pytest as _pytest
+
+    from artigraph_spark.operators.dedup import bloom_dedup_against, content_key
+    from artigraph_spark.operators.sketches import bloom_build
+
+    ref = spark.createDataFrame([(i, f"old {i}") for i in range(30)], ["doc_id", "text"])
+    bits = bloom_build(
+        ref.select(content_key(F.col("text")).alias("__k")), "__k", 1 << 14, 4, 7
+    )
+    batch = spark.createDataFrame(
+        [(100, "old 5"), (101, "brand new"), (102, "brand new")],
+        ["doc_id", "text"],
+    )
+    out = bloom_dedup_against(
+        batch, None, "doc_id", "text",
+        num_bits=1 << 14, num_hashes=4, seed=7, verify=False, ref_bits=bits,
+    )
+    assert [tuple(r) for r in out.collect()] == [(101, "brand new")]
+    with _pytest.raises(ValueError, match="ref_df"):
+        bloom_dedup_against(
+            batch, None, "doc_id", "text", verify=True, ref_bits=bits
+        )
+    with _pytest.raises(ValueError, match="ref_df or a pre-built"):
+        bloom_dedup_against(batch, None, "doc_id", "text")

@@ -531,3 +531,50 @@ def test_split_corpus_validation_and_rates(spark):
         split_corpus(df, F.col("k"), {"train": 0.5, "test": 0.1})
     with pytest.raises(ValueError, match="non-empty"):
         split_corpus(df, F.col("k"), {})
+
+
+def test_stratified_split_exact_counts_and_determinism(spark):
+    import math
+
+    from artigraph_spark.operators.packing import stratified_split_exact
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(121)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_split_exact(df, "lang", F.col("doc_id"))
+    got = [(r["doc_id"], r["lang"], r["split"]) for r in out.collect()]
+    # disjoint + exhaustive: every input row labeled exactly once
+    assert sorted((d, l) for d, l, _ in got) == sorted((d, l) for d, l in rows)
+    # exact per-stratum counts: ceil(.8n) train, ceil(.9n)-ceil(.8n) valid
+    from collections import Counter
+
+    per = Counter((l, s) for _, l, s in got)
+    for lang in ("en", "fr", "de"):
+        n = sum(1 for _, l in rows if l == lang)
+        t, v = math.ceil(0.8 * n), math.ceil(0.9 * n)
+        assert per[(lang, "train")] == t
+        assert per[(lang, "valid")] == v - t
+        assert per[(lang, "test")] == n - v
+    # partitioning-independent membership
+    out2 = stratified_split_exact(df.repartition(7), "lang", F.col("doc_id"))
+    assert sorted(map(tuple, out2.collect())) == sorted(got)
+    # tiny stratum still gets eval rows (the motivating case): n=10 →
+    # exactly 8/1/1 where a 98/1/1 hash split would usually give 10/0/0
+    tiny = spark.createDataFrame([(i, "yo") for i in range(10)], ["doc_id", "lang"])
+    tc = Counter(
+        r["split"]
+        for r in stratified_split_exact(tiny, "lang", F.col("doc_id")).collect()
+    )
+    assert tc == {"train": 8, "valid": 1, "test": 1}
+    # boundary semantics: the LAST label absorbs the remainder and may be
+    # empty when ceil(cum·n) already covers n (n=5: ceil(4.5)=5 → test 0)
+    five = spark.createDataFrame([(i, "yo") for i in range(5)], ["doc_id", "lang"])
+    fc = Counter(
+        r["split"]
+        for r in stratified_split_exact(five, "lang", F.col("doc_id")).collect()
+    )
+    assert fc == {"train": 4, "valid": 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        stratified_split_exact(df, "lang", F.col("doc_id"), {"a": 0.5, "b": 0.4})
