@@ -492,3 +492,89 @@ def interval_join(
         else:
             out_cols.append(right[c])
     return left.join(right, cond, join_type).select(*out_cols)
+
+
+def sketch_state_sink(
+    stream_df: DataFrame,
+    *,
+    build: Callable[[DataFrame], DataFrame],
+    merge: Callable[[DataFrame], DataFrame],
+    state_path: str,
+    checkpoint: str,
+):
+    """Maintain a mergeable-sketch state table over a stream: every
+    micro-batch is summarised by ``build`` (batch frame → partial sketch)
+    and folded into the persisted state with ``merge`` (union of old state
+    + partial → merged sketch). Works for every sketch in
+    ``operators.sketches`` because they all merge relationally — CMS/
+    grouped CMS by summing cells, HLL by per-register max, Bloom by
+    union+distinct, histograms by summing bin counts — so the maintained
+    state equals the sketch of all data seen, without ever reprocessing
+    history. That is the 100 TB ingest story: per-batch work is
+    O(batch) + O(sketch), state is O(sketch), forever.
+
+    Exactly-once across failures: each merged state generation lands as a
+    single atomic directory rename ``sketch-<epoch>``; a replayed epoch
+    (foreachBatch re-delivery after a crash) finds its generation already
+    present and skips — the merge is idempotent per epoch with no separate
+    marker file to race against. Superseded generations are pruned after
+    the swap. (Local/HDFS semantics; on an object store route the commit
+    through the manifest-gated writer in ``storage`` instead, where rename
+    is not atomic.)
+
+    Read the live state any time with :func:`read_sketch_state`.
+    """
+    import os
+
+    def _generations(path: str) -> list[tuple[int, str]]:
+        if not os.path.isdir(path):
+            return []
+        out = []
+        for name in os.listdir(path):
+            if name.startswith("sketch-"):
+                try:
+                    out.append((int(name.split("-", 1)[1]), os.path.join(path, name)))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        gens = _generations(state_path)
+        if any(e == epoch_id for e, _ in gens):
+            return  # crash-replayed epoch: its generation already committed
+        part = build(batch_df)
+        if gens:
+            prev = spark.read.parquet(gens[-1][1])
+            merged = merge(prev.unionByName(part))
+        else:
+            merged = merge(part)
+        os.makedirs(state_path, exist_ok=True)
+        tmp = os.path.join(state_path, f".tmp-{epoch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(state_path, f"sketch-{epoch_id}"))
+        for _, p in gens:  # prune superseded generations
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_sketch_state(spark, state_path: str) -> DataFrame:
+    """The live (highest-epoch) sketch generation maintained by
+    :func:`sketch_state_sink`; raises if no generation has committed."""
+    import os
+
+    gens = sorted(
+        (int(n.split("-", 1)[1]), os.path.join(state_path, n))
+        for n in (os.listdir(state_path) if os.path.isdir(state_path) else [])
+        if n.startswith("sketch-")
+    )
+    if not gens:
+        raise FileNotFoundError(f"no committed sketch state under {state_path}")
+    return spark.read.parquet(gens[-1][1])

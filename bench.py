@@ -46,7 +46,18 @@ def main() -> None:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # full execution, JVM-side
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        # Drop the result frame NOW: iterative queries (pagerank, triangle
+        # counts) return localCheckpointed frames whose executor-storage
+        # blocks stay pinned until Python GC lets the ContextCleaner at
+        # them. Without this, 4 bench passes of each accumulate pinned
+        # blocks that steal unified memory from every later query —
+        # measured 2-5x inflation on explode-heavy neighbours.
+        del df
+        import gc
+
+        gc.collect()
+        return elapsed
 
     for _name, fn in queries:  # untimed pass: plans compiled, caches warm
         run(fn)

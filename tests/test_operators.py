@@ -1044,3 +1044,32 @@ def test_bloom_dedup_prebuilt_bits_state_path(spark):
         )
     with _pytest.raises(ValueError, match="ref_df or a pre-built"):
         bloom_dedup_against(batch, None, "doc_id", "text")
+
+
+def test_decayed_cms_never_undercounts_true_decayed_sum(spark):
+    """The decayed sketch keeps CMS's one-sided guarantee over the TRUE
+    decayed per-key sums (all weights positive → min-of-cells >= truth)."""
+    from artigraph_spark.operators.sketches import (
+        decay_weight,
+        grouped_cms_estimate,
+        grouped_count_min_sketch,
+    )
+
+    ref = 1706659200
+    rows = []
+    for i in range(200):
+        day = i % 9
+        rows.append((("g1", i % 5), f"2024-01-{30 - day:02d} 12:00:00"))
+    df = spark.createDataFrame(
+        [(g, k, ts) for ((g, k), ts) in rows], ["g", "k", "ts_s"]
+    ).select("g", "k", F.to_timestamp("ts_s").alias("ts"))
+    w = decay_weight("ts", ref, 86400, 30)  # 1-day half-life
+    sk = grouped_count_min_sketch(df, "g", "k", width=4, depth=2, seed=9, weight=w)
+    keys = df.select("g", "k").distinct()
+    est = grouped_cms_estimate(sk, keys, "g", "k", width=4, depth=2, seed=9)
+    truth = {
+        (r["g"], r["k"]): r["t"]
+        for r in df.groupBy("g", "k").agg(F.sum(w).alias("t")).collect()
+    }
+    for r in est.collect():
+        assert r["estimate"] >= truth[(r["g"], r["k"])]

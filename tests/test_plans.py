@@ -285,3 +285,51 @@ def test_triangle_counts_equi_joins_only(spark):
     df = triangle_counts(_copurchase_pairs(spark, SF), "s1", "s2", materialize=False)
     plan = P.physical_plan(df, "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- round-6 plan locks ----
+
+
+def test_interval_join_is_equi_join_with_range_residual(spark, qs):
+    """The time bounds must ride the user_id equi-join as a residual —
+    never a cartesian/nested-loop pairing of clicks x purchases."""
+    df = qs["interval_join_click_purchase"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the event_type filters must reach both parquet scans
+    filters = " ".join(P.pushed_filters(df))
+    assert "event_type" in filters
+
+
+def test_grouped_cms_single_data_shuffle(spark, qs):
+    """Sketch build = one data-sized exchange on (group, depth, bucket);
+    probe side joins the broadcast sketch — no second data shuffle, no
+    cartesian."""
+    from artigraph_spark.operators.sketches import grouped_count_min_sketch
+    from artigraph_spark.sources import load
+
+    e = load(spark, SF, "events")
+    sk = grouped_count_min_sketch(e, "event_type", "user_id", width=64, depth=4)
+    assert P.count_exchanges(sk) == 1
+    plan = P.physical_plan(qs["cms_decayed_topk"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan  # the summary-sized sketch side
+
+
+def test_bloom_dedup_broadcasts_filter_not_fact(spark, qs):
+    """The bit set rides a BroadcastExchange; the batch is never
+    nested-loop joined."""
+    plan = P.physical_plan(qs["bloom_incremental_dedup"](spark, SF), "simple")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_split_single_stratum_shuffle(spark, qs):
+    """Exact split = ONE exchange on the stratum key; both window
+    functions (rank + count) share it."""
+    df = qs["stratified_split_exact"](spark, SF)
+    assert P.count_exchanges(df) == 1
+    assert "CartesianProduct" not in P.physical_plan(df, "simple")

@@ -574,3 +574,105 @@ def test_interval_join_allows_shared_time_column_name(spark):
     rows = out.collect()
     assert len(rows) == 1  # 150s within 2 min of 100s; 5000s outside
     assert rows[0]["ts_right"] > rows[0]["ts"]
+
+
+def test_sketch_state_sink_multi_epoch_merge(spark, tmp_path):
+    """Per-micro-batch CMS partials merged into persisted state equal the
+    batch sketch over all data; superseded generations are pruned; a
+    crash-replayed epoch (same epoch id re-delivered) is skipped."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from artigraph_spark.operators.sketches import count_min_sketch
+    from artigraph_spark.streaming import read_sketch_state, sketch_state_sink
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    all_rows = [(i, i % 23) for i in range(300)]
+    for part in range(3):  # three files → three micro-batches
+        spark.createDataFrame(
+            all_rows[part * 100 : (part + 1) * 100], ["row_id", "user_id"]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("row_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    build = lambda df: count_min_sketch(df, "user_id", width=64, depth=3, seed=5)
+    merge = lambda df: df.groupBy("depth_id", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    q = sketch_state_sink(
+        stream,
+        build=build,
+        merge=merge,
+        state_path=state,
+        checkpoint=str(tmp_path / "ck1"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    expected = sorted(
+        map(
+            tuple,
+            count_min_sketch(
+                spark.createDataFrame(all_rows, ["row_id", "user_id"]),
+                "user_id",
+                width=64,
+                depth=3,
+                seed=5,
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, read_sketch_state(spark, state).collect()))
+    assert got == expected
+    gens = [n for n in os.listdir(state) if n.startswith("sketch-")]
+    assert len(gens) == 1  # superseded generations pruned
+
+    # Same-checkpoint restart (the real recovery contract): a 4th file
+    # arrives while the query is down; the restarted query merges ONLY the
+    # new data on top of the live state — no reprocessing, no double
+    # counting. (Fresh-checkpoint restarts reprocess by definition; the
+    # per-epoch guard exists for foreachBatch's crash re-delivery of the
+    # in-flight epoch, whose generation directory is exactly what it
+    # finds committed.)
+    spark.createDataFrame(
+        [(1000 + i, i % 23) for i in range(100)], ["row_id", "user_id"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = sketch_state_sink(
+        stream,
+        build=build,
+        merge=merge,
+        state_path=state,
+        checkpoint=str(tmp_path / "ck1"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    expected4 = sorted(
+        map(
+            tuple,
+            count_min_sketch(
+                spark.createDataFrame(
+                    all_rows + [(1000 + i, i % 23) for i in range(100)],
+                    ["row_id", "user_id"],
+                ),
+                "user_id",
+                width=64,
+                depth=3,
+                seed=5,
+            ).collect(),
+        )
+    )
+    got4 = sorted(map(tuple, read_sketch_state(spark, state).collect()))
+    assert got4 == expected4
+
+
+def test_read_sketch_state_raises_when_empty(spark, tmp_path):
+    import pytest as _pytest
+
+    from artigraph_spark.streaming import read_sketch_state
+
+    with _pytest.raises(FileNotFoundError, match="no committed sketch"):
+        read_sketch_state(spark, str(tmp_path / "nope"))
