@@ -622,3 +622,29 @@ def grouped_cms_estimate(
         .groupBy(group_col, key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
     )
+
+
+def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Join-size estimation from two count-min sketches built with the
+    same (width, depth, seed): the AMS/CMS inner-product estimator —
+    per depth row, Σ_bucket cnt_a·cnt_b; the estimate is the MIN over
+    depths. Never underestimates the true equi-join cardinality
+    Σ_key n_a(key)·n_b(key) (every true pair lands in some shared cell;
+    collisions only add), and collisions are deterministic universal-hash
+    arithmetic, so an oracle replays the exact estimate.
+
+    This is the optimizer's trick for sizing a shuffle join WITHOUT
+    touching either table again: both sketches are depth×width summaries
+    maintained at ingest (one data-sized pass each, or incrementally via
+    ``streaming.sketch_state_sink``), and the estimate itself joins two
+    summary-sized frames — O(depth·width), independent of data size.
+    Returns a single row ``(join_size_est)``.
+    """
+    a = sk_a.select("depth_id", "bucket", F.col("cnt").alias("__ca"))
+    b = sk_b.select("depth_id", "bucket", F.col("cnt").alias("__cb"))
+    per_depth = (
+        a.join(b, ["depth_id", "bucket"])
+        .groupBy("depth_id")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__est"))
+    )
+    return per_depth.agg(F.min("__est").alias("join_size_est"))

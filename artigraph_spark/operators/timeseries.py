@@ -149,3 +149,60 @@ def time_rollup(
         .unionByName(_lvl(daily, "day"))
         .unionByName(_lvl(monthly, "month"))
     )
+
+
+def trend_slopes(
+    df,
+    group_col: str,
+    ts_col: str,
+    *,
+    bucket: str = "1 hour",
+    origin: str = "2024-01-01 00:00:00",
+):
+    """Per-group linear trend of event volume over time: bucket the
+    timestamps, count per (group, bucket), then the closed-form least-
+    squares slope over (bucket_index, count) — the
+    "is this event type growing?" primitive.
+
+    All five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact int64
+    sums of small integers (x = whole buckets since ``origin``, y = bucket
+    counts), so the slope — one double division of two exact int64s —
+    is bit-identical on any engine/partitioning, and a DuckDB oracle
+    replays it. Groups need ≥2 distinct buckets (the variance denominator
+    is 0 otherwise — such groups are emitted with NULL slope).
+
+    Scale: one data-sized shuffle (the bucket groupBy, map-side partials);
+    the regression itself aggregates ≤buckets rows per group. Returns
+    ``(group, n_buckets, slope)`` with slope in events per bucket.
+    """
+    from pyspark.sql import functions as F
+
+    x = (
+        F.floor(
+            (
+                F.unix_timestamp(F.col(ts_col))
+                - F.unix_timestamp(F.lit(origin).cast("timestamp"))
+            )
+            / F.expr(f"INTERVAL {bucket}").cast("long")
+        )
+        .cast("long")
+    )
+    per_bucket = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(group_col), x.alias("__x"))
+        .agg(F.count(F.lit(1)).alias("__y"))
+    )
+    stats = per_bucket.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    den = stats["n_buckets"] * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    num = stats["n_buckets"] * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    return stats.select(
+        group_col,
+        "n_buckets",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias("slope"),
+    )
