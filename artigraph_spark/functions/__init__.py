@@ -114,3 +114,42 @@ def oracle_dvar_samp(expr: str) -> str:
 
 def oracle_dstddev_samp(expr: str) -> str:
     return f"SQRT({oracle_dvar_samp(expr)})"
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two
+    non-negative integral columns — ``a``'s bit i lands at position 2i,
+    ``b``'s at 2i+1. Rows sorted (or range-partitioned) by this key
+    cluster multi-dimensionally, so min/max file statistics prune scans
+    on EITHER column — the lakehouse layout trick (Delta/Iceberg
+    OPTIMIZE ZORDER) expressed as a plain deterministic int64 column:
+    ``df.repartitionByRange(N, zkey).sortWithinPartitions(zkey)`` before
+    the write.
+
+    Pure integer shifts/masks (2·bits ≤ 62 keeps everything in int64),
+    identical arithmetic in any engine — a DuckDB oracle replays keys
+    bit-for-bit. Values ≥ 2^bits fold (only their low bits interleave);
+    pick ``bits`` to cover the column domains.
+    """
+    from pyspark.sql import functions as F
+
+    if not 0 < bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(
+                F.shiftrightunsigned(a.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i,
+            )
+        )
+        terms.append(
+            F.shiftleft(
+                F.shiftrightunsigned(b.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out

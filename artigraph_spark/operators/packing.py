@@ -793,3 +793,50 @@ def stratified_split_exact(
             F.col("__rn") <= F.ceil(F.lit(cum) * F.col("__n")), F.lit(name)
         ).otherwise(expr)
     return ranked.withColumn("split", expr).drop("__rn", "__n")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: Column,
+    *,
+    n_shards: int,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic epoch shuffle for training-data serving: assign every
+    row a ``(shard, pos)`` — which output shard it belongs to and its
+    position within that shard — from a multiplicative hash of
+    ``key ⊕ epoch``. Different epochs give different (but each fully
+    deterministic) permutations, so "shuffle every epoch" needs no RNG
+    state, no global sort, and replays identically on any engine,
+    partitioning, or rerun — the property that makes a training run
+    resumable mid-epoch.
+
+    Scale: shard assignment is a per-row expression (no shuffle); the
+    within-shard position is a window partitioned by shard — ONE exchange
+    on the shard id, each shard's rows colocated (shards are sized
+    corpus/n_shards, so pick n_shards to keep shards partition-sized:
+    100 TB / 10k shards = 10 GB each). Writing the result partitioned by
+    ``shard`` with ``sortWithinPartitions(pos)`` lands ready-to-stream
+    training files.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if epoch < 0:
+        raise ValueError(f"epoch must be non-negative, got {epoch}")
+    p = F.lit(1_000_000_007)
+    # fold the epoch in BEFORE the multiplicative mix so consecutive
+    # epochs decorrelate (key+epoch*C with C coprime to p)
+    mixed = F.pmod(
+        F.pmod(
+            key.cast("long")
+            + F.lit(epoch).cast("long") * F.lit(2_147_483_629).cast("long"),
+            p,
+        )
+        * F.lit(2_654_435_761),
+        p,
+    )
+    shard = F.pmod(mixed, F.lit(n_shards))
+    w = Window.partitionBy(shard).orderBy(mixed, key)
+    return df.withColumn("shard", shard).withColumn(
+        "pos", F.row_number().over(w)
+    )

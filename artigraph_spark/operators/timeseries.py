@@ -156,8 +156,8 @@ def trend_slopes(
     group_col: str,
     ts_col: str,
     *,
-    bucket: str = "1 hour",
-    origin: str = "2024-01-01 00:00:00",
+    bucket_seconds: int = 3600,
+    origin_epoch: int = 1704067200,
 ):
     """Per-group linear trend of event volume over time: bucket the
     timestamps, count per (group, bucket), then the closed-form least-
@@ -165,7 +165,7 @@ def trend_slopes(
     "is this event type growing?" primitive.
 
     All five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact int64
-    sums of small integers (x = whole buckets since ``origin``, y = bucket
+    sums of small integers (x = whole buckets since ``origin_epoch``, y = bucket
     counts), so the slope — one double division of two exact int64s —
     is bit-identical on any engine/partitioning, and a DuckDB oracle
     replays it. Groups need ≥2 distinct buckets (the variance denominator
@@ -177,16 +177,12 @@ def trend_slopes(
     """
     from pyspark.sql import functions as F
 
-    x = (
-        F.floor(
-            (
-                F.unix_timestamp(F.col(ts_col))
-                - F.unix_timestamp(F.lit(origin).cast("timestamp"))
-            )
-            / F.expr(f"INTERVAL {bucket}").cast("long")
-        )
-        .cast("long")
-    )
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    x = F.floor(
+        (F.unix_timestamp(F.col(ts_col)) - F.lit(int(origin_epoch)))
+        / F.lit(float(bucket_seconds))
+    ).cast("long")
     per_bucket = (
         df.filter(F.col(ts_col).isNotNull())
         .groupBy(F.col(group_col), x.alias("__x"))

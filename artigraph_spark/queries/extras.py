@@ -1052,3 +1052,114 @@ def cms_decayed_topk(spark, sf_dir):
             "event_type", "rnk", "user_id", F.col("estimate").alias("decayed_estimate")
         )
     )
+
+
+def _cms_join_size_oracle_sql(width: int, depth: int, seed: int) -> str:
+    """DuckDB replica of the CMS inner-product join-size estimate over
+    orders⋈lineitem on the order key, plus the exact cardinality."""
+    from artigraph_spark.operators.dedup import _P, _hash_coeffs
+
+    coeffs = _hash_coeffs(depth, seed)
+    cell = "((({a} * k + {b}) % {p}) % {w})"
+    o_cells = "\n        UNION ALL ".join(
+        f"SELECT {d} AS depth_id, "
+        f"{cell.format(a=a, b=b, p=_P, w=width)} AS bucket FROM ok"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    l_cells = "\n        UNION ALL ".join(
+        f"SELECT {d} AS depth_id, "
+        f"{cell.format(a=a, b=b, p=_P, w=width)} AS bucket FROM lk"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+    WITH ok AS (SELECT o_orderkey % 2147483647 AS k FROM orders),
+    lk AS (SELECT l_orderkey % 2147483647 AS k FROM lineitem),
+    oc AS ({o_cells}),
+    lc AS ({l_cells}),
+    sko AS (SELECT depth_id, bucket, CAST(count(*) AS BIGINT) AS ca
+            FROM oc GROUP BY 1, 2),
+    skl AS (SELECT depth_id, bucket, CAST(count(*) AS BIGINT) AS cb
+            FROM lc GROUP BY 1, 2),
+    per_depth AS (
+        SELECT sko.depth_id, CAST(SUM(ca * cb) AS BIGINT) AS est
+        FROM sko JOIN skl USING (depth_id, bucket)
+        GROUP BY sko.depth_id
+    ),
+    est AS (SELECT CAST(min(est) AS BIGINT) AS join_size_est FROM per_depth),
+    exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_size
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT est.join_size_est, exact.exact_size,
+           est.join_size_est >= exact.exact_size AS never_underestimates
+    FROM est, exact
+    """
+
+
+@query("cms_join_size", oracle=_cms_join_size_oracle_sql(256, 4, 42))
+def cms_join_size(spark, sf_dir):
+    """Join-cardinality estimation from sketches alone: CMS inner product
+    over the orders and lineitem order-key sketches vs the exact
+    |orders⋈lineitem|. The estimate joins two depth×width summaries —
+    the optimizer's shuffle-sizing trick without rescanning either table
+    — and can never underestimate (every true pair shares a cell;
+    collisions only add), which the oracle-replayed flag locks."""
+    from artigraph_spark.operators.sketches import (
+        cms_inner_product,
+        count_min_sketch,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    sko = count_min_sketch(o, "o_orderkey", width=256, depth=4, seed=42)
+    skl = count_min_sketch(li, "l_orderkey", width=256, depth=4, seed=42)
+    est = cms_inner_product(sko, skl)
+    exact = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).agg(
+        F.count(F.lit(1)).alias("exact_size")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "join_size_est",
+        "exact_size",
+        (F.col("join_size_est") >= F.col("exact_size")).alias(
+            "never_underestimates"
+        ),
+    )
+
+
+@query(
+    "zorder_cluster_keys",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ), keyed AS (
+        SELECT pk, sk,
+               (
+    """
+    + "\n             + ".join(
+        f"(((pk >> {i}) & 1) << {2 * i}) + (((sk >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    + """
+               ) AS zkey
+        FROM pairs
+    )
+    SELECT pk, sk, zkey FROM keyed
+    ORDER BY zkey, pk, sk LIMIT 300
+    """,
+)
+def zorder_cluster_keys(spark, sf_dir):
+    """Z-order (Morton) layout keys over the (part, supplier) co-purchase
+    pairs: the first 300 pairs in Z-curve order — the clustering a
+    lakehouse writer would `repartitionByRange(zkey).sortWithin` before
+    landing files, so min/max stats prune scans on EITHER key. Pure
+    integer shifts replayed bit-for-bit by the oracle."""
+    from artigraph_spark.functions import zorder_key
+
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    keyed = pairs.withColumn(
+        "zkey", zorder_key(F.col("pk"), F.col("sk"), bits=16)
+    )
+    return keyed.orderBy("zkey", "pk", "sk").limit(300)

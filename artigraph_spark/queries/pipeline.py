@@ -609,3 +609,32 @@ def stratified_split_exact_q(spark, sf_dir):
     return stratified_split_exact(d, "lang", F.col("doc_id")).select(
         "doc_id", "lang", "split"
     )
+
+
+@query(
+    "epoch_shuffle_shards",
+    oracle="""
+    WITH mixed AS (
+        SELECT doc_id,
+               ((((doc_id + CAST(3 AS BIGINT) * 2147483629) % 1000000007) * 2654435761)
+                % 1000000007) AS m
+        FROM documents
+    )
+    SELECT doc_id, m % 8 AS shard,
+           ROW_NUMBER() OVER (PARTITION BY m % 8 ORDER BY m, doc_id) AS pos
+    FROM mixed
+    """,
+)
+def epoch_shuffle_shards(spark, sf_dir):
+    """Deterministic epoch-3 training shuffle of the corpus into 8 shards:
+    every document gets a (shard, pos) from a multiplicative hash of
+    doc_id⊕epoch — a full pseudorandom permutation with no RNG state, so
+    the epoch replays identically on any engine/partitioning (resumable
+    mid-epoch). Shard assignment is shuffle-free; positions cost one
+    shard-keyed exchange. See ``operators.packing.epoch_shuffle``."""
+    from artigraph_spark.operators.packing import epoch_shuffle
+
+    d = load(spark, sf_dir, "documents")
+    return epoch_shuffle(d, F.col("doc_id"), n_shards=8, epoch=3).select(
+        "doc_id", "shard", "pos"
+    )

@@ -408,3 +408,46 @@ def interval_join_click_purchase(spark, sf_dir):
         F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         "purchase_value",
     )
+
+
+@query(
+    "trend_slopes_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor((floor(epoch(ts)) - 1704067200) / 3600.0) AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM hourly GROUP BY 1
+    )
+    SELECT event_type, n_buckets,
+           round(CASE WHEN n_buckets * sxx - sx * sx <> 0
+                 THEN CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+                      / CAST(n_buckets * sxx - sx * sx AS DOUBLE)
+                 END, 9) AS slope_r
+    FROM stats
+    """,
+)
+def trend_slopes_hourly(spark, sf_dir):
+    """Per-event-type linear trend of hourly volume (closed-form least
+    squares over (hour index, hourly count)). The five sufficient
+    statistics are exact int64 sums, so the slope — one double division
+    of two exact integers — matches the oracle bit-for-bit; rounding is
+    display-only. One data-sized shuffle (the hourly groupBy)."""
+    from artigraph_spark.operators.timeseries import trend_slopes
+
+    e = load(spark, sf_dir, "events")
+    out = trend_slopes(
+        e, "event_type", "ts", bucket_seconds=3600, origin_epoch=1704067200
+    )
+    return out.select(
+        "event_type", "n_buckets", F.round("slope", 9).alias("slope_r")
+    )

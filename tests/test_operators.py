@@ -1073,3 +1073,112 @@ def test_decayed_cms_never_undercounts_true_decayed_sum(spark):
     }
     for r in est.collect():
         assert r["estimate"] >= truth[(r["g"], r["k"])]
+
+
+def test_cms_inner_product_never_underestimates_and_exact_when_wide(spark):
+    from artigraph_spark.operators.sketches import cms_inner_product, count_min_sketch
+
+    a = spark.createDataFrame([(i % 11,) for i in range(100)], ["k"])
+    b = spark.createDataFrame([(i % 7,) for i in range(70)], ["k"])
+    exact = (
+        a.groupBy("k").count().withColumnRenamed("count", "ca")
+        .join(b.groupBy("k").count().withColumnRenamed("count", "cb"), "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("t"))
+        .collect()[0]["t"]
+    )
+    # narrow: overestimates only
+    ska = count_min_sketch(a, "k", width=4, depth=2, seed=3)
+    skb = count_min_sketch(b, "k", width=4, depth=2, seed=3)
+    est = cms_inner_product(ska, skb).collect()[0]["join_size_est"]
+    assert est >= exact
+    # wide: collision-free → exact
+    skaw = count_min_sketch(a, "k", width=1024, depth=4, seed=3)
+    skbw = count_min_sketch(b, "k", width=1024, depth=4, seed=3)
+    estw = cms_inner_product(skaw, skbw).collect()[0]["join_size_est"]
+    assert estw == exact
+
+
+def test_trend_slopes_recovers_known_line(spark):
+    """Counts laid out as y = 3x + 2 per bucket must give slope exactly 3;
+    a flat group gives 0; a single-bucket group gives NULL."""
+    from artigraph_spark.operators.timeseries import trend_slopes
+
+    rows = []
+    for x in range(6):
+        for _ in range(3 * x + 2):
+            rows.append(("up", f"2024-01-01 {x:02d}:30:00"))
+    for x in range(4):
+        for _ in range(5):
+            rows.append(("flat", f"2024-01-01 {x:02d}:15:00"))
+    rows.append(("one", "2024-01-01 00:00:01"))
+    df = spark.createDataFrame(rows, ["g", "ts_s"]).select(
+        "g", F.to_timestamp("ts_s").alias("ts")
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {
+        r["g"]: (r["n_buckets"], r["slope"])
+        for r in trend_slopes(df, "g", "ts").collect()
+    }
+    assert out["up"] == (6, 3.0)
+    assert out["flat"] == (4, 0.0)
+    assert out["one"][1] is None
+
+
+def test_epoch_shuffle_permutation_properties(spark):
+    from artigraph_spark.operators.packing import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    e1 = epoch_shuffle(df, F.col("doc_id"), n_shards=8, epoch=1)
+    rows1 = [(r["doc_id"], r["shard"], r["pos"]) for r in e1.collect()]
+    # every row assigned exactly once; positions are 1..n_shard per shard
+    assert sorted(d for d, _, _ in rows1) == list(range(200))
+    from collections import Counter
+
+    per_shard = Counter(s for _, s, _ in rows1)
+    pos_by_shard = {}
+    for _, s, p in rows1:
+        pos_by_shard.setdefault(s, []).append(p)
+    for s, ps in pos_by_shard.items():
+        assert sorted(ps) == list(range(1, per_shard[s] + 1))
+    # deterministic across partitioning
+    e1b = epoch_shuffle(df.repartition(7), F.col("doc_id"), n_shards=8, epoch=1)
+    assert sorted(map(tuple, e1b.collect())) == sorted(rows1)
+    # a different epoch is a different permutation
+    e2 = epoch_shuffle(df, F.col("doc_id"), n_shards=8, epoch=2)
+    rows2 = sorted((r["doc_id"], r["shard"], r["pos"]) for r in e2.collect())
+    assert rows2 != sorted(rows1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(df, F.col("doc_id"), n_shards=0)
+    with _pytest.raises(ValueError, match="epoch"):
+        epoch_shuffle(df, F.col("doc_id"), n_shards=4, epoch=-1)
+
+
+def test_zorder_key_interleaves_and_orders_locally(spark):
+    from artigraph_spark.functions import zorder_key
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(8)], ["a", "b"]
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zorder_key(F.col("a"), F.col("b"), bits=3).alias("z")).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(3):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): morton(a, b) for a in range(8) for b in range(8)}
+    # the curve is a bijection on the 8x8 grid
+    assert sorted(got.values()) == list(range(64))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits"):
+        zorder_key(F.col("a"), F.col("b"), bits=0)
