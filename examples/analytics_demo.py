@@ -1,12 +1,15 @@
 """Event analytics + sketches as an incremental Graph — the monitoring
 operator family end-to-end through the framework layer.
 
-events (external parquet, raw artifact; ts kept as raw int64 nanos)
+events (external parquet, raw artifact; ts declared at.Timestamp — the
+type bridge hands producers a real TimestampType column)
   → BuildSketches (TWO bounded mergeable summaries, materialized as
      catalog artifacts: HyperLogLog registers + count-min cells — the
      "monitoring snapshot" a 100 TB stream compacts into)
   → FunnelReport (ordered view→click→purchase stage table per user)
   → AnomalyReport (hourly >2σ volume outliers per event type)
+  → TrendReport (per-type least-squares slope of hourly volume — the
+     round-6 closed-form trend operator, exact-int64 statistics)
 
 Demonstrates that the sketch family composes with memoization: sketches
 are tiny content-addressed artifacts, a rebuild on unchanged input is a
@@ -44,7 +47,7 @@ EVENTS_TYPE = at.Collection(
     element=at.Struct(
         fields={
             "event_id": at.Int64(),
-            "ts": at.Int64(),  # raw parquet TIMESTAMP(NANOS) read as int64
+            "ts": at.Timestamp(),  # bridged to Spark TimestampType on read
             "user_id": at.Int64(),
             "event_type": at.String(),
             "value": at.Float64(),
@@ -67,6 +70,16 @@ FUNNEL_TYPE = at.Collection(
     element=at.Struct(fields={"user_id": at.Int64(), "stage_reached": at.Int32()})
 )
 
+TREND_TYPE = at.Collection(
+    element=at.Struct(
+        fields={
+            "event_type": at.String(),
+            "n_buckets": at.Int64(),
+            "slope": at.Float64(),
+        }
+    )
+)
+
 ANOMALY_TYPE = at.Collection(
     element=at.Struct(
         fields={
@@ -84,9 +97,15 @@ class Events(Artifact):
 
 
 def _with_ts(events: DataFrame) -> DataFrame:
-    """Raw int64 nanos → microsecond timestamps (the documented-lossy ns
-    bridge, SURVEY §1.2)."""
-    return events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """The declared at.Timestamp type already hands producers a proper
+    TimestampType column (the round-6 fix: the old manual int64-nanos
+    division silently corrupted µs fixtures 1000×); kept as a hook for
+    fixtures that really do carry raw int64 nanos."""
+    from pyspark.sql import types as T
+
+    if isinstance(events.schema["ts"].dataType, T.LongType):
+        return events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events
 
 
 class BuildSketches(Producer):
@@ -134,13 +153,25 @@ class AnomalyReport(Producer):
         )
 
 
+class TrendReport(Producer):
+    version = SemVer(major=1)
+
+    events: Events
+
+    def build(self, events: DataFrame) -> DataFrame:
+        from artigraph_spark.operators.timeseries import trend_slopes
+
+        return trend_slopes(_with_ts(events), "event_type", "ts")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     root = tempfile.mkdtemp(prefix="analytics_demo_")
     backend = JsonFileBackend(os.path.join(root, "catalog.json"))
     spark = get_spark("analytics_demo")
-    # The raw artifact keeps ts as int64 nanos — tell the parquet reader so
-    # before any framework read touches events.parquet.
+    # For TIMESTAMP(NANOS) fixtures the reader needs the nanos escape
+    # hatch; µs fixtures ignore it. Either way the declared at.Timestamp
+    # type yields a TimestampType column after the bridge.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def build_once() -> tuple[LocalSparkExecutor, Graph]:
@@ -162,6 +193,9 @@ def main() -> None:
             g.artifacts.anomalies = AnomalyReport(events=g.artifacts.events).out(
                 Artifact(type=ANOMALY_TYPE, storage=LocalFile(root=root))
             )
+            g.artifacts.trends = TrendReport(events=g.artifacts.events).out(
+                Artifact(type=TREND_TYPE, storage=LocalFile(root=root))
+            )
         ex = LocalSparkExecutor()
         g.snapshot(strict_fingerprints=True).build(ex)
         return ex, g
@@ -177,11 +211,14 @@ def main() -> None:
     exact = load(spark, sf_dir, "events").select("event_id").distinct().count()
     funnel = snap.read(g1.artifacts.funnel)
     anomalies = snap.read(g1.artifacts.anomalies).count()
+    trends = snap.read(g1.artifacts.trends).collect()
     print(
         f"build 1: built={ex1.built_partitions} hll_est={est:.1f} "
-        f"exact_events={exact} funnel_rows={funnel.count()} anomalies={anomalies}"
+        f"exact_events={exact} funnel_rows={funnel.count()} anomalies={anomalies} "
+        f"trends={[(r['event_type'], r['slope']) for r in trends]}"
     )
-    assert ex1.built_partitions == 3
+    assert ex1.built_partitions == 4
+    assert len(trends) == 5 and all(r["slope"] is not None for r in trends)
     # the STORED registers must estimate like live data (mergeable summary)
     assert abs(est / exact - 1.0) < 0.25  # m=256 standard error ~6.5%
     assert funnel.filter(F.col("stage_reached") >= 2).count() > 0
