@@ -642,9 +642,76 @@ def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
     """
     a = sk_a.select("depth_id", "bucket", F.col("cnt").alias("__ca"))
     b = sk_b.select("depth_id", "bucket", F.col("cnt").alias("__cb"))
-    per_depth = (
+    shared = (
         a.join(b, ["depth_id", "bucket"])
         .groupBy("depth_id")
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__est"))
     )
-    return per_depth.agg(F.min("__est").alias("join_size_est"))
+    # A depth row with NO shared buckets is a PROOF of disjointness — its
+    # inner product is 0, and it must participate in the min (dropping it
+    # would both overestimate and, with fully disjoint inputs, leave the
+    # min over an empty frame NULL). Enumerate depths from sketch A and
+    # left-join the shared sums; an empty sketch estimates 0 outright.
+    depths = sk_a.select("depth_id").distinct()
+    per_depth = depths.join(shared, "depth_id", "left").select(
+        F.coalesce(F.col("__est"), F.lit(0)).alias("__est")
+    )
+    return per_depth.agg(
+        F.coalesce(F.min("__est"), F.lit(0)).alias("join_size_est")
+    )
+
+
+def sliding_hll_estimates(
+    df: DataFrame,
+    bucket_col,
+    key_col: str,
+    *,
+    window_buckets: int,
+    m: int = 256,
+    seed: int = 11,
+) -> DataFrame:
+    """Trailing-window distinct counts from mergeable per-bucket HLL
+    sketches: one data-sized pass builds an HLL per time bucket
+    (:func:`grouped_hll_sketch` with the bucket as the group), then every
+    bucket's registers are contributed to the ``window_buckets`` trailing
+    windows that contain it and merged by per-register max — the sliding
+    "distinct users in the last 24 h, per hour" without re-scanning 24
+    hours of data per answer, the summary-over-resummarize pattern a
+    100 TB event stream needs (per-answer work is O(windows × m), data
+    is touched once; the hourly sketches are exactly what
+    ``streaming.sketch_state_sink`` maintains incrementally).
+
+    ``bucket_col`` is an integral bucket index column (e.g. hours since
+    epoch). Returns ``(bucket, estimate)`` for every bucket present in
+    the data — the estimate covers buckets ``(bucket - window_buckets,
+    bucket]``; empty intermediate buckets contribute nothing (correct:
+    they hold no keys). Same exact-integer estimator as
+    :func:`hll_estimate`, so a DuckDB oracle replays every estimate."""
+    if window_buckets <= 0:
+        raise ValueError(f"window_buckets must be positive, got {window_buckets}")
+    _check_hll_m(m)
+    per_bucket = grouped_hll_sketch(
+        df.select(bucket_col.alias("__b").cast("long"), F.col(key_col)),
+        "__b",
+        key_col,
+        m=m,
+        seed=seed,
+    )
+    targets = per_bucket.select(
+        F.explode(
+            F.sequence(
+                F.col("__b"), F.col("__b") + F.lit(window_buckets - 1)
+            )
+        ).alias("bucket"),
+        "register",
+        "max_rho",
+    )
+    # Only emit windows anchored at buckets that actually exist in the
+    # data (a trailing window is asked "as of" an observed bucket).
+    present = per_bucket.select(F.col("__b").alias("bucket")).distinct()
+    merged = (
+        targets.join(present, "bucket", "left_semi")
+        .groupBy("bucket", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    return grouped_hll_estimate(merged, "bucket", m=m)

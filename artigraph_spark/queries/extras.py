@@ -1080,12 +1080,22 @@ def _cms_join_size_oracle_sql(width: int, depth: int, seed: int) -> str:
             FROM oc GROUP BY 1, 2),
     skl AS (SELECT depth_id, bucket, CAST(count(*) AS BIGINT) AS cb
             FROM lc GROUP BY 1, 2),
-    per_depth AS (
+    shared AS (
         SELECT sko.depth_id, CAST(SUM(ca * cb) AS BIGINT) AS est
         FROM sko JOIN skl USING (depth_id, bucket)
         GROUP BY sko.depth_id
     ),
-    est AS (SELECT CAST(min(est) AS BIGINT) AS join_size_est FROM per_depth),
+    -- depths with no shared buckets prove disjointness: they contribute 0
+    -- to the min, mirroring operators.sketches.cms_inner_product
+    per_depth AS (
+        SELECT coalesce(shared.est, 0) AS est
+        FROM (SELECT DISTINCT depth_id FROM sko) d
+        LEFT JOIN shared USING (depth_id)
+    ),
+    est AS (
+        SELECT CAST(coalesce(min(est), 0) AS BIGINT) AS join_size_est
+        FROM per_depth
+    ),
     exact AS (
         SELECT CAST(count(*) AS BIGINT) AS exact_size
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1163,3 +1173,104 @@ def zorder_cluster_keys(spark, sf_dir):
         "zkey", zorder_key(F.col("pk"), F.col("sk"), bits=16)
     )
     return keyed.orderBy("zkey", "pk", "sk").limit(300)
+
+
+def _sliding_hll_oracle_sql(m: int, seed: int, window: int) -> str:
+    """DuckDB replica of the trailing-window HLL distinct-user estimates:
+    identical mixer/rank/merge/harmonic-sum chain, per trailing window."""
+    from artigraph_spark.operators.sketches import _HLL_MAX_RHO
+
+    mix_sql = _hll_mix_sql
+    alpha_m2 = _hll_alpha_m2(m)
+    big = 1 << _HLL_MAX_RHO
+    rho_branches = _hll_rho_branches_sql()
+    return f"""
+    WITH keyed AS (
+        SELECT CAST(floor((floor(epoch(ts)) - 1704067200) / 3600.0) AS BIGINT) AS b,
+               user_id % 2147483647 AS k, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ), regs AS (
+        SELECT b, {mix_sql('k', seed)} % {m} AS register,
+               {mix_sql('k', seed + 12)} AS w
+        FROM keyed
+    ), ranked AS (
+        SELECT b, register,
+               CASE WHEN w = 0 THEN {_HLL_MAX_RHO} {rho_branches}
+                    ELSE {_HLL_MAX_RHO} END AS rho
+        FROM regs
+    ), hourly AS (
+        SELECT b, register, max(rho) AS max_rho FROM ranked GROUP BY 1, 2
+    ), present AS (SELECT DISTINCT b FROM hourly),
+    contrib AS (
+        SELECT p.b AS bucket, h.register, h.max_rho
+        FROM hourly h JOIN present p ON p.b BETWEEN h.b AND h.b + {window - 1}
+    ), merged AS (
+        SELECT bucket, register, max(max_rho) AS max_rho
+        FROM contrib GROUP BY 1, 2
+    ), agg AS (
+        SELECT bucket,
+               CAST(SUM(CAST(pow(2.0, {_HLL_MAX_RHO} - max_rho) AS BIGINT)) AS BIGINT)
+                   AS present_sum,
+               CAST(count(*) AS BIGINT) AS nreg
+        FROM merged GROUP BY 1
+    ), est AS (
+        SELECT bucket, CAST({alpha_m2!r} AS DOUBLE) * CAST({float(big)!r} AS DOUBLE)
+               / (present_sum + ({m} - nreg) * {big}) AS estimate
+        FROM agg
+    ), exact AS (
+        SELECT p.b AS bucket, CAST(count(DISTINCT k2.user_id) AS BIGINT)
+               AS exact_distinct
+        FROM present p JOIN keyed k2 ON k2.b BETWEEN p.b - {window - 1} AND p.b
+        GROUP BY 1
+    )
+    SELECT est.bucket, round(est.estimate, 6) AS hll_estimate_r,
+           exact.exact_distinct,
+           round(est.estimate / exact.exact_distinct, 6) AS ratio_r
+    FROM est JOIN exact USING (bucket)
+    """
+
+
+@query("sliding_distinct_users", oracle=_sliding_hll_oracle_sql(256, 11, 24))
+def sliding_distinct_users(spark, sf_dir):
+    """Trailing-24 h distinct users per hour from merged hourly HLL
+    sketches — the sliding-cardinality shape that re-summarizes
+    summaries instead of re-scanning data (per-answer work O(window·m);
+    one data pass total; the hourly sketches are exactly the state
+    ``streaming.sketch_state_sink`` maintains). Estimates and the
+    est/exact ratio are oracle-replayed exactly; at the fixture's ~150
+    users the raw estimator runs in its small-cardinality regime, so the
+    honest accuracy measure is the replayed ratio column, not a pass
+    flag."""
+    from artigraph_spark.operators.sketches import sliding_hll_estimates
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    bucket = F.floor(
+        (F.unix_timestamp(F.col("ts")) - F.lit(1704067200)) / F.lit(3600.0)
+    ).cast("long")
+    est = sliding_hll_estimates(
+        e, bucket, "user_id", window_buckets=24, m=256, seed=11
+    )
+    keyed = e.select(bucket.alias("__b"), "user_id")
+    present = keyed.select(F.col("__b").alias("bucket")).distinct()
+    contrib = keyed.select(
+        F.explode(
+            F.sequence(F.col("__b"), F.col("__b") + F.lit(23))
+        ).alias("bucket"),
+        "user_id",
+    )
+    exact = (
+        contrib.join(present, "bucket", "left_semi")
+        .groupBy("bucket")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "bucket")
+        .select(
+            "bucket",
+            F.round("estimate", 6).alias("hll_estimate_r"),
+            "exact_distinct",
+            F.round(F.col("estimate") / F.col("exact_distinct"), 6).alias(
+                "ratio_r"
+            ),
+        )
+    )

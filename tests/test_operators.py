@@ -1182,3 +1182,37 @@ def test_zorder_key_interleaves_and_orders_locally(spark):
 
     with _pytest.raises(ValueError, match="bits"):
         zorder_key(F.col("a"), F.col("b"), bits=0)
+
+
+def test_sliding_hll_window_merge_equals_direct_sketch(spark):
+    """Merge law: the trailing-window estimate from merged per-bucket
+    sketches must equal the HLL estimate of a sketch built directly over
+    the window's rows — sketch-of-union == union-of-sketches."""
+    from artigraph_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+        sliding_hll_estimates,
+    )
+
+    rows = [(b, (b * 13 + i) % 40) for b in range(6) for i in range(25)]
+    df = spark.createDataFrame(rows, ["b", "k"])
+    est = {
+        r["bucket"]: r["estimate"]
+        for r in sliding_hll_estimates(
+            df, F.col("b"), "k", window_buckets=3, m=64, seed=2
+        ).collect()
+    }
+    assert set(est) == set(range(6))
+    for anchor in range(6):
+        window = df.filter(
+            (F.col("b") > anchor - 3) & (F.col("b") <= anchor)
+        )
+        direct = hll_estimate(hll_sketch(window, "k", m=64, seed=2), m=64).collect()[
+            0
+        ]["estimate"]
+        assert est[anchor] == direct
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_buckets"):
+        sliding_hll_estimates(df, F.col("b"), "k", window_buckets=0)

@@ -373,3 +373,58 @@ def test_triangle_counts_match_bruteforce(spark, edges):
         for r in triangle_counts(df, "s", "d", materialize=False).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    a_keys=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=60),
+    b_keys=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=60),
+)
+def test_cms_inner_product_bounds_join_size(spark, a_keys, b_keys):
+    """∀ multisets: narrow-sketch inner product ≥ exact join size; a
+    collision-free-wide sketch recovers it exactly."""
+    from collections import Counter
+
+    from artigraph_spark.operators.sketches import cms_inner_product, count_min_sketch
+
+    ca, cb = Counter(a_keys), Counter(b_keys)
+    exact = sum(ca[k] * cb[k] for k in ca)
+    a = spark.createDataFrame([(k,) for k in a_keys], ["k"])
+    b = spark.createDataFrame([(k,) for k in b_keys], ["k"])
+    narrow = cms_inner_product(
+        count_min_sketch(a, "k", width=4, depth=2, seed=5),
+        count_min_sketch(b, "k", width=4, depth=2, seed=5),
+    ).collect()[0]["join_size_est"]
+    assert narrow >= exact
+    wide = cms_inner_product(
+        count_min_sketch(a, "k", width=512, depth=3, seed=5),
+        count_min_sketch(b, "k", width=512, depth=3, seed=5),
+    ).collect()[0]["join_size_est"]
+    assert wide == exact
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=4),
+)
+def test_stratified_split_exact_counts_law(spark, sizes):
+    """∀ strata sizes: per-stratum label counts are exactly the
+    ceil-cumulative boundaries, and the split partitions the stratum."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as SF
+
+    from artigraph_spark.operators.packing import stratified_split_exact
+
+    rows = [
+        (s * 1000 + i, f"s{s}") for s, n in enumerate(sizes) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "stratum"])
+    out = stratified_split_exact(df, "stratum", SF.col("doc_id"))
+    per = Counter((r["stratum"], r["split"]) for r in out.collect())
+    for s, n in enumerate(sizes):
+        t, v = math.ceil(0.8 * n), math.ceil(0.9 * n)
+        assert per[(f"s{s}", "train")] == t
+        assert per[(f"s{s}", "valid")] == v - t
+        assert per[(f"s{s}", "test")] == n - v
