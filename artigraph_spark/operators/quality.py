@@ -1,0 +1,181 @@
+"""Declarative data-quality constraint checking (the deequ-style surface
+a training-data pipeline gates ingests with).
+
+A constraint suite compiles to ONE aggregate pass over the table for all
+row-local checks (null rates, ranges, accepted values, custom
+predicates) — every check is a conditional-count expression inside the
+same `agg()`, so a 100-check suite still scans the data once, map-side
+partial all the way. Set-level checks (uniqueness, referential
+integrity) each need their own keyed shuffle by nature; they run as
+separate summary-sized aggregates and union into the same report.
+
+The report is a plain DataFrame ``(check, metric, violations, passed)``
+— deterministic, engine-replayable (counts only), and writable as an
+artifact so quality history rides the same storage/fingerprint
+machinery as data (see ``statistics.py`` for the framework-level
+threshold gate that can abort a build on it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclasses.dataclass(frozen=True)
+class Check:
+    """One named constraint: ``predicate`` marks VIOLATING rows (row-local
+    checks), or ``kind`` selects a set-level check handled specially."""
+
+    name: str
+    kind: str  # "row" | "unique" | "referential"
+    predicate: Column | None = None  # row: true == violation
+    cols: tuple[str, ...] = ()
+    ref: DataFrame | None = None
+    ref_col: str | None = None
+
+
+def not_null(col: str) -> Check:
+    return Check(name=f"not_null({col})", kind="row", predicate=F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Check:
+    c = F.col(col)
+    return Check(
+        name=f"in_range({col},{lo},{hi})",
+        kind="row",
+        predicate=c.isNull() | (c < lo) | (c > hi),
+    )
+
+
+def accepted_values(col: str, values: Sequence) -> Check:
+    return Check(
+        name=f"accepted_values({col})",
+        kind="row",
+        predicate=~F.col(col).isin(list(values)) | F.col(col).isNull(),
+    )
+
+
+def satisfies(name: str, violation: Column) -> Check:
+    """Custom row-local constraint; ``violation`` is true on bad rows."""
+    return Check(name=name, kind="row", predicate=violation)
+
+
+def unique(*cols: str) -> Check:
+    return Check(name=f"unique({','.join(cols)})", kind="unique", cols=tuple(cols))
+
+
+def referential(col: str, ref: DataFrame, ref_col: str) -> Check:
+    """Every non-null value of ``col`` must exist in ``ref[ref_col]``."""
+    return Check(
+        name=f"referential({col}->{ref_col})",
+        kind="referential",
+        cols=(col,),
+        ref=ref,
+        ref_col=ref_col,
+    )
+
+
+def check_constraints(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Run a constraint suite; returns ``(check, metric, violations,
+    passed)`` with one row per check, ordered as given.
+
+    metric: total rows for row checks, duplicate surplus rows for
+    uniqueness (rows beyond the first per key), dangling distinct values
+    for referential. ``passed`` is simply ``violations == 0`` — thresholds
+    beyond zero-tolerance belong to the caller (or the framework's
+    statistics gate).
+    """
+    if not checks:
+        raise ValueError("empty constraint suite")
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate check names in suite: {names}")
+    row_checks = [c for c in checks if c.kind == "row"]
+    reports: list[DataFrame] = []
+    if row_checks:
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(F.when(c.predicate, 1).otherwise(0)).alias(f"__v{i}")
+            for i, c in enumerate(row_checks)
+        ]
+        one = df.agg(*aggs)
+        # explode the single aggregate row into one report row per check —
+        # a per-check union of selects over `one` would re-scan the table
+        # once per branch (no cross-branch CSE); this keeps ONE FileScan
+        # for the whole row-local suite (plan-locked in tests).
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(c.name).alias("check"),
+                    F.col("__n").cast("long").alias("metric"),
+                    F.col(f"__v{i}").cast("long").alias("violations"),
+                )
+                for i, c in enumerate(row_checks)
+            ]
+        )
+        reports.append(
+            one.select(F.explode(rows).alias("__r")).select(
+                "__r.check", "__r.metric", "__r.violations"
+            )
+        )
+    for c in checks:
+        if c.kind == "unique":
+            surplus = (
+                df.groupBy(*[F.col(x) for x in c.cols])
+                .agg(F.count(F.lit(1)).alias("__k"))
+                .agg(
+                    F.count(F.lit(1)).alias("__groups"),
+                    F.coalesce(F.sum(F.col("__k") - 1), F.lit(0)).alias("__dupes"),
+                )
+            )
+            reports.append(
+                surplus.select(
+                    F.lit(c.name).alias("check"),
+                    F.col("__groups").cast("long").alias("metric"),
+                    F.col("__dupes").cast("long").alias("violations"),
+                )
+            )
+        elif c.kind == "referential":
+            col = c.cols[0]
+            dangling = (
+                df.select(F.col(col).alias("__v"))
+                .filter(F.col("__v").isNotNull())
+                .distinct()
+                .join(
+                    c.ref.select(F.col(c.ref_col).alias("__v")).distinct(),
+                    "__v",
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).alias("__d"))
+            )
+            total = df.select(F.col(col).alias("__v")).filter(
+                F.col("__v").isNotNull()
+            ).distinct().agg(F.count(F.lit(1)).alias("__t"))
+            reports.append(
+                total.crossJoin(F.broadcast(dangling)).select(
+                    F.lit(c.name).alias("check"),
+                    F.col("__t").cast("long").alias("metric"),
+                    F.col("__d").cast("long").alias("violations"),
+                )
+            )
+        elif c.kind != "row":
+            raise ValueError(f"unknown check kind {c.kind!r} in {c.name}")
+    # preserve suite order in the output (row checks were emitted first)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    order = {c.name: i for i, c in enumerate(checks)}
+    emitted = [c for c in checks if c.kind == "row"] + [
+        c for c in checks if c.kind != "row"
+    ]
+    mapping = F.create_map(
+        *[x for c in emitted for x in (F.lit(c.name), F.lit(order[c.name]))]
+    )
+    return (
+        out.withColumn("__ord", mapping[F.col("check")])
+        .orderBy("__ord")
+        .drop("__ord")
+        .withColumn("passed", F.col("violations") == 0)
+    )

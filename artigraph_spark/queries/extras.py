@@ -1274,3 +1274,79 @@ def sliding_distinct_users(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "constraint_report",
+    oracle="""
+    WITH rowagg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+               CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                             OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN l_returnflag IS NULL
+                             OR l_returnflag NOT IN ('A', 'N', 'R')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               CAST(SUM(CASE WHEN NOT (l_extendedprice > 0.0) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v3
+        FROM lineitem
+    ), uniq AS (
+        SELECT CAST(count(*) AS BIGINT) AS groups,
+               CAST(coalesce(SUM(k - 1), 0) AS BIGINT) AS dupes
+        FROM (SELECT count(*) AS k FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+    ), refi AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dangling
+        FROM (SELECT DISTINCT l_orderkey FROM lineitem
+              WHERE l_orderkey IS NOT NULL) l
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT chk AS "check", metric, violations, violations = 0 AS passed
+    FROM (
+        SELECT 'not_null(l_orderkey)' AS chk, n AS metric, v0 AS violations
+        FROM rowagg
+        UNION ALL
+        SELECT 'in_range(l_discount,0.0,0.1)', n, v1 FROM rowagg
+        UNION ALL
+        SELECT 'accepted_values(l_returnflag)', n, v2 FROM rowagg
+        UNION ALL
+        SELECT 'positive_price', n, v3 FROM rowagg
+        UNION ALL
+        SELECT 'unique(l_orderkey,l_linenumber)', groups, dupes FROM uniq
+        UNION ALL
+        SELECT 'referential(l_orderkey->o_orderkey)', total, dangling FROM refi
+    )
+    """,
+)
+def constraint_report(spark, sf_dir):
+    """Declarative data-quality suite over lineitem: four row-local checks
+    compiled into ONE aggregate pass (null, range, accepted values,
+    custom predicate) plus uniqueness surplus and referential integrity
+    against orders — the deequ-style ingest gate, with every count
+    oracle-replayed. See ``operators.quality``."""
+    from artigraph_spark.operators.quality import (
+        accepted_values,
+        check_constraints,
+        in_range,
+        not_null,
+        referential,
+        satisfies,
+        unique,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return check_constraints(
+        li,
+        [
+            not_null("l_orderkey"),
+            in_range("l_discount", 0.0, 0.1),
+            accepted_values("l_returnflag", ["A", "N", "R"]),
+            satisfies("positive_price", ~(F.col("l_extendedprice") > 0.0)),
+            unique("l_orderkey", "l_linenumber"),
+            referential("l_orderkey", o, "o_orderkey"),
+        ],
+    )

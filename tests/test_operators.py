@@ -1216,3 +1216,76 @@ def test_sliding_hll_window_merge_equals_direct_sketch(spark):
 
     with _pytest.raises(ValueError, match="window_buckets"):
         sliding_hll_estimates(df, F.col("b"), "k", window_buckets=0)
+
+
+def test_check_constraints_detects_planted_violations(spark):
+    from artigraph_spark.operators.quality import (
+        accepted_values,
+        check_constraints,
+        in_range,
+        not_null,
+        referential,
+        satisfies,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, 10.0, "A"),
+            (2, -1.0, "B"),   # dup id, out-of-range, bad category
+            (None, 5.0, "A"),  # null id
+        ],
+        ["id", "v", "cat"],
+    )
+    ref = spark.createDataFrame([(1,), (2,)], ["rid"])
+    rep = check_constraints(
+        df,
+        [
+            not_null("id"),
+            in_range("v", 0.0, 100.0),
+            accepted_values("cat", ["A"]),
+            satisfies("v_not_ten", F.col("v") == 10.0),
+            unique("id"),
+            referential("id", ref, "rid"),
+        ],
+    )
+    rows = {r["check"]: (r["metric"], r["violations"], r["passed"]) for r in rep.collect()}
+    assert rows["not_null(id)"] == (4, 1, False)
+    assert rows["in_range(v,0.0,100.0)"] == (4, 1, False)
+    assert rows["accepted_values(cat)"] == (4, 1, False)
+    assert rows["v_not_ten"] == (4, 2, False)
+    # 3 distinct ids (1, 2, NULL-group), one surplus row for id=2
+    assert rows["unique(id)"] == (3, 1, False)
+    # both non-null ids exist in ref
+    assert rows["referential(id->rid)"] == (2, 0, True)
+    # suite order preserved
+    assert [r["check"] for r in rep.collect()][:2] == [
+        "not_null(id)", "in_range(v,0.0,100.0)",
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        check_constraints(df, [])
+    with _pytest.raises(ValueError, match="duplicate"):
+        check_constraints(df, [not_null("id"), not_null("id")])
+
+
+def test_check_constraints_row_checks_single_pass_plan(spark):
+    """All row-local checks must compile into ONE aggregate over the data
+    — no per-check scans."""
+    from artigraph_spark import plans as P
+    from artigraph_spark.operators.quality import (
+        check_constraints,
+        in_range,
+        not_null,
+    )
+    from artigraph_spark.sources import load
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    rep = check_constraints(
+        li, [not_null("l_orderkey"), in_range("l_discount", 0.0, 0.1)]
+    )
+    plan = P.physical_plan(rep, "simple")
+    assert plan.count("FileScan") == 1
