@@ -179,3 +179,77 @@ def check_constraints(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
         .drop("__ord")
         .withColumn("passed", F.col("violations") == 0)
     )
+
+
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    m: int = 256,
+    seed: int = 11,
+) -> DataFrame:
+    """One-pass-per-stage column profile: ``(column, n, nulls,
+    distinct_est, min_s, max_s)`` for each requested column — the
+    ingest-time "what does this table look like" report.
+
+    Two data-sized stages regardless of column count: (1) a single
+    aggregate computes every column's count/nulls/min/max (values
+    stringified AFTER the typed min/max, so numeric ordering is real);
+    (2) the distinct estimates come from per-column HLL sketches built in
+    one shuffle — each row explodes into (column, digest-key) pairs
+    keyed by the SHA-prefix content key, so the registers are
+    engine-replayable like every other sketch. Stringified values must
+    render identically cross-engine for the oracle to replay the
+    estimates — ints/strings/dates do; profile raw doubles through a
+    fixed-point encode first (FIXTURES.md).
+    """
+    from artigraph_spark.operators.dedup import content_key
+    from artigraph_spark.operators.sketches import (
+        grouped_hll_estimate,
+        grouped_hll_sketch,
+    )
+
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__z{i}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__lo{i}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__hi{i}"))
+    one = df.agg(*aggs)
+    stat_rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").cast("long").alias("n"),
+                F.col(f"__z{i}").cast("long").alias("nulls"),
+                F.col(f"__lo{i}").alias("min_s"),
+                F.col(f"__hi{i}").alias("max_s"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    stats = one.select(F.explode(stat_rows).alias("__r")).select("__r.*")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                content_key(F.col(c)).alias("k"),
+            )
+            for c in cols
+        ]
+    )
+    keyed = (
+        df.select(F.explode(pairs).alias("__p"))
+        .select("__p.column", "__p.k")
+        .filter(F.col("k").isNotNull())
+    )
+    sk = grouped_hll_sketch(keyed, "column", "k", m=m, seed=seed)
+    # linear-counting correction: profiled columns are routinely
+    # low-cardinality (status codes), where the raw estimator is useless
+    est = grouped_hll_estimate(
+        sk, "column", m=m, small_range_correction=True
+    ).select("column", F.round("estimate", 6).alias("distinct_est"))
+    return stats.join(est, "column", "left").select(
+        "column", "n", "nulls", "distinct_est", "min_s", "max_s"
+    )

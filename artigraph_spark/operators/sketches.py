@@ -471,24 +471,36 @@ def grouped_hll_sketch(
 
 
 def grouped_hll_estimate(
-    sketch: DataFrame, group_col: str, m: int = 256
+    sketch: DataFrame,
+    group_col: str,
+    m: int = 256,
+    *,
+    small_range_correction: bool = False,
 ) -> DataFrame:
     """Per-group raw HLL estimates from a grouped register table —
     ``(group, estimate)``. Identical exact-integer harmonic sum as
     :func:`hll_estimate`, evaluated per group; groups absent from the
     sketch (no non-null keys) are absent from the output.
+
+    ``small_range_correction=True`` applies the standard linear-counting
+    branch (E ≤ 2.5m with empty registers → ``m·ln(m/empty)``): the raw
+    estimator reads ≈0.72·m for cardinalities ≪ m, which makes
+    low-cardinality profiles useless. The branch condition and the log
+    are the published HLL constants; ``ln`` of an exact integer ratio is
+    one correctly-rounded double op, so oracles replay it (same as the
+    PMI family's log use). Off by default — the raw estimator is what
+    the existing contract queries lock.
     """
     _check_hll_m(m)
-    return (
-        sketch.groupBy(group_col)
-        .agg(_hll_scaled_sum().alias("__present"), F.count(F.lit(1)).alias("__nreg"))
-        .select(
-            group_col,
-            _hll_estimate_expr(
-                F.col("__present"), F.col("__nreg"), m
-            ).alias("estimate"),
-        )
+    agg = sketch.groupBy(group_col).agg(
+        _hll_scaled_sum().alias("__present"), F.count(F.lit(1)).alias("__nreg")
     )
+    raw = _hll_estimate_expr(F.col("__present"), F.col("__nreg"), m)
+    if small_range_correction:
+        empty = F.lit(m) - F.col("__nreg")
+        lc = F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double"))
+        raw = F.when((raw <= 2.5 * m) & (empty > 0), lc).otherwise(raw)
+    return agg.select(group_col, raw.alias("estimate"))
 
 
 def decay_weight(

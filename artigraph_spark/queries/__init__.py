@@ -64,7 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "grouped_cms_contract", "cms_decayed_topk", "interval_join_click_purchase",
     "bloom_incremental_dedup", "stratified_split_exact", "cms_join_size",
     "zorder_cluster_keys", "trend_slopes_hourly", "epoch_shuffle_shards",
-    "sliding_distinct_users", "constraint_report",
+    "sliding_distinct_users", "constraint_report", "profile_orders",
     # (2) oracle fixed this round (CAST(SUM(...) AS BIGINT)) — re-green
     "tpch_q18_large_volume_customers", "tpch_q11_important_stock",
     "tpch_q12_late_lines_by_status", "dedup_segments_corpus",

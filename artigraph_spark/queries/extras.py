@@ -1350,3 +1350,88 @@ def constraint_report(spark, sf_dir):
             referential("l_orderkey", o, "o_orderkey"),
         ],
     )
+
+
+def _profile_oracle_sql(m: int, seed: int) -> str:
+    """DuckDB replica of the orders table profile: per-column stats from
+    one scan shape plus the grouped-HLL distinct estimates over
+    SHA-prefix content keys."""
+    from artigraph_spark.operators.sketches import _HLL_MAX_RHO
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate",
+    ]
+    mix_sql = _hll_mix_sql
+    alpha_m2 = _hll_alpha_m2(m)
+    big = 1 << _HLL_MAX_RHO
+    rho_branches = _hll_rho_branches_sql()
+    ck = (
+        "CAST(('0x' || substr(sha256(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " % 2147483647"
+    )
+    keyed = "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS g, {ck.format(c=c)} AS k FROM orders"
+        f" WHERE {c} IS NOT NULL"
+        for c in cols
+    )
+    stats = "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS g, CAST(count(*) AS BIGINT) AS n,"
+        f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,"
+        f" CAST(min({c}) AS VARCHAR) AS min_s,"
+        f" CAST(max({c}) AS VARCHAR) AS max_s FROM orders"
+        for c in cols
+    )
+    return f"""
+    WITH keyed AS ({keyed}),
+    regs AS (
+        SELECT g, {mix_sql('k', seed)} % {m} AS register,
+               {mix_sql('k', seed + 12)} AS w
+        FROM keyed
+    ), ranked AS (
+        SELECT g, register,
+               CASE WHEN w = 0 THEN {_HLL_MAX_RHO} {rho_branches}
+                    ELSE {_HLL_MAX_RHO} END AS rho
+        FROM regs
+    ), sk AS (
+        SELECT g, register, max(rho) AS max_rho FROM ranked GROUP BY 1, 2
+    ), agg AS (
+        SELECT g,
+               CAST(SUM(CAST(pow(2.0, {_HLL_MAX_RHO} - max_rho) AS BIGINT)) AS BIGINT)
+                   AS present,
+               CAST(count(*) AS BIGINT) AS nreg
+        FROM sk GROUP BY 1
+    ), raw AS (
+        SELECT g, CAST({alpha_m2!r} AS DOUBLE) * CAST({float(big)!r} AS DOUBLE)
+               / (present + ({m} - nreg) * {big}) AS e, {m} - nreg AS empty
+        FROM agg
+    ), est AS (
+        SELECT g, round(CASE WHEN e <= 2.5 * {m} AND empty > 0
+                        THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / empty)
+                        ELSE e END, 6) AS distinct_est
+        FROM raw
+    ), stats AS ({stats})
+    SELECT stats.g AS "column", stats.n, stats.nulls,
+           est.distinct_est, stats.min_s, stats.max_s
+    FROM stats LEFT JOIN est ON est.g = stats.g
+    """
+
+
+@query("profile_orders", oracle=_profile_oracle_sql(256, 11))
+def profile_orders(spark, sf_dir):
+    """One-pass-per-stage column profile of orders (count / nulls /
+    HLL distinct estimate / typed min/max): the ingest-time table report
+    from ``operators.quality.profile_table``, every number — including
+    the per-column HLL estimates over SHA-prefix content keys —
+    oracle-replayed exactly. Int/string/date columns only (double
+    stringification differs cross-engine; FIXTURES.md)."""
+    from artigraph_spark.operators.quality import profile_table
+
+    o = load(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus",
+         "o_orderpriority", "o_orderdate"],
+        m=256,
+        seed=11,
+    )

@@ -1289,3 +1289,28 @@ def test_check_constraints_row_checks_single_pass_plan(spark):
     )
     plan = P.physical_plan(rep, "simple")
     assert plan.count("FileScan") == 1
+
+
+def test_profile_table_counts_and_distincts(spark):
+    from artigraph_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (3, "a")], ["id", "s"]
+    )
+    rows = {
+        r["column"]: r
+        for r in profile_table(df, ["id", "s"], m=1024).collect()
+    }
+    assert rows["id"]["n"] == 4 and rows["id"]["nulls"] == 0
+    assert rows["s"]["n"] == 4 and rows["s"]["nulls"] == 1
+    assert rows["id"]["min_s"] == "1" and rows["id"]["max_s"] == "3"
+    assert rows["s"]["min_s"] == "a" and rows["s"]["max_s"] == "b"
+    # linear-counting correction keeps tiny cardinalities honest
+    # (raw HLL would read ~0.72·m here)
+    assert abs(rows["id"]["distinct_est"] - 3) < 1.0
+    assert abs(rows["s"]["distinct_est"] - 2) < 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no columns"):
+        profile_table(df, [])
