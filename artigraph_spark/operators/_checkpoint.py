@@ -19,6 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# applicationId -> raw checkpoint dir last passed to setCheckpointDir
+_LAST_SET_DIR: dict[str, str] = {}
+
 
 def checkpoint(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and cut its lineage: reliable ``checkpoint()``
@@ -30,9 +33,13 @@ def checkpoint(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) ->
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    # setCheckpointDir appends a per-context UUID subdirectory, so compare
-    # by prefix — a plain != would mint a fresh subdir on every call.
-    current = sc.getCheckpointDir()
-    if not current or not current.startswith(checkpoint_dir):
+    # Idempotence via a per-context memo of the RAW path we last set.
+    # Comparing against getCheckpointDir() cannot work: it returns the
+    # fully-qualified URI plus a per-context UUID subdirectory
+    # ('file:/tmp/ck/<uuid>'), so a plain-path caller never matches (a
+    # fresh UUID dir would be minted per call) and a prefix test
+    # false-positives on sibling dirs ('.../ck' vs '.../ck2').
+    if _LAST_SET_DIR.get(sc.applicationId) != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
+        _LAST_SET_DIR[sc.applicationId] = checkpoint_dir
     return df.checkpoint(eager=eager)

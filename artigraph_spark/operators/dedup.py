@@ -756,21 +756,14 @@ def bloom_dedup_against(
         )
     if verify and ref_df is None:
         raise ValueError("verify=True needs ref_df to check suspects against")
+    from artigraph_spark.operators.sketches import bloom_passing_keys
+
     h = F.sha2(F.col(text_col).cast("string"), 256)
     keyed = new_df.withColumn("__h", h).withColumn(
         "__k", content_key(F.col(text_col))
     )
-    positions = F.array(*_cells_for_bloom("__k", num_hashes, num_bits, seed))
-    probes = (
-        keyed.select("__k").distinct()
-        .select(F.col("__k"), F.explode(positions).alias("bit"))
-    )
-    suspect_keys = (
-        probes.join(F.broadcast(ref_bits.withColumn("__hit", F.lit(1))), "bit", "left")
-        .groupBy("__k")
-        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"))
-        .filter(F.col("__hits") == num_hashes)
-        .select("__k")
+    suspect_keys = bloom_passing_keys(
+        keyed, "__k", ref_bits, num_bits, num_hashes, seed
     )
     clean = keyed.join(suspect_keys, "__k", "left_anti")
     if verify:
@@ -783,12 +776,3 @@ def bloom_dedup_against(
         admitted = clean
     survivors = dedup_pick_first(admitted, ["__h"], [F.col(id_col).asc()])
     return survivors.drop("__h", "__k")
-
-
-def _cells_for_bloom(key_col: str, n: int, modulo: int, seed: int) -> list:
-    """The Bloom bit positions for a key column — same universal-hash cell
-    definition the sketches module builds filters with (lazy import there
-    to keep the dedup<->sketches dependency one-way at module load)."""
-    from artigraph_spark.operators.sketches import _cells
-
-    return _cells(key_col, n, modulo, seed)

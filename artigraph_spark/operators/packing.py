@@ -758,7 +758,9 @@ def stratified_split_exact(
     of ``key`` that :func:`split_corpus` uses (pseudorandom but
     deterministic on any engine/partitioning; ties broken by the raw
     key), so membership is stable across reruns and engines, and the
-    oracle replays it.
+    oracle replays it. ``key`` must uniquely identify rows (a row id):
+    duplicate key values tie on BOTH sort columns, making their label
+    assignment partition-dependent.
 
     Scale: per-stratum ranking is a window — ONE shuffle on the stratum
     key, with each stratum's rows colocated on one partition. Exactness
@@ -782,15 +784,23 @@ def stratified_split_exact(
         "__n", F.count(F.lit(1)).over(Window.partitionBy(stratum_col))
     )
     names = list(fractions)
-    acc = 0.0
-    expr = F.lit(names[-1])  # last label absorbs the remainder
+    # Integer basis points, like split_corpus: float-accumulated
+    # cumulative fractions (0.1+0.2 = 0.30000000000000004) would shift
+    # ceil(cum*n) off by one for ordinary fraction dicts. ceil(bp*n/D) as
+    # exact int64 arithmetic: (bp*n + D-1) div D, overflow-safe to n~1e12.
+    denom = 1_000_000
+    acc_bp = 0
     uppers = []
     for name in names[:-1]:
-        acc += fractions[name]
-        uppers.append((name, acc))
-    for name, cum in reversed(uppers):
+        acc_bp += int(round(fractions[name] * denom))
+        uppers.append((name, acc_bp))
+    expr = F.lit(names[-1])  # last label absorbs the remainder
+    for name, bp in reversed(uppers):
+        bound = (
+            F.lit(bp).cast("long") * F.col("__n") + F.lit(denom - 1)
+        ) / F.lit(denom)
         expr = F.when(
-            F.col("__rn") <= F.ceil(F.lit(cum) * F.col("__n")), F.lit(name)
+            F.col("__rn") <= F.floor(bound).cast("long"), F.lit(name)
         ).otherwise(expr)
     return ranked.withColumn("split", expr).drop("__rn", "__n")
 
@@ -809,7 +819,10 @@ def epoch_shuffle(
     deterministic) permutations, so "shuffle every epoch" needs no RNG
     state, no global sort, and replays identically on any engine,
     partitioning, or rerun — the property that makes a training run
-    resumable mid-epoch.
+    resumable mid-epoch. ``key`` must uniquely identify rows: duplicate
+    key values tie on both window sort columns, so their relative
+    ``pos`` is partition-dependent and the replay guarantee is void for
+    them.
 
     Scale: shard assignment is a per-row expression (no shuffle); the
     within-shard position is a window partitioned by shard — ONE exchange

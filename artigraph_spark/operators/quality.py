@@ -97,7 +97,12 @@ def check_constraints(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     reports: list[DataFrame] = []
     if row_checks:
         aggs = [F.count(F.lit(1)).alias("__n")] + [
-            F.sum(F.when(c.predicate, 1).otherwise(0)).alias(f"__v{i}")
+            # coalesce: SUM over zero rows is NULL, which would report
+            # violations=NULL / passed=NULL for a (vacuously valid)
+            # empty table instead of 0 / true
+            F.coalesce(
+                F.sum(F.when(c.predicate, 1).otherwise(0)), F.lit(0)
+            ).alias(f"__v{i}")
             for i, c in enumerate(row_checks)
         ]
         one = df.agg(*aggs)
@@ -139,22 +144,29 @@ def check_constraints(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
             )
         elif c.kind == "referential":
             col = c.cols[0]
-            dangling = (
+            # one pass: distinct fact values left-join the reference, a
+            # single agg yields both the metric (distinct values) and the
+            # violations (unmatched) — the oracle's refi CTE shape
+            marked = (
                 df.select(F.col(col).alias("__v"))
                 .filter(F.col("__v").isNotNull())
                 .distinct()
                 .join(
-                    c.ref.select(F.col(c.ref_col).alias("__v")).distinct(),
+                    c.ref.select(F.col(c.ref_col).alias("__v"))
+                    .distinct()
+                    .withColumn("__hit", F.lit(1)),
                     "__v",
-                    "left_anti",
+                    "left",
                 )
-                .agg(F.count(F.lit(1)).alias("__d"))
             )
-            total = df.select(F.col(col).alias("__v")).filter(
-                F.col("__v").isNotNull()
-            ).distinct().agg(F.count(F.lit(1)).alias("__t"))
             reports.append(
-                total.crossJoin(F.broadcast(dangling)).select(
+                marked.agg(
+                    F.count(F.lit(1)).alias("__t"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)),
+                        F.lit(0),
+                    ).alias("__d"),
+                ).select(
                     F.lit(c.name).alias("check"),
                     F.col("__t").cast("long").alias("metric"),
                     F.col("__d").cast("long").alias("violations"),

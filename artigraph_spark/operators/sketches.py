@@ -130,6 +130,37 @@ def bloom_build(
     return df.select(F.explode(positions).alias("bit")).distinct()
 
 
+def bloom_passing_keys(
+    df: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Distinct values of ``key_col`` whose EVERY bit position is set in
+    the (broadcast) filter — the shared membership predicate behind both
+    :func:`bloom_prefilter` (semi-join the passers) and
+    ``dedup.bloom_dedup_against`` (anti-join them). One definition so the
+    probe arithmetic can never drift between the two."""
+    if num_bits <= 0 or num_hashes <= 0:
+        raise ValueError(
+            f"num_bits and num_hashes must be positive, got {num_bits}/{num_hashes}"
+        )
+    positions = F.array(*_cells(key_col, num_hashes, num_bits, seed))
+    probes = (
+        df.select(key_col).distinct()
+        .select(F.col(key_col), F.explode(positions).alias("bit"))
+    )
+    return (
+        probes.join(F.broadcast(bits.withColumn("__hit", F.lit(1))), "bit", "left")
+        .groupBy(key_col)
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"))
+        .filter(F.col("__hits") == num_hashes)
+        .select(key_col)
+    )
+
+
 def bloom_prefilter(
     df: DataFrame,
     key_col: str,
@@ -149,22 +180,7 @@ def bloom_prefilter(
     positions are present; the input then left-semi joins the passing keys.
     The big table is never exploded — only its distinct-key projection.
     """
-    if num_bits <= 0 or num_hashes <= 0:
-        raise ValueError(
-            f"num_bits and num_hashes must be positive, got {num_bits}/{num_hashes}"
-        )
-    positions = F.array(*_cells(key_col, num_hashes, num_bits, seed))
-    probes = (
-        df.select(key_col).distinct()
-        .select(F.col(key_col), F.explode(positions).alias("bit"))
-    )
-    passing = (
-        probes.join(F.broadcast(bits.withColumn("__hit", F.lit(1))), "bit", "left")
-        .groupBy(key_col)
-        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"))
-        .filter(F.col("__hits") == num_hashes)
-        .select(key_col)
-    )
+    passing = bloom_passing_keys(df, key_col, bits, num_bits, num_hashes, seed)
     # NO broadcast hint on `passing`: its size is members + false positives
     # over the fact's distinct keys — unbounded when the filter saturates.
     # AQE broadcasts it when it is actually small.
@@ -534,10 +550,13 @@ def decay_weight(
             f"got {half_life_seconds}/{scale_bits}"
         )
     age = F.lit(int(ref_epoch)) - F.unix_timestamp(F.col(ts_col))
-    steps = F.greatest(
-        F.floor(age / F.lit(float(half_life_seconds))).cast("long"), F.lit(0)
-    )
-    return F.when(steps > F.lit(scale_bits), F.lit(0).cast("long")).otherwise(
+    # raw may be NULL (ts NULL) — keep it nullable so NULL-ts rows weigh
+    # 0 instead of inheriting FULL weight via greatest's NULL-skipping
+    raw = F.floor(age / F.lit(float(half_life_seconds))).cast("long")
+    steps = F.greatest(raw, F.lit(0))  # clamp future rows to full weight
+    return F.when(
+        raw.isNull() | (steps > F.lit(scale_bits)), F.lit(0).cast("long")
+    ).otherwise(
         F.pow(F.lit(2.0), (F.lit(scale_bits) - steps).cast("double")).cast("long")
     )
 

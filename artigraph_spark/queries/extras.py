@@ -971,14 +971,17 @@ def _decayed_cms_oracle_sql(width: int, depth: int, seed: int) -> str:
     return f"""
     WITH aged AS (
         SELECT event_type AS g, user_id,
-               GREATEST(CAST(floor(({_DCMS_REF} - floor(epoch(ts)))
-                                   / {float(_DCMS_HL)!r}) AS BIGINT), 0) AS steps
+               CAST(floor(({_DCMS_REF} - floor(epoch(ts)))
+                          / {float(_DCMS_HL)!r}) AS BIGINT) AS raw_steps
         FROM events WHERE event_type IS NOT NULL
     ),
     ev AS (
+        -- NULL raw_steps (NULL ts) weighs 0, mirroring decay_weight
         SELECT g, user_id % 2147483647 AS k,
-               CASE WHEN steps > {_DCMS_BITS} THEN 0
-                    ELSE CAST(power(2.0, {_DCMS_BITS} - steps) AS BIGINT)
+               CASE WHEN raw_steps IS NULL THEN 0
+                    WHEN GREATEST(raw_steps, 0) > {_DCMS_BITS} THEN 0
+                    ELSE CAST(power(2.0,
+                              {_DCMS_BITS} - GREATEST(raw_steps, 0)) AS BIGINT)
                END AS w
         FROM aged
     ),

@@ -590,8 +590,8 @@ def collocation_pmi_q(spark, sf_dir):
         FROM documents
     )
     SELECT doc_id, lang,
-           CASE WHEN rn <= ceil(0.8 * n) THEN 'train'
-                WHEN rn <= ceil(0.9 * n) THEN 'valid'
+           CASE WHEN rn <= (800000 * n + 999999) // 1000000 THEN 'train'
+                WHEN rn <= (900000 * n + 999999) // 1000000 THEN 'valid'
                 ELSE 'test' END AS split
     FROM ranked
     """,

@@ -518,7 +518,10 @@ def sketch_state_sink(
     (foreachBatch re-delivery after a crash) finds its generation already
     present and skips — the merge is idempotent per epoch with no separate
     marker file to race against. Superseded generations are pruned after
-    the swap. (Local/HDFS semantics; on an object store route the commit
+    the swap. A stream whose OWN checkpoint was reset (epoch ids restart
+    below the live generation) is refused with a RuntimeError rather than
+    silently double-merging — clear ``state_path`` to rebuild, or keep the
+    original checkpointLocation to continue. (Local/HDFS semantics; on an object store route the commit
     through the manifest-gated writer in ``storage`` instead, where rename
     is not atomic.)
 
@@ -541,6 +544,19 @@ def sketch_state_sink(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         gens = _generations(state_path)
+        if gens and epoch_id < gens[-1][0]:
+            # Epoch ids behind the live generation mean the caller
+            # restarted with a FRESH stream checkpoint against existing
+            # state: merging would double-count the replayed batches and
+            # the batch matching the live epoch would be silently
+            # dropped. Refuse loudly instead of corrupting state.
+            raise RuntimeError(
+                f"sketch state at {state_path} is at epoch {gens[-1][0]} "
+                f"but the stream delivered epoch {epoch_id} — the stream "
+                "checkpoint was reset against existing state. Clear "
+                "state_path to rebuild from scratch, or restart with the "
+                "original checkpointLocation to continue incrementally."
+            )
         if any(e == epoch_id for e, _ in gens):
             return  # crash-replayed epoch: its generation already committed
         part = build(batch_df)

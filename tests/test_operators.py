@@ -1314,3 +1314,34 @@ def test_profile_table_counts_and_distincts(spark):
 
     with _pytest.raises(ValueError, match="no columns"):
         profile_table(df, [])
+
+
+def test_check_constraints_empty_table_passes_vacuously(spark):
+    """Regression (r6 code review): SUM over zero rows is NULL — an empty
+    ingest must report 0 violations / passed, not NULL/NULL."""
+    from artigraph_spark.operators.quality import check_constraints, not_null
+
+    df = spark.createDataFrame([], "id long, v double")
+    rows = check_constraints(df, [not_null("id")]).collect()
+    assert [(r["metric"], r["violations"], r["passed"]) for r in rows] == [
+        (0, 0, True)
+    ]
+
+
+def test_decay_weight_null_ts_weighs_zero(spark):
+    """Regression (r6 code review): greatest(NULL, 0) = 0 was giving
+    NULL-timestamp rows FULL weight; they must weigh 0."""
+    from artigraph_spark.operators.sketches import decay_weight
+
+    df = spark.createDataFrame(
+        [("null_ts", None), ("now", "2024-01-31 00:00:00")], ["tag", "ts_s"]
+    ).select("tag", F.to_timestamp("ts_s").alias("ts"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    w = {
+        r["tag"]: r["w"]
+        for r in df.select(
+            "tag", decay_weight("ts", 1706659200, 172800, 40).alias("w")
+        ).collect()
+    }
+    assert w["null_ts"] == 0
+    assert w["now"] == 1 << 40

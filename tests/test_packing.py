@@ -578,3 +578,21 @@ def test_stratified_split_exact_counts_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         stratified_split_exact(df, "lang", F.col("doc_id"), {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_split_float_accumulation_fractions(spark):
+    """Regression (r6 code review): cumulative float fractions like
+    0.1+0.2 = 0.30000000000000004 must not shift the ceil boundary —
+    counts follow the exact rationals."""
+    import math
+    from collections import Counter
+
+    from artigraph_spark.operators.packing import stratified_split_exact
+
+    df = spark.createDataFrame([(i, "s") for i in range(10)], ["doc_id", "stratum"])
+    out = stratified_split_exact(
+        df, "stratum", F.col("doc_id"), {"a": 0.1, "b": 0.2, "c": 0.7}
+    )
+    per = Counter(r["split"] for r in out.collect())
+    # exact boundaries: ceil(0.1*10)=1, ceil(0.3*10)=3 → a=1, b=2, c=7
+    assert per == {"a": 1, "b": 2, "c": 7}

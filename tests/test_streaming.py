@@ -676,3 +676,45 @@ def test_read_sketch_state_raises_when_empty(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="no committed sketch"):
         read_sketch_state(spark, str(tmp_path / "nope"))
+
+
+def test_sketch_state_sink_refuses_reset_checkpoint(spark, tmp_path):
+    """Regression (r6 code review): a stream restarted with a FRESH
+    checkpoint against existing state (epoch ids behind the live
+    generation) must fail loudly, not double-merge."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from artigraph_spark.operators.sketches import count_min_sketch
+    from artigraph_spark.streaming import sketch_state_sink
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    for part in range(3):
+        spark.createDataFrame(
+            [(part * 10 + i, i % 5) for i in range(10)], ["row_id", "user_id"]
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("row_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    build = lambda df: count_min_sketch(df, "user_id", width=16, depth=2)
+    merge = lambda df: df.groupBy("depth_id", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    q = sketch_state_sink(
+        stream, build=build, merge=merge,
+        state_path=state, checkpoint=str(tmp_path / "ck1"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    # fresh checkpoint → epochs restart at 0 < live 2 → the sink raises
+    # inside foreachBatch, surfacing as a StreamingQueryException
+    q2 = sketch_state_sink(
+        stream, build=build, merge=merge,
+        state_path=state, checkpoint=str(tmp_path / "ck2"),
+    )
+    with _pytest.raises(Exception, match="checkpoint was reset"):
+        q2.processAllAvailable()
+    q2.stop()
