@@ -27,14 +27,27 @@ QUERIES = [
     "interval_join_click_purchase",
     "bloom_incremental_dedup",
     "stratified_split_exact",
+    "cms_join_size",
+    "trend_slopes_hourly",
+    "epoch_shuffle_shards",
+    "zorder_cluster_keys",
+    "sliding_distinct_users",
+    "constraint_report",
+    "profile_orders",
 ]
 
-OFFSETS = {"doc_id": 10_000_000, "event_id": 10_000_000, "user_id": 1_000_000}
-TABLES = {"documents": ["doc_id"], "events": ["event_id", "user_id"]}
-PASSTHROUGH = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "embeddings",
-]
+OFFSETS = {
+    "doc_id": 10_000_000, "event_id": 10_000_000, "user_id": 1_000_000,
+    "o_orderkey": 10_000_000, "o_custkey": 1_000_000,
+    "l_orderkey": 10_000_000, "l_partkey": 1_000_000, "l_suppkey": 100_000,
+}
+TABLES = {
+    "documents": ["doc_id"],
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
+PASSTHROUGH = ["region", "nation", "customer", "supplier", "part", "embeddings"]
 
 
 def replicate(spark, src_dir: str, out_dir: str, k: int) -> None:
