@@ -1233,7 +1233,7 @@ def _sliding_hll_oracle_sql(m: int, seed: int, window: int) -> str:
     """
 
 
-@query("sliding_distinct_users", oracle=_sliding_hll_oracle_sql(256, 11, 24))
+@query("sliding_distinct_users", oracle=_sliding_hll_oracle_sql(256, 11, 24), bench=True)
 def sliding_distinct_users(spark, sf_dir):
     """Trailing-24 h distinct users per hour from merged hourly HLL
     sketches — the sliding-cardinality shape that re-summarizes
@@ -1281,6 +1281,7 @@ def sliding_distinct_users(spark, sf_dir):
 
 @query(
     "constraint_report",
+    bench=True,
     oracle="""
     WITH rowagg AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
