@@ -65,13 +65,16 @@ _PRIORITY: tuple[str, ...] = (
     "bloom_incremental_dedup", "stratified_split_exact", "cms_join_size",
     "zorder_cluster_keys", "trend_slopes_hourly", "epoch_shuffle_shards",
     "sliding_distinct_users", "constraint_report", "profile_orders",
-    # (2) oracle fixed this round (CAST(SUM(...) AS BIGINT)) — re-green
+    # (2) implementation changed this round: integer node ids (~25-30%
+    # faster loop shuffles) — needs a fresh driver row
+    "pagerank_copurchase",
+    # (3) oracle fixed this round (CAST(SUM(...) AS BIGINT)) — re-green
     "tpch_q18_large_volume_customers", "tpch_q11_important_stock",
     "tpch_q12_late_lines_by_status", "dedup_segments_corpus",
     "rollup_time_hierarchy",
-    # (3) r1-stale — last driver row five rounds ago
+    # (4) r1-stale — last driver row five rounds ago
     "explode_tokens", "map_explode", "in_subquery_sql", "unpivot_stack",
-    # (4) r3-stale, judge-named priorities first: as-of join, the windows
+    # (5) r3-stale, judge-named priorities first: as-of join, the windows
     # family, the four r3 TPC-H shapes, the cosine-top-k family
     "join_asof",
     "window_rank_family", "window_topk_per_group", "window_session",
