@@ -746,3 +746,57 @@ def sliding_hll_estimates(
         .agg(F.max("max_rho").alias("max_rho"))
     )
     return grouped_hll_estimate(merged, "bucket", m=m)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold_fraction: float,
+    *,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT heavy hitters (keys with ≥ ``threshold_fraction`` of all
+    rows) in two passes, with the second pass pruned by a count-min
+    sketch: (1) one data-sized pass builds the sketch and the total;
+    (2) candidate keys — those whose sketch estimate clears the
+    threshold — are counted exactly and filtered. CMS never undercounts,
+    so the candidate set has NO false negatives: the result is exactly
+    the true heavy-hitter set with exact counts, while the exact-count
+    pass touches only candidates (≈ true hitters + collision false
+    positives, a vanishing fraction of distinct keys at any realistic
+    width). The streaming-book answer to "top sellers with proof" at
+    100 TB: never a full (key → count) table unless the data really has
+    that many heavy keys.
+
+    Thresholding is exact integer arithmetic (``cnt · denom ≥ num ·
+    total`` with the fraction as a rational), so both passes — and a
+    DuckDB oracle — agree bit-for-bit. Returns ``(key, exact_cnt)``.
+    """
+    if not 0.0 < threshold_fraction <= 1.0:
+        raise ValueError(
+            f"threshold_fraction must be in (0, 1], got {threshold_fraction}"
+        )
+    # exact rational φ = num/denom (1e6 basis points, like split_corpus)
+    denom = 1_000_000
+    num = int(round(threshold_fraction * denom))
+    sketch = count_min_sketch(df, key_col, width=width, depth=depth, seed=seed)
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    keys = df.select(key_col).distinct()
+    est = cms_estimate(sketch, keys, key_col, width=width, depth=depth, seed=seed)
+    candidates = (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("estimate") * denom >= F.lit(num) * F.col("__total"))
+        .select(key_col)
+    )
+    exact = (
+        df.join(candidates, key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_cnt") * denom >= F.lit(num) * F.col("__total"))
+        .select(key_col, "exact_cnt")
+    )

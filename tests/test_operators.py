@@ -1345,3 +1345,33 @@ def test_decay_weight_null_ts_weighs_zero(spark):
     }
     assert w["null_ts"] == 0
     assert w["now"] == 1 << 40
+
+
+def test_heavy_hitters_exact_set_and_pruning(spark):
+    """The CMS-pruned result must be EXACTLY the brute-force heavy-hitter
+    set (one-sided sketch error can only add candidates, never drop
+    true hitters), even with a tiny collision-heavy sketch."""
+    from artigraph_spark.operators.sketches import heavy_hitters
+
+    rows = [(1,)] * 50 + [(2,)] * 30 + [(i,) for i in range(3, 40)]
+    df = spark.createDataFrame(rows, ["k"])  # 117 rows
+    total = len(rows)
+    for phi in (0.2, 0.25, 0.01):
+        got = sorted(
+            (r["k"], r["exact_cnt"])
+            for r in heavy_hitters(df, "k", phi, width=4, depth=2).collect()
+        )
+        from collections import Counter
+
+        cnt = Counter(k for (k,) in rows)
+        want = sorted(
+            (k, c)
+            for k, c in cnt.items()
+            if c * 1_000_000 >= int(round(phi * 1_000_000)) * total
+        )
+        assert got == want, phi
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold_fraction"):
+        heavy_hitters(df, "k", 0.0)
