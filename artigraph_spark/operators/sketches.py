@@ -752,46 +752,56 @@ def heavy_hitters(
     df: DataFrame,
     key_col: str,
     threshold_fraction: float,
-    *,
-    width: int = 256,
-    depth: int = 4,
-    seed: int = 42,
 ) -> DataFrame:
-    """EXACT heavy hitters (keys with ≥ ``threshold_fraction`` of all
-    rows) in two passes, with the second pass pruned by a count-min
-    sketch: (1) one data-sized pass builds the sketch and the total;
-    (2) candidate keys — those whose sketch estimate clears the
-    threshold — are counted exactly and filtered. CMS never undercounts,
-    so the candidate set has NO false negatives: the result is exactly
-    the true heavy-hitter set with exact counts, while the exact-count
-    pass touches only candidates (≈ true hitters + collision false
-    positives, a vanishing fraction of distinct keys at any realistic
-    width). The streaming-book answer to "top sellers with proof" at
-    100 TB: never a full (key → count) table unless the data really has
-    that many heavy keys.
+    """EXACT heavy hitters — non-null keys with ≥ ``threshold_fraction``
+    of the non-null rows — in two passes with a pigeonhole-pruned second
+    pass. Pass 1 counts keys per PARTITION (the (pid, key) aggregation
+    combines fully map-side — each group lives in exactly one input
+    partition) and keeps keys whose LOCAL fraction clears the threshold:
+    if a key's fraction is below φ in every partition, its global
+    fraction is below φ too, so this candidate set provably contains
+    every true heavy hitter, and by definition at most ⌊1/φ⌋ keys per
+    partition qualify — candidates are bounded by partitions/φ no matter
+    the key cardinality. Pass 2 exact-counts ONLY candidates and applies
+    the global threshold. No per-key count table is ever retained; at
+    100 TB the only full-cardinality structure is pass 1's transient
+    map-side combine.
 
-    Thresholding is exact integer arithmetic (``cnt · denom ≥ num ·
-    total`` with the fraction as a rational), so both passes — and a
-    DuckDB oracle — agree bit-for-bit. Returns ``(key, exact_cnt)``.
+    The candidate SET depends on partitioning (any superset is fine);
+    the FINAL output does not — the exact pass re-filters globally, so
+    results are engine/partitioning-deterministic and a DuckDB oracle
+    replays them as plain brute force. Thresholding is exact integer
+    arithmetic (``cnt · 10^6 ≥ num · total``); fractions below the
+    basis-point resolution are rejected rather than silently degrading
+    to return-everything. NULL keys are excluded from both counts and
+    the total. Returns ``(key, exact_cnt)``.
     """
     if not 0.0 < threshold_fraction <= 1.0:
         raise ValueError(
             f"threshold_fraction must be in (0, 1], got {threshold_fraction}"
         )
-    # exact rational φ = num/denom (1e6 basis points, like split_corpus)
     denom = 1_000_000
     num = int(round(threshold_fraction * denom))
-    sketch = count_min_sketch(df, key_col, width=width, depth=depth, seed=seed)
-    total = df.agg(F.count(F.lit(1)).alias("__total"))
-    keys = df.select(key_col).distinct()
-    est = cms_estimate(sketch, keys, key_col, width=width, depth=depth, seed=seed)
+    if num == 0:
+        raise ValueError(
+            f"threshold_fraction {threshold_fraction} is below the 1e-6 "
+            "basis-point resolution — it would round to a zero threshold "
+            "and return every key"
+        )
+    data = df.filter(F.col(key_col).isNotNull())
+    local = data.groupBy(
+        F.spark_partition_id().alias("__pid"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    local_tot = local.groupBy("__pid").agg(F.sum("__c").alias("__pt"))
     candidates = (
-        est.crossJoin(F.broadcast(total))
-        .filter(F.col("estimate") * denom >= F.lit(num) * F.col("__total"))
+        local.join(local_tot, "__pid")
+        .filter(F.col("__c") * denom >= F.lit(num) * F.col("__pt"))
         .select(key_col)
+        .distinct()
     )
+    total = data.agg(F.count(F.lit(1)).alias("__total"))
     exact = (
-        df.join(candidates, key_col, "left_semi")
+        data.join(candidates, key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )

@@ -1441,62 +1441,29 @@ def profile_orders(spark, sf_dir):
     )
 
 
-def _heavy_hitters_oracle_sql(width: int, depth: int, seed: int, num: int) -> str:
-    """DuckDB replica of the CMS-pruned exact heavy hitters over event
-    users: same sketch cells, same rational threshold, same two-pass
-    prune — the final exact set matches bit-for-bit."""
-    from artigraph_spark.operators.dedup import _P, _hash_coeffs
-
-    coeffs = _hash_coeffs(depth, seed)
-    cell = "((({a} * k + {b}) % {p}) % {w})"
-    cells = "\n        UNION ALL ".join(
-        f"SELECT {d} AS depth_id, "
-        f"{cell.format(a=a, b=b, p=_P, w=width)} AS bucket FROM ev"
-        for d, (a, b) in enumerate(coeffs)
-    )
-    probes = "\n        UNION ALL ".join(
-        f"SELECT user_id, {d} AS depth_id, "
-        f"{cell.format(a=a, b=b, p=_P, w=width)} AS bucket FROM keys"
-        for d, (a, b) in enumerate(coeffs)
-    )
-    return f"""
-    WITH ev AS (SELECT user_id % 2147483647 AS k FROM events),
-    cells AS ({cells}),
-    sketch AS (
-        SELECT depth_id, bucket, CAST(count(*) AS BIGINT) AS cnt
-        FROM cells GROUP BY 1, 2
-    ),
-    keys AS (SELECT DISTINCT user_id, user_id % 2147483647 AS k FROM events),
-    probes AS ({probes}),
-    est AS (
-        SELECT p.user_id, min(coalesce(s.cnt, 0)) AS estimate
-        FROM probes p LEFT JOIN sketch s USING (depth_id, bucket)
-        GROUP BY p.user_id
-    ),
-    total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM events),
-    cands AS (
-        SELECT est.user_id FROM est, total
-        WHERE est.estimate * 1000000 >= {num} * total.t
-    ),
+@query(
+    "heavy_hitter_users",
+    oracle="""
+    WITH data AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM data),
     exact AS (
-        SELECT e.user_id, CAST(count(*) AS BIGINT) AS exact_cnt
-        FROM events e JOIN cands USING (user_id)
-        GROUP BY e.user_id
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM data GROUP BY user_id
     )
     SELECT exact.user_id, exact.exact_cnt
     FROM exact, total
-    WHERE exact.exact_cnt * 1000000 >= {num} * total.t
-    """
-
-
-@query("heavy_hitter_users", oracle=_heavy_hitters_oracle_sql(256, 4, 42, 7000))
+    WHERE exact.exact_cnt * 1000000 >= 7000 * total.t
+    """,
+)
 def heavy_hitter_users(spark, sf_dir):
-    """Exact heavy hitters (users with ≥ 0.7% of all events) via the
-    CMS-pruned two-pass: the sketch's one-sided error makes the candidate
-    set provably complete, and only candidates are counted exactly —
-    never a full per-key count table. Both passes and the rational
-    threshold are oracle-replayed bit-for-bit."""
+    """Exact heavy hitters (users with ≥ 0.7% of events) via the
+    pigeonhole-pruned two-pass: per-partition local fractions generate a
+    provably complete candidate set of at most partitions/φ keys, and
+    only candidates are exact-counted. The candidate stage is a
+    partitioning-dependent implementation detail; the FINAL set is
+    engine-deterministic, so the oracle replays it as plain brute
+    force."""
     from artigraph_spark.operators.sketches import heavy_hitters
 
     e = load(spark, sf_dir, "events")
-    return heavy_hitters(e, "user_id", 0.007, width=256, depth=4, seed=42)
+    return heavy_hitters(e, "user_id", 0.007)

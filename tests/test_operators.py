@@ -1348,30 +1348,55 @@ def test_decay_weight_null_ts_weighs_zero(spark):
 
 
 def test_heavy_hitters_exact_set_and_pruning(spark):
-    """The CMS-pruned result must be EXACTLY the brute-force heavy-hitter
-    set (one-sided sketch error can only add candidates, never drop
-    true hitters), even with a tiny collision-heavy sketch."""
+    """The pigeonhole-pruned result must be EXACTLY the brute-force
+    heavy-hitter set, NULL keys are excluded, the candidate set is
+    provably bounded by partitions/phi, and sub-resolution thresholds
+    are rejected."""
+    from collections import Counter
+
     from artigraph_spark.operators.sketches import heavy_hitters
 
-    rows = [(1,)] * 50 + [(2,)] * 30 + [(i,) for i in range(3, 40)]
-    df = spark.createDataFrame(rows, ["k"])  # 117 rows
-    total = len(rows)
+    rows = [(1,)] * 50 + [(2,)] * 30 + [(i,) for i in range(3, 40)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    non_null = [k for (k,) in rows if k is not None]
+    total = len(non_null)
+    cnt = Counter(non_null)
     for phi in (0.2, 0.25, 0.01):
         got = sorted(
             (r["k"], r["exact_cnt"])
-            for r in heavy_hitters(df, "k", phi, width=4, depth=2).collect()
+            for r in heavy_hitters(df, "k", phi).collect()
         )
-        from collections import Counter
-
-        cnt = Counter(k for (k,) in rows)
         want = sorted(
             (k, c)
             for k, c in cnt.items()
             if c * 1_000_000 >= int(round(phi * 1_000_000)) * total
         )
         assert got == want, phi
+        assert all(k is not None for k, _ in got)
+    # pruning really happens: replicate the internal candidate stage and
+    # check the pigeonhole bound |candidates| <= partitions / phi
+    from pyspark.sql import functions as SF
+
+    phi = 0.2
+    data = df.filter(SF.col("k").isNotNull())
+    local = data.groupBy(
+        SF.spark_partition_id().alias("p"), "k"
+    ).agg(SF.count("*").alias("c"))
+    lt = local.groupBy("p").agg(SF.sum("c").alias("t"))
+    cands = (
+        local.join(lt, "p")
+        .filter(SF.col("c") * 1_000_000 >= 200_000 * SF.col("t"))
+        .select("k")
+        .distinct()
+        .count()
+    )
+    n_parts = data.rdd.getNumPartitions()
+    assert cands <= n_parts / phi
+    assert cands < len(cnt)  # strictly fewer candidates than distinct keys
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="threshold_fraction"):
         heavy_hitters(df, "k", 0.0)
+    with _pytest.raises(ValueError, match="resolution"):
+        heavy_hitters(df, "k", 1e-9)

@@ -1,7 +1,7 @@
-"""Round-6 targeted scale probe: replicate documents+events ×K (key
-offsets keep ids unique) and time the five round-6 queries at both
-scales. Lighter than the full `scale_probe.py` sweep — only the tables
-these queries read are replicated.
+"""Round-6 targeted scale probe: replicate documents, events, orders and
+lineitem ×K (key offsets keep ids unique and joins key-correct) and time
+the twelve round-6 queries at both scales. Lighter than the full
+`scale_probe.py` sweep — dimension tables pass through at ×1.
 
 Usage: python tools/scale_probe_r6.py [K]
 """
