@@ -415,8 +415,6 @@ def grouped_histogram_quantiles(
     keyed on the group. Returns (group_col, q, target_rank, estimate).
     """
     _check_histogram_args(lo, hi, bins, quantiles)
-    from pyspark.sql import Window
-
     x = F.col(col)
     # NULL-group rows would be counted into the histogram but dropped by
     # the NULL-rejecting equi-join on the group key — exclude them up
@@ -429,6 +427,24 @@ def grouped_histogram_quantiles(
     hist = clean.groupBy(
         F.col(group_col), _bin_index(x, lo, hi, bins).alias("bin")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    return _grouped_quantile_walk(hist, group_col, lo, hi, bins, quantiles)
+
+
+def _grouped_quantile_walk(
+    hist: DataFrame,
+    group_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    quantiles: list[float],
+) -> DataFrame:
+    """The per-group rank walk over a ``(group, bin, cnt)`` histogram
+    table — shared by :func:`grouped_histogram_quantiles` (histograms per
+    group) and :func:`sliding_histogram_quantiles` (histograms per
+    trailing window). Summary-sized: the cumulative window runs over
+    ≤bins+1 rows per group."""
+    from pyspark.sql import Window
+
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(
@@ -455,6 +471,59 @@ def grouped_histogram_quantiles(
             _estimate_expr(F.col("__bin"), lo, hi, bins).alias("estimate"),
         )
     )
+
+
+def sliding_histogram_quantiles(
+    df: DataFrame,
+    bucket_col,
+    col: str,
+    *,
+    window_buckets: int,
+    lo: float,
+    hi: float,
+    bins: int,
+    quantiles: list[float],
+) -> DataFrame:
+    """Trailing-window quantile estimates from mergeable per-bucket
+    histograms — "p95 over the last 24 h, per hour" without rescanning
+    24 h of data per answer. One data-sized pass bins every row into its
+    time bucket; each bucket's bin counts are contributed to the
+    ``window_buckets`` trailing windows containing it and merged by
+    summing (histograms are the simplest mergeable sketch), then the
+    shared rank walk answers every window. Per-answer work is
+    O(window × bins); windows are anchored at observed buckets only.
+    Same NULL/NaN exclusion and rank-coverage contract as
+    :func:`grouped_histogram_quantiles`; returns
+    ``(bucket, q, target_rank, estimate)``.
+    """
+    if window_buckets <= 0:
+        raise ValueError(f"window_buckets must be positive, got {window_buckets}")
+    _check_histogram_args(lo, hi, bins, quantiles)
+    x = F.col(col)
+    clean = df.select(
+        bucket_col.cast("long").alias("__b"), x.alias("__x")
+    ).filter(
+        F.col("__b").isNotNull()
+        & F.col("__x").isNotNull()
+        & ~F.isnan(F.col("__x").cast("double"))
+    )
+    hist = clean.groupBy(
+        "__b", _bin_index(F.col("__x"), lo, hi, bins).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    targets = hist.select(
+        F.explode(
+            F.sequence(F.col("__b"), F.col("__b") + F.lit(window_buckets - 1))
+        ).alias("bucket"),
+        "bin",
+        "cnt",
+    )
+    present = hist.select(F.col("__b").alias("bucket")).distinct()
+    merged = (
+        targets.join(present, "bucket", "left_semi")
+        .groupBy("bucket", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _grouped_quantile_walk(merged, "bucket", lo, hi, bins, quantiles)
 
 
 def grouped_hll_sketch(

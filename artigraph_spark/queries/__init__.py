@@ -65,7 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "bloom_incremental_dedup", "stratified_split_exact", "cms_join_size",
     "zorder_cluster_keys", "trend_slopes_hourly", "epoch_shuffle_shards",
     "sliding_distinct_users", "constraint_report", "profile_orders",
-    "heavy_hitter_users",
+    "heavy_hitter_users", "sliding_quantiles_hourly",
     # (2) implementation changed this round: integer node ids (~25-30%
     # faster loop shuffles) — needs a fresh driver row
     "pagerank_copurchase",

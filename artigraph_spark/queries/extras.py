@@ -1467,3 +1467,69 @@ def heavy_hitter_users(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return heavy_hitters(e, "user_id", 0.007)
+
+
+@query(
+    "sliding_quantiles_hourly",
+    oracle=f"""
+    WITH hist AS (
+        SELECT CAST(floor((floor(epoch(ts)) - 1704067200) / 3600.0) AS BIGINT) AS b,
+               CASE WHEN value >= {_GQ_HI!r} THEN {_GQ_BINS}
+                    ELSE CAST(least({float(_GQ_BINS - 1)!r}, greatest(0.0,
+                         floor((value - {_GQ_LO!r}) / {_GQ_W!r}))) AS INT)
+               END AS bin,
+               count(*) AS cnt
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+        GROUP BY 1, 2
+    ), present AS (SELECT DISTINCT b FROM hist),
+    contrib AS (
+        SELECT p.b AS bucket, h.bin, h.cnt
+        FROM hist h JOIN present p ON p.b BETWEEN h.b AND h.b + 23
+    ), merged AS (
+        SELECT bucket, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM contrib GROUP BY 1, 2
+    ), cum AS (
+        SELECT bucket, bin, cnt,
+               sum(cnt) OVER (PARTITION BY bucket ORDER BY bin) AS cum
+        FROM merged
+    ), totals AS (
+        SELECT bucket, sum(cnt) AS n FROM merged GROUP BY bucket
+    ), targets AS (
+        SELECT t.bucket, q,
+               CAST(ceil(CAST(q AS DOUBLE) * t.n) AS BIGINT) AS target_rank
+        FROM totals t, (VALUES (0.5), (0.95)) v(q)
+    ), est AS (
+        SELECT t.bucket, t.q, t.target_rank,
+               CASE WHEN min(c.bin) >= {_GQ_BINS} THEN CAST('Infinity' AS DOUBLE)
+                    ELSE {_GQ_LO!r} + (min(c.bin) + 1) * {_GQ_W!r} END AS estimate
+        FROM targets t JOIN cum c
+          ON c.bucket = t.bucket AND c.cum >= t.target_rank
+        GROUP BY t.bucket, t.q, t.target_rank
+    )
+    SELECT bucket, q, target_rank, estimate FROM est
+    """,
+)
+def sliding_quantiles_hourly(spark, sf_dir):
+    """Trailing-24 h p50/p95 of event value per hour from mergeable
+    per-bucket histograms — the observability "p95 over the last day"
+    query as summary re-aggregation: one data-sized binning pass, then
+    each answer touches ≤ window×(bins+1) summary rows. Same rank-walk
+    and edge arithmetic as `grouped_quantiles_events`, replayed exactly
+    by the oracle per trailing window."""
+    from artigraph_spark.operators.sketches import sliding_histogram_quantiles
+
+    e = load(spark, sf_dir, "events")
+    bucket = F.floor(
+        (F.unix_timestamp(F.col("ts")) - F.lit(1704067200)) / F.lit(3600.0)
+    ).cast("long")
+    return sliding_histogram_quantiles(
+        e,
+        bucket,
+        "value",
+        window_buckets=24,
+        lo=_GQ_LO,
+        hi=_GQ_HI,
+        bins=_GQ_BINS,
+        quantiles=[0.5, 0.95],
+    )

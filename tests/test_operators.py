@@ -1400,3 +1400,42 @@ def test_heavy_hitters_exact_set_and_pruning(spark):
         heavy_hitters(df, "k", 0.0)
     with _pytest.raises(ValueError, match="resolution"):
         heavy_hitters(df, "k", 1e-9)
+
+
+def test_sliding_quantiles_window_merge_equals_direct_histogram(spark):
+    """Merge law: each trailing window's estimates equal the grouped
+    histogram quantiles computed directly over that window's rows."""
+    from artigraph_spark.operators.sketches import (
+        grouped_histogram_quantiles,
+        sliding_histogram_quantiles,
+    )
+
+    rows = [(b, float((b * 7 + i) % 50)) for b in range(5) for i in range(40)]
+    df = spark.createDataFrame(rows, ["b", "v"])
+    got = {
+        (r["bucket"], r["q"]): (r["target_rank"], r["estimate"])
+        for r in sliding_histogram_quantiles(
+            df, F.col("b"), "v",
+            window_buckets=2, lo=0.0, hi=64.0, bins=64, quantiles=[0.5, 0.9],
+        ).collect()
+    }
+    assert {b for b, _ in got} == set(range(5))
+    for anchor in range(5):
+        window = df.filter((F.col("b") > anchor - 2) & (F.col("b") <= anchor))
+        direct = {
+            r["q"]: (r["target_rank"], r["estimate"])
+            for r in grouped_histogram_quantiles(
+                window.withColumn("g", F.lit(1)), "g", "v",
+                0.0, 64.0, 64, [0.5, 0.9],
+            ).collect()
+        }
+        for q in (0.5, 0.9):
+            assert got[(anchor, q)] == direct[q], (anchor, q)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_buckets"):
+        sliding_histogram_quantiles(
+            df, F.col("b"), "v",
+            window_buckets=0, lo=0.0, hi=1.0, bins=4, quantiles=[0.5],
+        )
