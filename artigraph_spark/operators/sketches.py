@@ -879,3 +879,129 @@ def heavy_hitters(
         .filter(F.col("exact_cnt") * denom >= F.lit(num) * F.col("__total"))
         .select(key_col, "exact_cnt")
     )
+
+
+def hll_intersection_estimate(
+    sk_a: DataFrame, sk_b: DataFrame, m: int = 1024
+) -> DataFrame:
+    """Audience-overlap estimate from two HLL register tables built with
+    the same (m, seed): inclusion–exclusion over the raw estimates —
+    ``est(A) + est(B) − est(A ∪ B)``, where the union sketch is the
+    per-register max (HLL's native merge). All three estimates are the
+    exact-integer harmonic sum, so an oracle replays the overlap
+    bit-for-bit. Error compounds across three estimates (±1.04/√m each),
+    so overlaps much smaller than either set drown in noise — the
+    standard caveat; size m for the smaller set. Everything here is
+    register-table-sized: O(m) rows in, one row out
+    ``(est_a, est_b, est_union, est_intersection)``."""
+    _check_hll_m(m)
+    ea = hll_estimate(sk_a, m=m).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(sk_b, m=m).select(F.col("estimate").alias("est_b"))
+    union = (
+        sk_a.unionByName(sk_b)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    eu = hll_estimate(union, m=m).select(F.col("estimate").alias("est_union"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+        )
+    )
+
+
+def hll_time_rollup(
+    df: DataFrame,
+    bucket_col,
+    key_col: str,
+    *,
+    coarsen: list[int],
+    m: int = 256,
+    seed: int = 11,
+) -> DataFrame:
+    """Hierarchical distinct counts from ONE pass: per-bucket HLL
+    registers at the finest granularity, then every coarser level
+    re-aggregates the FINER level's registers by per-register max (HLL's
+    merge), never the data — "distinct users per hour → day → month"
+    as the sketch twin of ``operators.timeseries.time_rollup``.
+
+    ``bucket_col`` is the finest integral bucket (e.g. hours since
+    epoch); ``coarsen`` gives each coarser level's size IN FINEST
+    BUCKETS, ascending (hour→day→month ≈ [24, 720]). Levels are labeled
+    ``level 0`` (finest) upward; each level's bucket id is the floor of
+    the finest bucket over the level size, so level boundaries are exact
+    integer arithmetic and the whole pyramid — registers, merges,
+    estimates — replays in an oracle. Returns
+    ``(level, bucket, estimate)``; registers-per-level shrink
+    geometrically, so the re-aggregation work after the single data pass
+    is summary-sized."""
+    _check_hll_m(m)
+    if not coarsen or any(c <= 1 for c in coarsen) or sorted(coarsen) != coarsen:
+        raise ValueError(
+            f"coarsen must be ascending level sizes > 1, got {coarsen}"
+        )
+    sizes = [1] + list(coarsen)
+    for a, b in zip(sizes, sizes[1:]):
+        if b % a != 0:
+            # floor-of-floor only equals floor at the coarser size when
+            # each level divides the next (x=36, 24→36: floor(floor(36/24)
+            # ·24/36)=0 but floor(36/36)=1) — calendar hierarchies do
+            raise ValueError(
+                f"each coarsen size must be a multiple of the previous "
+                f"({a} does not divide {b})"
+            )
+    finest = grouped_hll_sketch(
+        df.select(bucket_col.cast("long").alias("__b"), F.col(key_col)),
+        "__b",
+        key_col,
+        m=m,
+        seed=seed,
+    )
+    levels = [
+        finest.select(
+            F.lit(0).alias("level"), F.col("__b").alias("bucket"),
+            "register", "max_rho",
+        )
+    ]
+    prev = levels[0]
+    prev_size = 1
+    for i, size in enumerate(coarsen, start=1):
+        # re-aggregate the previous level's registers; size is a
+        # validated multiple of prev_size, so floor(prev·a/b) composes to
+        # exactly floor(finest/b)
+        prev = (
+            prev.select(
+                F.lit(i).alias("level"),
+                (F.floor(F.col("bucket") * prev_size / size)).cast("long").alias(
+                    "bucket"
+                ),
+                "register",
+                "max_rho",
+            )
+            .groupBy("level", "bucket", "register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+        levels.append(prev)
+        prev_size = size
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    est = grouped_hll_estimate(
+        out.withColumn(
+            "__g", F.concat_ws(":", F.col("level"), F.col("bucket"))
+        ).select("__g", "register", "max_rho"),
+        "__g",
+        m=m,
+    )
+    return est.select(
+        F.split(F.col("__g"), ":").getItem(0).cast("int").alias("level"),
+        F.split(F.col("__g"), ":").getItem(1).cast("long").alias("bucket"),
+        "estimate",
+    )

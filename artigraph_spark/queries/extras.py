@@ -1533,3 +1533,166 @@ def sliding_quantiles_hourly(spark, sf_dir):
         bins=_GQ_BINS,
         quantiles=[0.5, 0.95],
     )
+
+
+def _audience_overlap_oracle_sql(m: int, seed: int) -> str:
+    """DuckDB replica of the HLL audience overlap (click vs purchase
+    users): three raw estimates (A, B, per-register-max union) and the
+    inclusion-exclusion overlap, plus the exact intersection."""
+    from artigraph_spark.operators.sketches import _HLL_MAX_RHO
+
+    mix_sql = _hll_mix_sql
+    alpha_m2 = _hll_alpha_m2(m)
+    big = 1 << _HLL_MAX_RHO
+    rho_branches = _hll_rho_branches_sql()
+
+    def side(tag, et):
+        return f"""
+    {tag}_regs AS (
+        SELECT {mix_sql('k', seed)} % {m} AS register,
+               {mix_sql('k', seed + 12)} AS w
+        FROM (SELECT DISTINCT user_id % 2147483647 AS k FROM events
+              WHERE event_type = '{et}' AND user_id IS NOT NULL)
+    ), {tag}_sk AS (
+        SELECT register, max(CASE WHEN w = 0 THEN {_HLL_MAX_RHO} {rho_branches}
+                                  ELSE {_HLL_MAX_RHO} END) AS max_rho
+        FROM {tag}_regs GROUP BY register
+    )"""
+
+    def est(src, alias):
+        return f"""
+    {alias} AS (
+        SELECT CAST({alpha_m2!r} AS DOUBLE) * CAST({float(big)!r} AS DOUBLE)
+               / (SUM(CAST(pow(2.0, {_HLL_MAX_RHO} - max_rho) AS BIGINT))
+                  + ({m} - count(*)) * {big}) AS e
+        FROM {src}
+    )"""
+
+    return f"""
+    WITH {side('a', 'click')[5:]},
+    {side('b', 'purchase')[5:]},
+    u_sk AS (
+        SELECT register, max(max_rho) AS max_rho
+        FROM (SELECT * FROM a_sk UNION ALL SELECT * FROM b_sk)
+        GROUP BY register
+    ),
+    {est('a_sk', 'ea')[5:]},
+    {est('b_sk', 'eb')[5:]},
+    {est('u_sk', 'eu')[5:]},
+    exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+        FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    )
+    SELECT round(ea.e, 6) AS est_a_r, round(eb.e, 6) AS est_b_r,
+           round(eu.e, 6) AS est_union_r,
+           round(ea.e + eb.e - eu.e, 6) AS est_intersection_r,
+           exact.exact_intersection
+    FROM ea, eb, eu, exact
+    """
+
+
+@query("audience_overlap_click_purchase", oracle=_audience_overlap_oracle_sql(1024, 11))
+def audience_overlap_click_purchase(spark, sf_dir):
+    """Audience overlap (users who both clicked and purchased) from HLL
+    sketches alone — inclusion-exclusion over A, B, and the
+    per-register-max union, replayed exactly by the oracle alongside the
+    exact intersection for context. The fleet-scale ad-tech overlap
+    question answered from two m-register summaries, no join of the raw
+    event sets."""
+    from artigraph_spark.operators.sketches import (
+        hll_intersection_estimate,
+        hll_sketch,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sk_a = hll_sketch(e.filter(F.col("event_type") == "click"), "user_id", m=1024, seed=11)
+    sk_b = hll_sketch(e.filter(F.col("event_type") == "purchase"), "user_id", m=1024, seed=11)
+    est = hll_intersection_estimate(sk_a, sk_b, m=1024)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    purch = e.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        clicks.intersect(purch)
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.round("est_a", 6).alias("est_a_r"),
+        F.round("est_b", 6).alias("est_b_r"),
+        F.round("est_union", 6).alias("est_union_r"),
+        F.round("est_intersection", 6).alias("est_intersection_r"),
+        "exact_intersection",
+    )
+
+
+def _hll_rollup_oracle_sql(m: int, seed: int) -> str:
+    """DuckDB replica of the hierarchical HLL rollup (distinct users per
+    hour → day → month): finest registers once, coarser levels re-merge
+    by per-register max at floor-divided bucket ids."""
+    from artigraph_spark.operators.sketches import _HLL_MAX_RHO
+
+    mix_sql = _hll_mix_sql
+    alpha_m2 = _hll_alpha_m2(m)
+    big = 1 << _HLL_MAX_RHO
+    rho_branches = _hll_rho_branches_sql()
+    return f"""
+    WITH keyed AS (
+        SELECT CAST(floor((floor(epoch(ts)) - 1704067200) / 3600.0) AS BIGINT) AS b,
+               user_id % 2147483647 AS k
+        FROM events WHERE user_id IS NOT NULL
+    ), regs AS (
+        SELECT b, {mix_sql('k', seed)} % {m} AS register,
+               {mix_sql('k', seed + 12)} AS w
+        FROM keyed
+    ), ranked AS (
+        SELECT b, register,
+               CASE WHEN w = 0 THEN {_HLL_MAX_RHO} {rho_branches}
+                    ELSE {_HLL_MAX_RHO} END AS rho
+        FROM regs
+    ), l0 AS (
+        SELECT 0 AS level, b AS bucket, register, max(rho) AS max_rho
+        FROM ranked GROUP BY 2, 3
+    ), l1 AS (
+        SELECT 1 AS level, bucket // 24 AS bucket, register, max(max_rho) AS max_rho
+        FROM l0 GROUP BY 2, 3
+    ), l2 AS (
+        SELECT 2 AS level, (bucket * 24) // 720 AS bucket, register,
+               max(max_rho) AS max_rho
+        FROM l1 GROUP BY 2, 3
+    ), allv AS (
+        SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2
+    ), agg AS (
+        SELECT level, bucket,
+               SUM(CAST(pow(2.0, {_HLL_MAX_RHO} - max_rho) AS BIGINT)) AS present,
+               count(*) AS nreg
+        FROM allv GROUP BY 1, 2
+    )
+    SELECT CAST(level AS INT) AS level, bucket,
+           round(CAST({alpha_m2!r} AS DOUBLE) * CAST({float(big)!r} AS DOUBLE)
+                 / (present + ({m} - nreg) * {big}), 6) AS estimate_r
+    FROM agg
+    """
+
+
+@query("hll_rollup_users", oracle=_hll_rollup_oracle_sql(256, 11))
+def hll_rollup_users(spark, sf_dir):
+    """Distinct users per hour → day → month from ONE pass: the sketch
+    twin of the fixed-point time rollup — coarser levels re-aggregate the
+    finer level's HLL registers (per-register max), never the data, so a
+    year of hourly sketches answers the monthly distinct question from
+    summary rows alone. Every register, merge, and estimate
+    oracle-replayed."""
+    from artigraph_spark.operators.sketches import hll_time_rollup
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    bucket = F.floor(
+        (F.unix_timestamp(F.col("ts")) - F.lit(1704067200)) / F.lit(3600.0)
+    ).cast("long")
+    out = hll_time_rollup(
+        e, bucket, "user_id", coarsen=[24, 720], m=256, seed=11
+    )
+    return out.select(
+        "level", "bucket", F.round("estimate", 6).alias("estimate_r")
+    )

@@ -1439,3 +1439,59 @@ def test_sliding_quantiles_window_merge_equals_direct_histogram(spark):
             df, F.col("b"), "v",
             window_buckets=0, lo=0.0, hi=1.0, bins=4, quantiles=[0.5],
         )
+
+
+def test_hll_intersection_inclusion_exclusion_law(spark):
+    """est_intersection must equal est_a + est_b − est_union exactly, and
+    for identical inputs the intersection estimate equals each side's."""
+    from artigraph_spark.operators.sketches import (
+        hll_intersection_estimate,
+        hll_sketch,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(100, 300)], ["k"])
+    ska = hll_sketch(a, "k", m=256, seed=3)
+    skb = hll_sketch(b, "k", m=256, seed=3)
+    r = hll_intersection_estimate(ska, skb, m=256).collect()[0]
+    assert r["est_intersection"] == r["est_a"] + r["est_b"] - r["est_union"]
+    same = hll_intersection_estimate(ska, ska, m=256).collect()[0]
+    assert same["est_union"] == same["est_a"] == same["est_b"]
+    assert same["est_intersection"] == same["est_a"]
+
+
+def test_hll_time_rollup_levels_merge_law(spark):
+    """Every coarser level's estimate equals the direct sketch of its
+    covered rows (merge law up the hierarchy), and level sizes must be
+    ascending multiples."""
+    from artigraph_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+        hll_time_rollup,
+    )
+
+    rows = [(b, (b * 17 + i) % 60) for b in range(8) for i in range(30)]
+    df = spark.createDataFrame(rows, ["b", "k"])
+    out = {
+        (r["level"], r["bucket"]): r["estimate"]
+        for r in hll_time_rollup(
+            df, F.col("b"), "k", coarsen=[2, 4], m=64, seed=5
+        ).collect()
+    }
+    # level 1: buckets of 2 finest; level 2: buckets of 4 finest
+    for lvl, size in ((1, 2), (2, 4)):
+        for bucket in range(8 // size):
+            window = df.filter(
+                (F.col("b") >= bucket * size) & (F.col("b") < (bucket + 1) * size)
+            )
+            direct = hll_estimate(
+                hll_sketch(window, "k", m=64, seed=5), m=64
+            ).collect()[0]["estimate"]
+            assert out[(lvl, bucket)] == direct, (lvl, bucket)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        hll_time_rollup(df, F.col("b"), "k", coarsen=[2, 3])
+    with _pytest.raises(ValueError, match="ascending"):
+        hll_time_rollup(df, F.col("b"), "k", coarsen=[4, 2])
