@@ -66,7 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "zorder_cluster_keys", "trend_slopes_hourly", "epoch_shuffle_shards",
     "sliding_distinct_users", "constraint_report", "profile_orders",
     "heavy_hitter_users", "sliding_quantiles_hourly",
-    "audience_overlap_click_purchase", "hll_rollup_users",
+    "audience_overlap_click_purchase", "hll_rollup_users", "new_users_hourly",
     # (2) implementation changed this round: integer node ids (~25-30%
     # faster loop shuffles) — needs a fresh driver row
     "pagerank_copurchase",

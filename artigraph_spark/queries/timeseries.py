@@ -451,3 +451,49 @@ def trend_slopes_hourly(spark, sf_dir):
     return out.select(
         "event_type", "n_buckets", F.round("slope", 9).alias("slope_r")
     )
+
+
+@query(
+    "new_users_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT DISTINCT
+               CAST(floor((floor(epoch(ts)) - 1704067200) / 3600.0) AS BIGINT) AS b,
+               user_id
+        FROM events WHERE user_id IS NOT NULL
+    ), flagged AS (
+        SELECT b, user_id,
+               lag(b) OVER (PARTITION BY user_id ORDER BY b) AS prev_b
+        FROM hourly
+    )
+    SELECT b AS bucket,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN prev_b IS NULL OR b - prev_b > 24
+                         THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+    FROM flagged GROUP BY b
+    """,
+)
+def new_users_hourly(spark, sf_dir):
+    """Per-hour active and NEW users, where "new" means not seen in the
+    trailing 24 hours — the novelty-rate metric. One shuffle on user_id:
+    the per-user hour list is deduped, lag() finds each appearance's
+    previous hour, and newness is pure integer bucket arithmetic — no
+    24-way self-join, no window-of-windows. Exact and oracle-replayed."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    bucket = F.floor(
+        (F.unix_timestamp(F.col("ts")) - F.lit(1704067200)) / F.lit(3600.0)
+    ).cast("long")
+    hourly = e.select(bucket.alias("b"), "user_id").distinct()
+    w = Window.partitionBy("user_id").orderBy("b")
+    flagged = hourly.withColumn("prev_b", F.lag("b").over(w))
+    return flagged.groupBy(F.col("b").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum(
+            F.when(
+                F.col("prev_b").isNull() | (F.col("b") - F.col("prev_b") > 24),
+                1,
+            ).otherwise(0)
+        ).alias("new_users"),
+    )
