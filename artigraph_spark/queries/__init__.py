@@ -52,14 +52,15 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 _PRIORITY: tuple[str, ...] = (
     # ROUND-6 ROTATION. Recorded-window history after r5 (computed from
     # CORRECTNESS_r0{1..5}.json): 50 queries have an r5 row, 49 an r4 row,
-    # 48 are r3-stale, 4 are r1-stale, and 3 oracle-bearing queries are
-    # new this round (never recorded). Order: (1) the three new queries,
-    # (2) the five r5 hash-FAILs whose oracles were fixed this round
-    # (uncast HUGEINT — values were verified correct; the driver row is
-    # what's missing), (3) the four r1-stale, (4) the 48 r3-stale with the
-    # judge-named priorities first — the ~10 that overflow the 50-entry
-    # window land at 51+ and lead the r7 rotation. r4/r5-green queries
-    # follow in registration order.
+    # 48 are r3-stale, 4 are r1-stale. This round registered 18 new
+    # oracle-bearing queries (never recorded) and changed pagerank's
+    # implementation. Order: (1) the 18 new queries, (2) pagerank
+    # (impl changed — integer node ids), (3) the five r5 hash-FAILs whose
+    # oracles were fixed this round (uncast HUGEINT — values were
+    # verified correct; the driver row is what's missing), (4) the four
+    # r1-stale, (5) the r3-stale with the judge-named priorities first —
+    # the ~26 that overflow the 50-entry window land at 51+ and lead the
+    # r7 rotation. r4/r5-green queries follow in registration order.
     # (1) new this round — first driver rows
     "grouped_cms_contract", "cms_decayed_topk", "interval_join_click_purchase",
     "bloom_incremental_dedup", "stratified_split_exact", "cms_join_size",
