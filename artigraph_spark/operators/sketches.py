@@ -1005,3 +1005,135 @@ def hll_time_rollup(
         F.split(F.col("__g"), ":").getItem(1).cast("long").alias("bucket"),
         "estimate",
     )
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    threshold_fraction: float,
+) -> DataFrame:
+    """Per-group exact heavy hitters: within every group, the non-null
+    keys holding ≥ ``threshold_fraction`` of that group's non-null rows —
+    "dominant contributors per domain", the diagnostic sibling of
+    ``packing.cap_per_group``. Same pigeonhole pruning as
+    :func:`heavy_hitters`, applied per (partition, group): a key below
+    the threshold fraction of its group's rows in EVERY partition is
+    below it globally, so per-partition local fractions give a complete
+    candidate set of at most 1/φ keys per (partition, group); only
+    candidates are exact-counted, and the final global filter makes the
+    output partitioning-independent (oracle replays it as brute force).
+    Returns ``(group, key, exact_cnt, group_total)``.
+    """
+    if not 0.0 < threshold_fraction <= 1.0:
+        raise ValueError(
+            f"threshold_fraction must be in (0, 1], got {threshold_fraction}"
+        )
+    denom = 1_000_000
+    num = int(round(threshold_fraction * denom))
+    if num == 0:
+        raise ValueError(
+            f"threshold_fraction {threshold_fraction} is below the 1e-6 "
+            "basis-point resolution"
+        )
+    data = df.filter(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+    local = data.groupBy(
+        F.spark_partition_id().alias("__pid"), F.col(group_col), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    local_tot = local.groupBy("__pid", group_col).agg(F.sum("__c").alias("__pt"))
+    candidates = (
+        local.join(local_tot, ["__pid", group_col])
+        .filter(F.col("__c") * denom >= F.lit(num) * F.col("__pt"))
+        .select(group_col, key_col)
+        .distinct()
+    )
+    totals = data.groupBy(group_col).agg(F.count(F.lit(1)).alias("group_total"))
+    exact = (
+        data.join(candidates, [group_col, key_col], "left_semi")
+        .groupBy(group_col, key_col)
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        exact.join(totals, group_col)
+        .filter(F.col("exact_cnt") * denom >= F.lit(num) * F.col("group_total"))
+        .select(group_col, key_col, "exact_cnt", "group_total")
+    )
+
+
+def key_skew_audit(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Join-key skew diagnostic: the group-size distribution of
+    ``key_col`` — distinct keys, total rows, max/top-k group sizes, the
+    hottest key's share, and exact p50/p99 group sizes — the numbers
+    that decide between a plain shuffle join, AQE skew splitting, and
+    explicit salting (see ``operators.joins.salted_join`` and the
+    zipfian study in docs/SCALE.md).
+
+    Two stages: the per-key count (one data-sized shuffle) and
+    summary-only aggregation over it — the percentile ranks use an exact
+    sort-free count-below comparison (count of keys with size ≤ s vs the
+    rank target), so everything is integer-deterministic and
+    oracle-replayable. Returns ONE row: ``(n_keys, n_rows, p50_size,
+    p99_size, max_size, top1_share_r, topk_sizes_s)``.
+    """
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # exact percentiles of the size distribution: rank r = ceil(q·n_keys);
+    # p_q = min size s.t. |{keys with size <= s}| >= r — a self-join-free
+    # window over the size histogram (≤ distinct sizes rows)
+    size_hist = counts.groupBy(F.col("__c").alias("size")).agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    from pyspark.sql import Window
+
+    cum = size_hist.withColumn(
+        "cum",
+        F.sum("freq").over(
+            Window.orderBy("size").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    nk = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("__c").alias("n_rows")
+    )
+    ranked = cum.crossJoin(F.broadcast(nk))
+    p50 = (
+        ranked.filter(F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n_keys")))
+        .agg(F.min("size").alias("p50_size"))
+    )
+    p99 = (
+        ranked.filter(F.col("cum") >= F.ceil(F.lit(0.99) * F.col("n_keys")))
+        .agg(F.min("size").alias("p99_size"))
+    )
+    top = counts.orderBy(F.col("__c").desc(), F.col(key_col)).limit(top_k)
+    # collect_list order is not guaranteed post-limit — sort the collected
+    # sizes descending so the string is deterministic
+    top_agg = top.agg(
+        F.max("__c").alias("max_size"),
+        F.array_join(
+            F.transform(
+                F.reverse(F.array_sort(F.collect_list("__c"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("topk_sizes_s"),
+    )
+    return (
+        nk.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .crossJoin(F.broadcast(top_agg))
+        .select(
+            "n_keys",
+            "n_rows",
+            "p50_size",
+            "p99_size",
+            "max_size",
+            F.round(
+                F.col("max_size").cast("double") / F.col("n_rows"), 9
+            ).alias("top1_share_r"),
+            "topk_sizes_s",
+        )
+    )

@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "sliding_distinct_users", "constraint_report", "profile_orders",
     "heavy_hitter_users", "sliding_quantiles_hourly",
     "audience_overlap_click_purchase", "hll_rollup_users", "new_users_hourly",
+    "grouped_heavy_hitters_events", "skew_audit_lineitem_orderkey",
     # (2) implementation changed this round: integer node ids (~25-30%
     # faster loop shuffles) — needs a fresh driver row
     "pagerank_copurchase",

@@ -1696,3 +1696,80 @@ def hll_rollup_users(spark, sf_dir):
     return out.select(
         "level", "bucket", F.round("estimate", 6).alias("estimate_r")
     )
+
+
+@query(
+    "grouped_heavy_hitters_events",
+    oracle="""
+    WITH data AS (
+        SELECT event_type, user_id FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ), totals AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS group_total
+        FROM data GROUP BY 1
+    ), exact AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM data GROUP BY 1, 2
+    )
+    SELECT e.event_type, e.user_id, e.exact_cnt, t.group_total
+    FROM exact e JOIN totals t USING (event_type)
+    WHERE e.exact_cnt * 1000000 >= 10000 * t.group_total
+    """,
+)
+def grouped_heavy_hitters_events(spark, sf_dir):
+    """Dominant users per event type (≥ 1% of the type's events) via
+    per-(partition, group) pigeonhole pruning — candidates are bounded by
+    1/φ per partition-group and only they are exact-counted; the global
+    filter makes the set partitioning-independent, so the oracle replays
+    plain brute force."""
+    from artigraph_spark.operators.sketches import grouped_heavy_hitters
+
+    e = load(spark, sf_dir, "events")
+    return grouped_heavy_hitters(e, "event_type", "user_id", 0.01)
+
+
+@query(
+    "skew_audit_lineitem_orderkey",
+    oracle="""
+    WITH counts AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+    ), nk AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows
+        FROM counts
+    ), hist AS (
+        SELECT c AS size, CAST(count(*) AS BIGINT) AS freq
+        FROM counts GROUP BY 1
+    ), cum AS (
+        SELECT size, sum(freq) OVER (ORDER BY size) AS cum FROM hist
+    ), p50 AS (
+        SELECT CAST(min(size) AS BIGINT) AS p50_size FROM cum, nk
+        WHERE cum >= ceil(0.5 * nk.n_keys)
+    ), p99 AS (
+        SELECT CAST(min(size) AS BIGINT) AS p99_size FROM cum, nk
+        WHERE cum >= ceil(0.99 * nk.n_keys)
+    ), top AS (
+        SELECT c FROM counts ORDER BY c DESC, l_orderkey LIMIT 5
+    ), topa AS (
+        SELECT CAST(max(c) AS BIGINT) AS max_size,
+               string_agg(CAST(c AS VARCHAR), ',' ORDER BY c DESC) AS topk_sizes_s
+        FROM top
+    )
+    SELECT nk.n_keys, nk.n_rows, p50.p50_size, p99.p99_size, topa.max_size,
+           round(CAST(topa.max_size AS DOUBLE) / nk.n_rows, 9) AS top1_share_r,
+           topa.topk_sizes_s
+    FROM nk, p50, p99, topa
+    """,
+)
+def skew_audit_lineitem_orderkey(spark, sf_dir):
+    """Join-key skew audit of lineitem's order key: distinct keys, total
+    rows, exact p50/p99/max group sizes, the hottest key's share, and the
+    top-5 sizes — the pre-join diagnostic that decides plain shuffle vs
+    AQE skew split vs explicit salting (docs/SCALE.md zipfian study).
+    One data-sized shuffle; everything after runs on the size
+    histogram."""
+    from artigraph_spark.operators.sketches import key_skew_audit
+
+    li = load(spark, sf_dir, "lineitem")
+    return key_skew_audit(li, "l_orderkey", top_k=5)

@@ -1495,3 +1495,55 @@ def test_hll_time_rollup_levels_merge_law(spark):
         hll_time_rollup(df, F.col("b"), "k", coarsen=[2, 3])
     with _pytest.raises(ValueError, match="ascending"):
         hll_time_rollup(df, F.col("b"), "k", coarsen=[4, 2])
+
+
+def test_grouped_heavy_hitters_matches_brute_force_per_group(spark):
+    from collections import Counter
+
+    from artigraph_spark.operators.sketches import grouped_heavy_hitters
+
+    rows = (
+        [("a", 1)] * 20 + [("a", 2)] * 5 + [("a", i) for i in range(3, 20)]
+        + [("b", 7)] * 9 + [("b", 8)] * 1
+    )
+    df = spark.createDataFrame(rows, ["g", "k"]).repartition(4)
+    got = sorted(
+        (r["g"], r["k"], r["exact_cnt"], r["group_total"])
+        for r in grouped_heavy_hitters(df, "g", "k", 0.2).collect()
+    )
+    per_group = Counter(g for g, _ in rows)
+    cnt = Counter(rows)
+    want = sorted(
+        (g, k, c, per_group[g])
+        for (g, k), c in cnt.items()
+        if c * 1_000_000 >= 200_000 * per_group[g]
+    )
+    assert got == want
+    # group b's hitter (7: 90%) found even though it's light globally
+    assert ("b", 7, 9, 10) in got
+
+
+def test_key_skew_audit_exact_distribution(spark):
+    from artigraph_spark.operators.sketches import key_skew_audit
+
+    # sizes: one hot key of 40, four of 10, five of 2 → n_keys=10, rows=90
+    rows = (
+        [(0,)] * 40
+        + [(k,) for k in range(1, 5) for _ in range(10)]
+        + [(k,) for k in range(5, 10) for _ in range(2)]
+    )
+    df = spark.createDataFrame(rows, ["k"])
+    r = key_skew_audit(df, "k", top_k=3).collect()[0]
+    assert (r["n_keys"], r["n_rows"]) == (10, 90)
+    # rank ceil(.5*10)=5 → sizes sorted [2,2,2,2,2,10,10,10,10,40] → p50=2
+    assert r["p50_size"] == 2
+    # rank ceil(.99*10)=10 → p99 = 40
+    assert r["p99_size"] == 40
+    assert r["max_size"] == 40
+    assert r["topk_sizes_s"] == "40,10,10"
+    assert abs(r["top1_share_r"] - 40 / 90) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_k"):
+        key_skew_audit(df, "k", top_k=0)
