@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "heavy_hitter_users", "sliding_quantiles_hourly",
     "audience_overlap_click_purchase", "hll_rollup_users", "new_users_hourly",
     "grouped_heavy_hitters_events", "skew_audit_lineitem_orderkey",
+    "lateral_topk_orders",
     # (2) implementation changed this round: integer node ids (~25-30%
     # faster loop shuffles) — needs a fresh driver row
     "pagerank_copurchase",

@@ -1773,3 +1773,44 @@ def skew_audit_lineitem_orderkey(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem")
     return key_skew_audit(li, "l_orderkey", top_k=5)
+
+
+@query(
+    "lateral_topk_orders",
+    oracle="""
+    SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+           t.o_totalprice AS totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_acctbal > 9000
+    """,
+)
+def lateral_topk_orders(spark, sf_dir):
+    """LATERAL correlated subquery through the SQL API: each rich
+    customer's top-2 orders by price. Catalyst decorrelates the lateral
+    into a ranked join (the DataFrame twin is window_topk_per_group's
+    WindowGroupLimit shape) — registered to pin the SQL-surface parity
+    for the lateral syntax both engines support."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("lt_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("lt_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+               t.o_totalprice AS totalprice
+        FROM lt_customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM lt_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_acctbal > 9000
+        """
+    )
