@@ -1137,3 +1137,76 @@ def key_skew_audit(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
             "topk_sizes_s",
         )
     )
+
+
+def sliding_cms_topk(
+    df: DataFrame,
+    bucket_col,
+    key_col: str,
+    *,
+    window_buckets: int,
+    k: int,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Trailing-window top-k keys by estimated frequency from mergeable
+    per-bucket count-min sketches — "top users over the last 24 h, every
+    hour" with state bounded by buckets × depth × width cells, completing
+    the windowed-sketch trio (HLL distinct, histogram quantiles, CMS
+    frequency). Per-bucket cells merge across each trailing window by
+    summing; the probe set for a window is the keys ACTIVE in it
+    (distinct (bucket, key) pairs contributed forward the same way), so
+    estimates stay window-local and never undercount the window's true
+    counts. Ranking ties break by key — fully deterministic,
+    oracle-replayable. Returns ``(bucket, rnk, key, estimate)``."""
+    from pyspark.sql import Window
+
+    if window_buckets <= 0 or k <= 0:
+        raise ValueError(
+            f"window_buckets and k must be positive, got {window_buckets}/{k}"
+        )
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width and depth must be positive, got {width}x{depth}")
+    data = df.select(
+        bucket_col.cast("long").alias("__b"), F.col(key_col)
+    ).filter(F.col("__b").isNotNull() & F.col(key_col).isNotNull())
+    # (__b, depth_id, bucket, cnt) — "bucket" here is the CELL position;
+    # rename to "cell" while the window target takes the "bucket" name
+    per_bucket = grouped_count_min_sketch(
+        data, "__b", key_col, width=width, depth=depth, seed=seed
+    ).withColumnRenamed("bucket", "cell")
+    present = per_bucket.select(F.col("__b").alias("bucket")).distinct()
+    fwd = F.explode(
+        F.sequence(F.col("__b"), F.col("__b") + F.lit(window_buckets - 1))
+    ).alias("bucket")
+    merged = (
+        per_bucket.select(fwd, "depth_id", "cell", "cnt")
+        .join(present, "bucket", "left_semi")
+        .groupBy("bucket", "depth_id", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    keys = (
+        data.distinct()
+        .select(fwd, key_col)
+        .join(present, "bucket", "left_semi")
+        .distinct()
+    )
+    est = grouped_cms_estimate(
+        merged.select(
+            F.col("bucket").alias("__g"), "depth_id",
+            F.col("cell").alias("bucket"), "cnt",
+        ),
+        keys.select(F.col("bucket").alias("__g"), key_col),
+        "__g",
+        key_col,
+        width=width,
+        depth=depth,
+        seed=seed,
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("estimate").desc(), F.col(key_col))
+    return (
+        est.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("__g").alias("bucket"), "rnk", key_col, "estimate")
+    )

@@ -1814,3 +1814,84 @@ def lateral_topk_orders(spark, sf_dir):
         WHERE c.c_acctbal > 9000
         """
     )
+
+
+def _sliding_cms_oracle_sql(width: int, depth: int, seed: int, window: int, k: int) -> str:
+    """DuckDB replica of the trailing-window CMS top-k users: per-bucket
+    cells merged by sum across each window, window-local active-key
+    probes, tie-broken ranking."""
+    from artigraph_spark.operators.dedup import _P, _hash_coeffs
+
+    coeffs = _hash_coeffs(depth, seed)
+    cell = "((({a} * k + {b}) % {p}) % {w})"
+    cells = "\n        UNION ALL ".join(
+        f"SELECT b, {d} AS depth_id, "
+        f"{cell.format(a=a, b=b, p=_P, w=width)} AS cell FROM ev"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    probes = "\n        UNION ALL ".join(
+        f"SELECT bucket, user_id, {d} AS depth_id, "
+        f"{cell.format(a=a, b=b, p=_P, w=width)} AS cell FROM wkeys"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+    WITH ev AS (
+        SELECT CAST(floor((floor(epoch(ts)) - 1704067200) / 3600.0) AS BIGINT) AS b,
+               user_id, user_id % 2147483647 AS k
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    cells AS ({cells}),
+    hourly AS (
+        SELECT b, depth_id, cell, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2, 3
+    ),
+    present AS (SELECT DISTINCT b AS bucket FROM hourly),
+    merged AS (
+        SELECT p.bucket, h.depth_id, h.cell, CAST(SUM(h.cnt) AS BIGINT) AS cnt
+        FROM hourly h JOIN present p ON p.bucket BETWEEN h.b AND h.b + {window - 1}
+        GROUP BY 1, 2, 3
+    ),
+    akeys AS (SELECT DISTINCT b, user_id, k FROM ev),
+    wkeys AS (
+        SELECT DISTINCT p.bucket, a.user_id, a.k
+        FROM akeys a JOIN present p ON p.bucket BETWEEN a.b AND a.b + {window - 1}
+    ),
+    probes AS ({probes}),
+    est AS (
+        SELECT pr.bucket, pr.user_id, min(coalesce(m.cnt, 0)) AS estimate
+        FROM probes pr
+        LEFT JOIN merged m
+          ON m.bucket = pr.bucket AND m.depth_id = pr.depth_id
+         AND m.cell = pr.cell
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT bucket, user_id, estimate,
+               ROW_NUMBER() OVER (PARTITION BY bucket
+                                  ORDER BY estimate DESC, user_id) AS rnk
+        FROM est
+    )
+    SELECT bucket, rnk, user_id, estimate FROM ranked WHERE rnk <= {k}
+    """
+
+
+@query(
+    "sliding_cms_top_users",
+    oracle=_sliding_cms_oracle_sql(256, 4, 42, 24, 3),
+)
+def sliding_cms_top_users(spark, sf_dir):
+    """Top-3 users per hour over the trailing 24 h from merged per-hour
+    count-min sketches — the hard-window sibling of `cms_decayed_topk`
+    and the frequency member of the windowed-sketch trio (with
+    `sliding_distinct_users` and `sliding_quantiles_hourly`). State is
+    buckets × depth × width cells; every estimate and the tie-broken
+    leaderboard replay exactly."""
+    from artigraph_spark.operators.sketches import sliding_cms_topk
+
+    e = load(spark, sf_dir, "events")
+    bucket = F.floor(
+        (F.unix_timestamp(F.col("ts")) - F.lit(1704067200)) / F.lit(3600.0)
+    ).cast("long")
+    return sliding_cms_topk(
+        e, bucket, "user_id", window_buckets=24, k=3, width=256, depth=4, seed=42
+    )

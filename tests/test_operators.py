@@ -1547,3 +1547,32 @@ def test_key_skew_audit_exact_distribution(spark):
 
     with _pytest.raises(ValueError, match="top_k"):
         key_skew_audit(df, "k", top_k=0)
+
+
+def test_sliding_cms_topk_window_merge_never_undercounts(spark):
+    """Each window's estimates must be >= the window's true per-key
+    counts (merge preserves the one-sided guarantee), and with a wide
+    sketch the leaderboard equals the exact windowed top-k."""
+    from collections import Counter
+
+    from artigraph_spark.operators.sketches import sliding_cms_topk
+
+    rows = [(b, (b * 3 + i) % 9) for b in range(5) for i in range(30)]
+    df = spark.createDataFrame(rows, ["b", "k"])
+    got = sliding_cms_topk(
+        df, F.col("b"), "k", window_buckets=3, k=2, width=512, depth=4
+    ).collect()
+    by_window = {}
+    for r in got:
+        by_window.setdefault(r["bucket"], []).append((r["rnk"], r["k"], r["estimate"]))
+    for anchor in range(5):
+        window_rows = [k for b, k in rows if anchor - 3 < b <= anchor]
+        cnt = Counter(window_rows)
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        gotw = sorted(by_window[anchor])
+        assert [(k, c) for _, k, c in gotw] == want, anchor
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_buckets"):
+        sliding_cms_topk(df, F.col("b"), "k", window_buckets=0, k=2)
