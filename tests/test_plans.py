@@ -333,3 +333,36 @@ def test_stratified_split_single_stratum_shuffle(spark, qs):
     df = qs["stratified_split_exact"](spark, SF)
     assert P.count_exchanges(df) == 1
     assert "CartesianProduct" not in P.physical_plan(df, "simple")
+
+
+def test_windowed_sketch_queries_no_nested_loop(spark, qs):
+    """The windowed-sketch trio and the HLL pyramid must never pair rows
+    via cartesian/BNLJ — every merge is a keyed aggregate, every probe an
+    equi-join (the broadcast singletons in audience overlap are the one
+    legitimate BNLJ shape: single-row frames crossed into the output)."""
+    for name in (
+        "sliding_distinct_users",
+        "sliding_quantiles_hourly",
+        "sliding_cms_top_users",
+        "hll_rollup_users",
+    ):
+        plan = P.physical_plan(qs[name](spark, SF), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_heavy_hitters_single_data_scan_per_pass(spark, qs):
+    """Pigeonhole heavy hitters: candidate generation and the exact pass
+    each scan the data once — no per-candidate rescans, no BNLJ."""
+    plan = P.physical_plan(qs["heavy_hitter_users"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    # the one BNLJ is the broadcast single-row total crossed into the
+    # final filter — the legitimate singleton shape; data-sized sides
+    # never nested-loop (the candidate prune is a left_semi equi-join)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # 4 static scans: local counts (read twice — candidates + per-pid
+    # totals branch the same subtree), exact pass, total. AQE's
+    # ReusedExchange collapses the shared local subtree at runtime; the
+    # lock only guards against per-candidate rescans (which would scale
+    # with the candidate count, not stay constant).
+    assert plan.count("FileScan") <= 4
