@@ -1,6 +1,6 @@
 """Round-6 targeted scale probe: replicate documents, events, orders and
 lineitem ×K (key offsets keep ids unique and joins key-correct) and time
-the twelve round-6 queries at both scales. Lighter than the full
+the round-6 queries at both scales. Lighter than the full
 `scale_probe.py` sweep — dimension tables pass through at ×1.
 
 Usage: python tools/scale_probe_r6.py [K]
@@ -34,6 +34,15 @@ QUERIES = [
     "sliding_distinct_users",
     "constraint_report",
     "profile_orders",
+    "heavy_hitter_users",
+    "grouped_heavy_hitters_events",
+    "skew_audit_lineitem_orderkey",
+    "audience_overlap_click_purchase",
+    "hll_rollup_users",
+    "new_users_hourly",
+    "sliding_quantiles_hourly",
+    "sliding_cms_top_users",
+    "lateral_topk_orders",
 ]
 
 OFFSETS = {
