@@ -117,6 +117,27 @@ class NullCount(Statistic):
         return F.count(F.when(F.col(self.column).isNull(), 1))
 
 
+class RangeViolations(Statistic):
+    """Engine-level range CHECK: counts rows whose column is NULL or
+    outside [lo, hi] — the build-gating twin of the quality suite's
+    ``in_range`` check (operators/quality.py). Pair with
+    EqualsThreshold(0) to abort a build on any violation; unlike a
+    Min/Max + RangeThreshold pair this counts HOW MANY rows violate and
+    treats NULLs as violations."""
+
+    lo: float | None = None
+    hi: float | None = None
+
+    def expr(self) -> Column:
+        c = F.col(self.column)
+        cond = c.isNull()
+        if self.lo is not None:
+            cond = cond | (c < self.lo)
+        if self.hi is not None:
+            cond = cond | (c > self.hi)
+        return F.count(F.when(cond, 1))
+
+
 class EnumViolations(Statistic):
     """Engine-level CHECK for Enum-typed columns (Spark has no enum type):
     counts values outside the allowed set. Pair with EqualsThreshold(0)."""

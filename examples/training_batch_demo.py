@@ -206,7 +206,22 @@ def main() -> None:
             )
             layout, manifest = PackBatches(mixed=g.artifacts.mixed).out(
                 Artifact(type=LAYOUT_TYPE, storage=LocalFile(root=root)),
-                Artifact(type=MANIFEST_TYPE, storage=LocalFile(root=root)),
+                Artifact(
+                    type=MANIFEST_TYPE,
+                    storage=LocalFile(root=root),
+                    # packing invariant as a build gate (round-6
+                    # RangeViolations): every bin must hold 1..256 tokens
+                    # — a packer bug that overflows a bin ABORTS the
+                    # build instead of shipping corrupt batches
+                    statistics=(
+                        st.RangeViolations(
+                            column="n_tokens",
+                            lo=1.0,
+                            hi=256.0,
+                            threshold=st.EqualsThreshold(expected=0),
+                        ),
+                    ),
+                ),
             )
             g.artifacts.layout = layout
             g.artifacts.manifest = manifest

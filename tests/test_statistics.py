@@ -94,3 +94,33 @@ def test_executor_gates_on_thresholds(tmp_root, spark):
     g2 = _graph(tmp_root, bad_stats)
     with pytest.raises(BuildError, match="Max\\(value\\)=30"):
         g2.build()
+
+
+def test_range_violations_counts_and_gates(spark):
+    from artigraph_spark import statistics as st
+
+    df = spark.createDataFrame(
+        [(1.0,), (5.0,), (11.0,), (None,)], "v double"
+    )
+    res = st.evaluate(
+        df,
+        (
+            st.RangeViolations(
+                column="v", lo=0.0, hi=10.0,
+                threshold=st.EqualsThreshold(expected=0),
+            ),
+        ),
+    )
+    # 11.0 out of range + NULL → 2 violations, gate fails
+    assert res.values["RangeViolations(v)"] == 2
+    assert not res.ok
+    clean = spark.createDataFrame([(1.0,), (5.0,)], "v double")
+    assert st.evaluate(
+        clean,
+        (
+            st.RangeViolations(
+                column="v", lo=0.0, hi=10.0,
+                threshold=st.EqualsThreshold(expected=0),
+            ),
+        ),
+    ).ok
