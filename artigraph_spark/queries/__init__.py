@@ -59,7 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     # oracles were fixed this round (uncast HUGEINT — values were
     # verified correct; the driver row is what's missing), (4) the four
     # r1-stale, (5) the r3-stale with the judge-named priorities first —
-    # the ~26 that overflow the 50-entry window land at 51+ and lead the
+    # the 28 that overflow the 50-entry window land at 51+ and lead the
     # r7 rotation. r4/r5-green queries follow in registration order.
     # (1) new this round — first driver rows
     "grouped_cms_contract", "cms_decayed_topk", "interval_join_click_purchase",
