@@ -520,3 +520,64 @@ def collocation_pmi(
         .orderBy(F.col("pmi_r").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_k)
     )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's DISTINCT
+    word n-grams that appear in no other document — high novelty marks
+    original content, low novelty boilerplate/template families (the
+    corpus-level complement of `repetition_scores`' within-doc signals).
+
+    Scale shape: documents explode to distinct n-gram shingles (per-row
+    work), shingle document-frequencies are ONE groupBy on the shingle,
+    and the per-doc roll-up joins shingle-keyed frames — no document
+    pairing anywhere, so cost tracks corpus size, not corpus². The
+    novelty ratio is a double division of two exact int64 counts —
+    engine-deterministic. Documents with fewer than ``n`` tokens have no
+    shingles: ``n_shingles = 0`` and NULL novelty. Returns
+    ``(id, n_shingles, n_unique, novelty)``.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    toks = tokens(F.col(text_col))
+    cnt = F.size(toks) - F.lit(n - 1)
+    shingles = F.when(
+        cnt >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_sh = df.select(
+        F.col(id_col), F.explode(shingles).alias("__s")
+    )
+    sh_df = doc_sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        doc_sh.join(sh_df, "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.when(
+                F.col("n_shingles").isNotNull(),
+                F.round(
+                    F.col("n_unique").cast("double")
+                    / F.col("n_shingles").cast("double"),
+                    9,
+                ),
+            ).alias("novelty_r"),
+        )
+    )

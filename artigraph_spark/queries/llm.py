@@ -1119,3 +1119,48 @@ def bloom_incremental_dedup(spark, sf_dir):
         batch, ref, "doc_id", "text",
         num_bits=1 << 16, num_hashes=4, seed=7, verify=False,
     )
+
+
+@query(
+    "ngram_novelty_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x != '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+        WHERE len(t) >= 3
+    ), dfreq AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY s
+    ), per_doc AS (
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN dfreq.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique
+        FROM sh JOIN dfreq USING (s)
+        GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_shingles, 0) AS n_shingles,
+           coalesce(p.n_unique, 0) AS n_unique,
+           CASE WHEN p.n_shingles IS NOT NULL
+                THEN round(CAST(p.n_unique AS DOUBLE) / p.n_shingles, 9)
+           END AS novelty_r
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def ngram_novelty_docs(spark, sf_dir):
+    """Per-document trigram novelty over the corpus — the share of each
+    document's distinct word trigrams appearing in no other document
+    (low novelty = boilerplate/template families; the corpus-level
+    complement of the within-doc repetition signals). No document
+    pairing: one shingle-keyed groupBy + join, oracle-replayed via the
+    shared tokenizer."""
+    from artigraph_spark.operators.text import ngram_novelty
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_novelty(d, "doc_id", "text", n=3)

@@ -1576,3 +1576,29 @@ def test_sliding_cms_topk_window_merge_never_undercounts(spark):
 
     with _pytest.raises(ValueError, match="window_buckets"):
         sliding_cms_topk(df, F.col("b"), "k", window_buckets=0, k=2)
+
+
+def test_ngram_novelty_shared_vs_unique_shingles(spark):
+    from artigraph_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 'the quick brown' with 2
+            (2, "the quick brown cat sleeps"),
+            (3, "totally original sentence here"),
+            (4, "hi"),                            # < 3 tokens → no shingles
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(df, "doc_id", "text").collect()}
+    # doc 1: shingles {the quick brown, quick brown fox, brown fox jumps};
+    # only the first is shared → novelty 2/3
+    assert rows[1]["n_shingles"] == 3 and rows[1]["n_unique"] == 2
+    assert abs(rows[1]["novelty_r"] - 2 / 3) < 1e-9
+    assert rows[3]["novelty_r"] == 1.0
+    assert rows[4]["n_shingles"] == 0 and rows[4]["novelty_r"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be"):
+        ngram_novelty(df, "doc_id", "text", n=0)
