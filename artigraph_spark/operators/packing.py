@@ -787,7 +787,9 @@ def stratified_split_exact(
     # Integer basis points, like split_corpus: float-accumulated
     # cumulative fractions (0.1+0.2 = 0.30000000000000004) would shift
     # ceil(cum*n) off by one for ordinary fraction dicts. ceil(bp*n/D) as
-    # exact int64 arithmetic: (bp*n + D-1) div D, overflow-safe to n~1e12.
+    # exact int64 arithmetic via SQL `div` (true integer division — no
+    # double round-trip, so no 2^53 cliff), matching the DuckDB oracle's
+    # `//`; overflow-safe to stratum n ~ 9e12 (bp·n + D−1 < 2^63).
     denom = 1_000_000
     acc_bp = 0
     uppers = []
@@ -796,12 +798,10 @@ def stratified_split_exact(
         uppers.append((name, acc_bp))
     expr = F.lit(names[-1])  # last label absorbs the remainder
     for name, bp in reversed(uppers):
-        bound = (
-            F.lit(bp).cast("long") * F.col("__n") + F.lit(denom - 1)
-        ) / F.lit(denom)
-        expr = F.when(
-            F.col("__rn") <= F.floor(bound).cast("long"), F.lit(name)
-        ).otherwise(expr)
+        bound = F.expr(
+            f"(CAST({bp} AS BIGINT) * __n + {denom - 1}) div {denom}"
+        )
+        expr = F.when(F.col("__rn") <= bound, F.lit(name)).otherwise(expr)
     return ranked.withColumn("split", expr).drop("__rn", "__n")
 
 

@@ -536,8 +536,8 @@ def ngram_novelty(
     pairing anywhere, so cost tracks corpus size, not corpus². The
     novelty ratio is a double division of two exact int64 counts —
     engine-deterministic. Documents with fewer than ``n`` tokens have no
-    shingles: ``n_shingles = 0`` and NULL novelty. Returns
-    ``(id, n_shingles, n_unique, novelty)``.
+    shingles: ``n_shingles = 0`` and NULL ``novelty_r``. Returns
+    ``(id, n_shingles, n_unique, novelty_r)``.
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")

@@ -15,6 +15,7 @@ land through the same partitioned-sink path as batch builds.
 
 from __future__ import annotations
 
+import urllib.parse
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -521,13 +522,26 @@ def sketch_state_sink(
     the swap. A stream whose OWN checkpoint was reset (epoch ids restart
     below the live generation) is refused with a RuntimeError rather than
     silently double-merging — clear ``state_path`` to rebuild, or keep the
-    original checkpointLocation to continue. (Local/HDFS semantics; on an object store route the commit
-    through the manifest-gated writer in ``storage`` instead, where rename
-    is not atomic.)
+    original checkpointLocation to continue. LOCAL-FILESYSTEM ONLY:
+    generation discovery and the commit rename run through driver-local
+    ``os.listdir``/``os.rename``, so an ``hdfs://``/``s3a://``/other
+    remote ``state_path`` would silently disable the checkpoint-reset
+    guard before the rename failed — such paths are rejected up front.
+    On an object store route the commit through the manifest-gated
+    writer in ``storage`` instead, where rename is not atomic anyway.
 
     Read the live state any time with :func:`read_sketch_state`.
     """
     import os
+
+    parsed = urllib.parse.urlparse(state_path)
+    if parsed.scheme not in ("", "file"):
+        raise ValueError(
+            f"sketch_state_sink state_path must be a local filesystem "
+            f"path (got {state_path!r}): generation discovery/commit use "
+            "driver-local os.listdir/os.rename, which would silently "
+            "bypass the checkpoint-reset guard on a remote filesystem"
+        )
 
     def _generations(path: str) -> list[tuple[int, str]]:
         if not os.path.isdir(path):
