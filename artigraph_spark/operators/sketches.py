@@ -817,34 +817,8 @@ def sliding_hll_estimates(
     return grouped_hll_estimate(merged, "bucket", m=m)
 
 
-def heavy_hitters(
-    df: DataFrame,
-    key_col: str,
-    threshold_fraction: float,
-) -> DataFrame:
-    """EXACT heavy hitters — non-null keys with ≥ ``threshold_fraction``
-    of the non-null rows — in two passes with a pigeonhole-pruned second
-    pass. Pass 1 counts keys per PARTITION (the (pid, key) aggregation
-    combines fully map-side — each group lives in exactly one input
-    partition) and keeps keys whose LOCAL fraction clears the threshold:
-    if a key's fraction is below φ in every partition, its global
-    fraction is below φ too, so this candidate set provably contains
-    every true heavy hitter, and by definition at most ⌊1/φ⌋ keys per
-    partition qualify — candidates are bounded by partitions/φ no matter
-    the key cardinality. Pass 2 exact-counts ONLY candidates and applies
-    the global threshold. No per-key count table is ever retained; at
-    100 TB the only full-cardinality structure is pass 1's transient
-    map-side combine.
-
-    The candidate SET depends on partitioning (any superset is fine);
-    the FINAL output does not — the exact pass re-filters globally, so
-    results are engine/partitioning-deterministic and a DuckDB oracle
-    replays them as plain brute force. Thresholding is exact integer
-    arithmetic (``cnt · 10^6 ≥ num · total``); fractions below the
-    basis-point resolution are rejected rather than silently degrading
-    to return-everything. NULL keys are excluded from both counts and
-    the total. Returns ``(key, exact_cnt)``.
-    """
+def _hh_threshold(threshold_fraction: float) -> tuple[int, int]:
+    """Validate φ and return its exact basis-point form (num, denom)."""
     if not 0.0 < threshold_fraction <= 1.0:
         raise ValueError(
             f"threshold_fraction must be in (0, 1], got {threshold_fraction}"
@@ -857,20 +831,122 @@ def heavy_hitters(
             "basis-point resolution — it would round to a zero threshold "
             "and return every key"
         )
+    return num, denom
+
+
+def _hh_local_candidates_arrow(
+    data: DataFrame, cols: list[str], group_cols: list[str], num: int, denom: int
+) -> DataFrame:
+    """Partition-local heavy-hitter candidates with NO exchange: an
+    Arrow-batched ``mapInArrow`` walks each input partition once,
+    counting keys (grouped by ``group_cols``, which may be empty) in a
+    transient hash table — the same structure Spark's map-side combine
+    would build, minus the post-combine exchange — and emits only the
+    keys whose local fraction (within their group's partition slice)
+    clears ``num/denom``. Output rows per partition are bounded by
+    groups·⌊denom/num⌋ regardless of key cardinality. The trade vs the
+    (pid, key) groupBy: all partition rows cross the Arrow boundary
+    (scan-local, no network) instead of the post-combine distinct
+    (pid, key) rows crossing one network exchange; the hash table is
+    in-Python and unspillable, so per-partition distinct-key counts must
+    fit driver-side-agg-sized memory — size input partitions as you
+    would for any hash aggregate."""
+    import pyarrow as pa
+
+    n_group = len(group_cols)
+    out_schema = data.select(*cols).schema
+
+    def walk(batches):
+        counts: dict = {}
+        totals: dict = {}
+        arrow_schema = None
+        for batch in batches:
+            if arrow_schema is None:
+                arrow_schema = batch.schema
+            tbl = pa.table(batch)
+            grouped = tbl.group_by(cols).aggregate([([], "count_all")])
+            key_lists = [grouped.column(c).to_pylist() for c in cols]
+            cnt_list = grouped.column("count_all").to_pylist()
+            for row_keys, c in zip(zip(*key_lists), cnt_list):
+                counts[row_keys] = counts.get(row_keys, 0) + c
+                g = row_keys[:n_group]
+                totals[g] = totals.get(g, 0) + c
+        if arrow_schema is None:
+            return
+        cand = [
+            k for k, c in counts.items() if c * denom >= num * totals[k[:n_group]]
+        ]
+        arrays = [
+            pa.array([k[i] for k in cand], type=arrow_schema.field(col).type)
+            for i, col in enumerate(cols)
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, names=cols)
+
+    return data.select(*cols).mapInArrow(walk, out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold_fraction: float,
+    *,
+    local_strategy: str = "arrow",
+) -> DataFrame:
+    """EXACT heavy hitters — non-null keys with ≥ ``threshold_fraction``
+    of the non-null rows — in two passes with a pigeonhole-pruned second
+    pass. Pass 1 counts keys per PARTITION and keeps keys whose LOCAL
+    fraction clears the threshold: if a key's fraction is below φ in
+    every partition, its global fraction is below φ too, so this
+    candidate set provably contains every true heavy hitter, and by
+    definition at most ⌊1/φ⌋ keys per partition qualify — candidates are
+    bounded by partitions/φ no matter the key cardinality. Pass 2
+    exact-counts ONLY candidates and applies the global threshold. No
+    per-key count table is ever retained.
+
+    ``local_strategy`` picks how pass 1 runs:
+
+    - ``"arrow"`` (default): Arrow-batched ``mapInArrow`` counts inside
+      each partition and emits only local winners — the plan has NO
+      exchange before the candidate semi-join (plan-locked); the full
+      data crosses the Arrow boundary once, scan-local.
+    - ``"exchange"``: the relational (partition_id, key) groupBy — the
+      combine is map-side but its full-key-cardinality output still
+      crosses one network exchange before the local-fraction filter.
+      Prefer it when keys repeat heavily enough that the post-combine
+      exchange is far smaller than the data (the Arrow hop then costs
+      more bytes than the shuffle saves).
+
+    The candidate SET depends on partitioning (any superset is fine);
+    the FINAL output does not — the exact pass re-filters globally, so
+    results are engine/partitioning-deterministic and a DuckDB oracle
+    replays them as plain brute force. Thresholding is exact integer
+    arithmetic (``cnt · 10^6 ≥ num · total``); fractions below the
+    basis-point resolution are rejected rather than silently degrading
+    to return-everything. NULL keys are excluded from both counts and
+    the total. Returns ``(key, exact_cnt)``.
+    """
+    num, denom = _hh_threshold(threshold_fraction)
+    if local_strategy not in ("arrow", "exchange"):
+        raise ValueError(f"unknown local_strategy {local_strategy!r}")
     data = df.filter(F.col(key_col).isNotNull())
-    local = data.groupBy(
-        F.spark_partition_id().alias("__pid"), F.col(key_col)
-    ).agg(F.count(F.lit(1)).alias("__c"))
-    local_tot = local.groupBy("__pid").agg(F.sum("__c").alias("__pt"))
-    candidates = (
-        local.join(local_tot, "__pid")
-        .filter(F.col("__c") * denom >= F.lit(num) * F.col("__pt"))
-        .select(key_col)
-        .distinct()
-    )
+    if local_strategy == "arrow":
+        candidates = _hh_local_candidates_arrow(
+            data, [key_col], [], num, denom
+        ).distinct()
+    else:
+        local = data.groupBy(
+            F.spark_partition_id().alias("__pid"), F.col(key_col)
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        local_tot = local.groupBy("__pid").agg(F.sum("__c").alias("__pt"))
+        candidates = (
+            local.join(local_tot, "__pid")
+            .filter(F.col("__c") * denom >= F.lit(num) * F.col("__pt"))
+            .select(key_col)
+            .distinct()
+        )
     total = data.agg(F.count(F.lit(1)).alias("__total"))
     exact = (
-        data.join(candidates, key_col, "left_semi")
+        data.join(F.broadcast(candidates), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )
@@ -1012,6 +1088,8 @@ def grouped_heavy_hitters(
     group_col: str,
     key_col: str,
     threshold_fraction: float,
+    *,
+    local_strategy: str = "arrow",
 ) -> DataFrame:
     """Per-group exact heavy hitters: within every group, the non-null
     keys holding ≥ ``threshold_fraction`` of that group's non-null rows —
@@ -1023,33 +1101,38 @@ def grouped_heavy_hitters(
     candidate set of at most 1/φ keys per (partition, group); only
     candidates are exact-counted, and the final global filter makes the
     output partitioning-independent (oracle replays it as brute force).
-    Returns ``(group, key, exact_cnt, group_total)``.
+    ``local_strategy`` as in :func:`heavy_hitters`: ``"arrow"`` counts
+    per (group, key) inside each partition with no exchange before the
+    candidate semi-join; ``"exchange"`` keeps the relational
+    (pid, group, key) groupBy. Returns
+    ``(group, key, exact_cnt, group_total)``.
     """
-    if not 0.0 < threshold_fraction <= 1.0:
-        raise ValueError(
-            f"threshold_fraction must be in (0, 1], got {threshold_fraction}"
-        )
-    denom = 1_000_000
-    num = int(round(threshold_fraction * denom))
-    if num == 0:
-        raise ValueError(
-            f"threshold_fraction {threshold_fraction} is below the 1e-6 "
-            "basis-point resolution"
-        )
+    num, denom = _hh_threshold(threshold_fraction)
+    if local_strategy not in ("arrow", "exchange"):
+        raise ValueError(f"unknown local_strategy {local_strategy!r}")
     data = df.filter(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
-    local = data.groupBy(
-        F.spark_partition_id().alias("__pid"), F.col(group_col), F.col(key_col)
-    ).agg(F.count(F.lit(1)).alias("__c"))
-    local_tot = local.groupBy("__pid", group_col).agg(F.sum("__c").alias("__pt"))
-    candidates = (
-        local.join(local_tot, ["__pid", group_col])
-        .filter(F.col("__c") * denom >= F.lit(num) * F.col("__pt"))
-        .select(group_col, key_col)
-        .distinct()
-    )
+    if local_strategy == "arrow":
+        candidates = _hh_local_candidates_arrow(
+            data, [group_col, key_col], [group_col], num, denom
+        ).distinct()
+    else:
+        local = data.groupBy(
+            F.spark_partition_id().alias("__pid"),
+            F.col(group_col),
+            F.col(key_col),
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        local_tot = local.groupBy("__pid", group_col).agg(
+            F.sum("__c").alias("__pt")
+        )
+        candidates = (
+            local.join(local_tot, ["__pid", group_col])
+            .filter(F.col("__c") * denom >= F.lit(num) * F.col("__pt"))
+            .select(group_col, key_col)
+            .distinct()
+        )
     totals = data.groupBy(group_col).agg(F.count(F.lit(1)).alias("group_total"))
     exact = (
-        data.join(candidates, [group_col, key_col], "left_semi")
+        data.join(F.broadcast(candidates), [group_col, key_col], "left_semi")
         .groupBy(group_col, key_col)
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )

@@ -1400,6 +1400,60 @@ def test_heavy_hitters_exact_set_and_pruning(spark):
         heavy_hitters(df, "k", 0.0)
     with _pytest.raises(ValueError, match="resolution"):
         heavy_hitters(df, "k", 1e-9)
+    with _pytest.raises(ValueError, match="local_strategy"):
+        heavy_hitters(df, "k", 0.2, local_strategy="bogus")
+
+
+def test_heavy_hitters_local_strategies_agree(spark):
+    """The arrow (mapInArrow, exchange-free) and exchange ((pid, key)
+    groupBy) candidate strategies must produce identical FINAL sets —
+    the global exact pass makes the result candidate-superset-invariant.
+    Covers long and string keys (arrow type round-trip) and the grouped
+    variant."""
+    from artigraph_spark.operators.sketches import (
+        grouped_heavy_hitters,
+        heavy_hitters,
+    )
+
+    rows = [(1, "a")] * 50 + [(2, "b")] * 30 + [
+        (i, f"k{i}") for i in range(3, 40)
+    ] + [(None, None)] * 5
+    df = spark.createDataFrame(rows, "k long, s string").repartition(4)
+    for key in ("k", "s"):
+        got_a = sorted(
+            tuple(r) for r in heavy_hitters(df, key, 0.2).collect()
+        )
+        got_x = sorted(
+            tuple(r)
+            for r in heavy_hitters(
+                df, key, 0.2, local_strategy="exchange"
+            ).collect()
+        )
+        assert got_a == got_x and got_a, key
+    g = [("x", i % 3) for i in range(60)] + [("y", 7)] * 20 + [("y", i) for i in range(8, 30)]
+    gdf = spark.createDataFrame(g, "g string, k long").repartition(5)
+    ga = sorted(tuple(r) for r in grouped_heavy_hitters(gdf, "g", "k", 0.2).collect())
+    gx = sorted(
+        tuple(r)
+        for r in grouped_heavy_hitters(
+            gdf, "g", "k", 0.2, local_strategy="exchange"
+        ).collect()
+    )
+    assert ga == gx and ga
+
+
+def test_heavy_hitters_arrow_candidates_no_exchange(spark):
+    """Plan lock for the r7 rewrite: the arrow candidate stage is a
+    MapInArrow directly over the scan — NO Exchange anywhere in its
+    subtree (the point of the strategy: local counting never pays a
+    full-key-cardinality shuffle)."""
+    from artigraph_spark.operators.sketches import _hh_local_candidates_arrow
+
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+    cand = _hh_local_candidates_arrow(df, ["k"], [], 200_000, 1_000_000)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan
 
 
 def test_sliding_quantiles_window_merge_equals_direct_histogram(spark):
