@@ -1232,17 +1232,44 @@ def sliding_cms_topk(
     width: int = 256,
     depth: int = 4,
     seed: int = 42,
+    candidates_per_bucket: int | None = None,
 ) -> DataFrame:
     """Trailing-window top-k keys by estimated frequency from mergeable
     per-bucket count-min sketches — "top users over the last 24 h, every
     hour" with state bounded by buckets × depth × width cells, completing
     the windowed-sketch trio (HLL distinct, histogram quantiles, CMS
     frequency). Per-bucket cells merge across each trailing window by
-    summing; the probe set for a window is the keys ACTIVE in it
-    (distinct (bucket, key) pairs contributed forward the same way), so
-    estimates stay window-local and never undercount the window's true
-    counts. Ranking ties break by key — fully deterministic,
-    oracle-replayable. Returns ``(bucket, rnk, key, estimate)``."""
+    summing; estimates stay window-local and never undercount the
+    window's true counts. Ranking ties break by key — fully
+    deterministic, oracle-replayable. Returns
+    ``(bucket, rnk, key, estimate)``.
+
+    ``candidates_per_bucket`` (m) bounds the probe set. Default (None):
+    every key ACTIVE in a window is probed — exact top-k over all active
+    keys, but the distinct (bucket, key) pairs are exploded
+    ``window_buckets``×, an O(window × active keys) answer cost that was
+    the steepest ×10 grower in the round-6 scale probe. With m set, each
+    bucket first estimates its OWN active keys once (one probe pass, NOT
+    window-multiplied, plus one exchange to rank within buckets) and
+    nominates its top-m by per-bucket estimate (ties by key); a window's
+    candidate set is the union of its buckets' nominees, so probes per
+    window are ≤ m × window_buckets — constant in key cardinality.
+
+    Written correctness bound for the pruning: let ε_b be bucket b's
+    m-th largest per-bucket estimate (0 if the bucket has < m active
+    keys). A key NOT nominated by any bucket of window W has per-bucket
+    estimate ≤ ε_b in every b ∈ W, and since a CMS estimate never
+    undercounts, its true window count is n(W) = Σ_b n(b) ≤ Σ_b est_b ≤
+    Σ_{b∈W} ε_b. Contrapositive: every key whose true window count
+    exceeds B_W = Σ_{b∈W} ε_b IS a candidate. Since at most m keys per
+    bucket can have estimate ≥ ε_b ≥ (its true count), ε_b is at most
+    bucket b's m-th largest true count plus CMS overcount, so B_W ≲
+    N_W/m + window·overcount — choose m = k·window_buckets (the
+    SpaceSaving-style sizing) and any key the pruned top-k misses holds
+    under ~1/(k·window) of the window's mass plus sketch noise. The
+    pruned output is itself exactly deterministic (nomination and
+    ranking both tie-break by key), so an oracle replays it verbatim.
+    """
     from pyspark.sql import Window
 
     if window_buckets <= 0 or k <= 0:
@@ -1251,14 +1278,20 @@ def sliding_cms_topk(
         )
     if width <= 0 or depth <= 0:
         raise ValueError(f"width and depth must be positive, got {width}x{depth}")
+    if candidates_per_bucket is not None and candidates_per_bucket < k:
+        raise ValueError(
+            f"candidates_per_bucket must be >= k, got "
+            f"{candidates_per_bucket} < {k}"
+        )
     data = df.select(
         bucket_col.cast("long").alias("__b"), F.col(key_col)
     ).filter(F.col("__b").isNotNull() & F.col(key_col).isNotNull())
     # (__b, depth_id, bucket, cnt) — "bucket" here is the CELL position;
     # rename to "cell" while the window target takes the "bucket" name
-    per_bucket = grouped_count_min_sketch(
+    per_bucket_sk = grouped_count_min_sketch(
         data, "__b", key_col, width=width, depth=depth, seed=seed
-    ).withColumnRenamed("bucket", "cell")
+    )
+    per_bucket = per_bucket_sk.withColumnRenamed("bucket", "cell")
     present = per_bucket.select(F.col("__b").alias("bucket")).distinct()
     fwd = F.explode(
         F.sequence(F.col("__b"), F.col("__b") + F.lit(window_buckets - 1))
@@ -1269,12 +1302,31 @@ def sliding_cms_topk(
         .groupBy("bucket", "depth_id", "cell")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    keys = (
-        data.distinct()
-        .select(fwd, key_col)
-        .join(present, "bucket", "left_semi")
-        .distinct()
-    )
+    active = data.distinct()
+    if candidates_per_bucket is None:
+        keys = (
+            active.select(fwd, key_col)
+            .join(present, "bucket", "left_semi")
+            .distinct()
+        )
+    else:
+        bucket_est = grouped_cms_estimate(
+            per_bucket_sk, active, "__b", key_col,
+            width=width, depth=depth, seed=seed,
+        )
+        bw = Window.partitionBy("__b").orderBy(
+            F.col("estimate").desc(), F.col(key_col)
+        )
+        nominees = (
+            bucket_est.withColumn("__bn", F.row_number().over(bw))
+            .filter(F.col("__bn") <= candidates_per_bucket)
+            .select("__b", key_col)
+        )
+        keys = (
+            nominees.select(fwd, key_col)
+            .join(present, "bucket", "left_semi")
+            .distinct()
+        )
     est = grouped_cms_estimate(
         merged.select(
             F.col("bucket").alias("__g"), "depth_id",

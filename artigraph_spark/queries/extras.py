@@ -1816,10 +1816,14 @@ def lateral_topk_orders(spark, sf_dir):
     )
 
 
-def _sliding_cms_oracle_sql(width: int, depth: int, seed: int, window: int, k: int) -> str:
-    """DuckDB replica of the trailing-window CMS top-k users: per-bucket
-    cells merged by sum across each window, window-local active-key
-    probes, tie-broken ranking."""
+def _sliding_cms_oracle_sql(
+    width: int, depth: int, seed: int, window: int, k: int, m: int
+) -> str:
+    """DuckDB replica of the trailing-window CMS top-k users with the
+    per-bucket top-m candidate pre-prune: each bucket estimates its own
+    active keys and nominates its top-m (ties by key); window candidates
+    are the union of bucket nominees; per-bucket cells merge by sum
+    across each window; tie-broken ranking over the candidates."""
     from artigraph_spark.operators.dedup import _P, _hash_coeffs
 
     coeffs = _hash_coeffs(depth, seed)
@@ -1827,6 +1831,11 @@ def _sliding_cms_oracle_sql(width: int, depth: int, seed: int, window: int, k: i
     cells = "\n        UNION ALL ".join(
         f"SELECT b, {d} AS depth_id, "
         f"{cell.format(a=a, b=b, p=_P, w=width)} AS cell FROM ev"
+        for d, (a, b) in enumerate(coeffs)
+    )
+    bprobes = "\n        UNION ALL ".join(
+        f"SELECT b, user_id, {d} AS depth_id, "
+        f"{cell.format(a=a, b=b, p=_P, w=width)} AS cell FROM akeys"
         for d, (a, b) in enumerate(coeffs)
     )
     probes = "\n        UNION ALL ".join(
@@ -1852,9 +1861,25 @@ def _sliding_cms_oracle_sql(width: int, depth: int, seed: int, window: int, k: i
         GROUP BY 1, 2, 3
     ),
     akeys AS (SELECT DISTINCT b, user_id, k FROM ev),
+    bprobes AS ({bprobes}),
+    best AS (
+        SELECT bp.b, bp.user_id, min(coalesce(h.cnt, 0)) AS e
+        FROM bprobes bp
+        LEFT JOIN hourly h
+          ON h.b = bp.b AND h.depth_id = bp.depth_id AND h.cell = bp.cell
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT b, user_id FROM (
+            SELECT b, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY b
+                                      ORDER BY e DESC, user_id) AS bn
+            FROM best
+        ) WHERE bn <= {m}
+    ),
     wkeys AS (
-        SELECT DISTINCT p.bucket, a.user_id, a.k
-        FROM akeys a JOIN present p ON p.bucket BETWEEN a.b AND a.b + {window - 1}
+        SELECT DISTINCT p.bucket, c.user_id, c.user_id % 2147483647 AS k
+        FROM cand c JOIN present p ON p.bucket BETWEEN c.b AND c.b + {window - 1}
     ),
     probes AS ({probes}),
     est AS (
@@ -1877,15 +1902,19 @@ def _sliding_cms_oracle_sql(width: int, depth: int, seed: int, window: int, k: i
 
 @query(
     "sliding_cms_top_users",
-    oracle=_sliding_cms_oracle_sql(256, 4, 42, 24, 3),
+    oracle=_sliding_cms_oracle_sql(256, 4, 42, 24, 3, 72),
 )
 def sliding_cms_top_users(spark, sf_dir):
     """Top-3 users per hour over the trailing 24 h from merged per-hour
     count-min sketches — the hard-window sibling of `cms_decayed_topk`
     and the frequency member of the windowed-sketch trio (with
     `sliding_distinct_users` and `sliding_quantiles_hourly`). State is
-    buckets × depth × width cells; every estimate and the tie-broken
-    leaderboard replay exactly."""
+    buckets × depth × width cells. r7: probes are bounded by the
+    per-bucket top-72 (= k·window) candidate pre-prune — ≤ 72×24 probes
+    per window instead of every active key window-multiplied; any missed
+    key provably holds ≲ 1/(k·window) of the window's mass (see
+    ``sliding_cms_topk``'s bound). Every estimate, the nomination, and
+    the tie-broken leaderboard replay exactly."""
     from artigraph_spark.operators.sketches import sliding_cms_topk
 
     e = load(spark, sf_dir, "events")
@@ -1893,5 +1922,6 @@ def sliding_cms_top_users(spark, sf_dir):
         (F.unix_timestamp(F.col("ts")) - F.lit(1704067200)) / F.lit(3600.0)
     ).cast("long")
     return sliding_cms_topk(
-        e, bucket, "user_id", window_buckets=24, k=3, width=256, depth=4, seed=42
+        e, bucket, "user_id", window_buckets=24, k=3, width=256, depth=4,
+        seed=42, candidates_per_bucket=72,
     )

@@ -1632,6 +1632,50 @@ def test_sliding_cms_topk_window_merge_never_undercounts(spark):
         sliding_cms_topk(df, F.col("b"), "k", window_buckets=0, k=2)
 
 
+def test_sliding_cms_topk_candidate_prune(spark):
+    """The per-bucket top-m pre-prune (r7): with m >= every bucket's
+    active-key count the pruned output is IDENTICAL to the unpruned
+    one (pruning only ever drops non-nominees); with a tight m the
+    top-1 per window — whose mass exceeds the exclusion bound
+    B_W = sum of per-bucket m-th estimates for any key this dominant —
+    must still be found; m < k is rejected."""
+    from artigraph_spark.operators.sketches import sliding_cms_topk
+
+    # key 0 dominates every bucket; 1..8 are background
+    rows = [(b, 0) for b in range(5) for _ in range(20)] + [
+        (b, 1 + (b * 3 + i) % 8) for b in range(5) for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, ["b", "k"])
+    base = sorted(
+        tuple(r)
+        for r in sliding_cms_topk(
+            df, F.col("b"), "k", window_buckets=3, k=2, width=512, depth=4
+        ).collect()
+    )
+    wide = sorted(
+        tuple(r)
+        for r in sliding_cms_topk(
+            df, F.col("b"), "k", window_buckets=3, k=2, width=512, depth=4,
+            candidates_per_bucket=100,
+        ).collect()
+    )
+    assert base == wide
+    tight = sliding_cms_topk(
+        df, F.col("b"), "k", window_buckets=3, k=2, width=512, depth=4,
+        candidates_per_bucket=2,
+    ).collect()
+    top1 = {r["bucket"]: r["k"] for r in tight if r["rnk"] == 1}
+    assert all(v == 0 for v in top1.values())
+    assert set(top1) == {r[0] for r in base}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="candidates_per_bucket"):
+        sliding_cms_topk(
+            df, F.col("b"), "k", window_buckets=3, k=2, candidates_per_bucket=1
+        )
+
+
 def test_ngram_novelty_shared_vs_unique_shingles(spark):
     from artigraph_spark.operators.text import ngram_novelty
 
