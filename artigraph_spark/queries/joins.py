@@ -292,3 +292,38 @@ def join_star_broadcast(spark, sf_dir):
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "salted_join_revenue",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def salted_join_revenue(spark, sf_dir):
+    """Salted skew join, result-parity-proved: lineitem joins orders
+    through ``operators.joins.salted_join`` (right side replicated
+    salt=16 ways, left scattered by a deterministic hash), then revenue
+    rolls up by order priority. Salting only refines the partitioning
+    key, so the oracle is the PLAIN join — any divergence (lost or
+    duplicated rows from the salt scatter/replicate) breaks the hash
+    match. The zipfian-key speedup study for the operator is in
+    docs/SCALE.md; this query pins its correctness side. Revenue uses
+    the fixed-point order-independent sum (FIXTURES.md)."""
+    from artigraph_spark.operators.joins import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey", salt=16)
+    return joined.groupBy("o_orderpriority").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )

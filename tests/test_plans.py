@@ -366,3 +366,36 @@ def test_heavy_hitters_single_data_scan_per_pass(spark, qs):
     # lock only guards against per-candidate rescans (which would scale
     # with the candidate count, not stay constant).
     assert plan.count("FileScan") <= 4
+
+
+def test_profile_table_two_scans_regardless_of_column_count(spark):
+    """Profiler scale lock (r7): profiling N columns stays TWO data
+    scans — one wide aggregate for count/nulls/min/max of every column,
+    one exploded (column, digest) pass for all per-column HLLs — never
+    a scan (or shuffle) per column. 10 lineitem columns here; the count
+    must not move with the column list."""
+    from artigraph_spark.operators.quality import profile_table
+    from artigraph_spark.sources import load
+
+    li = load(spark, SF, "lineitem")
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+    ]
+    plan = P.physical_plan(profile_table(li, cols), "simple")
+    assert plan.count("FileScan") == 2
+    # one keyed shuffle for the HLL registers + the summary-side
+    # exchanges; growing the column list must not add exchanges
+    narrow = P.physical_plan(profile_table(li, cols[:2]), "simple")
+    assert plan.count("Exchange") == narrow.count("Exchange")
+
+
+def test_salted_join_no_extra_scans(spark, qs):
+    """salted_join parity query: the salt explode/scatter must not
+    duplicate scans — one lineitem scan, one orders scan — and the join
+    stays an equi hash/sort-merge (no BNLJ/cartesian from the salt)."""
+    plan = P.physical_plan(qs["salted_join_revenue"](spark, SF), "simple")
+    assert plan.count("FileScan") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
