@@ -232,3 +232,66 @@ def triangle_counts(
     finally:
         e.unpersist()
         o.unpersist()
+
+
+def support_pairs(
+    df,
+    basket_col: str,
+    item_col: str,
+    *,
+    top_k: int = 100,
+):
+    """Market-basket co-occurrence mining: the item pairs most often
+    appearing in the same basket, with support counts and lift —
+    ``(item_a, item_b, pair_cnt, cnt_a, cnt_b, lift_r)``, top-k by
+    ``(pair_cnt desc, item_a, item_b)``.
+
+    The pair enumeration distincts (basket, item) and self-joins WITHIN
+    the basket key with ``item_a < item_b`` — each pair found once,
+    cost Σ_b C(|b|, 2), safe whenever basket sizes are bounded (order
+    line counts, session lengths); for heavy-tailed baskets cap or
+    sample baskets first (the same precondition as the wedge join in
+    :func:`triangle_counts`, and the ``key_skew_audit`` numbers tell
+    you). Lift = pair_cnt·n_baskets/(cnt_a·cnt_b) — one double
+    division of exact int64 counts, rounded to 6 — and the top-k is
+    totally ordered, so the whole output replays in an oracle.
+    """
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    from pyspark.sql import functions as F
+
+    items = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+    )
+    n_baskets = items.select("__b").distinct().count()
+    a = items.select("__b", F.col("__i").alias("item_a"))
+    b = items.select("__b", F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    counts = items.groupBy(F.col("__i")).agg(F.count(F.lit(1)).alias("__c"))
+    ca = counts.select(F.col("__i").alias("item_a"), F.col("__c").alias("cnt_a"))
+    cb = counts.select(F.col("__i").alias("item_b"), F.col("__c").alias("cnt_b"))
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.round(
+                (F.col("pair_cnt") * F.lit(n_baskets)).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+                6,
+            ).alias("lift_r"),
+        )
+        .orderBy(F.col("pair_cnt").desc(), F.col("item_a"), F.col("item_b"))
+        .limit(top_k)
+    )

@@ -853,3 +853,30 @@ def epoch_shuffle(
     return df.withColumn("shard", shard).withColumn(
         "pos", F.row_number().over(w)
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    score: Column,
+    id_col: str,
+    *,
+    stratum_col: str | None = None,
+    n_stages: int = 3,
+) -> DataFrame:
+    """Curriculum assignment for training-data ordering: rank rows by a
+    difficulty/quality ``score`` (ascending — stage 1 gets the lowest
+    scores, i.e. the "easy" end) and cut into ``n_stages``
+    equal-frequency stages with ``ntile``, per ``stratum_col`` when
+    given (each language/domain gets its own curriculum so one verbose
+    stratum cannot monopolise the late stages). Ties break on
+    ``id_col`` — total order, so stage membership is deterministic and
+    engine-replayable. Adds ``stage``.
+
+    One exchange (the per-stratum window sort) — same colocation
+    caveat as :func:`stratified_split_exact`.
+    """
+    if n_stages <= 0:
+        raise ValueError(f"n_stages must be positive, got {n_stages}")
+    part = [F.col(stratum_col)] if stratum_col else []
+    w = Window.partitionBy(*part).orderBy(score.asc(), F.col(id_col).asc())
+    return df.withColumn("stage", F.ntile(n_stages).over(w))

@@ -265,3 +265,207 @@ def profile_table(
     return stats.join(est, "column", "left").select(
         "column", "n", "nulls", "distinct_est", "min_s", "max_s"
     )
+
+
+def moments(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group distribution moments — ``(group, n, mean_r, var_r,
+    skew_r, kurt_r)`` (population variance, skewness, EXCESS kurtosis)
+    — the shape diagnostics behind drift detection and outlier policy.
+
+    All four power sums Σx..Σx⁴ are fixed-point integer sums (x at
+    2^-20, the higher powers at 2^-10 backed by DECIMAL(38,0) partials,
+    exact and associative at any partition count); the moment formulas
+    then run an identical double-arithmetic sequence on both engines
+    and round to 6 decimals, so an oracle replays every value. Groups
+    with zero variance emit NULL skew/kurtosis. ONE data-sized shuffle.
+    """
+    from artigraph_spark.functions import dsum, dsum_wide
+
+    c = F.col(value_col)
+    agg = df.filter(c.isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(c, 20).alias("__s1"),
+        dsum_wide(c * c, 10).alias("__s2"),
+        dsum_wide(c * c * c, 10).alias("__s3"),
+        dsum_wide(c * c * c * c, 10).alias("__s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("__s1") / n
+    m2 = F.col("__s2") / n
+    m3 = F.col("__s3") / n
+    m4 = F.col("__s4") / n
+    var = m2 - m1 * m1
+    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / F.pow(
+        var, F.lit(1.5)
+    )
+    kurt = (
+        m4
+        - F.lit(4.0) * m1 * m3
+        + F.lit(6.0) * m1 * m1 * m2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    ) / (var * var) - F.lit(3.0)
+    return agg.select(
+        group_col,
+        "n",
+        F.round(m1, 6).alias("mean_r"),
+        F.round(var, 6).alias("var_r"),
+        F.when(var > 0, F.round(skew, 6)).alias("skew_r"),
+        F.when(var > 0, F.round(kurt, 6)).alias("kurt_r"),
+    )
+
+
+def impute_group_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    missing: Column | None = None,
+) -> DataFrame:
+    """Missing-value imputation with the per-group fixed-point mean:
+    rows whose value is missing (NULL/NaN by default; pass ``missing``
+    for a custom predicate) get their group's deterministic mean of the
+    present values — the standard numeric-feature repair before
+    training, reproducible across engines because the mean is an exact
+    int64 sum divided once (FIXTURES.md).
+
+    Adds ``value_imputed_r`` (round 9) and ``was_missing``; groups with
+    NO present value keep NULL. Two summary-joined aggregates, one
+    data-sized shuffle each.
+    """
+    from artigraph_spark.functions import fxp
+
+    c = F.col(value_col)
+    if missing is None:
+        missing = c.isNull() | F.isnan(c)
+    means = (
+        df.filter(~missing)
+        .groupBy(group_col)
+        .agg(
+            (
+                F.sum(fxp(c, 20)).cast("double")
+                / (F.count(F.lit(1)) * F.lit(float(1 << 20)))
+            ).alias("__gm")
+        )
+    )
+    return (
+        df.withColumn("was_missing", missing)
+        .join(means, group_col, "left")
+        .withColumn(
+            "value_imputed_r",
+            F.round(
+                F.when(F.col("was_missing"), F.col("__gm")).otherwise(c), 9
+            ),
+        )
+        .drop("__gm")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization (outlier clipping) at rank-based
+    quantiles: values clip to the group's type-1 (no-interpolation)
+    ``lo_q``/``hi_q`` percentiles — the value at rank ``ceil(q·n)`` —
+    so every threshold is an actual data value and the whole operation
+    is exact integer-rank arithmetic, engine-replayable with zero
+    float-interpolation drift.
+
+    Thresholds come from the per-group value histogram via the same
+    sort-free cumulative count-below walk as ``key_skew_audit`` —
+    summary-sized after one (group, value) count shuffle — then clip is
+    a per-row ``least/greatest``. Adds ``value_clipped``. NULL values
+    pass through unclipped.
+    """
+    if not 0.0 <= lo_q <= hi_q <= 1.0:
+        raise ValueError(f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}/{hi_q}")
+    from pyspark.sql import Window
+
+    c = F.col(value_col)
+    hist = (
+        df.filter(c.isNotNull())
+        .groupBy(group_col, c.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("__cum", F.sum("__f").over(w)).withColumn(
+        "__n", F.sum("__f").over(Window.partitionBy(group_col))
+    )
+    def _at(q: float, name: str) -> DataFrame:
+        return (
+            cum.filter(F.col("__cum") >= F.ceil(F.lit(q) * F.col("__n")))
+            .groupBy(group_col)
+            .agg(F.min("__v").alias(name))
+        )
+    bounds = _at(lo_q, "__lo").join(_at(hi_q, "__hi"), group_col)
+    return (
+        df.join(F.broadcast(bounds), group_col, "left")
+        .withColumn(
+            "value_clipped",
+            F.when(
+                c.isNotNull(),
+                F.least(F.greatest(c, F.col("__lo")), F.col("__hi")),
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Change-data-capture diff between two table snapshots, summarised:
+    full-outer join on the key, each row classified
+    ``added`` (key only in new) / ``removed`` (only in old) /
+    ``changed`` (both, any compared column differs — NULL-safe) /
+    ``unchanged``, then ONE summary row per status:
+    ``(status, n, key_checksum)`` with the checksum an order-independent
+    int64 sum of the keys (mod 2^31 folds) so two diffs can be compared
+    without materialising row sets.
+
+    One co-partitioned shuffle pair (the outer join); the output is
+    four rows. The per-row classified frame is the natural intermediate
+    if a caller wants the rows themselves — this summary keeps the
+    operator's contract engine-replayable at any scale.
+    """
+    if not compare_cols:
+        raise ValueError("compare_cols must be non-empty")
+    o = old.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    ).withColumn("__in_o", F.lit(1))
+    n = new.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    ).withColumn("__in_n", F.lit(1))
+    joined = o.join(n, "__k", "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(status.alias("status"), F.col("__k"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.col("__k").cast("long"), F.lit((1 << 31) - 1))).alias(
+                "key_checksum"
+            ),
+        )
+    )

@@ -202,3 +202,160 @@ def trend_slopes(
         "n_buckets",
         F.when(den != 0, num.cast("double") / den.cast("double")).alias("slope"),
     )
+
+
+def ewma_buckets(
+    df,
+    bucket_col,
+    value_col: str,
+    *,
+    window_buckets: int = 8,
+    bits: int = 20,
+):
+    """Trailing exponentially weighted moving average per time bucket
+    with EXACT dyadic weights — the smoothed "current rate" primitive
+    (alert baselines, rate limiting, trend dashboards) that plain
+    moving averages lag behind.
+
+    Per-bucket value sums are fixed-point int64 (exact, associative);
+    bucket b contributes to targets t ∈ [b, b+W-1] with integer weight
+    2^(W-1-(t-b)) — a halving per step of age, so every weight is an
+    exact power of two and the whole numerator/denominator pair is
+    exact int64 arithmetic. Missing buckets contribute nothing and are
+    excluded from the weight mass (the EWMA of the buckets that exist),
+    keeping the result engine-replayable with no float-decay drift.
+    Returns ``(bucket, n_contrib, ewma)`` for every present bucket;
+    ewma is the single final double division.
+
+    Scale shape: one data-sized groupBy to per-bucket sums, then the
+    explode-forward/merge pattern shared with the sliding-sketch trio —
+    summary-sized work, ≤ W rows touched per answered bucket.
+    """
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.functions import fxp
+
+    if window_buckets <= 0 or window_buckets > 62:
+        raise ValueError(
+            f"window_buckets must be in [1, 62] (dyadic weights must fit "
+            f"int64), got {window_buckets}"
+        )
+    per_bucket = (
+        df.select(
+            bucket_col.cast("long").alias("__b"),
+            fxp(F.col(value_col), bits).alias("__v"),
+        )
+        .filter(F.col("__b").isNotNull() & F.col("__v").isNotNull())
+        .groupBy("__b")
+        .agg(F.sum("__v").alias("__s"))
+    )
+    present = per_bucket.select(F.col("__b").alias("bucket")).distinct()
+    fwd = F.explode(
+        F.sequence(F.col("__b"), F.col("__b") + F.lit(window_buckets - 1))
+    ).alias("bucket")
+    # exact dyadic weights by age, as an array literal indexed by lag —
+    # shiftleft needs a literal bit count and pow() loses exactness past
+    # 2^53, so neither works for a column-valued exponent
+    weights = F.array(
+        *[
+            F.lit(1 << (window_buckets - 1 - lag)).cast("long")
+            for lag in range(window_buckets)
+        ]
+    )
+    contrib = (
+        per_bucket.select(fwd, "__b", "__s")
+        .join(present, "bucket", "left_semi")
+        .withColumn(
+            "__w",
+            F.element_at(
+                weights, (F.col("bucket") - F.col("__b") + 1).cast("int")
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_contrib"),
+            F.sum(F.col("__w") * F.col("__s")).alias("__num"),
+            F.sum("__w").alias("__den"),
+        )
+        .select(
+            "bucket",
+            "n_contrib",
+            (
+                F.col("__num").cast("double")
+                / (F.col("__den").cast("double") * F.lit(float(1 << bits)))
+            ).alias("ewma"),
+        )
+    )
+
+
+def inter_event_gaps(df, group_col: str, ts_col: str):
+    """Per-group inter-event time statistics: the gaps between
+    consecutive events (ordered by timestamp) summarised as
+    ``(group, n_events, n_gaps, avg_gap_s, max_gap_s)`` — session
+    cadence / heartbeat-health per user or device.
+
+    Gaps are integer second differences of the SORTED timestamp
+    sequence, which is unique as a value sequence regardless of how
+    equal timestamps tie-break, so the gap multiset — and every
+    statistic over it — is engine- and partitioning-deterministic.
+    ``avg_gap_s`` is the single final double division of two exact
+    int64s, rounded to 9 decimals. Groups with one event emit
+    ``n_gaps = 0`` and NULL gap stats.
+
+    Scale: ONE exchange (the per-group window sort); everything after
+    is a per-group aggregate.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(group_col).orderBy(F.col("__t"))
+    ts = (
+        df.filter(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(group_col), F.unix_timestamp(F.col(ts_col)).alias("__t"))
+    )
+    gapped = ts.withColumn("__gap", F.col("__t") - F.lag("__t").over(w))
+    return (
+        gapped.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("__gap").alias("n_gaps"),
+            F.round(
+                F.sum("__gap").cast("double") / F.count("__gap"), 9
+            ).alias("avg_gap_s"),
+            F.max("__gap").alias("max_gap_s"),
+        )
+    )
+
+
+def scd2_intervals(df, key_col: str, ts_col: str, id_col: str):
+    """Slowly-changing-dimension (type 2) validity intervals: order each
+    key's records by ``(ts, id)`` and emit ``[valid_from_s, valid_to_s)``
+    where each record's validity ends when the next begins — the
+    standard "effective-dated history" shape warehouses build from
+    event-sourced records. The final record per key has NULL
+    ``valid_to_s`` (current). ``id_col`` must uniquely identify records:
+    it breaks timestamp ties so interval assignment is deterministic.
+
+    Timestamps become integer epoch seconds, so every boundary is exact
+    and oracle-replayable. One exchange (per-key window sort).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(F.col("__t"), F.col(id_col))
+    return (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(id_col),
+            F.unix_timestamp(F.col(ts_col)).alias("__t"),
+        )
+        .select(
+            key_col,
+            id_col,
+            F.col("__t").alias("valid_from_s"),
+            F.lead("__t").over(w).alias("valid_to_s"),
+        )
+    )

@@ -395,3 +395,52 @@ def agg_global_summary(spark, sf_dir):
         davg("l_extendedprice").alias("avg_price"),
         F.max("l_linenumber").alias("max_line"),
     )
+
+
+def _moments_oracle_sql() -> str:
+    """DuckDB replica of the fixed-point power-sum moments: identical
+    double-arithmetic sequence over identical exact integer sums."""
+    s1 = oracle_dsum("l_quantity", 20)
+    s2 = oracle_dsum("(l_quantity) * (l_quantity)", 10)
+    s3 = oracle_dsum("(l_quantity) * (l_quantity) * (l_quantity)", 10)
+    s4 = oracle_dsum(
+        "(l_quantity) * (l_quantity) * (l_quantity) * (l_quantity)", 10
+    )
+    m1, m2, m3, m4 = "(s1/n)", "(s2/n)", "(s3/n)", "(s4/n)"
+    var = f"({m2} - {m1} * {m1})"
+    skew = (
+        f"({m3} - 3.0 * {m1} * {m2} + 2.0 * {m1} * {m1} * {m1})"
+        f" / power({var}, 1.5)"
+    )
+    kurt = (
+        f"({m4} - 4.0 * {m1} * {m3} + 6.0 * {m1} * {m1} * {m2}"
+        f" - 3.0 * {m1} * {m1} * {m1} * {m1}) / ({var} * {var}) - 3.0"
+    )
+    return f"""
+    WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+               {s1} AS s1, {s2} AS s2, {s3} AS s3, {s4} AS s4
+        FROM lineitem WHERE l_quantity IS NOT NULL
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round({m1}, 6) AS mean_r,
+           round({var}, 6) AS var_r,
+           CASE WHEN {var} > 0 THEN round({skew}, 6) END AS skew_r,
+           CASE WHEN {var} > 0 THEN round({kurt}, 6) END AS kurt_r
+    FROM s
+    """
+
+
+@query("agg_moments_quantity", oracle=_moments_oracle_sql())
+def agg_moments_quantity(spark, sf_dir):
+    """Per-returnflag distribution moments of quantity — population
+    mean/variance, skewness, excess kurtosis — from exact fixed-point
+    power sums Σx..Σx⁴ (int64/decimal partials, associative at any
+    partition count), with the moment formulas run as an identical
+    double sequence on both engines. The drift-detection shape. See
+    ``operators.quality.moments``."""
+    from artigraph_spark.operators.quality import moments
+
+    li = load(spark, sf_dir, "lineitem")
+    return moments(li, "l_returnflag", "l_quantity")

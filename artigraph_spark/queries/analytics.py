@@ -1274,3 +1274,39 @@ def clustering_coefficient(spark, sf_dir):
             2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)), 6
         ).alias("cc_r"),
     )
+
+
+@query(
+    "copurchase_support_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), nb AS (SELECT count(DISTINCT b) AS n FROM items),
+    pairs AS (
+        SELECT a.i AS item_a, b.i AS item_b, count(*) AS pair_cnt
+        FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2
+    ), counts AS (SELECT i, count(*) AS c FROM items GROUP BY 1)
+    SELECT p.item_a, p.item_b, p.pair_cnt,
+           ca.c AS cnt_a, cb.c AS cnt_b,
+           round(CAST(p.pair_cnt * (SELECT n FROM nb) AS DOUBLE)
+                 / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift_r
+    FROM pairs p
+    JOIN counts ca ON ca.i = p.item_a
+    JOIN counts cb ON cb.i = p.item_b
+    ORDER BY p.pair_cnt DESC, p.item_a, p.item_b LIMIT 100
+    """,
+)
+def copurchase_support_pairs(spark, sf_dir):
+    """Market-basket mining over order lines: the top-100 part pairs by
+    co-purchase support, with per-part counts and lift — the
+    recommendation/affinity primitive on the same within-order pairing
+    the co-purchase graph queries use (bounded basket sizes keep the
+    pair join safe; `skew_audit_lineitem_orderkey` is the audit). Lift
+    is one double division of exact int64 counts; the top-k is totally
+    ordered. See ``operators.graph.support_pairs``."""
+    from artigraph_spark.operators.graph import support_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    return support_pairs(li, "l_orderkey", "l_partkey", top_k=100)

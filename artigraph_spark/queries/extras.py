@@ -1925,3 +1925,125 @@ def sliding_cms_top_users(spark, sf_dir):
         e, bucket, "user_id", window_buckets=24, k=3, width=256, depth=4,
         seed=42, candidates_per_bucket=72,
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey AS k, o_totalprice AS v
+        FROM orders WHERE o_orderkey % 89 != 0
+    ), new AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS v
+        FROM orders WHERE o_orderkey % 97 != 0
+    ), j AS (
+        SELECT coalesce(o.k, n.k) AS k,
+               o.k IS NOT NULL AS in_o, n.k IS NOT NULL AS in_n,
+               o.v IS NOT DISTINCT FROM n.v AS same
+        FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    )
+    SELECT CASE WHEN NOT in_o THEN 'added'
+                WHEN NOT in_n THEN 'removed'
+                WHEN same THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n,
+           CAST(SUM(k % 2147483647) AS BIGINT) AS key_checksum
+    FROM j GROUP BY 1
+    """,
+)
+def snapshot_diff_orders(spark, sf_dir):
+    """Change-data-capture diff between two deterministic snapshot views
+    of orders (keys %89==0 added, %97==0 removed, %13==0 price-shifted):
+    full-outer classify into added/removed/changed/unchanged with
+    order-independent key checksums — the lakehouse "what changed
+    between versions" report, four rows out regardless of scale. See
+    ``operators.quality.snapshot_diff``."""
+    from artigraph_spark.operators.quality import snapshot_diff
+
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 89 != 0)
+    new = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, "o_orderkey", ["o_totalprice"])
+
+
+@query(
+    "impute_value_group_mean",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type, value,
+               (event_id % 19 = 0) OR value IS NULL OR isnan(value) AS miss
+        FROM events
+    ), m AS (
+        SELECT event_type,
+               CAST(SUM(CAST(floor(value * 1048576.0) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1048576.0) AS gm
+        FROM e WHERE NOT miss GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.miss AS was_missing,
+           round(CASE WHEN e.miss THEN m.gm ELSE e.value END, 9)
+               AS value_imputed_r
+    FROM e LEFT JOIN m USING (event_type)
+    """,
+)
+def impute_value_group_mean(spark, sf_dir):
+    """Missing-value imputation with the per-event-type fixed-point
+    mean: a deterministic synthetic missingness mask (event_id % 19,
+    plus any real NULL/NaN) gets its group's exact-integer mean — the
+    reproducible numeric-feature repair, every imputed value
+    oracle-replayed. See ``operators.quality.impute_group_mean``."""
+    from artigraph_spark.operators.quality import impute_group_mean
+
+    e = load(spark, sf_dir, "events")
+    c = F.col("value")
+    miss = (F.col("event_id") % 19 == 0) | c.isNull() | F.isnan(c)
+    out = impute_group_mean(e, "event_type", "value", missing=miss)
+    return out.select(
+        "event_id", "event_type", "was_missing", "value_imputed_r"
+    )
+
+
+@query(
+    "winsorize_quantity",
+    oracle="""
+    WITH hist AS (
+        SELECT l_returnflag AS g, l_quantity AS v, count(*) AS f
+        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+        SELECT g, v,
+               CAST(sum(f) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+               CAST(sum(f) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM hist
+    ), lo AS (
+        SELECT g, min(v) AS lo FROM cum WHERE cum >= ceil(0.05 * n) GROUP BY g
+    ), hi AS (
+        SELECT g, min(v) AS hi FROM cum WHERE cum >= ceil(0.95 * n) GROUP BY g
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CASE WHEN l.l_quantity IS NOT NULL
+                THEN least(greatest(l.l_quantity, lo.lo), hi.hi) END
+               AS value_clipped
+    FROM lineitem l
+    LEFT JOIN lo ON lo.g = l.l_returnflag
+    LEFT JOIN hi ON hi.g = l.l_returnflag
+    """,
+)
+def winsorize_quantity(spark, sf_dir):
+    """Per-returnflag winsorization of quantity at rank-based p5/p95:
+    thresholds are actual data values at rank ceil(q·n) (type-1, no
+    interpolation — exact integer-rank arithmetic), clipping is a
+    per-row least/greatest — outlier policy with zero float drift. See
+    ``operators.quality.winsorize``."""
+    from artigraph_spark.operators.quality import winsorize
+
+    li = load(spark, sf_dir, "lineitem")
+    out = winsorize(li, "l_returnflag", "l_quantity")
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "value_clipped"
+    )

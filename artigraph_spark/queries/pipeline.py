@@ -638,3 +638,31 @@ def epoch_shuffle_shards(spark, sf_dir):
     return epoch_shuffle(d, F.col("doc_id"), n_shards=8, epoch=3).select(
         "doc_id", "shard", "pos"
     )
+
+
+@query(
+    "curriculum_stages_docs",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           ntile(3) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS stage
+    FROM documents
+    """,
+)
+def curriculum_stages_docs(spark, sf_dir):
+    """Curriculum assignment: each language's documents cut into 3
+    equal-frequency difficulty stages by length (ties on doc_id — total
+    order, so stage membership is engine-deterministic) — the
+    easy-to-hard training-order primitive, per-stratum so no language
+    monopolises the late stages. See
+    ``operators.packing.curriculum_stages``."""
+    from artigraph_spark.operators.packing import curriculum_stages
+
+    d = load(spark, sf_dir, "documents")
+    out = curriculum_stages(
+        d,
+        F.col("n_chars").cast("double"),
+        "doc_id",
+        stratum_col="lang",
+        n_stages=3,
+    )
+    return out.select("doc_id", "lang", "n_chars", "stage")

@@ -497,3 +497,152 @@ def new_users_hourly(spark, sf_dir):
             ).otherwise(0)
         ).alias("new_users"),
     )
+
+
+@query(
+    "ewma_hourly",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(floor((floor(epoch(ts)) - 1704067200) / 3600.0) AS BIGINT) AS b,
+               CAST(floor(value * 1048576.0) AS BIGINT) AS v
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+    ), per AS (
+        SELECT b, CAST(SUM(v) AS BIGINT) AS s FROM ev GROUP BY 1
+    ), present AS (SELECT DISTINCT b AS bucket FROM per),
+    contrib AS (
+        SELECT p.bucket, per.s,
+               CAST(power(2, 7 - (p.bucket - per.b)) AS BIGINT) AS w
+        FROM per JOIN present p ON p.bucket BETWEEN per.b AND per.b + 7
+    )
+    SELECT bucket, count(*) AS n_contrib,
+           round(CAST(CAST(SUM(w * s) AS BIGINT) AS DOUBLE)
+                 / (CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) * 1048576.0),
+                 9) AS ewma_r
+    FROM contrib GROUP BY bucket
+    """,
+)
+def ewma_hourly(spark, sf_dir):
+    """Trailing-8-hour exponentially weighted moving average of event
+    value per hour: per-hour fixed-point sums weighted by exact powers
+    of two (halving per hour of age), missing hours excluded from the
+    weight mass — the smoothed-rate primitive behind alert baselines,
+    every value oracle-replayed. See ``operators.timeseries.ewma_buckets``."""
+    from artigraph_spark.operators.timeseries import ewma_buckets
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan(F.col("value"))
+    )
+    bucket = F.floor(
+        (F.unix_timestamp(F.col("ts")) - F.lit(1704067200)) / F.lit(3600.0)
+    ).cast("long")
+    out = ewma_buckets(e, bucket, "value", window_buckets=8)
+    return out.select(
+        "bucket", "n_contrib", F.round(F.col("ewma"), 9).alias("ewma_r")
+    )
+
+
+@query(
+    "inter_event_gaps_users",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), g AS (
+        SELECT user_id,
+               t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+        FROM t
+    )
+    SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+           round(CAST(CAST(SUM(gap) AS BIGINT) AS DOUBLE) / count(gap), 9)
+               AS avg_gap_s,
+           max(gap) AS max_gap_s
+    FROM g GROUP BY user_id
+    """,
+)
+def inter_event_gaps_users(spark, sf_dir):
+    """Per-user inter-event cadence: gaps between consecutive events as
+    integer second differences of the sorted timestamp sequence (unique
+    as a value sequence, so tie order cannot change any statistic).
+    Single-event users emit NULL gap stats. See
+    ``operators.timeseries.inter_event_gaps``."""
+    from artigraph_spark.operators.timeseries import inter_event_gaps
+
+    e = load(spark, sf_dir, "events")
+    return inter_event_gaps(e, "user_id", "ts")
+
+
+@query(
+    "scd2_intervals_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS valid_from_s,
+           lead(CAST(floor(epoch(o_orderdate)) AS BIGINT)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT), o_orderkey
+           ) AS valid_to_s
+    FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    """,
+)
+def scd2_intervals_orders(spark, sf_dir):
+    """SCD-type-2 validity intervals per customer: each order is
+    effective from its date until the customer's next order (NULL for
+    the current record) — the effective-dated-history shape, boundaries
+    as exact epoch seconds. See ``operators.timeseries.scd2_intervals``."""
+    from artigraph_spark.operators.timeseries import scd2_intervals
+
+    o = load(spark, sf_dir, "orders")
+    return scd2_intervals(o, "o_custkey", "o_orderdate", "o_orderkey")
+
+
+@query(
+    "conversion_latency",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS first_click_s
+        FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+        GROUP BY user_id
+    ), p AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    )
+    SELECT c.user_id, c.first_click_s,
+           CAST(min(p.pt) AS BIGINT) AS first_purchase_s,
+           CAST(min(p.pt) - c.first_click_s AS BIGINT) AS latency_s
+    FROM p JOIN c ON p.user_id = c.user_id AND p.pt >= c.first_click_s
+    GROUP BY c.user_id, c.first_click_s
+    """,
+)
+def conversion_latency(spark, sf_dir):
+    """Click-to-purchase conversion latency per user: the first
+    purchase at-or-after the user's first click, as exact epoch-second
+    arithmetic — the funnel-latency companion to `event_funnel`
+    (which counts stage reach; this measures the wait). Only
+    converting users appear."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_timestamp(F.col("ts"))).alias("first_click_s"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp(F.col("ts")).alias("__pt")
+    )
+    return (
+        p.join(c, "user_id")
+        .filter(F.col("__pt") >= F.col("first_click_s"))
+        .groupBy("user_id", "first_click_s")
+        .agg(F.min("__pt").alias("first_purchase_s"))
+        .select(
+            "user_id",
+            "first_click_s",
+            "first_purchase_s",
+            (F.col("first_purchase_s") - F.col("first_click_s")).alias(
+                "latency_s"
+            ),
+        )
+    )

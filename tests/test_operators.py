@@ -1700,3 +1700,209 @@ def test_ngram_novelty_shared_vs_unique_shingles(spark):
 
     with _pytest.raises(ValueError, match="n must be"):
         ngram_novelty(df, "doc_id", "text", n=0)
+
+
+def test_ewma_buckets_dyadic_weights_and_missing_buckets(spark):
+    """EWMA: weights halve per bucket of age, and missing buckets are
+    excluded from the weight mass (not treated as zero)."""
+    from artigraph_spark.operators.timeseries import ewma_buckets
+
+    # buckets 0, 1, 3 present (2 missing); values sum to 10, 20, 40
+    rows = [(0, 10.0), (1, 12.0), (1, 8.0), (3, 40.0)]
+    df = spark.createDataFrame(rows, ["b", "v"])
+    got = {
+        r["bucket"]: (r["n_contrib"], r["ewma"])
+        for r in ewma_buckets(df, F.col("b"), "v", window_buckets=2).collect()
+    }
+    # bucket 0: only itself, w=2 -> 10.0; bucket 1: w2*20 + w1*10 / 3
+    assert got[0] == (1, 10.0)
+    assert got[1][0] == 2 and abs(got[1][1] - (2 * 20 + 1 * 10) / 3) < 1e-6
+    # bucket 3: bucket 2 missing entirely -> only itself, full weight
+    assert got[3] == (1, 40.0)
+    assert 2 not in got  # not present, no output row
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_buckets"):
+        ewma_buckets(df, F.col("b"), "v", window_buckets=0)
+    with _pytest.raises(ValueError, match="window_buckets"):
+        ewma_buckets(df, F.col("b"), "v", window_buckets=63)
+
+
+def test_inter_event_gaps_stats_and_singletons(spark):
+    from datetime import datetime
+
+    from artigraph_spark.operators.timeseries import inter_event_gaps
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0, 0)),
+        ("a", datetime(2024, 1, 1, 0, 0, 10)),
+        ("a", datetime(2024, 1, 1, 0, 1, 0)),
+        ("b", datetime(2024, 1, 1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts"])
+    got = {r["u"]: r for r in inter_event_gaps(df, "u", "ts").collect()}
+    assert got["a"]["n_events"] == 3 and got["a"]["n_gaps"] == 2
+    assert got["a"]["max_gap_s"] == 50
+    assert abs(got["a"]["avg_gap_s"] - 30.0) < 1e-9
+    assert got["b"]["n_gaps"] == 0 and got["b"]["avg_gap_s"] is None
+    assert got["b"]["max_gap_s"] is None
+
+
+def test_scd2_intervals_lead_and_tiebreak(spark):
+    from datetime import datetime
+
+    from artigraph_spark.operators.timeseries import scd2_intervals
+
+    t0 = datetime(2024, 1, 1)
+    t1 = datetime(2024, 1, 2)
+    rows = [(1, t0, 10), (1, t0, 11), (1, t1, 12), (2, t1, 20)]
+    df = spark.createDataFrame(rows, ["k", "ts", "id"])
+    got = {r["id"]: (r["valid_from_s"], r["valid_to_s"])
+           for r in scd2_intervals(df, "k", "ts", "id").collect()}
+    e0 = int(t0.timestamp())
+    e1 = int(t1.timestamp())
+    # ties on ts ordered by id: 10 -> 11 -> 12
+    assert got[10] == (e0, e0)
+    assert got[11] == (e0, e1)
+    assert got[12] == (e1, None)
+    assert got[20] == (e1, None)
+
+
+def test_moments_match_numpy_population(spark):
+    import math
+
+    from artigraph_spark.operators.quality import moments
+
+    vals = [1.0, 2.0, 2.0, 3.0, 7.0, 11.0, 13.0]
+    rows = [("g", v) for v in vals] + [("z", 5.0), ("z", 5.0)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    got = {r["g"]: r for r in moments(df, "g", "x").collect()}
+    n = len(vals)
+    m1 = sum(vals) / n
+    var = sum((v - m1) ** 2 for v in vals) / n
+    skew = (sum((v - m1) ** 3 for v in vals) / n) / var ** 1.5
+    kurt = (sum((v - m1) ** 4 for v in vals) / n) / var ** 2 - 3
+    g = got["g"]
+    assert g["n"] == n
+    assert math.isclose(g["mean_r"], m1, abs_tol=2e-5)
+    assert math.isclose(g["var_r"], var, abs_tol=2e-4)
+    assert math.isclose(g["skew_r"], skew, abs_tol=1e-3)
+    assert math.isclose(g["kurt_r"], kurt, abs_tol=1e-3)
+    # constant group: variance 0, skew/kurt NULL
+    z = got["z"]
+    assert z["var_r"] == 0.0 and z["skew_r"] is None and z["kurt_r"] is None
+
+
+def test_impute_group_mean_fills_and_all_missing_group(spark):
+    from artigraph_spark.operators.quality import impute_group_mean
+
+    rows = [
+        ("a", 1.0), ("a", 3.0), ("a", None),
+        ("b", None), ("b", float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = impute_group_mean(df, "g", "v").collect()
+    a_missing = [r for r in got if r["g"] == "a" and r["was_missing"]]
+    assert len(a_missing) == 1 and abs(a_missing[0]["value_imputed_r"] - 2.0) < 1e-6
+    a_present = [r for r in got if r["g"] == "a" and not r["was_missing"]]
+    assert sorted(r["value_imputed_r"] for r in a_present) == [1.0, 3.0]
+    # group with no present values: stays NULL
+    assert all(r["value_imputed_r"] is None for r in got if r["g"] == "b")
+
+
+def test_winsorize_rank_based_bounds(spark):
+    from artigraph_spark.operators.quality import winsorize
+
+    vals = list(range(1, 101))  # 1..100
+    rows = [("g", float(v)) for v in vals] + [("g", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = winsorize(df, "g", "v", lo_q=0.05, hi_q=0.95).collect()
+    clipped = sorted(r["value_clipped"] for r in got if r["value_clipped"] is not None)
+    # type-1 p5 = value at rank ceil(0.05*100)=5 -> 5.0; p95 -> 95.0
+    assert clipped[0] == 5.0 and clipped[-1] == 95.0
+    assert clipped.count(5.0) == 5 and clipped.count(95.0) == 6
+    assert any(r["value_clipped"] is None for r in got)  # NULL passthrough
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lo_q"):
+        winsorize(df, "g", "v", lo_q=0.9, hi_q=0.1)
+
+
+def test_snapshot_diff_statuses_and_checksums(spark):
+    from artigraph_spark.operators.quality import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], ["k", "v"]
+    )
+    got = {r["status"]: (r["n"], r["key_checksum"])
+           for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    assert got["removed"] == (1, 1)
+    assert got["unchanged"] == (1, 2)
+    assert got["changed"] == (1, 3)
+    assert got["added"] == (1, 4)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compare_cols"):
+        snapshot_diff(old, new, "k", [])
+
+
+def test_curriculum_stages_balance_and_determinism(spark):
+    from artigraph_spark.operators.packing import curriculum_stages
+
+    rows = [("en", i, float(i % 7)) for i in range(30)] + [
+        ("fr", 100 + i, float(i)) for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, ["lang", "id", "score"])
+    out = curriculum_stages(
+        df, F.col("score"), "id", stratum_col="lang", n_stages=3
+    )
+    got = out.groupBy("lang", "stage").count().collect()
+    sizes = {(r["lang"], r["stage"]): r["count"] for r in got}
+    assert sizes[("en", 1)] == sizes[("en", 2)] == sizes[("en", 3)] == 10
+    assert sizes[("fr", 1)] == sizes[("fr", 2)] == sizes[("fr", 3)] == 3
+    # determinism: identical run, identical stages
+    a = sorted(tuple(r) for r in out.select("id", "stage").collect())
+    b = sorted(
+        tuple(r)
+        for r in curriculum_stages(
+            df, F.col("score"), "id", stratum_col="lang", n_stages=3
+        ).select("id", "stage").collect()
+    )
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_stages"):
+        curriculum_stages(df, F.col("score"), "id", n_stages=0)
+
+
+def test_support_pairs_counts_and_lift(spark):
+    from artigraph_spark.operators.graph import support_pairs
+
+    # baskets: {1,2,3}, {1,2}, {2,3}, {4}; duplicate item in a basket
+    rows = [
+        (10, 1), (10, 2), (10, 3), (10, 2),
+        (11, 1), (11, 2),
+        (12, 2), (12, 3),
+        (13, 4),
+    ]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    got = {(r["item_a"], r["item_b"]): r
+           for r in support_pairs(df, "b", "i", top_k=10).collect()}
+    assert got[(1, 2)]["pair_cnt"] == 2
+    assert got[(2, 3)]["pair_cnt"] == 2
+    assert got[(1, 3)]["pair_cnt"] == 1
+    # lift(1,2) = 2 * 4 baskets / (2 * 3)
+    assert abs(got[(1, 2)]["lift_r"] - 2 * 4 / (2 * 3)) < 1e-5
+    assert (2, 1) not in got  # each pair once, a < b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_k"):
+        support_pairs(df, "b", "i", top_k=0)
