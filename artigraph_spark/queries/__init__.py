@@ -50,61 +50,46 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 # land inside the recorded window. Everything else follows in registration
 # order; total registration is unchanged.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-6 ROTATION. Recorded-window history after r5 (computed from
-    # CORRECTNESS_r0{1..5}.json): 50 queries have an r5 row, 49 an r4 row,
-    # 48 are r3-stale, 4 are r1-stale. This round registered 18 new
-    # oracle-bearing queries (never recorded) and changed pagerank's
-    # implementation. Order: (1) the 18 new queries, (2) pagerank
-    # (impl changed — integer node ids), (3) the five r5 hash-FAILs whose
-    # oracles were fixed this round (uncast HUGEINT — values were
-    # verified correct; the driver row is what's missing), (4) the four
-    # r1-stale, (5) the r3-stale with the judge-named priorities first —
-    # the 28 that overflow the 50-entry window land at 51+ and lead the
-    # r7 rotation. r4/r5-green queries follow in registration order.
-    # (1) new this round — first driver rows
-    "grouped_cms_contract", "cms_decayed_topk", "interval_join_click_purchase",
-    "bloom_incremental_dedup", "stratified_split_exact", "cms_join_size",
-    "zorder_cluster_keys", "trend_slopes_hourly", "epoch_shuffle_shards",
-    "sliding_distinct_users", "constraint_report", "profile_orders",
-    "heavy_hitter_users", "sliding_quantiles_hourly",
-    "audience_overlap_click_purchase", "hll_rollup_users", "new_users_hourly",
-    "grouped_heavy_hitters_events", "skew_audit_lineitem_orderkey",
-    "lateral_topk_orders",
-    # (2) implementation changed this round: integer node ids (~25-30%
-    # faster loop shuffles) — needs a fresh driver row
-    "pagerank_copurchase",
-    # (3) oracle fixed this round (CAST(SUM(...) AS BIGINT)) — re-green
-    "tpch_q18_large_volume_customers", "tpch_q11_important_stock",
-    "tpch_q12_late_lines_by_status", "dedup_segments_corpus",
-    "rollup_time_hierarchy",
-    # (4) r1-stale — last driver row five rounds ago
-    "explode_tokens", "map_explode", "in_subquery_sql", "unpivot_stack",
-    # (5) r3-stale, judge-named priorities first: as-of join, the windows
-    # family, the four r3 TPC-H shapes, the cosine-top-k family
-    "join_asof",
-    "window_rank_family", "window_topk_per_group", "window_session",
-    "window_gap_fill", "window_tumbling", "window_sliding",
-    "window_lag_lead", "window_running_agg", "window_range_frame",
-    "tpch_q3_shipping_priority", "tpch_q4_late_orders",
-    "tpch_q9_nation_margin", "tpch_q10_returned_items",
-    "cosine_topk", "cosine_topk_ivf_checked", "cosine_topk_lsh_checked",
-    # r3-stale similarity/text/dedup refreshes
-    "embedding_near_dup", "agg_approx", "minhash_signatures",
+    # ROUND-7 ROTATION. Recorded-window history after r6 (computed from
+    # CORRECTNESS_r0{1..6}.json at round start): 50 queries have an r6
+    # row, 44 an r5 row, 49 an r4 row, 28 are r3-stale, and 2
+    # oracle-bearing queries (sliding_cms_top_users, ngram_novelty_docs)
+    # have NEVER had a driver row (registered r6 past the window — the
+    # r6 verdict's top item). This round registered 11 new oracle-bearing
+    # queries and changed 4 implementations (sliding_cms_topk candidate
+    # prune; heavy hitters' arrow-local pass 1; stratified split's exact
+    # integer division). Order: (1) the 2 never-recorded, (2) the 11 new,
+    # (3) the 3 other impl-changed, (4) all 28 r3-stale oldest-first —
+    # that's 44; (5) the 6 oldest r4-stale fill the window to exactly 50.
+    # (1) never recorded — the only oracle-bearing queries with no hard
+    # signal ever (sliding_cms_top_users also changed impl this round)
+    "sliding_cms_top_users", "ngram_novelty_docs",
+    # (2) new this round — first driver rows
+    "salted_join_revenue", "ewma_hourly", "inter_event_gaps_users",
+    "scd2_intervals_orders", "conversion_latency", "agg_moments_quantity",
+    "copurchase_support_pairs", "snapshot_diff_orders",
+    "impute_value_group_mean", "winsorize_quantity",
+    "curriculum_stages_docs",
+    # (3) implementation changed this round — need fresh rows
+    "heavy_hitter_users", "grouped_heavy_hitters_events",
+    "stratified_split_exact",
+    # (4) r3-stale (the r6-rotation overflow), oldest-first in r6 order
     "ngram_jaccard_pairs", "simhash_checked", "tfidf_terms",
     "edit_distance_pairs", "lang_predict", "text_quality_score",
     "token_bpe_counts", "multimodal_features", "embedding_norms",
     "embedding_mean_pool",
-    # r3-stale relational ops — now three samplings old, so they re-enter
-    # the window in oldest-first order; the tail past position 50 falls
-    # to r7 and leads that rotation
     "proj_select_rename", "filter_between_isin", "filter_null_tests",
     "scalar_math", "scalar_string", "scalar_datetime",
     "scalar_conditional", "scalar_cast", "array_ops", "map_ops",
     "json_extract", "sort_limit_topk", "set_union_all",
     "set_union_distinct", "set_intersect", "set_except",
     "set_intersect_all", "sample_deterministic",
-    # Not listed: the 49 r4-green and 50 r5-green queries (registration
-    # order, all past the window) and the 4 rows-only queries
+    # (5) the 6 oldest r4-stale (registration order) — positions 45-50
+    "agg_pricing_summary", "agg_count_distinct", "agg_minmax_stats",
+    "agg_collect", "agg_filtered", "agg_rollup",
+    # Not listed: the remaining 43 r4-green, 44 r5-green and 50 r6-green
+    # queries (registration order, past the window — the 43 r4-stale
+    # continue oldest-first in r8) and the 4 rows-only queries
     # (minhash_lsh_pairs, dedup_clusters, simhash_fingerprints,
     # cosine_topk_lsh) whose oracle-checked `*_checked` contract twins
     # carry the hard signal.
