@@ -890,7 +890,7 @@ def heavy_hitters(
     key_col: str,
     threshold_fraction: float,
     *,
-    local_strategy: str = "arrow",
+    local_strategy: str = "exchange",
 ) -> DataFrame:
     """EXACT heavy hitters — non-null keys with ≥ ``threshold_fraction``
     of the non-null rows — in two passes with a pigeonhole-pruned second
@@ -905,16 +905,20 @@ def heavy_hitters(
 
     ``local_strategy`` picks how pass 1 runs:
 
-    - ``"arrow"`` (default): Arrow-batched ``mapInArrow`` counts inside
-      each partition and emits only local winners — the plan has NO
-      exchange before the candidate semi-join (plan-locked); the full
-      data crosses the Arrow boundary once, scan-local.
-    - ``"exchange"``: the relational (partition_id, key) groupBy — the
-      combine is map-side but its full-key-cardinality output still
-      crosses one network exchange before the local-fraction filter.
-      Prefer it when keys repeat heavily enough that the post-combine
-      exchange is far smaller than the data (the Arrow hop then costs
-      more bytes than the shuffle saves).
+    - ``"exchange"`` (default): the relational (partition_id, key)
+      groupBy — the combine is map-side and its post-combine output
+      (distinct (pid, key) rows) crosses one exchange before the
+      local-fraction filter. Whenever keys repeat, that output is far
+      smaller than the data — and a key heavy enough to clear φ repeats
+      by definition — so this is the right default for the operator's
+      realistic regime (measured 1.8× faster than arrow at ×10 events;
+      docs/SCALE.md round-7 section).
+    - ``"arrow"``: Arrow-batched ``mapInArrow`` counts inside each
+      partition and emits only local winners — NO exchange anywhere
+      before the candidate semi-join (plan-locked), at the cost of the
+      full data crossing the Arrow boundary once, scan-local. Prefer it
+      when keys barely repeat (combine output ≈ data, so the exchange
+      ships data-sized bytes over the network while arrow ships none).
 
     The candidate SET depends on partitioning (any superset is fine);
     the FINAL output does not — the exact pass re-filters globally, so
@@ -1089,7 +1093,7 @@ def grouped_heavy_hitters(
     key_col: str,
     threshold_fraction: float,
     *,
-    local_strategy: str = "arrow",
+    local_strategy: str = "exchange",
 ) -> DataFrame:
     """Per-group exact heavy hitters: within every group, the non-null
     keys holding ≥ ``threshold_fraction`` of that group's non-null rows —
@@ -1101,10 +1105,11 @@ def grouped_heavy_hitters(
     candidate set of at most 1/φ keys per (partition, group); only
     candidates are exact-counted, and the final global filter makes the
     output partitioning-independent (oracle replays it as brute force).
-    ``local_strategy`` as in :func:`heavy_hitters`: ``"arrow"`` counts
+    ``local_strategy`` as in :func:`heavy_hitters`: ``"exchange"``
+    (default — right whenever keys repeat, measured in docs/SCALE.md)
+    runs the relational (pid, group, key) groupBy; ``"arrow"`` counts
     per (group, key) inside each partition with no exchange before the
-    candidate semi-join; ``"exchange"`` keeps the relational
-    (pid, group, key) groupBy. Returns
+    candidate semi-join, for the low-repeat regime. Returns
     ``(group, key, exact_cnt, group_total)``.
     """
     num, denom = _hh_threshold(threshold_fraction)
