@@ -230,17 +230,29 @@ def ewma_buckets(
     Scale shape: one data-sized groupBy to per-bucket sums, then the
     explode-forward/merge pattern shared with the sliding-sketch trio —
     summary-sized work, ≤ W rows touched per answered bucket.
+
+    Split as :func:`ewma_state` (the mergeable per-bucket sums — sum
+    them across snapshots or micro-batches, e.g. through
+    ``streaming.sketch_state_sink``) + :func:`ewma_from_state` (answer
+    any window from stored state without reprocessing history).
     """
+    return ewma_from_state(
+        ewma_state(df, bucket_col, value_col, bits=bits),
+        window_buckets=window_buckets,
+        bits=bits,
+    )
+
+
+def ewma_state(df, bucket_col, value_col: str, *, bits: int = 20):
+    """The mergeable state behind :func:`ewma_buckets`: exact
+    fixed-point per-bucket sums ``(__b, __s)``. Merges across
+    partitions/snapshots/micro-batches by ``groupBy(__b).sum(__s)`` —
+    the CMS-cell analogue for plain sums."""
     from pyspark.sql import functions as F
 
     from artigraph_spark.functions import fxp
 
-    if window_buckets <= 0 or window_buckets > 62:
-        raise ValueError(
-            f"window_buckets must be in [1, 62] (dyadic weights must fit "
-            f"int64), got {window_buckets}"
-        )
-    per_bucket = (
+    return (
         df.select(
             bucket_col.cast("long").alias("__b"),
             fxp(F.col(value_col), bits).alias("__v"),
@@ -249,6 +261,18 @@ def ewma_buckets(
         .groupBy("__b")
         .agg(F.sum("__v").alias("__s"))
     )
+
+
+def ewma_from_state(per_bucket, *, window_buckets: int = 8, bits: int = 20):
+    """Answer the trailing EWMA from :func:`ewma_state` output — see
+    :func:`ewma_buckets` for the semantics. Summary-sized only."""
+    from pyspark.sql import functions as F
+
+    if window_buckets <= 0 or window_buckets > 62:
+        raise ValueError(
+            f"window_buckets must be in [1, 62] (dyadic weights must fit "
+            f"int64), got {window_buckets}"
+        )
     present = per_bucket.select(F.col("__b").alias("bucket")).distinct()
     fwd = F.explode(
         F.sequence(F.col("__b"), F.col("__b") + F.lit(window_buckets - 1))

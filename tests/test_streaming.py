@@ -718,3 +718,62 @@ def test_sketch_state_sink_refuses_reset_checkpoint(spark, tmp_path):
     with _pytest.raises(Exception, match="checkpoint was reset"):
         q2.processAllAvailable()
     q2.stop()
+
+
+def test_ewma_state_sink_matches_batch(spark, tmp_path):
+    """EWMA state maintained per micro-batch through sketch_state_sink
+    (per-bucket fixed-point sums merged by plain sum) answers the same
+    trailing EWMA as the one-shot batch operator — the smoothed-rate
+    metric joins the incremental-ingest story."""
+    import pyspark.sql.functions as F
+
+    from artigraph_spark.operators.timeseries import (
+        ewma_buckets,
+        ewma_from_state,
+        ewma_state,
+    )
+    from artigraph_spark.streaming import read_sketch_state, sketch_state_sink
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    all_rows = [(i % 7, float((i * 13) % 50)) for i in range(300)]
+    for part in range(3):
+        spark.createDataFrame(
+            all_rows[part * 100 : (part + 1) * 100], ["b", "v"]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("b long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sketch_state_sink(
+        stream,
+        build=lambda df: ewma_state(df, F.col("b"), "v"),
+        merge=lambda df: df.groupBy("__b").agg(F.sum("__s").alias("__s")),
+        state_path=state,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from_state = sorted(
+        map(
+            tuple,
+            ewma_from_state(
+                read_sketch_state(spark, state), window_buckets=3
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            ewma_buckets(
+                spark.createDataFrame(all_rows, ["b", "v"]),
+                F.col("b"),
+                "v",
+                window_buckets=3,
+            ).collect(),
+        )
+    )
+    assert from_state == batch and from_state
