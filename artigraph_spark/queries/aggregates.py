@@ -432,7 +432,7 @@ def _moments_oracle_sql() -> str:
     """
 
 
-@query("agg_moments_quantity", oracle=_moments_oracle_sql())
+@query("agg_moments_quantity", oracle=_moments_oracle_sql(), bench=True)
 def agg_moments_quantity(spark, sf_dir):
     """Per-returnflag distribution moments of quantity — population
     mean/variance, skewness, excess kurtosis — from exact fixed-point

@@ -1278,6 +1278,7 @@ def clustering_coefficient(spark, sf_dir):
 
 @query(
     "copurchase_support_pairs",
+    bench=True,
     oracle="""
     WITH items AS (
         SELECT DISTINCT l_orderkey AS b, l_partkey AS i

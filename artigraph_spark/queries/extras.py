@@ -2011,6 +2011,7 @@ def impute_value_group_mean(spark, sf_dir):
 
 @query(
     "winsorize_quantity",
+    bench=True,
     oracle="""
     WITH hist AS (
         SELECT l_returnflag AS g, l_quantity AS v, count(*) AS f

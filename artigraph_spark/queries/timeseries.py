@@ -501,6 +501,7 @@ def new_users_hourly(spark, sf_dir):
 
 @query(
     "ewma_hourly",
+    bench=True,
     oracle="""
     WITH ev AS (
         SELECT CAST(floor((floor(epoch(ts)) - 1704067200) / 3600.0) AS BIGINT) AS b,
