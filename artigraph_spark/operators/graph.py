@@ -265,7 +265,12 @@ def support_pairs(
         .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
         .distinct()
     )
-    n_baskets = items.select("__b").distinct().count()
+    # basket total as a lazy one-row aggregate crossed into the lift —
+    # an eager .count() here would run a full Spark job at plan-build
+    # time (the heavy_hitters total/crossJoin shape, kept plan-lockable)
+    n_baskets = items.agg(
+        F.count_distinct(F.col("__b")).alias("__nb")
+    )
     a = items.select("__b", F.col("__i").alias("item_a"))
     b = items.select("__b", F.col("__i").alias("item_b"))
     pairs = (
@@ -280,6 +285,7 @@ def support_pairs(
     return (
         pairs.join(ca, "item_a")
         .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
         .select(
             "item_a",
             "item_b",
@@ -287,7 +293,7 @@ def support_pairs(
             "cnt_a",
             "cnt_b",
             F.round(
-                (F.col("pair_cnt") * F.lit(n_baskets)).cast("double")
+                (F.col("pair_cnt") * F.col("__nb")).cast("double")
                 / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
                 6,
             ).alias("lift_r"),

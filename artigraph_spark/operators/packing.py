@@ -872,8 +872,11 @@ def curriculum_stages(
     ``id_col`` — total order, so stage membership is deterministic and
     engine-replayable. Adds ``stage``.
 
-    One exchange (the per-stratum window sort) — same colocation
-    caveat as :func:`stratified_split_exact`.
+    Scale: WITH a stratum, one exchange (the per-stratum window sort;
+    same colocation caveat as :func:`stratified_split_exact`). WITHOUT
+    one, the global ntile funnels every row through a single-partition
+    window — fine for stratum-sized frames, wrong for a whole corpus:
+    always pass ``stratum_col`` at scale.
     """
     if n_stages <= 0:
         raise ValueError(f"n_stages must be positive, got {n_stages}")

@@ -431,8 +431,11 @@ def snapshot_diff(
     ``changed`` (both, any compared column differs — NULL-safe) /
     ``unchanged``, then ONE summary row per status:
     ``(status, n, key_checksum)`` with the checksum an order-independent
-    int64 sum of the keys (mod 2^31 folds) so two diffs can be compared
-    without materialising row sets.
+    int64 sum over per-key folds — integral keys fold directly
+    (mod 2^31−1); any other key type folds through the 60-bit
+    SHA-prefix ``content_key`` so string/UUID surrogate keys work and
+    stay engine-replayable — letting two diffs be compared without
+    materialising row sets.
 
     One co-partitioned shuffle pair (the outer join); the output is
     four rows. The per-row classified frame is the natural intermediate
@@ -459,13 +462,22 @@ def snapshot_diff(
         .when(same, F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
+    from pyspark.sql import types as T
+
+    key_dt = old.schema[key_col].dataType
+    if isinstance(key_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        fold = F.pmod(F.col("__k").cast("long"), F.lit((1 << 31) - 1))
+    else:
+        # non-integral (string/UUID/date) keys: deterministic cross-engine
+        # 60-bit SHA-prefix fold — an ANSI cast-to-long would throw here
+        from artigraph_spark.operators.dedup import content_key
+
+        fold = F.pmod(content_key(F.col("__k")), F.lit((1 << 31) - 1))
     return (
         joined.select(status.alias("status"), F.col("__k"))
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.pmod(F.col("__k").cast("long"), F.lit((1 << 31) - 1))).alias(
-                "key_checksum"
-            ),
+            F.sum(fold).alias("key_checksum"),
         )
     )

@@ -855,6 +855,15 @@ def _hh_local_candidates_arrow(
 
     n_group = len(group_cols)
     out_schema = data.select(*cols).schema
+    # one canonical NaN object: dict lookups match by identity before
+    # equality, so mapping every NaN to THIS object makes NaN counts
+    # merge across batches (nan != nan would otherwise fragment a
+    # NaN-keyed heavy hitter below threshold — Spark's groupBy in the
+    # exchange strategy normalizes NaN, so parity requires it here)
+    _nan = float("nan")
+
+    def _canon(v):
+        return _nan if (isinstance(v, float) and v != v) else v
 
     def walk(batches):
         counts: dict = {}
@@ -867,7 +876,8 @@ def _hh_local_candidates_arrow(
             grouped = tbl.group_by(cols).aggregate([([], "count_all")])
             key_lists = [grouped.column(c).to_pylist() for c in cols]
             cnt_list = grouped.column("count_all").to_pylist()
-            for row_keys, c in zip(zip(*key_lists), cnt_list):
+            for raw_keys, c in zip(zip(*key_lists), cnt_list):
+                row_keys = tuple(_canon(v) for v in raw_keys)
                 counts[row_keys] = counts.get(row_keys, 0) + c
                 g = row_keys[:n_group]
                 totals[g] = totals.get(g, 0) + c
@@ -949,8 +959,11 @@ def heavy_hitters(
             .distinct()
         )
     total = data.agg(F.count(F.lit(1)).alias("__total"))
+    # no forced broadcast: candidates are bounded by partitions/φ, which
+    # a small φ on a many-partition input can push past broadcast limits —
+    # AQE broadcasts the (usually tiny) side at runtime when it fits
     exact = (
-        data.join(F.broadcast(candidates), key_col, "left_semi")
+        data.join(candidates, key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )
@@ -1136,8 +1149,9 @@ def grouped_heavy_hitters(
             .distinct()
         )
     totals = data.groupBy(group_col).agg(F.count(F.lit(1)).alias("group_total"))
+    # no forced broadcast — same bound-vs-limit reasoning as heavy_hitters
     exact = (
-        data.join(F.broadcast(candidates), [group_col, key_col], "left_semi")
+        data.join(candidates, [group_col, key_col], "left_semi")
         .groupBy(group_col, key_col)
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )

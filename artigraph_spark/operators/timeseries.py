@@ -220,8 +220,11 @@ def ewma_buckets(
     Per-bucket value sums are fixed-point int64 (exact, associative);
     bucket b contributes to targets t ∈ [b, b+W-1] with integer weight
     2^(W-1-(t-b)) — a halving per step of age, so every weight is an
-    exact power of two and the whole numerator/denominator pair is
-    exact int64 arithmetic. Missing buckets contribute nothing and are
+    exact power of two and the numerator/denominator pair is exact
+    integer arithmetic (weights and the denominator in int64; the
+    weight×sum products widened to DECIMAL(38,0) — int64 alone
+    overflows inside the weight range). Missing buckets contribute
+    nothing and are
     excluded from the weight mass (the EWMA of the buckets that exist),
     keeping the result engine-replayable with no float-decay drift.
     Returns ``(bucket, n_contrib, ewma)`` for every present bucket;
@@ -296,11 +299,17 @@ def ewma_from_state(per_bucket, *, window_buckets: int = 8, bits: int = 20):
             ),
         )
     )
+    # the weight×sum products can exceed int64 well inside the [1, 62]
+    # weight guard (w up to 2^61 times data-sized sums) — widen the
+    # product to DECIMAL(38,0) so the numerator stays exact; the oracle
+    # twin widens through HUGEINT the same way
     return (
         contrib.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_contrib"),
-            F.sum(F.col("__w") * F.col("__s")).alias("__num"),
+            F.sum(
+                F.col("__w").cast("decimal(38,0)") * F.col("__s")
+            ).alias("__num"),
             F.sum("__w").alias("__den"),
         )
         .select(

@@ -517,7 +517,7 @@ def new_users_hourly(spark, sf_dir):
         FROM per JOIN present p ON p.bucket BETWEEN per.b AND per.b + 7
     )
     SELECT bucket, count(*) AS n_contrib,
-           round(CAST(CAST(SUM(w * s) AS BIGINT) AS DOUBLE)
+           round(CAST(SUM(CAST(w AS HUGEINT) * s) AS DOUBLE)
                  / (CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) * 1048576.0),
                  9) AS ewma_r
     FROM contrib GROUP BY bucket

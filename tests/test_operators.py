@@ -1418,10 +1418,16 @@ def test_heavy_hitters_local_strategies_agree(spark):
     rows = [(1, "a")] * 50 + [(2, "b")] * 30 + [
         (i, f"k{i}") for i in range(3, 40)
     ] + [(None, None)] * 5
+    # both strategies EXPLICIT — relying on the default would silently
+    # compare a strategy against itself if the default ever flips (it
+    # did in r7: arrow -> exchange)
     df = spark.createDataFrame(rows, "k long, s string").repartition(4)
     for key in ("k", "s"):
         got_a = sorted(
-            tuple(r) for r in heavy_hitters(df, key, 0.2).collect()
+            tuple(r)
+            for r in heavy_hitters(
+                df, key, 0.2, local_strategy="arrow"
+            ).collect()
         )
         got_x = sorted(
             tuple(r)
@@ -1432,7 +1438,12 @@ def test_heavy_hitters_local_strategies_agree(spark):
         assert got_a == got_x and got_a, key
     g = [("x", i % 3) for i in range(60)] + [("y", 7)] * 20 + [("y", i) for i in range(8, 30)]
     gdf = spark.createDataFrame(g, "g string, k long").repartition(5)
-    ga = sorted(tuple(r) for r in grouped_heavy_hitters(gdf, "g", "k", 0.2).collect())
+    ga = sorted(
+        tuple(r)
+        for r in grouped_heavy_hitters(
+            gdf, "g", "k", 0.2, local_strategy="arrow"
+        ).collect()
+    )
     gx = sorted(
         tuple(r)
         for r in grouped_heavy_hitters(
@@ -1440,6 +1451,23 @@ def test_heavy_hitters_local_strategies_agree(spark):
         ).collect()
     )
     assert ga == gx and ga
+    # NaN keys must not fragment across Arrow batches: a NaN-dominated
+    # double key is a heavy hitter under BOTH strategies
+    nan_rows = [(float("nan"),)] * 80 + [(float(i), ) for i in range(20)]
+    ndf = spark.createDataFrame(nan_rows, "fval double").repartition(4)
+    na = sorted(
+        str(tuple(r))
+        for r in heavy_hitters(
+            ndf, "fval", 0.3, local_strategy="arrow"
+        ).collect()
+    )
+    nx = sorted(
+        str(tuple(r))
+        for r in heavy_hitters(
+            ndf, "fval", 0.3, local_strategy="exchange"
+        ).collect()
+    )
+    assert na == nx and len(na) == 1 and "nan" in na[0]
 
 
 def test_heavy_hitters_arrow_candidates_no_exchange(spark):
@@ -1721,6 +1749,16 @@ def test_ewma_buckets_dyadic_weights_and_missing_buckets(spark):
     assert got[3] == (1, 40.0)
     assert 2 not in got  # not present, no output row
 
+    # wide window × large values: the weight×sum products exceed int64
+    # (w=2^49 × s≈2^33) — the decimal-widened numerator must stay exact
+    big = spark.createDataFrame([(0, 8192.0), (1, 8192.0)], ["b", "v"])
+    wide = {
+        r["bucket"]: r["ewma"]
+        for r in ewma_buckets(big, F.col("b"), "v", window_buckets=50).collect()
+    }
+    assert wide[0] == 8192.0
+    assert abs(wide[1] - (2**49 * 8192 + 2**48 * 8192) / (2**49 + 2**48)) < 1e-6
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="window_buckets"):
@@ -1845,6 +1883,15 @@ def test_snapshot_diff_statuses_and_checksums(spark):
     assert got["unchanged"] == (1, 2)
     assert got["changed"] == (1, 3)
     assert got["added"] == (1, 4)
+
+    # string/UUID surrogate keys: the checksum folds through the
+    # SHA-prefix content key instead of an (ANSI-fatal) cast-to-long
+    s_old = spark.createDataFrame([("u-1", 1), ("u-2", 2)], ["k", "v"])
+    s_new = spark.createDataFrame([("u-2", 2), ("u-3", 3)], ["k", "v"])
+    s_got = {r["status"]: r for r in snapshot_diff(s_old, s_new, "k", ["v"]).collect()}
+    assert s_got["removed"]["n"] == 1 and s_got["added"]["n"] == 1
+    assert s_got["unchanged"]["n"] == 1
+    assert all(r["key_checksum"] is not None for r in s_got.values())
 
     import pytest as _pytest
 
