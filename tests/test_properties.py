@@ -428,3 +428,79 @@ def test_stratified_split_exact_counts_law(spark, sizes):
         assert per[(f"s{s}", "train")] == t
         assert per[(f"s{s}", "valid")] == v - t
         assert per[(f"s{s}", "test")] == n - v
+
+
+ewma_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.floats(
+            min_value=-1000, max_value=1000, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ewma_rows, st.integers(min_value=1, max_value=20), st.data())
+def test_ewma_state_merge_law(spark, rows, split_at, data):
+    """Merge law for the EWMA state: building per-bucket sums over ANY
+    partition of the data and merging by plain sum answers the same
+    EWMA as the one-shot build — the property sketch_state_sink relies
+    on across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.timeseries import (
+        ewma_buckets,
+        ewma_from_state,
+        ewma_state,
+    )
+
+    cut = data.draw(st.integers(min_value=0, max_value=len(rows)))
+    df = spark.createDataFrame(rows, ["b", "v"])
+    full = sorted(
+        map(tuple, ewma_buckets(df, F.col("b"), "v", window_buckets=3).collect())
+    )
+    parts = [rows[:cut], rows[cut:]]
+    states = [
+        ewma_state(spark.createDataFrame(p, "b long, v double"), F.col("b"), "v")
+        for p in parts
+        if p
+    ]
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    merged = merged.groupBy("__b").agg(F.sum("__s").alias("__s"))
+    got = sorted(
+        map(tuple, ewma_from_state(merged, window_buckets=3).collect())
+    )
+    assert got == full
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=16),
+)
+def test_moments_partition_invariance(spark, vals, n_parts):
+    """The fixed-point power sums make every moment bit-identical at any
+    partition count — the determinism contract, property-tested."""
+    from artigraph_spark.operators.quality import moments
+
+    rows = [("g", float(v)) for v in vals]
+    a = moments(
+        spark.createDataFrame(rows, "g string, x double").coalesce(1), "g", "x"
+    ).collect()[0]
+    b = moments(
+        spark.createDataFrame(rows, "g string, x double").repartition(n_parts),
+        "g",
+        "x",
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
