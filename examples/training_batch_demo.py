@@ -10,6 +10,9 @@ documents (external parquet, raw artifact)
      + per-source domain cap; statistics-gated)
   → PackBatches (concat-then-chunk sequence packing into 256-token bins;
      TWO outputs: the doc→bin layout + a per-bin manifest)
+  → CurriculumOrder (per-language equal-frequency difficulty stages by
+     token count — the deterministic easy-to-hard training order, stored
+     as its own artifact beside the packed layout)
 
 Demonstrates audit→filter→mix→cap→pack composing under memoization: the
 second build is a no-op, and every intermediate (including the audit
@@ -169,6 +172,34 @@ class PackBatches(Producer):
         return layout, manifest
 
 
+STAGE_TYPE = at.Collection(
+    element=at.Struct(
+        fields={"doc_id": at.Int64(), "lang": at.String(), "stage": at.Int32()}
+    )
+)
+
+
+class CurriculumOrder(Producer):
+    version = SemVer(major=1)
+
+    mixed: Documents
+
+    def build(self, mixed: DataFrame) -> DataFrame:
+        from artigraph_spark.operators.packing import (
+            curriculum_stages,
+            token_count,
+        )
+
+        staged = curriculum_stages(
+            mixed,
+            token_count(F.col("text")).cast("double"),
+            "doc_id",
+            stratum_col="lang",
+            n_stages=3,
+        )
+        return staged.select("doc_id", "lang", "stage")
+
+
 def _short_docs(snap, g) -> int:
     """Training docs too short to form a trigram — unassessable, always kept."""
     from artigraph_spark.operators.packing import token_count
@@ -225,6 +256,9 @@ def main() -> None:
             )
             g.artifacts.layout = layout
             g.artifacts.manifest = manifest
+            g.artifacts.curriculum = CurriculumOrder(
+                mixed=g.artifacts.mixed
+            ).out(Artifact(type=STAGE_TYPE, storage=LocalFile(root=root)))
         ex = LocalSparkExecutor()
         g.snapshot(strict_fingerprints=True).build(ex)
         return ex, g
@@ -238,15 +272,28 @@ def main() -> None:
     clean_n = snap.read(g1.artifacts.clean).count()
     n_bins = manifest.count()
     full = manifest.filter(F.col("n_tokens") == 256).count()
+    curriculum = snap.read(g1.artifacts.curriculum)
+    stage_sizes = {
+        (r["lang"], r["stage"]): r["n"]
+        for r in curriculum.groupBy("lang", "stage")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
     print(
         f"build 1: built={ex1.built_partitions} clean_docs={clean_n} "
         f"flagged={flagged} layout_rows={layout.count()} "
-        f"bins={n_bins} full_bins={full}"
+        f"bins={n_bins} full_bins={full} "
+        f"curriculum_stages={len(set(s for _, s in stage_sizes))}"
     )
-    assert ex1.built_partitions == 4
+    assert ex1.built_partitions == 5
     assert full >= n_bins - 1  # every bin but the last is exactly full
     # the audit is the evidence trail: flagged docs are exactly the removal
     assert clean_n == audit.count() - flagged + _short_docs(snap, g1)
+    # curriculum covers every mixed doc once, stages equal-frequency per lang
+    assert curriculum.count() == snap.read(g1.artifacts.mixed).count()
+    for lang in {k for k, _ in stage_sizes}:
+        per = sorted(v for (k, _), v in stage_sizes.items() if k == lang)
+        assert per[-1] - per[0] <= 1  # ntile balance
 
     ex2, _ = build_once()
     print(f"build 2: built={ex2.built_partitions} skipped={ex2.skipped_partitions}")
