@@ -20,6 +20,22 @@ from pyspark.sql import types as T
 from artigraph_spark.operators.dedup import tokens
 
 
+_HASH_P = 1_000_000_007
+
+
+def _mul_hash(key) -> Column:
+    """THE deterministic multiplicative hash shared by every sampling/
+    split/shuffle operator in this module: ``pmod(pmod(key, p) ·
+    2654435761, p)`` with p = 1e9+7 (Knuth's constant over the Mersenne-
+    adjacent prime the dedup family also uses). One definition — the
+    docstrings' "same hash as split_corpus" claims stay true by
+    construction, and any overflow/constant change lands everywhere at
+    once. The inner pmod keeps every product within int64 for ANY int64
+    key."""
+    p = F.lit(_HASH_P)
+    return F.pmod(F.pmod(key, p) * F.lit(2_654_435_761), p)
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count, same tokenization as the dedup/text family."""
     return F.size(tokens(text))
@@ -37,8 +53,6 @@ def _pack_impl(
     the whole input as one stream; otherwise every group gets its own bin
     space. See the public wrappers for the semantics/scale story.
     """
-    from pyspark.sql import types as T
-
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     # The range-bucketing arithmetic ((id - __lo) / __w, driver-side int()
@@ -107,11 +121,26 @@ def _pack_impl(
         # would reject integer curriculum stages or date shards).
         helper = lambda fields: T.StructType([T.StructField("__g", gtype), *fields])
         widths = spark.createDataFrame(
-            [(g, lo, max((hi - lo) // num_buckets + 1, 1)) for g, (lo, hi) in bnds.items()],
-            helper([T.StructField("__lo", T.LongType()), T.StructField("__w", T.LongType())]),
+            [
+                (g, lo, float(max((hi - lo) // num_buckets + 1, 1)))
+                for g, (lo, hi) in bnds.items()
+            ],
+            helper([T.StructField("__lo", T.LongType()), T.StructField("__w", T.DoubleType())]),
         )
+        # bucket index computed in DOUBLE: an int64 `id - __lo` overflows
+        # when the id range spans > 2^63 — exactly the full-range xxhash64
+        # ids the integral-id error message above recommends. The double
+        # path is monotone in id (double cast, subtraction of a constant,
+        # and division by a positive width all preserve order; ties only
+        # merge neighbours into one bucket), which is all the layout needs
+        # — final positions come from the within-bucket prefix sums, so
+        # the packed output is identical.
         bucketed = slim.join(F.broadcast(widths), "__g").withColumn(
-            "__bkt", ((F.col(id_col) - F.col("__lo")) / F.col("__w")).cast("long")
+            "__bkt",
+            (
+                (F.col(id_col).cast("double") - F.col("__lo").cast("double"))
+                / F.col("__w")
+            ).cast("long"),
         )
         # Phase 1: per-(group, bucket) totals — metadata-sized — rolled into
         # per-group running offsets on the driver.
@@ -375,8 +404,7 @@ def stratified_sample(
     ``fractions`` are dropped. Pure filter over a scan: no shuffle, fully
     pushdown-friendly.
     """
-    p = F.lit(1_000_000_007)
-    h = F.pmod(F.pmod(key, p) * F.lit(2_654_435_761), p)
+    h = _mul_hash(key)
     thresholds = F.create_map(
         *[
             x
@@ -415,10 +443,7 @@ def weighted_sample_topk(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    p = F.lit(1_000_000_007)
-    u = (F.pmod(F.pmod(F.col(id_col), p) * F.lit(2_654_435_761), p) + 1) / F.lit(
-        1_000_000_008.0
-    )
+    u = (_mul_hash(F.col(id_col)) + 1) / F.lit(1_000_000_008.0)
     key = F.round(F.log(F.log(F.lit(1.0) / u)) - F.log(F.col(weight_col)), 9)
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
@@ -637,8 +662,7 @@ def upsample_domains(
     for d, r in factors.items():
         if r < 0:
             raise ValueError(f"factor for {d!r} must be >= 0, got {r}")
-    p = F.lit(1_000_000_007)
-    h = F.pmod(F.pmod(F.pmod(key, p) * F.lit(2_654_435_761), p), F.lit(denominator))
+    h = F.pmod(_mul_hash(key), F.lit(denominator))
     base_map = F.create_map(
         *[x for d, r in sorted(factors.items()) for x in (F.lit(d), F.lit(int(r)))]
     )
@@ -724,8 +748,7 @@ def split_corpus(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1.0 / denominator:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    p = F.lit(1_000_000_007)
-    h = F.pmod(F.pmod(F.pmod(key, p) * F.lit(2_654_435_761), p), F.lit(denominator))
+    h = F.pmod(_mul_hash(key), F.lit(denominator))
     bounds, acc = [], 0
     names = list(fractions)
     for name in names[:-1]:
@@ -777,8 +800,7 @@ def stratified_split_exact(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    p = F.lit(1_000_000_007)
-    h = F.pmod(F.pmod(key, p) * F.lit(2_654_435_761), p)
+    h = _mul_hash(key)
     w = Window.partitionBy(stratum_col).orderBy(h, key)
     ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy(stratum_col))
@@ -836,18 +858,17 @@ def epoch_shuffle(
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     if epoch < 0:
         raise ValueError(f"epoch must be non-negative, got {epoch}")
-    p = F.lit(1_000_000_007)
+    p = F.lit(_HASH_P)
     # fold the epoch in BEFORE the multiplicative mix so consecutive
-    # epochs decorrelate (key+epoch*C with C coprime to p)
-    mixed = F.pmod(
-        F.pmod(
-            key.cast("long")
-            + F.lit(epoch).cast("long") * F.lit(2_147_483_629).cast("long"),
-            p,
-        )
-        * F.lit(2_654_435_761),
-        p,
-    )
+    # epochs decorrelate (key+epoch*C with C coprime to p). Both operands
+    # are pmod-reduced BEFORE the addition: `key + epoch*C` on a raw
+    # int64 key overflows for keys within 2^31 of 2^63 (full-range
+    # xxhash64 ids hit this) — pmod distributes over addition mod p, so
+    # the reduced form is bit-identical to pmod(key + epoch*C, p) while
+    # every intermediate stays far inside int64 (_mul_hash re-reduces
+    # the already-sub-2p sum before its multiply).
+    epoch_term = (F.lit(epoch).cast("long") * F.lit(2_147_483_629).cast("long")) % p
+    mixed = _mul_hash(F.pmod(key.cast("long"), p) + epoch_term)
     shard = F.pmod(mixed, F.lit(n_shards))
     w = Window.partitionBy(shard).orderBy(mixed, key)
     return df.withColumn("shard", shard).withColumn(

@@ -895,6 +895,69 @@ def _hh_local_candidates_arrow(
     return data.select(*cols).mapInArrow(walk, out_schema)
 
 
+def _hh_impl(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    threshold_fraction: float,
+    local_strategy: str,
+) -> DataFrame:
+    """Shared two-pass pigeonhole heavy-hitter core; ``group_cols=[]``
+    is the global case. Strategy dispatch, threshold arithmetic, and
+    the no-forced-broadcast reasoning live here ONCE - see the public
+    wrappers for semantics."""
+    num, denom = _hh_threshold(threshold_fraction)
+    if local_strategy not in ("arrow", "exchange"):
+        raise ValueError(f"unknown local_strategy {local_strategy!r}")
+    cond = F.col(key_col).isNotNull()
+    for g in group_cols:
+        cond = cond & F.col(g).isNotNull()
+    data = df.filter(cond)
+    cols = [*group_cols, key_col]
+    if local_strategy == "arrow":
+        candidates = _hh_local_candidates_arrow(
+            data, cols, group_cols, num, denom
+        ).distinct()
+    else:
+        local = data.groupBy(
+            F.spark_partition_id().alias("__pid"), *[F.col(c) for c in cols]
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        local_tot = local.groupBy("__pid", *group_cols).agg(
+            F.sum("__c").alias("__pt")
+        )
+        candidates = (
+            local.join(local_tot, ["__pid", *group_cols])
+            .filter(F.col("__c") * denom >= F.lit(num) * F.col("__pt"))
+            .select(*cols)
+            .distinct()
+        )
+    # no forced broadcast: candidates are bounded by partitions/phi, which
+    # a small phi on a many-partition input can push past broadcast limits
+    # - AQE broadcasts the (usually tiny) side at runtime when it fits
+    exact = (
+        data.join(candidates, cols, "left_semi")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    if group_cols:
+        totals = data.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("group_total")
+        )
+        return (
+            exact.join(totals, group_cols)
+            .filter(
+                F.col("exact_cnt") * denom >= F.lit(num) * F.col("group_total")
+            )
+            .select(*cols, "exact_cnt", "group_total")
+        )
+    total = data.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_cnt") * denom >= F.lit(num) * F.col("__total"))
+        .select(key_col, "exact_cnt")
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     key_col: str,
@@ -939,39 +1002,8 @@ def heavy_hitters(
     to return-everything. NULL keys are excluded from both counts and
     the total. Returns ``(key, exact_cnt)``.
     """
-    num, denom = _hh_threshold(threshold_fraction)
-    if local_strategy not in ("arrow", "exchange"):
-        raise ValueError(f"unknown local_strategy {local_strategy!r}")
-    data = df.filter(F.col(key_col).isNotNull())
-    if local_strategy == "arrow":
-        candidates = _hh_local_candidates_arrow(
-            data, [key_col], [], num, denom
-        ).distinct()
-    else:
-        local = data.groupBy(
-            F.spark_partition_id().alias("__pid"), F.col(key_col)
-        ).agg(F.count(F.lit(1)).alias("__c"))
-        local_tot = local.groupBy("__pid").agg(F.sum("__c").alias("__pt"))
-        candidates = (
-            local.join(local_tot, "__pid")
-            .filter(F.col("__c") * denom >= F.lit(num) * F.col("__pt"))
-            .select(key_col)
-            .distinct()
-        )
-    total = data.agg(F.count(F.lit(1)).alias("__total"))
-    # no forced broadcast: candidates are bounded by partitions/φ, which
-    # a small φ on a many-partition input can push past broadcast limits —
-    # AQE broadcasts the (usually tiny) side at runtime when it fits
-    exact = (
-        data.join(candidates, key_col, "left_semi")
-        .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-    )
-    return (
-        exact.crossJoin(F.broadcast(total))
-        .filter(F.col("exact_cnt") * denom >= F.lit(num) * F.col("__total"))
-        .select(key_col, "exact_cnt")
-    )
+    return _hh_impl(df, [], key_col, threshold_fraction, local_strategy)
+
 
 
 def hll_intersection_estimate(
@@ -1125,40 +1157,8 @@ def grouped_heavy_hitters(
     candidate semi-join, for the low-repeat regime. Returns
     ``(group, key, exact_cnt, group_total)``.
     """
-    num, denom = _hh_threshold(threshold_fraction)
-    if local_strategy not in ("arrow", "exchange"):
-        raise ValueError(f"unknown local_strategy {local_strategy!r}")
-    data = df.filter(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
-    if local_strategy == "arrow":
-        candidates = _hh_local_candidates_arrow(
-            data, [group_col, key_col], [group_col], num, denom
-        ).distinct()
-    else:
-        local = data.groupBy(
-            F.spark_partition_id().alias("__pid"),
-            F.col(group_col),
-            F.col(key_col),
-        ).agg(F.count(F.lit(1)).alias("__c"))
-        local_tot = local.groupBy("__pid", group_col).agg(
-            F.sum("__c").alias("__pt")
-        )
-        candidates = (
-            local.join(local_tot, ["__pid", group_col])
-            .filter(F.col("__c") * denom >= F.lit(num) * F.col("__pt"))
-            .select(group_col, key_col)
-            .distinct()
-        )
-    totals = data.groupBy(group_col).agg(F.count(F.lit(1)).alias("group_total"))
-    # no forced broadcast — same bound-vs-limit reasoning as heavy_hitters
-    exact = (
-        data.join(candidates, [group_col, key_col], "left_semi")
-        .groupBy(group_col, key_col)
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-    )
-    return (
-        exact.join(totals, group_col)
-        .filter(F.col("exact_cnt") * denom >= F.lit(num) * F.col("group_total"))
-        .select(group_col, key_col, "exact_cnt", "group_total")
+    return _hh_impl(
+        df, [group_col], key_col, threshold_fraction, local_strategy
     )
 
 
@@ -1252,6 +1252,7 @@ def sliding_cms_topk(
     depth: int = 4,
     seed: int = 42,
     candidates_per_bucket: int | None = None,
+    broadcast_sketch: bool = True,
 ) -> DataFrame:
     """Trailing-window top-k keys by estimated frequency from mergeable
     per-bucket count-min sketches — "top users over the last 24 h, every
@@ -1288,6 +1289,12 @@ def sliding_cms_topk(
     under ~1/(k·window) of the window's mass plus sketch noise. The
     pruned output is itself exactly deterministic (nomination and
     ranking both tie-break by key), so an oracle replays it verbatim.
+
+    ``broadcast_sketch`` (default True) forces the sketch tables onto
+    broadcast probe joins — right while buckets are day/month-scale
+    (≤ thousands × depth × width rows). A YEAR of hourly buckets at
+    defaults is ~9M sketch rows: pass False there and let AQE size the
+    probe joins instead of forcing a driver collect.
     """
     from pyspark.sql import Window
 
@@ -1332,6 +1339,7 @@ def sliding_cms_topk(
         bucket_est = grouped_cms_estimate(
             per_bucket_sk, active, "__b", key_col,
             width=width, depth=depth, seed=seed,
+            broadcast_sketch=broadcast_sketch,
         )
         bw = Window.partitionBy("__b").orderBy(
             F.col("estimate").desc(), F.col(key_col)
@@ -1357,6 +1365,7 @@ def sliding_cms_topk(
         width=width,
         depth=depth,
         seed=seed,
+        broadcast_sketch=broadcast_sketch,
     )
     w = Window.partitionBy("__g").orderBy(F.col("estimate").desc(), F.col(key_col))
     return (

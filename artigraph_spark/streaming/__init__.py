@@ -326,9 +326,14 @@ def stateful_exact_dedup_tws(
     """Spark-4 state-API twin of ``stateful_exact_dedup``: same
     first-seen-wins contract, implemented as a ``StatefulProcessor`` over
     ``transformWithStateInPandas``. State bounding uses the API's NATIVE
-    per-state TTL (``getValueState(..., ttlDurationMs)``, processing-time
-    based) instead of the manual event-time timeout bookkeeping — the
-    state store evicts expired markers itself, no timer code.
+    per-state TTL (``getValueState(..., ttlDurationMs)``) instead of the
+    manual timeout bookkeeping — the state store evicts expired markers
+    itself, no timer code. The marker is re-written on every duplicate
+    sighting so the TTL slides exactly like the 3.x twin's
+    per-sighting ``setTimeoutTimestamp``; the residual twin divergence
+    is the CLOCK — native TTL is processing-time where the 3.x path
+    uses the event-time watermark, so under heavy event-time disorder
+    the two may expire a quiet hash at different moments.
 
     Requires Spark 4.x (raise otherwise — call
     ``has_transform_with_state()`` to route) and the RocksDB state store
@@ -369,8 +374,15 @@ def stateful_exact_dedup_tws(
                     if best is None or m[id_col] < best[id_col]:
                         best = m
             if best is None or self._seen.exists():
-                return iter(())  # already emitted (and TTL refreshed? no —
-                # first-seen wins; an expired marker re-admits, as documented)
+                if best is not None:
+                    # refresh the marker on every duplicate sighting so
+                    # the TTL slides like the 3.x twin's
+                    # setTimeoutTimestamp-per-sighting — without this, a
+                    # hash duplicated every ttl/2 re-emits every ~ttl
+                    # (native TTL counts from the last UPDATE, and
+                    # exists() alone does not refresh it)
+                    self._seen.update((True,))
+                return iter(())  # already emitted, first-seen wins
             self._seen.update((True,))
             return iter((pd.DataFrame({c: [best[c]] for c in columns}),))
 
@@ -518,11 +530,17 @@ def sketch_state_sink(
     single atomic directory rename ``sketch-<epoch>``; a replayed epoch
     (foreachBatch re-delivery after a crash) finds its generation already
     present and skips — the merge is idempotent per epoch with no separate
-    marker file to race against. Superseded generations are pruned after
-    the swap. A stream whose OWN checkpoint was reset (epoch ids restart
-    below the live generation) is refused with a RuntimeError rather than
-    silently double-merging — clear ``state_path`` to rebuild, or keep the
-    original checkpointLocation to continue. LOCAL-FILESYSTEM ONLY:
+    per-epoch marker file to race against. Superseded generations are
+    pruned after the swap. A stream whose OWN checkpoint was reset (epoch
+    ids restart below the live generation) is refused with a RuntimeError
+    rather than silently double-merging — clear ``state_path`` to rebuild,
+    or keep the original checkpointLocation to continue. A
+    ``_checkpoint_marker`` file additionally pins WHICH checkpoint built
+    the state, so a DIFFERENT checkpoint path is refused even when both
+    sit at epoch 0 (where the monotone guard alone would mistake the
+    reset for a crash replay and drop the batch); the one residual blind
+    spot is deleting and recreating the SAME checkpoint path after
+    exactly one committed epoch. LOCAL-FILESYSTEM ONLY:
     generation discovery and the commit rename run through driver-local
     ``os.listdir``/``os.rename``, so an ``hdfs://``/``s3a://``/other
     remote ``state_path`` would silently disable the checkpoint-reset
@@ -555,9 +573,35 @@ def sketch_state_sink(
                     continue
         return sorted(out)
 
+    marker = os.path.join(state_path, "_checkpoint_marker")
+    ck_id = os.path.abspath(checkpoint)
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         gens = _generations(state_path)
+        # Checkpoint-identity marker: the epoch-monotonicity guard below
+        # cannot catch a DIFFERENT checkpoint restarting at epoch 0
+        # against a state whose live generation is also 0 (0 < 0 is
+        # false, and the ==0 replay skip would silently drop the batch).
+        # Pinning the checkpoint path that built the state closes that
+        # case. Residual hole (documented): deleting and recreating the
+        # SAME checkpoint path after exactly one committed epoch is
+        # indistinguishable from a crash replay of epoch 0.
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                prev_ck = f.read().strip()
+            if prev_ck != ck_id:
+                raise RuntimeError(
+                    f"sketch state at {state_path} was built by stream "
+                    f"checkpoint {prev_ck!r} but this stream uses "
+                    f"{ck_id!r} — merging two stream lineages would "
+                    "double-count. Clear state_path to rebuild, or keep "
+                    "the original checkpointLocation."
+                )
+        else:
+            os.makedirs(state_path, exist_ok=True)
+            with open(marker, "w") as f:
+                f.write(ck_id)
         if gens and epoch_id < gens[-1][0]:
             # Epoch ids behind the live generation mean the caller
             # restarted with a FRESH stream checkpoint against existing

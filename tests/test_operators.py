@@ -1953,3 +1953,37 @@ def test_support_pairs_counts_and_lift(spark):
 
     with _pytest.raises(ValueError, match="top_k"):
         support_pairs(df, "b", "i", top_k=0)
+
+
+def test_packing_and_epoch_shuffle_survive_full_range_ids(spark):
+    """Full-range xxhash64-style ids (spanning more than 2^63 between
+    min and max, values at both int64 extremes) must not overflow the
+    range-bucketing subtraction or the epoch fold — the exact id shape
+    the packing error message recommends. Token conservation and the
+    per-epoch permutation contract must hold."""
+    from artigraph_spark.operators.packing import epoch_shuffle, pack_sequences
+
+    rows = [
+        (-(2**63) + 5, 10), (2**63 - 1, 20), (-1, 5),
+        (123456789, 7), (0, 3), (-(2**62), 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_sequences(df, "doc_id", "n", capacity=16).collect()
+    # token conservation: every id's count fully assigned
+    per_id = {}
+    for r in out:
+        per_id[r["doc_id"]] = per_id.get(r["doc_id"], 0) + r["tokens_in_bin"]
+    assert per_id == {k: n for k, n in rows}
+    # ids laid out in id order: bins are monotone in sorted-id order
+    first_bin = {r["doc_id"]: r["bin_id"] for r in out if r["doc_id"] not in ()}
+    ordered = [first_bin[k] for k, _ in sorted(rows)]
+    assert ordered == sorted(ordered)
+
+    es = epoch_shuffle(df, F.col("doc_id"), n_shards=4, epoch=1).collect()
+    assert len(es) == len(rows)
+    assert all(0 <= r["shard"] < 4 for r in es)
+    # overflow-safe fold is bit-identical to the mathematical definition
+    p, c, m = 1_000_000_007, 2_147_483_629, 2_654_435_761
+    for r in es:
+        expect = ((r["doc_id"] + 1 * c) % p * m) % p % 4
+        assert r["shard"] == expect

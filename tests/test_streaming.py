@@ -709,13 +709,53 @@ def test_sketch_state_sink_refuses_reset_checkpoint(spark, tmp_path):
     )
     q.processAllAvailable()
     q.stop()
-    # fresh checkpoint → epochs restart at 0 < live 2 → the sink raises
-    # inside foreachBatch, surfacing as a StreamingQueryException
+    # fresh checkpoint → the checkpoint-identity marker (r7) refuses the
+    # foreign lineage up front, surfacing as a StreamingQueryException
     q2 = sketch_state_sink(
         stream, build=build, merge=merge,
         state_path=state, checkpoint=str(tmp_path / "ck2"),
     )
-    with _pytest.raises(Exception, match="checkpoint was reset"):
+    with _pytest.raises(Exception, match="built by stream checkpoint"):
+        q2.processAllAvailable()
+    q2.stop()
+
+
+def test_sketch_state_sink_refuses_foreign_checkpoint_at_epoch_zero(
+    spark, tmp_path
+):
+    """Regression (r7 code review): a DIFFERENT checkpoint restarting at
+    epoch 0 against a state whose live generation is also 0 slipped
+    through the monotone guard (0 < 0 is false) and was silently dropped
+    as a 'crash replay' — the checkpoint-identity marker must refuse
+    it."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from artigraph_spark.operators.sketches import count_min_sketch
+    from artigraph_spark.streaming import sketch_state_sink
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    # ONE file → exactly one micro-batch → live generation is sketch-0
+    spark.createDataFrame(
+        [(i, i % 5) for i in range(10)], ["row_id", "user_id"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("row_id long, user_id long").parquet(src)
+    build = lambda df: count_min_sketch(df, "user_id", width=16, depth=2)
+    merge = lambda df: df.groupBy("depth_id", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    q = sketch_state_sink(
+        stream, build=build, merge=merge,
+        state_path=state, checkpoint=str(tmp_path / "ck1"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    q2 = sketch_state_sink(
+        stream, build=build, merge=merge,
+        state_path=state, checkpoint=str(tmp_path / "ck2"),
+    )
+    with _pytest.raises(Exception, match="built by stream checkpoint"):
         q2.processAllAvailable()
     q2.stop()
 
