@@ -166,12 +166,16 @@ def minhash_signatures_fast(
     # the previous one many times, and inlining (what a single select would
     # do) makes the expression tree — and the work — multiply out.
     staged = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks"), F.col(text_col).alias("__txt")
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
     staged = staged.select(
         F.col(id_col),
         F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__tokh"),
-        "__txt",
+        # short-doc fallback input: the NORMALIZED token join, so
+        # token-identical documents below the shingle minimum ("Foo bar"
+        # vs "foo  bar") share a signature like they do in the slow
+        # token-set path — hashing the raw text made them unrelated
+        F.concat_ws(" ", F.col("__toks")).alias("__ntxt"),
     )
 
     def shingle_hash(i):
@@ -186,7 +190,7 @@ def minhash_signatures_fast(
     staged = staged.select(
         F.col(id_col),
         F.when(n_shingles >= 1, F.transform(F.sequence(F.lit(1), n_shingles), shingle_hash))
-        .otherwise(F.array(F.xxhash64(F.col("__txt"))))
+        .otherwise(F.array(F.xxhash64(F.col("__ntxt"))))
         .alias("__sh"),
     )
     # Fold to 31 bits so a·h + b stays under 2^63 (a < 2^31).
@@ -494,11 +498,12 @@ def dedup_clusters(
     # NULL is NULL, and NULL join keys never match).
     fp = F.coalesce(F.sha2(F.col(text_col).cast("string"), 256), F.lit("__null__"))
     docs = df.select(F.col(id_col), F.col(text_col), fp.alias("__fp"))
-    reps = docs.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    # ONE min-id-per-fingerprint pass: reps derive from the exact-dedup
+    # survivors (the same arg-min) instead of a second groupBy shuffle
+    surv_full = exact_dedup(docs, ["__fp"], [F.col(id_col).asc()])
+    reps = surv_full.select("__fp", F.col(id_col).alias("__rep"))
     membership = docs.select(F.col(id_col), "__fp").join(reps, "__fp")
-    survivors = exact_dedup(
-        docs, ["__fp"], [F.col(id_col).asc()]
-    ).select(F.col(id_col), F.col(text_col))
+    survivors = surv_full.select(F.col(id_col), F.col(text_col))
 
     sigs = minhash_signatures_fast(survivors, id_col, text_col, num_hashes=num_hashes)
     candidates = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
@@ -632,7 +637,12 @@ def dedup_against(
 
     Returns the surviving new rows (all original columns).
     """
-    h = F.sha2(F.col(text_col).cast("string"), 256)
+    # NULL-text sentinel (same as dedup_clusters): sha2(NULL) is NULL and
+    # NULL anti-join keys never match, so null-text duplicates would
+    # bypass the reference entirely
+    h = F.coalesce(
+        F.sha2(F.col(text_col).cast("string"), 256), F.lit("__null__")
+    )
     ref_hashes = ref_df.select(h.alias("__h")).distinct()
     fresh = new_df.withColumn("__h", h).join(ref_hashes, "__h", "left_anti")
     survivors = dedup_pick_first(fresh, ["__h"], [F.col(id_col).asc()])
@@ -744,11 +754,22 @@ def bloom_dedup_against(
     """
     from artigraph_spark.operators.sketches import bloom_build
 
+    # NULL-text sentinels (same invariant as dedup_clusters/dedup_against):
+    # sha2(NULL)/content_key(NULL) are NULL — NULL probe keys would skip
+    # the filter and NULL digests would skip the anti-join, admitting
+    # null-text duplicates. content_key lands in [0, 2^60), so -1 is an
+    # unreachable sentinel for the probe side.
+    def _h(col):
+        return F.coalesce(F.sha2(col.cast("string"), 256), F.lit("__null__"))
+
+    def _k(col):
+        return F.coalesce(content_key(col), F.lit(-1).cast("long"))
+
     if ref_bits is None:
         if ref_df is None:
             raise ValueError("need ref_df or a pre-built ref_bits filter")
         ref_bits = bloom_build(
-            ref_df.select(content_key(F.col(text_col)).alias("__k")),
+            ref_df.select(_k(F.col(text_col)).alias("__k")),
             "__k",
             num_bits,
             num_hashes,
@@ -758,9 +779,8 @@ def bloom_dedup_against(
         raise ValueError("verify=True needs ref_df to check suspects against")
     from artigraph_spark.operators.sketches import bloom_passing_keys
 
-    h = F.sha2(F.col(text_col).cast("string"), 256)
-    keyed = new_df.withColumn("__h", h).withColumn(
-        "__k", content_key(F.col(text_col))
+    keyed = new_df.withColumn("__h", _h(F.col(text_col))).withColumn(
+        "__k", _k(F.col(text_col))
     )
     suspect_keys = bloom_passing_keys(
         keyed, "__k", ref_bits, num_bits, num_hashes, seed
@@ -768,9 +788,7 @@ def bloom_dedup_against(
     clean = keyed.join(suspect_keys, "__k", "left_anti")
     if verify:
         suspects = keyed.join(suspect_keys, "__k", "left_semi")
-        ref_hashes = ref_df.select(
-            F.sha2(F.col(text_col).cast("string"), 256).alias("__h")
-        ).distinct()
+        ref_hashes = ref_df.select(_h(F.col(text_col)).alias("__h")).distinct()
         admitted = clean.unionByName(suspects.join(ref_hashes, "__h", "left_anti"))
     else:
         admitted = clean

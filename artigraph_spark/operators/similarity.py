@@ -38,8 +38,17 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _safe_cos(dotc: Column, na: Column, nb: Column) -> Column:
+    """Cosine, or NULL when either norm is zero: cosine is undefined for
+    zero vectors (padding rows, failed-embedding sentinels), and the
+    unguarded division is a DIVIDE_BY_ZERO abort under Spark 4's ANSI
+    default. NULL scores fail threshold filters and are filtered before
+    every ranked top-k, so zero vectors simply never match."""
+    return F.when((na != F.lit(0.0)) & (nb != F.lit(0.0)), dotc / (na * nb))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return _safe_cos(dot(a, b), norm(a), norm(b))
 
 
 def cosine_topk_bruteforce(
@@ -77,11 +86,13 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("__qvec__"), F.col("__cvec__"))
-                / (F.col("__qnorm__") * F.col("__cnorm__"))
+            _safe_cos(
+                dot(F.col("__qvec__"), F.col("__cvec__")),
+                F.col("__qnorm__"),
+                F.col("__cnorm__"),
             ).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim").isNotNull())
     )
     return top_k_per_group(
         scored,
@@ -98,14 +109,28 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane bucket id: one sign bit per plane, packed to a long."""
+    """Random-hyperplane bucket id: one sign bit per plane, packed to a
+    long. Fails fast on a vector whose length differs from the plane
+    dimension: zip_with would otherwise pad with NULLs, every dot
+    product would go NULL, every sign bit 0, and ALL vectors would
+    collapse into bucket 0 of every table — silently turning the LSH
+    equi-join into a full cross product."""
+    dim = len(planes[0])
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(v)) for v in plane])
         d = F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y)
         s = F.aggregate(d, F.lit(0.0), lambda acc, p: acc + p)
         bucket = bucket + F.when(s >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+    return F.when(F.size(vec) == F.lit(dim), bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lsh_bucket: vector length "),
+                F.size(vec).cast("string"),
+                F.lit(f" != hyperplane dim {dim} — pass dim= matching the embeddings"),
+            )
+        )
+    )
 
 
 def cosine_topk_lsh(
@@ -154,11 +179,12 @@ def cosine_topk_lsh(
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        (
-            dot(F.col("__qvec__"), F.col("__cvec__"))
-            / (F.col("__qnorm__") * F.col("__cnorm__"))
+        _safe_cos(
+            dot(F.col("__qvec__"), F.col("__cvec__")),
+            F.col("__qnorm__"),
+            F.col("__cnorm__"),
         ).alias("cos_sim"),
-    )
+    ).filter(F.col("cos_sim").isNotNull())
     return top_k_per_group(
         scored,
         "query_id",
@@ -330,11 +356,13 @@ def cosine_topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("__qvec__"), F.col("__cvec__"))
-                / (F.col("__qnorm__") * F.col("__cnorm__"))
+            _safe_cos(
+                dot(F.col("__qvec__"), F.col("__cvec__")),
+                F.col("__qnorm__"),
+                F.col("__cnorm__"),
             ).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim").isNotNull())
     )
     return top_k_per_group(
         scored,
@@ -392,7 +420,9 @@ def embedding_near_dup_pairs(
         .filter(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
     )
-    cos = dot(F.col("__va__"), F.col("__vb__")) / (F.col("__na__") * F.col("__nb__"))
+    cos = _safe_cos(
+        dot(F.col("__va__"), F.col("__vb__")), F.col("__na__"), F.col("__nb__")
+    )
     return (
         pairs.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)

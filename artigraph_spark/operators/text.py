@@ -541,19 +541,18 @@ def ngram_novelty(
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    toks = tokens(F.col(text_col))
-    cnt = F.size(toks) - F.lit(n - 1)
-    shingles = F.when(
-        cnt >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), cnt),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    doc_sh = df.select(
-        F.col(id_col), F.explode(shingles).alias("__s")
+    # project the token array FIRST: an inline tokens(text) inside the
+    # shingle lambda is re-split per element access (HOFs run interpreted,
+    # no CSE — ngrams_from_tokens' docstring measured 23x), and the
+    # shared helper keeps the shingle definition single-sourced
+    doc_sh = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(ngrams_from_tokens(F.col("__toks"), n))
+            ).alias("__s"),
+        )
     )
     sh_df = doc_sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     per_doc = (

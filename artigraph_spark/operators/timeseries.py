@@ -164,8 +164,8 @@ def trend_slopes(
     squares slope over (bucket_index, count) — the
     "is this event type growing?" primitive.
 
-    All five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact int64
-    sums of small integers (x = whole buckets since ``origin_epoch``, y = bucket
+    All five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact
+    DECIMAL(38,0)-widened integer sums (x = whole buckets since ``origin_epoch``, y = bucket
     counts), so the slope — one double division of two exact int64s —
     is bit-identical on any engine/partitioning, and a DuckDB oracle
     replays it. Groups need ≥2 distinct buckets (the variance denominator
@@ -188,15 +188,23 @@ def trend_slopes(
         .groupBy(F.col(group_col), x.alias("__x"))
         .agg(F.count(F.lit(1)).alias("__y"))
     )
+    # sufficient statistics in DECIMAL(38,0): x*x for a bucket index far
+    # from origin_epoch (1970 sentinel timestamps at bucket_seconds=1 put
+    # x near -1.7e9, x*x near 2.9e18) overflows int64 — ANSI abort, or a
+    # silently garbage slope with ANSI off. Decimal sums/products are
+    # exact; the slope is still one double division at the end.
+    xd = F.col("__x").cast("decimal(38,0)")
+    yd = F.col("__y").cast("decimal(38,0)")
     stats = per_bucket.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum("__x").alias("__sx"),
-        F.sum("__y").alias("__sy"),
-        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(xd).alias("__sx"),
+        F.sum(yd).alias("__sy"),
+        F.sum(xd * F.col("__y")).alias("__sxy"),
+        F.sum(xd * F.col("__x")).alias("__sxx"),
     )
-    den = stats["n_buckets"] * F.col("__sxx") - F.col("__sx") * F.col("__sx")
-    num = stats["n_buckets"] * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    nb = stats["n_buckets"].cast("decimal(38,0)")
+    den = nb * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    num = nb * F.col("__sxy") - F.col("__sx") * F.col("__sy")
     return stats.select(
         group_col,
         "n_buckets",
@@ -246,7 +254,7 @@ def ewma_buckets(
     )
 
 
-def ewma_state(df, bucket_col, value_col: str, *, bits: int = 20):
+def ewma_state(df, bucket_col: Column | str, value_col: str, *, bits: int = 20):
     """The mergeable state behind :func:`ewma_buckets`: exact
     fixed-point per-bucket sums ``(__b, __s)``. Merges across
     partitions/snapshots/micro-batches by ``groupBy(__b).sum(__s)`` —
@@ -255,6 +263,7 @@ def ewma_state(df, bucket_col, value_col: str, *, bits: int = 20):
 
     from artigraph_spark.functions import fxp
 
+    bucket_col = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
     return (
         df.select(
             bucket_col.cast("long").alias("__b"),

@@ -422,10 +422,10 @@ def interval_join_click_purchase(spark, sf_dir):
     ), stats AS (
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_buckets,
-               CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
         FROM hourly GROUP BY 1
     )
     SELECT event_type, n_buckets,

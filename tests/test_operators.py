@@ -1987,3 +1987,88 @@ def test_packing_and_epoch_shuffle_survive_full_range_ids(spark):
     for r in es:
         expect = ((r["doc_id"] + 1 * c) % p * m) % p % 4
         assert r["shard"] == expect
+
+
+def test_cosine_paths_tolerate_zero_norm_vectors(spark):
+    """Zero-norm embeddings (padding rows, failed-embedding sentinels)
+    must not DIVIDE_BY_ZERO-abort under ANSI: their cosine is NULL and
+    they simply never rank or match."""
+    from artigraph_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        embedding_near_dup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0]), (4, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_topk_bruteforce(df, df, k=2).collect()
+    assert got  # runs, no SparkArithmeticException
+    assert all(r["neighbor_id"] != 3 and r["cos_sim"] is not None for r in got)
+    nd = embedding_near_dup_pairs(
+        df, threshold=0.9, dim=2, n_planes=2, n_tables=2
+    ).collect()
+    assert all(3 not in (r["a"], r["b"]) for r in nd)
+
+
+def test_lsh_bucket_rejects_dim_mismatch(spark):
+    """A vector whose length differs from the hyperplane dim must fail
+    loudly — silent NULL-padding used to put EVERY vector in bucket 0,
+    degrading the LSH equi-join to a cross product."""
+    import pytest as _pytest
+
+    from artigraph_spark.operators.similarity import cosine_topk_lsh
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="lsh_bucket"):
+        cosine_topk_lsh(df, df, k=1, dim=4).collect()
+
+
+def test_trend_slopes_survives_extreme_bucket_indices(spark):
+    """1970 sentinel timestamps at small bucket sizes push x² past int64;
+    the decimal-widened sufficient statistics must stay exact."""
+    from datetime import datetime
+
+    from artigraph_spark.operators.timeseries import trend_slopes
+
+    rows = [("a", datetime(1970, 1, 1, 0, 0, i)) for i in range(5)] + [
+        ("a", datetime(2024, 1, 1, 0, 0, i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts"])
+    got = trend_slopes(df, "g", "ts", bucket_seconds=1).collect()
+    assert len(got) == 1 and got[0]["slope"] is not None
+
+
+def test_incremental_dedup_null_text_does_not_bypass(spark):
+    """A null-text document duplicated from the reference must be caught
+    (the sentinel digest), in both the digest and the Bloom variants."""
+    from artigraph_spark.operators.dedup import bloom_dedup_against, dedup_against
+
+    new = spark.createDataFrame([(10, None), (11, "hello")], "id long, text string")
+    ref = spark.createDataFrame([(1, None), (2, "hello")], "id long, text string")
+    assert dedup_against(new, ref, "id", "text").count() == 0
+    assert bloom_dedup_against(new, ref, "id", "text").count() == 0
+    # null-text still admitted when the reference has none
+    ref2 = spark.createDataFrame([(2, "hello")], "id long, text string")
+    got = dedup_against(new, ref2, "id", "text").collect()
+    assert [r["id"] for r in got] == [10]
+
+
+def test_minhash_fast_short_docs_normalize_like_token_path(spark):
+    """Documents below the shingle minimum must signature-match when
+    their TOKEN sequences match (case/whitespace-insensitive), like the
+    token-set slow path — the fallback used to hash raw text."""
+    from artigraph_spark.operators.dedup import minhash_signatures_fast
+
+    df = spark.createDataFrame(
+        [(1, "Foo bar"), (2, "foo  bar"), (3, "foo baz")],
+        "id long, text string",
+    )
+    sigs = {r["id"]: tuple(r)[1:] for r in minhash_signatures_fast(
+        df, "id", "text", num_hashes=4
+    ).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
