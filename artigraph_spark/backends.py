@@ -34,26 +34,33 @@ def _key_to_jsonable(key: PartitionKey) -> list[list[str]]:
 
 
 def _partition_to_json(p: StoragePartition) -> dict[str, Any]:
-    return {
+    out = {
         "path": p.path,
         "key": _key_to_jsonable(p.partition_key),
         "input_fp": p.input_fingerprint.key,
         "content_fp": p.content_fingerprint.key,
     }
+    if p.value is not None:  # literal payload rides in the catalog
+        out["value"] = p.value
+    return out
 
 
 def _partition_from_json(d: dict[str, Any]) -> StoragePartition:
-    from artigraph_spark import partitions as pt
+    from artigraph_spark.partitions import PartitionField
 
     fields = {}
     for name, cls_name, text in d["key"]:
-        fcls = getattr(pt, cls_name)
+        # Registry lookup (not getattr on the partitions module) so
+        # user-defined PartitionField subclasses round-trip; unknown names
+        # raise a targeted LookupError instead of bricking the catalog.
+        fcls = PartitionField.by_name(cls_name)
         fields[name] = fcls.parse(fcls.default_component, text)
     return StoragePartition(
         path=d["path"],
         partition_key=PartitionKey(fields=fields),
         input_fingerprint=Fingerprint(key=d["input_fp"]),
         content_fingerprint=Fingerprint(key=d["content_fp"]),
+        value=d.get("value"),
     )
 
 
@@ -326,8 +333,15 @@ class JsonFileBackend(Backend):
                 for d in self._state["links"].get(f"{snapshot_id.key}:{artifact_fp.key}", {}).values()
             ]
 
+    @staticmethod
+    def _tag_key(graph_name: str, tag: str) -> str:
+        # JSON-array key, not ':'-joined text: ('pipeline:eu', 'prod') and
+        # ('pipeline', 'eu:prod') must stay distinct tags, matching
+        # MemoryBackend's tuple keying.
+        return json.dumps([graph_name, tag])
+
     def write_tag(self, graph_name: str, tag: str, snapshot_id: Fingerprint, *, overwrite: bool = False) -> None:
-        key = f"{graph_name}:{tag}"
+        key = self._tag_key(graph_name, tag)
         with self._locked():
             if key in self._state["tags"] and not overwrite:
                 raise ValueError(f"tag {tag!r} already exists for graph {graph_name!r}")
@@ -335,7 +349,7 @@ class JsonFileBackend(Backend):
             self._flush()
 
     def read_tag(self, graph_name: str, tag: str) -> Fingerprint:
-        key = f"{graph_name}:{tag}"
+        key = self._tag_key(graph_name, tag)
         with self._locked(exclusive=False):
             if key not in self._state["tags"]:
                 raise LookupError(f"no tag {tag!r} for graph {graph_name!r}")

@@ -127,15 +127,30 @@ class LocalSparkExecutor:
         ok, msg = producer.validate_outputs(*results)
         if not ok:
             raise BuildError(f"{type(producer).__name__} validate_outputs failed: {msg}")
+        # A statistics gate is an extra full action over the result's lazy
+        # plan; persist such results so the gate and the write share one
+        # lineage computation instead of running it twice.
+        from pyspark.sql import DataFrame
+
+        results = list(results)
+        persisted = []
         for pos, artifact in output_artifacts.items():
-            self._check_statistics(artifact, results[pos], producer)
-            snapshot.write(
-                results[pos],
-                artifact,
-                partition_key=partition_key,
-                input_fingerprint=input_fp,
-                strict_fingerprint=self.strict,
-            )
+            if artifact.statistics and isinstance(results[pos], DataFrame):
+                results[pos] = results[pos].persist()
+                persisted.append(results[pos])
+        try:
+            for pos, artifact in output_artifacts.items():
+                self._check_statistics(artifact, results[pos], producer)
+                snapshot.write(
+                    results[pos],
+                    artifact,
+                    partition_key=partition_key,
+                    input_fingerprint=input_fp,
+                    strict_fingerprint=self.strict,
+                )
+        finally:
+            for df in persisted:
+                df.unpersist()
 
     def _check_statistics(self, artifact: Any, result: Any, producer: Producer) -> None:
         """The reference's stubbed statistics/threshold hook
@@ -177,15 +192,22 @@ class ThreadedSparkExecutor(LocalSparkExecutor):
         graph = snapshot.graph
         deps = graph.dependencies()
         # Collapse the artifact nodes: producer -> set of upstream producers.
-        def upstream_producers(node: str, seen: frozenset[str] = frozenset()) -> set[str]:
+        # Memoized per node — the graph is sealed and acyclic, and without
+        # the memo a diamond-dense DAG re-walks every root-to-node path
+        # (exponential planning time before any build starts).
+        memo: dict[str, set[str]] = {}
+
+        def upstream_producers(node: str) -> set[str]:
+            cached = memo.get(node)
+            if cached is not None:
+                return cached
             out: set[str] = set()
             for dep in deps.get(node, ()):
-                if dep in seen:
-                    continue
                 if dep.startswith("producer:"):
                     out.add(dep)
                 else:
-                    out |= upstream_producers(dep, seen | {node})
+                    out |= upstream_producers(dep)
+            memo[node] = out
             return out
 
         producer_nodes = {n for n in deps if n.startswith("producer:")}

@@ -64,6 +64,16 @@ class Fingerprint:
         return cls(key=hash64(b))
 
     @classmethod
+    def from_multiset(cls, terms: "list[str] | tuple[str, ...] | Any") -> Fingerprint:
+        """Order-independent, duplicate-COUNTING hash of a term multiset
+        (sorted NUL-join). This is the safe combine for per-partition
+        fingerprint terms: XOR-combining them instead cancels identical
+        terms pairwise, so e.g. two byte-identical partitions would hash
+        the same as zero. Terms must not contain NUL — callers escape
+        (PartitionKey.canonical percent-escapes its parts)."""
+        return cls.from_string("\x00".join(sorted(terms)))
+
+    @classmethod
     def from_json(cls, value: Any) -> Fingerprint:
         """Fingerprint of a canonical-JSON rendering (sorted keys, compact)."""
         return cls.from_string(

@@ -125,9 +125,13 @@ def prune_unreferenced_partitions(
     storage mtime is younger than the grace are never touched, so only
     builds stalled longer than the grace between write and record are at
     risk. Pass ``grace_seconds=0`` ONLY when the caller guarantees no
-    build runs concurrently (e.g. a maintenance window); a partition whose
-    age cannot be determined is treated as old (discovery just listed it,
-    so it exists).
+    build runs concurrently (e.g. a maintenance window). Unknown-age
+    asymmetry: a LOCAL path that vanished between listing and stat counts
+    as old (it is already gone; the delete is a no-op), while a REMOTE
+    partition whose store exposes no mtimes is conservatively KEPT —
+    age-gated deletion of data whose age cannot be established is how
+    in-flight builds get corrupted, so such stores must be pruned by an
+    explicit path list instead.
     """
     # References are gathered across ALL artifact fingerprints linked to the
     # kept snapshots — not just the current graph's. Links are keyed by the

@@ -270,7 +270,7 @@ class Graph:
                 if isinstance(artifact.type, at.Collection)
                 else PythonScalarView
             )
-        io.write(
+        partition = io.write(
             data, artifact.type, artifact.format, partition, view, self.spark,
             storage=artifact.storage,
         )
@@ -313,11 +313,18 @@ class GraphSnapshot:
                 else p.compute_content_fingerprint(strict=strict)
                 for p in partitions
             ]
-            for p in snapped:
-                # Bind content to its artifact key (see definition_fingerprint).
-                fp = fp.combine(
-                    Fingerprint.from_string(f"{key}~{p.content_fingerprint.key}")
+            # Bind each content fp to its artifact key AND partition key,
+            # then hash the term MULTISET. A per-term XOR would cancel
+            # byte-identical partitions pairwise (two date partitions
+            # holding the same bytes == neither), silently colliding
+            # distinct raw-data states onto one snapshot_id and serving
+            # each other's memoized outputs.
+            fp = fp.combine(
+                Fingerprint.from_multiset(
+                    f"{key}~{p.partition_key.canonical()}~{p.content_fingerprint.key}"
+                    for p in snapped
                 )
+            )
             raw_partitions[artifact.fingerprint] = snapped
         snap = cls(graph, fp)
         backend.write_snapshot(fp, graph.name)

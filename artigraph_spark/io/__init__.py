@@ -110,12 +110,21 @@ def write(
     view: type[View],
     spark: SparkSession | None,
     storage: Storage | None = None,
-) -> None:
+) -> StoragePartition:
+    """Write ``data`` to the partition's storage and return the partition —
+    possibly UPDATED: literal writers carry the serialized value on the
+    returned partition (the catalog is their storage plane, mirroring the
+    reference's writer-returns-partition contract,
+    /root/reference/src/arti/io/json_stringliteral_python.py:40-52)."""
     # Dispatch on the artifact's actual Storage instance when the caller has
     # it (Graph.write always does) so writers registered for custom Storage
     # subclasses are honored; the path-prefix sniff is only a fallback for
     # legacy direct calls.
     resolved = storage if storage is not None else _storage_of(partition)
+    if isinstance(resolved, StringLiteral) and resolved.value is not None:
+        # Reference contract: a preset literal value cannot be overwritten —
+        # discovery would still surface the ORIGINAL value.
+        raise ValueError("Literals with a value already set cannot be written")
     fn = _lookup(_WRITERS, fmt, resolved, view)
     # Stage only when the STORAGE says the path is a local filesystem
     # location — a custom Storage subclass may use scheme-less opaque
@@ -126,14 +135,16 @@ def write(
         # staging dir; the partition path only comes into existence complete.
         with atomic_dir_write(partition.path) as staged:
             fn(data, type_, fmt, partition.model_copy(update={"path": staged}), spark)
-    elif isinstance(resolved, ObjectStore) and "://" in partition.path:
+        return partition
+    if isinstance(resolved, ObjectStore) and "://" in partition.path:
         # Manifest-gated object-store materialization: files stage under a
         # reserved commit prefix; a single-object manifest PUT flips the
         # partition's visible file set atomically.
         with atomic_object_commit(partition.path) as staged:
             fn(data, type_, fmt, partition.model_copy(update={"path": staged}), spark)
-    else:
-        fn(data, type_, fmt, partition, spark)
+        return partition
+    out = fn(data, type_, fmt, partition, spark)
+    return out if isinstance(out, StoragePartition) else partition
 
 
 def _storage_of(partition: StoragePartition) -> Storage:
@@ -673,19 +684,41 @@ def _write_json_scalar(data: Any, type_, fmt, partition, spark) -> None:
         json.dump(data, fh, default=str)
 
 
-@register_reader(JSON, StringLiteral, PythonScalarView)
-def _read_literal_scalar(type_, fmt, storage: StringLiteral, partitions, spark) -> Any:
+def _literal_values(storage: StringLiteral, partitions) -> list[str]:
+    """Serialized literal payloads: producer-written values ride on the
+    partitions (through the catalog); a preset ``storage.value`` is the
+    raw-artifact fallback."""
+    vals = [p.value for p in partitions if p.value is not None]
+    if vals:
+        return vals
     if storage.value is None:
         raise FileNotFoundError("literal storage has no value")
-    return json.loads(storage.value)
+    return [storage.value]
+
+
+@register_reader(JSON, StringLiteral, PythonScalarView)
+def _read_literal_scalar(type_, fmt, storage: StringLiteral, partitions, spark) -> Any:
+    (v,) = _literal_values(storage, partitions)
+    return json.loads(v)
 
 
 @register_reader(JSON, StringLiteral, PythonListView)
 def _read_literal_list(type_, fmt, storage: StringLiteral, partitions, spark) -> list:
-    if storage.value is None:
-        raise FileNotFoundError("literal storage has no value")
-    v = json.loads(storage.value)
-    return v if isinstance(v, list) else [v]
+    out: list = []
+    for raw in _literal_values(storage, partitions):
+        v = json.loads(raw)
+        out.extend(v if isinstance(v, list) else [v])
+    return out
+
+
+@register_writer(JSON, StringLiteral, PythonScalarView)
+def _write_literal_scalar(data: Any, type_, fmt, partition, spark) -> StoragePartition:
+    return partition.model_copy(update={"value": json.dumps(data, default=str)})
+
+
+@register_writer(JSON, StringLiteral, PythonListView)
+def _write_literal_list(data: list, type_, fmt, partition, spark) -> StoragePartition:
+    return partition.model_copy(update={"value": json.dumps(data, default=str)})
 
 
 @register_reader(Pickle, LocalFile, PythonScalarView)
@@ -708,7 +741,8 @@ def _write_pickle_scalar(data: Any, type_, fmt, partition, spark) -> None:
 
 @register_reader(JSON, StringLiteral, SparkDataFrameView)
 def _read_literal_df(type_, fmt, storage: StringLiteral, partitions, spark) -> DataFrame:
-    if storage.value is None:
-        raise FileNotFoundError("literal storage has no value")
-    rows = json.loads(storage.value)
+    rows: list = []
+    for raw in _literal_values(storage, partitions):
+        v = json.loads(raw)
+        rows.extend(v if isinstance(v, list) else [v])
     return spark.createDataFrame(rows, schema=_schema_for(type_))

@@ -38,6 +38,11 @@ class PartitionField(Model):
     # fails loudly instead of silently discovering nothing.
     component_sets: ClassVar[tuple[frozenset[str], ...]] = ()
 
+    # Every concrete subclass by name — catalog deserialization resolves
+    # field classes through this, so user-defined PartitionField subclasses
+    # round-trip through a JsonFileBackend exactly like the built-ins.
+    _registry: ClassVar[dict[str, type["PartitionField"]]] = {}
+
     def __init_subclass__(cls, **kwargs: Any) -> None:
         super().__init_subclass__(**kwargs)
         # A subclass that declares a default_component but no component_sets
@@ -47,6 +52,27 @@ class PartitionField(Model):
         # from_components can rebuild it.
         if "component_sets" not in cls.__dict__ and "default_component" in cls.__dict__:
             cls.component_sets = (frozenset({cls.default_component}),)
+        prior = PartitionField._registry.get(cls.__name__)
+        if prior is not None and prior.__module__ != cls.__module__:
+            # Two unrelated classes sharing a name would make catalog
+            # deserialization silently rebuild one module's entries through
+            # the other's class. Same-module redefinition (REPL / test
+            # re-execution) replaces quietly.
+            raise ValueError(
+                f"PartitionField name {cls.__name__!r} already registered by "
+                f"{prior.__module__}; rename one of the classes"
+            )
+        PartitionField._registry[cls.__name__] = cls
+
+    @classmethod
+    def by_name(cls, name: str) -> type["PartitionField"]:
+        try:
+            return cls._registry[name]
+        except KeyError:
+            raise LookupError(
+                f"unknown PartitionField class {name!r} in catalog — is the "
+                "module defining it imported in this process?"
+            ) from None
 
     @property
     def components(self) -> dict[str, str]:
@@ -266,6 +292,21 @@ class PartitionKey(Model):
 
     def sort_key(self) -> tuple:
         return tuple((name, str(self.fields[name].value)) for name in sorted(self.fields))
+
+    def canonical(self) -> str:
+        """Deterministic, INJECTIVE rendering for fingerprint binding:
+        sorted ``name=value`` pairs with both sides percent-escaped —
+        a raw join would let a value containing '/' or '=' (or the
+        term-multiset's NUL separator) render identically to a different
+        key, and two distinct partitions would produce interchangeable
+        fingerprint terms. Distinct keys render distinctly, binding a
+        content fp to ITS partition."""
+        from urllib.parse import quote
+
+        return "/".join(
+            f"{quote(name, safe='')}={quote(value, safe='')}"
+            for name, value in self.sort_key()
+        )
 
     def __hash__(self) -> int:
         return hash(self.sort_key())

@@ -106,7 +106,17 @@ class Producer(Model):
             ret = get_type_hints(cls.build).get("return", ret)
         except Exception:
             pass
-        cls._output_count = len(ret.__args__) if _is_tuple_annotation(ret) else 1
+        if _is_tuple_annotation(ret):
+            if Ellipsis in ret.__args__:
+                # tuple[X, ...] would count Ellipsis as an output slot;
+                # outputs map positionally to artifacts, so arity is fixed.
+                raise TypeError(
+                    f"{cls.__name__}.build may not return a variadic tuple "
+                    "(tuple[X, ...]); declare a fixed number of outputs"
+                )
+            cls._output_count = len(ret.__args__)
+        else:
+            cls._output_count = 1
 
     @classmethod
     def _validate_map_signature(cls) -> None:
@@ -151,27 +161,33 @@ class Producer(Model):
     def compute_input_fingerprint(
         cls, dependencies: dict[str, tuple[StoragePartition, ...]]
     ) -> Fingerprint:
-        """fp(class) ⊕ fp(version) ⊕ ⊕(name-bound content fps) —
-        path-independent, so reverting data re-hits memoized outputs. Each
-        content fp is BOUND to its parameter name: a bare XOR of content fps
-        would give div(a=x, b=y) and div(a=y, b=x) the same memoization key,
-        and the second build would silently serve the first's output."""
+        """fp(class) ⊕ fp(version) ⊕ hash(sorted name+key-bound content fp
+        terms) — path-independent, so reverting data re-hits memoized
+        outputs. Each content fp is BOUND to its parameter name (a bare XOR
+        of content fps would give div(a=x, b=y) and div(a=y, b=x) the same
+        memoization key) and its partition key, and the terms hash as one
+        sorted multiset so duplicate-content partitions cannot cancel."""
         if set(dependencies) != set(cls._input_names):
             raise ValueError(
                 f"Mismatched dependency inputs; expected {set(cls._input_names)}, "
                 f"got {set(dependencies)}"
             )
         fp = cls.class_fingerprint()
+        # One hash over the term MULTISET, each term binding the content fp
+        # to its parameter name AND partition key. Per-term XOR would cancel
+        # byte-identical partitions pairwise (an input of two duplicate date
+        # partitions would memoize as if it had neither).
+        terms: list[str] = []
         for name, partitions in sorted(dependencies.items()):
             for p in partitions:
                 if p.content_fingerprint.is_empty:
                     raise ValueError(
                         f"partition {p.path} has no content fingerprint; snapshot first"
                     )
-                fp = fp.combine(
-                    Fingerprint.from_string(f"{name}:{p.content_fingerprint.key}")
+                terms.append(
+                    f"{name}:{p.partition_key.canonical()}:{p.content_fingerprint.key}"
                 )
-        return fp
+        return fp.combine(Fingerprint.from_multiset(terms))
 
     def inputs(self) -> dict[str, Artifact]:
         return {name: getattr(self, name) for name in self._input_names}

@@ -140,12 +140,16 @@ class RangeViolations(Statistic):
 
 class EnumViolations(Statistic):
     """Engine-level CHECK for Enum-typed columns (Spark has no enum type):
-    counts values outside the allowed set. Pair with EqualsThreshold(0)."""
+    counts values outside the allowed set, NULL included (NULL is not an
+    enum member; without the isNull arm three-valued logic would make
+    ``~isin`` evaluate NULL → count skips it → an all-NULL partition
+    passes an EqualsThreshold(0) gate). Pair with EqualsThreshold(0)."""
 
     items: tuple[Any, ...] = ()
 
     def expr(self) -> Column:
-        return F.count(F.when(~F.col(self.column).isin(list(self.items)), 1))
+        c = F.col(self.column)
+        return F.count(F.when(c.isNull() | ~c.isin(list(self.items)), 1))
 
 
 class StatisticsResult(Model):

@@ -51,8 +51,11 @@ def _read_object_manifest(fs: Any, root: str) -> dict | None:
     mpath = f"{root.rstrip('/')}/{MANIFEST_NAME}"
     if fs.get_file_info(mpath).type != pafs.FileType.File:
         return None
-    with fs.open_input_stream(mpath) as fh:
-        manifest = json.loads(fh.read().decode("utf-8"))
+    try:
+        with fs.open_input_stream(mpath) as fh:
+            manifest = json.loads(fh.read().decode("utf-8"))
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        return None  # unparseable bytes degrade exactly like a wrong shape
     if not isinstance(manifest, dict) or not isinstance(manifest.get("commit"), str):
         return None
     return manifest
@@ -69,9 +72,22 @@ _KEY_PH_RX = re.compile(r"\{(?P<name>\w+)\.(?P<component>\w+)(?::(?P<spec>[^}]+)
 
 
 def _collapse_slashes(path: str) -> str:
-    """Collapse duplicate slashes WITHOUT corrupting URI schemes
-    (s3a://bucket, hdfs://nn) — only slashes not preceded by ':' fold."""
-    return re.sub(r"(?<!:)//+", "/", path)
+    """Collapse duplicate slashes WITHOUT corrupting URI schemes: the
+    "scheme://" separator survives intact — including the empty-authority
+    file:/// form, whose third slash begins the PATH and must not fold into
+    the separator (a lookbehind-on-':' collapse turned file:///tmp into
+    file://tmp, relocating the root into the authority)."""
+    if "://" in path:
+        scheme, rest = path.split("://", 1)
+        return scheme + "://" + re.sub(r"//+", "/", rest)
+    return re.sub(r"//+", "/", path)
+
+
+def _strip_file_scheme(path: str) -> str:
+    """file:// URI → plain filesystem path (os/glob calls take paths)."""
+    if path.startswith("file://"):
+        return path[len("file://") :] or "/"
+    return path
 
 
 class StoragePartition(Model):
@@ -82,11 +98,22 @@ class StoragePartition(Model):
     partition_key: PartitionKey = PartitionKey.not_partitioned()
     input_fingerprint: Fingerprint = Fingerprint.empty()
     content_fingerprint: Fingerprint = Fingerprint.empty()
+    # Literal partitions carry their data INLINE (the reference's
+    # StringLiteralPartition.value, storage/literal.py): the catalog is the
+    # storage plane, so producer outputs bound to StringLiteral storage
+    # round-trip through the backend, not the filesystem.
+    value: str | None = None
 
     def compute_content_fingerprint(self, *, strict: bool = False) -> StoragePartition:
-        return self.model_copy(
-            update={"content_fingerprint": _fingerprint_path(self.path, strict=strict)}
-        )
+        if self.path.startswith("literal://"):
+            if self.value is None:
+                raise FileNotFoundError(
+                    f"literal partition {self.path} has no value"
+                )
+            fp = Fingerprint.from_string(self.value)
+        else:
+            fp = _fingerprint_path(self.path, strict=strict)
+        return self.model_copy(update={"content_fingerprint": fp})
 
 
 def _fingerprint_path(path: str, *, strict: bool = False) -> Fingerprint:
@@ -99,6 +126,11 @@ def _fingerprint_path(path: str, *, strict: bool = False) -> Fingerprint:
     """
     if "://" in path and not path.startswith("file://"):
         return _fingerprint_object_uri(path, strict=strict)
+    # file:// URIs are local-filesystem paths to every os-level call below
+    # (a LocalFile root MAY be file://-qualified; io.atomic_dir_write strips
+    # the same prefix) — without this, a successful write is followed by
+    # FileNotFoundError from the fingerprint pass.
+    path = _strip_file_scheme(path)
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     files = []
@@ -133,7 +165,7 @@ def _fingerprint_path(path: str, *, strict: bool = False) -> Fingerprint:
 
 def _build_discovery_spec(
     template: str, key_types: dict[str, type[PartitionField]]
-) -> tuple[str, re.Pattern[str], bool]:
+) -> tuple[str, re.Pattern[str], bool, str]:
     """Render a storage template into (glob pattern, parse regex, has_fp) —
     the shared half of partition discovery. Candidate ENUMERATION is
     per-storage (filesystem glob vs object listing); the spec/parse contract
@@ -191,7 +223,26 @@ def _build_discovery_spec(
                 f"{[sorted(s) for s in key_types[name].component_sets]}"
             )
 
-    glob_pattern = _KEY_PH_RX.sub("*", pattern).replace(_FP_WILDCARD, "*")
+    # Glob-ESCAPE the static text between placeholders: a graph name or root
+    # containing glob metacharacters ('exp[1]', 'run?') writes to the literal
+    # path, so an unescaped glob would silently discover nothing for data
+    # that exists. Placeholder positions become '*' AFTER escaping.
+    chunks, last = [], 0
+    for m in _KEY_PH_RX.finditer(pattern):
+        chunks.append(_glob.escape(pattern[last : m.start()]))
+        chunks.append("*")
+        last = m.end()
+    chunks.append(_glob.escape(pattern[last:]))
+    glob_pattern = "".join(chunks).replace(_glob.escape(_FP_WILDCARD), "*")
+    # Longest static prefix of the UNESCAPED path (text before the first
+    # placeholder, trimmed to a whole segment) — object-store discovery lists
+    # under this raw prefix rather than globbing.
+    first_dynamic = min(
+        [m.start() for m in _KEY_PH_RX.finditer(pattern)]
+        + ([pattern.index(_FP_WILDCARD)] if _FP_WILDCARD in pattern else [])
+        + [len(pattern)]
+    )
+    static_prefix = pattern[:first_dynamic].rsplit("/", 1)[0]
     # Group names carry the format spec: occurrences of the same component
     # with the SAME spec render identical text (→ backreference); different
     # specs render differently ("05" vs "5") and get independent captures.
@@ -214,7 +265,7 @@ def _build_discovery_spec(
     regex_src = regex_src.replace(
         re.escape(_FP_WILDCARD), r"(?P<fp>-?\d+)", 1
     ).replace(re.escape(_FP_WILDCARD), r"(?P=fp)")
-    return glob_pattern, re.compile("^" + regex_src + "$"), has_fp
+    return glob_pattern, re.compile("^" + regex_src + "$"), has_fp, static_prefix
 
 
 def _parse_partition_path(
@@ -401,13 +452,19 @@ class LocalFile(Storage):
     def discover_partitions(
         self, key_types: dict[str, type[PartitionField]]
     ) -> list[StoragePartition]:
-        pattern, rx, has_fp = _build_discovery_spec(self.template, key_types)
+        pattern, rx, has_fp, _prefix = _build_discovery_spec(self.template, key_types)
+        # A file://-rooted template globs as a plain path; matched paths get
+        # the scheme back so they satisfy the parse regex (built from the
+        # template) and the catalog keeps one identity per partition.
+        scheme = "file://" if pattern.startswith("file://") else ""
         # include_hidden: a bare "{s.value}" component may render a
         # dot-leading segment that glob's "*" would otherwise skip, making
         # discovery blind to partitions generate_partition just wrote.
         parsed = (
-            _parse_partition_path(path, rx, key_types, has_fp)
-            for path in sorted(_glob.glob(pattern, include_hidden=True))
+            _parse_partition_path(scheme + path, rx, key_types, has_fp)
+            for path in sorted(
+                _glob.glob(_strip_file_scheme(pattern), include_hidden=True)
+            )
         )
         return [p for p in parsed if p is not None]
 
@@ -581,19 +638,26 @@ class ObjectStore(Storage):
     ) -> list[StoragePartition]:
         from pyarrow import fs as pafs
 
-        pattern, rx, has_fp = _build_discovery_spec(self.template, key_types)
+        _pattern, rx, has_fp, static_prefix = _build_discovery_spec(
+            self.template, key_types
+        )
 
         # One recursive listing under the longest static prefix (everything
-        # before the first wildcard), then the shared spec parse. Object
+        # before the first placeholder), then the shared spec parse. Object
         # stores have no real directories, so partition "paths" are
         # reconstructed from both listed entries and every ancestor prefix
         # of each object.
-        scheme = pattern.split("://", 1)[0]
-        static_prefix = pattern.split("*", 1)[0].rsplit("/", 1)[0]
+        scheme = static_prefix.split("://", 1)[0]
         try:
             fs, root = _resolve_fs(static_prefix)
-        except (OSError, ValueError):
-            return []
+        except (OSError, ValueError) as exc:
+            # Filesystem RESOLUTION failing is an infrastructure problem
+            # (pyarrow built without this scheme, bad endpoint/credentials)
+            # — returning [] here would misreport it as "no data" and make
+            # callers silently skip work that exists.
+            raise RuntimeError(
+                f"cannot resolve filesystem for {static_prefix!r}: {exc}"
+            ) from exc
         selector = pafs.FileSelector(root, recursive=True, allow_not_found=True)
         candidates: set[str] = set()
         file_uris: list[str] = []
@@ -654,10 +718,15 @@ class StringLiteral(Storage):
                 f"Literal storage cannot have a `value` preset ({self.value}) "
                 "for a Producer output"
             )
+        # Backends key partitions by path: a producer-output literal needs
+        # one catalog identity PER input fingerprint or successive builds
+        # would overwrite each other's memoized values.
+        suffix = "" if input_fingerprint.is_empty else f"/{input_fingerprint.key}"
         return StoragePartition(
-            path=f"literal://{self.fingerprint.key}",
+            path=f"literal://{self.fingerprint.key}{suffix}",
             partition_key=key,
             input_fingerprint=input_fingerprint,
+            value=self.value,
         )
 
     def discover_partitions(
@@ -670,5 +739,6 @@ class StringLiteral(Storage):
                 path=f"literal://{self.fingerprint.key}",
                 partition_key=PartitionKey.not_partitioned(),
                 content_fingerprint=Fingerprint.from_string(self.value),
+                value=self.value,
             )
         ]

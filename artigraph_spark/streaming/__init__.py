@@ -229,6 +229,23 @@ def stateful_exact_dedup(
         raise ValueError("ts_col and ttl_seconds must be given together")
     bounded = ts_col is not None
     columns = [f.name for f in df.schema.fields]
+    # Arrow hands the pandas UDF timestamps rendered in the SESSION timezone
+    # and made tz-NAIVE; naive .timestamp() assumes UTC, so under a non-UTC
+    # session tz the TTL horizon would shift by the UTC offset relative to
+    # getCurrentWatermarkMs() (true epoch ms) and markers would expire
+    # hours early. Capture the session tz now and re-localize in the UDF.
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+
+    def _epoch_ms(ts) -> int:
+        try:
+            return int(
+                ts.tz_localize(
+                    session_tz, ambiguous=True, nonexistent="shift_forward"
+                ).timestamp()
+                * 1000
+            )
+        except Exception:  # non-IANA tz string — fall back to naive-as-UTC
+            return int(ts.timestamp() * 1000)
 
     def best_of(pdfs):
         best, max_ts = None, None
@@ -272,7 +289,7 @@ def stateful_exact_dedup(
         # Sliding TTL from the last sighting; clamp above the current
         # watermark (Spark rejects a timeout at/behind the watermark,
         # which very-late data could otherwise produce).
-        candidate = int(max_ts.timestamp() * 1000) + ttl_seconds * 1000
+        candidate = _epoch_ms(max_ts) + ttl_seconds * 1000
         state.setTimeoutTimestamp(max(candidate, state.getCurrentWatermarkMs() + 1))
         if emit:
             yield pd.DataFrame({c: [best[c]] for c in columns})
@@ -424,14 +441,24 @@ def stream_to_partitioned_sink(
     checkpoint: str,
     on_batch: Callable[[DataFrame, int], None] | None = None,
 ):
-    """foreachBatch → partitioned parquet sink: exactly-once per epoch via
-    checkpointing; each micro-batch lands through the same
-    write-partitionBy path as batch builds."""
+    """foreachBatch → partitioned parquet sink, idempotent per epoch.
+
+    Checkpointing alone gives at-least-once delivery to foreachBatch: a
+    crash after the write but before the epoch commit REPLAYS the epoch,
+    and a blind append would double its rows. Each batch therefore lands
+    under an ``epoch=<id>`` partition via dynamic-partition OVERWRITE —
+    the replay rewrites exactly its own epoch partitions and nothing
+    else, which upgrades the sink to effectively-exactly-once. Readers
+    see an extra ``epoch`` bigint column (drop it, or keep it as
+    provenance); ``on_batch`` may still be re-invoked on replay."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        writer = batch_df.write.mode("append")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        writer = (
+            batch_df.withColumn("epoch", F.lit(epoch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", *partition_by)
+        )
         writer.parquet(path)
         if on_batch is not None:
             on_batch(batch_df, epoch_id)

@@ -63,7 +63,15 @@ class PandasDataFrameView(View):
     support is delegated to the pandas TypeSystem: a Collection is
     viewable iff its row Struct converts to a pandas frame."""
 
-    python_type: ClassVar[Any] = None  # set below to pd.DataFrame
+    # Replaced with pd.DataFrame below on successful import. The fallback is
+    # a sentinel no annotation can ever `is`-match — None would make
+    # matches_annotation true for EVERY non-generic annotation
+    # (get_origin(x) is None) and shadow SparkDataFrameView in the
+    # reversed-registry scan.
+    class _NoPandas:  # pragma: no cover - import-failure sentinel
+        pass
+
+    python_type: ClassVar[Any] = _NoPandas
 
     @classmethod
     def supports_type(cls, type_: at.Type) -> bool:

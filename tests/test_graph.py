@@ -290,3 +290,111 @@ def test_snapshot_id_distinguishes_producer_arg_order(tmp_root):
     f_ab = DivNums.compute_input_fingerprint({"a": (pa,), "b": (pb,)})
     f_ba = DivNums.compute_input_fingerprint({"a": (pb,), "b": (pa,)})
     assert f_ab != f_ba
+
+
+def test_snapshot_id_counts_duplicate_content_partitions(tmp_root):
+    """Two partitions holding byte-identical files must NOT cancel out of the
+    snapshot id: snapshot({d1=X, d2=X, d3=Y}) != snapshot({d3=Y}). A per-term
+    XOR combine had exactly this collision (identical content fps at distinct
+    partition keys produced identical terms), which would let distinct
+    raw-data states share a snapshot id and serve each other's memoized
+    outputs."""
+    import shutil
+
+    part_type = at.Collection(
+        element=at.Struct(fields={"d": at.Date(), "value": at.Int64()}),
+        partition_by=("d",),
+    )
+
+    def seed(root: str, dates: list[str]) -> None:
+        for d in dates:
+            dirpath = os.path.join(root, f"g3/nums/nums/d={d}")
+            os.makedirs(dirpath, exist_ok=True)
+            with open(os.path.join(dirpath, "part-0.json"), "w") as f:
+                # d1/d2 byte-identical on purpose; d3 differs.
+                f.write('{"value": 1}' if d != "2021-01-03" else '{"value": 9}')
+
+    def snap(root: str) -> GraphSnapshot:
+        with Graph("g3", backend=MemoryBackend()) as g:
+            g.artifacts.nums = Num(
+                type=part_type, format=JSON(), storage=LocalFile(root=root)
+            )
+        return g.snapshot(strict_fingerprints=True)
+
+    root_all = os.path.join(tmp_root, "all")
+    root_one = os.path.join(tmp_root, "one")
+    seed(root_all, ["2021-01-01", "2021-01-02", "2021-01-03"])
+    seed(root_one, ["2021-01-03"])
+    assert snap(root_all).snapshot_id != snap(root_one).snapshot_id
+    shutil.rmtree(root_all)
+    shutil.rmtree(root_one)
+
+
+def test_input_fingerprint_counts_duplicate_content_partitions():
+    """Memoization keys must distinguish an input of two byte-identical
+    partitions from an empty/one-partition input (same XOR-cancel hazard as
+    the snapshot id), and must bind content to its partition key."""
+    import datetime
+
+    from artigraph_spark.fingerprint import Fingerprint
+    from artigraph_spark.partitions import DateField, PartitionKey
+    from artigraph_spark.storage import StoragePartition
+
+    def part(day: int, content: int) -> StoragePartition:
+        return StoragePartition(
+            path=f"/data/d=2021-01-0{day}",
+            partition_key=PartitionKey(
+                fields={"d": DateField(key=datetime.date(2021, 1, day))}
+            ),
+            content_fingerprint=Fingerprint.from_int(content),
+        )
+
+    dup_a, dup_b, other = part(1, 111), part(2, 111), part(3, 222)
+    f_all = SumNums.compute_input_fingerprint({"nums": (dup_a, dup_b, other)})
+    f_one = SumNums.compute_input_fingerprint({"nums": (other,)})
+    f_two = SumNums.compute_input_fingerprint({"nums": (dup_a, other)})
+    assert len({f_all, f_one, f_two}) == 3
+    # Same content at a DIFFERENT partition key is a different input state.
+    f_moved = SumNums.compute_input_fingerprint({"nums": (dup_b, other)})
+    assert f_moved != f_two
+    # Order within the tuple stays irrelevant (path/order independence).
+    assert f_all == SumNums.compute_input_fingerprint({"nums": (other, dup_b, dup_a)})
+
+
+def test_literal_storage_producer_output(tmp_root, spark):
+    """A producer output bound to StringLiteral storage builds end-to-end:
+    the serialized value rides on the partition through the catalog (the
+    reference's StringLiteralPartition.value contract), reads back, and
+    memoizes — no filesystem involved for the output."""
+    from artigraph_spark.storage import StringLiteral
+
+    backend = JsonFileBackend(os.path.join(tmp_root, "catalog.json"))
+    seed_nums(tmp_root, [1, 2, 3])
+    with Graph("g", backend=backend) as g:
+        g.artifacts.nums = Num(type=NUM_TYPE, format=JSON(), storage=LocalFile(root=tmp_root))
+        g.artifacts.total = SumNums(nums=g.artifacts.nums).out(
+            Total(type=at.Int64(), format=JSON(), storage=StringLiteral())
+        )
+    ex = LocalSparkExecutor(strict_fingerprints=True)
+    snap = g.snapshot(strict_fingerprints=True).build(ex)
+    assert snap.read(g.artifacts.total, annotation=int) == 6
+    # Second build memoizes off the catalog-carried value.
+    ex2 = LocalSparkExecutor(strict_fingerprints=True)
+    snap2 = g.snapshot(strict_fingerprints=True).build(ex2)
+    assert ex2.built_partitions == 0 and ex2.skipped_partitions == 1
+    assert snap2.read(g.artifacts.total, annotation=int) == 6
+
+
+def test_literal_preset_value_cannot_be_written(tmp_root, spark):
+    """Reference contract: a literal with a preset value cannot be written —
+    discovery would still surface the ORIGINAL value."""
+    from artigraph_spark import io
+    from artigraph_spark.fingerprint import Fingerprint
+    from artigraph_spark.partitions import PartitionKey
+    from artigraph_spark.storage import StringLiteral
+    from artigraph_spark.views import PythonScalarView
+
+    storage = StringLiteral(value="1")
+    part = storage.generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+    with pytest.raises(ValueError, match="already set"):
+        io.write(2, at.Int64(), JSON(), part, PythonScalarView, spark, storage=storage)

@@ -486,3 +486,28 @@ def test_wrong_shape_manifest_degrades_to_legacy_layout(mock_fs):
         with fs.open_output_stream(f"{root}/{MANIFEST_NAME}") as fh:
             fh.write(payload)
         assert committed_data_path(uri) == uri  # graceful legacy fallback
+
+
+def test_corrupt_manifest_degrades_to_legacy_layout(mock_fs):
+    """A non-JSON _MANIFEST.json (foreign tool, torn write) must degrade to
+    the legacy unmanifested layout for BOTH discovery and fingerprinting,
+    never crash a snapshot."""
+    d = mock_fs / "g" / "t" / "t" / "_fingerprint=3"
+    d.mkdir(parents=True)
+    (d / "part-0.json").write_bytes(b'{"v": 1}')
+    (d / "_MANIFEST.json").write_bytes(b"\xff\xfenot json at all")
+    storage = _storage()
+    parts = storage.discover_partitions({})
+    assert len(parts) == 1
+    snapped = parts[0].compute_content_fingerprint()
+    assert not snapped.content_fingerprint.is_empty
+
+
+def test_unresolvable_scheme_raises_not_empty(tmp_path):
+    """Infrastructure failures (unresolvable scheme) must raise, not
+    masquerade as an empty bucket."""
+    storage = ObjectStore(
+        scheme="no-such-scheme", bucket="b"
+    ).resolve_templates(graph_name="g", names="t", name="t", strip_input_fingerprint=True)
+    with pytest.raises(RuntimeError, match="cannot resolve filesystem"):
+        storage.discover_partitions({})

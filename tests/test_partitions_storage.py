@@ -210,3 +210,59 @@ def test_path_tags_with_glob_metacharacters_survive_discovery(tmp_path):
     with open(os.path.join(p.path, "d"), "w") as f:
         f.write("{}")
     assert [f.path for f in storage.discover_partitions({})] == [p.path]
+
+
+def test_discovery_with_glob_metacharacters_in_static_text(tmp_path):
+    """Static template text (root, graph name) is literal path text: glob
+    metacharacters in it must not pattern-match (or worse, match nothing and
+    hide data that generate_partition just wrote)."""
+    root = str(tmp_path / "run[1]")
+    storage = LocalFile(root=root).resolve_templates(
+        graph_name="exp?a", names="t", name="t", strip_input_fingerprint=True
+    )
+    key = PartitionKey(fields={"date": DateField(key=datetime.date(2021, 10, 1))})
+    p = storage.generate_partition(key, Fingerprint.empty())
+    os.makedirs(p.path, exist_ok=True)
+    with open(os.path.join(p.path, "part-0.json"), "w") as f:
+        f.write("{}")
+    parts = storage.discover_partitions({"date": DateField})
+    assert [q.path for q in parts] == [p.path]
+
+
+def test_file_scheme_root_write_fingerprint_discover(tmp_path):
+    """A file://-qualified LocalFile root must fingerprint and discover the
+    same data a plain-path root does (io's atomic writer already accepts the
+    scheme; the metadata side has to agree)."""
+    plain = str(tmp_path)
+    storage = LocalFile(root="file://" + plain).resolve_templates(
+        graph_name="g", names="t", name="t", strip_input_fingerprint=True
+    )
+    p = storage.generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+    assert p.path.startswith("file://")
+    os.makedirs(plain + "/g/t/t", exist_ok=True)
+    with open(plain + "/g/t/t/part-0.json", "w") as f:
+        f.write('{"v": 1}')
+    snapped = p.compute_content_fingerprint(strict=True)
+    assert not snapped.content_fingerprint.is_empty
+    twin = (
+        LocalFile(root=plain)
+        .resolve_templates(graph_name="g", names="t", name="t", strip_input_fingerprint=True)
+        .generate_partition(PartitionKey.not_partitioned(), Fingerprint.empty())
+        .compute_content_fingerprint(strict=True)
+    )
+    assert snapped.content_fingerprint == twin.content_fingerprint
+    assert [q.path for q in storage.discover_partitions({})] == [p.path]
+
+
+def test_partition_key_canonical_is_injective():
+    """Values containing '/', '=', or NUL must not let two distinct keys
+    render the same canonical string (fingerprint terms are built from it)."""
+    from artigraph_spark.partitions import StringField
+
+    k1 = PartitionKey(fields={"a": StringField(key="1/b=2")})
+    k2 = PartitionKey(fields={"a": StringField(key="1"), "b": StringField(key="2")})
+    assert k1.canonical() != k2.canonical()
+    k3 = PartitionKey(fields={"a": StringField(key="x\x00y")})
+    k4 = PartitionKey(fields={"a": StringField(key="x"), "y": StringField(key="")})
+    assert k3.canonical() != k4.canonical()
+    assert "\x00" not in k3.canonical()

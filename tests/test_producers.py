@@ -216,3 +216,15 @@ def test_string_annotations_resolved():
 
     out = SClean(docs=SDocs()).out(SDocs())
     assert isinstance(out, SDocs) and out.is_produced
+
+
+def test_variadic_tuple_return_rejected():
+    """tuple[X, ...] has no fixed output arity — outputs map positionally
+    to artifacts, so the signature must be rejected at class definition."""
+    with pytest.raises(TypeError, match="variadic"):
+
+        class Variadic(Producer):
+            src: Src
+
+            def build(self, src: DataFrame) -> tuple[DataFrame, ...]:
+                return (src,)

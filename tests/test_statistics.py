@@ -124,3 +124,16 @@ def test_range_violations_counts_and_gates(spark):
             ),
         ),
     ).ok
+
+
+def test_enum_violations_counts_nulls(spark):
+    """NULL is not an enum member: three-valued logic must not let an
+    all-NULL column pass an EqualsThreshold(0) gate."""
+    from artigraph_spark.statistics import EnumViolations, evaluate
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("z",), (None,)], "status string"
+    )
+    res = evaluate(df, (EnumViolations(column="status", items=("a", "b")),))
+    (v,) = res.values.values()
+    assert v == 3  # 'z' + two NULLs

@@ -64,6 +64,21 @@ def test_stream_to_partitioned_sink(spark, tmp_path):
     written = spark.read.parquet(str(tmp_path / "out"))
     assert written.count() == 1000
     assert "day" in written.columns
+    assert "epoch" in written.columns  # per-epoch idempotency partition
+
+    # Epoch REPLAY must not double rows: re-running the same bounded stream
+    # from a fresh checkpoint re-delivers the same epoch ids into the same
+    # sink path; dynamic epoch-partition overwrite makes that a rewrite,
+    # not an append (the crash-between-write-and-commit case).
+    q2 = stx.stream_to_partitioned_sink(
+        enriched,
+        str(tmp_path / "out"),
+        partition_by=("day",),
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1000
 
 
 def test_stateful_user_totals_parity(spark, tmp_path):
