@@ -360,6 +360,131 @@ def impute_group_mean(
     )
 
 
+def _cumulative_hist(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group value histogram with running counts: ``(group, __v, __f,
+    __cum, __n)`` — the sort-free substrate for exact rank statistics
+    (winsorize thresholds, medians, equi-depth bins). One (group, value)
+    count shuffle; the running sum is a window over the summary-sized
+    histogram, NOT the rows. Distinct-value cardinality per group is the
+    scale knob: for near-unique doubles at 100 TB, quantize first (e.g.
+    round to cents) or use approx quantiles instead."""
+    from pyspark.sql import Window
+
+    c = F.col(value_col)
+    hist = (
+        df.filter(c.isNotNull())
+        .groupBy(group_col, c.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hist.withColumn("__cum", F.sum("__f").over(w)).withColumn(
+        "__n", F.sum("__f").over(Window.partitionBy(group_col))
+    )
+
+
+def _rank_quantile(cum: DataFrame, group_col: str, q: float, name: str) -> DataFrame:
+    """Type-1 (no-interpolation) quantile from a cumulative histogram: the
+    value at rank ``ceil(q·n)`` — always an actual data value, exact
+    integer-rank arithmetic, zero float-interpolation drift."""
+    return (
+        cum.filter(F.col("__cum") >= F.ceil(F.lit(q) * F.col("__n")))
+        .groupBy(group_col)
+        .agg(F.min("__v").alias(name))
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier flags per group — the heavy-tail-safe
+    sibling of z-score anomaly detection (mean and stddev are themselves
+    dragged by the outliers they're meant to find; median and MAD have a
+    50% breakdown point).
+
+    Both the location (median) and the scale (MAD = median of absolute
+    deviations) are type-1 rank quantiles over cumulative histograms —
+    exact, interpolation-free, engine-replayable. A row is an outlier
+    when ``|v - med| > k · 1.4826 · mad`` (1.4826 makes MAD consistent
+    with σ under normality, so ``k`` reads in sigma units). Adds
+    ``abs_dev``, ``is_outlier``; NULL values get NULL flags. Degenerate
+    groups (mad = 0) flag any deviation from the median.
+
+    Scale: two summary-sized histogram shuffles (values, then
+    deviations) + two broadcast joins of per-group statistics — no
+    global row sort. See ``_cumulative_hist`` for the distinct-value
+    cardinality caveat.
+    """
+    c = F.col(value_col)
+    med = _rank_quantile(_cumulative_hist(df, group_col, value_col), group_col, 0.5, "__med")
+    devs = df.join(F.broadcast(med), group_col, "left").withColumn(
+        "abs_dev", F.abs(c - F.col("__med"))
+    )
+    mad = _rank_quantile(_cumulative_hist(devs, group_col, "abs_dev"), group_col, 0.5, "__mad")
+    return (
+        devs.join(F.broadcast(mad), group_col, "left")
+        .withColumn(
+            "is_outlier",
+            F.when(
+                c.isNotNull(),
+                F.col("abs_dev") > F.lit(k) * F.lit(1.4826) * F.col("__mad"),
+            ),
+        )
+        .drop("__med", "__mad")
+    )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-depth (quantile) binning per group: every non-NULL value gets a
+    bin in ``1..n_bins`` such that bins carry ~equal row mass and EQUAL
+    VALUES ALWAYS SHARE A BIN (value-deterministic — no row-order
+    dependence, unlike NTILE, which splits ties by arbitrary row
+    position). Bin of value v is ``ceil(n_bins · cum(v) / n)`` over the
+    per-group cumulative histogram — exact integer arithmetic throughout
+    (no float ranks). Adds ``bin`` (NULL for NULL values).
+
+    The feature-discretization shape: quantile-bucket a continuous
+    column before crossing/coding it for training.
+
+    Scale: one (group, value) histogram shuffle + a window over the
+    summary-sized histogram + an equi-join of rows back to their
+    value's bin; heavy-tie values make bins uneven by design (a value
+    never straddles bins). See ``_cumulative_hist`` for the
+    distinct-value cardinality caveat.
+    """
+    if n_bins < 1:
+        raise ValueError(f"need n_bins >= 1, got {n_bins}")
+    cum = _cumulative_hist(df, group_col, value_col)
+    # ceil(k·cum/n) via exact integer div: (k·cum + n - 1) div n. cum ≥ 1
+    # keeps it ≥ 1; cum = n lands exactly on n_bins — no clamping needed.
+    binned = cum.select(
+        group_col,
+        F.col("__v"),
+        F.expr(f"({n_bins}L * __cum + __n - 1L) div __n").alias("bin"),
+    )
+    # Plain equi-join back to the rows: the bin map is histogram-sized
+    # (distinct values per group) — small enough for AQE to broadcast when
+    # it truly is small, too big to FORCE broadcast for near-unique keys.
+    return df.join(
+        binned.withColumnRenamed("__v", value_col),
+        [group_col, value_col],
+        "left",
+    )
+
+
 def winsorize(
     df: DataFrame,
     group_col: str,
@@ -383,29 +508,11 @@ def winsorize(
     """
     if not 0.0 <= lo_q <= hi_q <= 1.0:
         raise ValueError(f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}/{hi_q}")
-    from pyspark.sql import Window
-
+    cum = _cumulative_hist(df, group_col, value_col)
     c = F.col(value_col)
-    hist = (
-        df.filter(c.isNotNull())
-        .groupBy(group_col, c.alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__f"))
+    bounds = _rank_quantile(cum, group_col, lo_q, "__lo").join(
+        _rank_quantile(cum, group_col, hi_q, "__hi"), group_col
     )
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = hist.withColumn("__cum", F.sum("__f").over(w)).withColumn(
-        "__n", F.sum("__f").over(Window.partitionBy(group_col))
-    )
-    def _at(q: float, name: str) -> DataFrame:
-        return (
-            cum.filter(F.col("__cum") >= F.ceil(F.lit(q) * F.col("__n")))
-            .groupBy(group_col)
-            .agg(F.min("__v").alias(name))
-        )
-    bounds = _at(lo_q, "__lo").join(_at(hi_q, "__hi"), group_col)
     return (
         df.join(F.broadcast(bounds), group_col, "left")
         .withColumn(

@@ -371,6 +371,59 @@ def inter_event_gaps(df, group_col: str, ts_col: str):
     )
 
 
+def transition_matrix(
+    df,
+    group_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+):
+    """First-order Markov transition matrix over per-group event sequences:
+    for every observed ``(src, dst)`` state pair, how often ``dst``
+    immediately follows ``src`` and the conditional probability
+    ``P(dst | src)`` — the sequence-mining summary behind next-action
+    models, funnel sanity checks, and bot detection.
+
+    Sequences order by ``(ts, tiebreak)`` within each group, so equal
+    timestamps break deterministically and the pair multiset is
+    engine-replayable. Rows with NULL group/ts/state drop (no sequence
+    position); each group's last event emits no pair. ``prob`` is the
+    single final double division of two exact int64 counts, rounded to 9
+    decimals.
+
+    Scale: one exchange (the per-group window sort) to form pairs, one
+    summary-sized (src, dst) count aggregate, and a window over the
+    TINY |states|² matrix for the row totals — nothing global touches
+    row data after the first aggregate.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(state_col).isNotNull()
+        )
+        .select(
+            F.col(state_col).alias("src"),
+            F.lead(state_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_transitions"))
+    total = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(total),
+            9,
+        ).alias("prob"),
+    )
+
+
 def scd2_intervals(df, key_col: str, ts_col: str, id_col: str):
     """Slowly-changing-dimension (type 2) validity intervals: order each
     key's records by ``(ts, id)`` and emit ``[valid_from_s, valid_to_s)``

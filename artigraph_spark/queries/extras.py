@@ -2048,3 +2048,94 @@ def winsorize_quantity(spark, sf_dir):
     return out.select(
         "l_orderkey", "l_linenumber", "l_returnflag", "value_clipped"
     )
+
+
+@query(
+    "mad_outliers_orders",
+    oracle="""
+    WITH hist AS (
+        SELECT o_orderpriority AS g, o_totalprice AS v, count(*) AS f
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+        SELECT g, v,
+               CAST(sum(f) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+               CAST(sum(f) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM hist
+    ), med AS (
+        SELECT g, min(v) AS med FROM cum WHERE cum >= ceil(0.5 * n) GROUP BY g
+    ), dev AS (
+        SELECT o.o_orderkey, o.o_orderpriority AS g, o.o_totalprice,
+               abs(o.o_totalprice - med.med) AS abs_dev
+        FROM orders o JOIN med ON o.o_orderpriority = med.g
+        WHERE o.o_totalprice IS NOT NULL
+    ), dhist AS (
+        SELECT g, abs_dev AS v, count(*) AS f FROM dev GROUP BY 1, 2
+    ), dcum AS (
+        SELECT g, v,
+               CAST(sum(f) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+               CAST(sum(f) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM dhist
+    ), mad AS (
+        SELECT g, min(v) AS mad FROM dcum WHERE cum >= ceil(0.5 * n) GROUP BY g
+    )
+    SELECT dev.o_orderkey, dev.g AS o_orderpriority, dev.o_totalprice,
+           dev.abs_dev,
+           dev.abs_dev > 3.0 * 1.4826 * mad.mad AS is_outlier
+    FROM dev JOIN mad USING (g)
+    """,
+)
+def mad_outliers_orders(spark, sf_dir):
+    """Median/MAD robust outlier flags on order totals per priority class —
+    the heavy-tail-safe sibling of anomaly_zscore_hours (median and MAD
+    have a 50% breakdown point; mean/stddev are dragged by the outliers
+    they're meant to find). Location and scale are exact type-1 rank
+    quantiles over cumulative histograms; the only float ops are the
+    per-row |v - med| and one constant multiply, identical on both
+    engines. See ``operators.quality.robust_outliers``."""
+    from artigraph_spark.operators.quality import robust_outliers
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    out = robust_outliers(o, "o_orderpriority", "o_totalprice", k=3.0)
+    return out.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "abs_dev", "is_outlier"
+    )
+
+
+@query(
+    "feature_bins_lineitem",
+    oracle="""
+    WITH hist AS (
+        SELECT l_returnflag, l_extendedprice AS v, count(*) AS f
+        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, v, f,
+               CAST(sum(f) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cum,
+               CAST(sum(f) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        FROM hist
+    ), b AS (
+        SELECT l_returnflag, v, f, (10 * cum + n - 1) // n AS bin FROM cum
+    )
+    SELECT l_returnflag, bin, CAST(sum(f) AS BIGINT) AS n_rows,
+           min(v) AS min_v, max(v) AS max_v
+    FROM b GROUP BY l_returnflag, bin
+    """,
+)
+def feature_bins_lineitem(spark, sf_dir):
+    """Equi-depth (decile) binning of extended price per returnflag,
+    summarised per bin — the feature-discretization shape (quantile-bucket
+    a continuous column before crossing/coding it for training). Bins are
+    value-deterministic (equal values always share a bin, unlike NTILE's
+    arbitrary tie splits) and the assignment is exact integer arithmetic
+    over the cumulative histogram. See
+    ``operators.quality.equi_depth_bins``."""
+    from artigraph_spark.operators.quality import equi_depth_bins
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    out = equi_depth_bins(li, "l_returnflag", "l_extendedprice", n_bins=10)
+    return out.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("min_v"),
+        F.max("l_extendedprice").alias("max_v"),
+    )

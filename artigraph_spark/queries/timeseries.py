@@ -647,3 +647,38 @@ def conversion_latency(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL
+    ), c AS (
+        SELECT src, dst, count(*) AS n_transitions
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n_transitions,
+           round(CAST(n_transitions AS DOUBLE) /
+                 CAST(sum(n_transitions) OVER (PARTITION BY src) AS BIGINT),
+                 9) AS prob
+    FROM c
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    count and conditional probability of every observed (src, dst)
+    next-event pair, ordered by (ts, event_id) so ties break
+    deterministically. The sequence-mining summary behind next-action
+    models and funnel sanity checks. See
+    ``operators.timeseries.transition_matrix``."""
+    from artigraph_spark.operators.timeseries import transition_matrix
+
+    e = load(spark, sf_dir, "events")
+    return transition_matrix(e, "user_id", "ts", "event_type", "event_id")

@@ -2072,3 +2072,67 @@ def test_minhash_fast_short_docs_normalize_like_token_path(spark):
     ).collect()}
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from artigraph_spark.operators.timeseries import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b ; tie at t=1 for user 3
+        (1, 1, 10, "a"), (1, 2, 11, "b"), (1, 3, 12, "a"),
+        (2, 4, 10, "a"), (2, 5, 11, "b"),
+        (3, 6, 1, "x"), (3, 7, 1, "y"),  # equal ts -> id order: x -> y
+        (4, 8, 5, None), (None, 9, 5, "a"),  # dropped rows
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, t int, ev string")
+    got = {
+        (r["src"], r["dst"]): (r["n_transitions"], r["prob"])
+        for r in transition_matrix(df, "user_id", "t", "ev", "event_id").collect()
+    }
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 1.0)
+    assert got[("x", "y")] == (1, 1.0)
+    assert ("y", "x") not in got and len(got) == 3
+    # Partitioning must not change the matrix.
+    got2 = {
+        (r["src"], r["dst"]): (r["n_transitions"], r["prob"])
+        for r in transition_matrix(
+            df.repartition(7), "user_id", "t", "ev", "event_id"
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_robust_outliers_median_mad(spark):
+    from artigraph_spark.operators.quality import robust_outliers
+
+    vals = [10.0] * 9 + [11.0, 9.0, 100.0]  # med=10, |dev|: mostly 0/1, one 90
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, i int, v double")
+    got = robust_outliers(df, "g", "v", k=3.0).collect()
+    by_i = {r["i"]: r for r in got}
+    # med = 10 (rank ceil(0.5*12)=6 over sorted values), dev multiset has
+    # nine 0s -> mad = 0: any nonzero deviation flags.
+    assert by_i[11]["abs_dev"] == 90.0 and by_i[11]["is_outlier"] is True
+    assert by_i[9]["is_outlier"] is True and by_i[10]["is_outlier"] is True
+    assert by_i[0]["is_outlier"] is False
+
+
+def test_equi_depth_bins_value_deterministic(spark):
+    from artigraph_spark.operators.quality import equi_depth_bins
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("g", 50.0)] * 5 + [("g", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = equi_depth_bins(df, "g", "v", n_bins=4).collect()
+    bins = {}
+    for r in got:
+        if r["v"] is not None:
+            bins.setdefault(r["v"], set()).add(r["bin"])
+    # Equal values always share a bin; bins are 1..4 and monotone in value.
+    assert all(len(bs) == 1 for bs in bins.values())
+    ordered = [next(iter(bins[v])) for v in sorted(bins)]
+    assert ordered == sorted(ordered) and ordered[0] == 1 and ordered[-1] == 4
+    # NULL values get NULL bin.
+    assert any(r["bin"] is None for r in got if r["v"] is None)
+    with pytest.raises(ValueError, match="n_bins"):
+        equi_depth_bins(df, "g", "v", n_bins=0)
