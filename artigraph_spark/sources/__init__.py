@@ -10,8 +10,13 @@ or near-fixed cardinality in TPC-H-style scaling).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Serializes the nanosAsLong set→resolve→restore window in load("events")
+# against concurrent loads (the threaded executor may load in parallel).
+_NANOS_LOCK = threading.Lock()
 
 TABLES = (
     "region",
@@ -44,11 +49,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microsecond TimestampType (documented-lossy ns bridge, SURVEY §1.2
         # Timestamp). Derived copies written by Spark already carry a real
         # timestamp — only convert when the column actually reads as long.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The legacy flag is scoped to THIS read (set → resolve → restore,
+        # under a lock against concurrent loads): the schema is captured at
+        # resolution, so later execution doesn't need the flag, and leaving
+        # it set would silently retype nanosecond columns in every
+        # unrelated parquet read for the rest of the session.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        flag = "spark.sql.legacy.parquet.nanosAsLong"
+        with _NANOS_LOCK:
+            try:
+                prev = spark.conf.get(flag)
+            except Exception:
+                prev = None
+            spark.conf.set(flag, "true")
+            try:
+                df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+                df.schema  # force resolution while the flag is in effect
+            finally:
+                if prev is None:
+                    spark.conf.unset(flag)
+                else:
+                    spark.conf.set(flag, prev)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df

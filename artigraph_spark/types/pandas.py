@@ -14,6 +14,7 @@ producer body will actually receive.
 
 from __future__ import annotations
 
+import datetime
 from typing import Any
 
 import numpy as np
@@ -132,7 +133,19 @@ class SeriesAdapter(TypeAdapter):
                 at.List(element=type_.element.element), hints=hints
             )
             return pd.Series([np.asarray(inner)])
-        dtype = pandas_type_system.to_system(type_.element, hints=hints)
+        el = type_.element
+        # Temporal elements: pandas' own representations (what Spark's Arrow
+        # bridge hands toPandas/applyInPandas) — the arrow-parent fallback
+        # below returns pa.DataType objects np.dtype() cannot interpret.
+        if isinstance(el, at.Timestamp):
+            return pd.Series(pd.to_datetime(["1970-01-01"], utc=True))
+        if isinstance(el, at.DateTime):
+            return pd.Series(pd.to_datetime(["1970-01-01"]))
+        if isinstance(el, at.Date):
+            return pd.Series([datetime.date(1970, 1, 1)])
+        if isinstance(el, at.Time):
+            return pd.Series([datetime.time(0, 0)])
+        dtype = pandas_type_system.to_system(el, hints=hints)
         if not isinstance(dtype, np.dtype):  # numpy parent returns scalar classes
             dtype = np.dtype(dtype)
         return pd.Series([dtype.type()], dtype=dtype)

@@ -61,6 +61,17 @@ def to_artigraph(annotation: Any) -> at.Type:
         base = to_artigraph(type(args[0]))
         return at.Enum(type=base, items=tuple(args), nullable=False)
     if origin in (list, tuple):
+        if origin is tuple:
+            # Only homogeneous forms map to List: tuple[X, ...] or
+            # tuple[X, X, ...]-style with one distinct member. A
+            # heterogeneous tuple[int, str] silently typed as List(Int64)
+            # would validate/write the str leg under the wrong type.
+            members = {a for a in args if a is not Ellipsis}
+            if len(members) != 1:
+                raise NotImplementedError(
+                    f"heterogeneous tuple annotation {annotation!r} has no "
+                    "single element type; use a Struct-typed artifact"
+                )
         return at.List(element=to_artigraph(args[0]), nullable=False)
     if origin in (set, frozenset):
         return at.Set(element=to_artigraph(args[0]), nullable=False)

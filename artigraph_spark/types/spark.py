@@ -78,15 +78,22 @@ def to_spark_type(type_: at.Type) -> T.DataType:
 def _to_spark(type_: at.Type) -> tuple[T.DataType, dict[str, Any] | None]:
     cls = type(type_)
     if cls in _SIMPLE_TO_SPARK:
-        return _SIMPLE_TO_SPARK[cls]
+        # COPY the metadata dict: callers (collection_to_schema's layout
+        # injection) mutate it, and handing out the table's own dict let
+        # one conversion write into module state and every prior schema.
+        dt, meta = _SIMPLE_TO_SPARK[cls]
+        return dt, (dict(meta) if meta is not None else None)
     if isinstance(type_, at.Enum):
         base, base_meta = _to_spark(type_.type)
         return base, {"enum_items": list(type_.items), **(base_meta or {})}
     if isinstance(type_, at.Timestamp):
-        meta = {"precision": type_.precision} if type_.precision == "nanosecond" else None
+        # Any non-default precision must travel (from_spark_type defaults to
+        # microsecond): second/millisecond declarations would otherwise
+        # round-trip changed and fingerprint differently.
+        meta = {"precision": type_.precision} if type_.precision != "microsecond" else None
         return T.TimestampType(), meta
     if isinstance(type_, at.DateTime):
-        meta = {"precision": type_.precision} if type_.precision == "nanosecond" else None
+        meta = {"precision": type_.precision} if type_.precision != "microsecond" else None
         return T.TimestampNTZType(), meta
     if isinstance(type_, at.Time):
         return T.LongType(), {"lossy": "time", "precision": type_.precision}
@@ -104,10 +111,14 @@ def _to_spark(type_: at.Type) -> tuple[T.DataType, dict[str, Any] | None]:
             meta["element"] = el_meta
         return T.ArrayType(el, containsNull=type_.element.nullable), meta
     if isinstance(type_, at.Map):
-        k, _ = _to_spark(type_.key)
+        k, k_meta = _to_spark(type_.key)
         v, v_meta = _to_spark(type_.value)
-        meta = {"value": v_meta} if v_meta else None
-        return T.MapType(k, v, valueContainsNull=type_.value.nullable), meta
+        meta = {}
+        if k_meta:
+            meta["key"] = k_meta  # lossy KEY types (UInt*, Time, ...) travel too
+        if v_meta:
+            meta["value"] = v_meta
+        return T.MapType(k, v, valueContainsNull=type_.value.nullable), meta or None
     if isinstance(type_, at.Struct):
         return struct_to_spark(type_), None
     if isinstance(type_, at.Collection):
@@ -132,7 +143,7 @@ def collection_to_schema(coll: at.Collection) -> T.StructType:
     if coll.partition_by or coll.cluster_by:
         first = schema.fields[0]
         meta = dict(first.metadata or {})
-        meta.setdefault(_META_KEY, {})
+        meta[_META_KEY] = dict(meta.get(_META_KEY) or {})  # never share nested dicts
         meta[_META_KEY]["layout"] = {
             "partition_by": list(coll.partition_by),
             "cluster_by": list(coll.cluster_by),
@@ -158,8 +169,6 @@ def from_spark_type(dt: T.DataType, *, nullable: bool = True, meta: dict[str, An
         return at.Timestamp(precision=meta.get("precision", "microsecond"), nullable=nullable)
     if isinstance(dt, T.TimestampNTZType):
         return at.DateTime(precision=meta.get("precision", "microsecond"), nullable=nullable)
-    if isinstance(dt, T.DecimalType) and meta.get("lossy") == "uint64":
-        return at.UInt64(nullable=nullable)
     if isinstance(dt, T.ArrayType):
         el = from_spark_type(dt.elementType, nullable=dt.containsNull, meta=meta.get("element"))
         if meta.get("set"):
@@ -167,7 +176,7 @@ def from_spark_type(dt: T.DataType, *, nullable: bool = True, meta: dict[str, An
         return at.List(element=el, nullable=nullable)
     if isinstance(dt, T.MapType):
         return at.Map(
-            key=from_spark_type(dt.keyType, nullable=False),
+            key=from_spark_type(dt.keyType, nullable=False, meta=meta.get("key")),
             value=from_spark_type(dt.valueType, nullable=dt.valueContainsNull, meta=meta.get("value")),
             nullable=nullable,
         )

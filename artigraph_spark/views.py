@@ -82,7 +82,9 @@ class PandasDataFrameView(View):
 
             collection_to_pandas_exemplar(type_)
             return True
-        except NotImplementedError:
+        except (NotImplementedError, TypeError):
+            # TypeError: a bridge handing np.dtype() something it cannot
+            # interpret — "not viewable as pandas", not a crash.
             return False
 
 

@@ -832,3 +832,63 @@ def test_ewma_state_sink_matches_batch(spark, tmp_path):
         )
     )
     assert from_state == batch and from_state
+
+
+def test_stateful_exact_dedup_ttl_under_non_utc_session_tz(spark, tmp_path):
+    """The TTL horizon is event-time epoch ms; Arrow hands the UDF naive
+    timestamps rendered in the SESSION timezone, and a naive .timestamp()
+    treats them as UTC — under a non-UTC session the horizon used to shift
+    by the UTC offset and markers expired hours early (duplicates inside
+    the TTL re-admitted). A duplicate 5 min after first sighting with a
+    600 s TTL must stay dropped under America/New_York."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "ttl_tz_src"
+    d.mkdir()
+    batches = [
+        ("a.parquet", [10], ["dup"], [_ts(12, 0)]),
+        ("b.parquet", [20], ["filler"], [_ts(12, 3)]),  # advances watermark
+        ("c.parquet", [40], ["dup"], [_ts(12, 5)]),  # inside the true TTL
+    ]
+    for i, (name, ids, texts, tss) in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts),
+                    "ts": pa.array(tss, type=pa.timestamp("us")),
+                }
+            ),
+            d / name,
+        )
+        ns = (i + 1) * 1_000_000_000_000_000
+        __import__("os").utime(d / name, ns=(ns, ns))
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .select("doc_id", "text", "ts", F.sha2(F.col("text"), 256).alias("h"))
+        )
+        out = stx.stateful_exact_dedup(stream, "doc_id", "h", ts_col="ts", ttl_seconds=600)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_ttl_tz")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT doc_id, text FROM t_ttl_tz").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert sorted((r["text"], r["doc_id"]) for r in rows) == [
+        ("dup", 10), ("filler", 20),
+    ]

@@ -249,3 +249,130 @@ def test_pydantic_enum_field_naming():
     assert isinstance(t, at.Struct)
     assert isinstance(t.fields["precision"], at.Enum)
     assert set(t.fields["precision"].items) == {"s", "ms", "us"}
+
+
+def test_arrow_roundtrip_time_units_and_element_nullability():
+    """Time precisions map to matching arrow units (time32 s/ms, time64
+    us/ns) and list/set/map element nullability rides on the item field —
+    both previously collapsed to defaults, drifting fingerprints."""
+    import pyarrow as pa
+
+    from artigraph_spark import types as at
+    from artigraph_spark.types.arrow import from_arrow, to_arrow
+
+    for prec in ("second", "millisecond", "microsecond", "nanosecond"):
+        t = at.Time(precision=prec)
+        assert from_arrow(to_arrow(t)) == t
+    lst = at.List(element=at.Int64(nullable=False), nullable=False)
+    assert from_arrow(to_arrow(lst), nullable=False) == lst
+    m = at.Map(key=at.String(nullable=False), value=at.Int64(nullable=False), nullable=False)
+    assert from_arrow(to_arrow(m), nullable=False) == m
+    assert to_arrow(lst).value_field.nullable is False
+    assert isinstance(to_arrow(at.Time(precision="second")), type(pa.time32("s")))
+
+
+def test_arrow_schema_roundtrips_set_enum_geography_identity():
+    """Set-vs-List, Enum items, and Geography identity travel in FIELD
+    metadata through collection_to_arrow_schema (arrow DataTypes have no
+    metadata slot; fields do)."""
+    from artigraph_spark import types as at
+    from artigraph_spark.types.arrow import (
+        arrow_schema_to_collection,
+        collection_to_arrow_schema,
+    )
+
+    coll = at.Collection(
+        element=at.Struct(
+            fields={
+                "tags": at.Set(element=at.String(nullable=False), nullable=False),
+                "status": at.Enum(type=at.String(nullable=False), items=("a", "b"), nullable=False),
+                "geo": at.Geography(format="WKT", srid="4326", nullable=False),
+                "n": at.Int64(),
+            }
+        ),
+        partition_by=("n",),
+    )
+    back = arrow_schema_to_collection(collection_to_arrow_schema(coll))
+    assert isinstance(back.element.fields["tags"], at.Set)
+    assert back.element.fields["status"] == coll.element.fields["status"]
+    assert back.element.fields["geo"] == coll.element.fields["geo"]
+    assert back.partition_by == ("n",)
+
+
+def test_spark_schema_no_shared_metadata_mutation():
+    """collection_to_schema must not write layout into the module-level
+    lossy-metadata tables: a UInt8-first partitioned collection used to
+    corrupt every later conversion."""
+    from artigraph_spark import types as at
+    from artigraph_spark.types.spark import (
+        collection_to_schema,
+        schema_to_collection,
+        struct_to_spark,
+    )
+
+    coll = at.Collection(
+        element=at.Struct(fields={"u": at.UInt8(), "d": at.Date()}),
+        partition_by=("d",),
+    )
+    collection_to_schema(coll)
+    # An unrelated UInt8 struct must convert cleanly afterwards.
+    back = schema_to_collection(struct_to_spark(at.Struct(fields={"x": at.UInt8()})))
+    assert back.partition_by == ()
+    assert isinstance(back.element.fields["x"], at.UInt8)
+
+
+def test_spark_roundtrip_precision_and_map_keys():
+    """second/millisecond timestamp precision and lossy MAP KEY types must
+    survive the Spark bridge (both previously collapsed to defaults)."""
+    from artigraph_spark import types as at
+    from artigraph_spark.types.spark import schema_to_collection, collection_to_schema
+
+    coll = at.Collection(
+        element=at.Struct(
+            fields={
+                "ts": at.Timestamp(precision="second"),
+                "dt": at.DateTime(precision="millisecond"),
+                "m": at.Map(key=at.UInt8(nullable=False), value=at.Int64(), nullable=False),
+            }
+        )
+    )
+    back = schema_to_collection(collection_to_schema(coll))
+    assert back.element.fields["ts"] == coll.element.fields["ts"]
+    assert back.element.fields["dt"] == coll.element.fields["dt"]
+    assert isinstance(back.element.fields["m"].key, at.UInt8)
+
+
+def test_pandas_exemplar_supports_temporal_columns():
+    """Date/Timestamp columns must produce a pandas exemplar (and the
+    pandas view must accept such collections) instead of raising
+    TypeError through np.dtype(pa.DataType)."""
+    from artigraph_spark import types as at
+    from artigraph_spark.types.pandas import collection_to_pandas_exemplar
+    from artigraph_spark.views import PandasDataFrameView
+
+    coll = at.Collection(
+        element=at.Struct(
+            fields={
+                "d": at.Date(),
+                "ts": at.Timestamp(),
+                "ntz": at.DateTime(),
+                "t": at.Time(),
+                "n": at.Int64(),
+            }
+        )
+    )
+    df = collection_to_pandas_exemplar(coll)
+    assert set(df.columns) == {"d", "ts", "ntz", "t", "n"}
+    assert PandasDataFrameView.supports_type(coll)
+
+
+def test_heterogeneous_tuple_annotation_rejected():
+    import pytest
+
+    from artigraph_spark import types as at
+    from artigraph_spark.types.python import to_artigraph
+
+    with pytest.raises(NotImplementedError, match="heterogeneous"):
+        to_artigraph(tuple[int, str])
+    got = to_artigraph(tuple[int, ...])
+    assert isinstance(got, at.List) and isinstance(got.element, at.Int64)
