@@ -904,3 +904,94 @@ def curriculum_stages(
     part = [F.col(stratum_col)] if stratum_col else []
     w = Window.partitionBy(*part).orderBy(score.asc(), F.col(id_col).asc())
     return df.withColumn("stage", F.ntile(n_stages).over(w))
+
+
+def negative_samples(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    *,
+    k: int,
+    n_items: int,
+    oversample: int = 3,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic hash-based negative sampling: for every user with at
+    least one positive, up to ``k`` items the user has NO positive for —
+    the contrastive/recsys training companion to the positive pairs. No
+    RNG state: candidate j for a user is ``1 + h(user, j, salt) mod
+    n_items`` through the module's shared multiplicative hash, so the
+    sample replays identically on any engine, partitioning, or rerun,
+    and ``salt`` (e.g. the epoch) swaps the whole draw deterministically.
+
+    ``k·oversample`` candidates are drawn per user, positives and
+    duplicate draws are removed, and the first ``k`` surviving draws (by
+    draw index) are kept — a user whose positives cover much of the item
+    space may receive fewer than ``k`` (raise ``oversample``). Items are
+    assumed to be ``1..n_items`` dense ids.
+
+    Scale: candidates are |users|·k·oversample rows built by a per-row
+    explode (no shuffle), the positive check is one anti-join
+    co-partitioned on (user, item), and the final rank is a window over
+    ≤ k·oversample rows per user. Nothing touches the full positives
+    fan-in beyond the anti-join.
+    """
+    if k <= 0 or n_items <= 0 or oversample <= 0:
+        raise ValueError(f"need positive k/n_items/oversample, got {k}/{n_items}/{oversample}")
+    from pyspark.sql import Window
+
+    u, p = F.col(user_col), F.lit(_HASH_P)
+    users = positives.select(user_col).distinct()
+    cands = users.select(
+        user_col,
+        F.explode(F.sequence(F.lit(1), F.lit(k * oversample))).alias("__j"),
+    ).withColumn(
+        item_col,
+        # Reduce the user BEFORE mixing: keeps every product within int64
+        # for any int64 user id (same discipline as _mul_hash).
+        1
+        + F.pmod(
+            _mul_hash(F.pmod(u, p) * F.lit(131) + F.col("__j") * F.lit(40503) + F.lit(salt)),
+            F.lit(n_items),
+        ),
+    )
+    survivors = cands.join(
+        positives.select(user_col, item_col).distinct(), [user_col, item_col], "left_anti"
+    )
+    # One j maps to one item, so after the per-(user, item) min the draw
+    # index is still unique per user — the rank order is total.
+    deduped = survivors.groupBy(user_col, item_col).agg(F.min("__j").alias("__j"))
+    w = Window.partitionBy(user_col).orderBy("__j")
+    return (
+        deduped.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(user_col, F.col(item_col).alias("neg_item"), "rk")
+    )
+
+
+def kfold_assign(
+    df: DataFrame,
+    stratum_col: str,
+    order_col: str,
+    *,
+    n_folds: int,
+) -> DataFrame:
+    """Exact stratified k-fold assignment: within every stratum, rows
+    ordered by ``order_col`` take folds round-robin — fold sizes differ
+    by at most 1 in EVERY stratum (a hash split can starve small strata
+    of whole folds), and the assignment is deterministic wherever
+    ``order_col`` is unique per stratum (document ids, not scores).
+    Adds ``fold`` in ``0..n_folds-1``; the cross-validation companion to
+    :func:`stratified_split_exact`'s fixed-ratio split.
+
+    Scale: one exchange (the per-stratum window sort), no data movement
+    after — same shape as curriculum_stages.
+    """
+    if n_folds <= 0:
+        raise ValueError(f"n_folds must be positive, got {n_folds}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(order_col)
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % n_folds).cast("long")
+    )

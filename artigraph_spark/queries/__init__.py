@@ -55,13 +55,13 @@ _PRIORITY: tuple[str, ...] = (
     # row, 44 an r5 row, 49 an r4 row, 28 are r3-stale, and 2
     # oracle-bearing queries (sliding_cms_top_users, ngram_novelty_docs)
     # have NEVER had a driver row (registered r6 past the window — the
-    # r6 verdict's top item). This round registered 14 new oracle-bearing
+    # r6 verdict's top item). This round registered 16 new oracle-bearing
     # queries and changed 4 implementations (sliding_cms_topk candidate
     # prune; heavy hitters' arrow-local pass 1; stratified split's exact
-    # integer division). Order: (1) the 2 never-recorded, (2) the 14 new,
+    # integer division). Order: (1) the 2 never-recorded, (2) the 16 new,
     # (3) the 3 other impl-changed, (4) all 28 r3-stale oldest-first —
-    # that's 47; (5) the 3 oldest r4-stale fill the window to exactly 50
-    # (agg_collect/agg_filtered/agg_rollup roll to r8 with the other
+    # that's 49; (5) the single oldest r4-stale fills the window to
+    # exactly 50 (agg_count_distinct onward roll to r8 with the other
     # r4-stale).
     # (1) never recorded — the only oracle-bearing queries with no hard
     # signal ever (sliding_cms_top_users also changed impl this round)
@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "impute_value_group_mean", "winsorize_quantity",
     "curriculum_stages_docs",
     "event_transitions", "mad_outliers_orders", "feature_bins_lineitem",
+    "negative_samples_orders", "kfold_assign_docs",
     # (3) implementation changed this round — need fresh rows
     "heavy_hitter_users", "grouped_heavy_hitters_events",
     "stratified_split_exact",
@@ -87,10 +88,10 @@ _PRIORITY: tuple[str, ...] = (
     "json_extract", "sort_limit_topk", "set_union_all",
     "set_union_distinct", "set_intersect", "set_except",
     "set_intersect_all", "sample_deterministic",
-    # (5) the 3 oldest r4-stale (registration order) — positions 48-50
-    "agg_pricing_summary", "agg_count_distinct", "agg_minmax_stats",
-    # Not listed: the remaining 46 r4-green, 44 r5-green and 50 r6-green
-    # queries (registration order, past the window — the 46 r4-stale
+    # (5) the single oldest r4-stale — position 50
+    "agg_pricing_summary",
+    # Not listed: the remaining 48 r4-green, 44 r5-green and 50 r6-green
+    # queries (registration order, past the window — the 48 r4-stale
     # continue oldest-first in r8) and the 4 rows-only queries
     # (minhash_lsh_pairs, dedup_clusters, simhash_fingerprints,
     # cosine_topk_lsh) whose oracle-checked `*_checked` contract twins

@@ -666,3 +666,72 @@ def curriculum_stages_docs(spark, sf_dir):
         n_stages=3,
     )
     return out.select("doc_id", "lang", "n_chars", "stage")
+
+
+@query(
+    "negative_samples_orders",
+    oracle="""
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), users AS (
+        SELECT DISTINCT u FROM pos
+    ), ni AS (
+        SELECT max(p_partkey) AS n FROM part
+    ), cand AS (
+        SELECT u, j,
+               1 + ((((u % 1000000007) * 131 + j * 40503) % 1000000007)
+                    * 2654435761 % 1000000007) % n AS it
+        FROM users
+        CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS j) js
+        CROSS JOIN ni
+    ), surv AS (
+        SELECT c.u, c.it, min(c.j) AS j
+        FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos WHERE pos.u = c.u AND pos.it = c.it
+        )
+        GROUP BY c.u, c.it
+    ), ranked AS (
+        SELECT u, it, row_number() OVER (PARTITION BY u ORDER BY j) AS rk
+        FROM surv
+    )
+    SELECT u AS o_custkey, it AS neg_item, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def negative_samples_orders(spark, sf_dir):
+    """Up to 5 deterministic hash-drawn negative parts per customer (items
+    the customer never ordered) — the contrastive-training companion to
+    the positive (customer, part) pairs; no RNG state, replays
+    identically at any partitioning (salt swaps the draw per epoch). See
+    ``operators.packing.negative_samples``."""
+    from artigraph_spark.operators.packing import negative_samples
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey"), F.col("l_partkey").alias("item")
+    )
+    n_items = load(spark, sf_dir, "part").agg(F.max("p_partkey")).collect()[0][0]
+    return negative_samples(pos, "o_custkey", "item", k=5, n_items=int(n_items))
+
+
+@query(
+    "kfold_assign_docs",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST((row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 5
+                AS BIGINT) AS fold
+    FROM documents
+    """,
+)
+def kfold_assign_docs(spark, sf_dir):
+    """Exact stratified 5-fold assignment over documents by language:
+    round-robin within each lang ordered by doc_id, so fold sizes differ
+    by at most 1 in EVERY stratum (hash splits can starve small strata of
+    whole folds). See ``operators.packing.kfold_assign``."""
+    from artigraph_spark.operators.packing import kfold_assign
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return kfold_assign(d, "lang", "doc_id", n_folds=5)

@@ -2136,3 +2136,47 @@ def test_equi_depth_bins_value_deterministic(spark):
     assert any(r["bin"] is None for r in got if r["v"] is None)
     with pytest.raises(ValueError, match="n_bins"):
         equi_depth_bins(df, "g", "v", n_bins=0)
+
+
+def test_negative_samples_contract(spark):
+    from artigraph_spark.operators.packing import negative_samples
+
+    pos = spark.createDataFrame(
+        [(1, 3), (1, 7), (2, 1), (2, 2), (2, 3)], "u long, it long"
+    )
+    got = negative_samples(pos, "u", "it", k=4, n_items=10).collect()
+    pos_set = {(1, 3), (1, 7), (2, 1), (2, 2), (2, 3)}
+    by_u = {}
+    for r in got:
+        assert (r["u"], r["neg_item"]) not in pos_set  # never a positive
+        assert 1 <= r["neg_item"] <= 10
+        by_u.setdefault(r["u"], []).append((r["rk"], r["neg_item"]))
+    assert set(by_u) == {1, 2}
+    assert all(len(v) <= 4 for v in by_u.values())
+    assert all(len({it for _, it in v}) == len(v) for v in by_u.values())  # distinct
+    # Deterministic under repartitioning; salt swaps the draw.
+    again = negative_samples(pos.repartition(5), "u", "it", k=4, n_items=10).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+    salted = negative_samples(pos, "u", "it", k=4, n_items=10, salt=1).collect()
+    assert sorted(map(tuple, salted)) != sorted(map(tuple, got))
+    with pytest.raises(ValueError, match="positive"):
+        negative_samples(pos, "u", "it", k=0, n_items=10)
+
+
+def test_kfold_assign_balanced_per_stratum(spark):
+    from artigraph_spark.operators.packing import kfold_assign
+
+    rows = [("en", i) for i in range(13)] + [("de", i) for i in range(4)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = kfold_assign(df, "lang", "doc_id", n_folds=5).collect()
+    sizes = {}
+    for r in got:
+        assert 0 <= r["fold"] < 5
+        sizes.setdefault((r["lang"], r["fold"]), 0)
+        sizes[(r["lang"], r["fold"])] += 1
+    en = [sizes.get(("en", f), 0) for f in range(5)]
+    de = [sizes.get(("de", f), 0) for f in range(5)]
+    assert max(en) - min(en) <= 1 and sum(en) == 13
+    assert max(de) - min(de) <= 1 and sum(de) == 4
+    with pytest.raises(ValueError, match="n_folds"):
+        kfold_assign(df, "lang", "doc_id", n_folds=0)
