@@ -504,3 +504,44 @@ def test_moments_partition_invariance(spark, vals, n_parts):
         "x",
     ).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+@given(terms=st.lists(st.text(alphabet="abcXYZ012~:=", max_size=8), max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_fingerprint_multiset_laws(terms):
+    """from_multiset is permutation-invariant and duplicate-COUNTING: any
+    reordering hashes identically, while adding a copy of an existing term
+    changes the hash (the law XOR-combining could not give — identical
+    terms cancelled pairwise)."""
+    fp = Fingerprint.from_multiset(terms)
+    assert fp == Fingerprint.from_multiset(list(reversed(terms)))
+    assert fp == Fingerprint.from_multiset(sorted(terms))
+    if terms:
+        assert Fingerprint.from_multiset(terms + [terms[0]]) != fp
+
+
+@given(
+    keys=st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+        st.text(alphabet="ab/=\x00~%", max_size=6),
+        max_size=4,
+    ),
+    other=st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+        st.text(alphabet="ab/=\x00~%", max_size=6),
+        max_size=4,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_partition_key_canonical_injective_property(keys, other):
+    """canonical() collides only for EQUAL keys, across adversarial field
+    values containing the join/separator characters themselves."""
+    from artigraph_spark.partitions import PartitionKey, StringField
+
+    k1 = PartitionKey(fields={n: StringField(key=v) for n, v in keys.items()})
+    k2 = PartitionKey(fields={n: StringField(key=v) for n, v in other.items()})
+    if keys == other:
+        assert k1.canonical() == k2.canonical()
+    else:
+        assert k1.canonical() != k2.canonical()
+    assert "\x00" not in k1.canonical()
