@@ -443,8 +443,14 @@ def weighted_sample_topk(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    u = (_mul_hash(F.col(id_col)) + 1) / F.lit(1_000_000_008.0)
-    key = F.round(F.log(F.log(F.lit(1.0) / u)) - F.log(F.col(weight_col)), 9)
+    # ln(1/u) computed as ONE division ln(D / (h+1)) — the two-step
+    # 1.0/((h+1)/D) form rounds twice and can land 1 ulp away from the
+    # oracle's single division, flipping a 9-decimal snap at a boundary.
+    key = F.round(
+        F.log(F.log(F.lit(1_000_000_008.0) / (_mul_hash(F.col(id_col)) + 1)))
+        - F.log(F.col(weight_col)),
+        9,
+    )
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn("__sk", key)
@@ -912,7 +918,7 @@ def negative_samples(
     item_col: str,
     *,
     k: int,
-    n_items: int,
+    n_items: "int | DataFrame",
     oversample: int = 3,
     salt: int = 0,
 ) -> DataFrame:
@@ -928,7 +934,9 @@ def negative_samples(
     duplicate draws are removed, and the first ``k`` surviving draws (by
     draw index) are kept — a user whose positives cover much of the item
     space may receive fewer than ``k`` (raise ``oversample``). Items are
-    assumed to be ``1..n_items`` dense ids.
+    assumed to be ``1..n_items`` dense ids; ``n_items`` may be an int or
+    a ONE-ROW single-column DataFrame (e.g. ``items.agg(max(id))``) that
+    broadcast-joins in lazily — the plan stays collect-free.
 
     Scale: candidates are |users|·k·oversample rows built by a per-row
     explode (no shuffle), the positive check is one anti-join
@@ -936,14 +944,21 @@ def negative_samples(
     ≤ k·oversample rows per user. Nothing touches the full positives
     fan-in beyond the anti-join.
     """
-    if k <= 0 or n_items <= 0 or oversample <= 0:
+    lazy_n = isinstance(n_items, DataFrame)
+    if k <= 0 or oversample <= 0 or (not lazy_n and n_items <= 0):
         raise ValueError(f"need positive k/n_items/oversample, got {k}/{n_items}/{oversample}")
     from pyspark.sql import Window
 
     u, p = F.col(user_col), F.lit(_HASH_P)
     users = positives.select(user_col).distinct()
+    if lazy_n:
+        (n_name,) = n_items.columns
+        users = users.crossJoin(F.broadcast(n_items))
+        n_expr = F.col(n_name)
+    else:
+        n_name, n_expr = None, F.lit(n_items)
     cands = users.select(
-        user_col,
+        "*",
         F.explode(F.sequence(F.lit(1), F.lit(k * oversample))).alias("__j"),
     ).withColumn(
         item_col,
@@ -952,9 +967,11 @@ def negative_samples(
         1
         + F.pmod(
             _mul_hash(F.pmod(u, p) * F.lit(131) + F.col("__j") * F.lit(40503) + F.lit(salt)),
-            F.lit(n_items),
+            n_expr,
         ),
     )
+    if n_name is not None:
+        cands = cands.drop(n_name)
     survivors = cands.join(
         positives.select(user_col, item_col).distinct(), [user_col, item_col], "left_anti"
     )

@@ -393,22 +393,30 @@ def map_explode(spark, sf_dir):
 def describe_summary(spark, sf_dir):
     """df.describe()-style per-column summary (count/mean/min/max), long form
     — the Statistics layer as a queryable report."""
+    # ONE aggregate pass for every column (the profile_table shape), then
+    # explode the per-column structs into report rows — a union of
+    # per-column aggregates scanned the fact table once per column.
     li = load(spark, sf_dir, "lineitem")
-    parts = []
-    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
-        parts.append(
-            li.agg(
-                F.lit(c).alias("col"),
-                F.count(c).alias("n"),
-                davg(c).alias("mean"),
-                F.min(c).alias("min_v"),
-                F.max(c).alias("max_v"),
-            )
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__n_{c}"),
+            davg(c).alias(f"__mean_{c}"),
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+        ]
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"__n_{c}").alias("n"),
+            F.col(f"__mean_{c}").alias("mean"),
+            F.col(f"__min_{c}").alias("min_v"),
+            F.col(f"__max_{c}").alias("max_v"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for c in cols
+    ])
+    return li.agg(*aggs).select(F.explode(rows).alias("r")).select("r.*")
 
 
 def _cms_oracle_sql(width: int, depth: int, seed: int) -> str:

@@ -656,6 +656,23 @@ def dedup_minhash_end2end(spark, sf_dir):
     )
 
 
+def _mean_recall_contract(exact, approx, *, floor=0.7):
+    """Shared ANN recall contract: join the approx top-k onto the exact
+    top-k, average per-query recall, assert the batch mean clears
+    ``floor`` — ONE definition so the LSH and IVF contracts cannot drift
+    apart (coalesce, aliases, and the floor live here only)."""
+    hits = approx.withColumn("__hit__", F.lit(1))
+    per_query = (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg((F.sum(F.coalesce("__hit__", F.lit(0))) / F.count("*")).alias("__recall__"))
+    )
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("__recall__") >= floor).alias("recall_ok"),
+    )
+
+
 @query(
     "cosine_topk_lsh_checked",
     oracle="""
@@ -678,16 +695,8 @@ def cosine_topk_lsh_checked(spark, sf_dir):
     exact = cosine_topk_bruteforce(e, q, **kw).select("query_id", "neighbor_id")
     approx = cosine_topk_lsh(e, q, dim=64, n_planes=4, n_tables=16, **kw).select(
         "query_id", "neighbor_id"
-    ).withColumn("__hit__", F.lit(1))
-    per_query = (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg((F.sum(F.coalesce("__hit__", F.lit(0))) / F.count("*")).alias("__recall__"))
     )
-    return per_query.agg(
-        F.count("*").alias("n_queries"),
-        (F.avg("__recall__") >= 0.7).alias("recall_ok"),
-    )
+    return _mean_recall_contract(exact, approx)
 
 
 @query(
@@ -710,16 +719,8 @@ def cosine_topk_ivf_checked(spark, sf_dir):
     exact = cosine_topk_bruteforce(e, q, **kw).select("query_id", "neighbor_id")
     approx = cosine_topk_ivf(e, q, n_cells=16, nprobe=4, **kw).select(
         "query_id", "neighbor_id"
-    ).withColumn("__hit__", F.lit(1))
-    per_query = (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg((F.sum(F.coalesce("__hit__", F.lit(0))) / F.count("*")).alias("__recall__"))
     )
-    return per_query.agg(
-        F.count("*").alias("n_queries"),
-        (F.avg("__recall__") >= 0.7).alias("recall_ok"),
-    )
+    return _mean_recall_contract(exact, approx)
 
 
 @query(
@@ -834,8 +835,12 @@ def tfidf_terms(spark, sf_dir):
 
 
 _BM25_TERM = (
+    # Parenthesized as idf * (norm_tf): the operator computes the tf
+    # normalization as one division BEFORE multiplying by idf, and SQL's
+    # left-to-right (idf * num) / den would round in a different order —
+    # a 1-ulp drift the 9-decimal guard digit is not sized for.
     "round(ln(1.0 + (stats.n_docs - df.df_t + 0.5) / (df.df_t + 0.5)) * "
-    "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / stats.avg_dl))"
+    "((tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / stats.avg_dl)))"
     ", 9)"
 )
 

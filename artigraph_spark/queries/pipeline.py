@@ -192,7 +192,7 @@ def stratified_sample_mix_q(spark, sf_dir):
         SELECT doc_id, source, lang,
                row_number() OVER (
                    PARTITION BY source
-                   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                   ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id
                ) AS rn
         FROM documents
     ) WHERE rn <= 25
@@ -206,8 +206,14 @@ def domain_cap_q(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     # Struct ordering = lexicographic over (hash, id) — the id tiebreak makes
     # the ordering total, so the kept set is unique.
+    from artigraph_spark.operators.packing import _mul_hash
+
+    # _mul_hash's inner pmod keeps the product within int64 for ANY id —
+    # the bare (doc_id * A) % p form overflows under ANSI past doc_id
+    # ~3.5e9 (identical values for in-range ids, so the kept set is
+    # unchanged; the oracle carries the same reduction).
     return cap_per_group(d, "source", 25, order_key=F.struct(
-        ((F.col("doc_id") * 2_654_435_761) % 1_000_000_007), F.col("doc_id")
+        _mul_hash(F.col("doc_id")), F.col("doc_id")
     ))
 
 
@@ -645,7 +651,7 @@ def epoch_shuffle_shards(spark, sf_dir):
     oracle="""
     SELECT doc_id, lang, n_chars,
            ntile(3) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS stage
-    FROM documents
+    FROM documents WHERE n_chars IS NOT NULL
     """,
 )
 def curriculum_stages_docs(spark, sf_dir):
@@ -653,11 +659,12 @@ def curriculum_stages_docs(spark, sf_dir):
     equal-frequency difficulty stages by length (ties on doc_id — total
     order, so stage membership is engine-deterministic) — the
     easy-to-hard training-order primitive, per-stratum so no language
-    monopolises the late stages. See
-    ``operators.packing.curriculum_stages``."""
+    monopolises the late stages. NULL lengths are excluded: Spark windows
+    sort NULLS FIRST, DuckDB NULLS LAST, so an unfiltered NULL would land
+    in opposite stages. See ``operators.packing.curriculum_stages``."""
     from artigraph_spark.operators.packing import curriculum_stages
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
     out = curriculum_stages(
         d,
         F.col("n_chars").cast("double"),
@@ -713,8 +720,10 @@ def negative_samples_orders(spark, sf_dir):
     pos = o.join(li, o.o_orderkey == li.l_orderkey).select(
         F.col("o_custkey"), F.col("l_partkey").alias("item")
     )
-    n_items = load(spark, sf_dir, "part").agg(F.max("p_partkey")).collect()[0][0]
-    return negative_samples(pos, "o_custkey", "item", k=5, n_items=int(n_items))
+    # Lazy one-row max — no collect at plan-build time (the oracle's
+    # scalar subquery is the same shape).
+    n_items = load(spark, sf_dir, "part").agg(F.max("p_partkey").alias("__n"))
+    return negative_samples(pos, "o_custkey", "item", k=5, n_items=n_items)
 
 
 @query(
