@@ -46,6 +46,19 @@ def dsum(col: Column | str, bits: int = DEFAULT_BITS) -> Column:
     return (F.sum(fxp(col, bits)).cast("double") / F.lit(float(1 << bits))).cast("double")
 
 
+def dsum_safe(col: Column | str, bits: int = DEFAULT_BITS) -> Column:
+    """dsum skipping NULL/NaN values: floor(NaN) aborts the job under ANSI
+    and errors DuckDB's cast, so guard the VALUE (counts stay whole-row —
+    use this where n counts rows but the sum must survive dirty values)."""
+    c = _c(col)
+    return dsum(F.when(c.isNotNull() & ~F.isnan(c), c), bits)
+
+
+def oracle_dsum_safe(expr: str, bits: int = DEFAULT_BITS) -> str:
+    """DuckDB twin of dsum_safe (FILTER-guarded fixed-point sum)."""
+    return oracle_dsum_filter(expr, f"{expr} IS NOT NULL AND NOT isnan({expr})", bits)
+
+
 def dsum_wide(col: Column | str, bits: int = DEFAULT_BITS) -> Column:
     """Overflow-safe variant: the int64 partials are summed as DECIMAL(38,0)
     (exact, associative — integer decimals don't hit the float-cast issue).

@@ -60,12 +60,13 @@ _PRIORITY: tuple[str, ...] = (
     # prune; heavy hitters' arrow-local pass 1; stratified split's exact
     # integer division). Order: (1) the 2 never-recorded, (2) the 16 new,
     # (3) the 3 other impl-changed, (4) all 28 r3-stale oldest-first —
-    # then (5) three late-r7 review fixes changed domain_cap /
-    # weighted_sample_topk / describe_summary — they join the
-    # impl-changed block, displacing the last two r3-stale
-    # (set_intersect_all, sample_deterministic) and the single r4-stale
-    # slot (agg_pricing_summary) to r8's rotation. Window = 2 + 16 + 6
-    # + 26 r3-stale = exactly 50.
+    # then (5) late-r7 review fixes changed domain_cap /
+    # weighted_sample_topk / describe_summary / agg_global_summary (and
+    # join_range, already in the r3 block) — they join the impl-changed
+    # block, displacing the last three r3-stale (set_except,
+    # set_intersect_all, sample_deterministic) and the single r4-stale
+    # slot (agg_pricing_summary) to r8's rotation. Window = 2 + 16 + 7
+    # + 25 r3-stale = exactly 50.
     # (1) never recorded — the only oracle-bearing queries with no hard
     # signal ever (sliding_cms_top_users also changed impl this round)
     "sliding_cms_top_users", "ngram_novelty_docs",
@@ -81,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "heavy_hitter_users", "grouped_heavy_hitters_events",
     "stratified_split_exact",
     "domain_cap", "weighted_sample_topk", "describe_summary",
+    "agg_global_summary",
     # (4) r3-stale (the r6-rotation overflow), oldest-first in r6 order
     "ngram_jaccard_pairs", "simhash_checked", "tfidf_terms",
     "edit_distance_pairs", "lang_predict", "text_quality_score",
@@ -90,7 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_math", "scalar_string", "scalar_datetime",
     "scalar_conditional", "scalar_cast", "array_ops", "map_ops",
     "json_extract", "sort_limit_topk", "set_union_all",
-    "set_union_distinct", "set_intersect", "set_except",
+    "set_union_distinct", "set_intersect",
     # Not listed: the remaining 48 r4-green, 44 r5-green and 50 r6-green
     # queries (registration order, past the window — the 48 r4-stale
     # continue oldest-first in r8) and the 4 rows-only queries

@@ -375,7 +375,7 @@ def agg_histogram(spark, sf_dir):
     oracle=f"""
     SELECT count(*) AS n_rows,
            count(DISTINCT l_orderkey) AS n_orders,
-           min(l_shipdate) = TIMESTAMP '1995-01-01 00:00:00' AS min_is_known,
+           min(l_shipdate) = TIMESTAMP '1995-01-02 00:00:00' AS min_is_known,
            {oracle_dsum('l_quantity')} AS total_qty,
            {oracle_davg('l_extendedprice')} AS avg_price,
            max(l_linenumber) AS max_line
@@ -388,7 +388,7 @@ def agg_global_summary(spark, sf_dir):
     return li.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        (F.min("l_shipdate") == F.lit("1995-01-01 00:00:00").cast("timestamp")).alias(
+        (F.min("l_shipdate") == F.lit("1995-01-02 00:00:00").cast("timestamp")).alias(
             "min_is_known"
         ),
         dsum("l_quantity").alias("total_qty"),

@@ -274,11 +274,11 @@ def percent_of_total(spark, sf_dir):
     denominator for cross-engine determinism)."""
     from pyspark.sql import Window as W
 
-    from artigraph_spark.functions import fxp
+    from artigraph_spark.functions import DEFAULT_BITS, fxp
 
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderstatus")
-    denom = F.sum(fxp("o_totalprice")).over(w).cast("double") / F.lit(1048576.0)
+    denom = F.sum(fxp("o_totalprice")).over(w).cast("double") / F.lit(float(1 << DEFAULT_BITS))
     return o.select(
         "o_orderstatus",
         "o_orderkey",

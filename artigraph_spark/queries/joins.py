@@ -154,27 +154,36 @@ def join_cross(spark, sf_dir):
 @query(
     "join_range",
     oracle="""
-    SELECT e.event_id, o.o_orderkey, e.user_id, e.value
-    FROM events e JOIN orders o
-      ON e.user_id = o.o_custkey
-     AND e.ts >= o.o_orderdate
-     AND e.ts <= o.o_orderdate + INTERVAL 7 DAY
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
     """,
 )
 def join_range(spark, sf_dir):
-    """Range/interval join keyed on customer: equi part hash-joins, the time
-    range is the join residual (no BNLJ)."""
-    e, o = load(spark, sf_dir, "events"), load(spark, sf_dir, "orders")
-    o2 = o.withColumn("o_end", F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+    """Range/interval join keyed on orderkey: equi part hash-joins, the time
+    range is the join residual (no BNLJ). Ship dates fall 1..~120 days
+    after the order date, so the 60-day window keeps a strict SUBSET of
+    lines — the bounds genuinely select. (The previous events-vs-orders
+    form compared empty-vs-empty at every scale factor — the date ranges
+    never overlap — and could not have caught a broken range_join.)"""
+    li, o = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    li2 = li.select("l_orderkey", "l_linenumber", "l_shipdate")
+    o2 = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("o_end"),
+    )
     joined = range_join(
-        e,
-        o2.select("o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate", "o_end"),
-        "user_id",
-        "ts",
+        li2,
+        o2,
+        li2["l_orderkey"] == o2["o_orderkey"],
+        "l_shipdate",
         "o_orderdate",
         "o_end",
     )
-    return joined.select("event_id", "o_orderkey", e["user_id"].alias("user_id"), "value")
+    return joined.select("l_orderkey", "l_linenumber", "l_shipdate")
 
 
 @query(

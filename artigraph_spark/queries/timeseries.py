@@ -7,7 +7,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from artigraph_spark.functions import davg, dsum, oracle_davg, oracle_dstddev_samp
+from artigraph_spark.functions import (
+    davg,
+    dsum,
+    dsum_safe,
+    oracle_davg,
+    oracle_dstddev_samp,
+    oracle_dsum_safe,
+)
 from artigraph_spark.queries import query
 from artigraph_spark.sources import load
 
@@ -18,7 +25,7 @@ from artigraph_spark.sources import load
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n,
-           CAST(SUM(CAST(floor(value * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0 AS total_value
+           (CAST(SUM(CAST(floor((value) * 1048576.0) AS BIGINT)) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS DOUBLE) / 1048576.0) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -31,7 +38,7 @@ def window_tumbling(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            dsum("value").alias("total_value"),
+            dsum_safe("value").alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -53,7 +60,7 @@ def window_tumbling(spark, sf_dir):
     )
     SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*) AS n,
-           CAST(SUM(CAST(floor(value * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0 AS total_value
+           (CAST(SUM(CAST(floor((value) * 1048576.0) AS BIGINT)) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS DOUBLE) / 1048576.0) AS total_value
     FROM assigned GROUP BY 1
     """,
 )
@@ -64,7 +71,7 @@ def window_sliding(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n"),
-            dsum("value").alias("total_value"),
+            dsum_safe("value").alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -96,7 +103,7 @@ def window_sliding(spark, sf_dir):
     SELECT user_id, session_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            count(*) AS n_events,
-           CAST(SUM(CAST(floor(value * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0 AS total_value
+           (CAST(SUM(CAST(floor((value) * 1048576.0) AS BIGINT)) FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS DOUBLE) / 1048576.0) AS total_value
     FROM sessions GROUP BY user_id, session_id
     """,
 )
@@ -110,7 +117,7 @@ def window_session(spark, sf_dir):
     return sess.groupBy("user_id", "session_id").agg(
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.count("*").alias("n_events"),
-        dsum("value").alias("total_value"),
+        dsum_safe("value").alias("total_value"),
     )
 
 

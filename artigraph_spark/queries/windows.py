@@ -100,12 +100,12 @@ def window_running_agg(spark, sf_dir):
     w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     w3 = w.rowsBetween(-2, W.currentRow)
-    from artigraph_spark.functions import fxp
+    from artigraph_spark.functions import DEFAULT_BITS, fxp
 
     return e.select(
         "event_id",
         "user_id",
-        (F.sum(fxp("value")).over(cum).cast("double") / F.lit(1048576.0)).alias("running_sum"),
+        (F.sum(fxp("value")).over(cum).cast("double") / F.lit(float(1 << DEFAULT_BITS))).alias("running_sum"),
         F.count("*").over(cum).alias("running_n"),
         F.max("value").over(w3).alias("max3"),
     )
@@ -132,14 +132,14 @@ def window_range_frame(spark, sf_dir):
         .orderBy(F.col("o_totalprice"))
         .rangeBetween(-10000, W.currentRow)
     )
-    from artigraph_spark.functions import fxp
+    from artigraph_spark.functions import DEFAULT_BITS, fxp
 
     return o.select(
         "o_orderkey",
         "o_orderstatus",
         "o_totalprice",
         F.count("*").over(w).alias("n_near"),
-        (F.sum(fxp("o_totalprice")).over(w).cast("double") / F.lit(1048576.0)).alias("sum_near"),
+        (F.sum(fxp("o_totalprice")).over(w).cast("double") / F.lit(float(1 << DEFAULT_BITS))).alias("sum_near"),
     )
 
 

@@ -48,9 +48,26 @@ def read_stream(
     if name == "events":
         from pyspark.sql import types as T
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        stream = reader.schema(raw.schema).parquet(sf_dir)
+        from artigraph_spark.sources import _NANOS_LOCK
+
+        # Same scoped set→resolve→restore as sources.load: the legacy flag
+        # must not leak into the session and retype unrelated parquet reads.
+        flag = "spark.sql.legacy.parquet.nanosAsLong"
+        with _NANOS_LOCK:
+            try:
+                prev = spark.conf.get(flag)
+            except Exception:
+                prev = None
+            spark.conf.set(flag, "true")
+            try:
+                raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+                raw.schema
+                stream = reader.schema(raw.schema).parquet(sf_dir)
+            finally:
+                if prev is None:
+                    spark.conf.unset(flag)
+                else:
+                    spark.conf.set(flag, prev)
         # Same guard as sources.load: only bridge when ts actually reads as
         # int64 nanos — fixtures written with µs timestamps stream as-is.
         if isinstance(raw.schema["ts"].dataType, T.LongType):
@@ -72,14 +89,14 @@ def tumbling_counts(
     key: str = "event_type",
 ) -> DataFrame:
     """Streaming twin of queries.timeseries.window_tumbling."""
-    from artigraph_spark.functions import fxp
+    from artigraph_spark.functions import DEFAULT_BITS, fxp
 
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), key)
         .agg(
             F.count("*").alias("n"),
-            (F.sum(fxp("value")).cast("double") / F.lit(1048576.0)).alias("total_value"),
+            (F.sum(fxp(F.when(F.col("value").isNotNull() & ~F.isnan("value"), F.col("value")))).cast("double") / F.lit(float(1 << DEFAULT_BITS))).alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -93,14 +110,14 @@ def tumbling_counts(
 def sliding_counts(
     events: DataFrame, *, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
-    from artigraph_spark.functions import fxp
+    from artigraph_spark.functions import DEFAULT_BITS, fxp
 
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"))
         .agg(
             F.count("*").alias("n"),
-            (F.sum(fxp("value")).cast("double") / F.lit(1048576.0)).alias("total_value"),
+            (F.sum(fxp(F.when(F.col("value").isNotNull() & ~F.isnan("value"), F.col("value")))).cast("double") / F.lit(float(1 << DEFAULT_BITS))).alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -115,14 +132,14 @@ def session_counts(
 ) -> DataFrame:
     """Native streaming sessionization (F.session_window); the batch twin is
     operators.windows.sessionize (lag+cumsum)."""
-    from artigraph_spark.functions import fxp
+    from artigraph_spark.functions import DEFAULT_BITS, fxp
 
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            (F.sum(fxp("value")).cast("double") / F.lit(1048576.0)).alias("total_value"),
+            (F.sum(fxp(F.when(F.col("value").isNotNull() & ~F.isnan("value"), F.col("value")))).cast("double") / F.lit(float(1 << DEFAULT_BITS))).alias("total_value"),
         )
         .select(
             "user_id",

@@ -2180,3 +2180,23 @@ def test_kfold_assign_balanced_per_stratum(spark):
     assert max(de) - min(de) <= 1 and sum(de) == 4
     with pytest.raises(ValueError, match="n_folds"):
         kfold_assign(df, "lang", "doc_id", n_folds=0)
+
+
+def test_asof_join_no_match_rows_carry_nulls(spark):
+    """Left rows with NO prior right row (key absent, or every right time
+    later) must surface with NULL carried values — the branch the
+    oracle-checked join_asof query cannot exercise (every fixture event
+    has a prior order), so it is pinned here."""
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 5), (3, "zzz", 100)], "id long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 77), ("a", 50, 88), ("b", 1, 99)], "k string, t2 long, v long"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t2", right_values=["v"]
+        ).collect()
+    }
+    assert got == {1: 88, 2: None, 3: None}  # too-early + absent key both NULL
