@@ -13,7 +13,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _TAG = "__asof_side__"
-_ROWID = "__asof_rowid__"
 
 
 def asof_join(
@@ -47,7 +46,7 @@ def asof_join(
             "before the as-of join (carried right columns must be unique)"
         )
 
-    lf = left.withColumn(_TAG, F.lit(1)).withColumn(_ROWID, F.monotonically_increasing_id())
+    lf = left.withColumn(_TAG, F.lit(1))
     # Compare times at the WIDER type: narrowing (e.g. timestamp→date) would
     # silently truncate left times to midnight and corrupt strict semantics.
     from pyspark.sql import types as T
@@ -58,7 +57,10 @@ def asof_join(
         else T.TimestampNTZType() if T.TimestampNTZType() in (lt, rt)
         else lt
     )
-    rf = right.select(
+    # NULL right times can never satisfy right_time <= left_time, but they
+    # sort NULLS FIRST under the window order and would be carried as
+    # earlier-than-everything matches — drop them up front.
+    rf = right.filter(F.col(right_time).isNotNull()).select(
         *[F.col(k) for k in keys],
         F.col(right_time).cast(common).alias("__asof_t__"),
         *[F.col(c) for c in right_values],
@@ -72,9 +74,8 @@ def asof_join(
     for c in left_cols:
         if c not in rf.columns:
             rf = rf.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    rf = rf.withColumn(_ROWID, F.lit(None).cast("long"))
 
-    ordered_cols = keys + ["__asof_t__", _TAG, _ROWID] + [
+    ordered_cols = keys + ["__asof_t__", _TAG] + [
         c for c in left_cols if c not in keys
     ] + right_values
     unioned = lf.select(*ordered_cols).unionByName(rf.select(*ordered_cols))
@@ -111,7 +112,7 @@ def asof_join(
     else:
         carried = unioned
 
-    return carried.filter(F.col(_TAG) == 1).drop(_TAG, _ROWID, "__asof_t__")
+    return carried.filter(F.col(_TAG) == 1).drop(_TAG, "__asof_t__")
 
 
 def salted_join(
@@ -140,8 +141,21 @@ def salted_join(
             f"salted_join supports inner/left/left_semi/left_anti, not {how!r} "
             "(unmatched right rows are salt-replicated; flip the sides)"
         )
+    from pyspark.sql import types as T
+
+    # Hash only hashable columns (xxhash64 rejects MAP inputs) and mix in a
+    # per-row id so fully-duplicated hot rows scatter too instead of all
+    # landing on one salt bucket. The salt only shapes the partitioning —
+    # results are identical whatever it evaluates to.
+    hashable = [
+        f.name for f in left.schema.fields if not isinstance(f.dataType, T.MapType)
+    ]
     salted_left = left.withColumn(
-        "__salt__", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
+        "__salt__",
+        F.pmod(
+            F.xxhash64(*hashable, F.monotonically_increasing_id()),
+            F.lit(salt),
+        ).cast("int"),
     )
     salted_right = right.withColumn(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -167,8 +181,11 @@ def range_join(
     path. Pure interval joins (no keys) fall back to broadcast-nested-loop;
     keep the interval side broadcast-sized or bucketize the range first.
     """
-    lo_cmp = F.col(left_point) >= F.col(right_lo) if closed in ("both", "left") else F.col(left_point) > F.col(right_lo)
-    hi_cmp = F.col(left_point) <= F.col(right_hi) if closed in ("both", "right") else F.col(left_point) < F.col(right_hi)
+    # Qualified references: unqualified F.col throws AMBIGUOUS_REFERENCE the
+    # moment the other side carries a same-named column (self-joins).
+    pt, lo, hi = left[left_point], right[right_lo], right[right_hi]
+    lo_cmp = pt >= lo if closed in ("both", "left") else pt > lo
+    hi_cmp = pt <= hi if closed in ("both", "right") else pt < hi
     pred = lo_cmp & hi_cmp
     if on is None:
         return left.join(right, pred)

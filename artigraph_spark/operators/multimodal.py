@@ -172,24 +172,41 @@ _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 _JPEG_STANDALONE = {0x01, *range(0xD0, 0xD8)}
 
 
-def _walk_boxes(payload: bytes, lo: int, hi: int, want: bytes):
-    """Find an ISO-BMFF box by type inside [lo, hi): returns the PAYLOAD
-    span (start, end, complete) where ``complete`` is False when the box's
-    declared size overruns the buffer — callers must not read fixed-offset
-    fields from an incomplete box. Never reads past the buffer; malformed
-    sizes terminate the walk. ONE walker for header parsing and frame
-    sampling so truncation behavior cannot diverge."""
+def _iter_boxes(payload: bytes, lo: int, hi: int, want: bytes):
+    """Yield PAYLOAD spans (start, end, complete) of every ISO-BMFF box of
+    type ``want`` inside [lo, hi) — ``complete`` is False when the box's
+    declared size overruns the buffer; callers must not read fixed-offset
+    fields from an incomplete box. Handles the full size grammar: size==0
+    (box extends to the end of the enclosing span — legal as the final
+    box) and size==1 (64-bit largesize follows the type — every >4 GiB
+    mdat in a real crawl). Never reads past the buffer; malformed sizes
+    terminate the walk. ONE walker for header parsing and frame sampling
+    so truncation behavior cannot diverge."""
     import struct
 
     hi = min(hi, len(payload))
     j = lo
     while j + 8 <= hi:
         (size,) = struct.unpack(">I", payload[j : j + 4])
-        if size < 8:
-            return None
+        header = 8
+        if size == 0:
+            size = hi - j
+        elif size == 1:
+            if j + 16 > hi:
+                return
+            (size,) = struct.unpack(">Q", payload[j + 8 : j + 16])
+            header = 16
+        if size < header:
+            return
         if payload[j + 4 : j + 8] == want:
-            return (j + 8, min(j + size, hi), j + size <= hi)
+            yield (j + header, min(j + size, hi), j + size <= hi)
         j += size
+
+
+def _walk_boxes(payload: bytes, lo: int, hi: int, want: bytes):
+    """First ``want`` box in [lo, hi), or None (see _iter_boxes)."""
+    for span in _iter_boxes(payload, lo, hi, want):
+        return span
     return None
 
 
@@ -264,17 +281,21 @@ def parse_media_header(payload: bytes | None) -> dict[str, Any]:
             # the clamped tail as "dimensions".
             span = _walk_boxes(payload, 0, len(payload), b"moov")
             if span:
-                trak = _walk_boxes(payload, span[0], span[1], b"trak")
-                if trak:
+                # EVERY trak, not just the first: audio-first layouts carry
+                # 0x0 tkhd dims on track 1 and the real video dims later —
+                # report the first track with NONZERO dims (the tail 8 bytes
+                # are the 16.16 dims in both tkhd versions).
+                for trak in _iter_boxes(payload, span[0], span[1], b"trak"):
                     tkhd = _walk_boxes(payload, trak[0], trak[1], b"tkhd")
                     if tkhd and tkhd[2] and tkhd[1] - tkhd[0] >= 84:
                         w16, h16 = struct.unpack(
                             ">II", payload[tkhd[1] - 8 : tkhd[1]]
                         )
-                        return {
-                            **none, "codec": "mp4",
-                            "width": w16 >> 16, "height": h16 >> 16,
-                        }
+                        if w16 >> 16 and h16 >> 16:
+                            return {
+                                **none, "codec": "mp4",
+                                "width": w16 >> 16, "height": h16 >> 16,
+                            }
             return {**none, "codec": "mp4"}
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             i = 12
@@ -471,10 +492,23 @@ def video_frame_instants(media: DataFrame, *, every_ms: int) -> DataFrame:
             if not span:
                 return None
             mvhd = _walk_boxes(payload, span[0], span[1], b"mvhd")
-            # mvhd v0: timescale/duration sit 12 bytes into the payload.
-            if not mvhd or not mvhd[2] or mvhd[1] - mvhd[0] < 20:
+            if not mvhd or not mvhd[2]:
                 return None
-            ts, dur = struct.unpack(">II", payload[mvhd[0] + 12 : mvhd[0] + 20])
+            version = payload[mvhd[0]]
+            if version == 1:
+                # v1: 64-bit ctime/mtime, timescale at 20, 64-bit duration.
+                if mvhd[1] - mvhd[0] < 32:
+                    return None
+                ts, dur = struct.unpack(
+                    ">IQ", payload[mvhd[0] + 20 : mvhd[0] + 32]
+                )
+            else:
+                # v0: timescale/duration sit 12 bytes into the payload.
+                if mvhd[1] - mvhd[0] < 20:
+                    return None
+                ts, dur = struct.unpack(
+                    ">II", payload[mvhd[0] + 12 : mvhd[0] + 20]
+                )
             return int(dur * 1000 / ts) if ts else None
         except struct.error:
             return None

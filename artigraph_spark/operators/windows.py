@@ -22,13 +22,23 @@ def sessionize(
     previous event (per key) exceeds ``gap_seconds``.
 
     lag + cumulative-sum over an integer flag — exact integer arithmetic, so
-    results are deterministic and oracle-comparable. Streaming equivalent:
+    results are deterministic and oracle-comparable. Timestamp columns
+    compare at MICROSECOND precision (whole-second truncation merged
+    sessions whose sub-second gap exceeded the threshold and split ones
+    that didn't); numeric time columns compare raw. Streaming equivalent:
     ``F.session_window`` (see artigraph_spark.streaming).
     """
+    from pyspark.sql import types as T
+
     keys = [key] if isinstance(key, str) else list(key)
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
-    ts = F.unix_timestamp(F.col(time_col))
+    dt = df.schema[time_col].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        ts = F.unix_micros(F.col(time_col).cast("timestamp"))
+        gap_seconds = gap_seconds * 1_000_000
+    else:
+        ts = F.col(time_col).cast("long")
     new_sess = (
         F.when(F.lag(ts).over(w).isNull(), 1)
         .when(ts - F.lag(ts).over(w) > gap_seconds, 1)

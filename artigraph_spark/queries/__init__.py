@@ -63,10 +63,14 @@ _PRIORITY: tuple[str, ...] = (
     # then (5) late-r7 review fixes changed domain_cap /
     # weighted_sample_topk / describe_summary / agg_global_summary (and
     # join_range, already in the r3 block) — they join the impl-changed
-    # block, displacing the last three r3-stale (set_except,
-    # set_intersect_all, sample_deterministic) and the single r4-stale
-    # slot (agg_pricing_summary) to r8's rotation. Window = 2 + 16 + 7
-    # + 25 r3-stale = exactly 50.
+    # block, displacing the last four r3-stale (set_intersect,
+    # set_except, set_intersect_all, sample_deterministic) and the
+    # single r4-stale slot (agg_pricing_summary) to r8's rotation.
+    # window_session joins too (microsecond gap arithmetic — boundary
+    # sessions could shift on future fixtures); the other
+    # operator-review fixes (join_asof null guard, salted_join salt
+    # expr, media box walker) were value-identical under the full
+    # oracle re-run. Window = 2 + 16 + 8 + 24 r3-stale = exactly 50.
     # (1) never recorded — the only oracle-bearing queries with no hard
     # signal ever (sliding_cms_top_users also changed impl this round)
     "sliding_cms_top_users", "ngram_novelty_docs",
@@ -82,7 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "heavy_hitter_users", "grouped_heavy_hitters_events",
     "stratified_split_exact",
     "domain_cap", "weighted_sample_topk", "describe_summary",
-    "agg_global_summary",
+    "agg_global_summary", "window_session",
     # (4) r3-stale (the r6-rotation overflow), oldest-first in r6 order
     "ngram_jaccard_pairs", "simhash_checked", "tfidf_terms",
     "edit_distance_pairs", "lang_predict", "text_quality_score",
@@ -92,7 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_math", "scalar_string", "scalar_datetime",
     "scalar_conditional", "scalar_cast", "array_ops", "map_ops",
     "json_extract", "sort_limit_topk", "set_union_all",
-    "set_union_distinct", "set_intersect",
+    "set_union_distinct",
     # Not listed: the remaining 48 r4-green, 44 r5-green and 50 r6-green
     # queries (registration order, past the window — the 48 r4-stale
     # continue oldest-first in r8) and the 4 rows-only queries

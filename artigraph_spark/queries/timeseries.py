@@ -88,8 +88,8 @@ def window_sliding(spark, sf_dir):
     WITH flagged AS (
         SELECT user_id, event_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                    WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 1800000000 THEN 1
                     ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -109,7 +109,8 @@ def window_sliding(spark, sf_dir):
 )
 def window_session(spark, sf_dir):
     """Sessionization with a 30-minute inactivity gap (batch; streaming twin
-    is F.session_window). Integer gap arithmetic → engine-exact."""
+    is F.session_window). Microsecond integer gap arithmetic → engine-exact
+    (whole-second truncation mis-assigned sub-second boundary gaps)."""
     from artigraph_spark.operators.windows import sessionize
 
     e = load(spark, sf_dir, "events")

@@ -2200,3 +2200,95 @@ def test_asof_join_no_match_rows_carry_nulls(spark):
         ).collect()
     }
     assert got == {1: 88, 2: None, 3: None}  # too-early + absent key both NULL
+
+
+def test_asof_join_ignores_null_right_times(spark):
+    """A right row with NULL time can never satisfy right_time <= left_time;
+    NULLS-FIRST ordering used to carry it as an earlier-than-everything
+    match."""
+    left = spark.createDataFrame([(1, "a", 10)], "id long, k string, t long")
+    right = spark.createDataFrame(
+        [("a", None, 1), ("a", 99, 2)], "k string, t2 long, v long"
+    )
+    (row,) = asof_join(
+        left, right, on="k", left_time="t", right_time="t2", right_values=["v"]
+    ).collect()
+    assert row["v"] is None  # null-time row not carried; t2=99 is too late
+
+
+def test_salted_join_handles_map_columns_and_duplicates(spark):
+    """xxhash64 rejects MAP inputs and identical duplicate rows used to share
+    one salt bucket — both must still join correctly."""
+    left = spark.createDataFrame(
+        [(1, {"a": "b"})] * 6 + [(2, {"c": "d"})], "k long, m map<string,string>"
+    )
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    got = salted_join(left, right, "k").collect()
+    assert sorted((r["k"], r["v"]) for r in got) == [(1, "x")] * 6 + [(2, "y")]
+
+
+def test_range_join_same_named_point_column(spark):
+    """The range predicate must use side-qualified references — a same-named
+    column on both sides used to raise AMBIGUOUS_REFERENCE."""
+    from artigraph_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([(1, 5), (1, 50)], "k long, p long")
+    right = spark.createDataFrame([(1, 0, 10, 7)], "k long, lo long, hi long, p long")
+    got = range_join(left, right, "k", "p", "lo", "hi")
+    assert got.count() == 1  # only p=5 falls in [0, 10]
+
+
+def test_sessionize_subsecond_gaps(spark):
+    """Timestamp gaps compare at microsecond precision: a 1.8 s real gap
+    with a 1 s threshold must split the session even though the
+    whole-second truncation reads it as exactly 1."""
+    import datetime
+
+    from artigraph_spark.operators.windows import sessionize
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 10, 100000)
+    rows = [
+        (1, 1, base),                                              # 10.1s
+        (1, 2, datetime.datetime(2024, 1, 1, 0, 0, 11, 900000)),   # 11.9s
+    ]
+    df = spark.createDataFrame(rows, "user long, eid long, ts timestamp")
+    got = {r["eid"]: r["session_id"]
+           for r in sessionize(df, "user", "ts", 1, tiebreak=["eid"]).collect()}
+    assert got == {1: 1, 2: 2}  # 1.8s gap > 1s threshold → new session
+
+
+def test_mp4_parsing_audio_first_largesize_and_v1_mvhd(spark):
+    """ISO-BMFF edge cases: audio-first trak layout (dims live on the SECOND
+    track), size==1 largesize boxes before moov, and version-1 mvhd."""
+    import struct
+
+    from artigraph_spark.operators.multimodal import parse_media_header
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def tkhd(w, h):
+        return box(b"tkhd", b"\x00" * 76 + struct.pack(">II", w << 16, h << 16))
+
+    audio_trak = box(b"trak", tkhd(0, 0))
+    video_trak = box(b"trak", tkhd(640, 480))
+    moov = box(b"moov", audio_trak + video_trak)
+    ftyp = box(b"ftyp", b"isom0000")
+    # largesize mdat (size field == 1, 64-bit size follows the type)
+    mdat_payload = b"\x00" * 16
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(mdat_payload)) + mdat_payload
+    hdr = parse_media_header(ftyp + mdat + moov)
+    assert (hdr["codec"], hdr["width"], hdr["height"]) == ("mp4", 640, 480)
+
+    # v1 mvhd: 64-bit ctime/mtime, timescale at 20, 64-bit duration
+    from artigraph_spark.operators.multimodal import video_frame_instants
+
+    mvhd_v1 = box(
+        b"mvhd",
+        b"\x01" + b"\x00" * 3 + b"\x00" * 16 + struct.pack(">IQ", 1000, 2500),
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(ftyp + box(b"moov", mvhd_v1)))], "media_id long, payload binary"
+    )
+    frames = video_frame_instants(media, every_ms=1000).collect()
+    assert sorted(r["frame_ms"] for r in frames) == [0, 1000, 2000]

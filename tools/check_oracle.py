@@ -32,12 +32,14 @@ def canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{round(v, 9):.9f}"
+        # + 0.0 folds -0.0 (and tiny negatives rounded to it) into 0.0 —
+        # '-0.000000000' vs '0.000000000' is a spurious mismatch.
+        return f"{round(v, 9) + 0.0:.9f}"
     import datetime
     import decimal
 
     if isinstance(v, decimal.Decimal):
-        return f"{round(float(v), 9):.9f}"
+        return f"{round(float(v), 9) + 0.0:.9f}"
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
     if isinstance(v, datetime.date):

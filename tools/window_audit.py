@@ -47,8 +47,21 @@ def last_recorded(repo: Path) -> dict[str, int]:
 
 def main() -> int:
     fresh: set[str] = set()
-    if len(sys.argv) > 2 and sys.argv[1] == "--fresh":
-        fresh = set(sys.argv[2].split(","))
+    args = sys.argv[1:]
+    if args and args[0].startswith("--fresh="):
+        fresh = set(args[0][len("--fresh="):].split(","))
+        args = args[1:]
+    elif args and args[0] == "--fresh":
+        if len(args) < 2:
+            print("error: --fresh requires a comma-separated query list")
+            return 2
+        fresh = set(args[1].split(","))
+        args = args[2:]
+    if args:
+        # A typo'd flag silently auditing with an EMPTY fresh set produces a
+        # misleading staleness failure (or false confidence) — reject it.
+        print(f"error: unrecognized arguments {args!r}")
+        return 2
 
     from artigraph_spark.queries import oracle_sql, queries
 
