@@ -67,7 +67,7 @@ def _pack_impl(
             f"first (e.g. xxhash64 or a monotonically increasing id)"
         )
     gtype = df.schema[group_col].dataType if group_col else T.IntegerType()
-    id_type = df.schema[id_col].dataType
+    id_type = id_dt
     gexpr = F.col(group_col) if group_col else F.lit(0)
     # Slim the input to (group, id, count) and persist it for the two
     # driver-side aggregation passes (bounds, bucket totals) so the upstream
@@ -261,6 +261,14 @@ def pack_sequences_by_group(
     return _pack_impl(df, group_col, id_col, count_col, capacity, num_buckets)
 
 
+def _require_positive_n(n: int) -> None:
+    if n < 1:
+        # n=0 renders every document's gram set [""] — benchmark overlap
+        # reads 100% and decontaminate_corpus would delete the whole
+        # corpus instead of erroring on the invalid parameter.
+        raise ValueError(f"n-gram size must be >= 1, got {n}")
+
+
 def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
     """Array of space-joined n-grams from an ALREADY-MATERIALIZED token
     array column. Project the tokens into a real column first: lambda
@@ -270,6 +278,7 @@ def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
     slower at bench scale. A separate projection materializes the array
     once per row (CollapseProject keeps multiply-referenced non-cheap
     aliases as a projection boundary)."""
+    _require_positive_n(n)
     count = F.size(toks) - (n - 1)
 
     def gram(i: Column) -> Column:
@@ -451,8 +460,12 @@ def weighted_sample_topk(
         - F.log(F.col(weight_col)),
         9,
     )
+    w = F.col(weight_col)
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        # Explicit NaN exclusion: Spark orders NaN above every number, so
+        # NaN > 0 is TRUE and NaN-weight rows would smuggle past the
+        # positivity filter into the sample tail.
+        df.filter(w.isNotNull() & (w > 0) & ~F.isnan(w.cast("double")))
         .withColumn("__sk", key)
         .orderBy(F.col("__sk").asc(), F.col(id_col))
         .limit(k)
@@ -947,14 +960,18 @@ def negative_samples(
     lazy_n = isinstance(n_items, DataFrame)
     if k <= 0 or oversample <= 0 or (not lazy_n and n_items <= 0):
         raise ValueError(f"need positive k/n_items/oversample, got {k}/{n_items}/{oversample}")
-    from pyspark.sql import Window
 
     u, p = F.col(user_col), F.lit(_HASH_P)
     users = positives.select(user_col).distinct()
     if lazy_n:
         (n_name,) = n_items.columns
         users = users.crossJoin(F.broadcast(n_items))
-        n_expr = F.col(n_name)
+        # Fail at execution, not silently: a NULL/non-positive max (empty
+        # items table) would otherwise make every candidate NULL — and
+        # NULL never anti-join-matches, so the output would be (user,
+        # NULL, 1) garbage pairs. assert_true returns NULL on success.
+        ok = F.col(n_name).isNotNull() & (F.col(n_name) > 0)
+        n_expr = F.when(F.assert_true(ok).isNull(), F.col(n_name))
     else:
         n_name, n_expr = None, F.lit(n_items)
     cands = users.select(
@@ -1006,7 +1023,6 @@ def kfold_assign(
     """
     if n_folds <= 0:
         raise ValueError(f"n_folds must be positive, got {n_folds}")
-    from pyspark.sql import Window
 
     w = Window.partitionBy(stratum_col).orderBy(order_col)
     return df.withColumn(

@@ -279,12 +279,16 @@ def moments(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     and round to 6 decimals, so an oracle replays every value. Groups
     with zero variance emit NULL skew/kurtosis. ONE data-sized shuffle.
     """
-    from artigraph_spark.functions import dsum, dsum_wide
+    from artigraph_spark.functions import dsum_wide
 
     c = F.col(value_col)
-    agg = df.filter(c.isNotNull()).groupBy(group_col).agg(
+    # NaN rows are excluded like NULLs (fxp(NaN) counts as 0 in non-ANSI
+    # Spark and aborts under ANSI); all four sums ride DECIMAL(38,0)
+    # partials — Σx·2^20 alone overflows int64 once a group's raw value
+    # total passes ~8.8e12.
+    agg = df.filter(c.isNotNull() & ~F.isnan(c.cast("double"))).groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
-        dsum(c, 20).alias("__s1"),
+        dsum_wide(c, 20).alias("__s1"),
         dsum_wide(c * c, 10).alias("__s2"),
         dsum_wide(c * c * c, 10).alias("__s3"),
         dsum_wide(c * c * c * c, 10).alias("__s4"),
@@ -585,6 +589,11 @@ def snapshot_diff(
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(fold).alias("key_checksum"),
+            # DECIMAL(38,0) partials + a final mod keep the checksum an
+            # exact, bounded int64 at ANY row count — a plain long sum of
+            # per-key folds overflows past ~4.3e9 rows per status.
+            F.pmod(
+                F.sum(fold.cast("decimal(38,0)")), F.lit((1 << 31) - 1)
+            ).cast("long").alias("key_checksum"),
         )
     )

@@ -8,7 +8,7 @@ every shuffle is keyed on the user or the (type, window) pair.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def funnel_stages(
@@ -118,11 +118,15 @@ def time_rollup(
 
     v = F.col(value_col)
     clean = e.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
+    # The fixed-point partials ride DECIMAL(38,0) through every level: a
+    # month's raw value total past ~8.8e12 (at bits=20) overflows a plain
+    # int64 re-sum — ANSI abort or silent wraparound at exactly the scale
+    # the zero-drift claim is for. Exact integers either way.
     hourly = (
         clean.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("b"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(fxp(value_col, bits)).alias("__fx"),
+            F.sum(fxp(value_col, bits).cast("decimal(38,0)")).alias("__fx"),
         )
     )
     daily = (
@@ -175,7 +179,6 @@ def trend_slopes(
     the regression itself aggregates ≤buckets rows per group. Returns
     ``(group, n_buckets, slope)`` with slope in events per bucket.
     """
-    from pyspark.sql import functions as F
 
     if bucket_seconds <= 0:
         raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
@@ -259,17 +262,22 @@ def ewma_state(df, bucket_col: Column | str, value_col: str, *, bits: int = 20):
     fixed-point per-bucket sums ``(__b, __s)``. Merges across
     partitions/snapshots/micro-batches by ``groupBy(__b).sum(__s)`` —
     the CMS-cell analogue for plain sums."""
-    from pyspark.sql import functions as F
 
     from artigraph_spark.functions import fxp
 
     bucket_col = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    v = F.col(value_col)
     return (
-        df.select(
+        # NaN rows drop like NULLs BEFORE the fixed-point cast: fxp(NaN)
+        # is 0 in non-ANSI Spark (phantom zero-sum buckets entering the
+        # weight mass) and an abort under ANSI — the oracle twin
+        # pre-filters NOT isnan, so the state must too.
+        df.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
+        .select(
             bucket_col.cast("long").alias("__b"),
-            fxp(F.col(value_col), bits).alias("__v"),
+            fxp(v, bits).alias("__v"),
         )
-        .filter(F.col("__b").isNotNull() & F.col("__v").isNotNull())
+        .filter(F.col("__b").isNotNull())
         .groupBy("__b")
         .agg(F.sum("__v").alias("__s"))
     )
@@ -278,7 +286,6 @@ def ewma_state(df, bucket_col: Column | str, value_col: str, *, bits: int = 20):
 def ewma_from_state(per_bucket, *, window_buckets: int = 8, bits: int = 20):
     """Answer the trailing EWMA from :func:`ewma_state` output — see
     :func:`ewma_buckets` for the semantics. Summary-sized only."""
-    from pyspark.sql import functions as F
 
     if window_buckets <= 0 or window_buckets > 62:
         raise ValueError(
@@ -350,7 +357,6 @@ def inter_event_gaps(df, group_col: str, ts_col: str):
     is a per-group aggregate.
     """
     from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     w = Window.partitionBy(group_col).orderBy(F.col("__t"))
     ts = (
@@ -437,7 +443,6 @@ def scd2_intervals(df, key_col: str, ts_col: str, id_col: str):
     and oracle-replayable. One exchange (per-key window sort).
     """
     from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     w = Window.partitionBy(key_col).orderBy(F.col("__t"), F.col(id_col))
     return (

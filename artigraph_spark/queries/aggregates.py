@@ -420,7 +420,8 @@ def _moments_oracle_sql() -> str:
     WITH s AS (
         SELECT l_returnflag, count(*) AS n,
                {s1} AS s1, {s2} AS s2, {s3} AS s3, {s4} AS s4
-        FROM lineitem WHERE l_quantity IS NOT NULL
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
         GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,

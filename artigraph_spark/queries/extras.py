@@ -1957,7 +1957,7 @@ def sliding_cms_top_users(spark, sf_dir):
                 WHEN same THEN 'unchanged'
                 ELSE 'changed' END AS status,
            count(*) AS n,
-           CAST(SUM(k % 2147483647) AS BIGINT) AS key_checksum
+           CAST(SUM(k % 2147483647) % 2147483647 AS BIGINT) AS key_checksum
     FROM j GROUP BY 1
     """,
 )

@@ -2292,3 +2292,49 @@ def test_mp4_parsing_audio_first_largesize_and_v1_mvhd(spark):
     )
     frames = video_frame_instants(media, every_ms=1000).collect()
     assert sorted(r["frame_ms"] for r in frames) == [0, 1000, 2000]
+
+
+def test_nan_and_scale_guards(spark):
+    """NaN rows are excluded from moments/EWMA state like NULLs; NaN
+    weights are excluded from weighted sampling; n-gram size validates;
+    lazy negative-sample n fails loudly on an empty items frame."""
+    import math
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.packing import (
+        negative_samples,
+        ngrams,
+        weighted_sample_topk,
+    )
+    from artigraph_spark.operators.quality import moments
+    from artigraph_spark.operators.timeseries import ewma_state
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [("g", 2.0), ("g", nan), ("g", 4.0)], "g string, v double"
+    )
+    (m,) = moments(df, "g", "v").collect()
+    assert m["n"] == 2 and m["mean_r"] == 3.0  # NaN row fully excluded
+
+    st = ewma_state(
+        spark.createDataFrame([(1, nan), (2, 5.0)], "b long, v double"), "b", "v"
+    ).collect()
+    assert [(r["__b"]) for r in st] == [2]  # all-NaN bucket never materializes
+
+    w = spark.createDataFrame(
+        [(1, 10.0), (2, nan), (3, 1.0)], "id long, w double"
+    )
+    got = weighted_sample_topk(w, "id", "w", 3).collect()
+    assert all(not math.isnan(r["w"]) for r in got) and len(got) == 2
+
+    with _pytest.raises(ValueError, match="n-gram"):
+        spark.range(1).select(ngrams(F.lit("a b c"), 0))
+
+    pos = spark.createDataFrame([(1, 1)], "u long, it long")
+    empty_items = spark.createDataFrame([], "x long").agg(F.max("x").alias("__n"))
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        negative_samples(pos, "u", "it", k=2, n_items=empty_items).collect()
