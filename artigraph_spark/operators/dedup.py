@@ -465,6 +465,18 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # Exhausting the rounds with changes still flowing means some
+        # labels are stale non-root ids — downstream dedup_clusters would
+        # then find NO keeper row for those clusters and silently drop
+        # every member. Fail loudly instead; pointer jumping converges in
+        # O(log diameter), so the default 20 rounds cover diameters ~2^20.
+        if changed != 0:
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_iterations} pointer-jumping rounds — component "
+                f"diameter exceeds ~2^{max_iterations}; raise max_iterations"
+            )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
@@ -544,7 +556,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         bit_val = (1 << i) if i < 63 else -(1 << 63)
         term = F.when(F.col(f"bit{i}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseOR(term)
-    return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+    # Token-less documents (NULL/empty/whitespace text) produce no exploded
+    # rows and would vanish from the output — the silent-row-loss hazard
+    # minhash_signatures documents. Preserve them with the all-bits-zero
+    # signature (no majority set anywhere).
+    return (
+        df.select(F.col(id_col))
+        .join(bit_sums.select(F.col(id_col), sig.alias("simhash")), id_col, "left")
+        .select(F.col(id_col), F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def dedup_segments(

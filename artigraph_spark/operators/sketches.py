@@ -45,6 +45,19 @@ def _cells(key_col: str, n: int, modulo: int, seed: int) -> list:
     ]
 
 
+def _cell_rows(key_col: str, depth: int, width: int, seed: int):
+    """The (depth_id, bucket) struct array shared by every CMS build AND
+    probe site — ONE definition of the pairing, because a build whose cell
+    enumeration drifts from its probe silently corrupts every estimate
+    (the hazard the _cells comment calls out)."""
+    return F.array(
+        *[
+            F.struct(F.lit(d).alias("depth_id"), cell.alias("bucket"))
+            for d, cell in enumerate(_cells(key_col, depth, width, seed))
+        ]
+    )
+
+
 def count_min_sketch(
     df: DataFrame,
     key_col: str,
@@ -59,12 +72,7 @@ def count_min_sketch(
     """
     if width <= 0 or depth <= 0:
         raise ValueError(f"width and depth must be positive, got {width}x{depth}")
-    rows = F.array(
-        *[
-            F.struct(F.lit(d).alias("depth_id"), cell.alias("bucket"))
-            for d, cell in enumerate(_cells(key_col, depth, width, seed))
-        ]
-    )
+    rows = _cell_rows(key_col, depth, width, seed)
     return (
         df.select(F.explode(rows).alias("__cell"))
         .groupBy(F.col("__cell.depth_id").alias("depth_id"), F.col("__cell.bucket").alias("bucket"))
@@ -91,12 +99,7 @@ def cms_estimate(
     probes = keys.select(
         F.col(key_col),
         F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("depth_id"), cell.alias("bucket"))
-                    for d, cell in enumerate(_cells(key_col, depth, width, seed))
-                ]
-            )
+            _cell_rows(key_col, depth, width, seed)
         ).alias("__cell"),
     ).select(key_col, F.col("__cell.depth_id").alias("depth_id"), F.col("__cell.bucket").alias("bucket"))
     return (
@@ -109,7 +112,7 @@ def cms_estimate(
 def bloom_build(
     df: DataFrame,
     key_col: str,
-    num_bits: int = 1 << 16,
+    num_bits: int = 1 << 20,
     num_hashes: int = 4,
     seed: int = 7,
 ) -> DataFrame:
@@ -134,7 +137,7 @@ def bloom_passing_keys(
     df: DataFrame,
     key_col: str,
     bits: DataFrame,
-    num_bits: int = 1 << 16,
+    num_bits: int = 1 << 20,
     num_hashes: int = 4,
     seed: int = 7,
 ) -> DataFrame:
@@ -153,7 +156,16 @@ def bloom_passing_keys(
         .select(F.col(key_col), F.explode(positions).alias("bit"))
     )
     return (
-        probes.join(F.broadcast(bits.withColumn("__hit", F.lit(1))), "bit", "left")
+        # distinct() defends against duplicated bit rows (e.g. a caller
+        # unioning two filters without dedup): a duplicate match would
+        # push a TRUE member's hit count past num_hashes and the == test
+        # would reject it — a false negative, the one failure mode a
+        # Bloom filter must never have.
+        probes.join(
+            F.broadcast(bits.select("bit").distinct().withColumn("__hit", F.lit(1))),
+            "bit",
+            "left",
+        )
         .groupBy(key_col)
         .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"))
         .filter(F.col("__hits") == num_hashes)
@@ -165,7 +177,7 @@ def bloom_prefilter(
     df: DataFrame,
     key_col: str,
     bits: DataFrame,
-    num_bits: int = 1 << 16,
+    num_bits: int = 1 << 20,
     num_hashes: int = 4,
     seed: int = 7,
 ) -> DataFrame:
@@ -657,12 +669,7 @@ def grouped_count_min_sketch(
     """
     if width <= 0 or depth <= 0:
         raise ValueError(f"width and depth must be positive, got {width}x{depth}")
-    rows = F.array(
-        *[
-            F.struct(F.lit(d).alias("depth_id"), cell.alias("bucket"))
-            for d, cell in enumerate(_cells(key_col, depth, width, seed))
-        ]
-    )
+    rows = _cell_rows(key_col, depth, width, seed)
     w = F.lit(1).cast("long") if weight is None else weight.cast("long")
     return (
         df.filter(F.col(group_col).isNotNull())
@@ -703,12 +710,7 @@ def grouped_cms_estimate(
         F.col(group_col),
         F.col(key_col),
         F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("depth_id"), cell.alias("bucket"))
-                    for d, cell in enumerate(_cells(key_col, depth, width, seed))
-                ]
-            )
+            _cell_rows(key_col, depth, width, seed)
         ).alias("__cell"),
     ).select(
         group_col,
