@@ -814,3 +814,85 @@ def bloom_dedup_against(
         admitted = clean
     survivors = dedup_pick_first(admitted, ["__h"], [F.col(id_col).asc()])
     return survivors.drop("__h", "__k")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    *,
+    window: int = 3,
+    block_chars: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic record-linkage method):
+    order all records by a blocking ``key`` and emit every pair within
+    ``window`` positions of each other — candidates for an exact
+    similarity check (edit distance, field compare). Complements the
+    LSH/shingle blockers: it catches near-dups whose PREFIXES agree
+    (typos late in the string) at linear candidate volume (≤ window·n
+    pairs), where a fixed-shingle blocker needs whole-shingle agreement.
+
+    The global rank is computed WITHOUT a global window: records bucket
+    by the first ``block_chars`` characters of the key (a prefix range
+    is contiguous in lexicographic order, so bucket order == key order;
+    Spark, Python, and DuckDB all compare strings by code point), rank
+    locally per bucket, and shift by driver-collected per-bucket counts
+    — the packing module's two-phase prefix-sum shape, with a
+    summary-sized (≤ distinct prefixes) metadata collect. Choose
+    ``block_chars`` so prefix cardinality stays metadata-sized while no
+    single prefix bucket exceeds a partition.
+
+    Ordering is ``(key, id)`` — ties on the key are broken by the
+    (unique) id, so ranks, and therefore the pair set, are deterministic
+    and oracle-replayable. NULL keys/ids are excluded. Returns
+    ``(a, b, rank_gap, key_a, key_b)`` with ``a`` the lower-ranked id of
+    the pair and ``rank_gap`` in 1..window.
+    """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if block_chars <= 0:
+        raise ValueError(f"block_chars must be positive, got {block_chars}")
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    slim = df.select(
+        key.cast("string").alias("__k"), F.col(id_col).alias("__id")
+    ).filter(F.col("__k").isNotNull() & F.col("__id").isNotNull())
+    bucketed = slim.withColumn("__b", F.substring("__k", 1, block_chars))
+    counts = (
+        bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c")).collect()
+    )
+    acc, offsets = 0, []
+    for r in sorted(counts, key=lambda r: r["__b"]):
+        offsets.append((r["__b"], acc))
+        acc += int(r["__c"])
+    off_df = spark.createDataFrame(
+        offsets,
+        T.StructType(
+            [T.StructField("__b", T.StringType()), T.StructField("__off", T.LongType())]
+        ),
+    )
+    w = Window.partitionBy("__b").orderBy("__k", "__id")
+    ranked = (
+        bucketed.join(F.broadcast(off_df), "__b")
+        .select(
+            "__k",
+            "__id",
+            (F.row_number().over(w) + F.col("__off")).alias("__r"),
+        )
+    )
+    a = ranked.select(
+        F.col("__id").alias("a"), F.col("__k").alias("key_a"), F.col("__r")
+    ).select(
+        "a", "key_a", "__r", F.explode(
+            F.array(*[F.lit(j) for j in range(1, window + 1)])
+        ).alias("rank_gap"),
+    )
+    b = ranked.select(
+        F.col("__id").alias("b"),
+        F.col("__k").alias("key_b"),
+        F.col("__r").alias("__rb"),
+    )
+    return a.join(b, F.col("__r") + F.col("rank_gap") == F.col("__rb")).select(
+        "a", "b", F.col("rank_gap").cast("long").alias("rank_gap"), "key_a", "key_b"
+    )

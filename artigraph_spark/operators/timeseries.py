@@ -459,3 +459,238 @@ def scd2_intervals(df, key_col: str, ts_col: str, id_col: str):
             F.lead("__t").over(w).alias("valid_to_s"),
         )
     )
+
+
+def cusum_scores(
+    df,
+    ts_col: str,
+    *,
+    bucket_seconds: int = 3600,
+):
+    """CUSUM changepoint scores over a bucketed event-count series: for
+    each time bucket t (ordered), the cumulative deviation of observed
+    counts from the all-buckets mean — the classic "where did the rate
+    shift?" statistic whose |max| locates the most likely changepoint.
+
+    Exactness: with N buckets and total count T, the textbook score
+    S_t = Σ_{i≤t} (y_i − T/N) is rational; multiplying through by N
+    gives ``s_scaled = N·Σ_{i≤t} y_i − t·T`` — pure int64 arithmetic
+    both engines compute identically (safe while N·T < 2^63; at
+    N ≈ 10^5 hourly buckets that allows ~10^13 events). Only observed
+    buckets enter the series (missing hours are skipped, not
+    zero-filled — compose with gap-fill first when absence should count
+    as a zero observation).
+
+    Scale shape: ONE data-sized shuffle (the bucket groupBy with
+    map-side partials); the prefix sum is a global-order window over the
+    SUMMARY-sized per-bucket table (≤ N rows, hours-per-year scale —
+    the same single-partition summary walk as the histogram quantile
+    family). Returns ``(bucket_s, n, s_scaled)`` per observed bucket.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    from pyspark.sql import Window
+
+    b = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast("long")
+        * F.lit(bucket_seconds)
+    )
+    per_bucket = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(b.alias("bucket_s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_pre = Window.orderBy("bucket_s").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bucket_s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_buckets = F.count(F.lit(1)).over(w_all)
+    total = F.sum("n").over(w_all)
+    prefix = F.sum("n").over(w_pre)
+    t_idx = F.row_number().over(Window.orderBy("bucket_s"))
+    return per_bucket.select(
+        "bucket_s",
+        "n",
+        (n_buckets * prefix - t_idx * total).alias("s_scaled"),
+    )
+
+
+def acf_lags(
+    df,
+    ts_col: str,
+    *,
+    bucket_seconds: int = 3600,
+    max_lag: int = 24,
+):
+    """Sample autocorrelation of the bucketed event-count series at lags
+    1..max_lag — the seasonality probe (a daily cycle shows as a peak at
+    lag 24 on hourly buckets) behind periodicity detection and forecast
+    model selection.
+
+    Exactness: with N observed buckets and total T, the mean-centered
+    deviation N·y_t − T is exact int64; numerator and denominator are
+    sums of deviation products widened to DECIMAL(38,0) (the products
+    reach (N·T)², past int64 — same widening as :func:`trend_slopes`),
+    and ``acf_r`` is the single double division at the end, identical
+    on any engine/partitioning while the sums stay within double's 2^53
+    integer range after the decimal→double cast (N·T ≤ ~3e7 guarantees
+    it; far beyond any bucket-count series). Buckets are the OBSERVED
+    ones in time order (compose with gap-fill to zero-fill absences);
+    lag pairs that fall off the series start are excluded (n_pairs =
+    N − lag), the standard non-circular estimator with the common-mean
+    convention.
+
+    Scale shape: one data-sized shuffle to per-bucket counts, then all
+    window work runs over the summary-sized series (≤ N rows); the
+    max_lag lag columns are one window pass. Returns
+    ``(lag, n_pairs, acf_r)``, one row per lag 1..max_lag.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    if max_lag <= 0:
+        raise ValueError(f"max_lag must be positive, got {max_lag}")
+    from pyspark.sql import Window
+
+    b = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast("long")
+        * F.lit(bucket_seconds)
+    )
+    per_bucket = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__y"))
+    )
+    w_all = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ord = Window.orderBy("__b")
+    dev = (
+        F.count(F.lit(1)).over(w_all) * F.col("__y") - F.sum("__y").over(w_all)
+    ).alias("__d")
+    base = per_bucket.select(F.col("__b"), dev)
+    lagged = base.select(
+        F.col("__d"),
+        *[F.lag("__d", k).over(w_ord).alias(f"__l{k}") for k in range(1, max_lag + 1)],
+    )
+    dd = F.col("__d").cast("decimal(38,0)")
+    agg = lagged.agg(
+        F.sum(dd * F.col("__d")).alias("__den"),
+        *[
+            F.sum(dd * F.col(f"__l{k}")).alias(f"__num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        *[F.count(F.col(f"__l{k}")).alias(f"__np{k}") for k in range(1, max_lag + 1)],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                F.col(f"__np{k}").alias("n_pairs"),
+                (
+                    F.col(f"__num{k}").cast("double")
+                    / F.col("__den").cast("double")
+                ).alias("acf_r"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return (
+        agg.select(F.explode(pairs).alias("__r"))
+        .select("__r.lag", "__r.n_pairs", "__r.acf_r")
+    )
+
+
+def attribute_conversions(
+    e,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_seconds: int = 7 * 86400,
+    model: str = "last",
+    bits: int = 20,
+):
+    """Marketing-style conversion attribution: credit each conversion
+    event to the touch events (clicks/views) that preceded it within a
+    per-user lookback window. ``model``:
+
+    - ``"last"`` / ``"first"``: the single latest/earliest qualifying
+      touch takes the whole conversion (credit 1). Winner selection is a
+      struct min/max over ``(ts, id)`` — exact µs timestamps with the
+      unique event id as tiebreak, so the choice is deterministic and
+      oracle-replayable.
+    - ``"linear"``: every qualifying touch takes ``floor(2^bits / k)``
+      fixed-point credit for a k-touch conversion — exact integers, no
+      order-dependent float splits (credits per conversion sum to ≤ 2^bits,
+      short by at most k−1 ulps from the floor).
+
+    Conversions with NO qualifying touch are kept under channel
+    ``"none"`` with full credit — dropping them would silently understate
+    conversion volume. Returns one row per (conversion, touch|none):
+    ``(conv_id, channel, credit_fx)`` with credit_fx on the 2^bits scale;
+    aggregate by channel downstream.
+
+    Scale shape: the conversion×touch pair join is an equi-join on the
+    user with the time-window residual — per-user work bounded by touch
+    counts in the lookback (salt heavy users if the skew audit says so);
+    the winner/credit groupBy is keyed on the conversion id. No windows,
+    no driver-side state.
+    """
+    if model not in ("last", "first", "linear"):
+        raise ValueError(f"model must be last/first/linear, got {model!r}")
+    if lookback_seconds <= 0:
+        raise ValueError(f"lookback_seconds must be positive, got {lookback_seconds}")
+    one = 1 << bits
+    conv = e.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).alias("__cts"),
+    )
+    tch = e.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__tid"),
+        F.col(ts_col).alias("__tts"),
+        F.col(type_col).alias("__ch"),
+    )
+    pairs = conv.join(
+        tch,
+        (conv["__u"] == tch["__u"])
+        & (F.col("__tts") < F.col("__cts"))
+        & (
+            F.col("__tts")
+            >= F.col("__cts") - F.expr(f"INTERVAL {int(lookback_seconds)} SECONDS")
+        ),
+    ).select("conv_id", "__tts", "__tid", "__ch")
+    if model == "linear":
+        counts = pairs.groupBy("conv_id").agg(F.count(F.lit(1)).alias("__k"))
+        credited = (
+            pairs.join(counts, "conv_id")
+            .groupBy("conv_id", F.col("__ch").alias("channel"))
+            .agg(
+                F.sum(F.floor(F.lit(one) / F.col("__k")).cast("long")).alias(
+                    "credit_fx"
+                )
+            )
+        )
+    else:
+        pick = F.max if model == "last" else F.min
+        best = pairs.groupBy("conv_id").agg(
+            pick(F.struct(F.col("__tts"), F.col("__tid"), F.col("__ch"))).alias("__w")
+        )
+        credited = best.select(
+            "conv_id",
+            F.col("__w.__ch").alias("channel"),
+            F.lit(one).cast("long").alias("credit_fx"),
+        )
+    return (
+        conv.select("conv_id")
+        .join(credited, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce(F.col("channel"), F.lit("none")).alias("channel"),
+            F.coalesce(F.col("credit_fx"), F.lit(one).cast("long")).alias("credit_fx"),
+        )
+    )

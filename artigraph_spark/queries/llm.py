@@ -1169,3 +1169,37 @@ def ngram_novelty_docs(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return ngram_novelty(d, "doc_id", "text", n=3)
+
+
+@query(
+    "sorted_neighborhood_docs",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lower(substr(text, 1, 24)) AS k
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), r AS (
+        SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rnk FROM d
+    ), g AS (
+        SELECT * FROM (VALUES (1), (2), (3)) t(j)
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b, CAST(g.j AS BIGINT) AS rank_gap,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS edit_dist
+    FROM r a CROSS JOIN g JOIN r b ON a.rnk + g.j = b.rnk
+    """,
+)
+def sorted_neighborhood_docs(spark, sf_dir):
+    """Sorted-neighborhood blocking over document prefixes: rank every doc
+    by its lowercased 24-char prefix (two-phase distributed rank, no global
+    window) and score each pair within 3 rank positions by edit distance —
+    the record-linkage candidate generator, linear in corpus size where
+    all-pairs is quadratic."""
+    from artigraph_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = sorted_neighborhood_pairs(
+        d, "doc_id", F.lower(F.substring("text", 1, 24)), window=3, block_chars=4
+    )
+    return pairs.select(
+        "a", "b", "rank_gap",
+        F.levenshtein("key_a", "key_b").cast("long").alias("edit_dist"),
+    )

@@ -690,3 +690,131 @@ def event_transitions(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return transition_matrix(e, "user_id", "ts", "event_type", "event_id")
+
+
+def _acf_oracle_sql(bucket_seconds: int, max_lag: int) -> str:
+    """DuckDB replica of the exact ACF pipeline: integer mean-centered
+    deviations (N·y − T), per-lag product sums, one double division.
+    Sums pass through HUGEINT internally; every OUTPUT column is cast to
+    a Spark-mappable type (BIGINT/DOUBLE) per the driver's arrow canon."""
+    lag_cols = ", ".join(
+        f"lag(dev, {k}) OVER (ORDER BY b) AS l{k}" for k in range(1, max_lag + 1)
+    )
+    arms = "\n    UNION ALL ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS lag, count(l{k}) AS n_pairs,
+           CAST(sum(dev * l{k}) AS DOUBLE)
+           / (SELECT CAST(sum(dev * dev) AS DOUBLE) FROM d) AS acf_r
+    FROM l"""
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH pb AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // {bucket_seconds}
+               * {bucket_seconds} AS b,
+               count(*) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), s AS (
+        SELECT count(*) AS nb, CAST(sum(y) AS BIGINT) AS t FROM pb
+    ), d AS (
+        SELECT b, (s.nb * pb.y - s.t) AS dev FROM pb, s
+    ), l AS (
+        SELECT dev, {lag_cols} FROM d
+    )
+    {arms}
+    """
+
+
+@query("acf_hourly", oracle=_acf_oracle_sql(3600, 24))
+def acf_hourly(spark, sf_dir):
+    """Autocorrelation of hourly event volume at lags 1..24 — the
+    seasonality probe (the fixture's daily usage cycle peaks at lag 24).
+    Deviations are exact integers (N·y − T), so the single double
+    division replays bit-for-bit in the oracle."""
+    from artigraph_spark.operators.timeseries import acf_lags
+
+    e = load(spark, sf_dir, "events")
+    return acf_lags(e, "ts", bucket_seconds=3600, max_lag=24)
+
+
+@query(
+    "cusum_changepoints",
+    oracle="""
+    WITH pb AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS bucket_s,
+               count(*) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), s AS (
+        SELECT count(*) AS nb, CAST(sum(n) AS BIGINT) AS t FROM pb
+    )
+    SELECT bucket_s, n,
+           CAST(s.nb * sum(n) OVER (ORDER BY bucket_s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - row_number() OVER (ORDER BY bucket_s) * s.t
+                AS BIGINT) AS s_scaled
+    FROM pb, s
+    """,
+)
+def cusum_changepoints(spark, sf_dir):
+    """CUSUM changepoint scores over hourly event counts: the cumulative
+    deviation from the global mean, scaled by N to stay in exact int64
+    (s_scaled = N·prefix − t·T). The |max| row is the most likely rate
+    shift; emitting every bucket's score keeps the full statistic under
+    the oracle's hash."""
+    from artigraph_spark.operators.timeseries import cusum_scores
+
+    e = load(spark, sf_dir, "events")
+    return cusum_scores(e, "ts", bucket_seconds=3600)
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, ts AS cts, value
+        FROM events WHERE event_type = 'purchase'
+    ), tch AS (
+        SELECT user_id, event_id AS tid, ts AS tts, event_type AS ch
+        FROM events WHERE event_type IN ('click', 'view')
+    ), pairs AS (
+        SELECT c.conv_id, t.tts, t.tid, t.ch
+        FROM conv c JOIN tch t ON t.user_id = c.user_id
+         AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 604800 SECONDS
+    ), best AS (
+        SELECT conv_id, ch FROM (
+            SELECT conv_id, ch,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY tts DESC, tid DESC) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    ), attr AS (
+        SELECT c.conv_id, c.value, coalesce(b.ch, 'none') AS channel
+        FROM conv c LEFT JOIN best b USING (conv_id)
+    )
+    SELECT channel, count(*) AS n_conversions,
+           {oracle_dsum_safe('value')} AS attributed_value
+    FROM attr GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase credits the latest
+    click/view by the same user in the prior 7 days (µs-exact window, id
+    tiebreak); purchases with no qualifying touch land in channel 'none'.
+    The oracle replays the winner pick as a row_number window."""
+    from artigraph_spark.operators.timeseries import attribute_conversions
+
+    e = load(spark, sf_dir, "events")
+    credited = attribute_conversions(
+        e, conversion_type="purchase", touch_types=("click", "view"),
+        lookback_seconds=604800, model="last",
+    )
+    vals = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "value"
+    )
+    return (
+        credited.join(vals, "conv_id")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            dsum_safe("value").alias("attributed_value"),
+        )
+    )

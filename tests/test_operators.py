@@ -2338,3 +2338,110 @@ def test_nan_and_scale_guards(spark):
 
     with _pytest.raises(Exception):
         negative_samples(pos, "u", "it", k=2, n_items=empty_items).collect()
+
+
+def test_cusum_scores_level_shift(spark):
+    """A 2-then-8 events/bucket level shift: s_scaled = N·prefix − t·T must
+    bottom out exactly at the shift bucket and telescope to 0 at the end."""
+    from artigraph_spark.operators.timeseries import cusum_scores
+
+    rows = []
+    for h in range(10):
+        for i in range(2 if h < 5 else 8):
+            rows.append((f"2024-01-01 {h:02d}:00:{i:02d}",))
+    df = spark.createDataFrame(rows, ["ts_s"]).select(F.to_timestamp("ts_s").alias("ts"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = sorted(
+        (r["bucket_s"], r["n"], r["s_scaled"]) for r in cusum_scores(df, "ts").collect()
+    )
+    assert len(out) == 10
+    # t <= 5: s = -30t ; t > 5: s = 30t - 300 (N=10, T=50)
+    scores = [s for _, _, s in out]
+    assert scores == [-30 * t for t in range(1, 6)] + [30 * t - 300 for t in range(6, 11)]
+    assert min(scores) == -150 and scores[-1] == 0
+
+
+def test_acf_lags_alternating_series(spark):
+    """A perfectly alternating 1,3,1,3… series has acf(1) = −(N−1)/N and
+    acf(2) = (N−2)/N exactly (deviations are ±N, products ±N²)."""
+    from artigraph_spark.operators.timeseries import acf_lags
+
+    rows = []
+    for h in range(10):
+        for i in range(1 if h % 2 == 0 else 3):
+            rows.append((f"2024-01-02 {h:02d}:00:{i:02d}",))
+    df = spark.createDataFrame(rows, ["ts_s"]).select(F.to_timestamp("ts_s").alias("ts"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {r["lag"]: (r["n_pairs"], r["acf_r"]) for r in acf_lags(df, "ts", max_lag=3).collect()}
+    assert out[1] == (9, -900.0 / 1000.0)
+    assert out[2] == (8, 800.0 / 1000.0)
+    assert out[3] == (7, -700.0 / 1000.0)
+
+
+def test_attribute_conversions_models(spark):
+    """last/first pick the right touch with id tiebreak, linear splits
+    floor(2^20/k), no-touch conversions land in 'none', and touches outside
+    the lookback are excluded."""
+    from artigraph_spark.operators.timeseries import attribute_conversions
+
+    rows = [
+        # user 1: click then view then purchase
+        (1, 1, "2024-01-05 10:00:00", "click"),
+        (2, 1, "2024-01-05 11:00:00", "view"),
+        (3, 1, "2024-01-05 12:00:00", "purchase"),
+        # user 2: purchase with no touches at all
+        (4, 2, "2024-01-05 12:00:00", "purchase"),
+        # user 3: only touch is outside the 1-hour lookback
+        (5, 3, "2024-01-05 09:00:00", "click"),
+        (6, 3, "2024-01-05 12:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts_s", "event_type"]).select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def run(model, lookback=86400):
+        out = attribute_conversions(df, lookback_seconds=lookback, model=model)
+        return {(r["conv_id"], r["channel"]): r["credit_fx"] for r in out.collect()}
+
+    one = 1 << 20
+    assert run("last") == {(3, "view"): one, (4, "none"): one, (6, "click"): one}
+    assert run("first") == {(3, "click"): one, (4, "none"): one, (6, "click"): one}
+    assert run("linear") == {
+        (3, "click"): one // 2,
+        (3, "view"): one // 2,
+        (4, "none"): one,
+        (6, "click"): one,
+    }
+    # 1-hour lookback: user 3's click (3 h before) is excluded -> 'none'
+    assert run("last", lookback=3600) == {
+        (3, "view"): one,
+        (4, "none"): one,
+        (6, "none"): one,
+    }
+
+
+def test_sorted_neighborhood_pairs_matches_bruteforce(spark):
+    """The pair set must equal the brute-force sorted-window pairs, with
+    (key, id) tie-break determinism, NULL keys dropped, and no pairs across
+    a distance greater than the window."""
+    from artigraph_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "apple"), (2, "apple"), (3, "apricot"), (4, "banana"),
+        (5, "banda"), (6, "cherry"), (7, None), (8, "ap"),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "k"])
+    out = sorted_neighborhood_pairs(df, "rid", F.col("k"), window=2, block_chars=2)
+    got = {(r["a"], r["b"], r["rank_gap"]) for r in out.collect()}
+    ordered = sorted((k, i) for i, k in rows if k is not None)
+    ids = [i for _, i in ordered]
+    want = {
+        (ids[x], ids[x + j], j)
+        for x in range(len(ids))
+        for j in (1, 2)
+        if x + j < len(ids)
+    }
+    assert got == want
+    keys = {r["a"]: r["key_a"] for r in out.collect()}
+    assert keys[ids[0]] == ordered[0][0]

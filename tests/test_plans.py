@@ -399,3 +399,16 @@ def test_salted_join_no_extra_scans(spark, qs):
     assert plan.count("FileScan") == 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_no_global_window(spark, qs):
+    """The two-phase rank must window per prefix bucket (hashpartitioning
+    on __b) with the offsets broadcast — never a single-partition global
+    sort — and the rank-gap pair join must stay an equi-join."""
+    df = qs["sorted_neighborhood_docs"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(__b" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
