@@ -301,3 +301,66 @@ def support_pairs(
         .orderBy(F.col("pair_cnt").desc(), F.col("item_a"), F.col("item_b"))
         .limit(top_k)
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    seeds: DataFrame,
+    *,
+    max_hops: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS hop distances: for every node reachable from the
+    seed set within ``max_hops`` directed hops, the MINIMUM number of
+    hops — reachability/radius analysis, impact blast-radius, "within k
+    degrees" features. Pass a symmetrized edge list for undirected
+    semantics (the pagerank/co-purchase convention).
+
+    Frontier expansion, the standard distributed BFS: round i joins the
+    current frontier (nodes first reached at i−1) with the edge list,
+    distincts the targets, and anti-joins the settled set — each round
+    is two node-keyed shuffles over FRONTIER-sized data (never the full
+    node set), and a node settles exactly once at its true BFS level, so
+    the result is deterministic on any engine/partitioning. Early exit
+    on an empty frontier (a metadata-sized count per round, the
+    connected-components convention); per-round lineage cuts route
+    through ``operators._checkpoint`` (localCheckpoint by default,
+    reliable files under ``checkpoint_dir`` for long cluster runs).
+
+    ``seeds`` is a one-column DataFrame of start nodes (distinct-ed and
+    intersected with nothing — seeds absent from the graph still report
+    hops 0). Returns ``(node, hops)``, hops in 0..max_hops.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be non-negative, got {max_hops}")
+    from pyspark import StorageLevel
+
+    seed_col = seeds.columns[0]
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dist = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
+        "hops", F.lit(0).cast("long")
+    )
+    dist = _ckpt(dist, checkpoint_dir)
+    frontier = dist.select("node")
+    try:
+        for i in range(1, max_hops + 1):
+            targets = (
+                e.join(frontier.withColumnRenamed("node", "__s"), "__s")
+                .select(F.col("__d").alias("node"))
+                .distinct()
+            )
+            fresh = targets.join(dist, "node", "left_anti").withColumn(
+                "hops", F.lit(i).cast("long")
+            )
+            fresh = _ckpt(fresh, checkpoint_dir)
+            if fresh.limit(1).count() == 0:
+                break
+            dist = _ckpt(dist.unionByName(fresh), checkpoint_dir)
+            frontier = fresh.select("node")
+        return dist
+    finally:
+        e.unpersist()

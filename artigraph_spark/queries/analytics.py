@@ -1311,3 +1311,40 @@ def copurchase_support_pairs(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem")
     return support_pairs(li, "l_orderkey", "l_partkey", top_k=100)
+
+
+@query(
+    "bfs_hops_copurchase",
+    oracle="""
+    WITH RECURSIVE pe AS (
+        SELECT DISTINCT l_partkey * 2 AS s, l_suppkey * 2 + 1 AS d FROM lineitem
+    ), edges AS (
+        SELECT s, d FROM pe UNION ALL SELECT d AS s, s AS d FROM pe
+    ), seeds AS (
+        SELECT DISTINCT s AS node FROM pe WHERE s <= 6
+    ), walk AS (
+        SELECT node, 0 AS hops FROM seeds
+        UNION
+        SELECT e.d AS node, w.hops + 1 AS hops
+        FROM walk w JOIN edges e ON e.s = w.node
+        WHERE w.hops < 4
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+    """,
+)
+def bfs_hops_copurchase(spark, sf_dir):
+    """Multi-source BFS over the symmetrized part↔supplier co-purchase
+    graph, seeded at parts 1-3, capped at 4 hops. Spark runs frontier
+    expansion (two frontier-sized shuffles per round); the oracle replays
+    it as one recursive CTE with min-hop aggregation — same fixed level
+    cap, so the sets agree exactly."""
+    from artigraph_spark.operators.graph import bfs_hops
+
+    li = load(spark, sf_dir, "lineitem")
+    pe = li.select(
+        (F.col("l_partkey") * 2).alias("s"),
+        (F.col("l_suppkey") * 2 + 1).alias("d"),
+    ).distinct()
+    edges = pe.unionByName(pe.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    seeds = pe.select(F.col("s").alias("node")).filter(F.col("node") <= 6).distinct()
+    return bfs_hops(edges, "s", "d", seeds, max_hops=4)

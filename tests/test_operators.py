@@ -2445,3 +2445,21 @@ def test_sorted_neighborhood_pairs_matches_bruteforce(spark):
     assert got == want
     keys = {r["a"]: r["key_a"] for r in out.collect()}
     assert keys[ids[0]] == ordered[0][0]
+
+
+def test_bfs_hops_levels_and_cap(spark):
+    """Hop levels on a directed path with a branch: min-hop wins, the cap
+    truncates, unreachable nodes are absent, and an off-graph seed still
+    reports hops 0."""
+    from artigraph_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (9, 1)], ["s", "d"]
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], ["node"])
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, "s", "d", seeds, max_hops=2).collect()}
+    # 3 is reachable in 1 hop via the shortcut; 5 is beyond the 2-hop cap;
+    # 9 only points INTO the component (directed), so it is never reached.
+    assert out == {1: 0, 99: 0, 2: 1, 3: 1, 4: 2}
+    full = {r["node"]: r["hops"] for r in bfs_hops(edges, "s", "d", seeds, max_hops=10).collect()}
+    assert full == {1: 0, 99: 0, 2: 1, 3: 1, 4: 2, 5: 3}
