@@ -1203,3 +1203,83 @@ def sorted_neighborhood_docs(spark, sf_dir):
         "a", "b", "rank_gap",
         F.levenshtein("key_a", "key_b").cast("long").alias("edit_dist"),
     )
+
+
+def _kmeans_oracle_sql(k: int, iterations: int, qbits: int, dim: int) -> str:
+    """DuckDB replica of the exact k-means loop (operators/similarity.py
+    `kmeans_exact`): quantized long-form coordinates, one (assign,
+    update) CTE pair per iteration, truncating integer centroid means on
+    the non-negative shifted scale. Every value is exact int64, so the
+    final (cluster, distance) pair matches Spark bit-for-bit."""
+    one = 1 << qbits
+    parts = [
+        f"""
+    WITH pts AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {float(one)!r}) AS BIGINT)
+                        + {one}) AS q
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ), idx AS (
+        SELECT unnest(range(1, {dim + 1})) AS i
+    ), qd AS (
+        SELECT vec_id, i, q[i] AS v FROM pts, idx
+    ), c0 AS (
+        SELECT s.j, qd.i, qd.v
+        FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+            FROM pts ORDER BY vec_id LIMIT {k}
+        ) s JOIN qd USING (vec_id)
+    )"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""", a{t}d AS (
+        SELECT qd.vec_id, c.j,
+               CAST(sum((qd.v - c.v) * (qd.v - c.v)) AS BIGINT) AS d
+        FROM qd JOIN c{t - 1} c USING (i)
+        GROUP BY qd.vec_id, c.j
+    ), a{t} AS (
+        SELECT vec_id, j FROM (
+            SELECT vec_id, j,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+            FROM a{t}d
+        ) WHERE rn = 1
+    ), c{t} AS (
+        SELECT cp.j, cp.i, coalesce(m.mv, cp.v) AS v
+        FROM c{t - 1} cp LEFT JOIN (
+            SELECT a.j, qd.i, CAST(sum(qd.v) AS BIGINT) // count(*) AS mv
+            FROM a{t} a JOIN qd USING (vec_id)
+            GROUP BY a.j, qd.i
+        ) m ON m.j = cp.j AND m.i = cp.i
+    )"""
+        )
+    fin = iterations + 1
+    parts.append(
+        f""", find AS (
+        SELECT qd.vec_id, c.j,
+               CAST(sum((qd.v - c.v) * (qd.v - c.v)) AS BIGINT) AS d
+        FROM qd JOIN c{iterations} c USING (i)
+        GROUP BY qd.vec_id, c.j
+    )
+    SELECT vec_id, CAST(j AS BIGINT) AS cluster, d AS dist_q FROM (
+        SELECT vec_id, j, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        FROM find
+    ) WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle_sql(4, 2, 12, 64))
+def kmeans_embeddings(spark, sf_dir):
+    """Exact fixed-point k-means (k=4, 2 Lloyd iterations) over the
+    embedding corpus: integer quantization makes assignment, centroid
+    means, and final distances engine-exact, so the oracle replays the
+    whole loop — the clustering analogue of the unrolled PageRank
+    oracle."""
+    from artigraph_spark.operators.similarity import kmeans_exact
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_exact(e, k=4, iterations=2, qbits=12)

@@ -2463,3 +2463,48 @@ def test_bfs_hops_levels_and_cap(spark):
     assert out == {1: 0, 99: 0, 2: 1, 3: 1, 4: 2}
     full = {r["node"]: r["hops"] for r in bfs_hops(edges, "s", "d", seeds, max_hops=10).collect()}
     assert full == {1: 0, 99: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_kmeans_exact_separated_clusters(spark):
+    """Two well-separated 2-D blobs: after one update every point lands in
+    its blob's cluster, and the result is invariant under repartitioning
+    (exact integer arithmetic — no summation-order drift)."""
+    from artigraph_spark.operators.similarity import kmeans_exact
+
+    blob_a = [(i, [0.01 * i, 0.9]) for i in range(4)]
+    blob_b = [(10 + i, [0.9, 0.01 * i]) for i in range(4)]
+    df = spark.createDataFrame(blob_a + blob_b, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_exact(df, k=2, iterations=2).collect()}
+    # seeds are ids 0 and 1 (both in blob A) — after the updates the blobs
+    # must still separate into exactly two clusters
+    a_clusters = {out[i] for i, _ in blob_a}
+    b_clusters = {out[i] for i, _ in blob_b}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    rep = {
+        r["vec_id"]: (r["cluster"], r["dist_q"])
+        for r in kmeans_exact(df.repartition(7), k=2, iterations=2).collect()
+    }
+    base = {
+        r["vec_id"]: (r["cluster"], r["dist_q"])
+        for r in kmeans_exact(df, k=2, iterations=2).collect()
+    }
+    assert rep == base
+
+
+def test_kmeans_exact_zero_iterations_and_ties(spark):
+    """iterations=0 assigns against the raw seeds; equidistant points break
+    ties toward the smaller cluster id."""
+    from artigraph_spark.operators.similarity import kmeans_exact
+
+    rows = [(0, [0.0]), (1, [1.0]), (2, [0.5])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {r["vec_id"]: (r["cluster"], r["dist_q"]) for r in kmeans_exact(df, k=2, iterations=0).collect()}
+    assert out[0] == (0, 0)
+    assert out[1] == (1, 0)
+    # 0.5 quantizes exactly halfway: equidistant -> cluster 0 wins the tie
+    assert out[2][0] == 0
