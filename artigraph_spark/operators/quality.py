@@ -597,3 +597,112 @@ def snapshot_diff(
             ).cast("long").alias("key_checksum"),
         )
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    *,
+    bits: int = 20,
+) -> DataFrame:
+    """Leave-one-out target encoding — the supervised-ML categorical
+    feature: each row's category becomes the mean target of all OTHER
+    rows in that category, which avoids the self-leakage of a plain
+    group mean. Rows whose category has a single occurrence get NULL
+    (no peers to average — impute downstream).
+
+    The per-row value is ``(S_g − x) / (n_g − 1)`` with S_g and x exact
+    fixed-point int64 sums (2^bits scale), so the single double division
+    replays identically on any engine/partitioning. NULL/NaN targets are
+    excluded from BOTH the sums and the row count (they carry no target
+    signal; their own rows still receive an encoding from their peers).
+
+    Scale shape: one map-side-combined groupBy over the category column
+    plus a broadcast join of the (category, sum, count) summary back to
+    the rows — no window, no per-category shuffle of the data. Suits the
+    usual case of metadata-sized category cardinality; for categories in
+    the millions swap the broadcast for a shuffle join.
+
+    Returns the input columns plus ``te_r`` (the descaled double).
+    """
+    v = F.col(target_col)
+    clean = F.when(v.isNotNull() & ~F.isnan(v.cast("double")), v)
+    from artigraph_spark.functions import fxp
+
+    own = fxp(clean, bits)
+    sums = (
+        df.select(F.col(cat_col).alias("__c"), own.alias("__x"))
+        .groupBy("__c")
+        .agg(F.sum("__x").alias("__s"), F.count("__x").alias("__n"))
+    )
+    joined = df.join(
+        F.broadcast(sums), df[cat_col] == F.col("__c"), "left"
+    )
+    has_self = own.isNotNull()
+    peers = F.when(has_self, F.col("__n") - 1).otherwise(F.col("__n"))
+    peer_sum = F.when(has_self, F.col("__s") - own).otherwise(F.col("__s"))
+    return joined.select(
+        *[df[c] for c in df.columns],
+        F.when(
+            peers > 0,
+            peer_sum.cast("double")
+            / (peers * F.lit(1 << bits)).cast("double"),
+        ).alias("te_r"),
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    bits: int = 20,
+) -> DataFrame:
+    """Per-group Gini concentration index over a NON-NEGATIVE value
+    column — "how concentrated is spend across customers", the
+    inequality/skew audit for revenue, token, or traffic distributions.
+    Uses the standard order-statistics form
+    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` on fixed-point int64
+    values; ties contribute the same Σ i·x under any permutation, so no
+    tie-break is needed and the single double division is engine-exact.
+    Products are widened to DECIMAL(38,0) (i·x reaches n·max_x·2^bits —
+    past int64 exactly when the audit matters). Groups with zero total
+    (or all-NULL values) return NULL gini.
+
+    Scale shape: one per-group window sort (each group's rows colocate
+    — the stratified-split caveat: for groups too large for a partition,
+    pre-aggregate to a value histogram first) and a group-keyed
+    aggregate. Returns ``(group, n, gini_r)``.
+    """
+    from pyspark.sql import Window
+
+    from artigraph_spark.functions import fxp
+
+    v = F.col(value_col)
+    clean = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & v.isNotNull()
+            & ~F.isnan(v.cast("double"))
+        )
+        .select(F.col(group_col).alias("__g"), fxp(v, bits).alias("__x"))
+    )
+    w = Window.partitionBy("__g").orderBy("__x")
+    ranked = clean.select(
+        "__g", "__x", F.row_number().over(w).cast("long").alias("__i")
+    )
+    xd = F.col("__x").cast("decimal(38,0)")
+    agg = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("__sx"),
+        F.sum(xd * F.col("__i")).alias("__six"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = F.lit(2).cast("decimal(38,0)") * F.col("__six") - (nd + 1) * F.col("__sx")
+    den = nd * F.col("__sx")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias("gini_r"),
+    )

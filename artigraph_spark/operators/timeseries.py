@@ -694,3 +694,123 @@ def attribute_conversions(
             F.coalesce(F.col("credit_fx"), F.lit(one).cast("long")).alias("credit_fx"),
         )
     )
+
+
+def event_paths(
+    e,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    length: int = 3,
+    top_k: int = 20,
+):
+    """Top-k most common event paths (sequential n-grams of event types
+    per user, ordered by time) — "what do users actually do" flow mining
+    behind Sankey funnels and next-action models. A path is ``length``
+    consecutive events joined with ``>`` (e.g. ``view>click>purchase``);
+    each user contributes one path per starting event.
+
+    Ordering is ``(ts, id)`` — exact µs timestamps, unique-id tie-break
+    — so each user's sequence, and therefore the path multiset, is
+    deterministic. Scale: ONE per-user window sort (lead() × length−1,
+    data colocated by user) into a map-side-combined path count; top-k
+    totally ordered by (count desc, path).
+    """
+    if length < 2:
+        raise ValueError(f"length must be >= 2, got {length}")
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)
+    ]
+    path = F.concat_ws(">", *steps)
+    complete = F.lead(type_col, length - 1).over(w).isNotNull()
+    return (
+        e.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(path.alias("path"), complete.alias("__ok"))
+        .filter(F.col("__ok"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path"))
+        .limit(top_k)
+    )
+
+
+def rfm_segments(
+    e,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    event_type: str = "purchase",
+    type_col: str = "event_type",
+    quantiles: int = 5,
+    bits: int = 20,
+):
+    """RFM (recency / frequency / monetary) customer segmentation: per
+    user with ≥1 qualifying event, days since their last event (vs the
+    corpus-wide latest), their event count, and their fixed-point value
+    total — each scored into ``quantiles`` buckets by ntile, combined as
+    ``rfm_code = r·100 + f·10 + m`` (recency quantile 1 = most recent).
+
+    Exactness: recency is whole days from exact µs arithmetic
+    (truncating division of non-negative int64); monetary totals are
+    fixed-point int64 sums; every ntile ORDER BY carries the user id as
+    tie-break, so bucket assignment is total-ordered and replays on any
+    engine (Spark and DuckDB share the floor-distribution ntile).
+
+    Scale: one user-keyed aggregate, a broadcast one-row global-max
+    join, and three window ntiles over the USER-count-sized summary
+    (users ≪ events; same summary-walk budget as the histogram family).
+    Returns ``(user, recency_days, frequency, monetary, r_q, f_q, m_q,
+    rfm_code)``.
+    """
+    if quantiles < 2:
+        raise ValueError(f"quantiles must be >= 2, got {quantiles}")
+    from pyspark.sql import Window
+
+    from artigraph_spark.functions import fxp
+
+    v = F.col(value_col)
+    clean = F.when(v.isNotNull() & ~F.isnan(v.cast("double")), v)
+    per_user = (
+        e.filter((F.col(type_col) == event_type) & F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.coalesce(F.sum(fxp(clean, bits)), F.lit(0)).alias("__m"),
+        )
+    )
+    latest = per_user.agg(F.max("__last").alias("__gmax"))
+    scored = per_user.crossJoin(F.broadcast(latest)).select(
+        user_col,
+        F.expr("(__gmax - __last) div 86400000000").alias("recency_days"),
+        "frequency",
+        (F.col("__m").cast("double") / F.lit(float(1 << bits))).alias("monetary"),
+        F.col("__m"),
+    )
+    r_q = F.ntile(quantiles).over(
+        Window.orderBy(F.col("recency_days"), F.col(user_col))
+    )
+    f_q = F.ntile(quantiles).over(
+        Window.orderBy(F.col("frequency").desc(), F.col(user_col))
+    )
+    m_q = F.ntile(quantiles).over(
+        Window.orderBy(F.col("__m").desc(), F.col(user_col))
+    )
+    return scored.select(
+        user_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_q.cast("long").alias("r_q"),
+        f_q.cast("long").alias("f_q"),
+        m_q.cast("long").alias("m_q"),
+        (r_q * 100 + f_q * 10 + m_q).cast("long").alias("rfm_code"),
+    )

@@ -2147,3 +2147,78 @@ def feature_bins_lineitem(spark, sf_dir):
         F.min("l_extendedprice").alias("min_v"),
         F.max("l_extendedprice").alias("max_v"),
     )
+
+
+@query(
+    "target_encode_orders",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS c,
+               CAST(SUM(CAST(floor((o_totalprice) * 1048576.0) AS BIGINT))
+                    FILTER (WHERE o_totalprice IS NOT NULL
+                            AND NOT isnan(o_totalprice)) AS BIGINT) AS sfx,
+               count(CASE WHEN o_totalprice IS NOT NULL
+                          AND NOT isnan(o_totalprice) THEN 1 END) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN s.n - 1 > 0 THEN
+               CAST(s.sfx - CAST(floor((o_totalprice) * 1048576.0) AS BIGINT)
+                    AS DOUBLE)
+               / CAST((s.n - 1) * 1048576 AS DOUBLE)
+           END AS te_r
+    FROM orders JOIN s ON s.c = o_orderpriority
+    """,
+)
+def target_encode_orders(spark, sf_dir):
+    """Leave-one-out target encoding of order priority by order value —
+    the supervised categorical feature, leakage-free: each order sees the
+    mean total price of every OTHER order in its priority class. Exact
+    fixed-point sums; one group summary broadcast back to the rows."""
+    from artigraph_spark.operators.quality import target_encode_loo
+
+    o = load(spark, sf_dir, "orders")
+    return target_encode_loo(o, "o_orderpriority", "o_totalprice").select(
+        "o_orderkey", "o_orderpriority", "te_r"
+    )
+
+
+@query(
+    "gini_spend_by_nation",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_nationkey AS g,
+               CAST(floor((o.o_totalprice) * 1048576.0) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice IS NOT NULL AND NOT isnan(o.o_totalprice)
+    ), r AS (
+        SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS i FROM o
+    ), a AS (
+        SELECT g, count(*) AS n, sum(x) AS sx, sum(x * i) AS six FROM r GROUP BY g
+    )
+    SELECT n_name AS nation, a.n,
+           CASE WHEN a.n * a.sx != 0 THEN
+               CAST(2 * a.six - (a.n + 1) * a.sx AS DOUBLE)
+               / CAST(a.n * a.sx AS DOUBLE)
+           END AS gini_r
+    FROM a JOIN nation ON n_nationkey = a.g
+    """,
+)
+def gini_spend_by_nation(spark, sf_dir):
+    """Per-nation Gini concentration of order spend — how unequal the
+    customer revenue distribution is, the inequality audit. Fixed-point
+    order statistics make the index engine-exact; one per-nation window
+    sort plus a broadcast nation-name join."""
+    from artigraph_spark.operators.quality import gini_by_group
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    g = gini_by_group(
+        o.join(c, F.col("o_custkey") == F.col("c_custkey")),
+        "c_nationkey",
+        "o_totalprice",
+    )
+    return g.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")).select(
+        F.col("n_name").alias("nation"), "n", "gini_r"
+    )

@@ -818,3 +818,72 @@ def attribution_last_touch(spark, sf_dir):
             dsum_safe("value").alias("attributed_value"),
         )
     )
+
+
+@query(
+    "event_paths_top",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS t0,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n_paths
+    FROM seq WHERE t2 IS NOT NULL
+    GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20
+    """,
+)
+def event_paths_top(spark, sf_dir):
+    """Top-20 three-step event-type paths per user (µs order, id
+    tie-break) — the user-flow mining primitive behind Sankey funnels.
+    One per-user window pass; the top-k is totally ordered."""
+    from artigraph_spark.operators.timeseries import event_paths
+
+    e = load(spark, sf_dir, "events")
+    return event_paths(e, length=3, top_k=20)
+
+
+@query(
+    "rfm_segments_users",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               max(epoch_us(ts)) AS last_us,
+               count(*) AS frequency,
+               coalesce(CAST(SUM(CAST(floor((value) * 1048576.0) AS BIGINT))
+                   FILTER (WHERE value IS NOT NULL AND NOT isnan(value)) AS BIGINT),
+                   0) AS m
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        GROUP BY 1
+    ), g AS (
+        SELECT max(last_us) AS gmax FROM pu
+    ), s AS (
+        SELECT user_id,
+               (g.gmax - pu.last_us) // 86400000000 AS recency_days,
+               frequency,
+               CAST(m AS DOUBLE) / 1048576.0 AS monetary,
+               m
+        FROM pu, g
+    ), q AS (
+        SELECT user_id, recency_days, frequency, monetary,
+               CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_q,
+               CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_q,
+               CAST(ntile(5) OVER (ORDER BY m DESC, user_id) AS BIGINT) AS m_q
+        FROM s
+    )
+    SELECT user_id, recency_days, frequency, monetary, r_q, f_q, m_q,
+           CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
+    FROM q
+    """,
+)
+def rfm_segments_users(spark, sf_dir):
+    """RFM segmentation of purchasing users: whole-day recency from exact
+    µs arithmetic, count frequency, fixed-point monetary totals, each
+    ntile(5)-scored with user-id tie-breaks so every bucket edge is
+    engine-exact."""
+    from artigraph_spark.operators.timeseries import rfm_segments
+
+    e = load(spark, sf_dir, "events")
+    return rfm_segments(e, quantiles=5)

@@ -2508,3 +2508,91 @@ def test_kmeans_exact_zero_iterations_and_ties(spark):
     assert out[1] == (1, 0)
     # 0.5 quantizes exactly halfway: equidistant -> cluster 0 wins the tie
     assert out[2][0] == 0
+
+
+def test_target_encode_loo_small_groups(spark):
+    """LOO mean excludes the own row, single-occurrence categories get
+    NULL, and NaN targets receive an encoding but contribute none."""
+    from artigraph_spark.operators.quality import target_encode_loo
+
+    rows = [
+        (1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+        (4, "b", 5.0),
+        (5, "c", 7.0), (6, "c", float("nan")),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "cat", "y"])
+    out = {r["rid"]: r["te_r"] for r in target_encode_loo(df, "cat", "y").collect()}
+    assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
+    assert out[4] is None  # no peers
+    assert out[5] is None  # only peer is NaN -> zero usable peers
+    assert out[6] == 7.0   # NaN row still encoded from its clean peer
+
+
+def test_gini_by_group_known_distributions(spark):
+    """Equal values give gini 0; total concentration approaches (n-1)/n;
+    all-NULL groups return NULL."""
+    from artigraph_spark.operators.quality import gini_by_group
+
+    rows = (
+        [("eq", 5.0)] * 4
+        + [("conc", 0.0)] * 3 + [("conc", 100.0)]
+        + [("nul", None)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: (r["n"], r["gini_r"]) for r in gini_by_group(df, "g", "v").collect()}
+    assert out["eq"] == (4, 0.0)
+    assert out["conc"][1] == 0.75  # (n-1)/n with n=4
+    assert "nul" not in out  # no usable values -> no row
+
+
+def test_event_paths_counts(spark):
+    """Each user contributes one path per starting event; incomplete tails
+    are dropped; ordering ties break on event_id."""
+    from artigraph_spark.operators.timeseries import event_paths
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:01:00", "click"),
+        (3, 1, "2024-01-01 00:02:00", "purchase"),
+        (4, 1, "2024-01-01 00:03:00", "view"),
+        (5, 2, "2024-01-01 00:00:00", "view"),
+        (6, 2, "2024-01-01 00:00:00", "click"),  # same ts: id order decides
+        (7, 2, "2024-01-01 00:05:00", "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts_s", "event_type"]).select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {r["path"]: r["n_paths"] for r in event_paths(df, length=3, top_k=10).collect()}
+    assert out == {"view>click>purchase": 2, "click>purchase>view": 1}
+
+
+def test_rfm_segments_scores(spark):
+    """Recency in whole days from the corpus max, ntile bucketing with id
+    tie-breaks, and the combined code."""
+    from artigraph_spark.operators.timeseries import rfm_segments
+
+    rows = [
+        (1, 1, "2024-01-10 12:00:00", "purchase", 100.0),
+        (2, 2, "2024-01-09 11:59:00", "purchase", 10.0),
+        (3, 2, "2024-01-05 00:00:00", "purchase", 10.0),
+        (4, 3, "2024-01-01 00:00:00", "purchase", 500.0),
+        (5, 3, "2024-01-02 00:00:00", "view", 5.0),  # not a purchase
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {r["user_id"]: r for r in rfm_segments(df, quantiles=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["recency_days"] == 0
+    assert out[2]["recency_days"] == 1  # 24h01m -> 1 whole day
+    assert out[3]["recency_days"] == 9
+    assert out[2]["frequency"] == 2
+    assert out[1]["monetary"] == 100.0 and out[3]["monetary"] == 500.0
+    # quantiles=2: user 1 most recent -> r_q 1; user 3 largest spend -> m_q 1
+    assert out[1]["r_q"] == 1 and out[3]["r_q"] == 2
+    assert out[3]["m_q"] == 1
+    assert out[1]["rfm_code"] == out[1]["r_q"] * 100 + out[1]["f_q"] * 10 + out[1]["m_q"]
