@@ -70,7 +70,9 @@ _PRIORITY: tuple[str, ...] = (
     # sessions could shift on future fixtures); the other
     # operator-review fixes (join_asof null guard, salted_join salt
     # expr, media box walker) were value-identical under the full
-    # oracle re-run. Window = 2 + 16 + 8 + 24 r3-stale = exactly 50.
+    # oracle re-run. The 10 late-r7 registrations (2b) then displaced
+    # ten more r3-stale to r8.
+    # Window = 2 + 16 + 10 + 8 + 14 r3-stale = exactly 50.
     # (1) never recorded — the only oracle-bearing queries with no hard
     # signal ever (sliding_cms_top_users also changed impl this round)
     "sliding_cms_top_users", "ngram_novelty_docs",
@@ -82,27 +84,38 @@ _PRIORITY: tuple[str, ...] = (
     "curriculum_stages_docs",
     "event_transitions", "mad_outliers_orders", "feature_bins_lineitem",
     "negative_samples_orders", "kfold_assign_docs",
+    # (2b) new in the late-r7 session — first driver rows (10 queries:
+    # changepoint/ACF/attribution/path/RFM event analytics, sorted-
+    # neighborhood blocking, BFS hops, exact k-means, LOO target
+    # encoding, per-group Gini)
+    "acf_hourly", "cusum_changepoints", "attribution_last_touch",
+    "sorted_neighborhood_docs", "bfs_hops_copurchase",
+    "kmeans_embeddings", "event_paths_top", "rfm_segments_users",
+    "target_encode_orders", "gini_spend_by_nation",
     # (3) implementation changed this round — need fresh rows
     "heavy_hitter_users", "grouped_heavy_hitters_events",
     "stratified_split_exact",
     "domain_cap", "weighted_sample_topk", "describe_summary",
     "agg_global_summary", "window_session",
-    # (4) r3-stale (the r6-rotation overflow), oldest-first in r6 order
+    # (4) r3-stale (the r6-rotation overflow), oldest-first in r6 order.
+    # simhash_checked also re-greens the late-r7 simhash change
+    # (token-less docs now kept with a zero signature — value-identical
+    # on the fixtures, re-verified through the full oracle run).
     "ngram_jaccard_pairs", "simhash_checked", "tfidf_terms",
     "edit_distance_pairs", "lang_predict", "text_quality_score",
     "token_bpe_counts", "multimodal_features", "embedding_norms",
     "embedding_mean_pool",
     "proj_select_rename", "filter_between_isin", "filter_null_tests",
-    "scalar_math", "scalar_string", "scalar_datetime",
-    "scalar_conditional", "scalar_cast", "array_ops", "map_ops",
-    "json_extract", "sort_limit_topk", "set_union_all",
-    "set_union_distinct",
-    # Not listed: the remaining 48 r4-green, 44 r5-green and 50 r6-green
-    # queries (registration order, past the window — the 48 r4-stale
-    # continue oldest-first in r8) and the 4 rows-only queries
-    # (minhash_lsh_pairs, dedup_clusters, simhash_fingerprints,
-    # cosine_topk_lsh) whose oracle-checked `*_checked` contract twins
-    # carry the hard signal.
+    "scalar_math",
+    # Not listed: scalar_string/scalar_datetime/scalar_conditional/
+    # scalar_cast/array_ops/map_ops/json_extract/sort_limit_topk/
+    # set_union_all/set_union_distinct — displaced from the r3-stale
+    # block to r8 by the 10 late-r7 registrations (they join r8's
+    # stale-first rotation ahead of the r4-stale run), plus the
+    # remaining r4/r5/r6-green queries (registration order, past the
+    # window) and the 4 rows-only queries (minhash_lsh_pairs,
+    # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) whose
+    # oracle-checked `*_checked` contract twins carry the hard signal.
 )
 
 
