@@ -706,3 +706,222 @@ def gini_by_group(
         "n",
         F.when(den != 0, num.cast("double") / den.cast("double")).alias("gini_r"),
     )
+
+
+def auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    *,
+    bits: int = 20,
+) -> DataFrame:
+    """Exact ROC-AUC per group (Mann–Whitney U with tie correction) — the
+    model-evaluation staple: the probability a random positive outscores
+    a random negative, ties counted half. Evaluates any score column
+    (model output, heuristic, target encoding) against a boolean label
+    without thresholding.
+
+    Scores quantize to fixed-point (``floor(s·2^bits)``) so tie GROUPS
+    are identical on every engine; with distinct-score histogram counts
+    ``pos_v``/``neg_v`` ascending, ``AUC = Σ_v pos_v·(cumneg_<v +
+    neg_v/2) / (P·N)``. Multiplying through by 2 keeps the numerator
+    integral: ``num2 = Σ pos_v·(2·cumneg_<v + neg_v)`` with products
+    widened to DECIMAL(38,0) (pos·cumneg reaches P·N — past int64
+    exactly when rows do), and the single double division at the end
+    replays identically on any engine/partitioning. Rows with NULL
+    label or NULL/NaN score are excluded. Degenerate groups (no
+    positives or no negatives) return NULL auc.
+
+    Scale shape: ONE data-sized shuffle to the (group, score) histogram
+    (map-side combined); the cumulative window runs over the
+    summary-sized per-group histogram, never the rows — same
+    distinct-value-cardinality caveat as ``_cumulative_hist`` (quantize
+    harder, i.e. lower ``bits``, for near-unique doubles at 100 TB).
+
+    Returns ``(group, n_pos, n_neg, auc_r)``.
+    """
+    from pyspark.sql import Window
+
+    from artigraph_spark.functions import fxp
+
+    lab = F.col(label_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    rows = df.filter(lab.isNotNull() & s.isNotNull() & ~F.isnan(s)).select(
+        F.col(group_col),
+        fxp(s, bits).alias("__s"),
+        F.when(lab, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("__p"),
+    )
+    hist = rows.groupBy(group_col, "__s").agg(
+        F.sum("__p").alias("__pos"),
+        (F.count(F.lit(1)) - F.sum("__p")).alias("__neg"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "__cumneg", F.coalesce(F.sum("__neg").over(w), F.lit(0).cast("long"))
+    )
+    agg = cum.groupBy(group_col).agg(
+        F.sum("__pos").alias("n_pos"),
+        F.sum("__neg").alias("n_neg"),
+        F.sum(
+            F.col("__pos").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("__cumneg") + F.col("__neg"))
+        ).alias("__num2"),
+    )
+    return agg.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("__num2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+        ).alias("auc_r"),
+    )
+
+
+def psi_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    bins: int = 10,
+    bits: int = 20,
+) -> DataFrame:
+    """Population stability index between a baseline and a current
+    distribution of one numeric column — THE production drift audit
+    ("did this feature's distribution move since training?"). Bin edges
+    are equi-depth type-1 quantiles of the BASELINE (exact integer rank
+    ``ceil(i·n/bins) = (i·n + bins − 1) div bins`` — no float-rank
+    drift), values assign to ``bin = #edges strictly below`` so
+    duplicate/collapsed edges degrade gracefully, and each bin reports
+    its PSI term ``(p − q)·ln(p/q)`` with zero proportions clamped to
+    1e-6 (the standard practice) and the whole double term snapped to
+    the 9-decimal guard grid (the BM25/ln convention — a cross-engine
+    ULP can only matter if the true value straddles a grid boundary).
+    Total PSI = SUM(psi_term_r); >0.2 is the usual "investigate" bar.
+
+    Scale shape: one histogram shuffle per side plus a summary-sized
+    cumulative window and a broadcast edge array — no global row sort,
+    no collect; everything after the two histograms is ≤ distinct-value
+    rows. NULL/NaN values are excluded from both sides.
+
+    Returns ``(bin, base_n, cur_n, psi_term_r)`` ordered by bin.
+    """
+    from pyspark.sql import Window
+
+    from artigraph_spark.functions import fxp
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+
+    def _clean(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        return df.filter(v.isNotNull() & ~F.isnan(v)).select(
+            fxp(v, bits).alias("__v")
+        )
+
+    b, c = _clean(base), _clean(cur)
+    hist = b.groupBy("__v").agg(F.count(F.lit(1)).alias("__f"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    # Global window over the summary-sized histogram only (the
+    # sketches.py convention) — never the data rows.
+    cum = hist.withColumn("__cum", F.sum("__f").over(w))
+    n_b = b.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = n_b.select(
+        F.explode(F.sequence(F.lit(1), F.lit(bins - 1))).alias("__i"), "__n"
+    ).select(
+        # Exact integer rank ceil(i*n/bins) via `div` — float division
+        # plus floor can be off-by-one past 2^53 (the ADVICE r6 class).
+        F.expr(f"(__i * __n + {bins - 1}) div {bins}").alias("__r")
+    )
+    edges = (
+        cum.join(F.broadcast(ranks), F.col("__cum") >= F.col("__r"))
+        .groupBy("__r")
+        .agg(F.min("__v").alias("__e"))
+    )
+    edge_arr = edges.agg(F.array_sort(F.collect_set("__e")).alias("__edges"))
+
+    def _binned(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(edge_arr))
+            .select(
+                F.size(
+                    F.filter(F.col("__edges"), lambda e: F.col("__v") > e)
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+    bc = _binned(b).withColumnRenamed("__cnt", "base_n")
+    cc = _binned(c).withColumnRenamed("__cnt", "cur_n")
+    n_c = c.agg(F.count(F.lit(1)).alias("__nc"))
+    both = (
+        bc.join(cc, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("base_n", F.lit(0).cast("long")).alias("base_n"),
+            F.coalesce("cur_n", F.lit(0).cast("long")).alias("cur_n"),
+        )
+        .crossJoin(F.broadcast(n_b.withColumnRenamed("__n", "__nb")))
+        .crossJoin(F.broadcast(n_c))
+    )
+    eps = F.lit(1e-6)
+    p = F.greatest(F.col("base_n").cast("double") / F.col("__nb").cast("double"), eps)
+    q = F.greatest(F.col("cur_n").cast("double") / F.col("__nc").cast("double"), eps)
+    return both.select(
+        "bin",
+        "base_n",
+        "cur_n",
+        F.round((p - q) * F.log(p / q), 9).alias("psi_term_r"),
+    )
+
+
+def entropy_by_group(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
+    """Shannon entropy (nats) of a categorical column per group — the
+    diversity/imbalance audit: 0 = one category dominates totally,
+    ln(k) = uniform over k categories. The class-balance companion to
+    the concentration Gini: low entropy in a label or source column is
+    how mode collapse and scraper bias show up in corpus audits.
+
+    ``H = ln(n) − (Σ_c c·ln(c))/n`` over exact category counts; each
+    ``c·ln(c)`` term is snapped to the 9-decimal guard grid and summed
+    through the overflow-safe fixed-point path (``dsum_wide``) so the
+    sum is order-independent, and the final expression is the same
+    double op sequence on every engine. NULL categories are excluded.
+
+    Scale shape: one (group, cat) count shuffle (map-side combined) +
+    one group-keyed summary aggregate — no window, no data-sized state.
+
+    Returns ``(group, n, n_cats, entropy_r)``.
+    """
+    from artigraph_spark.functions import dsum_wide
+
+    cells = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(group_col, cat_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    cd = F.col("__c").cast("double")
+    stats = cells.groupBy(group_col).agg(
+        F.sum("__c").alias("n"),
+        F.count(F.lit(1)).alias("n_cats"),
+        dsum_wide(F.round(cd * F.log(cd), 9)).alias("__slc"),
+    )
+    return stats.select(
+        group_col,
+        "n",
+        "n_cats",
+        (
+            F.round(F.log(F.col("n").cast("double")), 9)
+            - F.col("__slc") / F.col("n").cast("double")
+        ).alias("entropy_r"),
+    )

@@ -71,8 +71,10 @@ _PRIORITY: tuple[str, ...] = (
     # operator-review fixes (join_asof null guard, salted_join salt
     # expr, media box walker) were value-identical under the full
     # oracle re-run. The 10 late-r7 registrations (2b) then displaced
-    # ten more r3-stale to r8.
-    # Window = 2 + 16 + 10 + 8 + 14 r3-stale = exactly 50.
+    # ten more r3-stale to r8, and the 3 model-evaluation additions
+    # (2c: AUC / PSI drift / categorical entropy) displaced three more
+    # (filter_between_isin, filter_null_tests, scalar_math).
+    # Window = 2 + 16 + 10 + 3 + 8 + 11 r3-stale = exactly 50.
     # (1) never recorded — the only oracle-bearing queries with no hard
     # signal ever (sliding_cms_top_users also changed impl this round)
     "sliding_cms_top_users", "ngram_novelty_docs",
@@ -92,6 +94,8 @@ _PRIORITY: tuple[str, ...] = (
     "sorted_neighborhood_docs", "bfs_hops_copurchase",
     "kmeans_embeddings", "event_paths_top", "rfm_segments_users",
     "target_encode_orders", "gini_spend_by_nation",
+    # (2c) model-evaluation trio added at round tail — first driver rows
+    "auc_status_by_priority", "psi_price_drift", "entropy_event_types",
     # (3) implementation changed this round — need fresh rows
     "heavy_hitter_users", "grouped_heavy_hitters_events",
     "stratified_split_exact",
@@ -105,13 +109,14 @@ _PRIORITY: tuple[str, ...] = (
     "edit_distance_pairs", "lang_predict", "text_quality_score",
     "token_bpe_counts", "multimodal_features", "embedding_norms",
     "embedding_mean_pool",
-    "proj_select_rename", "filter_between_isin", "filter_null_tests",
-    "scalar_math",
-    # Not listed: scalar_string/scalar_datetime/scalar_conditional/
+    "proj_select_rename",
+    # Not listed: filter_between_isin/filter_null_tests/scalar_math/
+    # scalar_string/scalar_datetime/scalar_conditional/
     # scalar_cast/array_ops/map_ops/json_extract/sort_limit_topk/
     # set_union_all/set_union_distinct — displaced from the r3-stale
-    # block to r8 by the 10 late-r7 registrations (they join r8's
-    # stale-first rotation ahead of the r4-stale run), plus the
+    # block to r8 by the 10 late-r7 registrations and the (2c) trio
+    # (they join r8's stale-first rotation ahead of the r4-stale run),
+    # plus the
     # remaining r4/r5/r6-green queries (registration order, past the
     # window) and the 4 rows-only queries (minhash_lsh_pairs,
     # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) whose

@@ -2222,3 +2222,153 @@ def gini_spend_by_nation(spark, sf_dir):
     return g.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")).select(
         F.col("n_name").alias("nation"), "n", "gini_r"
     )
+
+
+@query(
+    "auc_status_by_priority",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor((o_totalprice) * 1048576.0) AS BIGINT) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL
+          AND o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+    ), h AS (
+        SELECT g, s,
+               CAST(SUM(p) AS BIGINT) AS pos,
+               CAST(count(*) - SUM(p) AS BIGINT) AS neg
+        FROM r GROUP BY g, s
+    ), c AS (
+        SELECT g, pos, neg,
+               CAST(COALESCE(SUM(neg) OVER (
+                   PARTITION BY g ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cumneg
+        FROM h
+    ), a AS (
+        SELECT g,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS num2
+        FROM c GROUP BY g
+    )
+    SELECT g AS priority, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               CAST(num2 AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+           END AS auc_r
+    FROM a
+    """,
+)
+def auc_status_by_priority(spark, sf_dir):
+    """Per-priority ROC-AUC of order value as a predictor of finished
+    status — the exact Mann–Whitney evaluation with tie correction, on
+    fixed-point-quantized scores so tie groups replay on any engine."""
+    from artigraph_spark.operators.quality import auc_by_group
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "__lab", F.col("o_orderstatus") == "F"
+    )
+    a = auc_by_group(o, "o_orderpriority", "o_totalprice", "__lab")
+    return a.select(
+        F.col("o_orderpriority").alias("priority"), "n_pos", "n_neg", "auc_r"
+    )
+
+
+@query(
+    "psi_price_drift",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor((o_totalprice) * 1048576.0) AS BIGINT) AS v
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          AND o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+    ), c AS (
+        SELECT CAST(floor((o_totalprice) * 1048576.0) AS BIGINT) AS v
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+    ), nb AS (SELECT CAST(count(*) AS BIGINT) AS nbn FROM b
+    ), nc AS (SELECT CAST(count(*) AS BIGINT) AS ncn FROM c
+    ), h AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS f FROM b GROUP BY v
+    ), cum AS (
+        SELECT v, CAST(SUM(f) OVER (ORDER BY v) AS BIGINT) AS cumf FROM h
+    ), ranks AS (
+        SELECT (t.i * nb.nbn + 9) // 10 AS r
+        FROM nb, generate_series(1, 9) AS t(i)
+    ), edges AS (
+        SELECT r, MIN(v) AS e FROM cum JOIN ranks ON cumf >= r GROUP BY r
+    ), de AS (SELECT DISTINCT e FROM edges
+    ), bb AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS base_n FROM (
+            SELECT (SELECT count(*) FROM de WHERE de.e < b2.v) AS bin
+            FROM b AS b2
+        ) GROUP BY bin
+    ), cc AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS cur_n FROM (
+            SELECT (SELECT count(*) FROM de WHERE de.e < c2.v) AS bin
+            FROM c AS c2
+        ) GROUP BY bin
+    ), j AS (
+        SELECT COALESCE(bb.bin, cc.bin) AS bin,
+               COALESCE(base_n, 0) AS base_n,
+               COALESCE(cur_n, 0) AS cur_n
+        FROM bb FULL OUTER JOIN cc ON bb.bin = cc.bin
+    )
+    SELECT bin, base_n, cur_n,
+           round((greatest(CAST(base_n AS DOUBLE) / CAST(nbn AS DOUBLE), 1e-6)
+                  - greatest(CAST(cur_n AS DOUBLE) / CAST(ncn AS DOUBLE), 1e-6))
+                 * ln(greatest(CAST(base_n AS DOUBLE) / CAST(nbn AS DOUBLE), 1e-6)
+                      / greatest(CAST(cur_n AS DOUBLE) / CAST(ncn AS DOUBLE), 1e-6)),
+                 9) AS psi_term_r
+    FROM j, nb, nc
+    """,
+)
+def psi_price_drift(spark, sf_dir):
+    """Population stability index of order value, pre- vs post-1998 — the
+    production drift audit: equi-depth bins from the baseline (exact
+    integer ranks), per-bin (p−q)·ln(p/q) terms on the guard grid."""
+    from artigraph_spark.operators.quality import psi_drift
+
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return psi_drift(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        bins=10,
+    )
+
+
+@query(
+    "entropy_event_types",
+    oracle="""
+    WITH cells AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+    ), s AS (
+        SELECT user_id,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_cats,
+               (CAST(SUM(CAST(floor((round(CAST(c AS DOUBLE)
+                    * ln(CAST(c AS DOUBLE)), 9)) * 1048576.0) AS BIGINT))
+                 AS DOUBLE) / 1048576.0) AS slc
+        FROM cells GROUP BY user_id
+    )
+    SELECT user_id, n, n_cats,
+           round(ln(CAST(n AS DOUBLE)), 9) - slc / CAST(n AS DOUBLE) AS entropy_r
+    FROM s
+    """,
+)
+def entropy_event_types(spark, sf_dir):
+    """Per-user Shannon entropy of event-type mix — the behavioural
+    diversity audit (0 = single-action users, ln(k) = uniform over k
+    types), with the c·ln(c) terms on the guard grid and summed through
+    the overflow-safe fixed-point path."""
+    from artigraph_spark.operators.quality import entropy_by_group
+
+    e = load(spark, sf_dir, "events")
+    return entropy_by_group(e, "user_id", "event_type")

@@ -2596,3 +2596,74 @@ def test_rfm_segments_scores(spark):
     assert out[1]["r_q"] == 1 and out[3]["r_q"] == 2
     assert out[3]["m_q"] == 1
     assert out[1]["rfm_code"] == out[1]["r_q"] * 100 + out[1]["f_q"] * 10 + out[1]["m_q"]
+
+
+def test_auc_by_group_exact_and_ties(spark):
+    from artigraph_spark.operators.quality import auc_by_group
+
+    rows = [
+        # g1: pos scores {.9,.8,.4}, neg {.7,.3,.4} -> U = 3+3+1.5 = 7.5/9
+        ("g1", 0.9, True), ("g1", 0.8, True), ("g1", 0.4, True),
+        ("g1", 0.7, False), ("g1", 0.3, False), ("g1", 0.4, False),
+        # g2: degenerate (no negatives) -> NULL auc
+        ("g2", 0.5, True), ("g2", 0.6, True),
+        # excluded rows: NULL label, NaN score
+        ("g1", 0.99, None), ("g1", float("nan"), False),
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, lab boolean")
+    got = {r["g"]: r for r in auc_by_group(df, "g", "s", "lab").collect()}
+    assert got["g1"]["n_pos"] == 3 and got["g1"]["n_neg"] == 3
+    assert abs(got["g1"]["auc_r"] - 7.5 / 9.0) < 1e-12
+    assert got["g2"]["auc_r"] is None and got["g2"]["n_neg"] == 0
+    # Partitioning-invariant (exact integer numerator).
+    again = {r["g"]: r for r in auc_by_group(df.repartition(7), "g", "s", "lab").collect()}
+    assert again["g1"]["auc_r"] == got["g1"]["auc_r"]
+    # Perfect separation -> 1.0; reversed -> 0.0.
+    sep = spark.createDataFrame(
+        [("h", 1.0, True), ("h", 2.0, True), ("h", 0.5, False)],
+        "g string, s double, lab boolean",
+    )
+    assert auc_by_group(sep, "g", "s", "lab").collect()[0]["auc_r"] == 1.0
+
+
+def test_psi_drift_zero_and_shift(spark):
+    from artigraph_spark.operators.quality import psi_drift
+
+    base = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "v double"
+    )
+    # Identical distributions: every term exactly 0.
+    same = psi_drift(base, base, "v", bins=5).collect()
+    assert len(same) == 5 and all(r["psi_term_r"] == 0.0 for r in same)
+    assert sum(r["base_n"] for r in same) == 100
+    # Shifted distribution: large positive PSI, cur mass in the top bin.
+    cur = spark.createDataFrame(
+        [(float(v),) for v in range(51, 151)], "v double"
+    )
+    drift = psi_drift(base, cur, "v", bins=5).collect()
+    assert sum(r["psi_term_r"] for r in drift) > 0.2
+    by_bin = {r["bin"]: r for r in drift}
+    assert by_bin[0]["cur_n"] == 0 and by_bin[4]["cur_n"] > by_bin[4]["base_n"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        psi_drift(base, cur, "v", bins=1)
+
+
+def test_entropy_by_group_known_values(spark):
+    import math
+
+    from artigraph_spark.operators.quality import entropy_by_group
+
+    rows = (
+        [("u", c) for c in ["a", "b", "c", "d"] * 2]  # uniform over 4 -> ln 4
+        + [("m", "x")] * 5                              # single cat -> 0
+        + [("n", "a"), ("n", None)]                     # NULL cat excluded
+    )
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {r["g"]: r for r in entropy_by_group(df, "g", "c").collect()}
+    assert got["u"]["n"] == 8 and got["u"]["n_cats"] == 4
+    assert abs(got["u"]["entropy_r"] - math.log(4)) < 2e-6
+    # Fixed-point grid leaves <= 2^-20/n residual around exact values.
+    assert abs(got["m"]["entropy_r"]) < 2e-6 and got["m"]["n_cats"] == 1
+    assert got["n"]["n"] == 1 and got["n"]["n_cats"] == 1
