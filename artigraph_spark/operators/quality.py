@@ -925,3 +925,228 @@ def entropy_by_group(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
             - F.col("__slc") / F.col("n").cast("double")
         ).alias("entropy_r"),
     )
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns, with Cramér's V effect size — the canonical "are these two
+    fields related?" audit (label vs. source, segment vs. outcome).
+
+    Uses the closed form ``chi2 = n·(Σ_cells n_ab²/(n_a·n_b) − 1)`` which
+    needs only the OBSERVED cells (zero cells contribute exactly their
+    expected mass, which the −1 absorbs) — no dense r×c materialisation.
+    Each cell ratio is a double division of exact int64 counts, snapped
+    to the 9-decimal guard grid and summed through the overflow-safe
+    fixed-point path at 2^-30 (|term| ≤ 1, so up to ~8e9 cells fit
+    int64·decimal widening). ``V = sqrt(max(chi2,0)/(n·min(r−1,c−1)))``,
+    NULL when either side is constant. NULL categories are excluded.
+
+    Scale shape: one (a,b) count shuffle (map-side combined), two
+    summary-sized marginal aggregates joined back on their keys, one
+    scalar row out — no windows, no collect.
+
+    Returns one row ``(n, r, c, chi2_r, cramers_v_r)``.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ra = cells.groupBy(col_a).agg(F.sum("__c").alias("__na"))
+    cb = cells.groupBy(col_b).agg(F.sum("__c").alias("__nb"))
+    joined = cells.join(ra, col_a).join(cb, col_b)
+    cd = F.col("__c").cast("double")
+    term = F.round(
+        cd * cd / (F.col("__na").cast("double") * F.col("__nb").cast("double")), 9
+    )
+    bits = 30
+    s = joined.agg(
+        F.sum("__c").alias("n"),
+        F.count_distinct(a).alias("r"),
+        F.count_distinct(b).alias("c"),
+        (
+            F.sum(F.floor(term * F.lit(float(1 << bits))).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(float(1 << bits))
+        ).alias("__s"),
+    )
+    chi2 = F.col("n").cast("double") * (F.col("__s") - F.lit(1.0))
+    minrc = F.least(F.col("r") - 1, F.col("c") - 1)
+    return s.select(
+        "n",
+        "r",
+        "c",
+        F.round(chi2, 6).alias("chi2_r"),
+        F.when(
+            minrc > 0,
+            F.round(
+                F.sqrt(
+                    F.greatest(chi2, F.lit(0.0))
+                    / (F.col("n") * minrc).cast("double")
+                ),
+                6,
+            ),
+        ).alias("cramers_v_r"),
+    )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns — the
+    information-theoretic dependence audit that, unlike chi-squared,
+    reads directly as "how many bits of one field the other reveals"
+    (feature/label leakage screening).
+
+    ``MI = Σ_cells (n_ab/n)·ln(n_ab·n/(n_a·n_b))`` over observed cells
+    (zero cells contribute 0). Each term is computed from exact int64
+    counts, snapped to the 9-decimal guard grid, and summed through the
+    overflow-safe fixed-point path at 2^-30; the result is
+    engine-identical and partitioning-invariant.
+
+    Scale shape: identical to :func:`chi2_independence` — one cell
+    shuffle, two marginal joins, one scalar row.
+
+    Returns one row ``(n, n_cells, mi_r)``.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ra = cells.groupBy(col_a).agg(F.sum("__c").alias("__na"))
+    cb = cells.groupBy(col_b).agg(F.sum("__c").alias("__nb"))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    joined = cells.join(ra, col_a).join(cb, col_b).crossJoin(F.broadcast(tot))
+    cd, nd = F.col("__c").cast("double"), F.col("__n").cast("double")
+    term = F.round(
+        (cd / nd)
+        * F.log(
+            cd * nd / (F.col("__na").cast("double") * F.col("__nb").cast("double"))
+        ),
+        9,
+    )
+    bits = 30
+    return joined.agg(
+        F.sum("__c").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            F.sum(F.floor(term * F.lit(float(1 << bits))).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(float(1 << bits))
+        ).alias("mi_r"),
+    )
+
+
+def ks_two_sample(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    bits: int = 20,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between a baseline and a
+    current distribution of one numeric column — the nonparametric
+    companion to :func:`psi_drift`: ``D = max_v |CDF_b(v) − CDF_c(v)|``,
+    sensitive to ANY distributional change, not just binned mass moves.
+
+    Values quantize to the fixed-point grid, both CDFs accumulate over
+    the merged distinct-value set, and the max runs over the EXACT
+    integer cross products ``|cum_b·n_c − cum_c·n_b|`` (widened to
+    DECIMAL(38,0)) — one double division at the very end, so the
+    statistic replays identically on any engine/partitioning.
+
+    Scale shape: one histogram shuffle per side, a summary-sized merge +
+    cumulative window over distinct values only (quantize harder for
+    near-unique doubles at 100 TB — the `_cumulative_hist` caveat), one
+    scalar row out. NULL/NaN values are excluded.
+
+    Returns one row ``(n_base, n_cur, ks_r)``.
+    """
+    from pyspark.sql import Window
+
+    from artigraph_spark.functions import fxp
+
+    def _hist(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        return (
+            df.filter(v.isNotNull() & ~F.isnan(v))
+            .select(fxp(v, bits).alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    hb, hc = _hist(base, "__fb"), _hist(cur, "__fc")
+    merged = (
+        hb.join(hc, "__v", "full_outer")
+        .select(
+            "__v",
+            F.coalesce("__fb", F.lit(0).cast("long")).alias("__fb"),
+            F.coalesce("__fc", F.lit(0).cast("long")).alias("__fc"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    # Global window over the merged distinct-value summary only.
+    cum = merged.select(
+        F.sum("__fb").over(w).alias("__cb"), F.sum("__fc").over(w).alias("__cc")
+    )
+    tot = merged.agg(F.sum("__fb").alias("__nb"), F.sum("__fc").alias("__nc"))
+    num = F.abs(
+        F.col("__cb").cast("decimal(38,0)") * F.col("__nc")
+        - F.col("__cc").cast("decimal(38,0)") * F.col("__nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("__nb").alias("n_base"),
+            F.max("__nc").alias("n_cur"),
+            F.max(num).cast("double").alias("__m"),
+        )
+        .select(
+            "n_base",
+            "n_cur",
+            (
+                F.col("__m")
+                / (F.col("n_base").cast("double") * F.col("n_cur").cast("double"))
+            ).alias("ks_r"),
+        )
+    )
+
+
+def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric column
+    vs. Benford's law — the classic fabricated-data / synthetic-anomaly
+    audit for naturally-spanning quantities (amounts, populations).
+
+    The leading digit is extracted INTEGER-side — first character of the
+    int64 string of ``floor(v)`` for v ≥ 1 — never via ``log10`` of a
+    double, whose ulp disagreements near powers of ten would flip digits
+    between engines. Expected mass is ``log10(1 + 1/d)`` on the guard
+    grid; observed mass is an exact int64 ratio. Values < 1, NULL, or
+    NaN are excluded (sub-unit values need a scale-up pass first).
+
+    Scale shape: one 9-key count shuffle (map-side combined) + a
+    broadcast total — nothing else.
+
+    Returns ``(digit, n_d, obs_p_r, exp_p_r, dev_r)`` for observed digits.
+    """
+    v = F.col(value_col).cast("double")
+    rows = df.filter(v.isNotNull() & ~F.isnan(v) & (v >= 1.0)).select(
+        F.substring(F.floor(v).cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = rows.groupBy("digit").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = counts.agg(F.sum("n_d").alias("__n"))
+    obs = F.round(F.col("n_d").cast("double") / F.col("__n").cast("double"), 9)
+    exp = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 9)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_d",
+            obs.alias("obs_p_r"),
+            exp.alias("exp_p_r"),
+            F.round(obs - exp, 9).alias("dev_r"),
+        )
+    )

@@ -580,3 +580,93 @@ def ngram_novelty(
             ).alias("novelty_r"),
         )
     )
+
+
+def g2_keywords(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    top_k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Log-likelihood-ratio (Dunning G²) keyword extraction: for each
+    group (source, language, cluster), the tokens most characteristic of
+    that group vs. the rest of the corpus — the standard corpus-linguistics
+    "what makes this slice different" audit (Dunning 1993).
+
+    Per (group, token) 2×2 table (a = token-in-group occurrences, b =
+    other tokens in group, c = token elsewhere, d = everything else):
+    ``G² = 2·Σ O·ln(O/E)`` with zero cells contributing 0. All counts are
+    exact int64; each of the four terms is one double expression on exact
+    counts snapped to the 6-decimal grid, added in a FIXED order, so the
+    score and the (g2 desc, token) top-k order replay on any engine.
+    ``overrep`` flags a·N > n_g·tot_t (integer-exact direction test).
+
+    Scale shape: one explode + (group, token) count shuffle, two
+    summary-sized marginal joins, a broadcast scalar N, and a per-group
+    top-k window over candidate tokens only (``min_count`` prunes the
+    long tail BEFORE the window — at 100 TB raise it with corpus size).
+
+    Returns ``(group, token, a, g2_r, overrep, rk)`` with rk ≤ top_k.
+    """
+    from pyspark.sql import Window
+
+    g, t = F.col(group_col), F.col(text_col)
+    toks = df.filter(g.isNotNull() & t.isNotNull()).select(
+        g.alias("__g"), F.explode(tokens(t)).alias("token")
+    )
+    cells = toks.groupBy("__g", "token").agg(F.count(F.lit(1)).alias("__a"))
+    ng = cells.groupBy("__g").agg(F.sum("__a").alias("__ng"))
+    tt = cells.groupBy("token").agg(F.sum("__a").alias("__tt"))
+    tot = cells.agg(F.sum("__a").alias("__N"))
+    j = (
+        cells.filter(F.col("__a") >= min_count)
+        .join(ng, "__g")
+        .join(tt, "token")
+        .crossJoin(F.broadcast(tot))
+    )
+    ad = F.col("__a").cast("double")
+    bd = (F.col("__ng") - F.col("__a")).cast("double")
+    cd = (F.col("__tt") - F.col("__a")).cast("double")
+    dd = (F.col("__N") - F.col("__ng") - F.col("__tt") + F.col("__a")).cast("double")
+    ngd, ttd, nd = (
+        F.col("__ng").cast("double"),
+        F.col("__tt").cast("double"),
+        F.col("__N").cast("double"),
+    )
+
+    def term(o: Column, row: Column, col: Column) -> Column:
+        return F.when(
+            o > 0, F.round(o * F.log(o / (row * col / nd)), 6)
+        ).otherwise(F.lit(0.0))
+
+    g2 = F.round(
+        2.0
+        * (
+            (
+                (term(ad, ngd, ttd) + term(bd, ngd, nd - ttd))
+                + term(cd, nd - ngd, ttd)
+            )
+            + term(dd, nd - ngd, nd - ttd)
+        ),
+        6,
+    )
+    scored = j.select(
+        F.col("__g").alias(group_col),
+        "token",
+        F.col("__a").alias("a"),
+        g2.alias("g2_r"),
+        # DECIMAL(38,0) products: a·N reaches token-count², past int64
+        # exactly when the corpus does (ANSI would abort the job there).
+        (
+            F.col("__a").cast("decimal(38,0)") * F.col("__N")
+            > F.col("__ng").cast("decimal(38,0)") * F.col("__tt")
+        ).alias("overrep"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("g2_r").desc(), F.col("token").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= top_k
+    )

@@ -814,3 +814,61 @@ def rfm_segments(
         m_q.cast("long").alias("m_q"),
         (r_q * 100 + f_q * 10 + m_q).cast("long").alias("rfm_code"),
     )
+
+
+def seasonal_naive_mape(
+    series: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+    *,
+    season_buckets: int,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest over a pre-aggregated series:
+    forecast(t) = actual(t − season), scored where both exist with
+    MAPE = mean |actual − forecast| / actual over actual ≠ 0 — the
+    baseline every fancier forecaster must beat, and the quickest
+    "does this metric have weekly/daily structure" probe (MAPE(24h)
+    ≪ MAPE(1h) ⇒ daily seasonality).
+
+    ``bucket_col`` is an INTEGER bucket index (the ewma/hourly-rollup
+    convention — timestamp arithmetic stays out of the join keys). Each
+    |a−f|/a ratio is one double division of exact inputs snapped to the
+    9-decimal grid; the mean runs through the order-independent
+    fixed-point sum, so results replay on any engine/partitioning.
+
+    Scale shape: one equi-join of the series to itself shifted by the
+    season (keyed on (group, bucket) — summary-sized both sides) and
+    one per-group aggregate. The series itself should already be the
+    output of a bucketed aggregation; no raw-event state here.
+
+    Returns ``(group, n_scored, mape_r)``.
+    """
+    from artigraph_spark.functions import dsum
+
+    cur = series.select(
+        F.col(group_col), F.col(bucket_col).alias("__b"), F.col(value_col).alias("__y")
+    )
+    prev = series.select(
+        F.col(group_col),
+        (F.col(bucket_col) + F.lit(season_buckets)).alias("__b"),
+        F.col(value_col).alias("__f"),
+    )
+    j = cur.join(prev, [group_col, "__b"]).filter(F.col("__y") != 0)
+    ape = F.round(
+        F.abs(F.col("__y").cast("double") - F.col("__f").cast("double"))
+        / F.col("__y").cast("double"),
+        9,
+    )
+    return (
+        j.select(F.col(group_col), ape.alias("__ape"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_scored"), dsum(F.col("__ape")).alias("__m"))
+        .select(
+            group_col,
+            "n_scored",
+            F.round(F.col("__m") / F.col("n_scored").cast("double"), 9).alias(
+                "mape_r"
+            ),
+        )
+    )

@@ -73,8 +73,10 @@ _PRIORITY: tuple[str, ...] = (
     # oracle re-run. The 10 late-r7 registrations (2b) then displaced
     # ten more r3-stale to r8, and the 3 model-evaluation additions
     # (2c: AUC / PSI drift / categorical entropy) displaced three more
-    # (filter_between_isin, filter_null_tests, scalar_math).
-    # Window = 2 + 16 + 10 + 3 + 8 + 11 r3-stale = exactly 50.
+    # (filter_between_isin, filter_null_tests, scalar_math), and the 7
+    # statistical-audit additions (2d) displaced seven more (lang_predict
+    # through proj_select_rename).
+    # Window = 2 + 16 + 10 + 3 + 7 + 8 + 4 r3-stale = exactly 50.
     # (1) never recorded — the only oracle-bearing queries with no hard
     # signal ever (sliding_cms_top_users also changed impl this round)
     "sliding_cms_top_users", "ngram_novelty_docs",
@@ -96,6 +98,11 @@ _PRIORITY: tuple[str, ...] = (
     "target_encode_orders", "gini_spend_by_nation",
     # (2c) model-evaluation trio added at round tail — first driver rows
     "auc_status_by_priority", "psi_price_drift", "entropy_event_types",
+    # (2d) statistical-audit wave (chi2/MI/KS/Benford), G2 keywords,
+    # Adamic-Adar link prediction, seasonal-naive backtest — first rows
+    "chi2_priority_status", "mi_event_type_hour", "ks_price_drift",
+    "benford_price_digits", "g2_keywords_source", "adamic_adar_copurchase",
+    "seasonal_naive_mape_daily",
     # (3) implementation changed this round — need fresh rows
     "heavy_hitter_users", "grouped_heavy_hitters_events",
     "stratified_split_exact",
@@ -106,11 +113,10 @@ _PRIORITY: tuple[str, ...] = (
     # (token-less docs now kept with a zero signature — value-identical
     # on the fixtures, re-verified through the full oracle run).
     "ngram_jaccard_pairs", "simhash_checked", "tfidf_terms",
-    "edit_distance_pairs", "lang_predict", "text_quality_score",
-    "token_bpe_counts", "multimodal_features", "embedding_norms",
-    "embedding_mean_pool",
-    "proj_select_rename",
-    # Not listed: filter_between_isin/filter_null_tests/scalar_math/
+    "edit_distance_pairs",
+    # Not listed: lang_predict/text_quality_score/token_bpe_counts/
+    # multimodal_features/embedding_norms/embedding_mean_pool/
+    # proj_select_rename/filter_between_isin/filter_null_tests/scalar_math/
     # scalar_string/scalar_datetime/scalar_conditional/
     # scalar_cast/array_ops/map_ops/json_extract/sort_limit_topk/
     # set_union_all/set_union_distinct — displaced from the r3-stale

@@ -1348,3 +1348,48 @@ def bfs_hops_copurchase(spark, sf_dir):
     edges = pe.unionByName(pe.select(F.col("d").alias("s"), F.col("s").alias("d")))
     seeds = pe.select(F.col("s").alias("node")).filter(F.col("node") <= 6).distinct()
     return bfs_hops(edges, "s", "d", seeds, max_hops=4)
+
+
+@query(
+    "adamic_adar_copurchase",
+    oracle="""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (
+        SELECT a.ck AS s1, b.ck AS s2
+        FROM cp a JOIN cp b ON a.pk = b.pk AND a.ck < b.ck
+        GROUP BY a.ck, b.ck HAVING count(*) >= 4
+    ),
+    und AS (SELECT s1 AS v, s2 AS n FROM e UNION ALL SELECT s2, s1 FROM e),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM und GROUP BY v),
+    wedges AS (
+        SELECT n1.n AS u, n2.n AS w, n1.v AS mid
+        FROM und n1 JOIN und n2 ON n2.v = n1.v AND n1.n < n2.n
+    ),
+    scored AS (
+        SELECT u, w, CAST(count(*) AS BIGINT) AS n_common,
+               (CAST(SUM(CAST(floor(round(1.0 / ln(CAST(dg AS DOUBLE)), 9)
+                    * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0) AS aa
+        FROM wedges JOIN deg ON deg.v = wedges.mid
+        GROUP BY u, w
+    ),
+    nonadj AS (
+        SELECT s.u, s.w, s.n_common, s.aa FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s1 = s.u AND e.s2 = s.w)
+    )
+    SELECT u, w, n_common, round(aa, 9) AS aa_r,
+           CAST(row_number() OVER (ORDER BY aa DESC, u, w) AS INTEGER) AS rk
+    FROM nonadj QUALIFY rk <= 100
+    """,
+)
+def adamic_adar_copurchase(spark, sf_dir):
+    """Adamic–Adar link prediction over the co-purchase graph: the
+    top-100 non-adjacent customer pairs most likely to become similar
+    next, weighting rare shared neighbors above hubs. See
+    ``operators.graph.adamic_adar``."""
+    from artigraph_spark.operators.graph import adamic_adar
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    return adamic_adar(pairs, "s1", "s2", top_k=100)

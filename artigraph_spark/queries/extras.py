@@ -2372,3 +2372,153 @@ def entropy_event_types(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return entropy_by_group(e, "user_id", "event_type")
+
+
+@query(
+    "chi2_priority_status",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        GROUP BY 1, 2
+    ), ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS na FROM cells GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS nb FROM cells GROUP BY b),
+    s AS (
+        SELECT CAST(SUM(cl.c) AS BIGINT) AS n,
+               CAST(count(DISTINCT cl.a) AS BIGINT) AS r,
+               CAST(count(DISTINCT cl.b) AS BIGINT) AS c,
+               (CAST(SUM(CAST(floor(round(CAST(cl.c AS DOUBLE) * CAST(cl.c AS DOUBLE)
+                     / (CAST(ra.na AS DOUBLE) * CAST(cb.nb AS DOUBLE)), 9)
+                     * 1073741824.0) AS BIGINT)) AS DOUBLE) / 1073741824.0) AS sv
+        FROM cells cl JOIN ra ON ra.a = cl.a JOIN cb ON cb.b = cl.b
+    )
+    SELECT n, r, c,
+           round(CAST(n AS DOUBLE) * (sv - 1.0), 6) AS chi2_r,
+           CASE WHEN least(r - 1, c - 1) > 0 THEN
+               round(sqrt(greatest(CAST(n AS DOUBLE) * (sv - 1.0), 0.0)
+                     / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 6)
+           END AS cramers_v_r
+    FROM s
+    """,
+)
+def chi2_priority_status(spark, sf_dir):
+    """Chi-squared independence test + Cramér's V between order priority
+    and order status — the categorical-association audit via the
+    observed-cells closed form (no dense contingency matrix)."""
+    from artigraph_spark.operators.quality import chi2_independence
+
+    o = load(spark, sf_dir, "orders")
+    return chi2_independence(o, "o_orderpriority", "o_orderstatus")
+
+
+@query(
+    "mi_event_type_hour",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS a,
+               CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS BIGINT) AS b
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+    ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS na FROM cells GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS nb FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+    SELECT tot.n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           (CAST(SUM(CAST(floor(round((CAST(cl.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                * ln(CAST(cl.c AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                     / (CAST(ra.na AS DOUBLE) * CAST(cb.nb AS DOUBLE))), 9)
+                * 1073741824.0) AS BIGINT)) AS DOUBLE) / 1073741824.0) AS mi_r
+    FROM cells cl JOIN ra ON ra.a = cl.a JOIN cb ON cb.b = cl.b, tot
+    GROUP BY tot.n
+    """,
+)
+def mi_event_type_hour(spark, sf_dir):
+    """Mutual information between event type and UTC hour-of-day — does
+    the traffic mix shift across the day? The dependence audit in nats,
+    engine-exact through the fixed-point term sum."""
+    from artigraph_spark.operators.quality import mutual_information
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    e = e.withColumn(
+        "hour_of_day", F.expr("(unix_timestamp(ts) % 86400) div 3600")
+    )
+    return mutual_information(e, "event_type", "hour_of_day")
+
+
+@query(
+    "ks_price_drift",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor((o_totalprice) * 1048576.0) AS BIGINT) AS v FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          AND o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+    ), c AS (
+        SELECT CAST(floor((o_totalprice) * 1048576.0) AS BIGINT) AS v FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+    ), hb AS (SELECT v, CAST(count(*) AS BIGINT) AS fb FROM b GROUP BY v),
+    hc AS (SELECT v, CAST(count(*) AS BIGINT) AS fc FROM c GROUP BY v),
+    m AS (
+        SELECT COALESCE(hb.v, hc.v) AS v,
+               COALESCE(fb, 0) AS fb, COALESCE(fc, 0) AS fc
+        FROM hb FULL OUTER JOIN hc ON hb.v = hc.v
+    ), cum AS (
+        SELECT CAST(SUM(fb) OVER (ORDER BY v) AS BIGINT) AS cb,
+               CAST(SUM(fc) OVER (ORDER BY v) AS BIGINT) AS cc
+        FROM m
+    ), tot AS (
+        SELECT CAST(SUM(fb) AS BIGINT) AS nb, CAST(SUM(fc) AS BIGINT) AS nc FROM m
+    )
+    SELECT nb AS n_base, nc AS n_cur,
+           CAST(MAX(abs(cb * nc - cc * nb)) AS DOUBLE)
+           / (CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE)) AS ks_r
+    FROM cum, tot GROUP BY nb, nc
+    """,
+)
+def ks_price_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic of order value pre- vs
+    post-1998 — the nonparametric drift companion to psi_price_drift,
+    with the max taken over exact integer CDF cross products."""
+    from artigraph_spark.operators.quality import ks_two_sample
+
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return ks_two_sample(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+    )
+
+
+@query(
+    "benford_price_digits",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INTEGER) AS digit
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+          AND o_totalprice >= 1.0
+    ), counts AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_d FROM r GROUP BY digit
+    ), tot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM counts)
+    SELECT digit, n_d,
+           round(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE), 9) AS obs_p_r,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9) AS exp_p_r,
+           round(round(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                 - round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9), 9) AS dev_r
+    FROM counts, tot
+    """,
+)
+def benford_price_digits(spark, sf_dir):
+    """First-digit distribution of order value vs. Benford's law — the
+    fabricated-data audit, with digits extracted integer-side (never via
+    double log10) so they replay identically on every engine."""
+    from artigraph_spark.operators.quality import benford_digits
+
+    o = load(spark, sf_dir, "orders")
+    return benford_digits(o, "o_totalprice")

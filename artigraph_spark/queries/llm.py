@@ -1283,3 +1283,66 @@ def kmeans_embeddings(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return kmeans_exact(e, k=4, iterations=2, qbits=12)
+
+
+@query(
+    "g2_keywords_source",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source AS g, tk.token AS token
+        FROM documents,
+             UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x != '')) AS tk(token)
+        WHERE source IS NOT NULL AND text IS NOT NULL
+    ), cells AS (
+        SELECT g, token, CAST(count(*) AS BIGINT) AS a FROM toks GROUP BY 1, 2
+    ), ng AS (SELECT g, CAST(SUM(a) AS BIGINT) AS ng FROM cells GROUP BY g),
+    tt AS (SELECT token, CAST(SUM(a) AS BIGINT) AS tt FROM cells GROUP BY token),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS N FROM cells),
+    j AS (
+        SELECT cl.g, cl.token, cl.a, ng.ng, tt.tt, tot.N
+        FROM cells cl JOIN ng ON ng.g = cl.g JOIN tt ON tt.token = cl.token, tot
+        WHERE cl.a >= 5
+    ), terms AS (
+        SELECT g, token, a, (a * N > ng * tt) AS overrep,
+               round(2.0 * (((
+                   CASE WHEN a > 0 THEN
+                       round(CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE)
+                           / (CAST(ng AS DOUBLE) * CAST(tt AS DOUBLE)
+                              / CAST(N AS DOUBLE))), 6)
+                   ELSE 0.0 END
+                 + CASE WHEN ng - a > 0 THEN
+                       round(CAST(ng - a AS DOUBLE) * ln(CAST(ng - a AS DOUBLE)
+                           / (CAST(ng AS DOUBLE)
+                              * (CAST(N AS DOUBLE) - CAST(tt AS DOUBLE))
+                              / CAST(N AS DOUBLE))), 6)
+                   ELSE 0.0 END)
+                 + CASE WHEN tt - a > 0 THEN
+                       round(CAST(tt - a AS DOUBLE) * ln(CAST(tt - a AS DOUBLE)
+                           / ((CAST(N AS DOUBLE) - CAST(ng AS DOUBLE))
+                              * CAST(tt AS DOUBLE) / CAST(N AS DOUBLE))), 6)
+                   ELSE 0.0 END)
+                 + CASE WHEN N - ng - tt + a > 0 THEN
+                       round(CAST(N - ng - tt + a AS DOUBLE)
+                           * ln(CAST(N - ng - tt + a AS DOUBLE)
+                           / ((CAST(N AS DOUBLE) - CAST(ng AS DOUBLE))
+                              * (CAST(N AS DOUBLE) - CAST(tt AS DOUBLE))
+                              / CAST(N AS DOUBLE))), 6)
+                   ELSE 0.0 END), 6) AS g2_r
+        FROM j
+    )
+    SELECT g AS source, token, a, g2_r, overrep,
+           CAST(row_number() OVER (PARTITION BY g
+                ORDER BY g2_r DESC, token) AS INTEGER) AS rk
+    FROM terms QUALIFY rk <= 10
+    """,
+)
+def g2_keywords_source(spark, sf_dir):
+    """Dunning log-likelihood (G²) keywords per document source — the
+    tokens most characteristic of each source vs. the rest of the
+    corpus, totally ordered top-10 per source. See
+    ``operators.text.g2_keywords``."""
+    from artigraph_spark.operators.text import g2_keywords
+
+    d = load(spark, sf_dir, "documents")
+    return g2_keywords(d, "source", "text", top_k=10, min_count=5)

@@ -887,3 +887,46 @@ def rfm_segments_users(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return rfm_segments(e, quantiles=5)
+
+
+@query(
+    "seasonal_naive_mape_daily",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS g,
+               CAST(floor((floor(epoch(ts)) - 1704067200) / 3600.0) AS BIGINT) AS b
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ), h AS (SELECT g, b, CAST(count(*) AS BIGINT) AS y FROM ev GROUP BY 1, 2),
+    j AS (
+        SELECT c.g, c.y, p.y AS f
+        FROM h c JOIN h p ON p.g = c.g AND p.b + 24 = c.b
+        WHERE c.y != 0
+    )
+    SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_scored,
+           round((CAST(SUM(CAST(floor(round(abs(CAST(y AS DOUBLE) - CAST(f AS DOUBLE))
+                    / CAST(y AS DOUBLE), 9) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                  / 1048576.0) / CAST(count(*) AS DOUBLE), 9) AS mape_r
+    FROM j GROUP BY g
+    """,
+)
+def seasonal_naive_mape_daily(spark, sf_dir):
+    """Seasonal-naive (same hour yesterday) forecast backtest of hourly
+    event counts per type — the baseline MAPE every real forecaster must
+    beat; low values certify daily seasonality in the stream. See
+    ``operators.timeseries.seasonal_naive_mape``."""
+    from artigraph_spark.operators.timeseries import seasonal_naive_mape
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(
+            (F.unix_timestamp(F.col("ts")) - F.lit(1704067200)) / F.lit(3600.0)
+        )
+        .cast("long")
+        .alias("b"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return seasonal_naive_mape(
+        hourly, "event_type", "b", "y", season_buckets=24
+    )

@@ -2667,3 +2667,117 @@ def test_entropy_by_group_known_values(spark):
     # Fixed-point grid leaves <= 2^-20/n residual around exact values.
     assert abs(got["m"]["entropy_r"]) < 2e-6 and got["m"]["n_cats"] == 1
     assert got["n"]["n"] == 1 and got["n"]["n_cats"] == 1
+
+
+def test_chi2_independence_known_tables(spark):
+    from artigraph_spark.operators.quality import chi2_independence
+
+    # Perfect dependence: chi2 = n, V = 1.
+    dep = spark.createDataFrame(
+        [("x", "p")] * 20 + [("y", "q")] * 20, "a string, b string"
+    )
+    r = chi2_independence(dep, "a", "b").collect()[0]
+    assert r["n"] == 40 and r["r"] == 2 and r["c"] == 2
+    assert abs(r["chi2_r"] - 40.0) < 1e-3 and abs(r["cramers_v_r"] - 1.0) < 1e-4
+    # Perfect independence: chi2 ~ 0; constant column -> V NULL.
+    ind = spark.createDataFrame(
+        [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5 + [("y", "q")] * 5,
+        "a string, b string",
+    )
+    r2 = chi2_independence(ind, "a", "b").collect()[0]
+    assert abs(r2["chi2_r"]) < 1e-3
+    const = spark.createDataFrame([("x", "p"), ("y", "p")], "a string, b string")
+    assert chi2_independence(const, "a", "b").collect()[0]["cramers_v_r"] is None
+
+
+def test_mutual_information_known_values(spark):
+    import math
+
+    from artigraph_spark.operators.quality import mutual_information
+
+    dep = spark.createDataFrame(
+        [("x", "p")] * 10 + [("y", "q")] * 10, "a string, b string"
+    )
+    r = mutual_information(dep, "a", "b").collect()[0]
+    assert r["n"] == 20 and r["n_cells"] == 2
+    assert abs(r["mi_r"] - math.log(2)) < 1e-6
+    ind = spark.createDataFrame(
+        [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5 + [("y", "q")] * 5,
+        "a string, b string",
+    )
+    assert abs(mutual_information(ind, "a", "b").collect()[0]["mi_r"]) < 1e-6
+
+
+def test_ks_two_sample_known_values(spark):
+    from artigraph_spark.operators.quality import ks_two_sample
+
+    b = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    c = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    r = ks_two_sample(b, c, "v").collect()[0]
+    assert r["n_base"] == 2 and r["n_cur"] == 2 and r["ks_r"] == 0.5
+    # Identical -> 0; disjoint -> 1.
+    assert ks_two_sample(b, b, "v").collect()[0]["ks_r"] == 0.0
+    far = spark.createDataFrame([(100.0,), (101.0,)], "v double")
+    assert ks_two_sample(b, far, "v").collect()[0]["ks_r"] == 1.0
+
+
+def test_benford_digits_extraction(spark):
+    from artigraph_spark.operators.quality import benford_digits
+
+    rows = [(1.5,), (19.0,), (123.4,), (2.0,), (900.0,), (0.5,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    # 0.5 and NULL excluded; digits: 1 (x3: 1.5, 19, 123.4), 2, 9.
+    assert sum(r["n_d"] for r in got.values()) == 5
+    assert got[1]["n_d"] == 3 and got[2]["n_d"] == 1 and got[9]["n_d"] == 1
+    assert abs(got[1]["obs_p_r"] - 0.6) < 1e-9
+    assert abs(got[1]["exp_p_r"] - 0.301029996) < 1e-9
+
+
+def test_g2_keywords_overrepresentation(spark):
+    from artigraph_spark.operators.text import g2_keywords
+
+    rows = [("A", "alpha alpha alpha common common")] * 4 + [
+        ("B", "beta beta beta common common")
+    ] * 4
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = g2_keywords(df, "src", "text", top_k=2, min_count=1).collect()
+    top = {r["src"]: r for r in got if r["rk"] == 1}
+    assert top["A"]["token"] == "alpha" and top["A"]["overrep"] is True
+    assert top["B"]["token"] == "beta" and top["B"]["overrep"] is True
+    assert top["A"]["g2_r"] > 0
+    # 'common' is evenly spread: not the top keyword anywhere.
+    assert all(r["token"] != "common" or r["rk"] > 1 for r in got)
+
+
+def test_adamic_adar_path_graph(spark):
+    import math
+
+    from artigraph_spark.operators.graph import adamic_adar
+
+    # Path 1-2-3 plus 3-4: candidates (1,3) via 2, (2,4) via 3, (1,4)? no
+    # common neighbor. deg: 1:1, 2:2, 3:2, 4:1.
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "s long, d long")
+    got = {(r["u"], r["w"]): r for r in adamic_adar(edges, "s", "d").collect()}
+    assert set(got) == {(1, 3), (2, 4)}
+    assert abs(got[(1, 3)]["aa_r"] - 1.0 / math.log(2)) < 1e-5
+    assert got[(1, 3)]["n_common"] == 1
+    # Triangle: all pairs adjacent -> nothing predicted.
+    tri = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "s long, d long")
+    assert adamic_adar(tri, "s", "d").count() == 0
+
+
+def test_seasonal_naive_mape_step_series(spark):
+    from artigraph_spark.operators.timeseries import seasonal_naive_mape
+
+    rows = [("g", b, 10 if b < 24 else 20) for b in range(48)]
+    df = spark.createDataFrame(rows, "g string, b long, y long")
+    r = seasonal_naive_mape(df, "g", "b", "y", season_buckets=24).collect()[0]
+    # Buckets 24..47 scored: |20-10|/20 = 0.5 each.
+    assert r["n_scored"] == 24 and abs(r["mape_r"] - 0.5) < 1e-6
+    # Perfectly periodic -> MAPE 0.
+    per = spark.createDataFrame(
+        [("g", b, 5 + (b % 24)) for b in range(48)], "g string, b long, y long"
+    )
+    r2 = seasonal_naive_mape(per, "g", "b", "y", season_buckets=24).collect()[0]
+    assert r2["mape_r"] == 0.0
