@@ -829,50 +829,79 @@ def psi_drift(
             fxp(v, bits).alias("__v")
         )
 
-    b, c = _clean(base), _clean(cur)
-    hist = b.groupBy("__v").agg(F.count(F.lit(1)).alias("__f"))
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    # Global window over the summary-sized histogram only (the
-    # sketches.py convention) — never the data rows.
-    cum = hist.withColumn("__cum", F.sum("__f").over(w))
-    n_b = b.agg(F.count(F.lit(1)).alias("__n"))
-    ranks = n_b.select(
-        F.explode(F.sequence(F.lit(1), F.lit(bins - 1))).alias("__i"), "__n"
-    ).select(
-        # Exact integer rank ceil(i*n/bins) via `div` — float division
-        # plus floor can be off-by-one past 2^53 (the ADVICE r6 class).
-        F.expr(f"(__i * __n + {bins - 1}) div {bins}").alias("__r")
-    )
-    edges = (
-        cum.join(F.broadcast(ranks), F.col("__cum") >= F.col("__r"))
-        .groupBy("__r")
-        .agg(F.min("__v").alias("__e"))
-    )
-    edge_arr = edges.agg(F.array_sort(F.collect_set("__e")).alias("__edges"))
-
-    def _binned(df: DataFrame) -> DataFrame:
+    def _hist(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
         return (
-            df.crossJoin(F.broadcast(edge_arr))
+            df.filter(v.isNotNull() & ~F.isnan(v))
+            .select(fxp(v, bits).alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__f"))
+        )
+
+    hb, hc = _hist(base), _hist(cur)
+    wo = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.partitionBy()
+    # Global windows over the summary-sized histogram only (the
+    # sketches.py convention) — never the data rows. Everything past the
+    # two histograms is one linear pipeline per side: each row of the
+    # base histogram covers ranks in (cum − f, cum], so the equi-depth
+    # edges fall out of a bins-1× explode + filter — no rank self-join,
+    # no raw-row re-scan (one FileScan per side plus the edge pass,
+    # whose repeated histogram exchange is runtime-reused).
+    cb = hb.select(
+        "__v",
+        "__f",
+        F.sum("__f").over(wo).alias("__cum"),
+        F.sum("__f").over(wg).alias("__n"),
+    )
+    er = (
+        cb.select(
+            "__v",
+            "__cum",
+            "__f",
+            F.explode(F.sequence(F.lit(1), F.lit(bins - 1))).alias("__i"),
+            "__n",
+        )
+        .select(
+            "__v",
+            "__cum",
+            "__f",
+            # Exact integer rank ceil(i*n/bins) via `div` — float division
+            # plus floor can be off-by-one past 2^53 (the ADVICE r6 class).
+            F.expr(f"(__i * __n + {bins - 1}) div {bins}").alias("__r"),
+        )
+        .filter(
+            (F.col("__r") > F.col("__cum") - F.col("__f"))
+            & (F.col("__r") <= F.col("__cum"))
+        )
+    )
+    edge_arr = er.agg(F.array_sort(F.collect_set("__v")).alias("__edges"))
+
+    def _binned(h: DataFrame, name: str) -> DataFrame:
+        # Bin assignment runs over the HISTOGRAM (distinct values ×
+        # counts), never the raw rows — summary-sized work.
+        return (
+            h.crossJoin(F.broadcast(edge_arr))
             .select(
                 F.size(
                     F.filter(F.col("__edges"), lambda e: F.col("__v") > e)
-                ).alias("bin")
+                ).alias("bin"),
+                "__f",
             )
             .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .agg(F.sum("__f").alias(name))
         )
-    bc = _binned(b).withColumnRenamed("__cnt", "base_n")
-    cc = _binned(c).withColumnRenamed("__cnt", "cur_n")
-    n_c = c.agg(F.count(F.lit(1)).alias("__nc"))
+
     both = (
-        bc.join(cc, "bin", "full_outer")
+        _binned(hb, "base_n")
+        .join(_binned(hc, "cur_n"), "bin", "full_outer")
         .select(
             "bin",
             F.coalesce("base_n", F.lit(0).cast("long")).alias("base_n"),
             F.coalesce("cur_n", F.lit(0).cast("long")).alias("cur_n"),
         )
-        .crossJoin(F.broadcast(n_b.withColumnRenamed("__n", "__nb")))
-        .crossJoin(F.broadcast(n_c))
+        .withColumn("__nb", F.sum("base_n").over(wg))
+        .withColumn("__nc", F.sum("cur_n").over(wg))
     )
     eps = F.lit(1e-6)
     p = F.greatest(F.col("base_n").cast("double") / F.col("__nb").cast("double"), eps)
@@ -941,21 +970,24 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     int64·decimal widening). ``V = sqrt(max(chi2,0)/(n·min(r−1,c−1)))``,
     NULL when either side is constant. NULL categories are excluded.
 
-    Scale shape: one (a,b) count shuffle (map-side combined), two
-    summary-sized marginal aggregates joined back on their keys, one
-    scalar row out — no windows, no collect.
+    Scale shape: one (a,b) count shuffle (map-side combined), then
+    marginals as window sums over the SUMMARY-sized cell table (≤ r·c
+    rows — never the data), one scalar row out. Single FileScan,
+    plan-locked.
 
     Returns one row ``(n, r, c, chi2_r, cramers_v_r)``.
     """
+    from pyspark.sql import Window
+
     a, b = F.col(col_a), F.col(col_b)
     cells = (
         df.filter(a.isNotNull() & b.isNotNull())
         .groupBy(col_a, col_b)
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    ra = cells.groupBy(col_a).agg(F.sum("__c").alias("__na"))
-    cb = cells.groupBy(col_b).agg(F.sum("__c").alias("__nb"))
-    joined = cells.join(ra, col_a).join(cb, col_b)
+    joined = cells.withColumn(
+        "__na", F.sum("__c").over(Window.partitionBy(col_a))
+    ).withColumn("__nb", F.sum("__c").over(Window.partitionBy(col_b)))
     cd = F.col("__c").cast("double")
     term = F.round(
         cd * cd / (F.col("__na").cast("double") * F.col("__nb").cast("double")), 9
@@ -1004,20 +1036,24 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     engine-identical and partitioning-invariant.
 
     Scale shape: identical to :func:`chi2_independence` — one cell
-    shuffle, two marginal joins, one scalar row.
+    shuffle, marginals + total as window sums over the summary-sized
+    cell table, one scalar row. Single FileScan, plan-locked.
 
     Returns one row ``(n, n_cells, mi_r)``.
     """
+    from pyspark.sql import Window
+
     a, b = F.col(col_a), F.col(col_b)
     cells = (
         df.filter(a.isNotNull() & b.isNotNull())
         .groupBy(col_a, col_b)
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    ra = cells.groupBy(col_a).agg(F.sum("__c").alias("__na"))
-    cb = cells.groupBy(col_b).agg(F.sum("__c").alias("__nb"))
-    tot = cells.agg(F.sum("__c").alias("__n"))
-    joined = cells.join(ra, col_a).join(cb, col_b).crossJoin(F.broadcast(tot))
+    joined = (
+        cells.withColumn("__na", F.sum("__c").over(Window.partitionBy(col_a)))
+        .withColumn("__nb", F.sum("__c").over(Window.partitionBy(col_b)))
+        .withColumn("__n", F.sum("__c").over(Window.partitionBy()))
+    )
     cd, nd = F.col("__c").cast("double"), F.col("__n").cast("double")
     term = F.round(
         (cd / nd)
@@ -1086,18 +1122,21 @@ def ks_two_sample(
         )
     )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    # Global window over the merged distinct-value summary only.
+    # Global windows over the merged distinct-value summary only — the
+    # totals ride the same pipeline as the CDFs, so each input side is
+    # scanned exactly once (plan-locked).
     cum = merged.select(
-        F.sum("__fb").over(w).alias("__cb"), F.sum("__fc").over(w).alias("__cc")
+        F.sum("__fb").over(w).alias("__cb"),
+        F.sum("__fc").over(w).alias("__cc"),
+        F.sum("__fb").over(Window.partitionBy()).alias("__nb"),
+        F.sum("__fc").over(Window.partitionBy()).alias("__nc"),
     )
-    tot = merged.agg(F.sum("__fb").alias("__nb"), F.sum("__fc").alias("__nc"))
     num = F.abs(
         F.col("__cb").cast("decimal(38,0)") * F.col("__nc")
         - F.col("__cc").cast("decimal(38,0)") * F.col("__nb")
     )
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
+        cum.agg(
             F.max("__nb").alias("n_base"),
             F.max("__nc").alias("n_cur"),
             F.max(num).cast("double").alias("__m"),
@@ -1125,8 +1164,8 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
     grid; observed mass is an exact int64 ratio. Values < 1, NULL, or
     NaN are excluded (sub-unit values need a scale-up pass first).
 
-    Scale shape: one 9-key count shuffle (map-side combined) + a
-    broadcast total — nothing else.
+    Scale shape: one 9-key count shuffle (map-side combined) + a global
+    window over the ≤9-row summary for the total — single scan.
 
     Returns ``(digit, n_d, obs_p_r, exp_p_r, dev_r)`` for observed digits.
     """
@@ -1136,12 +1175,15 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
+    from pyspark.sql import Window
+
     counts = rows.groupBy("digit").agg(F.count(F.lit(1)).alias("n_d"))
-    tot = counts.agg(F.sum("n_d").alias("__n"))
     obs = F.round(F.col("n_d").cast("double") / F.col("__n").cast("double"), 9)
     exp = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 9)
     return (
-        counts.crossJoin(F.broadcast(tot))
+        # Total via a global window over the ≤9-row digit summary — the
+        # whole query is one linear pipeline over a single scan.
+        counts.withColumn("__n", F.sum("n_d").over(Window.partitionBy()))
         .select(
             "digit",
             "n_d",

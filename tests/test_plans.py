@@ -412,3 +412,59 @@ def test_sorted_neighborhood_no_global_window(spark, qs):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chi2_and_mi_single_data_scan(spark, qs):
+    # The observed-cells closed form re-reads only the CELL aggregate for
+    # marginals, not the table: exactly one orders FileScan.
+    for name in ("chi2_priority_status", "mi_event_type_hour"):
+        df = qs[name](spark, SF)
+        plan = P.physical_plan(df, "simple")
+        assert plan.count("FileScan") == 1, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ks_psi_one_scan_per_side(spark, qs):
+    # KS: base and current each scan orders exactly once (totals ride
+    # the CDF pipeline as global windows). PSI: the edge pass and the
+    # bin pass share the base HISTOGRAM subtree (duplicated statically,
+    # exchange-reused at runtime) — ≤2 base scans + ≤2 cur, never the
+    # old raw-row re-scan per branch.
+    df = qs["ks_price_drift"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert plan.count("FileScan") == 2
+    assert "CartesianProduct" not in plan
+    df = qs["psi_price_drift"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert plan.count("FileScan") <= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_adamic_adar_equi_joins_only(spark):
+    # Wedge enumeration must stay an equi-join on the middle node —
+    # never a cartesian/nested-loop pairing, the 100-TB contract.
+    from artigraph_spark.operators.graph import adamic_adar
+    from artigraph_spark.sources import load
+
+    li = load(spark, SF, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct().limit(200)
+    edges = li.toDF("s", "d").filter("s < d")
+    df = adamic_adar(edges, "s", "d", top_k=10)
+    plan = P.physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_g2_keywords_no_cartesian_broadcast_n(spark, qs):
+    # Marginal joins are equi-joins; the scalar N rides a broadcast
+    # single-row cross join (the tf_idf convention) — no real cartesian.
+    df = qs["g2_keywords_source"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_benford_single_scan(spark, qs):
+    df = qs["benford_price_digits"](spark, SF)
+    plan = P.physical_plan(df, "simple")
+    assert plan.count("FileScan") == 1
