@@ -76,7 +76,9 @@ _PRIORITY: tuple[str, ...] = (
     # (filter_between_isin, filter_null_tests, scalar_math), and the 7
     # statistical-audit additions (2d) displaced seven more (lang_predict
     # through proj_select_rename).
-    # Window = 2 + 16 + 10 + 3 + 7 + 8 + 4 r3-stale = exactly 50.
+    # The privacy-audit pair (2e: k-anonymity / l-diversity) then
+    # displaced tfidf_terms and edit_distance_pairs to r8.
+    # Window = 2 + 16 + 10 + 3 + 7 + 2 + 8 + 2 r3-stale = exactly 50.
     # (1) never recorded — the only oracle-bearing queries with no hard
     # signal ever (sliding_cms_top_users also changed impl this round)
     "sliding_cms_top_users", "ngram_novelty_docs",
@@ -103,6 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     "chi2_priority_status", "mi_event_type_hour", "ks_price_drift",
     "benford_price_digits", "g2_keywords_source", "adamic_adar_copurchase",
     "seasonal_naive_mape_daily",
+    # (2e) privacy-audit pair — first driver rows
+    "k_anonymity_orders", "l_diversity_events",
     # (3) implementation changed this round — need fresh rows
     "heavy_hitter_users", "grouped_heavy_hitters_events",
     "stratified_split_exact",
@@ -112,8 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     # simhash_checked also re-greens the late-r7 simhash change
     # (token-less docs now kept with a zero signature — value-identical
     # on the fixtures, re-verified through the full oracle run).
-    "ngram_jaccard_pairs", "simhash_checked", "tfidf_terms",
-    "edit_distance_pairs",
+    "ngram_jaccard_pairs", "simhash_checked",
     # Not listed: lang_predict/text_quality_score/token_bpe_counts/
     # multimodal_features/embedding_norms/embedding_mean_pool/
     # proj_select_rename/filter_between_isin/filter_null_tests/scalar_math/

@@ -2522,3 +2522,52 @@ def benford_price_digits(spark, sf_dir):
 
     o = load(spark, sf_dir, "orders")
     return benford_digits(o, "o_totalprice")
+
+
+@query(
+    "k_anonymity_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(count(*) AS BIGINT) AS class_n
+    FROM orders
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 10
+    """,
+)
+def k_anonymity_orders(spark, sf_dir):
+    """k-anonymity audit over (status, priority, order month) as the
+    quasi-identifiers: every equivalence class smaller than k=10 is a
+    re-identification risk. One map-side-combined QI shuffle; the report
+    is violation-sized."""
+    from artigraph_spark.operators.privacy import k_anonymity
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    return k_anonymity(
+        o, ["o_orderstatus", "o_orderpriority", "order_month"], 10
+    )
+
+
+@query(
+    "l_diversity_events",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS event_hour,
+           CAST(count(*) AS BIGINT) AS class_n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+    FROM events
+    GROUP BY 1, 2
+    HAVING count(DISTINCT user_id) < 5
+    """,
+)
+def l_diversity_events(spark, sf_dir):
+    """l-diversity audit: within each (event type, hour) class, fewer
+    than l=5 distinct users means class membership leaks who acted even
+    where k-anonymity holds. Single grouped distinct aggregation."""
+    from artigraph_spark.operators.privacy import l_diversity
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "event_hour", F.date_format("ts", "yyyy-MM-dd HH")
+    )
+    return l_diversity(e, ["event_type", "event_hour"], "user_id", 5)

@@ -2781,3 +2781,43 @@ def test_seasonal_naive_mape_step_series(spark):
     )
     r2 = seasonal_naive_mape(per, "g", "b", "y", season_buckets=24).collect()[0]
     assert r2["mape_r"] == 0.0
+
+
+def test_k_anonymity_class_sizes(spark):
+    from artigraph_spark.operators.privacy import k_anonymity
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("c", 5), ("c", 6), (None, 7)],
+        "qi string, x int",
+    )
+    viol = {r["qi"]: r["class_n"] for r in k_anonymity(df, ["qi"], 3).collect()}
+    # classes: a=3 (meets k), b=1, c=2, NULL=1 — NULL QI is its own class
+    assert viol == {"b": 1, "c": 2, None: 1}
+    all_classes = {
+        r["qi"]: r["class_n"]
+        for r in k_anonymity(df, ["qi"], 3, violating_only=False).collect()
+    }
+    assert all_classes == {"a": 3, "b": 1, "c": 2, None: 1}
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], 3)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["qi"], 0)
+
+
+def test_l_diversity_distinct_sensitive(spark):
+    from artigraph_spark.operators.privacy import l_diversity
+
+    df = spark.createDataFrame(
+        [
+            ("a", "s1"), ("a", "s2"), ("a", "s1"),
+            ("b", "s1"), ("b", None),
+            ("c", None),
+        ],
+        "qi string, s string",
+    )
+    rows = {
+        r["qi"]: (r["class_n"], r["n_sensitive"])
+        for r in l_diversity(df, ["qi"], "s", 2).collect()
+    }
+    # a has 2 distinct sensitive (meets l=2); b has 1 (NULL excluded); c has 0
+    assert rows == {"b": (2, 1), "c": (1, 0)}

@@ -468,3 +468,26 @@ def test_benford_single_scan(spark, qs):
     df = qs["benford_price_digits"](spark, SF)
     plan = P.physical_plan(df, "simple")
     assert plan.count("FileScan") == 1
+
+
+def test_privacy_audits_single_scan_single_key_shuffle(spark):
+    """Privacy-audit scale lock: k-anonymity is one FileScan + one keyed
+    exchange (map-side-combined grouped count); l-diversity is one
+    FileScan with the two-phase distinct aggregation — neither may
+    rescan the table or add per-class work."""
+    from artigraph_spark.operators.privacy import k_anonymity, l_diversity
+    from artigraph_spark.sources import load
+
+    o = load(spark, SF, "orders")
+    ka = P.physical_plan(
+        k_anonymity(o, ["o_orderstatus", "o_orderpriority"], 10), "simple"
+    )
+    assert ka.count("FileScan") == 1
+    assert ka.count("Exchange") == 1
+    assert "partial_count" in ka  # map-side combine before the exchange
+
+    e = load(spark, SF, "events")
+    ld = P.physical_plan(
+        l_diversity(e, ["event_type"], "user_id", 5), "simple"
+    )
+    assert ld.count("FileScan") == 1
