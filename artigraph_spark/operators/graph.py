@@ -372,6 +372,7 @@ def adamic_adar(
     dst: str,
     *,
     top_k: int = 100,
+    materialize: bool = True,
 ) -> DataFrame:
     """Adamic–Adar link prediction over an undirected edge list: for
     node pairs that share neighbors but are NOT adjacent, ``AA(u,w) =
@@ -393,20 +394,32 @@ def adamic_adar(
     power-law graphs at 100 TB), one groupBy on (u,w), one broadcast-able
     anti-join against the edge list, one top-k window over scored pairs.
 
+    The edge list is referenced five times across the wedge branches
+    (both neighbor sides, the degree aggregate, the anti-join). With
+    ``materialize=True`` (default) it is persisted for the duration and
+    released triangle_counts-style — the slim top-k result is
+    localCheckpointed so the caller holds no lineage into the freed
+    frame. Without it, an expensive upstream (e.g. the co-purchase pair
+    builder) re-runs once per branch. ``materialize=False`` returns the
+    fully lazy plan for plan inspection / embedding.
+
     Returns ``(u, w, n_common, aa_r, rk)`` with rk ≤ top_k.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from artigraph_spark.functions import dsum
 
-    und = edges.select(F.col(src).alias("__v"), F.col(dst).alias("__n")).unionAll(
-        edges.select(F.col(dst).alias("__v"), F.col(src).alias("__n"))
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if materialize:
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    und = e.select(F.col("__s").alias("__v"), F.col("__d").alias("__n")).unionAll(
+        e.select(F.col("__d").alias("__v"), F.col("__s").alias("__n"))
     )
     deg = und.groupBy("__v").agg(F.count(F.lit(1)).alias("__deg"))
     nb = und.join(deg, "__v")
-    n2 = nb.select(
-        F.col("__v").alias("__v2"), F.col("__n").alias("__w")
-    )
+    # Second wedge side needs only (v, neighbor) — no degree join.
+    n2 = und.select(F.col("__v").alias("__v2"), F.col("__n").alias("__w"))
     wedges = nb.join(
         n2, (F.col("__v2") == F.col("__v")) & (F.col("__n") < F.col("__w"))
     )
@@ -416,14 +429,18 @@ def adamic_adar(
         .groupBy("u", "w")
         .agg(F.count(F.lit(1)).alias("n_common"), dsum(F.col("__t")).alias("aa"))
     )
-    existing = edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+    existing = e.select(F.col("__s").alias("u"), F.col("__d").alias("w"))
     nonadj = scored.join(existing, ["u", "w"], "left_anti")
     wnd = Window.orderBy(F.col("aa").desc(), F.col("u").asc(), F.col("w").asc())
     # Global top-k window over candidate pairs only (post-aggregation,
     # summary-sized relative to wedges); at larger k use the two-phase
     # per-partition top-k in operators/joins.py instead.
-    return (
+    out = (
         nonadj.withColumn("rk", F.row_number().over(wnd))
         .filter(F.col("rk") <= top_k)
         .select("u", "w", "n_common", F.round("aa", 9).alias("aa_r"), "rk")
     )
+    if materialize:
+        out = out.localCheckpoint()  # ≤ top_k rows
+        e.unpersist()
+    return out

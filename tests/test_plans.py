@@ -450,7 +450,7 @@ def test_adamic_adar_equi_joins_only(spark):
         "l_partkey", "l_suppkey"
     ).distinct().limit(200)
     edges = li.toDF("s", "d").filter("s < d")
-    df = adamic_adar(edges, "s", "d", top_k=10)
+    df = adamic_adar(edges, "s", "d", top_k=10, materialize=False)
     plan = P.physical_plan(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
