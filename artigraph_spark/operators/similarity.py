@@ -70,29 +70,33 @@ def cosine_topk_bruteforce(
     # Norms are per-vector, not per-pair: compute each side's norm ONCE
     # (10 queries × 50k corpus would otherwise redo both norms 500k times —
     # measured 3× array-reduction waste in the 10× scale probe).
+    # Zero-norm exclusion is per-VECTOR, not per-pair: filtering each
+    # side up front (cosine is undefined for zero vectors; they can
+    # never rank) keeps the per-pair expression the bare unguarded
+    # division — no when-branch or null filter multiplied by
+    # |queries|×|corpus|, and the ANSI DIVIDE_BY_ZERO abort stays
+    # impossible because both norms are strictly positive by then.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec__"),
         norm(F.col(vec_col)).alias("__qnorm__"),
-    )
+    ).filter(F.col("__qnorm__") != F.lit(0.0))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec__"),
         norm(F.col(vec_col)).alias("__cnorm__"),
-    )
+    ).filter(F.col("__cnorm__") != F.lit(0.0))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _safe_cos(
-                dot(F.col("__qvec__"), F.col("__cvec__")),
-                F.col("__qnorm__"),
-                F.col("__cnorm__"),
+            (
+                dot(F.col("__qvec__"), F.col("__cvec__"))
+                / (F.col("__qnorm__") * F.col("__cnorm__"))
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim").isNotNull())
     )
     return top_k_per_group(
         scored,
