@@ -584,45 +584,40 @@ def sketch_state_sink(
     sit at epoch 0 (where the monotone guard alone would mistake the
     reset for a crash replay and drop the batch); the one residual blind
     spot is deleting and recreating the SAME checkpoint path after
-    exactly one committed epoch. LOCAL-FILESYSTEM ONLY:
-    generation discovery and the commit rename run through driver-local
-    ``os.listdir``/``os.rename``, so an ``hdfs://``/``s3a://``/other
-    remote ``state_path`` would silently disable the checkpoint-reset
-    guard before the rename failed — such paths are rejected up front.
-    On an object store route the commit through the manifest-gated
-    writer in ``storage`` instead, where rename is not atomic anyway.
+    exactly one committed epoch.
+
+    Filesystem routing: generation discovery, the marker file, and the
+    commit rename all go through the Hadoop FileSystem API for
+    ``state_path``'s scheme — bare/``file://`` paths use the local FS,
+    ``hdfs://`` (and any FS with atomic directory rename) works as-is
+    on a real cluster. Object-store schemes (s3/s3a/s3n/gs/abfs/abfss/
+    wasb/wasbs/oss/cos) are rejected up front: their "rename" is a
+    non-atomic copy, so the generation swap could be observed half
+    done — route those commits through the manifest-gated writer in
+    ``storage`` instead, which exists precisely because object stores
+    have no atomic rename.
 
     Read the live state any time with :func:`read_sketch_state`.
     """
-    import os
-
     parsed = urllib.parse.urlparse(state_path)
-    if parsed.scheme not in ("", "file"):
+    if parsed.scheme in _OBJECT_STORE_SCHEMES:
         raise ValueError(
-            f"sketch_state_sink state_path must be a local filesystem "
-            f"path (got {state_path!r}): generation discovery/commit use "
-            "driver-local os.listdir/os.rename, which would silently "
-            "bypass the checkpoint-reset guard on a remote filesystem"
+            f"sketch_state_sink state_path {state_path!r} is on an object "
+            "store, where rename is a non-atomic copy and the generation "
+            "swap could be observed half-committed — use the "
+            "manifest-gated writer in artigraph_spark.storage instead"
         )
-
-    def _generations(path: str) -> list[tuple[int, str]]:
-        if not os.path.isdir(path):
-            return []
-        out = []
-        for name in os.listdir(path):
-            if name.startswith("sketch-"):
-                try:
-                    out.append((int(name.split("-", 1)[1]), os.path.join(path, name)))
-                except ValueError:
-                    continue
-        return sorted(out)
-
-    marker = os.path.join(state_path, "_checkpoint_marker")
-    ck_id = os.path.abspath(checkpoint)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        gens = _generations(state_path)
+        fs, root = _hadoop_fs(spark, state_path)
+        marker = _hadoop_path(spark, state_path, "_checkpoint_marker")
+        ck_id = str(
+            _hadoop_fs(spark, checkpoint)[0].makeQualified(
+                _hadoop_fs(spark, checkpoint)[1]
+            )
+        )
+        gens = _hadoop_generations(spark, fs, state_path)
         # Checkpoint-identity marker: the epoch-monotonicity guard below
         # cannot catch a DIFFERENT checkpoint restarting at epoch 0
         # against a state whose live generation is also 0 (0 < 0 is
@@ -631,9 +626,8 @@ def sketch_state_sink(
         # case. Residual hole (documented): deleting and recreating the
         # SAME checkpoint path after exactly one committed epoch is
         # indistinguishable from a crash replay of epoch 0.
-        if os.path.isfile(marker):
-            with open(marker) as f:
-                prev_ck = f.read().strip()
+        if fs.exists(marker) and fs.getFileStatus(marker).isFile():
+            prev_ck = _hadoop_read_text(spark, fs, marker).strip()
             if prev_ck != ck_id:
                 raise RuntimeError(
                     f"sketch state at {state_path} was built by stream "
@@ -643,9 +637,8 @@ def sketch_state_sink(
                     "the original checkpointLocation."
                 )
         else:
-            os.makedirs(state_path, exist_ok=True)
-            with open(marker, "w") as f:
-                f.write(ck_id)
+            fs.mkdirs(root)
+            _hadoop_write_text(spark, fs, marker, ck_id)
         if gens and epoch_id < gens[-1][0]:
             # Epoch ids behind the live generation mean the caller
             # restarted with a FRESH stream checkpoint against existing
@@ -667,14 +660,17 @@ def sketch_state_sink(
             merged = merge(prev.unionByName(part))
         else:
             merged = merge(part)
-        os.makedirs(state_path, exist_ok=True)
-        tmp = os.path.join(state_path, f".tmp-{epoch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, os.path.join(state_path, f"sketch-{epoch_id}"))
+        fs.mkdirs(root)
+        tmp = _hadoop_path(spark, state_path, f".tmp-{epoch_id}")
+        merged.write.mode("overwrite").parquet(str(fs.makeQualified(tmp)))
+        dst = _hadoop_path(spark, state_path, f"sketch-{epoch_id}")
+        if not fs.rename(tmp, dst):
+            raise RuntimeError(
+                f"sketch state commit rename failed: {tmp} -> {dst} "
+                "(destination already exists or filesystem refused)"
+            )
         for _, p in gens:  # prune superseded generations
-            import shutil
-
-            shutil.rmtree(p, ignore_errors=True)
+            fs.delete(_hadoop_fs(spark, p)[1], True)
 
     return (
         stream_df.writeStream.foreachBatch(sink)
@@ -685,14 +681,68 @@ def sketch_state_sink(
 
 def read_sketch_state(spark, state_path: str) -> DataFrame:
     """The live (highest-epoch) sketch generation maintained by
-    :func:`sketch_state_sink`; raises if no generation has committed."""
-    import os
-
-    gens = sorted(
-        (int(n.split("-", 1)[1]), os.path.join(state_path, n))
-        for n in (os.listdir(state_path) if os.path.isdir(state_path) else [])
-        if n.startswith("sketch-")
-    )
+    :func:`sketch_state_sink`; raises if no generation has committed.
+    Discovery goes through the Hadoop FileSystem API, so any
+    ``state_path`` the sink accepts is readable here."""
+    fs, _ = _hadoop_fs(spark, state_path)
+    gens = _hadoop_generations(spark, fs, state_path)
     if not gens:
         raise FileNotFoundError(f"no committed sketch state under {state_path}")
     return spark.read.parquet(gens[-1][1])
+
+
+# Object-store filesystems have copy-based, non-atomic "rename" — the
+# generation-swap commit below must not run on them.
+_OBJECT_STORE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos"}
+)
+
+
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) for ``path_str``'s scheme via the JVM Hadoop
+    API — local FS for bare/file:// paths, HDFS for hdfs://, etc."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _hadoop_path(spark, base: str, name: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(
+        spark._jvm.org.apache.hadoop.fs.Path(base), name
+    )
+
+
+def _hadoop_generations(spark, fs, state_path: str) -> list[tuple[int, str]]:
+    """Committed ``sketch-<epoch>`` generation dirs under ``state_path``,
+    sorted by epoch, as (epoch, qualified path string)."""
+    root = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("sketch-"):
+            try:
+                out.append((int(name.split("-", 1)[1]), str(status.getPath())))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _hadoop_read_text(spark, fs, hpath) -> str:
+    stream = fs.open(hpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _hadoop_write_text(spark, fs, hpath, text: str) -> None:
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
