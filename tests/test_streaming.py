@@ -892,3 +892,54 @@ def test_stateful_exact_dedup_ttl_under_non_utc_session_tz(spark, tmp_path):
     assert sorted((r["text"], r["doc_id"]) for r in rows) == [
         ("dup", 10), ("filler", 20),
     ]
+
+
+def test_sketch_state_sink_file_scheme_uri(spark, tmp_path):
+    """The Hadoop-FS routing resolves an explicit file:// state_path the
+    same as a bare path — discovery, marker, commit rename, and
+    read_sketch_state all through the scheme's FileSystem."""
+    import pyspark.sql.functions as F
+
+    from artigraph_spark.streaming import read_sketch_state, sketch_state_sink
+
+    src = str(tmp_path / "src")
+    state = f"file://{tmp_path}/state_uri"
+    spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], ["row_id", "user_id"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("row_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sketch_state_sink(
+        stream,
+        build=lambda df: df.groupBy("user_id").agg(F.count("*").alias("cnt")),
+        merge=lambda df: df.groupBy("user_id").agg(F.sum("cnt").alias("cnt")),
+        state_path=state,
+        checkpoint=str(tmp_path / "ck_uri"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["user_id"]: r["cnt"] for r in read_sketch_state(spark, state).collect()}
+    assert got == {u: (15 if u < 2 else 14) for u in range(7)}
+
+
+def test_sketch_state_sink_rejects_object_store_scheme(spark, tmp_path):
+    from artigraph_spark.streaming import sketch_state_sink
+
+    src = str(tmp_path / "src_s3")
+    spark.createDataFrame([(1,)], ["row_id"]).write.parquet(src)
+    stream = (
+        spark.readStream.schema("row_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="object store"):
+        sketch_state_sink(
+            stream,
+            build=lambda df: df,
+            merge=lambda df: df,
+            state_path="s3a://bucket/state",
+            checkpoint=str(tmp_path / "ck"),
+        )
