@@ -599,6 +599,81 @@ def snapshot_diff(
     )
 
 
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    key_col: str,
+    *,
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    upsert: str = "U",
+    delete: str = "D",
+) -> DataFrame:
+    """Apply a change-data-capture changelog to a base snapshot — MERGE
+    INTO semantics without a table format: for each key the LATEST
+    change (by ``order_cols``, descending, which must totally order each
+    key's changes — e.g. ``["ts", "change_id"]``) wins; an upsert
+    replaces the base row or inserts a new one, a delete removes the
+    key; keys without changes pass through unchanged. The inverse of
+    :func:`snapshot_diff` (diff produces a changelog; this applies one).
+
+    ``base`` must be a snapshot (unique ``key_col``); ``changelog``
+    must carry every non-key column of ``base`` plus ``op_col`` and the
+    ``order_cols``. An op value other than ``upsert``/``delete`` raises
+    at execution (checked on the per-key winners — summary-sized, never
+    per-change).
+
+    Scale shape: the changelog collapses to one winner per key through
+    a per-key window top-1 (WindowGroupLimit prunes below the
+    exchange), then ONE co-partitioned full-outer join against base —
+    no iteration, no driver state, linear in |base| + |changelog|. The
+    100 TB upsert-ingest shape: this is what a nightly MERGE compiles
+    to on engines without transactional formats.
+    """
+    if not order_cols:
+        raise ValueError("cdc_apply needs order_cols to totally order changes")
+    from pyspark.sql import Window
+
+    value_cols = [c for c in base.columns if c != key_col]
+    missing = [c for c in value_cols if c not in changelog.columns]
+    if missing:
+        raise ValueError(f"changelog lacks base columns: {missing}")
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    win = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(key_col).alias("__ck"),
+            F.when(F.col(op_col).isin(upsert, delete), F.col(op_col))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("cdc_apply: unknown op value "), F.col(op_col)
+                    )
+                )
+            )
+            .alias("__op"),
+            *[F.col(c).alias(f"__c_{c}") for c in value_cols],
+        )
+    )
+    joined = base.join(win, F.col(key_col) == F.col("__ck"), "full_outer")
+    surviving = joined.filter(
+        F.col("__op").isNull() | (F.col("__op") == F.lit(upsert))
+    )
+    is_change = F.col("__op").isNotNull()
+    return surviving.select(
+        F.coalesce(F.col(key_col), F.col("__ck")).alias(key_col),
+        *[
+            F.when(is_change, F.col(f"__c_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+
+
 def target_encode_loo(
     df: DataFrame,
     cat_col: str,

@@ -872,3 +872,83 @@ def seasonal_naive_mape(
             ),
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event-count
+    series: ``y = trend + seasonal + residual`` with the trend a centered
+    ``period``-day moving average, the seasonal component the mean
+    detrended value per phase (day-index mod ``period``), centered so the
+    seasonal terms sum to ~0 over one cycle, and the residual what's
+    left — the textbook pre-STL decomposition every forecasting audit
+    starts from (seasonal_naive's explanatory companion).
+
+    ``period`` must be odd (a centered MA of even length needs the 2×m
+    double smoothing — use 7 for weekly-in-daily, the common case).
+
+    Exactness: counts are integers, so the trend window SUM and the
+    scaled detrended value ``det7 = period·y − trend_sum`` stay pure
+    int64; per-phase means go through the fixed-point ``davg`` path and
+    the final doubles are snapped to the 9-decimal guard grid — every
+    number replays identically cross-engine. Edge days without a full
+    window are excluded (standard).
+
+    Scale shape: one bucketing shuffle to the daily series, then
+    everything operates on the summary-sized series — the global
+    ORDER BY window touches #days rows (a WindowExec single-partition
+    warning at bench scale is the documented benign case), the phase
+    join broadcasts ``period`` rows, the grand mean rides a single-row
+    broadcast cross join.
+
+    Returns ``(day_s, y, phase, trend_r, seasonal_r, resid_r)``.
+    """
+    from pyspark.sql import Window
+
+    from artigraph_spark.functions import davg
+
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    half = period // 2
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("day", F.col(ts_col))).alias("day_s")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.orderBy("day_s").rowsBetween(-half, half)
+    t = daily.select(
+        "day_s",
+        "y",
+        F.expr(f"CAST((day_s div 86400) % {period} AS INT)").alias("phase"),
+        F.when(
+            F.count(F.lit(1)).over(w) == period, F.sum("y").over(w)
+        ).alias("__ts"),
+    ).filter(F.col("__ts").isNotNull())
+    d = t.withColumn("__det", F.lit(period) * F.col("y") - F.col("__ts"))
+    s = d.groupBy("phase").agg(davg("__det").alias("__s7"))
+    g = s.agg(davg(F.round(F.col("__s7"), 9)).alias("__s7bar"))
+    pd_ = F.lit(float(period))
+    seasonal = F.round((F.col("__s7") - F.col("__s7bar")) / pd_, 9)
+    return (
+        d.join(F.broadcast(s), "phase")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "day_s",
+            "y",
+            "phase",
+            F.round(F.col("__ts").cast("double") / pd_, 9).alias("trend_r"),
+            seasonal.alias("seasonal_r"),
+            F.round(
+                F.col("y").cast("double")
+                - F.col("__ts").cast("double") / pd_
+                - seasonal,
+                9,
+            ).alias("resid_r"),
+        )
+    )

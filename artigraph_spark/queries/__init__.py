@@ -77,8 +77,11 @@ _PRIORITY: tuple[str, ...] = (
     # statistical-audit additions (2d) displaced seven more (lang_predict
     # through proj_select_rename).
     # The privacy-audit pair (2e: k-anonymity / l-diversity) then
-    # displaced tfidf_terms and edit_distance_pairs to r8.
-    # Window = 2 + 16 + 10 + 3 + 7 + 2 + 8 + 2 r3-stale = exactly 50.
+    # displaced tfidf_terms and edit_distance_pairs to r8, and the
+    # CDC-apply + seasonal-decomposition pair (2f) displaced the last
+    # two r3-stale (ngram_jaccard_pairs, simhash_checked) — all four
+    # r3 re-greens now lead r8's backlog.
+    # Window = 2 + 16 + 10 + 3 + 7 + 2 + 2 + 8 = exactly 50.
     # (1) never recorded — the only oracle-bearing queries with no hard
     # signal ever (sliding_cms_top_users also changed impl this round)
     "sliding_cms_top_users", "ngram_novelty_docs",
@@ -107,16 +110,18 @@ _PRIORITY: tuple[str, ...] = (
     "seasonal_naive_mape_daily",
     # (2e) privacy-audit pair — first driver rows
     "k_anonymity_orders", "l_diversity_events",
+    # (2f) CDC merge-apply + classical seasonal decomposition — first rows
+    "cdc_apply_orders", "seasonal_decompose_daily",
     # (3) implementation changed this round — need fresh rows
     "heavy_hitter_users", "grouped_heavy_hitters_events",
     "stratified_split_exact",
     "domain_cap", "weighted_sample_topk", "describe_summary",
     "agg_global_summary", "window_session",
-    # (4) r3-stale (the r6-rotation overflow), oldest-first in r6 order.
-    # simhash_checked also re-greens the late-r7 simhash change
-    # (token-less docs now kept with a zero signature — value-identical
-    # on the fixtures, re-verified through the full oracle run).
-    "ngram_jaccard_pairs", "simhash_checked",
+    # (4) r3-stale block: fully displaced to r8 by the 2e/2f additions
+    # (ngram_jaccard_pairs, simhash_checked, tfidf_terms,
+    # edit_distance_pairs lead r8's backlog; simhash_checked also
+    # re-greens the late-r7 simhash change — value-identical on the
+    # fixtures, re-verified through the full oracle run).
     # Not listed: lang_predict/text_quality_score/token_bpe_counts/
     # multimodal_features/embedding_norms/embedding_mean_pool/
     # proj_select_rename/filter_between_isin/filter_null_tests/scalar_math/

@@ -2571,3 +2571,66 @@ def l_diversity_events(spark, sf_dir):
         "event_hour", F.date_format("ts", "yyyy-MM-dd HH")
     )
     return l_diversity(e, ["event_type", "event_hour"], "user_id", 5)
+
+
+@query(
+    "cdc_apply_orders",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') t
+        WHERE rn = 1
+    ), win AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01') t
+        WHERE rn = 1
+    )
+    SELECT COALESCE(w.o_custkey, b.o_custkey) AS o_custkey,
+           CASE WHEN w.op IS NOT NULL THEN w.o_orderkey
+                ELSE b.o_orderkey END AS o_orderkey,
+           CASE WHEN w.op IS NOT NULL THEN w.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice
+    FROM base b FULL OUTER JOIN win w ON w.o_custkey = b.o_custkey
+    WHERE w.op IS NULL OR w.op = 'U'
+    """,
+)
+def cdc_apply_orders(spark, sf_dir):
+    """MERGE-INTO semantics without a table format: the pre-1997
+    "current order per customer" snapshot updated by the post-1997
+    changelog (finalized orders delete the key, others upsert), latest
+    change per key winning. See ``operators.quality.cdc_apply``."""
+    from pyspark.sql import Window
+
+    from artigraph_spark.operators.quality import cdc_apply
+
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    base = (
+        o.filter(F.col("o_orderdate") < cut)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    chg = o.filter(F.col("o_orderdate") >= cut).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return cdc_apply(
+        base, chg, "o_custkey", order_cols=["o_orderdate", "o_orderkey"]
+    )

@@ -930,3 +930,44 @@ def seasonal_naive_mape_daily(spark, sf_dir):
     return seasonal_naive_mape(
         hourly, "event_type", "b", "y", season_buckets=24
     )
+
+
+@query(
+    "seasonal_decompose_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), t AS (
+        SELECT day_s, y,
+               CAST((day_s // 86400) % 7 AS INTEGER) AS phase,
+               CASE WHEN count(*) OVER w = 7
+                    THEN CAST(SUM(y) OVER w AS BIGINT) END AS ts7
+        FROM daily
+        WINDOW w AS (ORDER BY day_s ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), d AS (
+        SELECT day_s, y, phase, ts7, 7 * y - ts7 AS det7
+        FROM t WHERE ts7 IS NOT NULL
+    ), s AS (
+        SELECT phase, {oracle_davg('det7')} AS s7 FROM d GROUP BY phase
+    ), g AS (
+        SELECT {oracle_davg('round(s7, 9)')} AS s7bar FROM s
+    )
+    SELECT d.day_s, d.y, d.phase,
+           round(CAST(d.ts7 AS DOUBLE) / 7.0, 9) AS trend_r,
+           round((s.s7 - g.s7bar) / 7.0, 9) AS seasonal_r,
+           round(CAST(d.y AS DOUBLE) - CAST(d.ts7 AS DOUBLE) / 7.0
+                 - round((s.s7 - g.s7bar) / 7.0, 9), 9) AS resid_r
+    FROM d JOIN s USING (phase) CROSS JOIN g
+    """,
+)
+def seasonal_decompose_daily(spark, sf_dir):
+    """Classical additive decomposition of the daily event series with a
+    weekly (period-7) cycle: centered-MA trend, phase-mean seasonal,
+    residual — all exact-integer until the final guard-grid doubles.
+    See ``operators.timeseries.seasonal_decompose``."""
+    from artigraph_spark.operators.timeseries import seasonal_decompose
+
+    e = load(spark, sf_dir, "events")
+    return seasonal_decompose(e, "ts", period=7)

@@ -2821,3 +2821,55 @@ def test_l_diversity_distinct_sensitive(spark):
     }
     # a has 2 distinct sensitive (meets l=2); b has 1 (NULL excluded); c has 0
     assert rows == {"b": (2, 1), "c": (1, 0)}
+
+
+def test_cdc_apply_merge_semantics(spark):
+    from artigraph_spark.operators.quality import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, "b2", 1, "U"), (2, "bx", 2, "D"),   # upsert then delete -> gone
+            (3, "cx", 1, "D"), (3, "c2", 2, "U"),   # delete then upsert -> c2
+            (4, "d", 1, "U"),                        # insert
+        ],
+        "k int, v string, ts int, op string",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in cdc_apply(base, chg, "k", order_cols=["ts"]).collect()
+    }
+    assert got == {1: "a", 3: "c2", 4: "d"}
+
+    bad = spark.createDataFrame([(1, "x", 1, "Z")], "k int, v string, ts int, op string")
+    with pytest.raises(Exception, match="unknown op"):
+        cdc_apply(base, bad, "k", order_cols=["ts"]).collect()
+    with pytest.raises(ValueError, match="lacks base columns"):
+        cdc_apply(base, chg.drop("v"), "k", order_cols=["ts"])
+    with pytest.raises(ValueError, match="order_cols"):
+        cdc_apply(base, chg, "k", order_cols=[])
+
+
+def test_seasonal_decompose_pure_weekly_signal(spark):
+    """A pure weekly pattern (no trend, no noise): trend = series mean,
+    seasonal = pattern minus its mean, residual = 0 on the guard grid."""
+    from artigraph_spark.operators.timeseries import seasonal_decompose
+
+    pattern = [3, 1, 4, 1, 5, 9, 2]  # mean 25/7
+    rows = []
+    for d in range(19000, 19021):  # 21 epoch-days, phase = d % 7
+        for i in range(10 + pattern[d % 7]):
+            rows.append((d * 86400 + i,))
+    df = spark.createDataFrame(rows, "sec long").select(
+        F.to_timestamp(F.col("sec")).alias("ts")
+    )
+    out = seasonal_decompose(df, "ts", period=7).collect()
+    assert len(out) == 21 - 6  # edges without a full window excluded
+    for r in out:
+        assert abs(r["resid_r"]) < 1e-6
+        assert abs(r["trend_r"] - 95.0 / 7.0) < 1e-6
+        assert abs(r["seasonal_r"] - (pattern[r["phase"]] - 25.0 / 7.0)) < 1e-6
+    with pytest.raises(ValueError, match="odd"):
+        seasonal_decompose(df, "ts", period=4)
