@@ -642,7 +642,10 @@ def cdc_apply(
         *[F.col(c).desc() for c in order_cols]
     )
     win = (
-        changelog.withColumn("__rn", F.row_number().over(w))
+        # NULL-key changes address no row: a snapshot has no NULL key to
+        # replace, and inserting one would poison every later merge.
+        changelog.filter(F.col(key_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
             F.col(key_col).alias("__ck"),

@@ -925,7 +925,17 @@ def seasonal_decompose(
     t = daily.select(
         "day_s",
         "y",
-        F.expr(f"CAST((day_s div 86400) % {period} AS INT)").alias("phase"),
+        # pmod-of-floor-div, NOT `div`/`%`: Spark's div truncates toward
+        # zero while DuckDB's // floors, and both engines' % takes the
+        # dividend's sign — pre-1970 (negative-epoch) days would get
+        # phases in [-6,6] that disagree cross-engine. pmod(floor, p)
+        # keeps phase in [0, p) for any epoch on both sides.
+        F.pmod(
+            F.expr(
+                "day_s div 86400 - CASE WHEN day_s % 86400 < 0 THEN 1 ELSE 0 END"
+            ),
+            F.lit(period),
+        ).cast("int").alias("phase"),
         F.when(
             F.count(F.lit(1)).over(w) == period, F.sum("y").over(w)
         ).alias("__ts"),

@@ -941,7 +941,7 @@ def seasonal_naive_mape_daily(spark, sf_dir):
         FROM events WHERE ts IS NOT NULL GROUP BY 1
     ), t AS (
         SELECT day_s, y,
-               CAST((day_s // 86400) % 7 AS INTEGER) AS phase,
+               CAST((((day_s // 86400) % 7) + 7) % 7 AS INTEGER) AS phase,
                CASE WHEN count(*) OVER w = 7
                     THEN CAST(SUM(y) OVER w AS BIGINT) END AS ts7
         FROM daily

@@ -2873,3 +2873,28 @@ def test_seasonal_decompose_pure_weekly_signal(spark):
         assert abs(r["seasonal_r"] - (pattern[r["phase"]] - 25.0 / 7.0)) < 1e-6
     with pytest.raises(ValueError, match="odd"):
         seasonal_decompose(df, "ts", period=4)
+
+
+def test_cdc_apply_null_key_changes_dropped(spark):
+    from artigraph_spark.operators.quality import cdc_apply
+
+    base = spark.createDataFrame([(1, "a")], "k int, v string")
+    chg = spark.createDataFrame(
+        [(None, "ghost", 1, "U"), (2, "b", 1, "U")],
+        "k int, v string, ts int, op string",
+    )
+    got = {r["k"]: r["v"] for r in cdc_apply(base, chg, "k", order_cols=["ts"]).collect()}
+    assert got == {1: "a", 2: "b"}  # NULL-key change addresses nothing
+
+
+def test_seasonal_decompose_pre_epoch_phase_nonnegative(spark):
+    """Negative-epoch (pre-1970) days must map to phases in [0, period)
+    via pmod-of-floor-div — the truncating div/% would split phases."""
+    from artigraph_spark.operators.timeseries import seasonal_decompose
+
+    rows = [(d * 86400 + i,) for d in range(-15, 6) for i in range(5 + (d % 3))]
+    df = spark.createDataFrame(rows, "sec long").select(
+        F.to_timestamp(F.col("sec")).alias("ts")
+    )
+    out = seasonal_decompose(df, "ts", period=7).collect()
+    assert out and all(0 <= r["phase"] < 7 for r in out)
