@@ -545,3 +545,51 @@ def test_partition_key_canonical_injective_property(keys, other):
     else:
         assert k1.canonical() != k2.canonical()
     assert "\x00" not in k1.canonical()
+
+
+# --- cdc_apply vs a reference MERGE model -----------------------------------
+
+cdc_base = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=99)),
+    max_size=15,
+    unique_by=lambda t: t[0],  # snapshots have unique keys
+)
+cdc_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),   # key
+        st.integers(min_value=0, max_value=99),   # value
+        st.integers(min_value=0, max_value=9),    # ts
+        st.sampled_from(["U", "D"]),
+    ),
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(cdc_base, cdc_changes)
+def test_cdc_apply_matches_merge_model(spark, base_rows, chg_rows):
+    """cdc_apply == the sequential MERGE model: sort changes by
+    (ts, change_id), replay them over a dict, compare final states.
+    change_id (the input index) breaks ts ties exactly like order_cols."""
+    from artigraph_spark.operators.quality import cdc_apply
+
+    chg_rows = [(k, v, ts, op, i) for i, (k, v, ts, op) in enumerate(chg_rows)]
+    state = dict(base_rows)
+    for k, v, ts, op, _i in sorted(chg_rows, key=lambda r: (r[0], r[2], r[4])):
+        if op == "U":
+            state[k] = v
+        else:
+            state.pop(k, None)
+
+    base = spark.createDataFrame(base_rows or [(None, None)], "k int, v int").filter(
+        "k IS NOT NULL"
+    )
+    chg = spark.createDataFrame(
+        chg_rows or [(None, None, None, None, None)],
+        "k int, v int, ts int, op string, cid int",
+    ).filter("k IS NOT NULL")
+    got = {
+        r["k"]: r["v"]
+        for r in cdc_apply(base, chg, "k", order_cols=["ts", "cid"]).collect()
+    }
+    assert got == state
