@@ -80,8 +80,12 @@ _PRIORITY: tuple[str, ...] = (
     # displaced tfidf_terms and edit_distance_pairs to r8, and the
     # CDC-apply + seasonal-decomposition pair (2f) displaced the last
     # two r3-stale (ngram_jaccard_pairs, simhash_checked) — all four
-    # r3 re-greens now lead r8's backlog.
-    # Window = 2 + 16 + 10 + 3 + 7 + 2 + 2 + 8 = exactly 50.
+    # r3 re-greens now lead r8's backlog. attribution_linear (2f) then
+    # displaced window_session from the impl-changed block: its r7
+    # change was value-identical on the fixtures (full oracle re-run),
+    # so its r6 row stays valid while a never-recorded query gains its
+    # first hard signal.
+    # Window = 2 + 16 + 10 + 3 + 7 + 2 + 3 + 7 = exactly 50.
     # (1) never recorded — the only oracle-bearing queries with no hard
     # signal ever (sliding_cms_top_users also changed impl this round)
     "sliding_cms_top_users", "ngram_novelty_docs",
@@ -110,13 +114,14 @@ _PRIORITY: tuple[str, ...] = (
     "seasonal_naive_mape_daily",
     # (2e) privacy-audit pair — first driver rows
     "k_anonymity_orders", "l_diversity_events",
-    # (2f) CDC merge-apply + classical seasonal decomposition — first rows
-    "cdc_apply_orders", "seasonal_decompose_daily",
+    # (2f) CDC merge-apply + classical seasonal decomposition + linear
+    # multi-touch attribution — first rows
+    "cdc_apply_orders", "seasonal_decompose_daily", "attribution_linear",
     # (3) implementation changed this round — need fresh rows
     "heavy_hitter_users", "grouped_heavy_hitters_events",
     "stratified_split_exact",
     "domain_cap", "weighted_sample_topk", "describe_summary",
-    "agg_global_summary", "window_session",
+    "agg_global_summary",
     # (4) r3-stale block: fully displaced to r8 by the 2e/2f additions
     # (ngram_jaccard_pairs, simhash_checked, tfidf_terms,
     # edit_distance_pairs lead r8's backlog; simhash_checked also

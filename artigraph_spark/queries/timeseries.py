@@ -971,3 +971,52 @@ def seasonal_decompose_daily(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return seasonal_decompose(e, "ts", period=7)
+
+
+@query(
+    "attribution_linear",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, ts AS cts
+        FROM events WHERE event_type = 'purchase'
+    ), tch AS (
+        SELECT user_id, event_id AS tid, ts AS tts, event_type AS ch
+        FROM events WHERE event_type IN ('click', 'view')
+    ), pairs AS (
+        SELECT c.conv_id, t.tid, t.ch
+        FROM conv c JOIN tch t ON t.user_id = c.user_id
+         AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 604800 SECONDS
+    ), counts AS (
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS k FROM pairs GROUP BY conv_id
+    ), credited AS (
+        SELECT p.conv_id, p.ch AS channel,
+               CAST(SUM(CAST(floor(1048576.0 / c.k) AS BIGINT)) AS BIGINT)
+                   AS credit_fx
+        FROM pairs p JOIN counts c USING (conv_id) GROUP BY 1, 2
+    ), attr AS (
+        SELECT c.conv_id, coalesce(cr.channel, 'none') AS channel,
+               coalesce(cr.credit_fx, 1048576) AS credit_fx
+        FROM conv c LEFT JOIN credited cr USING (conv_id)
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(credit_fx) AS BIGINT) AS credit_total
+    FROM attr GROUP BY 1
+    """,
+)
+def attribution_linear(spark, sf_dir):
+    """Multi-touch linear attribution: every qualifying click/view in
+    the 7-day lookback splits a purchase's credit equally via exact
+    fixed-point shares (floor(2^20/k) each — integers, no
+    order-dependent float splits); untouched purchases keep full credit
+    under 'none'. Per-channel totals stay pure int64."""
+    from artigraph_spark.operators.timeseries import attribute_conversions
+
+    e = load(spark, sf_dir, "events")
+    credited = attribute_conversions(
+        e, conversion_type="purchase", touch_types=("click", "view"),
+        lookback_seconds=604800, model="linear",
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("credit_fx").alias("credit_total"),
+    )
