@@ -16,6 +16,7 @@ land through the same partitioned-sink path as batch builds.
 from __future__ import annotations
 
 import urllib.parse
+from collections.abc import Sequence
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -599,10 +600,32 @@ def sketch_state_sink(
 
     Read the live state any time with :func:`read_sketch_state`.
     """
+
+    def fold(prev: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        part = build(batch_df)
+        return merge(prev.unionByName(part)) if prev is not None else merge(part)
+
+    return _generation_sink(stream_df, fold, state_path, checkpoint)
+
+
+def _generation_sink(
+    stream_df: DataFrame,
+    fold: Callable[[DataFrame | None, DataFrame], DataFrame],
+    state_path: str,
+    checkpoint: str,
+):
+    """The shared exactly-once generation-commit machinery behind
+    :func:`sketch_state_sink` and :func:`cdc_state_sink`: per
+    micro-batch, ``fold(previous_state_or_None, batch)`` produces the
+    next full state, committed as an atomic ``sketch-<epoch>`` directory
+    rename with crash-replay idempotence, the checkpoint-identity
+    marker, the epoch-monotonicity reset guard, and superseded-
+    generation pruning — see sketch_state_sink's docstring for the
+    contract each guard enforces."""
     parsed = urllib.parse.urlparse(state_path)
     if parsed.scheme in _OBJECT_STORE_SCHEMES:
         raise ValueError(
-            f"sketch_state_sink state_path {state_path!r} is on an object "
+            f"state sink state_path {state_path!r} is on an object "
             "store, where rename is a non-atomic copy and the generation "
             "swap could be observed half-committed — use the "
             "manifest-gated writer in artigraph_spark.storage instead"
@@ -654,12 +677,8 @@ def sketch_state_sink(
             )
         if any(e == epoch_id for e, _ in gens):
             return  # crash-replayed epoch: its generation already committed
-        part = build(batch_df)
-        if gens:
-            prev = spark.read.parquet(gens[-1][1])
-            merged = merge(prev.unionByName(part))
-        else:
-            merged = merge(part)
+        prev = spark.read.parquet(gens[-1][1]) if gens else None
+        merged = fold(prev, batch_df)
         fs.mkdirs(root)
         tmp = _hadoop_path(spark, state_path, f".tmp-{epoch_id}")
         merged.write.mode("overwrite").parquet(str(fs.makeQualified(tmp)))
@@ -689,6 +708,87 @@ def read_sketch_state(spark, state_path: str) -> DataFrame:
     if not gens:
         raise FileNotFoundError(f"no committed sketch state under {state_path}")
     return spark.read.parquet(gens[-1][1])
+
+
+def cdc_state_sink(
+    stream_df: DataFrame,
+    *,
+    key_col: str,
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    state_path: str,
+    checkpoint: str,
+    upsert: str = "U",
+    delete: str = "D",
+):
+    """Maintain a keyed snapshot over a CDC change stream — streaming
+    MERGE INTO: each micro-batch of changes folds into the persisted
+    state with last-writer-wins decided by ``order_cols`` (the change's
+    OWN ordering — commit timestamp + change id — never arrival order),
+    so the maintained state equals ``operators.quality.cdc_apply`` of
+    the full changelog no matter how the changes were batched or
+    interleaved. Deletes are kept in the state as TOMBSTONES rather
+    than removed: a late-arriving upsert that is older (by
+    ``order_cols``) than an applied delete must lose, and only the
+    retained tombstone can outrank it. :func:`read_cdc_state` filters
+    tombstones out of the answer. Compact by clearing state_path and
+    re-seeding from a snapshot once tombstones dominate.
+
+    Per-batch work: one per-key window top-1 over (previous state ∪
+    batch) — O(state + batch) with WindowGroupLimit pruning below the
+    exchange; state is O(live keys + tombstones). ``order_cols`` must
+    totally order each key's changes across the whole stream (same
+    precondition as cdc_apply). Commit machinery (atomic generation
+    rename, crash-replay idempotence, checkpoint-identity marker,
+    reset guard, Hadoop-FS routing) is shared with
+    :func:`sketch_state_sink`.
+    """
+    if not order_cols:
+        raise ValueError("cdc_state_sink needs order_cols to totally order changes")
+    from pyspark.sql import Window
+
+    def fold(prev: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key_col).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        changes = (
+            batch_df.filter(F.col(key_col).isNotNull())
+            .withColumn(
+                op_col,
+                F.when(
+                    F.col(op_col).isin(upsert, delete), F.col(op_col)
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("cdc_state_sink: unknown op value "),
+                            F.col(op_col),
+                        )
+                    )
+                ),
+            )
+        )
+        cur = changes if prev is None else prev.unionByName(changes)
+        return (
+            cur.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    return _generation_sink(stream_df, fold, state_path, checkpoint)
+
+
+def read_cdc_state(
+    spark,
+    state_path: str,
+    *,
+    op_col: str = "op",
+    delete: str = "D",
+) -> DataFrame:
+    """The live snapshot maintained by :func:`cdc_state_sink` — the
+    latest generation with delete tombstones filtered out."""
+    return read_sketch_state(spark, state_path).filter(
+        F.col(op_col) != F.lit(delete)
+    )
 
 
 # Object-store filesystems have copy-based, non-atomic "rename" — the

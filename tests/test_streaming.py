@@ -943,3 +943,62 @@ def test_sketch_state_sink_rejects_object_store_scheme(spark, tmp_path):
             state_path="s3a://bucket/state",
             checkpoint=str(tmp_path / "ck"),
         )
+
+
+def test_cdc_state_sink_equals_bulk_apply(spark, tmp_path):
+    """Streaming MERGE parity: the maintained snapshot equals cdc_apply
+    of the FULL changelog over an empty base, regardless of how the
+    changes were batched — including a delete arriving in an earlier
+    batch than an older (losing) upsert for the same key: the tombstone
+    must outrank it."""
+    import pyspark.sql.functions as F
+
+    from artigraph_spark.operators.quality import cdc_apply
+    from artigraph_spark.streaming import cdc_state_sink, read_cdc_state
+
+    # (k, v, ts, op) — key 7's delete@ts5 lands in batch 1, its older
+    # upsert@ts3 lands in batch 3 (out-of-order arrival).
+    batches = [
+        [(1, "a", 1, "U"), (2, "b", 1, "U"), (7, "gone", 5, "D")],
+        [(1, "a2", 3, "U"), (3, "c", 2, "U"), (2, "bx", 4, "D")],
+        [(7, "late-loser", 3, "U"), (4, "d", 1, "U"), (3, "c2", 9, "U")],
+    ]
+    src = str(tmp_path / "src")
+    for rows in batches:
+        spark.createDataFrame(rows, "k int, v string, ts int, op string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k int, v string, ts int, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "cdc_state")
+    q = cdc_state_sink(
+        stream,
+        key_col="k",
+        order_cols=["ts"],
+        state_path=state,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["k"]: r["v"] for r in read_cdc_state(spark, state).collect()
+    }
+
+    all_rows = [r for rows in batches for r in rows]
+    full = spark.createDataFrame(all_rows, "k int, v string, ts int, op string")
+    empty_base = spark.createDataFrame([], "k int, v string")
+    bulk = {
+        r["k"]: r["v"]
+        for r in cdc_apply(empty_base, full, "k", order_cols=["ts"]).collect()
+    }
+    assert got == bulk == {1: "a2", 3: "c2", 4: "d"}
+    # tombstones retained in raw state (keys 2 and 7), filtered in answer
+    from artigraph_spark.streaming import read_sketch_state
+
+    raw_ops = {
+        r["k"]: r["op"] for r in read_sketch_state(spark, state).collect()
+    }
+    assert raw_ops[2] == "D" and raw_ops[7] == "D"
