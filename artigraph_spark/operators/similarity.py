@@ -615,3 +615,72 @@ def kmeans_exact(
         return assign(pts, cents).select(id_col, "cluster", "dist_q")
     finally:
         pts.unpersist()
+
+
+def knn_label_accuracy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN classifier evaluation over an embedding table: each query
+    vector's label is predicted by majority vote of its k exact cosine
+    neighbors (self excluded) and scored against its own label — the
+    standard "are these embeddings linearly useful?" probe run before
+    committing to a representation. Vote ties break to the smallest
+    label, so the prediction is deterministic and oracle-replayable.
+
+    Scale shape: rides :func:`cosine_topk_bruteforce` (queries
+    broadcast-sized by assumption, corpus scanned once), then
+    vote/score work is |queries|·k rows — two summary-sized groupBys
+    and one window top-1. Swap in the IVF/LSH top-k for the full-corpus
+    evaluation at 100 TB.
+
+    Returns ``(label, n_queries, n_correct, acc_r)`` per true label.
+    """
+    from pyspark.sql import Window
+
+    nbrs = cosine_topk_bruteforce(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+    )
+    nlab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    qlab = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    )
+    votes = (
+        nbrs.join(nlab, "neighbor_id")
+        .join(qlab, "query_id")
+        .groupBy("query_id", "__ql", "__nl")
+        .agg(F.count(F.lit(1)).alias("__v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__v").desc(), F.col("__nl").asc()
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        pred.groupBy(F.col("__ql").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("__nl") == F.col("__ql"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double")
+                / F.col("n_queries").cast("double"),
+                9,
+            ).alias("acc_r"),
+        )
+    )

@@ -1346,3 +1346,64 @@ def g2_keywords_source(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return g2_keywords(d, "source", "text", top_k=10, min_count=5)
+
+
+@query(
+    "knn_label_accuracy",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        FROM embeddings WHERE vec_id % 7 = 0
+    ), scored AS (
+        SELECT q.query_id, q.ql, c.vec_id AS neighbor_id, c.label AS nl,
+               (CAST(list_sum(list_transform(list_zip(q.qv, c.embedding),
+                   p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+               / (
+                 sqrt(CAST(list_sum(list_transform(q.qv,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+                 *
+                 sqrt(CAST(list_sum(list_transform(c.embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+               ) AS cos_sim
+        FROM embeddings c, q
+        WHERE c.vec_id != q.query_id
+    ), nbrs AS (
+        SELECT query_id, ql, nl FROM (
+            SELECT query_id, ql, nl,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ), votes AS (
+        SELECT query_id, ql, nl, CAST(count(*) AS BIGINT) AS v
+        FROM nbrs GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT query_id, ql, nl FROM (
+            SELECT query_id, ql, nl,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY v DESC, nl ASC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT ql AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 9) AS acc_r
+    FROM pred GROUP BY 1
+    """,
+)
+def knn_label_accuracy(spark, sf_dir):
+    """k-NN classifier evaluation: each sampled query vector's label
+    predicted by majority vote of its 5 exact cosine neighbors (ties to
+    the smallest label), scored per true label — the representation-
+    quality probe over the embeddings table. See
+    ``operators.similarity.knn_label_accuracy``."""
+    from artigraph_spark.operators.similarity import knn_label_accuracy as op
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 7 == 0)
+    return op(e, q, id_col="vec_id", vec_col="embedding", label_col="label", k=5)
