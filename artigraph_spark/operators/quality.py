@@ -1270,3 +1270,61 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
             F.round(obs - exp, 9).alias("dev_r"),
         )
     )
+
+
+def ab_test_proportions(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    *,
+    variant_a,
+    variant_b,
+) -> DataFrame:
+    """Two-proportion A/B test over per-unit outcomes (one row per unit
+    with its variant and a 0/1 success flag): conversion rates per
+    variant, absolute lift, and the pooled two-proportion z statistic —
+    the experiment readout every product-analytics stack ships.
+
+    ``z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))`` with p̂ the
+    pooled rate. Every input is an exact integer count, and the final
+    doubles are the same literal op sequence on any engine with each
+    reported value snapped to the 9-decimal guard grid — fully
+    oracle-replayable. NULL if either arm is empty or the pooled rate
+    is degenerate (0 or 1 — no variance, z undefined).
+
+    Scale shape: ONE map-side-combined aggregation over the units
+    (conditional counts per arm), then scalar arithmetic on a single
+    summary row. Returns one row:
+    ``(n_a, conv_a, n_b, conv_b, rate_a_r, rate_b_r, lift_r, z_r)``.
+    """
+    s = F.col(success_col).cast("long")
+    agg = df.agg(
+        F.sum(F.when(F.col(variant_col) == variant_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col(variant_col) == variant_a, s).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col(variant_col) == variant_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col(variant_col) == variant_b, s).otherwise(0)).alias("conv_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pooled = (ca + cb) / (na + nb)
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (pooled > F.lit(0.0))
+        & (pooled < F.lit(1.0)),
+        (pa - pb) / se,
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.when(F.col("n_a") > 0, F.round(pa, 9)).alias("rate_a_r"),
+        F.when(F.col("n_b") > 0, F.round(pb, 9)).alias("rate_b_r"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(pa - pb, 9)).alias(
+            "lift_r"
+        ),
+        F.round(z, 9).alias("z_r"),
+    )

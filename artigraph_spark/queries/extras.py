@@ -2634,3 +2634,58 @@ def cdc_apply_orders(spark, sf_dir):
     return cdc_apply(
         base, chg, "o_custkey", order_cols=["o_orderdate", "o_orderkey"]
     )
+
+
+@query(
+    "ab_test_purchase",
+    oracle="""
+    WITH units AS (
+        SELECT user_id,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS converted,
+               user_id % 2 AS variant
+        FROM events GROUP BY user_id
+    ), agg AS (
+        SELECT
+            CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+            CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        FROM units
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+        CASE WHEN n_a > 0 THEN
+            round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) END AS rate_a_r,
+        CASE WHEN n_b > 0 THEN
+            round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) END AS rate_b_r,
+        CASE WHEN n_a > 0 AND n_b > 0 THEN
+            round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) END AS lift_r,
+        round(CASE WHEN n_a > 0 AND n_b > 0
+                    AND CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) > 0.0
+                    AND CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) < 1.0
+              THEN (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+              END, 9) AS z_r
+    FROM agg
+    """,
+)
+def ab_test_purchase(spark, sf_dir):
+    """Two-proportion A/B readout: users split by the deterministic
+    hash-style assignment user_id % 2, success = any purchase; per-arm
+    rates, lift, pooled z — all from one conditional-count aggregate.
+    See ``operators.quality.ab_test_proportions``."""
+    from artigraph_spark.operators.quality import ab_test_proportions
+
+    e = load(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("variant", F.pmod(F.col("user_id"), F.lit(2)))
+    return ab_test_proportions(
+        units, "variant", "converted", variant_a=0, variant_b=1
+    )

@@ -2898,3 +2898,31 @@ def test_seasonal_decompose_pre_epoch_phase_nonnegative(spark):
     )
     out = seasonal_decompose(df, "ts", period=7).collect()
     assert out and all(0 <= r["phase"] < 7 for r in out)
+
+
+def test_ab_test_proportions_known_values(spark):
+    from artigraph_spark.operators.quality import ab_test_proportions
+
+    # arm a: 2/4 converted; arm b: 1/4 → lift 0.25, pooled 3/8
+    rows = [("a", 1), ("a", 1), ("a", 0), ("a", 0),
+            ("b", 1), ("b", 0), ("b", 0), ("b", 0)]
+    df = spark.createDataFrame(rows, "v string, s int")
+    r = ab_test_proportions(df, "v", "s", variant_a="a", variant_b="b").collect()[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (4, 2, 4, 1)
+    assert abs(r["rate_a_r"] - 0.5) < 1e-9 and abs(r["rate_b_r"] - 0.25) < 1e-9
+    assert abs(r["lift_r"] - 0.25) < 1e-9
+    import math
+
+    p = 3 / 8
+    z = 0.25 / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
+    assert abs(r["z_r"] - round(z, 9)) < 1e-9
+
+    # degenerate: all success → z NULL, rates still reported
+    allwin = spark.createDataFrame([("a", 1), ("b", 1)], "v string, s int")
+    r2 = ab_test_proportions(allwin, "v", "s", variant_a="a", variant_b="b").collect()[0]
+    assert r2["z_r"] is None and r2["rate_a_r"] == 1.0
+
+    # empty arm → NULLs, no division error
+    onearm = spark.createDataFrame([("a", 1)], "v string, s int")
+    r3 = ab_test_proportions(onearm, "v", "s", variant_a="a", variant_b="b").collect()[0]
+    assert r3["n_b"] == 0 and r3["rate_b_r"] is None and r3["z_r"] is None
