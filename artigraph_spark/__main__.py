@@ -31,6 +31,12 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the headline benchmark (one JSON line)")
 
+    p_audit = sub.add_parser(
+        "audit", help="plan-audit queries (fails on cartesian / row-Python-UDF)"
+    )
+    p_audit.add_argument("queries", nargs="*", help="default: every registered query")
+    p_audit.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "bench":
@@ -38,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
 
         bench.main()
         return 0
+
+    if args.cmd == "audit":
+        from tools.plan_audit import main as audit_main
+
+        sys.argv = ["plan_audit", args.sf_dir, *args.queries]
+        return audit_main()
 
     from artigraph_spark.queries import REGISTRY, queries
 
