@@ -84,3 +84,91 @@ def l_diversity(
     if violating_only:
         classes = classes.filter(F.col("n_sensitive") < l_min)
     return classes
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007): for each
+    quasi-identifier equivalence class, the earth-mover's distance
+    between the class's sensitive-value distribution and the global one
+    over the ordered value domain — the member of the privacy trio that
+    catches what l-diversity misses (a class can hold l distinct values
+    whose MIX still reveals the sensitive attribute). Classes with
+    EMD > t leak; the caller picks t (0.15-0.2 is the paper's range).
+
+    Ordered EMD = (1/(m−1)) Σ_i |Σ_{j≤i} (p_j − q_j)| over the m
+    sensitive values in their sort order. Exactness: every term is kept
+    in scaled integer form — ``r_scaled = C_cv·N − G_v·N_c`` (class
+    count × global total minus global count × class total), widened to
+    DECIMAL(38,0) so the products survive any row count — and the final
+    division to a guard-grid double happens once per class, so the
+    report replays identically cross-engine. NULL sensitive values are
+    excluded; m = 1 (a single global value) yields EMD 0 by definition.
+
+    Scale shape: one (QI, value) count shuffle, two summary aggregates,
+    a classes × m broadcast spine (m = sensitive cardinality — the
+    audit presumes an enumerable sensitive domain), and a per-class
+    window over the spine. Row data crosses exactly one exchange.
+
+    Returns ``(*qi_cols, class_n, emd_r)`` for every class.
+    """
+    if not qi_cols:
+        raise ValueError("t_closeness needs at least one quasi-identifier column")
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    cells = base.groupBy(*qi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    classes = cells.groupBy(*qi_cols).agg(F.sum("__c").alias("__nc"))
+    glob = cells.groupBy(sensitive_col).agg(F.sum("__c").alias("__g"))
+    tot = glob.agg(
+        F.sum("__g").alias("__n"), F.count(F.lit(1)).alias("__m")
+    )
+    spine = classes.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tot))
+    dense = spine.join(cells, [*qi_cols, sensitive_col], "left").select(
+        *qi_cols,
+        sensitive_col,
+        "__nc",
+        "__n",
+        "__m",
+        (
+            F.coalesce(F.col("__c"), F.lit(0)).cast("decimal(38,0)")
+            * F.col("__n").cast("decimal(38,0)")
+            - F.col("__g").cast("decimal(38,0)")
+            * F.col("__nc").cast("decimal(38,0)")
+        ).alias("__r"),
+    )
+    w = (
+        Window.partitionBy(*qi_cols)
+        .orderBy(sensitive_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.withColumn("__cum", F.sum("__r").over(w))
+    return (
+        cum.groupBy(*qi_cols)
+        .agg(
+            F.first("__nc").alias("class_n"),
+            F.first("__n").alias("__n"),
+            F.first("__m").alias("__m"),
+            F.sum(F.abs(F.col("__cum"))).alias("__emd_scaled"),
+        )
+        .select(
+            *qi_cols,
+            F.col("class_n").cast("long").alias("class_n"),
+            F.when(F.col("__m") > 1,
+                F.round(
+                    F.col("__emd_scaled").cast("double")
+                    / (
+                        F.col("class_n").cast("double")
+                        * F.col("__n").cast("double")
+                        * (F.col("__m") - 1).cast("double")
+                    ),
+                    9,
+                ),
+            ).otherwise(F.lit(0.0)).alias("emd_r"),
+        )
+    )

@@ -2689,3 +2689,56 @@ def ab_test_purchase(spark, sf_dir):
     return ab_test_proportions(
         units, "variant", "converted", variant_a=0, variant_b=1
     )
+
+
+@query(
+    "t_closeness_orders",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS pri, strftime(o_orderdate, '%Y-%m') AS mon,
+               o_orderstatus AS v
+        FROM orders WHERE o_orderstatus IS NOT NULL
+    ), cells AS (
+        SELECT pri, mon, v, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2, 3
+    ), classes AS (
+        SELECT pri, mon, CAST(SUM(c) AS BIGINT) AS nc FROM cells GROUP BY 1, 2
+    ), gv AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS g FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m
+        FROM gv
+    ), dense AS (
+        SELECT cl.pri, cl.mon, gl.v, cl.nc, t.n, t.m,
+               (COALESCE(ce.c, 0) * t.n - gl.g * cl.nc) AS r
+        FROM classes cl CROSS JOIN gv gl CROSS JOIN tot t
+        LEFT JOIN cells ce ON ce.pri = cl.pri AND ce.mon = cl.mon AND ce.v = gl.v
+    ), cum AS (
+        SELECT pri, mon, nc, n, m,
+               SUM(r) OVER (PARTITION BY pri, mon ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumr
+        FROM dense
+    )
+    SELECT pri AS o_orderpriority, mon AS order_month,
+           CAST(MIN(nc) AS BIGINT) AS class_n,
+           CASE WHEN MIN(m) > 1 THEN
+               round(CAST(SUM(abs(cumr)) AS DOUBLE)
+                     / (CAST(MIN(nc) AS DOUBLE) * CAST(MIN(n) AS DOUBLE)
+                        * CAST(MIN(m) - 1 AS DOUBLE)), 9)
+           ELSE 0.0 END AS emd_r
+    FROM cum GROUP BY 1, 2
+    """,
+)
+def t_closeness_orders(spark, sf_dir):
+    """t-closeness over (priority, order month) classes with order
+    status as the sensitive attribute: per-class ordered EMD vs the
+    global status mix, in exact scaled-integer arithmetic. Completes
+    the privacy trio with k_anonymity_orders / l_diversity_events."""
+    from artigraph_spark.operators.privacy import t_closeness
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    return t_closeness(
+        o, ["o_orderpriority", "order_month"], "o_orderstatus"
+    )

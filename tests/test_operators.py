@@ -2926,3 +2926,23 @@ def test_ab_test_proportions_known_values(spark):
     onearm = spark.createDataFrame([("a", 1)], "v string, s int")
     r3 = ab_test_proportions(onearm, "v", "s", variant_a="a", variant_b="b").collect()[0]
     assert r3["n_b"] == 0 and r3["rate_b_r"] is None and r3["z_r"] is None
+
+
+def test_t_closeness_known_emd(spark):
+    """Hand-computed ordered EMD: global = {x:3, y:3}; class A = {x:2}
+    has p=(1,0) vs q=(.5,.5) -> EMD .5; class B = {x:1,y:3} has
+    p=(.25,.75) -> EMD .25."""
+    from artigraph_spark.operators.privacy import t_closeness
+
+    rows = [("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"), ("B", "y"), ("B", "y")]
+    df = spark.createDataFrame(rows, "qi string, s string")
+    got = {r["qi"]: (r["class_n"], r["emd_r"]) for r in t_closeness(df, ["qi"], "s").collect()}
+    assert got == {"A": (2, 0.5), "B": (4, 0.25)}
+
+    # single global value -> EMD 0 by definition (m=1)
+    one = spark.createDataFrame([("A", "x"), ("B", "x")], "qi string, s string")
+    assert all(
+        r["emd_r"] == 0.0 for r in t_closeness(one, ["qi"], "s").collect()
+    )
+    with pytest.raises(ValueError):
+        t_closeness(df, [], "s")
