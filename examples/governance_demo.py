@@ -94,6 +94,17 @@ LDIV_TYPE = at.Collection(
     )
 )
 
+TCLOSE_TYPE = at.Collection(
+    element=at.Struct(
+        fields={
+            "o_orderpriority": at.String(),
+            "order_month": at.String(),
+            "class_n": at.Int64(),
+            "emd_r": at.Float64(),
+        }
+    )
+)
+
 MERGED_TYPE = at.Collection(
     element=at.Struct(
         fields={
@@ -151,6 +162,22 @@ class DiversityAudit(Producer):
         return l_diversity(
             orders, ["o_orderstatus", "o_orderpriority"], "o_custkey", 50
         ).select("o_orderstatus", "o_orderpriority", "class_n", "n_sensitive")
+
+
+class ClosenessAudit(Producer):
+    version = SemVer(major=1)
+
+    orders: Orders
+
+    def build(self, orders: DataFrame) -> DataFrame:
+        from artigraph_spark.operators.privacy import t_closeness
+
+        qi = orders.withColumn(
+            "order_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        return t_closeness(
+            qi, ["o_orderpriority", "order_month"], "o_orderstatus"
+        )
 
 
 def _base_and_changes(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -214,6 +241,9 @@ def main() -> None:
             g.artifacts.ldiv = DiversityAudit(orders=g.artifacts.orders).out(
                 Artifact(type=LDIV_TYPE, storage=LocalFile(root=root))
             )
+            g.artifacts.tclose = ClosenessAudit(orders=g.artifacts.orders).out(
+                Artifact(type=TCLOSE_TYPE, storage=LocalFile(root=root))
+            )
             g.artifacts.merged = MergedSnapshot(orders=g.artifacts.orders).out(
                 Artifact(type=MERGED_TYPE, storage=LocalFile(root=root))
             )
@@ -243,6 +273,8 @@ def main() -> None:
     assert abs(profile["o_orderkey"]["distinct_est"] / n_orders - 1) < 0.25
     assert kanon and all(r["class_n"] < 10 for r in kanon)
     assert all(r["n_sensitive"] < 50 for r in ldiv)
+    tclose = snap.read(g1.artifacts.tclose).collect()
+    assert tclose and all(0.0 <= r["emd_r"] <= 1.0 for r in tclose)
 
     # cdc_apply ∘ snapshot_diff coherence: diff(base, merged) must report
     # exactly the added/removed/changed the changelog winners imply.
@@ -281,7 +313,7 @@ def main() -> None:
         f"kanon_violations={len(kanon)} ldiv_violations={len(ldiv)} "
         f"merged_rows={merged.count()} diff={got}"
     )
-    assert ex1.built_partitions == 4
+    assert ex1.built_partitions == 5
 
     ex2, _ = build_once()
     print(f"build 2: built={ex2.built_partitions} skipped={ex2.skipped_partitions}")
