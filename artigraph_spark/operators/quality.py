@@ -1328,3 +1328,61 @@ def ab_test_proportions(
         ),
         F.round(z, 9).alias("z_r"),
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    out_col: str = "pct_r",
+) -> DataFrame:
+    """Per-group rank (quantile) normalization: each value maps to its
+    percent rank within its group — ``(rank − 1) / (n − 1)`` in [0, 1] —
+    the distribution-free feature transform that makes a column
+    comparable across groups with different scales (the rank analogue of
+    z-scoring, immune to outliers and monotone re-scalings). Ties share
+    a rank (standard competition ranking), so the result depends only on
+    the value ordering — deterministic on any engine regardless of tie
+    order. NULL values pass through with NULL ``out_col`` rather than
+    polluting the ranking; a single-row group maps to 0.0 (Spark and
+    DuckDB agree: percent_rank of n=1 is 0).
+
+    Scale shape: ONE per-group window sort (the exchange is on
+    ``group_cols``) appended as a column — no second pass, no driver
+    state. Exact ranks concentrate each group's sort on one partition,
+    so with FEW huge groups this is effectively |groups| serial sorts —
+    that is inherent to exact percent-rank; at that shape use
+    :func:`equi_depth_bins` (histogram-quantile mapping) as the
+    approximate, fully parallel scale path instead.
+
+    Returns ``df`` with ``out_col`` appended.
+    """
+    if not group_cols:
+        raise ValueError("rank_normalize needs at least one group column")
+    from pyspark.sql import Window
+
+    # Built-in percent_rank would count NULL rows in its denominator and
+    # (worse) Spark sorts NULLS FIRST on asc while DuckDB sorts them
+    # LAST, shifting every non-null rank cross-engine. Computing
+    # (rank − 1) / (count(value) − 1) with NULLS LAST keeps NULL rows
+    # out of both the ranks and the denominator in one window pass.
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc_nulls_last()
+    )
+    wg = Window.partitionBy(*group_cols)
+    n_nn = F.count(F.col(value_col)).over(wg)
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.when(
+                n_nn > 1,
+                F.round(
+                    (F.rank().over(w) - F.lit(1)).cast("double")
+                    / (n_nn - F.lit(1)).cast("double"),
+                    9,
+                ),
+            ).otherwise(F.lit(0.0)),
+        ),
+    )

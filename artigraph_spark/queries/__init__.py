@@ -84,12 +84,13 @@ _PRIORITY: tuple[str, ...] = (
     # displaced window_session from the impl-changed block: its r7
     # change was value-identical on the fixtures (full oracle re-run),
     # so its r6 row stays valid while a never-recorded query gains its
-    # first hard signal. knn_label_accuracy, ab_test_purchase, and
-    # t_closeness_orders (2f) likewise displaced agg_global_summary,
-    # describe_summary, and weighted_sample_topk (value-identical
-    # late-r7 review fixes; the full oracle archive docs/ORACLE_r07.txt
-    # carries their evidence).
-    # Window = 2 + 16 + 10 + 3 + 7 + 2 + 6 + 4 = exactly 50.
+    # first hard signal. knn_label_accuracy, ab_test_purchase,
+    # t_closeness_orders, and rank_normalize_lineitem (2f) likewise
+    # displaced agg_global_summary, describe_summary,
+    # weighted_sample_topk, and domain_cap (value-identical late-r7
+    # review fixes; the full oracle archive docs/ORACLE_r07.txt carries
+    # their evidence).
+    # Window = 2 + 16 + 10 + 3 + 7 + 2 + 7 + 3 = exactly 50.
     # (1) never recorded — the only oracle-bearing queries with no hard
     # signal ever (sliding_cms_top_users also changed impl this round)
     "sliding_cms_top_users", "ngram_novelty_docs",
@@ -122,10 +123,10 @@ _PRIORITY: tuple[str, ...] = (
     # multi-touch attribution + k-NN label accuracy — first rows
     "cdc_apply_orders", "seasonal_decompose_daily", "attribution_linear",
     "knn_label_accuracy", "ab_test_purchase", "t_closeness_orders",
+    "rank_normalize_lineitem",
     # (3) implementation changed this round — need fresh rows
     "heavy_hitter_users", "grouped_heavy_hitters_events",
     "stratified_split_exact",
-    "domain_cap",
     # (4) r3-stale block: fully displaced to r8 by the 2e/2f additions
     # (ngram_jaccard_pairs, simhash_checked, tfidf_terms,
     # edit_distance_pairs lead r8's backlog; simhash_checked also

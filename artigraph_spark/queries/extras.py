@@ -2742,3 +2742,32 @@ def t_closeness_orders(spark, sf_dir):
     return t_closeness(
         o, ["o_orderpriority", "order_month"], "o_orderstatus"
     )
+
+
+@query(
+    "rank_normalize_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+           CASE WHEN count(l_extendedprice) OVER
+                     (PARTITION BY l_returnflag) > 1 THEN
+               round(CAST(rank() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_extendedprice ASC) - 1
+                          AS DOUBLE)
+                     / CAST(count(l_extendedprice) OVER
+                            (PARTITION BY l_returnflag) - 1 AS DOUBLE), 9)
+           ELSE 0.0 END AS pct_r
+    FROM lineitem
+    """,
+)
+def rank_normalize_lineitem(spark, sf_dir):
+    """Per-returnflag rank normalization of extended price: each line
+    maps to its percent rank within its flag group — the outlier-immune,
+    scale-free feature transform. Ties share a rank, NULLs stay out of
+    both ranks and denominators. See
+    ``operators.quality.rank_normalize``."""
+    from artigraph_spark.operators.quality import rank_normalize
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return rank_normalize(li, ["l_returnflag"], "l_extendedprice")

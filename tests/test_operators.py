@@ -2946,3 +2946,25 @@ def test_t_closeness_known_emd(spark):
     )
     with pytest.raises(ValueError):
         t_closeness(df, [], "s")
+
+
+def test_rank_normalize_nulls_and_ties(spark):
+    from artigraph_spark.operators.quality import rank_normalize
+
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 40.0), ("g", None),
+         ("h", 7.0)],
+        "grp string, v double",
+    )
+    rows = rank_normalize(df, ["grp"], "v").collect()
+    key = lambda t: (t[0], t[1] is None, t[1] or 0.0)
+    got = sorted(((r["grp"], r["v"], r["pct_r"]) for r in rows), key=key)
+    # g: 4 non-null values; ties at 20 share rank 2 -> (2-1)/3
+    third = round(1 / 3, 9)
+    assert got == sorted([
+        ("g", 10.0, 0.0), ("g", 20.0, third), ("g", 20.0, third),
+        ("g", 40.0, 1.0), ("g", None, None),
+        ("h", 7.0, 0.0),  # single-row group -> 0.0
+    ], key=key)
+    with pytest.raises(ValueError):
+        rank_normalize(df, [], "v")
