@@ -236,7 +236,38 @@ class JsonFileBackend(Backend):
             return
         with open(self.path) as f:
             self._state = json.load(f)
+        self._migrate_legacy_tag_keys()
         self._stamp = stamp
+
+    def _migrate_legacy_tag_keys(self) -> None:
+        # Tag keys were ':'-joined ("graph:tag") before the JSON-array
+        # format; loading an old catalog through the new keying would make
+        # every persisted tag invisible (read_tag LookupError, write_tag
+        # silently re-creating duplicates). Migrate in memory on load:
+        # a single-colon key splits unambiguously; a multi-colon key could
+        # be ('a:b', 'c') or ('a', 'b:c'), so fail loudly rather than
+        # guess. New-format keys are JSON arrays and always start with '['
+        # — a character the legacy format never produced first unless the
+        # graph name itself started with '[', which the same dump would
+        # have json-escaped, so the discriminator is exact.
+        tags = self._state.get("tags", {})
+        legacy = [k for k in tags if not k.startswith("[")]
+        for k in legacy:
+            if k.count(":") != 1:
+                raise ValueError(
+                    f"catalog {self.path!r} holds legacy tag key {k!r} that"
+                    " cannot be split unambiguously into (graph, tag);"
+                    " migrate it manually to the JSON-array key format"
+                )
+            graph_name, tag = k.split(":", 1)
+            new_key = self._tag_key(graph_name, tag)
+            if new_key in tags and tags[new_key] != tags[k]:
+                raise ValueError(
+                    f"catalog {self.path!r}: legacy tag key {k!r} conflicts"
+                    f" with migrated key {new_key!r} pointing at a different"
+                    " snapshot; resolve manually"
+                )
+            tags[new_key] = tags.pop(k)
 
     @contextlib.contextmanager
     def _locked(self, *, exclusive: bool = True):

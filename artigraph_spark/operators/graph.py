@@ -292,9 +292,20 @@ def support_pairs(
             "pair_cnt",
             "cnt_a",
             "cnt_b",
+            # Widen through DECIMAL(38,0) before multiplying (the
+            # auc_by_group/gini_by_group/g2_keywords convention):
+            # pair_cnt·n_baskets and cnt_a·cnt_b overflow int64 once
+            # counts exceed ~3e9 — the 100 TB basket scale these
+            # docstrings target — and ANSI mode would abort the job.
             F.round(
-                (F.col("pair_cnt") * F.col("__nb")).cast("double")
-                / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+                (
+                    F.col("pair_cnt").cast("decimal(38,0)")
+                    * F.col("__nb").cast("decimal(38,0)")
+                ).cast("double")
+                / (
+                    F.col("cnt_a").cast("decimal(38,0)")
+                    * F.col("cnt_b").cast("decimal(38,0)")
+                ).cast("double"),
                 6,
             ).alias("lift_r"),
         )

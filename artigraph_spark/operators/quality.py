@@ -908,13 +908,7 @@ def psi_drift(
         )
 
     def _hist(df: DataFrame) -> DataFrame:
-        v = F.col(value_col).cast("double")
-        return (
-            df.filter(v.isNotNull() & ~F.isnan(v))
-            .select(fxp(v, bits).alias("__v"))
-            .groupBy("__v")
-            .agg(F.count(F.lit(1)).alias("__f"))
-        )
+        return _clean(df).groupBy("__v").agg(F.count(F.lit(1)).alias("__f"))
 
     hb, hc = _hist(base), _hist(cur)
     wo = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)

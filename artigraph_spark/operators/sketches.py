@@ -109,6 +109,35 @@ def cms_estimate(
     )
 
 
+# Bloom bit positions are always in [0, num_bits), so the negative half of
+# the `bit` column is free: one sentinel row per filter stamps
+# (num_bits, num_hashes, seed) into the state itself, and every probe
+# validates the stamp against the parameters it was called with. Without
+# this, a persisted bits table built under one default (e.g. the pre-r8
+# 1<<16) probed under another (1<<20) computes positions mod a different
+# modulus and SILENTLY returns wrong membership — dupes admitted — instead
+# of erroring. Packing: sentinel = -(num_bits·2^28 + seed·2^8 + num_hashes) - 1.
+_BLOOM_STAMP_MAX_BITS = 1 << 34
+_BLOOM_STAMP_MAX_SEED = 1 << 20
+_BLOOM_STAMP_MAX_HASHES = 1 << 8
+
+
+def _bloom_stamp_value(num_bits: int, num_hashes: int, seed: int) -> int:
+    if not (0 < num_bits <= _BLOOM_STAMP_MAX_BITS):
+        raise ValueError(f"stampable num_bits must be in (0, 2^34], got {num_bits}")
+    if not (0 < num_hashes < _BLOOM_STAMP_MAX_HASHES):
+        raise ValueError(f"stampable num_hashes must be in (0, 256), got {num_hashes}")
+    if not (0 <= seed < _BLOOM_STAMP_MAX_SEED):
+        raise ValueError(f"stampable seed must be in [0, 2^20), got {seed}")
+    return -(num_bits * (1 << 28) + seed * (1 << 8) + num_hashes) - 1
+
+
+def bloom_stamp_decode(sentinel: int) -> tuple[int, int, int]:
+    """Inverse of the stamp packing: ``(num_bits, num_hashes, seed)``."""
+    packed = -sentinel - 1
+    return packed >> 28, packed & 0xFF, (packed >> 8) & 0xFFFFF
+
+
 def bloom_build(
     df: DataFrame,
     key_col: str,
@@ -119,7 +148,12 @@ def bloom_build(
     """Build a Bloom filter over an integral key column, represented sparsely
     as the DISTINCT set bit positions (≤ num_bits rows, typically far fewer
     — broadcastable, and trivially mergeable across partitions/snapshots by
-    union+distinct).
+    union+distinct) plus ONE negative sentinel row stamping
+    (num_bits, num_hashes, seed) into the state, validated by every probe
+    (see :func:`bloom_passing_keys`). Merging two filters built with the
+    same parameters keeps a single sentinel (distinct); merging mismatched
+    filters keeps both and the next probe fails loudly instead of silently
+    admitting duplicates.
 
     Same deterministic universal-hash machinery as the count-min sketch, so
     the filter is engine-replayable. One shuffle (the distinct over bit
@@ -129,8 +163,12 @@ def bloom_build(
         raise ValueError(
             f"num_bits and num_hashes must be positive, got {num_bits}/{num_hashes}"
         )
+    stamp = _bloom_stamp_value(num_bits, num_hashes, seed)
     positions = F.array(*_cells(key_col, num_hashes, num_bits, seed))
-    return df.select(F.explode(positions).alias("bit")).distinct()
+    bits = df.select(F.explode(positions).alias("bit")).distinct()
+    spark = df.sparkSession
+    sentinel = spark.createDataFrame([(stamp,)], "bit: bigint")
+    return bits.unionByName(sentinel)
 
 
 def bloom_passing_keys(
@@ -145,14 +183,78 @@ def bloom_passing_keys(
     the (broadcast) filter — the shared membership predicate behind both
     :func:`bloom_prefilter` (semi-join the passers) and
     ``dedup.bloom_dedup_against`` (anti-join them). One definition so the
-    probe arithmetic can never drift between the two."""
+    probe arithmetic can never drift between the two.
+
+    Probing validates the filter's stamped parameters (the negative
+    sentinel row :func:`bloom_build` embeds) against the arguments of THIS
+    call, lazily inside the plan — a mismatch (state persisted under
+    different num_bits/num_hashes/seed, or two incompatible filters
+    unioned) raises at execution instead of silently computing positions
+    mod the wrong modulus. Legacy unstamped states (no negative row) are
+    accepted as-is: their parameters are unknowable, which is exactly why
+    new states carry the stamp."""
     if num_bits <= 0 or num_hashes <= 0:
         raise ValueError(
             f"num_bits and num_hashes must be positive, got {num_bits}/{num_hashes}"
         )
+    expected = (
+        _bloom_stamp_value(num_bits, num_hashes, seed)
+        if (
+            0 < num_bits <= _BLOOM_STAMP_MAX_BITS
+            and 0 < num_hashes < _BLOOM_STAMP_MAX_HASHES
+            and 0 <= seed < _BLOOM_STAMP_MAX_SEED
+        )
+        else None
+    )
+    clean = bits.select("bit").distinct()
+    # Lazy broadcast-singleton guard (no eager collect — the operator
+    # stays a pure plan): aggregate the ≤few sentinel rows to one row and
+    # raise_error under the mismatch conditions. The aggregate input is
+    # the already-broadcast-small bit set filtered to negatives.
+    stamps = clean.filter(F.col("bit") < 0).agg(
+        F.count(F.lit(1)).alias("__n_stamps"),
+        F.max("bit").alias("__stamp"),
+    )
+    ok = F.when(F.col("__n_stamps") == 0, F.lit(1)).when(
+        F.col("__n_stamps") > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("bloom state carries "),
+                F.col("__n_stamps").cast("string"),
+                F.lit(
+                    " parameter stamps — filters built with different"
+                    " (num_bits, num_hashes, seed) were merged; rebuild"
+                    " or compact the state under one parameter set"
+                ),
+            )
+        ),
+    )
+    if expected is not None:
+        ok = ok.when(F.col("__stamp") == F.lit(expected), F.lit(1))
+    gate = stamps.select(
+        ok.otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bloom state stamp mismatch: state built with"
+                        " (num_bits, num_hashes, seed) != probe's"
+                        f" ({num_bits}, {num_hashes}, {seed});"
+                        " stamped sentinel = "
+                    ),
+                    F.col("__stamp").cast("string"),
+                )
+            )
+        ).alias("__bloom_ok")
+    )
     positions = F.array(*_cells(key_col, num_hashes, num_bits, seed))
     probes = (
         df.select(key_col).distinct()
+        .crossJoin(F.broadcast(gate))
+        # The filter REFERENCES __bloom_ok so column pruning cannot drop
+        # the raise_error expression (an unreferenced join column would
+        # be pruned and the guard silently skipped). Always true when
+        # the stamp validates, so it never changes the result.
+        .filter(F.col("__bloom_ok") == 1)
         .select(F.col(key_col), F.explode(positions).alias("bit"))
     )
     return (
@@ -160,9 +262,12 @@ def bloom_passing_keys(
         # unioning two filters without dedup): a duplicate match would
         # push a TRUE member's hit count past num_hashes and the == test
         # would reject it — a false negative, the one failure mode a
-        # Bloom filter must never have.
+        # Bloom filter must never have. The sentinel row is stripped
+        # before the join (bit >= 0) so a stamp can never count as a hit.
         probes.join(
-            F.broadcast(bits.select("bit").distinct().withColumn("__hit", F.lit(1))),
+            F.broadcast(
+                clean.filter(F.col("bit") >= 0).withColumn("__hit", F.lit(1))
+            ),
             "bit",
             "left",
         )

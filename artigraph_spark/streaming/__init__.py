@@ -468,7 +468,40 @@ def stream_to_partitioned_sink(
     the replay rewrites exactly its own epoch partitions and nothing
     else, which upgrades the sink to effectively-exactly-once. Readers
     see an extra ``epoch`` bigint column (drop it, or keep it as
-    provenance); ``on_batch`` may still be re-invoked on replay."""
+    provenance); ``on_batch`` may still be re-invoked on replay.
+
+    Refuses to start over a sink directory holding non-``epoch=``
+    content (e.g. written by this sink's pre-epoch append layout, or by
+    a plain batch write): mixing unpartitioned files with ``epoch=N``
+    dirs breaks partition discovery on read. Migrate by moving the old
+    files under a synthetic ``epoch=-1/`` partition (their column values
+    are unchanged; the provenance column reads -1) or into a separate
+    directory, then restart.
+
+    Replay residue caveat: a replayed epoch overwrites only the
+    sub-partitions its batch PRODUCES. With a deterministic source the
+    replay regenerates the same sub-partitions and the overwrite is
+    exact; a NON-deterministic batch that yields fewer ``partition_by``
+    values than the crashed attempt leaves the extra sub-partitions from
+    the first attempt in place. Keep the batch derivation deterministic
+    (the Structured Streaming replayability contract) or drop
+    ``partition_by`` so each epoch is a single partition."""
+    spark = stream_df.sparkSession
+    fs, root = _hadoop_fs(spark, path)
+    if fs.exists(root):
+        stray = [
+            st.getPath().getName()
+            for st in fs.listStatus(root)
+            if not st.getPath().getName().startswith(("epoch=", "_", "."))
+        ]
+        if stray:
+            raise ValueError(
+                f"sink {path!r} holds non-epoch-partitioned content"
+                f" {sorted(stray)[:5]!r}{'...' if len(stray) > 5 else ''};"
+                " mixing it with epoch=N partitions breaks discovery on"
+                " read — move it under a synthetic epoch=-1/ partition or"
+                " point the sink at a fresh directory"
+            )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         writer = (

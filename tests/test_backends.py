@@ -56,3 +56,35 @@ def test_json_backend_roundtrips_custom_partition_field(tmp_path):
         _partition_from_json(
             {"path": "/x", "key": [["k", "NoSuchField", "1"]], "input_fp": None, "content_fp": None}
         )
+
+
+def test_json_backend_migrates_legacy_colon_tag_keys(tmp_path):
+    """Catalogs written before the JSON-array tag keying used 'graph:tag'
+    keys; loading one must surface the tag (not LookupError) and block a
+    silent duplicate re-create."""
+    import json as _json
+
+    import pytest
+
+    from artigraph_spark.backends import JsonFileBackend
+    from artigraph_spark.fingerprint import Fingerprint
+
+    path = tmp_path / "cat.json"
+    fp = Fingerprint.from_int(7)
+    path.write_text(_json.dumps({
+        "snapshots": {}, "partitions": {}, "links": {},
+        "tags": {"pipeline:prod": fp.key},
+    }))
+    b = JsonFileBackend(str(path))
+    assert b.read_tag("pipeline", "prod") == fp
+    with pytest.raises(ValueError, match="already exists"):
+        b.write_tag("pipeline", "prod", Fingerprint.from_int(8))
+
+    # Ambiguous multi-colon legacy keys fail loudly instead of guessing.
+    bad = tmp_path / "bad.json"
+    bad.write_text(_json.dumps({
+        "snapshots": {}, "partitions": {}, "links": {},
+        "tags": {"a:b:c": fp.key},
+    }))
+    with pytest.raises(ValueError, match="unambiguously"):
+        JsonFileBackend(str(bad))

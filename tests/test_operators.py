@@ -2968,3 +2968,33 @@ def test_rank_normalize_nulls_and_ties(spark):
     ], key=key)
     with pytest.raises(ValueError):
         rank_normalize(df, [], "v")
+
+
+def test_bloom_stamp_validates_probe_parameters(spark):
+    """The bits state carries a (num_bits, num_hashes, seed) stamp; probing
+    under different parameters — the silent-wrong-membership hazard when a
+    persisted filter meets a changed default — raises at execution, while
+    matching probes and legacy unstamped states pass."""
+    import pytest as _pytest
+
+    from artigraph_spark.operators.sketches import (
+        _bloom_stamp_value,
+        bloom_build,
+        bloom_passing_keys,
+        bloom_stamp_decode,
+    )
+
+    assert bloom_stamp_decode(_bloom_stamp_value(1 << 14, 4, 7)) == (1 << 14, 4, 7)
+    members = spark.createDataFrame([(i,) for i in range(40)], "k: bigint")
+    bits = bloom_build(members, "k", num_bits=1 << 14, num_hashes=4, seed=7)
+    probe = spark.createDataFrame([(5,), (999_999,)], "k: bigint")
+    assert [r["k"] for r in bloom_passing_keys(probe, "k", bits, 1 << 14, 4, 7).collect()] == [5]
+    with _pytest.raises(Exception, match="stamp mismatch"):
+        bloom_passing_keys(probe, "k", bits, 1 << 16, 4, 7).collect()
+    other = bloom_build(members, "k", num_bits=1 << 16, num_hashes=4, seed=7)
+    with _pytest.raises(Exception, match="parameter stamps"):
+        bloom_passing_keys(
+            probe, "k", bits.unionByName(other).distinct(), 1 << 16, 4, 7
+        ).collect()
+    legacy = bits.filter(F.col("bit") >= 0)
+    assert [r["k"] for r in bloom_passing_keys(probe, "k", legacy, 1 << 14, 4, 7).collect()] == [5]

@@ -1002,3 +1002,20 @@ def test_cdc_state_sink_equals_bulk_apply(spark, tmp_path):
         r["k"]: r["op"] for r in read_sketch_state(spark, state).collect()
     }
     assert raw_ops[2] == "D" and raw_ops[7] == "D"
+
+
+def test_stream_sink_refuses_non_epoch_layout(spark, tmp_path):
+    """A sink directory holding pre-epoch (or plain batch) parquet must be
+    refused at start: mixing unpartitioned files with epoch=N dirs breaks
+    partition discovery on read."""
+    import pytest
+
+    from artigraph_spark.sources import load
+
+    out = tmp_path / "out"
+    load(spark, SF_DIR, "events").limit(5).write.parquet(str(out))
+    events = stx.read_stream(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="non-epoch-partitioned"):
+        stx.stream_to_partitioned_sink(
+            events, str(out), checkpoint=str(tmp_path / "ckpt")
+        )
