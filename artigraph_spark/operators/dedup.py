@@ -15,6 +15,8 @@ behavior.
 
 from __future__ import annotations
 
+import dataclasses
+
 from pyspark.sql import Column, DataFrame, Window
 
 from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
@@ -895,4 +897,141 @@ def sorted_neighborhood_pairs(
     )
     return a.join(b, F.col("__r") + F.col("rank_gap") == F.col("__rb")).select(
         "a", "b", F.col("rank_gap").cast("long").alias("rank_gap"), "key_a", "key_b"
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    candidate_filter: Column | None = None,
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Token-set CONTAINMENT over document pairs (a < b):
+    ``|A∩B| / min(|A|,|B|)`` — the asymmetric near-dup measure Jaccard
+    misses: a short document fully embedded in a much longer one has
+    containment 1.0 but Jaccard ≈ |A|/|B| → 0, so quote-expansions,
+    boilerplate-wrapped copies, and truncated duplicates slip every
+    symmetric threshold. Deduplication suites run BOTH (this is the
+    ngram_jaccard_pairs sibling; same candidate contract).
+
+    The scale path is ``candidates`` (e.g. LSH pairs) joined with two
+    equi-joins — never all-pairs; the unrestricted self-join must be
+    opted into with ``allow_quadratic=True`` on a provably bounded
+    input, else this raises. C(∅,∅)=1 by the same identical-documents
+    convention as Jaccard.
+
+    Returns ``(a, b, containment)``, containment exact
+    ``intersection/min-size`` as double (single division of exact ints).
+    """
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
+    )
+    if candidates is not None:
+        ta = toks.select(F.col(id_col).alias("a"), F.col("toks").alias("toks_a"))
+        tb = toks.select(F.col(id_col).alias("b"), F.col("toks").alias("toks_b"))
+        pairs = candidates.select("a", "b").join(ta, "a").join(tb, "b")
+    else:
+        if candidate_filter is None and not allow_quadratic:
+            raise ValueError(
+                "containment_pairs without `candidates` is an all-pairs "
+                "cross product; pass candidates= (e.g. from "
+                "lsh_candidate_pairs) or opt in with allow_quadratic=True "
+                "on a bounded input"
+            )
+        a = toks.select(F.col(id_col).alias("a"), F.col("toks").alias("toks_a"))
+        b = toks.select(F.col(id_col).alias("b"), F.col("toks").alias("toks_b"))
+        pairs = a.join(b, F.col("a") < F.col("b"))
+        if candidate_filter is not None:
+            pairs = pairs.filter(candidate_filter)
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    msz = F.least(F.size("toks_a"), F.size("toks_b")).cast("double")
+    containment = F.when(msz > 0, inter / msz).otherwise(F.lit(1.0))
+    return (
+        pairs.withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class LinkageField:
+    """One Fellegi–Sunter comparison field: ``agree`` is a Column predicate
+    over the pair frame (columns suffixed ``_a``/``_b``), ``m`` the
+    agreement probability among true matches, ``u`` among non-matches.
+    Weights are the standard log-likelihood ratios, precomputed in Python
+    so both engines see identical double literals."""
+
+    name: str
+    m: float
+    u: float
+
+    @property
+    def agree_weight(self) -> float:
+        import math
+
+        return math.log(self.m / self.u)
+
+    @property
+    def disagree_weight(self) -> float:
+        import math
+
+        return math.log((1.0 - self.m) / (1.0 - self.u))
+
+
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    agreements: dict[str, Column],
+    fields: list[LinkageField],
+    *,
+    upper: float,
+    lower: float,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring over a
+    CANDIDATE pair frame (from sorted_neighborhood_pairs, LSH, or any
+    blocker — never all-pairs): each comparison field contributes its
+    log-likelihood agreement weight ``ln(m/u)`` when the pair agrees and
+    ``ln((1−m)/(1−u))`` when it disagrees; the summed score classifies
+    into ``match`` (≥ upper) / ``possible`` (≥ lower) / ``non_match``
+    — the 1969 framework every production entity-resolution system
+    (Splink, dedupe.io, JedAI) still implements.
+
+    ``agreements`` maps field name → Boolean Column over ``pairs``;
+    ``fields`` carries the (m, u) parameters. Weights are Python-
+    precomputed double literals (engine-identical); the score is a sum
+    of ≤len(fields) literals per row — pure projection, zero shuffles
+    beyond what the blocker already did, scan-linear at any scale.
+    NULL agreement (either side missing) contributes 0 — the standard
+    missing-field neutrality.
+
+    Returns ``pairs`` plus ``(score_r, decision)``.
+    """
+    missing = [f.name for f in fields if f.name not in agreements]
+    if missing:
+        raise ValueError(f"agreements lacks fields: {missing}")
+    for f_ in fields:
+        if not (0.0 < f_.u < f_.m < 1.0):
+            raise ValueError(
+                f"field {f_.name!r} needs 0 < u < m < 1, got m={f_.m} u={f_.u}"
+            )
+    if lower > upper:
+        raise ValueError(f"lower ({lower}) must be <= upper ({upper})")
+    score = None
+    for f_ in fields:
+        a = agreements[f_.name]
+        contrib = (
+            F.when(a.isNull(), F.lit(0.0))
+            .when(a, F.lit(f_.agree_weight))
+            .otherwise(F.lit(f_.disagree_weight))
+        )
+        score = contrib if score is None else score + contrib
+    out = pairs.withColumn("score_r", F.round(score, 9))
+    return out.withColumn(
+        "decision",
+        F.when(F.col("score_r") >= F.lit(upper), F.lit("match"))
+        .when(F.col("score_r") >= F.lit(lower), F.lit("possible"))
+        .otherwise(F.lit("non_match")),
     )

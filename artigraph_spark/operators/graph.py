@@ -455,3 +455,109 @@ def adamic_adar(
         out = out.localCheckpoint()  # ≤ top_k rows
         e.unpersist()
     return out
+
+
+def hits(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    iterations: int = 8,
+    bits: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities) over a directed edge
+    list — Kleinberg's dual of PageRank: a good HUB points at good
+    authorities, a good AUTHORITY is pointed at by good hubs. The pair
+    of mutually-recursive scores is what link-quality audits and
+    bipartite recommendation (curator↔item, buyer↔product) want where
+    PageRank's single score conflates the two roles.
+
+    Fixed-point replay: scores live at scale 2^bits; each round the
+    authority update sums the (≤2^bits) hub scores over in-edges in
+    exact int64, then max-normalizes via
+    ``floor(raw / max_raw · 2^bits)`` computed in double — raw sums stay
+    < 2^53 (exact in IEEE double) while max in-degree < 2^(53−bits)
+    (~8.4M at the default 30 bits; lower ``bits`` for denser graphs),
+    division is correctly rounded on any IEEE engine, the 2^bits
+    multiply is an exponent shift, floor is exact — so every score
+    replays bit-for-bit cross-engine (the pagerank argument, with max-
+    instead of sum-normalization because HITS scores are scale-free).
+    The hub update mirrors it over out-edges.
+
+    Scale shape: per iteration two equi-joins + two map-side-combined
+    groupBys keyed on node ids (linear in edges) and two single-row max
+    aggregates riding broadcast cross joins — the canonical distributed
+    HITS step. Unlike pagerank (whose loop consumes each rank frame
+    exactly once, so the lazy plan grows linearly), every HITS frame is
+    referenced TWICE per round — by the next raw sum and by its own max
+    — so an unrolled lazy plan grows 4^iterations; each round's scores
+    are therefore materialized through an eager per-iteration lineage
+    cut (node-count-sized frames, the kmeans/bfs eager-loop precedent;
+    reliable files under ``checkpoint_dir`` for cluster runs via
+    ``operators._checkpoint``). The distinct edge list is persisted
+    across the loop and released in a finally.
+
+    Hubs are nodes with out-edges, authorities nodes with in-edges (a
+    node can be both — it appears once per role). Returns
+    ``(node, role, score_fx)`` with role ∈ {'hub','auth'} and score_fx
+    the final fixed-point score in [0, 2^bits].
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations must be positive, got {iterations}")
+    if not 1 <= bits <= 52:
+        raise ValueError(f"bits must be in [1, 52], got {bits}")
+    one = float(1 << bits)
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    h = e.select(F.col("__s").alias("node")).distinct().withColumn(
+        "sc", F.lit(1 << bits).cast("long")
+    )
+    a = None
+
+    def _normalize(raw: DataFrame) -> DataFrame:
+        mx = raw.agg(F.max("raw").alias("__mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.floor(
+                F.col("raw").cast("double") / F.col("__mx").cast("double") * F.lit(one)
+            )
+            .cast("long")
+            .alias("sc"),
+        )
+
+    try:
+        for _ in range(iterations):
+            a = _ckpt(
+                _normalize(
+                    e.join(h.withColumnRenamed("node", "__s"), "__s")
+                    .groupBy(F.col("__d").alias("node"))
+                    .agg(F.sum("sc").alias("raw"))
+                ),
+                checkpoint_dir,
+            )
+            h = _ckpt(
+                _normalize(
+                    e.join(a.withColumnRenamed("node", "__d"), "__d")
+                    .groupBy(F.col("__s").alias("node"))
+                    .agg(F.sum("sc").alias("raw"))
+                ),
+                checkpoint_dir,
+            )
+        out = h.select(
+            "node", F.lit("hub").alias("role"), F.col("sc").alias("score_fx")
+        ).unionByName(
+            a.select(
+                "node", F.lit("auth").alias("role"), F.col("sc").alias("score_fx")
+            )
+        )
+        # Materialize before releasing the loop's persisted edge frame —
+        # the pagerank/_ckpt precedent (localCheckpoint by default).
+        return _ckpt(out, checkpoint_dir)
+    finally:
+        e.unpersist()

@@ -172,3 +172,73 @@ def t_closeness(
             ).otherwise(F.lit(0.0)).alias("emd_r"),
         )
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    cat_col: str,
+    *,
+    epsilon: float = 1.0,
+    seed: int = 0,
+    sensitivity: float = 1.0,
+) -> DataFrame:
+    """ε-differentially-private category counts via the Laplace mechanism
+    — the release-side companion to the k-anonymity/l-diversity/
+    t-closeness audit trio: a histogram safe to publish because each
+    count carries Laplace(sensitivity/ε) noise, the calibration that
+    makes any single row's presence change the output distribution by at
+    most e^ε.
+
+    DERANDOMIZED for replayability: the noise draw per category is
+    ``u = (mix(content_key(cat), seed) + 0.5) / p`` — a deterministic
+    uniform in (0,1) from the repo's cross-engine 60-bit content key and
+    the sample_deterministic multiplicative mix — pushed through the
+    Laplace inverse CDF ``−b·sign(u−½)·ln(1−2|u−½|)``. Run-to-run and
+    engine-to-engine the release replays exactly (a pipeline requirement:
+    re-running a job must not publish a SECOND noisy view of the same
+    data, which would compose the privacy budgets). The tradeoff is
+    documented honestly: because the draw is a public function of the
+    category name and seed, an adversary knowing both can subtract the
+    noise — rotate ``seed`` per release and keep it as secret as the raw
+    counts. The +0.5 keeps u strictly inside (0,1): ln's argument is
+    never 0, and |noise| ≤ b·ln(p) ≈ 21.5·b.
+
+    The ln is snapped to the 9-decimal guard grid (the repo's ln
+    convention) so both engines agree bit-for-bit.
+
+    Scale shape: one map-side-combined groupBy; noise is a per-GROUP
+    projection over the summary-sized result — zero extra shuffles.
+
+    Returns ``(cat, n, noise_r, noisy_n_r)`` — keep ``n`` internal and
+    publish only ``noisy_n_r`` in a real release.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    if sensitivity <= 0:
+        raise ValueError(f"sensitivity must be positive, got {sensitivity}")
+    from artigraph_spark.operators.dedup import content_key
+
+    p = 1000000007
+    b = sensitivity / epsilon
+    counts = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    h = (
+        (content_key(F.col(cat_col)) % p) * 2654435761 + F.lit(seed) * 40503
+    ) % p
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(p))
+    centered = u - F.lit(0.5)
+    noise = F.round(
+        F.lit(-b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered)),
+        9,
+    )
+    return counts.select(
+        F.col(cat_col),
+        "n",
+        noise.alias("noise_r"),
+        (F.col("n").cast("double") + noise).alias("noisy_n_r"),
+    )

@@ -1380,3 +1380,288 @@ def rank_normalize(
             ).otherwise(F.lit(0.0)),
         ),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test between two groups of one numeric
+    column — the nonparametric alternative to the t-test (no normality
+    assumption; rank-based, so monotone-transform-invariant), the
+    standard "did the distribution shift?" readout when the metric is
+    skewed (latencies, spend, token counts).
+
+    Never ranks raw rows: U has the pair form ``U_A = Σ_pairs 1[x_a>x_b]
+    + ½·1[x_a=x_b]``, which collapses onto the VALUE HISTOGRAM —
+    ``U_A = Σ_v a_v·(CB(<v) + b_v/2)`` with a_v/b_v the per-group counts
+    of value v and CB the cumulative count below v. One groupBy(value)
+    shuffle, then windows over the summary-sized histogram (≤ distinct
+    values — bounded for quantized metrics like cents or integer
+    quantities; this is the same reduction ks_two_sample uses). To stay
+    in exact integer arithmetic U is carried DOUBLED (2U is always
+    integral); products widen through DECIMAL(38,0) per the repo's
+    overflow convention (n_a·n_b alone exceeds int64 at ~3e9 rows/side).
+
+    The z statistic uses the normal approximation with the standard tie
+    correction: ``σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))`` — exact
+    integer numerators, two double divisions, snapped to the 9-decimal
+    guard grid. No continuity correction (documented; both engines
+    replay the same formula).
+
+    Returns one row ``(n_a, n_b, u2_a, u_a_r, z_r)``; ``u2_a`` = 2·U_A.
+    NULL values and rows outside the two groups are excluded.
+    """
+    from pyspark.sql import Window
+
+    g, v = F.col(group_col), F.col(value_col)
+    hist = (
+        df.filter(v.isNotNull() & g.isin(group_a, group_b))
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("__a"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("__b"),
+        )
+    )
+    wo = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cum = hist.select(
+        "__a",
+        "__b",
+        F.coalesce(F.sum("__b").over(wo), F.lit(0)).alias("__cb"),
+    )
+    per_v = cum.select(
+        "__a",
+        "__b",
+        # 2·(a_v·(CB + b_v/2)) = a_v·(2·CB + b_v): exact integers.
+        (dec(F.col("__a")) * (dec(F.col("__cb")) * 2 + dec(F.col("__b")))).alias(
+            "__u2v"
+        ),
+        # tie correction numerator t³ − t over the POOLED tie group.
+        (
+            dec(F.col("__a") + F.col("__b"))
+            * dec(F.col("__a") + F.col("__b"))
+            * dec(F.col("__a") + F.col("__b"))
+            - dec(F.col("__a") + F.col("__b"))
+        ).alias("__t3t"),
+    )
+    s = per_v.agg(
+        F.sum(dec(F.col("__a"))).alias("__na"),
+        F.sum(dec(F.col("__b"))).alias("__nb"),
+        F.sum("__u2v").alias("__u2"),
+        F.sum("__t3t").alias("__tie"),
+    )
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    n = na + nb
+    u = F.col("__u2").cast("double") / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    var = (
+        na
+        * nb
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("__tie").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    return s.select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.col("__u2").cast("bigint").alias("u2_a"),
+        F.round(u, 9).alias("u_a_r"),
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0) & (var > 0),
+            F.round((u - mu) / F.sqrt(var), 9),
+        ).alias("z_r"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups of one numeric
+    column — the default two-sample mean comparison (Student's
+    equal-variance assumption is never safe on production data). One
+    conditional aggregate computes both groups' n/mean/variance in a
+    single scan; means and the moment sums ride the fixed-point
+    ``dsum`` path so the statistic replays identically cross-engine,
+    and the final divisions are snapped to the 9-decimal guard grid.
+
+    Degrees of freedom via Welch–Satterthwaite:
+    ``df = (va/na + vb/nb)² / ((va/na)²/(na−1) + (vb/nb)²/(nb−1))``.
+    NULL t/df when either group has <2 rows or both variances are 0.
+
+    Scale shape: one map-side-combined global aggregate, one row out —
+    the cheapest possible plan; nothing here grows with data beyond the
+    scan.
+
+    Returns one row
+    ``(n_a, n_b, mean_a_r, mean_b_r, var_a_r, var_b_r, t_r, df_r)``.
+    """
+    from artigraph_spark.functions import davg, dvar_samp
+
+    g, v = F.col(group_col), F.col(value_col)
+    base = df.filter(v.isNotNull() & g.isin(group_a, group_b))
+    va_col = F.when(g == group_a, v)
+    vb_col = F.when(g == group_b, v)
+    s = base.agg(
+        F.count(va_col).alias("n_a"),
+        F.count(vb_col).alias("n_b"),
+        F.round(davg(va_col), 9).alias("mean_a_r"),
+        F.round(davg(vb_col), 9).alias("mean_b_r"),
+        F.round(dvar_samp(va_col), 9).alias("var_a_r"),
+        F.round(dvar_samp(vb_col), 9).alias("var_b_r"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sea = F.col("var_a_r") / na
+    seb = F.col("var_b_r") / nb
+    se2 = sea + seb
+    t = (F.col("mean_a_r") - F.col("mean_b_r")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0)
+    return s.select(
+        "n_a",
+        "n_b",
+        "mean_a_r",
+        "mean_b_r",
+        "var_a_r",
+        "var_b_r",
+        F.when(ok, F.round(t, 9)).alias("t_r"),
+        F.when(ok, F.round(dof, 9)).alias("df_r"),
+    )
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    key: Column,
+    value_col: str,
+    *,
+    replicates: int = 40,
+    keep_pct: int = 63,
+    alpha: float = 0.05,
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic subsampled-bootstrap confidence interval for the mean
+    of one numeric column: ``replicates`` pseudo-resamples, each keeping
+    ~``keep_pct``% of rows by an integer multiplicative hash of
+    ``(key, replicate, seed)`` (the sample_deterministic convention —
+    engine- and partitioning-independent, reproducible run-to-run, which
+    df.sample(seed) is NOT across engines), a fixed-point mean per
+    replicate, and the empirical ``alpha/2``/``1−alpha/2`` order
+    statistics of the replicate means as the interval. 63% ≈ the 1−1/e
+    distinct-row mass of a classical bootstrap resample; this is the
+    subsampling variant (no row weighting), the form that parallelizes
+    with zero coordination.
+
+    Scale shape: the scan fans out ×``replicates`` through one explode
+    (documented cost — keep replicates modest; 30–50 stabilizes a CI),
+    then ONE map-side-combined groupBy down to ``replicates`` partial
+    rows; the order statistics run on that ≤replicates-row summary.
+    No global sort of data rows, no driver-side loop.
+
+    ``key`` must be an integral row-identifying column (cast/ combine
+    upstream); its distribution does not matter — the hash whitens it.
+
+    Returns one row
+    ``(n_replicates, mean_full_r, ci_lo_r, ci_hi_r)``.
+    """
+    from pyspark.sql import Window
+
+    from artigraph_spark.functions import davg
+
+    if not (0 < keep_pct <= 100):
+        raise ValueError(f"keep_pct must be in (0,100], got {keep_pct}")
+    if replicates < 3:
+        raise ValueError(f"replicates must be >= 3, got {replicates}")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(
+        key.cast("bigint").alias("__k"), v.alias("__v")
+    )
+    full = base.agg(F.round(davg("__v"), 9).alias("mean_full_r"))
+    p = 1000000007
+    rep = base.select(
+        "__k",
+        "__v",
+        # bigint elements, not int: b * 97003999 overflows INT32 past
+        # b = 22 and ANSI mode aborts the job.
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(replicates - 1).cast("bigint"))
+        ).alias("__b"),
+    )
+    h = (
+        (F.col("__k") % p) * 2654435761
+        + F.col("__b") * 97003999
+        + F.lit(seed) * 40503
+    ) % p
+    means = (
+        rep.filter((h % 100) < keep_pct)
+        .groupBy("__b")
+        .agg(F.round(davg("__v"), 9).alias("__m"))
+    )
+    # Empirical order statistics over the replicate means: type-1 ranks
+    # ceil(q·B) with a (mean, replicate-id) total order — deterministic
+    # on any engine. Window over ≤replicates rows.
+    wo = Window.orderBy(F.col("__m"), F.col("__b"))
+    ranked = means.select(
+        "__m", F.row_number().over(wo).alias("__rn"), F.count(F.lit(1)).over(Window.partitionBy()).alias("__nb")
+    )
+    lo_rn = F.greatest(F.ceil(F.lit(alpha / 2.0) * F.col("__nb")), F.lit(1))
+    hi_rn = F.least(
+        F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("__nb")), F.col("__nb")
+    )
+    ci = ranked.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.min(F.when(F.col("__rn") == lo_rn, F.col("__m"))).alias("ci_lo_r"),
+        F.min(F.when(F.col("__rn") == hi_rn, F.col("__m"))).alias("ci_hi_r"),
+    )
+    return ci.crossJoin(F.broadcast(full)).select(
+        "n_replicates", "mean_full_r", "ci_lo_r", "ci_hi_r"
+    )
+
+
+def cdc_as_of(
+    base: DataFrame,
+    changelog: DataFrame,
+    key_col: str,
+    *,
+    order_cols: Sequence[str],
+    as_of: Column,
+    op_col: str = "op",
+    upsert: str = "U",
+    delete: str = "D",
+) -> DataFrame:
+    """Time travel over a CDC changelog: reconstruct the table state AS OF
+    a point in the change order — :func:`cdc_apply` applied to the
+    prefix of changes whose first ``order_cols`` entry is ≤ ``as_of``.
+    This is the query side of the changelog-as-source-of-truth pattern
+    (what Delta/Iceberg time travel does with snapshots, expressed over
+    a raw change stream): any historical state is a filter + merge away,
+    no stored snapshots per version.
+
+    The filter prunes the changelog BEFORE the per-key window and merge
+    join — at 100 TB the change scan is partition-pruned down to the
+    requested horizon when the log is date-partitioned (the filter is a
+    plain pushable predicate on the order column).
+
+    Returns the reconstructed snapshot, same schema as ``base``.
+    """
+    if not order_cols:
+        raise ValueError("cdc_as_of needs order_cols to totally order changes")
+    pruned = changelog.filter(F.col(order_cols[0]) <= as_of)
+    return cdc_apply(
+        base,
+        pruned,
+        key_col,
+        order_cols=order_cols,
+        op_col=op_col,
+        upsert=upsert,
+        delete=delete,
+    )

@@ -684,3 +684,78 @@ def knn_label_accuracy(
             ).alias("acc_r"),
         )
     )
+
+
+def set_similarity_pairs(
+    df: DataFrame,
+    set_col: str,
+    member_col: str,
+    *,
+    threshold: float = 0.2,
+    max_member_df: int | None = None,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Set-similarity join via an inverted index: Jaccard between every
+    pair of sets (users as sets of purchased items, docs as sets of
+    entities) that share ≥ ``min_overlap`` members — collaborative-
+    filtering neighborhoods, audience overlap, entity co-reference.
+
+    NEVER all-pairs: the member column is the inverted index — a
+    self-join on the member key enumerates exactly the co-occurring
+    pairs, so the cost is Σ_member df(member)² rather than n². The
+    hot-member quadratic blowup (a member present in millions of sets —
+    the stop-word of set joins) is capped by ``max_member_df``: members
+    with document frequency above it are EXCLUDED from pair generation
+    AND from the set sizes, keeping the Jaccard consistent (this is the
+    standard prefix-filtering compromise; at 100 TB it is the knob that
+    bounds the shuffle). Pass None to disable (exact Jaccard over all
+    members — only safe when the df distribution is known bounded).
+
+    One groupBy(member) for the df filter, one member-keyed self-join,
+    one (a,b) groupBy for overlap counts, a broadcast-joined size table
+    — four shuffles, all key-partitioned, no global sort.
+
+    Returns ``(a, b, size_a, size_b, overlap, jaccard_r)`` with a < b and
+    ``jaccard = overlap / (size_a + size_b − overlap)``.
+    """
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    pairs_src = df.select(
+        F.col(set_col).alias("__s"), F.col(member_col).alias("__m")
+    ).filter(F.col("__s").isNotNull() & F.col("__m").isNotNull()).distinct()
+    if max_member_df is not None:
+        keep = (
+            pairs_src.groupBy("__m")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_member_df)
+            .select("__m")
+        )
+        pairs_src = pairs_src.join(keep, "__m", "left_semi")
+    sizes = pairs_src.groupBy("__s").agg(F.count(F.lit(1)).alias("__sz"))
+    la = pairs_src.select(F.col("__s").alias("a"), "__m")
+    lb = pairs_src.select(F.col("__s").alias("b"), "__m")
+    overlap = (
+        la.join(lb, "__m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )
+    sa = sizes.select(F.col("__s").alias("a"), F.col("__sz").alias("size_a"))
+    sb = sizes.select(F.col("__s").alias("b"), F.col("__sz").alias("size_b"))
+    j = (
+        overlap.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard_r",
+            F.round(
+                F.col("overlap").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("overlap")).cast(
+                    "double"
+                ),
+                9,
+            ),
+        )
+        .filter(F.col("jaccard_r") >= threshold)
+    )
+    return j.select("a", "b", "size_a", "size_b", "overlap", "jaccard_r")

@@ -670,3 +670,63 @@ def g2_keywords(
     return scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= top_k
     )
+
+
+def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document, from three
+    regex counts — the classic text-difficulty heuristics, used as
+    training-data quality signals (filter texts far outside the target
+    band) next to quality_score's surface ratios.
+
+    Heuristic components (all exact int64 counts via regexp_extract_all,
+    the repo's cross-engine-safe counting idiom):
+      - words      = runs of [a-z] in the lowercased text;
+      - sentences  = runs of terminal punctuation [.!?], floored at 1
+        (fragments without punctuation read as a single sentence);
+      - syllables  = vowel-group runs [aeiouy]+ — the standard cheap
+        syllable proxy (each maximal vowel cluster ≈ one syllable),
+        floored at the word count so no word contributes 0.
+
+    ``flesch_r = 206.835 − 1.015·(words/sentences) − 84.6·(syl/words)``;
+    ``fk_grade_r = 0.39·(words/sentences) + 11.8·(syl/words) − 15.59``.
+    Both are two divisions of exact integers + constant multiplies,
+    snapped to the 9-decimal guard grid — engine-identical. Documents
+    with zero words get NULL scores.
+
+    Scale shape: pure per-row projection — zero shuffles, whole-stage
+    codegen, scan-linear; exactly what a 100 TB quality-scoring pass
+    should compile to.
+
+    Returns ``(id, n_words, n_sentences, n_syllables, flesch_r,
+    fk_grade_r)``.
+    """
+    t = F.lower(F.col(text_col))
+    words = regex_count(t, "[a-z]+")
+    sentences = F.greatest(regex_count(t, "[.!?]+"), F.lit(1).cast("long"))
+    syllables = F.greatest(regex_count(t, "[aeiouy]+"), words)
+    wd, sd, yd = (
+        words.cast("double"),
+        sentences.cast("double"),
+        syllables.cast("double"),
+    )
+    ok = words > 0
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.when(
+            ok,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * (wd / sd) - F.lit(84.6) * (yd / wd),
+                9,
+            ),
+        ).alias("flesch_r"),
+        F.when(
+            ok,
+            F.round(
+                F.lit(0.39) * (wd / sd) + F.lit(11.8) * (yd / wd) - F.lit(15.59),
+                9,
+            ),
+        ).alias("fk_grade_r"),
+    )

@@ -962,3 +962,166 @@ def seasonal_decompose(
             ).alias("resid_r"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over (duration, observed) rows —
+    the standard churn/retention curve with right-censoring handled
+    correctly (a user still active at the end of the observation window
+    is CENSORED at their observed duration, not counted as churned;
+    dropping them, or counting them as events, both bias the curve).
+
+    ``observed_col`` is 1 for an observed event (churn, failure,
+    conversion) and 0 for a censored exit. The estimator:
+    ``S(t) = Π_{u ≤ t, d_u > 0} (1 − d_u / n_u)`` with d_u the events at
+    duration u and n_u the at-risk count (all rows with duration ≥ u).
+
+    Exactness: d_u and n_u are exact int64 (n_u = total − cumulative
+    exits before u, a window over the summary-sized risk table); the
+    product becomes ``exp(Σ ln(1 − d/n))`` with each log term snapped to
+    the 9-decimal guard grid (the repo's ln convention), so the curve
+    replays identically cross-engine. When d_u = n_u (everyone remaining
+    exits with an event) the survival drops to exactly 0 from that
+    duration on — carried as a cumulative flag, never ln(0).
+
+    Scale shape: one groupBy(duration) shuffle collapses the data to the
+    risk table (≤ distinct durations — days/weeks, summary-sized by
+    construction); both windows run over that summary. The global
+    ORDER BY window over ≤durations rows is the documented benign
+    single-partition case.
+
+    Returns ``(duration, n_risk, n_event, n_censored, survival_r)``
+    ordered by duration.
+    """
+    from pyspark.sql import Window
+
+    dur, obs = F.col(duration_col), F.col(observed_col)
+    risk = (
+        df.filter(dur.isNotNull() & obs.isNotNull())
+        .groupBy(dur.alias("duration"))
+        .agg(
+            F.sum(F.when(obs == 1, 1).otherwise(0)).alias("n_event"),
+            F.sum(F.when(obs == 1, 0).otherwise(1)).alias("n_censored"),
+        )
+    )
+    wo = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.partitionBy()
+    t = risk.select(
+        "duration",
+        "n_event",
+        "n_censored",
+        (
+            F.sum(F.col("n_event") + F.col("n_censored")).over(wg)
+            - F.coalesce(F.sum(F.col("n_event") + F.col("n_censored")).over(wo), F.lit(0))
+        ).alias("n_risk"),
+    )
+    term = F.when(
+        F.col("n_event") > 0,
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("n_event").cast("double") / F.col("n_risk").cast("double")
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    zeroed = F.max(
+        F.when(F.col("n_event") == F.col("n_risk"), 1).otherwise(0)
+    ).over(wc)
+    return t.select(
+        "duration",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.when(zeroed == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum(F.when(F.col("n_event") < F.col("n_risk"), term)).over(wc)
+                ),
+                9,
+            )
+        )
+        .alias("survival_r"),
+    ).orderBy("duration")
+
+
+def theil_sen_slopes(
+    series: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust slope per group: the MEDIAN of all pairwise slopes
+    ``(y_j − y_i)/(x_j − x_i)`` over a summary-sized series — up to a
+    29.3% breakdown point against outliers, where the trend_slopes OLS
+    fit is dragged by a single spiked day.
+
+    INPUT CONTRACT: ``series`` must already be an aggregated series
+    (e.g. daily counts — ≤ a few hundred points per group). The pair
+    enumeration is an equi-join on the group key, O(k²) rows per group
+    of length k — the right cost for summary series, the WRONG operator
+    for raw rows (aggregate first; that reduction is where the 100 TB
+    scan goes). Duplicate x within a group would divide by zero — such
+    pairs are excluded (standard for tied timestamps).
+
+    The median is the exact type-1/2 order statistic: slopes totally
+    ordered by (slope, i, j), the lower and upper middle ranks averaged
+    for even counts — engine-replayable, no approximate percentile.
+    Each slope is one double division of exact deltas snapped to the
+    9-decimal guard grid.
+
+    Returns ``(group, n_points, n_pairs, slope_r)`` — slope_r NULL for
+    groups with <2 distinct x.
+    """
+    from pyspark.sql import Window
+
+    s = series.select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    a = s.select("__g", F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
+    b = s.select("__g", F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
+    pairs = (
+        a.join(b, "__g")
+        .filter(F.col("__xa") < F.col("__xb"))
+        .select(
+            "__g",
+            "__xa",
+            "__xb",
+            F.round(
+                (F.col("__yb") - F.col("__ya")) / (F.col("__xb") - F.col("__xa")), 9
+            ).alias("__s"),
+        )
+    )
+    wo = Window.partitionBy("__g").orderBy("__s", "__xa", "__xb")
+    wg = Window.partitionBy("__g")
+    ranked = pairs.select(
+        "__g",
+        "__s",
+        F.row_number().over(wo).alias("__rn"),
+        F.count(F.lit(1)).over(wg).alias("__np"),
+    )
+    lo = (F.col("__np") + 1) / 2
+    med = ranked.filter(
+        (F.col("__rn") == F.floor(lo)) | (F.col("__rn") == F.ceil(lo))
+    ).groupBy("__g").agg(
+        F.max("__np").alias("n_pairs"),
+        F.round(F.avg("__s"), 9).alias("slope_r"),
+    )
+    pts = s.groupBy("__g").agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        pts.join(med, "__g", "left")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_points",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            "slope_r",
+        )
+    )

@@ -2771,3 +2771,271 @@ def rank_normalize_lineitem(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
     )
     return rank_normalize(li, ["l_returnflag"], "l_extendedprice")
+
+
+@query(
+    "mann_whitney_quantity",
+    oracle="""
+    WITH hist AS (
+        SELECT l_quantity AS v,
+               CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'R')
+        GROUP BY l_quantity
+    ), cum AS (
+        SELECT a, b,
+               COALESCE(CAST(SUM(b) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cb
+        FROM hist
+    ), s AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS na,
+               CAST(SUM(b) AS BIGINT) AS nb,
+               CAST(SUM(a * (2 * cb + b)) AS BIGINT) AS u2,
+               CAST(SUM((a + b) * (a + b) * (a + b) - (a + b)) AS BIGINT) AS tie
+        FROM cum
+    )
+    SELECT na AS n_a, nb AS n_b, u2 AS u2_a,
+           round(CAST(u2 AS DOUBLE) / 2.0, 9) AS u_a_r,
+           CASE WHEN na > 0 AND nb > 0
+                 AND (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                      * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                         - CAST(tie AS DOUBLE)
+                           / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                              * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))) > 0
+           THEN round(
+               (CAST(u2 AS DOUBLE) / 2.0
+                - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+               / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                      * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                         - CAST(tie AS DOUBLE)
+                           / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                              * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))),
+               9) END AS z_r
+    FROM s
+    """,
+)
+def mann_whitney_quantity(spark, sf_dir):
+    """Mann–Whitney U rank-sum test: did the quantity distribution shift
+    between returned ('R') and accepted-return ('A') line items? Runs on
+    the value histogram (50 distinct integer quantities), never ranks
+    raw rows; heavy ties exercise the tie-corrected variance. See
+    ``operators.quality.mann_whitney_u``."""
+    from artigraph_spark.operators.quality import mann_whitney_u
+
+    li = load(spark, sf_dir, "lineitem")
+    return mann_whitney_u(li, "l_returnflag", "l_quantity", "A", "R")
+
+
+def _welch_oracle() -> str:
+    from artigraph_spark.functions import oracle_davg, oracle_dvar_samp
+
+    va = "CASE WHEN l_returnflag = 'A' THEN l_extendedprice END"
+    vb = "CASE WHEN l_returnflag = 'R' THEN l_extendedprice END"
+    return f"""
+    WITH s AS (
+        SELECT CAST(COUNT({va}) AS BIGINT) AS n_a,
+               CAST(COUNT({vb}) AS BIGINT) AS n_b,
+               round({oracle_davg(va)}, 9) AS mean_a_r,
+               round({oracle_davg(vb)}, 9) AS mean_b_r,
+               round({oracle_dvar_samp(va)}, 9) AS var_a_r,
+               round({oracle_dvar_samp(vb)}, 9) AS var_b_r
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('A', 'R')
+    )
+    SELECT n_a, n_b, mean_a_r, mean_b_r, var_a_r, var_b_r,
+           CASE WHEN n_a > 1 AND n_b > 1
+                 AND (var_a_r / CAST(n_a AS DOUBLE)
+                      + var_b_r / CAST(n_b AS DOUBLE)) > 0
+           THEN round((mean_a_r - mean_b_r)
+                      / sqrt(var_a_r / CAST(n_a AS DOUBLE)
+                             + var_b_r / CAST(n_b AS DOUBLE)), 9) END AS t_r,
+           CASE WHEN n_a > 1 AND n_b > 1
+                 AND (var_a_r / CAST(n_a AS DOUBLE)
+                      + var_b_r / CAST(n_b AS DOUBLE)) > 0
+           THEN round(((var_a_r / CAST(n_a AS DOUBLE)
+                        + var_b_r / CAST(n_b AS DOUBLE))
+                       * (var_a_r / CAST(n_a AS DOUBLE)
+                          + var_b_r / CAST(n_b AS DOUBLE)))
+                      / ((var_a_r / CAST(n_a AS DOUBLE))
+                         * (var_a_r / CAST(n_a AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) - 1.0)
+                         + (var_b_r / CAST(n_b AS DOUBLE))
+                           * (var_b_r / CAST(n_b AS DOUBLE))
+                           / (CAST(n_b AS DOUBLE) - 1.0)), 9) END AS df_r
+    FROM s
+    """
+
+
+@query("welch_ttest_price", oracle=_welch_oracle())
+def welch_ttest_price(spark, sf_dir):
+    """Welch's unequal-variance t-test on extended price between returned
+    ('R') and accepted ('A') line items — one conditional aggregate,
+    fixed-point moments, Welch–Satterthwaite degrees of freedom. See
+    ``operators.quality.welch_ttest``."""
+    from artigraph_spark.operators.quality import welch_ttest
+
+    li = load(spark, sf_dir, "lineitem")
+    return welch_ttest(li, "l_returnflag", "l_extendedprice", "A", "R")
+
+
+@query(
+    "bootstrap_ci_quantity",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey * 8 + l_linenumber AS k, l_quantity AS v
+        FROM lineitem WHERE l_quantity IS NOT NULL
+    ), full_mean AS (
+        SELECT round((CAST(SUM(CAST(floor(v * 1048576.0) AS BIGINT)) AS DOUBLE)
+                      / 1048576.0) / COUNT(v), 9) AS mean_full_r
+        FROM base
+    ), reps AS (
+        SELECT r.b, base.v
+        FROM base, range(0, 40) r(b)
+        WHERE (((base.k % 1000000007) * 2654435761
+                + r.b * 97003999 + 1 * 40503) % 1000000007) % 100 < 63
+    ), means AS (
+        SELECT b, round((CAST(SUM(CAST(floor(v * 1048576.0) AS BIGINT)) AS DOUBLE)
+                         / 1048576.0) / COUNT(v), 9) AS m
+        FROM reps GROUP BY b
+    ), ranked AS (
+        SELECT m, b,
+               row_number() OVER (ORDER BY m, b) AS rn,
+               count(*) OVER () AS nb
+        FROM means
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           (SELECT mean_full_r FROM full_mean) AS mean_full_r,
+           min(CASE WHEN rn = greatest(CAST(ceil(0.025 * nb) AS BIGINT), 1)
+                    THEN m END) AS ci_lo_r,
+           min(CASE WHEN rn = least(CAST(ceil(0.975 * nb) AS BIGINT), nb)
+                    THEN m END) AS ci_hi_r
+    FROM ranked
+    """,
+)
+def bootstrap_ci_quantity(spark, sf_dir):
+    """Deterministic subsampled-bootstrap 95% CI for mean line-item
+    quantity: 40 hash-defined 63% subsamples, fixed-point replicate
+    means, empirical order-statistic interval — reproducible on any
+    engine at any partitioning, unlike df.sample(seed). See
+    ``operators.quality.bootstrap_ci_mean``."""
+    from artigraph_spark.operators.quality import bootstrap_ci_mean
+
+    li = load(spark, sf_dir, "lineitem")
+    return bootstrap_ci_mean(
+        li,
+        F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+        "l_quantity",
+        replicates=40,
+        keep_pct=63,
+        alpha=0.05,
+        seed=1,
+    )
+
+
+@query(
+    "cdc_time_travel_orders",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') t
+        WHERE rn = 1
+    ), win AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <= TIMESTAMP '1999-01-01') t
+        WHERE rn = 1
+    )
+    SELECT COALESCE(w.o_custkey, b.o_custkey) AS o_custkey,
+           CASE WHEN w.op IS NOT NULL THEN w.o_orderkey
+                ELSE b.o_orderkey END AS o_orderkey,
+           CASE WHEN w.op IS NOT NULL THEN w.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice
+    FROM base b FULL OUTER JOIN win w ON w.o_custkey = b.o_custkey
+    WHERE w.op IS NULL OR w.op = 'U'
+    """,
+)
+def cdc_time_travel_orders(spark, sf_dir):
+    """Time travel over the CDC changelog: the cdc_apply_orders scenario
+    reconstructed AS OF 1999-01-01 — the change stream is pruned to the
+    requested horizon (a pushable predicate at 100 TB on a
+    date-partitioned log) before the same one-pass merge, so ANY
+    historical state is a filter away without stored snapshots. See
+    ``operators.quality.cdc_as_of``."""
+    from pyspark.sql import Window
+
+    from artigraph_spark.operators.quality import cdc_as_of
+
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    base = (
+        o.filter(F.col("o_orderdate") < cut)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    chg = o.filter(F.col("o_orderdate") >= cut).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return cdc_as_of(
+        base,
+        chg,
+        "o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        as_of=F.lit("1999-01-01").cast("timestamp"),
+    )
+
+
+@query(
+    "dp_noisy_counts_events",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+    ), noised AS (
+        SELECT event_type, n,
+               ((CAST(('0x' || substr(sha256(event_type), 1, 15)) AS BIGINT)
+                 % 1000000007) * 2654435761 + 11 * 40503) % 1000000007 AS h
+        FROM counts
+    )
+    SELECT event_type, n,
+           round(-2.0 * sign((CAST(h AS DOUBLE) + 0.5) / 1000000007.0 - 0.5)
+                 * ln(1.0 - 2.0 * abs((CAST(h AS DOUBLE) + 0.5)
+                                      / 1000000007.0 - 0.5)), 9) AS noise_r,
+           CAST(n AS DOUBLE)
+               + round(-2.0 * sign((CAST(h AS DOUBLE) + 0.5) / 1000000007.0 - 0.5)
+                       * ln(1.0 - 2.0 * abs((CAST(h AS DOUBLE) + 0.5)
+                                            / 1000000007.0 - 0.5)), 9) AS noisy_n_r
+    FROM noised
+    """,
+)
+def dp_noisy_counts_events(spark, sf_dir):
+    """ε-differentially-private event-type histogram (Laplace mechanism,
+    ε = 0.5, derandomized through the cross-engine content-key uniform so
+    a re-run republishes the SAME noisy view instead of composing privacy
+    budgets). See ``operators.privacy.dp_noisy_counts``."""
+    from artigraph_spark.operators.privacy import dp_noisy_counts
+
+    e = load(spark, sf_dir, "events")
+    return dp_noisy_counts(e, "event_type", epsilon=0.5, seed=11)

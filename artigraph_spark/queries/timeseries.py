@@ -1020,3 +1020,234 @@ def attribution_linear(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("credit_fx").alias("credit_total"),
     )
+
+
+@query(
+    "survival_km_users",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS f,
+               CAST(floor(epoch(min(CASE WHEN event_type = 'signup'
+                                         THEN ts END))) AS BIGINT) AS fe
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    ), units AS (
+        SELECT CASE WHEN fe IS NOT NULL AND (fe - f) // 86400 <= 7
+                    THEN (fe - f) // 86400 ELSE 7 END AS duration,
+               CASE WHEN fe IS NOT NULL AND (fe - f) // 86400 <= 7
+                    THEN 1 ELSE 0 END AS obs
+        FROM u
+    ), risk AS (
+        SELECT duration,
+               CAST(SUM(obs) AS BIGINT) AS n_event,
+               CAST(SUM(1 - obs) AS BIGINT) AS n_censored
+        FROM units GROUP BY duration
+    ), t AS (
+        SELECT duration, n_event, n_censored,
+               CAST(SUM(n_event + n_censored) OVER ()
+                    - COALESCE(SUM(n_event + n_censored) OVER (
+                          ORDER BY duration
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM risk
+    ), s AS (
+        SELECT duration, n_risk, n_event, n_censored,
+               CASE WHEN n_event > 0 AND n_event < n_risk
+                    THEN round(ln(1.0 - CAST(n_event AS DOUBLE)
+                                      / CAST(n_risk AS DOUBLE)), 9)
+                    ELSE 0.0 END AS term,
+               MAX(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER (
+                   ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+        FROM t
+    )
+    SELECT duration, n_risk, n_event, n_censored,
+           CASE WHEN zeroed = 1 THEN 0.0
+                ELSE round(exp(SUM(term) OVER (
+                         ORDER BY duration
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+           END AS survival_r
+    FROM s ORDER BY duration
+    """,
+)
+def survival_km_users(spark, sf_dir):
+    """Kaplan–Meier time-to-event curve: days from each user's first event
+    to their first 'signup', administratively right-CENSORED at a 7-day
+    horizon (the textbook observation-window design — users who sign up
+    later, or never, are censored at day 7, not dropped or miscounted as
+    events; that censoring bias is what the KM estimator exists to
+    remove). See ``operators.timeseries.kaplan_meier``."""
+    from artigraph_spark.operators.timeseries import kaplan_meier
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("__f"),
+        F.unix_timestamp(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        ).alias("__fe"),
+    )
+    d = F.expr("(__fe - __f) div 86400")
+    observed = F.col("__fe").isNotNull() & (d <= 7)
+    units = u.select(
+        F.when(observed, d).otherwise(F.lit(7)).alias("duration"),
+        F.when(observed, 1).otherwise(0).alias("obs"),
+    )
+    return kaplan_meier(units, "duration", "obs")
+
+
+@query(
+    "theil_sen_daily",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+                    AS DOUBLE) AS x,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type, a.x AS xa, b.x AS xb,
+               round((b.y - a.y) / (b.x - a.x), 9) AS sl
+        FROM s a JOIN s b ON a.event_type = b.event_type AND a.x < b.x
+    ), ranked AS (
+        SELECT event_type, sl,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY sl, xa, xb) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS np
+        FROM pairs
+    ), med AS (
+        SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+               round(avg(sl), 9) AS slope_r
+        FROM ranked
+        WHERE rn = CAST(floor((np + 1) / 2.0) AS BIGINT)
+           OR rn = CAST(ceil((np + 1) / 2.0) AS BIGINT)
+        GROUP BY event_type
+    ), pts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+        FROM s GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_points,
+           COALESCE(m.n_pairs, 0) AS n_pairs, m.slope_r
+    FROM pts p LEFT JOIN med m USING (event_type)
+    """,
+)
+def theil_sen_daily(spark, sf_dir):
+    """Theil–Sen robust trend slope of the daily event count per event
+    type — the median-of-pairwise-slopes estimator that one spiked day
+    cannot drag (trend_slopes_hourly's OLS sibling, 29% breakdown
+    point). The pair enumeration runs over the SUMMARY series (≤30
+    points per group), never raw rows. See
+    ``operators.timeseries.theil_sen_slopes``."""
+    from artigraph_spark.operators.timeseries import theil_sen_slopes
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    s = e.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(date_trunc('day', ts)) div 86400")
+        .cast("double")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return theil_sen_slopes(s, "event_type", "x", "y")
+
+
+@query(
+    "stl_outliers_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), t AS (
+        SELECT day_s, y,
+               CASE WHEN count(*) OVER w = 7
+                    THEN CAST(SUM(y) OVER w AS BIGINT) END AS ts7,
+               CAST((((day_s // 86400) % 7) + 7) % 7 AS INTEGER) AS phase
+        FROM daily
+        WINDOW w AS (ORDER BY day_s ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), d AS (
+        SELECT day_s, y, phase, ts7, 7 * y - ts7 AS det7
+        FROM t WHERE ts7 IS NOT NULL
+    ), s AS (
+        SELECT phase, {oracle_davg('det7')} AS s7 FROM d GROUP BY phase
+    ), g AS (
+        SELECT {oracle_davg('round(s7, 9)')} AS s7bar FROM s
+    ), dec AS (
+        SELECT d.day_s, d.y,
+               round(CAST(d.y AS DOUBLE) - CAST(d.ts7 AS DOUBLE) / 7.0
+                     - round((s.s7 - g.s7bar) / 7.0, 9), 9) AS resid_r
+        FROM d JOIN s USING (phase) CROSS JOIN g
+    ), rr AS (
+        SELECT day_s, y, resid_r,
+               row_number() OVER (ORDER BY resid_r, day_s) AS rn,
+               count(*) OVER () AS n
+        FROM dec
+    ), med AS (
+        SELECT round(avg(resid_r), 9) AS m FROM rr
+        WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+           OR rn = CAST(ceil((n + 1) / 2.0) AS BIGINT)
+    ), dev AS (
+        SELECT day_s, y, resid_r,
+               round(abs(resid_r - (SELECT m FROM med)), 9) AS abs_dev_r
+        FROM dec
+    ), dr AS (
+        SELECT day_s, y, resid_r, abs_dev_r,
+               row_number() OVER (ORDER BY abs_dev_r, day_s) AS rn,
+               count(*) OVER () AS n
+        FROM dev
+    ), mad AS (
+        SELECT round(avg(abs_dev_r), 9) AS mad FROM dr
+        WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+           OR rn = CAST(ceil((n + 1) / 2.0) AS BIGINT)
+    )
+    SELECT day_s, y, resid_r, abs_dev_r,
+           CAST(CASE WHEN abs_dev_r > 3.0 * 1.4826 * (SELECT mad FROM mad)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM dev
+    """,
+)
+def stl_outliers_daily(spark, sf_dir):
+    """Seasonal-residual anomaly flags: classical decomposition of the
+    daily event series (trend + weekly seasonal removed), then robust
+    median/MAD outlier detection on the RESIDUALS — the decomposition-
+    based anomaly pattern that survives both trends and weekly cycles
+    where a raw z-score flags every Saturday. Medians are exact
+    avg-of-middle order statistics over the summary-sized series (the
+    theil_sen convention); the flag threshold is the standard
+    3·1.4826·MAD. Composes ``operators.timeseries.seasonal_decompose``;
+    zero-MAD series flag any deviation (robust_outliers convention)."""
+    from pyspark.sql import Window
+
+    from artigraph_spark.operators.timeseries import seasonal_decompose
+
+    e = load(spark, sf_dir, "events")
+    dec = seasonal_decompose(e, "ts", period=7).select("day_s", "y", "resid_r")
+
+    def _exact_median(df, value_col, out_name):
+        wo = Window.orderBy(F.col(value_col), F.col("day_s"))
+        wg = Window.partitionBy()
+        ranked = df.select(
+            F.col(value_col),
+            F.row_number().over(wo).alias("__rn"),
+            F.count(F.lit(1)).over(wg).alias("__n"),
+        )
+        mid = (F.col("__n") + 1) / F.lit(2.0)
+        return ranked.filter(
+            (F.col("__rn") == F.floor(mid)) | (F.col("__rn") == F.ceil(mid))
+        ).agg(F.round(F.avg(value_col), 9).alias(out_name))
+
+    med = _exact_median(dec, "resid_r", "__m")
+    dev = dec.crossJoin(F.broadcast(med)).select(
+        "day_s",
+        "y",
+        "resid_r",
+        F.round(F.abs(F.col("resid_r") - F.col("__m")), 9).alias("abs_dev_r"),
+    )
+    mad = _exact_median(dev, "abs_dev_r", "__mad")
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day_s",
+        "y",
+        "resid_r",
+        "abs_dev_r",
+        (F.col("abs_dev_r") > F.lit(3.0) * F.lit(1.4826) * F.col("__mad"))
+        .cast("bigint")
+        .alias("is_outlier"),
+    )
