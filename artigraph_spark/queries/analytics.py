@@ -1393,3 +1393,67 @@ def adamic_adar_copurchase(spark, sf_dir):
 
     pairs = _copurchase_pairs(spark, sf_dir)
     return adamic_adar(pairs, "s1", "s2", top_k=100)
+
+
+def _hits_oracle_sql(iterations: int, bits: int) -> str:
+    """DuckDB replica of the fixed-point HITS loop (operators/graph.py
+    `hits`), one (authority, hub) CTE pair per iteration — raw sums are
+    exact int64, max-normalization replays the identical
+    floor(raw / max · 2^bits) double expression, so every score matches
+    Spark bit-for-bit (the pagerank oracle pattern with max- instead of
+    damped-sum normalization)."""
+    one = float(1 << bits)
+    parts = [
+        f"""
+    WITH e AS (
+        SELECT DISTINCT l_partkey * 2 AS s, l_suppkey * 2 + 1 AS d
+        FROM lineitem
+    ), h0 AS (
+        SELECT DISTINCT s AS node, CAST({1 << bits} AS BIGINT) AS sc FROM e
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", a{i}r AS (
+        SELECT e.d AS node, CAST(SUM(h{i - 1}.sc) AS BIGINT) AS raw
+        FROM e JOIN h{i - 1} ON h{i - 1}.node = e.s GROUP BY e.d
+    ), a{i} AS (
+        SELECT node, CAST(floor(CAST(raw AS DOUBLE)
+            / CAST(max(raw) OVER () AS DOUBLE) * {one!r})
+            AS BIGINT) AS sc
+        FROM a{i}r
+    ), h{i}r AS (
+        SELECT e.s AS node, CAST(SUM(a{i}.sc) AS BIGINT) AS raw
+        FROM e JOIN a{i} ON a{i}.node = e.d GROUP BY e.s
+    ), h{i} AS (
+        SELECT node, CAST(floor(CAST(raw AS DOUBLE)
+            / CAST(max(raw) OVER () AS DOUBLE) * {one!r})
+            AS BIGINT) AS sc
+        FROM h{i}r
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, 'hub' AS role, sc AS score_fx FROM h{iterations}
+    UNION ALL
+    SELECT node, 'auth' AS role, sc AS score_fx FROM a{iterations}"""
+    )
+    return "".join(parts)
+
+
+@query("hits_copurchase", oracle=_hits_oracle_sql(6, 30))
+def hits_copurchase(spark, sf_dir):
+    """HITS hubs & authorities over the directed part→supplier co-purchase
+    graph (parts score as hubs, suppliers as authorities — the bipartite
+    curation shape PageRank's single score conflates). Six fixed-point
+    iterations with max-normalization; the oracle unrolls the identical
+    loop, so every score matches bit-for-bit. See
+    ``operators.graph.hits``."""
+    from artigraph_spark.operators.graph import hits
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("s"),
+        (F.col("l_suppkey") * 2 + 1).alias("d"),
+    ).distinct()
+    return hits(edges, "s", "d", iterations=6, bits=30)

@@ -1407,3 +1407,231 @@ def knn_label_accuracy(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 7 == 0)
     return op(e, q, id_col="vec_id", vec_col="embedding", label_col="label", k=5)
+
+
+@query(
+    "containment_pairs_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS t
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CASE WHEN least(len(a.t), len(b.t)) > 0
+                THEN CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                     / least(len(a.t), len(b.t))
+                ELSE 1.0 END AS containment
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CASE WHEN least(len(a.t), len(b.t)) > 0
+               THEN CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                    / least(len(a.t), len(b.t))
+               ELSE 1.0 END >= 0.9
+    """,
+)
+def containment_pairs_docs(spark, sf_dir):
+    """Token-set CONTAINMENT near-dup pairs over a bounded candidate set —
+    the asymmetric measure that catches a short document embedded in a
+    longer one (Jaccard → 0 there); ngram_jaccard_pairs' directional
+    sibling, same candidate contract. See
+    ``operators.dedup.containment_pairs``."""
+    from artigraph_spark.operators.dedup import containment_pairs
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return containment_pairs(d, "doc_id", "text", threshold=0.9, allow_quadratic=True)
+
+
+@query(
+    "readability_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+           greatest(CAST(len(regexp_extract_all(lower(text), '[.!?]+')) AS BIGINT),
+                    1) AS n_sentences,
+           greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT),
+                    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT))
+               AS n_syllables,
+           CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+           THEN round(206.835
+               - 1.015 * (CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE)
+                          / greatest(CAST(len(regexp_extract_all(lower(text), '[.!?]+')) AS BIGINT), 1))
+               - 84.6 * (CAST(greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT),
+                                       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)) AS DOUBLE)
+                         / CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE)), 9)
+           END AS flesch_r,
+           CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+           THEN round(0.39 * (CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE)
+                              / greatest(CAST(len(regexp_extract_all(lower(text), '[.!?]+')) AS BIGINT), 1))
+               + 11.8 * (CAST(greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT),
+                                       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)) AS DOUBLE)
+                         / CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE)) - 15.59, 9)
+           END AS fk_grade_r
+    FROM documents
+    """,
+)
+def readability_docs(spark, sf_dir):
+    """Flesch reading ease + Flesch–Kincaid grade per document from three
+    regex counts (words / sentence marks / vowel-group syllables) — a
+    pure zero-shuffle projection, the scan-linear quality-signal shape.
+    See ``operators.text.readability_scores``."""
+    from artigraph_spark.operators.text import readability_scores
+
+    d = load(spark, sf_dir, "documents")
+    return readability_scores(d, "doc_id", "text")
+
+
+def _fs_fields():
+    """Shared (m, u) parameters for the Fellegi–Sunter demo — ONE source
+    for both the Spark call and the generated oracle so the embedded
+    log-likelihood weight literals can never drift."""
+    from artigraph_spark.operators.dedup import LinkageField
+
+    return [
+        LinkageField("lang_eq", m=0.95, u=0.30),
+        LinkageField("source_eq", m=0.70, u=0.05),
+        LinkageField("len_band", m=0.90, u=0.20),
+        LinkageField("prefix_close", m=0.90, u=0.10),
+    ]
+
+
+def _fs_oracle() -> str:
+    fields = {f.name: f for f in _fs_fields()}
+    agree_sql = {
+        "lang_eq": "da.lang = db.lang",
+        "source_eq": "da.source = db.source",
+        "len_band": "abs(da.n_chars - db.n_chars) * 10 <= greatest(da.n_chars, db.n_chars)",
+        "prefix_close": "levenshtein(p.key_a, p.key_b) <= 4",
+    }
+    null_sql = {
+        "lang_eq": "da.lang IS NULL OR db.lang IS NULL",
+        "source_eq": "da.source IS NULL OR db.source IS NULL",
+        "len_band": "da.n_chars IS NULL OR db.n_chars IS NULL",
+        "prefix_close": "p.key_a IS NULL OR p.key_b IS NULL",
+    }
+    terms = " + ".join(
+        f"""CASE WHEN {null_sql[name]} THEN 0.0
+                 WHEN {agree_sql[name]} THEN {f.agree_weight!r}
+                 ELSE {f.disagree_weight!r} END"""
+        for name, f in fields.items()
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, lower(substr(text, 1, 24)) AS k
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), r AS (
+        SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rnk FROM d
+    ), g AS (
+        SELECT * FROM (VALUES (1), (2), (3)) t(j)
+    ), pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, a.k AS key_a, b.k AS key_b
+        FROM r a CROSS JOIN g JOIN r b ON a.rnk + g.j = b.rnk
+    ), scored AS (
+        SELECT p.a, p.b, round({terms}, 9) AS score_r
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.a
+        JOIN documents db ON db.doc_id = p.b
+    )
+    SELECT a, b, score_r,
+           CASE WHEN score_r >= 4.0 THEN 'match'
+                WHEN score_r >= 1.0 THEN 'possible'
+                ELSE 'non_match' END AS decision
+    FROM scored
+    """
+
+
+@query("fellegi_sunter_docs", oracle=_fs_oracle())
+def fellegi_sunter_docs(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record linkage over sorted-neighborhood
+    candidates: four field comparisons (language, source, ±10% length
+    band, prefix edit distance ≤4) contribute precomputed ln(m/u) /
+    ln((1−m)/(1−u)) weights; the summed score classifies match /
+    possible / non_match — the standard entity-resolution scoring shape,
+    linear in candidates. See ``operators.dedup.fellegi_sunter_scores``
+    and ``LinkageField``."""
+    from artigraph_spark.operators.dedup import (
+        fellegi_sunter_scores,
+        sorted_neighborhood_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    pairs = sorted_neighborhood_pairs(
+        d, "doc_id", F.lower(F.substring("text", 1, 24)), window=3, block_chars=4
+    )
+    da = d.select(
+        F.col("doc_id").alias("a"),
+        F.col("lang").alias("__lang_a"),
+        F.col("source").alias("__src_a"),
+        F.col("n_chars").alias("__nc_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("b"),
+        F.col("lang").alias("__lang_b"),
+        F.col("source").alias("__src_b"),
+        F.col("n_chars").alias("__nc_b"),
+    )
+    joined = pairs.join(da, "a").join(db, "b")
+    agreements = {
+        "lang_eq": F.when(
+            F.col("__lang_a").isNull() | F.col("__lang_b").isNull(), F.lit(None)
+        ).otherwise(F.col("__lang_a") == F.col("__lang_b")),
+        "source_eq": F.when(
+            F.col("__src_a").isNull() | F.col("__src_b").isNull(), F.lit(None)
+        ).otherwise(F.col("__src_a") == F.col("__src_b")),
+        "len_band": F.when(
+            F.col("__nc_a").isNull() | F.col("__nc_b").isNull(), F.lit(None)
+        ).otherwise(
+            F.abs(F.col("__nc_a") - F.col("__nc_b")) * 10
+            <= F.greatest(F.col("__nc_a"), F.col("__nc_b"))
+        ),
+        "prefix_close": F.when(
+            F.col("key_a").isNull() | F.col("key_b").isNull(), F.lit(None)
+        ).otherwise(F.levenshtein("key_a", "key_b") <= 4),
+    }
+    scored = fellegi_sunter_scores(
+        joined, agreements, _fs_fields(), upper=4.0, lower=1.0
+    )
+    return scored.select("a", "b", "score_r", "decision")
+
+
+@query(
+    "set_similarity_users",
+    oracle="""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), kept AS (
+        SELECT p FROM cp GROUP BY p HAVING count(*) <= 40
+    ), f AS (
+        SELECT cp.c, cp.p FROM cp JOIN kept USING (p)
+    ), sz AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS s FROM f GROUP BY c
+    ), co AS (
+        SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS o
+        FROM f a JOIN f b ON a.p = b.p AND a.c < b.c
+        GROUP BY 1, 2 HAVING count(*) >= 4
+    )
+    SELECT co.c1 AS a, co.c2 AS b, sa.s AS size_a, sb.s AS size_b,
+           co.o AS overlap,
+           round(CAST(co.o AS DOUBLE) / (sa.s + sb.s - co.o), 9) AS jaccard_r
+    FROM co JOIN sz sa ON sa.c = co.c1 JOIN sz sb ON sb.c = co.c2
+    WHERE round(CAST(co.o AS DOUBLE) / (sa.s + sb.s - co.o), 9) >= 0.07
+    """,
+)
+def set_similarity_users(spark, sf_dir):
+    """Customer–customer Jaccard similarity over purchased-part sets via
+    an inverted-index self-join (collaborative-filtering neighborhoods) —
+    never all-pairs; hot parts (df > 40) are excluded from both pairs and
+    sizes, the standard stop-member cap that bounds the shuffle at scale.
+    See ``operators.similarity.set_similarity_pairs``."""
+    from artigraph_spark.operators.similarity import set_similarity_pairs
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = o.join(li, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+    )
+    return set_similarity_pairs(
+        cp, "c", "p", threshold=0.07, max_member_df=40, min_overlap=4
+    )
