@@ -561,3 +561,74 @@ def hits(
         return _ckpt(out, checkpoint_dir)
     finally:
         e.unpersist()
+
+
+def k_core(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    k: int,
+    max_rounds: int = 12,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of degree
+    < k until the remaining subgraph is stable — the standard "dense
+    cohesive core" extraction (spam/bot rings, community nuclei, the
+    preprocessing step before expensive clique-ish analyses).
+
+    Input edges are canonicalized (self-loops dropped, both directions
+    deduped) and symmetrized internally, so callers pass any directed/
+    duplicated list. Each peel round is one map-side-combined degree
+    aggregate plus two semi-joins (node-keyed, edge-linear) with an
+    eager per-round lineage cut (frontier-loop convention; reliable
+    files under ``checkpoint_dir`` for cluster runs), and an
+    edge-count early exit (metadata-sized, the BFS/CC convention) —
+    peeling converges in ≤ max_rounds on any graph whose core
+    stabilizes that fast; rounds past convergence are no-ops, which is
+    exactly what makes the fixed-round oracle replay equal to the
+    early-exited Spark run.
+
+    Returns ``(node, core_deg)`` — nodes in the k-core with their
+    within-core degree (≥ k by construction).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    pe = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("__a"),
+            F.greatest(F.col(src), F.col(dst)).alias("__b"),
+        )
+        .filter(F.col("__a") != F.col("__b"))
+        .distinct()
+    )
+    e = _ckpt(
+        pe.select(F.col("__a").alias("__s"), F.col("__b").alias("__d")).unionByName(
+            pe.select(F.col("__b").alias("__s"), F.col("__a").alias("__d"))
+        ),
+        checkpoint_dir,
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        keep = (
+            e.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("__s")
+        )
+        e2 = _ckpt(
+            e.join(keep, "__s", "left_semi").join(
+                keep.withColumnRenamed("__s", "__d"), "__d", "left_semi"
+            ),
+            checkpoint_dir,
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    return e.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )

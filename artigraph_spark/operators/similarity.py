@@ -780,3 +780,120 @@ def set_similarity_pairs(
     finally:
         for f_ in released:
             f_.unpersist()
+
+
+def pca_top_component(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 12,
+    qbits: int = 10,
+    bits: int = 20,
+) -> DataFrame:
+    """Top principal component of an embedding table by fixed-point power
+    iteration over the exact integer covariance matrix — the first step
+    of embedding whitening/diagnostics (a dominant component usually
+    means a corpus-wide bias direction worth projecting out before
+    similarity search; the "all embeddings point the same way" disease).
+
+    Exact replay chain: coordinates quantize to ``floor(x·2^qbits)``
+    (signed); per-dimension means are ``floor(Σ/n)`` (a quotient of
+    int64s with denominator < 2^31 cannot round across an integer
+    boundary — the pagerank argument); centered values are exact int64;
+    the covariance entries ``cov[i,j] = floor(Σ c_i·c_j / n)`` are again
+    exact — and crucially BOUNDED BY x_max²·2^2qbits independent of n,
+    so the power-iteration products ``Σ_j cov·v`` stay in int64 at any
+    corpus size (the n-dependence lives only in the Σ c_i·c_j sums,
+    exact to n·(x_max·2^qbits)² < 2^63 — ~5e11 rows at qbits=10, |x|≤4).
+    Each round max-|v|-normalizes through the HITS floor(w/max·2^bits)
+    double expression (|w| < 2^53, exact in double). Every score replays
+    bit-for-bit in an unrolled-CTE oracle.
+
+    Scale shape: one explode to (id, dim, q) long form, ONE self-join on
+    the vector id + map-side-combined groupBy(i, j) → the d² covariance
+    (d²-sized after partial aggregation — the per-task combine is what
+    makes n·d² intermediate rows shuffle as d² partials); the centered
+    long frame is persisted across its two consumers and the d²-row
+    covariance localCheckpointed once, after which the 12 rounds run on
+    d-row frames with per-round lineage cuts (the hits convention — each
+    round's vector is consumed twice: next product + its own max).
+
+    Returns ``(dim, loading_fx)`` — dim 1-based, loading_fx the final
+    fixed-point loading in [−2^bits, 2^bits] (sign is whichever the
+    iteration converges to; flip downstream if a convention is needed).
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations must be positive, got {iterations}")
+    if not 1 <= qbits <= 20:
+        raise ValueError(f"qbits must be in [1, 20], got {qbits}")
+    if not 1 <= bits <= 30:
+        raise ValueError(f"bits must be in [1, 30], got {bits}")
+    from pyspark import StorageLevel
+
+    from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
+
+    one_q = float(1 << qbits)
+    one_b = float(1 << bits)
+    long_ = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * F.lit(one_q)).cast("long"),
+            )
+        ).alias("__i0", "__q"),
+    ).select("__id", (F.col("__i0") + 1).alias("__i"), "__q")
+    n_df = df.agg(F.count(F.lit(1)).alias("__n"))
+    means = (
+        long_.groupBy("__i")
+        .agg(F.sum("__q").alias("__s"))
+        .crossJoin(F.broadcast(n_df))
+        .select("__i", F.floor(F.col("__s") / F.col("__n")).alias("__m"))
+    )
+    centered = (
+        long_.join(F.broadcast(means), "__i")
+        .select("__id", "__i", (F.col("__q") - F.col("__m")).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        ca = centered.select(
+            F.col("__id"), F.col("__i").alias("i"), F.col("__c").alias("__ca")
+        )
+        cb = centered.select(
+            F.col("__id"), F.col("__i").alias("j"), F.col("__c").alias("__cb")
+        )
+        cov = _ckpt(
+            ca.join(cb, "__id")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__g"))
+            .crossJoin(F.broadcast(n_df))
+            .select("i", "j", F.floor(F.col("__g") / F.col("__n")).alias("g")),
+            None,
+        )
+        v = cov.select(F.col("i").alias("j")).distinct().withColumn(
+            "v", F.lit(1 << bits).cast("long")
+        )
+        for _ in range(iterations):
+            w = (
+                cov.join(v, "j")
+                .groupBy(F.col("i"))
+                .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+            )
+            mx = w.agg(F.max(F.abs(F.col("w"))).alias("__mx"))
+            v = _ckpt(
+                w.crossJoin(F.broadcast(mx)).select(
+                    F.col("i").alias("j"),
+                    F.floor(
+                        F.col("w").cast("double")
+                        / F.col("__mx").cast("double")
+                        * F.lit(one_b)
+                    )
+                    .cast("long")
+                    .alias("v"),
+                ),
+                None,
+            )
+        return v.select(F.col("j").alias("dim"), F.col("v").alias("loading_fx"))
+    finally:
+        centered.unpersist()

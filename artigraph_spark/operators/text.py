@@ -730,3 +730,63 @@ def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         ).alias("fk_grade_r"),
     )
+
+
+def bigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean bigram negative log-likelihood under the corpus's
+    OWN add-one-smoothed bigram model:
+    ``nll = avg over bigrams of ln((c(w1) + V) / (c(w1,w2) + 1))`` —
+    the next step up from `unigram_logprob_scores` as a perplexity-proxy
+    quality filter: it scores WORD ORDER, so shuffled/garbled text that
+    unigram stats cannot see ranks high-nll while common-phrase
+    boilerplate ranks low. Add-ONE smoothing keeps every ratio a pure
+    integer quotient (c1 + V over c12 + 1), so the only float op is the
+    guard-grid ln and the fixed-point mean — cross-engine exact.
+
+    Bigrams come from one zip-slice projection over the token array
+    (element i paired with i+1 — no window, no self-join); the corpus
+    model is two map-side-combined aggregates (context counts, bigram
+    counts) joined back on the bigram key; V (distinct corpus tokens)
+    rides the broadcast 1-row cross join. Same plan family as
+    tf_idf/unigram — explode + aggregate + equi-join, linear at any
+    scale.
+
+    Returns ``(id, n_bigrams, nll)`` for documents with ≥2 tokens.
+    """
+    from artigraph_spark.functions import davg
+
+    t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    pairs = t.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(__toks, 1, size(__toks) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(__toks, i + 2) AS w2))"
+            )
+        ).alias("__p"),
+    ).select(F.col(id_col), F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2"))
+    ctx = pairs.groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1"))
+    big = pairs.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__tok"))
+        .agg(F.count_distinct(F.col("__tok")).alias("__v"))
+    )
+    term = F.round(
+        F.log(
+            (F.col("__c1") + F.col("__v")).cast("double")
+            / (F.col("__c12") + F.lit(1)).cast("double")
+        ),
+        9,
+    )
+    return (
+        pairs.join(big, ["__w1", "__w2"])
+        .join(ctx, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            davg(term).alias("nll"),
+        )
+    )

@@ -1457,3 +1457,73 @@ def hits_copurchase(spark, sf_dir):
         (F.col("l_suppkey") * 2 + 1).alias("d"),
     ).distinct()
     return hits(edges, "s", "d", iterations=6, bits=30)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """DuckDB replica of the k-core peel (operators/graph.py `k_core`):
+    one MATERIALIZED CTE per round — each round references its
+    predecessor three times (degree + both endpoint filters), so
+    without materialization DuckDB's CTE inlining re-evaluates the
+    prefix 3^rounds times. Rounds past convergence are no-ops, which is
+    what makes this fixed-round unroll equal to Spark's early-exited
+    loop."""
+    parts = [
+        """
+    WITH cp AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), pe AS MATERIALIZED (
+        SELECT a.ck AS s1, b.ck AS s2
+        FROM cp a JOIN cp b ON a.pk = b.pk AND a.ck < b.ck
+        GROUP BY a.ck, b.ck HAVING count(*) >= 4
+    ), e0 AS MATERIALIZED (
+        SELECT s1 AS s, s2 AS d FROM pe
+        UNION ALL SELECT s2 AS s, s1 AS d FROM pe
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", k{r} AS MATERIALIZED (
+        SELECT s FROM e{r - 1} GROUP BY s HAVING count(*) >= {k}
+    ), e{r} AS MATERIALIZED (
+        SELECT e.s, e.d FROM e{r - 1} e
+        JOIN k{r} ks ON ks.s = e.s
+        JOIN k{r} kd ON kd.s = e.d
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT s AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{rounds} GROUP BY s"""
+    )
+    return "".join(parts)
+
+
+@query("kcore_copurchase", oracle=_kcore_oracle_sql(4, 8))
+def kcore_copurchase(spark, sf_dir):
+    """4-core of the customer co-purchase graph (customers adjacent when
+    they share ≥4 distinct parts — the triangle query's graph): peel
+    degree-<4 nodes to a fixpoint; the surviving dense nucleus is the
+    community-core / spam-ring extraction primitive. Spark exits at
+    convergence; the oracle unrolls 8 fixed rounds whose post-
+    convergence rounds are no-ops. See ``operators.graph.k_core``."""
+    from artigraph_spark.operators.graph import k_core
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cp = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = cp.select(F.col("ck").alias("s1"), "pk")
+    b = cp.select(F.col("ck").alias("s2"), "pk")
+    e = (
+        a.join(b, "pk")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= 4)
+        .select("s1", "s2")
+    )
+    return k_core(e, "s1", "s2", k=4, max_rounds=8)

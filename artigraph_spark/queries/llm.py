@@ -1635,3 +1635,119 @@ def set_similarity_users(spark, sf_dir):
     return set_similarity_pairs(
         cp, "c", "p", threshold=0.07, max_member_df=40, min_overlap=4
     )
+
+
+def _pca_oracle_sql(iterations: int, qbits: int, bits: int) -> str:
+    """DuckDB replica of the fixed-point PCA power iteration
+    (operators/similarity.py `pca_top_component`): quantized long form,
+    exact integer covariance with floor(Σ/n) scaling, and one
+    (product, max-normalize) CTE pair per iteration via the
+    window-max idiom (a scalar max subquery would make DuckDB's CTE
+    inlining re-evaluate the prefix exponentially — the hits lesson)."""
+    one_q = float(1 << qbits)
+    one_b = float(1 << bits)
+    parts = [
+        f"""
+    WITH long_ AS (
+        SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {one_q!r})
+                    AS BIGINT) AS q
+        FROM embeddings
+    ), n_ AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+    ), means AS (
+        SELECT i, CAST(floor(CAST(SUM(q) AS DOUBLE) / (SELECT n FROM n_))
+                       AS BIGINT) AS m
+        FROM long_ GROUP BY i
+    ), centered AS (
+        SELECT long_.vec_id, long_.i, q - m AS c
+        FROM long_ JOIN means USING (i)
+    ), cov AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(floor(CAST(SUM(a.c * b.c) AS DOUBLE) / (SELECT n FROM n_))
+                    AS BIGINT) AS g
+        FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ), v0 AS (
+        SELECT DISTINCT i AS j, CAST({1 << bits} AS BIGINT) AS v FROM cov
+    )"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""", w{t} AS (
+        SELECT cov.i, CAST(SUM(g * v) AS BIGINT) AS w
+        FROM cov JOIN v{t - 1} ON v{t - 1}.j = cov.j GROUP BY cov.i
+    ), v{t} AS (
+        SELECT i AS j,
+               CAST(floor(CAST(w AS DOUBLE)
+                   / CAST(max(abs(w)) OVER () AS DOUBLE) * {one_b!r})
+                   AS BIGINT) AS v
+        FROM w{t}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT j AS dim, v AS loading_fx FROM v{iterations}"""
+    )
+    return "".join(parts)
+
+
+@query("pca_top_component", oracle=_pca_oracle_sql(12, 10, 20))
+def pca_top_component_q(spark, sf_dir):
+    """Top principal component of the embeddings table — fixed-point power
+    iteration over the exact integer covariance matrix; the embedding-
+    diagnostics op (a dominant component is a corpus-wide bias direction
+    to project out before similarity search). Every loading replays
+    bit-for-bit in the unrolled-CTE oracle. See
+    ``operators.similarity.pca_top_component``."""
+    from artigraph_spark.operators.similarity import pca_top_component
+
+    e = load(spark, sf_dir, "embeddings")
+    return pca_top_component(e, iterations=12, qbits=10, bits=20)
+
+
+@query(
+    "bigram_logprob_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x != '') AS t
+        FROM documents
+    ), pairs AS (
+        SELECT doc_id,
+               unnest(t[1:len(t) - 1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+        FROM toks WHERE len(t) >= 2
+    ), ctx AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY w1
+    ), big AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM pairs GROUP BY w1, w2
+    ), vocab AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)
+    )
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST((CAST(SUM(CAST(floor(
+                round(ln(CAST(c.c1 + vocab.v AS DOUBLE)
+                          / CAST(b.c12 + 1 AS DOUBLE)), 9)
+                * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0)
+                / count(*) AS DOUBLE) AS nll
+    FROM pairs p
+    JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+    JOIN ctx c ON c.w1 = p.w1
+    CROSS JOIN vocab
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_logprob_docs(spark, sf_dir):
+    """Per-document mean bigram NLL under the corpus's own add-one-smoothed
+    bigram model — the word-ORDER-aware perplexity proxy (garbled text
+    ranks high where unigram stats see nothing wrong). Integer-exact
+    smoothing ratios; only the guard-grid ln and fixed-point mean touch
+    floats. See ``operators.text.bigram_logprob_scores``."""
+    from artigraph_spark.operators.text import bigram_logprob_scores
+
+    d = load(spark, sf_dir, "documents")
+    return bigram_logprob_scores(d, "doc_id", "text")

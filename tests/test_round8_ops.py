@@ -273,3 +273,68 @@ def test_dp_noisy_counts_deterministic_and_bounded(spark):
     assert any(out3[k]["noise_r"] != out1[k]["noise_r"] for k in out1)
     with pytest.raises(ValueError, match="epsilon"):
         dp_noisy_counts(df, "c", epsilon=0.0)
+
+
+def test_pca_top_component_recovers_dominant_direction(spark):
+    from artigraph_spark.operators.similarity import pca_top_component
+
+    # variance concentrated on dim 1 (values ±2), tiny noise on dim 2:
+    # the top component must load ~fully on dim 1
+    rows = [
+        (i, [2.0 if i % 2 == 0 else -2.0, 0.01 * (i % 3), 0.0])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    out = {r["dim"]: r["loading_fx"] for r in pca_top_component(df, iterations=8).collect()}
+    one = 1 << 20
+    assert abs(out[1]) == one  # dominant dim carries the max loading
+    assert abs(out[2]) < one // 10 and abs(out[3]) < one // 10
+    with pytest.raises(ValueError, match="iterations"):
+        pca_top_component(df, iterations=0)
+
+
+def test_pca_partitioning_invariant(spark):
+    from artigraph_spark.operators.similarity import pca_top_component
+
+    rows = [
+        (i, [float((i * 7) % 5) - 2.0, float((i * 3) % 4), float(i % 2)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    a = sorted(tuple(r) for r in pca_top_component(df, iterations=5).collect())
+    b = sorted(
+        tuple(r) for r in pca_top_component(df.repartition(7), iterations=5).collect()
+    )
+    assert a == b
+
+
+def test_k_core_peels_to_stable_core(spark):
+    from artigraph_spark.operators.graph import k_core
+
+    # a 4-clique (1..4) with a pendant chain 4-5-6: 2-core = the clique
+    # plus nothing else (5 and 6 peel; peeling 6 drops 5 next round)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "s: bigint, d: bigint")
+    out = {r["node"]: r["core_deg"] for r in k_core(df, "s", "d", k=2).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=4 peels everything (max degree in the 4-clique is 3)
+    assert k_core(df, "s", "d", k=4).count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(df, "s", "d", k=0)
+
+
+def test_bigram_logprob_orders_garble_above_prose(spark):
+    from artigraph_spark.operators.text import bigram_logprob_scores
+
+    common = "the cat sat on the mat"
+    docs = [(i, common) for i in range(8)]
+    docs.append((100, "mat the on sat cat the"))  # same unigrams, shuffled order
+    df = spark.createDataFrame(docs, "doc_id: bigint, text: string")
+    out = {r["doc_id"]: r for r in bigram_logprob_scores(df, "doc_id", "text").collect()}
+    # unigram stats can't separate these; bigram NLL must
+    assert out[100]["nll"] > out[0]["nll"]
+    assert out[0]["n_bigrams"] == 5
+    # single-token doc excluded
+    df2 = spark.createDataFrame([(1, "word"), (2, "two words")], "doc_id: bigint, text: string")
+    got = {r["doc_id"] for r in bigram_logprob_scores(df2, "doc_id", "text").collect()}
+    assert got == {2}
