@@ -2775,6 +2775,7 @@ def rank_normalize_lineitem(spark, sf_dir):
 
 @query(
     "mann_whitney_quantity",
+    bench=True,
     oracle="""
     WITH hist AS (
         SELECT l_quantity AS v,
@@ -2884,6 +2885,7 @@ def welch_ttest_price(spark, sf_dir):
 
 @query(
     "bootstrap_ci_quantity",
+    bench=True,
     oracle="""
     WITH base AS (
         SELECT l_orderkey * 8 + l_linenumber AS k, l_quantity AS v

@@ -1597,6 +1597,7 @@ def fellegi_sunter_docs(spark, sf_dir):
 
 @query(
     "set_similarity_users",
+    bench=True,
     oracle="""
     WITH cp AS (
         SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
@@ -1708,6 +1709,7 @@ def pca_top_component_q(spark, sf_dir):
 
 @query(
     "bigram_logprob_docs",
+    bench=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id,

@@ -1024,6 +1024,7 @@ def attribution_linear(spark, sf_dir):
 
 @query(
     "survival_km_users",
+    bench=True,
     oracle="""
     WITH u AS (
         SELECT user_id,
