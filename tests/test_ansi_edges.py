@@ -141,7 +141,11 @@ def test_bloom_negative_keys_fold_safely(spark):
 
     members = spark.createDataFrame([(-5,), (-9_223_372_036_854_775_000,)], "k long")
     bits = bloom_build(members, "k", num_bits=256, num_hashes=3)
-    assert all(r["bit"] >= 0 for r in bits.collect())
+    # exactly ONE negative row: the (num_bits, num_hashes, seed) stamp
+    # sentinel (r8) — every actual bit position must be non-negative
+    rows = [r["bit"] for r in bits.collect()]
+    assert sum(1 for b in rows if b < 0) == 1
+    assert all(b >= 0 for b in rows if b != min(rows))
     kept = {
         r["k"]
         for r in bloom_prefilter(members, "k", bits, num_bits=256, num_hashes=3).collect()

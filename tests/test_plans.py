@@ -320,11 +320,14 @@ def test_grouped_cms_single_data_shuffle(spark, qs):
 
 def test_bloom_dedup_broadcasts_filter_not_fact(spark, qs):
     """The bit set rides a BroadcastExchange; the batch is never
-    nested-loop joined."""
+    nested-loop joined. The ONLY nested-loop joins allowed are the r8
+    stamp-validation gates — one-row aggregates of the (broadcast-small)
+    sentinel rows crossed into the probe frame, the sanctioned
+    broadcast-singleton shape (≤2: build-side and probe-side guards)."""
     plan = P.physical_plan(qs["bloom_incremental_dedup"](spark, SF), "simple")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
 def test_stratified_split_single_stratum_shuffle(spark, qs):
