@@ -258,12 +258,19 @@ def support_pairs(
     """
     if top_k <= 0:
         raise ValueError(f"top_k must be positive, got {top_k}")
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
+    # The distinct (basket, item) frame feeds four plan branches (both
+    # pair sides, the item counts, the basket total): persist it for the
+    # call and release after materializing the top-k (the
+    # set_similarity_pairs convention — unpersisted, every branch
+    # re-scans and re-distincts the input).
     items = (
         df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
         .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # basket total as a lazy one-row aggregate crossed into the lift —
     # an eager .count() here would run a full Spark job at plan-build
@@ -282,7 +289,7 @@ def support_pairs(
     counts = items.groupBy(F.col("__i")).agg(F.count(F.lit(1)).alias("__c"))
     ca = counts.select(F.col("__i").alias("item_a"), F.col("__c").alias("cnt_a"))
     cb = counts.select(F.col("__i").alias("item_b"), F.col("__c").alias("cnt_b"))
-    return (
+    out = (
         pairs.join(ca, "item_a")
         .join(cb, "item_b")
         .crossJoin(F.broadcast(n_baskets))
@@ -312,6 +319,10 @@ def support_pairs(
         .orderBy(F.col("pair_cnt").desc(), F.col("item_a"), F.col("item_b"))
         .limit(top_k)
     )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        items.unpersist()
 
 
 def bfs_hops(
@@ -632,3 +643,111 @@ def k_core(
     return e.groupBy(F.col("__s").alias("node")).agg(
         F.count(F.lit(1)).alias("core_deg")
     )
+
+
+def association_rules(
+    df,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pair_cnt: int = 2,
+    top_k: int = 100,
+):
+    """One-level association rules a→b over (basket, item) rows — the
+    directional reading of :func:`support_pairs`: per ordered pair,
+    ``support = pair_cnt/n_baskets``, ``confidence = pair_cnt/cnt_a``
+    (P(b|a)), lift, and ``conviction = (1 − supp_b)/(1 − confidence)``
+    (how much more often a appears WITHOUT b than independence predicts
+    — ∞ for exact implications, reported NULL). The
+    recommender/cross-sell staple; one extra projection over the
+    support_pairs plan (each undirected pair emits both directions).
+
+    All ratios are single double divisions of exact int64 counts on the
+    9-decimal guard grid, with the DECIMAL(38,0) widening convention on
+    the lift product; ``min_pair_cnt`` prunes the noise tail before the
+    totally-ordered top-k by (confidence desc, pair_cnt desc, a, b).
+
+    Scale shape: identical to support_pairs (within-basket self-join,
+    Σ_b C(|b|,2) — bound basket sizes upstream) plus one union of the
+    two rule directions before the top-k.
+    """
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    if min_pair_cnt < 1:
+        raise ValueError(f"min_pair_cnt must be >= 1, got {min_pair_cnt}")
+    from pyspark.sql import functions as F
+
+    from pyspark import StorageLevel
+
+    # persisted across its four consuming branches, released after the
+    # top-k materializes (the set_similarity_pairs convention)
+    items = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_baskets = items.agg(F.count_distinct(F.col("__b")).alias("__nb"))
+    a = items.select("__b", F.col("__i").alias("__ia"))
+    b = items.select("__b", F.col("__i").alias("__ib"))
+    upairs = (
+        a.join(b, "__b")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .groupBy("__ia", "__ib")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_pair_cnt)
+    )
+    # both rule directions from the one undirected pair table
+    rules = upairs.select(
+        F.col("__ia").alias("antecedent"), F.col("__ib").alias("consequent"), "pair_cnt"
+    ).unionByName(
+        upairs.select(
+            F.col("__ib").alias("antecedent"),
+            F.col("__ia").alias("consequent"),
+            "pair_cnt",
+        )
+    )
+    counts = items.groupBy(F.col("__i")).agg(F.count(F.lit(1)).alias("__c"))
+    ca = counts.select(F.col("__i").alias("antecedent"), F.col("__c").alias("cnt_a"))
+    cb = counts.select(F.col("__i").alias("consequent"), F.col("__c").alias("cnt_b"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    conf = F.round(F.col("pair_cnt").cast("double") / F.col("cnt_a").cast("double"), 9)
+    supp_b = F.col("cnt_b").cast("double") / F.col("__nb").cast("double")
+    out = (
+        rules.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.round(
+                F.col("pair_cnt").cast("double") / F.col("__nb").cast("double"), 9
+            ).alias("support_r"),
+            conf.alias("confidence_r"),
+            F.round(
+                (dec(F.col("pair_cnt")) * dec(F.col("__nb"))).cast("double")
+                / (dec(F.col("cnt_a")) * dec(F.col("cnt_b"))).cast("double"),
+                6,
+            ).alias("lift_r"),
+            F.when(
+                conf < 1.0,
+                F.round((F.lit(1.0) - supp_b) / (F.lit(1.0) - conf), 9),
+            ).alias("conviction_r"),
+        )
+    )
+    # orderBy + limit compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-k merge, not a single-partition window sort
+    # (the support_pairs convention).
+    ranked = out.orderBy(
+        F.col("confidence_r").desc(),
+        F.col("pair_cnt").desc(),
+        F.col("antecedent"),
+        F.col("consequent"),
+    ).limit(top_k)
+    try:
+        return ranked.localCheckpoint(eager=True)
+    finally:
+        items.unpersist()

@@ -1665,3 +1665,75 @@ def cdc_as_of(
         upsert=upsert,
         delete=delete,
     )
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    out_col: str = "qn_value",
+) -> DataFrame:
+    """Quantile normalization: replace each row's value with the GLOBAL
+    distribution's value at the row's within-group quantile — the
+    batch-effect correction that makes groups comparable when they share
+    shape but not scale/offset (per-tenant spend, per-instrument
+    readings, per-day traffic mixes). After it, every group's
+    distribution is (up to ties) the global one.
+
+    Exact mapping with ZERO divisions: within-group min-rank ``r_g``
+    (ties share a rank — rank(), deterministic on both engines), target
+    global rank ``r* = ceil(r_g·N/n_g)``, and the output is the global
+    type-1 quantile at r* — the histogram row with
+    ``cum_prev < r* ≤ cum``. Both bounds rewrite divisionless:
+    ``ceil(a/b) ∈ (lo, hi] ⇔ a > lo·b AND a ≤ hi·b``, so the whole
+    condition is four DECIMAL(38,0) products of exact counts — no
+    float, no decimal division rounding, engine-identical at any size.
+
+    Scale shape: one per-group window rank (the rank_normalize
+    exchange), one global value histogram (distinct-value-sized — the
+    operator's contract is a QUANTIZED metric; fxp continuous values
+    first or the dimension stops being summary-sized), and an interval
+    join of rows against the BROADCAST histogram ranges. NULL values
+    pass through with NULL output.
+
+    Returns ``df`` plus ``out_col``.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    wg = Window.partitionBy(group_col)
+    # NULLS LAST, the rank_normalize lesson: Spark's asc sorts NULLs
+    # FIRST (DuckDB LAST), which would inflate every non-null rank by
+    # the group's NULL count and shift the whole mapping cross-engine.
+    wr = Window.partitionBy(group_col).orderBy(v.asc_nulls_last())
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    wo = Window.orderBy("__v")
+    cum = hist.select(
+        "__v",
+        F.sum("__f").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("__cum"),
+        F.coalesce(
+            F.sum("__f").over(wo.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("__cumprev"),
+        F.sum("__f").over(Window.partitionBy()).alias("__N"),
+    )
+    ranked = df.withColumn(
+        "__rg", F.when(v.isNotNull(), F.rank().over(wr))
+    ).withColumn("__ng", F.count(v).over(wg))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = dec(F.col("__rg")) * dec(F.col("__N"))  # r_g·N, exact
+    matched = ranked.join(
+        F.broadcast(cum),
+        F.col("__rg").isNotNull()
+        & (a > dec(F.col("__cumprev")) * dec(F.col("__ng")))
+        & (a <= dec(F.col("__cum")) * dec(F.col("__ng"))),
+        "left",
+    )
+    keep = list(df.columns)
+    return matched.select(
+        *keep,
+        F.when(F.col("__rg").isNotNull(), F.col("__v")).alias(out_col),
+    )

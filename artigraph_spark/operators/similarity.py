@@ -782,7 +782,7 @@ def set_similarity_pairs(
             f_.unpersist()
 
 
-def pca_top_component(
+def _pca_fit(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
@@ -790,8 +790,11 @@ def pca_top_component(
     iterations: int = 12,
     qbits: int = 10,
     bits: int = 20,
-) -> DataFrame:
-    """Top principal component of an embedding table by fixed-point power
+):
+    """Shared PCA fit: returns ``(centered, loadings)`` where ``centered``
+    is the PERSISTED quantized-centered long form (caller must
+    unpersist) and ``loadings`` the converged fixed-point vector
+    (columns ``j``, ``v``). Top principal component of an embedding table by fixed-point power
     iteration over the exact integer covariance matrix — the first step
     of embedding whitening/diagnostics (a dominant component usually
     means a corpus-wide bias direction worth projecting out before
@@ -819,9 +822,8 @@ def pca_top_component(
     d-row frames with per-round lineage cuts (the hits convention — each
     round's vector is consumed twice: next product + its own max).
 
-    Returns ``(dim, loading_fx)`` — dim 1-based, loading_fx the final
-    fixed-point loading in [−2^bits, 2^bits] (sign is whichever the
-    iteration converges to; flip downstream if a convention is needed).
+    Dims are 1-based; loadings live in [−2^bits, 2^bits] (sign is
+    whichever the iteration converges to).
     """
     if iterations <= 0:
         raise ValueError(f"iterations must be positive, got {iterations}")
@@ -894,6 +896,77 @@ def pca_top_component(
                 ),
                 None,
             )
+        return centered, v
+    except BaseException:
+        centered.unpersist()
+        raise
+
+
+def pca_top_component(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 12,
+    qbits: int = 10,
+    bits: int = 20,
+) -> DataFrame:
+    """Public wrapper over the PCA fit: the top component's loadings.
+    See :func:`_pca_fit` for the exactness and plan-shape contract.
+
+    Returns ``(dim, loading_fx)`` — dim 1-based, loading_fx the final
+    fixed-point loading in [−2^bits, 2^bits] (sign is whichever the
+    iteration converges to; flip downstream if a convention is needed).
+    """
+    centered, v = _pca_fit(
+        df, id_col=id_col, vec_col=vec_col, iterations=iterations,
+        qbits=qbits, bits=bits,
+    )
+    try:
         return v.select(F.col("j").alias("dim"), F.col("v").alias("loading_fx"))
+    finally:
+        centered.unpersist()
+
+
+def pca_project(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 12,
+    qbits: int = 10,
+    bits: int = 20,
+) -> DataFrame:
+    """Per-vector projection onto the top principal component — the score
+    that ORDERS the corpus along its dominant bias direction (inspect
+    the extremes, or subtract the component for whitening). Exactness
+    inherits from :func:`_pca_fit`: ``proj_fx = Σ_i c_i·v_i`` is a pure
+    int64 dot product of the centered quantized coordinates with the
+    fixed-point loadings (|c·v| ≤ x_max·2^(qbits+bits) per dim — 2^34
+    at the defaults, ×dims far inside int64), at combined scale
+    2^(qbits+bits).
+
+    One broadcast join of the d-row loadings onto the persisted
+    centered long form + a map-side-combined per-id sum; the
+    vector-count-sized result is localCheckpointed before the loop
+    frames release (the pagerank convention).
+
+    Returns ``(id, proj_fx)``.
+    """
+    from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
+
+    centered, v = _pca_fit(
+        df, id_col=id_col, vec_col=vec_col, iterations=iterations,
+        qbits=qbits, bits=bits,
+    )
+    try:
+        return _ckpt(
+            centered.join(
+                F.broadcast(v.withColumnRenamed("j", "__i")), "__i"
+            )
+            .groupBy(F.col("__id").alias(id_col))
+            .agg(F.sum(F.col("__c") * F.col("v")).alias("proj_fx")),
+            None,
+        )
     finally:
         centered.unpersist()

@@ -1125,3 +1125,99 @@ def theil_sen_slopes(
             "slope_r",
         )
     )
+
+
+def markov_stationary(
+    df,
+    group_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    *,
+    iterations: int = 16,
+    bits: int = 30,
+    pbits: int = 20,
+):
+    """Long-run (stationary) state occupancy of the first-order Markov
+    chain estimated by :func:`transition_matrix` — "where do users end
+    up spending their time?", the summary a raw transition matrix only
+    implies. Fixed-point power iteration: transition probabilities
+    quantize to ``p_fx = floor(n_sd·2^pbits / n_s)`` — exact-replay
+    bounds: per-pair counts < 2^33 (so n·2^pbits stays exact in double;
+    the ·2^pbits is an exponent shift) and per-state totals < 2^31 (so
+    the quotient's 2^-33 rounding error cannot cross the ≥2^-31 gap a
+    non-integer p/q keeps from any integer — the pagerank argument);
+    then ``π'_d = Σ_s floor(π_s·p_fx / 2^pbits)``
+    whose products stay < 2^(bits+pbits) = 2^50 — exact in double, so
+    every step replays bit-for-bit cross-engine. States that leak mass
+    through floors are not renormalized (the pagerank convention;
+    ranking/occupancy proportions are unaffected).
+
+    Scale shape: the heavy work is the ONE per-group window sort and
+    (src, dst) aggregate of transition_matrix; the quantized |states|²
+    matrix is localCheckpointed once (kilobytes) and the iterations run
+    on |states|-row frames — π is consumed once per round, so the plan
+    grows linearly and needs no per-round cuts.
+
+    Returns ``(state, pi_fx)`` — fixed-point occupancy at scale 2^bits
+    for every state with at least one outgoing transition.
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations must be positive, got {iterations}")
+    if not 1 <= bits <= 30 or not 1 <= pbits <= 30:
+        raise ValueError(f"bits/pbits must be in [1, 30], got {bits}/{pbits}")
+    from pyspark.sql import Window
+
+    from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
+
+    w = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(state_col).isNotNull()
+        )
+        .select(
+            F.col(state_col).alias("__src"),
+            F.lead(state_col).over(w).alias("__dst"),
+        )
+        .filter(F.col("__dst").isNotNull())
+    )
+    counts = pairs.groupBy("__src", "__dst").agg(F.count(F.lit(1)).alias("__n"))
+    tot = Window.partitionBy("__src")
+    p = _ckpt(
+        counts.select(
+            "__src",
+            "__dst",
+            F.floor(
+                F.col("__n").cast("double")
+                * F.lit(float(1 << pbits))
+                / F.sum("__n").over(tot).cast("double")
+            )
+            .cast("long")
+            .alias("__p"),
+        ),
+        None,
+    )
+    states = p.select(F.col("__src").alias("state")).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("__ns"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "state",
+        F.floor(F.lit(float(1 << bits)) / F.col("__ns")).cast("long").alias("pi"),
+    )
+    for _ in range(iterations):
+        pi = (
+            p.join(pi.withColumnRenamed("state", "__src"), "__src")
+            .select(
+                F.col("__dst").alias("state"),
+                F.floor(
+                    (F.col("pi") * F.col("__p")).cast("double")
+                    / F.lit(float(1 << pbits))
+                )
+                .cast("long")
+                .alias("__share"),
+            )
+            .groupBy("state")
+            .agg(F.sum("__share").alias("pi"))
+        )
+    return pi.select("state", F.col("pi").alias("pi_fx"))

@@ -1527,3 +1527,59 @@ def kcore_copurchase(spark, sf_dir):
         .select("s1", "s2")
     )
     return k_core(e, "s1", "s2", k=4, max_rounds=8)
+
+
+@query(
+    "association_rules_parts",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ), nb AS (
+        SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM items
+    ), up AS (
+        SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS pair_cnt
+        FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), rules AS (
+        SELECT ia AS antecedent, ib AS consequent, pair_cnt FROM up
+        UNION ALL
+        SELECT ib AS antecedent, ia AS consequent, pair_cnt FROM up
+    ), counts AS (
+        SELECT i, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY i
+    )
+    SELECT r.antecedent, r.consequent, r.pair_cnt,
+           ca.c AS cnt_a, cb.c AS cnt_b,
+           round(CAST(r.pair_cnt AS DOUBLE) / CAST(nb.nb AS DOUBLE), 9)
+               AS support_r,
+           round(CAST(r.pair_cnt AS DOUBLE) / CAST(ca.c AS DOUBLE), 9)
+               AS confidence_r,
+           round(CAST(CAST(r.pair_cnt AS HUGEINT) * CAST(nb.nb AS HUGEINT)
+                      AS DOUBLE)
+                 / CAST(CAST(ca.c AS HUGEINT) * CAST(cb.c AS HUGEINT)
+                        AS DOUBLE), 6) AS lift_r,
+           CASE WHEN round(CAST(r.pair_cnt AS DOUBLE) / CAST(ca.c AS DOUBLE), 9)
+                     < 1.0
+                THEN round((1.0 - CAST(cb.c AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+                           / (1.0 - round(CAST(r.pair_cnt AS DOUBLE)
+                                          / CAST(ca.c AS DOUBLE), 9)), 9)
+           END AS conviction_r
+    FROM rules r
+    JOIN counts ca ON ca.i = r.antecedent
+    JOIN counts cb ON cb.i = r.consequent
+    CROSS JOIN nb
+    ORDER BY confidence_r DESC, r.pair_cnt DESC, r.antecedent, r.consequent
+    LIMIT 100
+    """,
+)
+def association_rules_parts(spark, sf_dir):
+    """Top-100 one-level association rules part_a→part_b over order
+    baskets: support, confidence, lift, conviction — the directional
+    cross-sell reading of copurchase_support_pairs, exact ratios on the
+    guard grid and a distributed TakeOrdered top-k. See
+    ``operators.graph.association_rules``."""
+    from artigraph_spark.operators.graph import association_rules
+
+    li = load(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_cnt=2, top_k=100
+    )

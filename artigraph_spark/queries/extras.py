@@ -3041,3 +3041,54 @@ def dp_noisy_counts_events(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return dp_noisy_counts(e, "event_type", epsilon=0.5, seed=11)
+
+
+@query(
+    "quantile_normalize_quantity",
+    oracle="""
+    WITH hist AS (
+        SELECT l_quantity AS v, CAST(count(*) AS BIGINT) AS f
+        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_quantity
+    ), cum AS (
+        SELECT v,
+               CAST(sum(f) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+               COALESCE(CAST(sum(f) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cumprev,
+               CAST(sum(f) OVER () AS BIGINT) AS N
+        FROM hist
+    ), ranked AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               CASE WHEN l_quantity IS NOT NULL THEN
+                   rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               END AS rg,
+               CAST(count(l_quantity) OVER (PARTITION BY l_returnflag)
+                    AS BIGINT) AS ng
+        FROM lineitem
+    )
+    SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag, r.l_quantity,
+           CASE WHEN r.rg IS NOT NULL THEN c.v END AS qn_value
+    FROM ranked r
+    LEFT JOIN cum c
+      ON r.rg IS NOT NULL
+     AND CAST(r.rg AS HUGEINT) * CAST(c.N AS HUGEINT)
+         > CAST(c.cumprev AS HUGEINT) * CAST(r.ng AS HUGEINT)
+     AND CAST(r.rg AS HUGEINT) * CAST(c.N AS HUGEINT)
+         <= CAST(c.cum AS HUGEINT) * CAST(r.ng AS HUGEINT)
+    """,
+)
+def quantile_normalize_quantity(spark, sf_dir):
+    """Quantile-normalize line-item quantities within each returnflag onto
+    the global quantity distribution — the batch-effect correction; the
+    rank→value mapping is four exact DECIMAL(38,0) products (ceil-free
+    interval arithmetic), the lookup a broadcast interval join against
+    the 50-row value histogram. See
+    ``operators.quality.quantile_normalize``."""
+    from artigraph_spark.operators.quality import quantile_normalize
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return quantile_normalize(li, "l_returnflag", "l_quantity")

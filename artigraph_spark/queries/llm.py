@@ -1753,3 +1753,94 @@ def bigram_logprob_docs(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return bigram_logprob_scores(d, "doc_id", "text")
+
+
+@query(
+    "zipf_slope_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x != '')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY tok
+    ), top AS (
+        SELECT tok, f, row_number() OVER (ORDER BY f DESC, tok) AS rnk
+        FROM freq
+        ORDER BY f DESC, tok LIMIT 200
+    ), pts AS (
+        SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+               round(ln(CAST(f AS DOUBLE)), 9) AS y
+        FROM top
+    ), pairs AS (
+        SELECT a.x AS xa, b.x AS xb, round((b.y - a.y) / (b.x - a.x), 9) AS sl
+        FROM pts a JOIN pts b ON a.x < b.x
+    ), ranked AS (
+        SELECT sl, row_number() OVER (ORDER BY sl, xa, xb) AS rn,
+               count(*) OVER () AS np
+        FROM pairs
+    )
+    SELECT CAST((SELECT count(*) FROM top) AS BIGINT) AS n_terms,
+           CAST((SELECT max(np) FROM ranked) AS BIGINT) AS n_pairs,
+           round(avg(sl), 9) AS slope_r
+    FROM ranked
+    WHERE rn = CAST(floor((np + 1) / 2.0) AS BIGINT)
+       OR rn = CAST(ceil((np + 1) / 2.0) AS BIGINT)
+    """,
+)
+def zipf_slope_docs(spark, sf_dir):
+    """Zipf-law corpus health audit: Theil–Sen slope of ln(frequency) vs
+    ln(rank) over the top-200 corpus tokens — natural language sits near
+    −1; a flat slope flags templated/synthetic text, a cliff flags
+    boilerplate domination. Composes the token frequency aggregate with
+    the robust-slope estimator on a 200-point summary (19 900 pairs —
+    nothing data-sized past the token count)."""
+    from pyspark.sql import Window
+
+    from artigraph_spark.operators.dedup import tokens
+    from artigraph_spark.operators.timeseries import theil_sen_slopes
+
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = freq.orderBy(F.col("f").desc(), F.col("tok")).limit(200)
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    pts = top.select(
+        F.lit("zipf").alias("g"),
+        F.round(F.log(F.row_number().over(w).cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 9).alias("y"),
+    )
+    ts = theil_sen_slopes(pts, "g", "x", "y")
+    return ts.select(
+        F.col("n_points").alias("n_terms"), "n_pairs", "slope_r"
+    )
+
+
+def _pca_project_oracle_sql(iterations: int, qbits: int, bits: int) -> str:
+    """The `_pca_oracle_sql` CTE chain extended with the per-vector
+    projection Σ c_i·v_i — pure int64 dot product of centered quantized
+    coordinates with the converged loadings."""
+    base = _pca_oracle_sql(iterations, qbits, bits)
+    head, _, _tail = base.rpartition("SELECT j AS dim")
+    return (
+        head
+        + f"""SELECT c.vec_id, CAST(SUM(c.c * vv.v) AS BIGINT) AS proj_fx
+    FROM centered c JOIN v{iterations} vv ON vv.j = c.i
+    GROUP BY c.vec_id"""
+    )
+
+
+@query("pca_project_embeddings", oracle=_pca_project_oracle_sql(12, 10, 20))
+def pca_project_embeddings(spark, sf_dir):
+    """Every embedding's projection onto the corpus's top principal
+    component — the score that orders the corpus along its dominant bias
+    direction (inspect extremes, or subtract for whitening); exact int64
+    dot products over the same fit the loadings query replays. See
+    ``operators.similarity.pca_project``."""
+    from artigraph_spark.operators.similarity import pca_project
+
+    e = load(spark, sf_dir, "embeddings")
+    return pca_project(e, iterations=12, qbits=10, bits=20)

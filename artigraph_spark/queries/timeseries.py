@@ -1252,3 +1252,67 @@ def stl_outliers_daily(spark, sf_dir):
         .cast("bigint")
         .alias("is_outlier"),
     )
+
+
+def _markov_stationary_oracle(iterations: int, bits: int, pbits: int) -> str:
+    """DuckDB replica of the fixed-point stationary-distribution loop
+    (operators/timeseries.py `markov_stationary`): quantized transition
+    matrix, one CTE per iteration (π is referenced once per level, so
+    plain CTEs stay linear — no MATERIALIZED needed)."""
+    one_b = float(1 << bits)
+    one_p = float(1 << pbits)
+    parts = [
+        f"""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL
+    ), c AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ), p AS (
+        SELECT src, dst,
+               CAST(floor(CAST(n AS DOUBLE) * {one_p!r}
+                   / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE))
+                   AS BIGINT) AS pfx
+        FROM c
+    ), ns AS (
+        SELECT CAST(count(DISTINCT src) AS BIGINT) AS k FROM p
+    ), pi0 AS (
+        SELECT DISTINCT src AS state,
+               CAST(floor({one_b!r} / (SELECT k FROM ns)) AS BIGINT) AS pi
+        FROM p
+    )"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""", pi{t} AS (
+        SELECT p.dst AS state,
+               CAST(SUM(CAST(floor(CAST(pi{t - 1}.pi * p.pfx AS DOUBLE)
+                   / {one_p!r}) AS BIGINT)) AS BIGINT) AS pi
+        FROM p JOIN pi{t - 1} ON pi{t - 1}.state = p.src
+        GROUP BY p.dst
+    )"""
+        )
+    parts.append(f"""
+    SELECT state, pi AS pi_fx FROM pi{iterations}""")
+    return "".join(parts)
+
+
+@query("markov_stationary_events", oracle=_markov_stationary_oracle(16, 30, 20))
+def markov_stationary_events(spark, sf_dir):
+    """Stationary distribution of the per-user event-type Markov chain —
+    long-run occupancy per state by fixed-point power iteration over the
+    quantized transition matrix; the summary event_transitions only
+    implies. Bit-replayed in the unrolled-CTE oracle. See
+    ``operators.timeseries.markov_stationary``."""
+    from artigraph_spark.operators.timeseries import markov_stationary
+
+    e = load(spark, sf_dir, "events")
+    return markov_stationary(
+        e, "user_id", "ts", "event_type", "event_id", iterations=16
+    )

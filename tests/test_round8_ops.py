@@ -338,3 +338,70 @@ def test_bigram_logprob_orders_garble_above_prose(spark):
     df2 = spark.createDataFrame([(1, "word"), (2, "two words")], "doc_id: bigint, text: string")
     got = {r["doc_id"] for r in bigram_logprob_scores(df2, "doc_id", "text").collect()}
     assert got == {2}
+
+
+def test_markov_stationary_absorbing_state(spark):
+    from artigraph_spark.operators.timeseries import markov_stationary
+
+    # b is absorbing (b->b always); a->b always: all mass ends in b
+    rows = []
+    for u in range(3):
+        for t, s in enumerate(["a", "b", "b", "b", "b"]):
+            rows.append((u, t, s, u * 10 + t))
+    df = spark.createDataFrame(rows, "u: bigint, ts: bigint, s: string, id: bigint")
+    out = {r["state"]: r["pi_fx"] for r in markov_stationary(
+        df, "u", "ts", "s", "id", iterations=12, bits=20
+    ).collect()}
+    one = 1 << 20
+    assert out["b"] > 0.99 * one and out.get("a", 0) == 0
+    with pytest.raises(ValueError, match="iterations"):
+        markov_stationary(df, "u", "ts", "s", "id", iterations=0)
+
+
+def test_association_rules_direction_and_conviction(spark):
+    from artigraph_spark.operators.graph import association_rules
+
+    # x appears in 4 baskets, y in 2 — both y-baskets contain x:
+    # y->x has confidence 1.0 (conviction NULL); x->y confidence 0.5
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "x")]
+    df = spark.createDataFrame(rows, "b: bigint, i: string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "b", "i", min_pair_cnt=1, top_k=10).collect()
+    }
+    yx = out[("y", "x")]
+    assert yx["confidence_r"] == 1.0 and yx["conviction_r"] is None
+    xy = out[("x", "y")]
+    assert xy["confidence_r"] == 0.5
+    assert xy["support_r"] == 0.5  # 2 of 4 baskets
+    # conviction x->y = (1 - 2/4) / (1 - 0.5) = 1.0 (independence)
+    assert xy["conviction_r"] == pytest.approx(1.0)
+    assert xy["lift_r"] == pytest.approx(1.0)  # 2*4/(4*2)
+
+
+def test_quantile_normalize_maps_groups_onto_global(spark):
+    from artigraph_spark.operators.quality import quantile_normalize
+
+    # group g1 = {1,2}, g2 = {10,20}; global sorted = [1,2,10,20]
+    # g1 rank 1/2 -> global ranks ceil(1*4/2)=2 -> 2, ceil(2*4/2)=4 -> 20
+    rows = [("g1", 1.0), ("g1", 2.0), ("g2", 10.0), ("g2", 20.0), ("g2", None)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    out = {(r["g"], r["v"]): r["qn_value"] for r in quantile_normalize(df, "g", "v").collect()}
+    assert out[("g1", 1.0)] == 2.0
+    assert out[("g1", 2.0)] == 20.0
+    # g2 rank 1/2 of 2 -> same mapping positions
+    assert out[("g2", 10.0)] == 2.0
+    assert out[("g2", 20.0)] == 20.0
+    assert out[("g2", None)] is None  # NULL passes through
+
+
+def test_pca_project_scores_align_with_dominant_dim(spark):
+    from artigraph_spark.operators.similarity import pca_project
+
+    rows = [(i, [4.0 if i % 2 == 0 else -4.0, 0.01 * (i % 3)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    out = {r["vec_id"]: r["proj_fx"] for r in pca_project(df, iterations=6).collect()}
+    evens = [out[i] for i in range(0, 20, 2)]
+    odds = [out[i] for i in range(1, 20, 2)]
+    # the two clusters sit on opposite sides of the component
+    assert (max(evens) < 0 < min(odds)) or (max(odds) < 0 < min(evens))
