@@ -115,7 +115,20 @@ MERGED_TYPE = at.Collection(
     )
 )
 
+DP_TYPE = at.Collection(
+    element=at.Struct(
+        fields={
+            "o_orderpriority": at.String(),
+            "n": at.Int64(),
+            "noise_r": at.Float64(),
+            "noisy_n_r": at.Float64(),
+        }
+    )
+)
+
 CUT = "1997-01-01"
+DP_EPSILON = 0.5
+DP_SEED = 11
 
 
 class Orders(Artifact):
@@ -177,6 +190,26 @@ class ClosenessAudit(Producer):
         )
         return t_closeness(
             qi, ["o_orderpriority", "order_month"], "o_orderstatus"
+        )
+
+
+class NoisyRelease(Producer):
+    """The release side of the privacy trio: the audits above say what
+    is UNSAFE to publish raw; this publishes the priority histogram
+    under the derandomized epsilon-DP Laplace mechanism (a memoized
+    re-build republishes the SAME noisy view — re-running must not
+    compose privacy budgets, which is exactly what the content-key
+    derandomization guarantees)."""
+
+    version = SemVer(major=1)
+
+    orders: Orders
+
+    def build(self, orders: DataFrame) -> DataFrame:
+        from artigraph_spark.operators.privacy import dp_noisy_counts
+
+        return dp_noisy_counts(
+            orders, "o_orderpriority", epsilon=DP_EPSILON, seed=DP_SEED
         )
 
 
@@ -247,6 +280,9 @@ def main() -> None:
             g.artifacts.merged = MergedSnapshot(orders=g.artifacts.orders).out(
                 Artifact(type=MERGED_TYPE, storage=LocalFile(root=root))
             )
+            g.artifacts.release = NoisyRelease(orders=g.artifacts.orders).out(
+                Artifact(type=DP_TYPE, storage=LocalFile(root=root))
+            )
         ex = LocalSparkExecutor()
         g.snapshot(strict_fingerprints=True).build(ex)
         return ex, g
@@ -275,6 +311,29 @@ def main() -> None:
     assert all(r["n_sensitive"] < 50 for r in ldiv)
     tclose = snap.read(g1.artifacts.tclose).collect()
     assert tclose and all(0.0 <= r["emd_r"] <= 1.0 for r in tclose)
+
+    # DP release: noise bounded by b*ln(p), additive consistency, and —
+    # the point of derandomization — recomputing the release NOW yields
+    # byte-identical noise to the stored artifact (a re-run republishes
+    # the same view instead of spending more privacy budget).
+    import math as _math
+
+    from artigraph_spark.operators.privacy import dp_noisy_counts
+
+    release = {r["o_orderpriority"]: r for r in snap.read(g1.artifacts.release).collect()}
+    b = 1.0 / DP_EPSILON
+    for r in release.values():
+        assert abs(r["noise_r"]) <= b * _math.log(1000000007.0)
+        assert abs(r["noisy_n_r"] - (r["n"] + r["noise_r"])) < 1e-9
+    recomputed = {
+        r["o_orderpriority"]: r
+        for r in dp_noisy_counts(
+            orders, "o_orderpriority", epsilon=DP_EPSILON, seed=DP_SEED
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in release.items()} == {
+        k: tuple(v) for k, v in recomputed.items()
+    }
 
     # cdc_apply ∘ snapshot_diff coherence: diff(base, merged) must report
     # exactly the added/removed/changed the changelog winners imply.
@@ -313,7 +372,7 @@ def main() -> None:
         f"kanon_violations={len(kanon)} ldiv_violations={len(ldiv)} "
         f"merged_rows={merged.count()} diff={got}"
     )
-    assert ex1.built_partitions == 5
+    assert ex1.built_partitions == 6
 
     ex2, _ = build_once()
     print(f"build 2: built={ex2.built_partitions} skipped={ex2.skipped_partitions}")
