@@ -751,3 +751,84 @@ def association_rules(
         return ranked.localCheckpoint(eager=True)
     finally:
         items.unpersist()
+
+
+def shortest_paths_bounded(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+    seeds: DataFrame,
+    *,
+    max_hops: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest distances using at most ``max_hops``
+    edges — the weighted sibling of :func:`bfs_hops` (bounded-hop
+    Bellman–Ford): per round every node relaxes to
+    ``min(dist, min over in-edges (dist(u) + w))``. The hop bound is the
+    SEMANTICS, not a convergence heuristic — "cheapest path within k
+    hops" is the cost-limited-reachability question (influence radius,
+    routing with a latency budget), deterministic by construction with
+    integer weights (exact int64 sums and mins; any engine agrees).
+
+    Scale shape: each round is one frontier-style equi-join
+    (edges ⋈ dist on the source endpoint), a map-side-combined
+    min-aggregate on the destination, and a union+min with the standing
+    distances — edge-linear, node-keyed shuffles. Each round's distance
+    frame is consumed TWICE next round (relax + carry), so rounds are
+    materialized through eager node-sized lineage cuts (the hits/k_core
+    convention; reliable files under ``checkpoint_dir`` for clusters).
+    Negative weights are rejected (bounded-hop relaxation is still
+    well-defined, but "shortest within k hops" under negative weights
+    is almost always a modeling error).
+
+    ``seeds`` is a one-column DataFrame of start nodes (distance 0).
+    Returns ``(node, dist)`` for nodes reachable within ``max_hops``.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be non-negative, got {max_hops}")
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__d"),
+        F.when(
+            F.col(weight) >= 0, F.col(weight).cast("long")
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("shortest_paths_bounded: negative weight "),
+                    F.col(weight).cast("string"),
+                )
+            )
+        )
+        .alias("__w"),
+    )
+    from pyspark import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    seed_col = seeds.columns[0]
+    dist = _ckpt(
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long")),
+        checkpoint_dir,
+    )
+    try:
+        for _ in range(max_hops):
+            relaxed = (
+                e.join(dist.withColumnRenamed("node", "__s"), "__s")
+                .select(
+                    F.col("__d").alias("node"),
+                    (F.col("dist") + F.col("__w")).alias("dist"),
+                )
+            )
+            dist = _ckpt(
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist")),
+                checkpoint_dir,
+            )
+        return dist
+    finally:
+        e.unpersist()

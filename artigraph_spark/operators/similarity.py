@@ -970,3 +970,113 @@ def pca_project(
         )
     finally:
         centered.unpersist()
+
+
+def l2_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    qbits: int = 12,
+) -> DataFrame:
+    """Exact top-k nearest neighbors by QUANTIZED squared L2 distance —
+    the metric that disagrees with cosine exactly when vector NORMS carry
+    signal (unnormalized embeddings, count vectors), and the second leg
+    of hybrid rank fusion. Coordinates quantize to ``floor(x·2^qbits)``
+    (the kmeans convention); the per-pair distance is a pure int64
+    ``Σ(Δq)²`` zip_with/aggregate — deterministic on any engine, ties
+    broken by neighbor id.
+
+    Same plan as cosine_topk_bruteforce: broadcast queries, one corpus
+    scan, WindowGroupLimit-pruned per-query top-k. Excludes self-matches.
+
+    Returns ``(query_id, neighbor_id, dist_q, rank)``.
+    """
+    one = float(1 << qbits)
+    quant = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.floor(x.cast("double") * F.lit(one)).cast("long")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quant(F.col(vec_col)).alias("__qq")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quant(F.col(vec_col)).alias("__cq")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("__cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("dist_q"))
+    )
+    return top_k_per_group(
+        scored,
+        "query_id",
+        [F.col("dist_q").asc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    )
+
+
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    *,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    top_k: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists —
+    ``rrf(item) = Σ_lists 1/(k0 + rank)`` — the standard hybrid-retrieval
+    combiner (BM25 ⊕ dense vectors in every RAG stack; k0=60 per the
+    original Cormack/Clarke/Buettcher setting): scale-free, so wildly
+    different score distributions fuse without calibration, and an item
+    missing from one list simply contributes no term.
+
+    Each term is a guard-grid double of exact integers; the per-item sum
+    rides the fixed-point path (order-independent for any list count)
+    and the fused top-k is totally ordered by (rrf desc, item) — fully
+    oracle-replayable. Cost: a union of the (already small) candidate
+    lists + one (query, item) aggregate; the expensive part is the
+    upstream rankers, which is the point of fusing cheap top-k lists.
+
+    Returns ``(query_id, item_id, rrf_r, fused_rank)``.
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if k0 <= 0 or top_k <= 0:
+        raise ValueError(f"k0 and top_k must be positive, got {k0}/{top_k}")
+    from artigraph_spark.functions import dsum
+
+    terms = [
+        r.select(
+            F.col(query_col).alias("__q"),
+            F.col(item_col).alias("__i"),
+            F.round(
+                F.lit(1.0) / (F.lit(k0) + F.col(rank_col)).cast("double"), 9
+            ).alias("__t"),
+        )
+        for r in rankings
+    ]
+    u = terms[0]
+    for t in terms[1:]:
+        u = u.unionByName(t)
+    fused = u.groupBy("__q", "__i").agg(F.round(dsum("__t"), 9).alias("rrf_r"))
+    out = top_k_per_group(
+        fused.select(
+            F.col("__q").alias(query_col),
+            F.col("__i").alias(item_col),
+            "rrf_r",
+        ),
+        query_col,
+        [F.col("rrf_r").desc(), F.col(item_col).asc()],
+        top_k,
+        rank_col="fused_rank",
+    )
+    return out

@@ -53,16 +53,17 @@ _PRIORITY: tuple[str, ...] = (
     # ROUND-8 ROTATION. Recorded-window history after r7 (computed from
     # CORRECTNESS_r0{1..7}.json at round start): 50 queries hold an r7
     # row, 47 an r6 row, 44 an r5 row, 49 an r4 row, and 28
-    # oracle-bearing queries are r3-stale. This round registered 21 new
+    # oracle-bearing queries are r3-stale. This round registered 23 new
     # oracle-bearing queries and changed 3 implementations via the
     # round-7 advice fixes (copurchase_support_pairs: DECIMAL(38,0) lift
     # widening; psi_price_drift: _clean routing; bloom_incremental_dedup:
     # stamped bits state — all value-identical on the fixtures per the
     # full oracle re-run, but the impls changed so they earn fresh rows).
-    # Window = 21 new + 3 impl-changed + 26 r3-stale (alphabetical;
-    # tfidf_terms and token_bpe_counts spill to r9 with the 49
-    # r4-stale) = exactly 50. The monotone-staleness rule holds: the
-    # window's oldest tier (r3) equals the oldest tier outside it.
+    # Window = 23 new + 3 impl-changed + 24 r3-stale (alphabetical;
+    # sort_limit_topk, text_quality_score, tfidf_terms, and
+    # token_bpe_counts spill to r9 with the 49 r4-stale) = exactly 50.
+    # The monotone-staleness rule holds: the window's oldest tier (r3)
+    # equals the oldest tier outside it.
     # (1) new this round — first driver rows
     "survival_km_users", "theil_sen_daily", "stl_outliers_daily",
     "mann_whitney_quantity", "welch_ttest_price", "bootstrap_ci_quantity",
@@ -72,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "kcore_copurchase", "bigram_logprob_docs", "association_rules_parts",
     "markov_stationary_events", "zipf_slope_docs",
     "quantile_normalize_quantity", "pca_project_embeddings",
+    "shortest_paths_copurchase", "rrf_hybrid_topk",
     # (2) implementation changed this round (r7-advice fixes)
     "copurchase_support_pairs", "psi_price_drift", "bloom_incremental_dedup",
     # (3) the 28 r3-stale oracle-bearing queries, alphabetical (all share
@@ -83,7 +85,6 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_cast", "scalar_conditional", "scalar_datetime", "scalar_math",
     "scalar_string", "set_except", "set_intersect", "set_intersect_all",
     "set_union_all", "set_union_distinct", "simhash_checked",
-    "sort_limit_topk", "text_quality_score",
 )
 
 

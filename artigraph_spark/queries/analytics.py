@@ -1583,3 +1583,75 @@ def association_rules_parts(spark, sf_dir):
     return association_rules(
         li, "l_orderkey", "l_partkey", min_pair_cnt=2, top_k=100
     )
+
+
+def _sp_oracle_sql(max_hops: int) -> str:
+    """DuckDB replica of the bounded-hop Bellman–Ford
+    (operators/graph.py `shortest_paths_bounded`) over the weighted
+    customer co-purchase graph: MATERIALIZED round CTEs (each references
+    its predecessor twice — relax + carry)."""
+    parts = [
+        """
+    WITH cp AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), pe AS MATERIALIZED (
+        SELECT a.ck AS s1, b.ck AS s2, CAST(count(*) AS BIGINT) AS c
+        FROM cp a JOIN cp b ON a.pk = b.pk AND a.ck < b.ck
+        GROUP BY a.ck, b.ck HAVING count(*) >= 4
+    ), e AS MATERIALIZED (
+        SELECT s1 AS s, s2 AS d, 1000000 // c + 1 AS w FROM pe
+        UNION ALL SELECT s2 AS s, s1 AS d, 1000000 // c + 1 AS w FROM pe
+    ), d0 AS MATERIALIZED (
+        SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS dist FROM e
+        WHERE s % 100 = 0
+    )"""
+    ]
+    for r in range(1, max_hops + 1):
+        parts.append(
+            f""", d{r} AS MATERIALIZED (
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM d{r - 1}
+            UNION ALL
+            SELECT e.d AS node, d{r - 1}.dist + e.w AS dist
+            FROM e JOIN d{r - 1} ON d{r - 1}.node = e.s
+        ) GROUP BY node
+    )"""
+        )
+    parts.append(f"""
+    SELECT node, dist FROM d{max_hops}""")
+    return "".join(parts)
+
+
+@query("shortest_paths_copurchase", oracle=_sp_oracle_sql(6))
+def shortest_paths_copurchase(spark, sf_dir):
+    """Cheapest ≤6-hop weighted distances from every 100th customer over
+    the co-purchase graph (edge weight 1000000 div shared-parts + 1 —
+    stronger ties are shorter): bounded-hop multi-source Bellman–Ford,
+    the weighted sibling of bfs_hops. Exact integer relaxation replays
+    in the MATERIALIZED-CTE oracle. See
+    ``operators.graph.shortest_paths_bounded``."""
+    from artigraph_spark.operators.graph import shortest_paths_bounded
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cp = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = cp.select(F.col("ck").alias("s1"), "pk")
+    b = cp.select(F.col("ck").alias("s2"), "pk")
+    pe = (
+        a.join(b, "pk")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 4)
+    )
+    w = F.expr("1000000 div c + 1")
+    e = pe.select(F.col("s1").alias("s"), F.col("s2").alias("d"), w.alias("w")).unionByName(
+        pe.select(F.col("s2").alias("s"), F.col("s1").alias("d"), w.alias("w"))
+    )
+    seeds = e.select("s").distinct().filter(F.col("s") % 100 == 0)
+    return shortest_paths_bounded(e, "s", "d", "w", seeds, max_hops=6)

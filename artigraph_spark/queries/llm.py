@@ -1844,3 +1844,84 @@ def pca_project_embeddings(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return pca_project(e, iterations=12, qbits=10, bits=20)
+
+
+@query(
+    "rrf_hybrid_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), cos_scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               (CAST(list_sum(list_transform(list_zip(q.qv, c.embedding),
+                   p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+               / (
+                 sqrt(CAST(list_sum(list_transform(q.qv,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+                 *
+                 sqrt(CAST(list_sum(list_transform(c.embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+               ) AS s
+        FROM embeddings c, q
+        WHERE c.vec_id != q.query_id
+    ), cos_rank AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, neighbor_id) AS rank
+        FROM cos_scored QUALIFY rank <= 20
+    ), l2_scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(list_zip(q.qv, c.embedding),
+                   p -> (CAST(floor(CAST(p[1] AS DOUBLE) * 4096.0) AS BIGINT)
+                         - CAST(floor(CAST(p[2] AS DOUBLE) * 4096.0) AS BIGINT))
+                        * (CAST(floor(CAST(p[1] AS DOUBLE) * 4096.0) AS BIGINT)
+                           - CAST(floor(CAST(p[2] AS DOUBLE) * 4096.0) AS BIGINT))))
+                   AS BIGINT) AS d
+        FROM embeddings c, q
+        WHERE c.vec_id != q.query_id
+    ), l2_rank AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d ASC, neighbor_id) AS rank
+        FROM l2_scored QUALIFY rank <= 20
+    ), terms AS (
+        SELECT query_id, neighbor_id,
+               round(1.0 / CAST(60 + rank AS DOUBLE), 9) AS t FROM cos_rank
+        UNION ALL
+        SELECT query_id, neighbor_id,
+               round(1.0 / CAST(60 + rank AS DOUBLE), 9) AS t FROM l2_rank
+    ), fused AS (
+        SELECT query_id, neighbor_id,
+               round(CAST(SUM(CAST(floor(t * 1048576.0) AS BIGINT)) AS DOUBLE)
+                     / 1048576.0, 9) AS rrf_r
+        FROM terms GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf_r, fused_rank FROM (
+        SELECT query_id, neighbor_id, rrf_r,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_r DESC, neighbor_id) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= 5
+    """,
+)
+def rrf_hybrid_topk(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion: per query vector, fuse
+    the cosine top-20 with the quantized-L2 top-20 (the two metrics
+    disagree exactly when norms carry signal) into a calibration-free
+    fused top-5 — the RAG-stack combiner shape (BM25 ⊕ dense). See
+    ``operators.similarity.reciprocal_rank_fusion`` / ``l2_topk_quantized``."""
+    from artigraph_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        l2_topk_quantized,
+        reciprocal_rank_fusion,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    cos = cosine_topk_bruteforce(e, q, id_col="vec_id", vec_col="embedding", k=20)
+    l2 = l2_topk_quantized(e, q, id_col="vec_id", vec_col="embedding", k=20)
+    return reciprocal_rank_fusion([cos, l2], k0=60, top_k=5)

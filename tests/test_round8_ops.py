@@ -405,3 +405,68 @@ def test_pca_project_scores_align_with_dominant_dim(spark):
     odds = [out[i] for i in range(1, 20, 2)]
     # the two clusters sit on opposite sides of the component
     assert (max(evens) < 0 < min(odds)) or (max(odds) < 0 < min(evens))
+
+
+def test_shortest_paths_bounded_weighted(spark):
+    from artigraph_spark.operators.graph import shortest_paths_bounded
+
+    # 1->2 (w 10), 2->3 (w 10), 1->3 (w 25): 2 hops beat the direct edge
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 10), (1, 3, 25), (3, 4, 1)],
+        "s: bigint, d: bigint, w: bigint",
+    )
+    seeds = spark.createDataFrame([(1,)], "n: bigint")
+    out = {r["node"]: r["dist"] for r in shortest_paths_bounded(
+        edges, "s", "d", "w", seeds, max_hops=3
+    ).collect()}
+    assert out == {1: 0, 2: 10, 3: 20, 4: 21}
+    # hop bound is semantics: with 1 hop the direct edge wins
+    one_hop = {r["node"]: r["dist"] for r in shortest_paths_bounded(
+        edges, "s", "d", "w", seeds, max_hops=1
+    ).collect()}
+    assert one_hop[3] == 25
+    import pytest as _pytest
+
+    neg = spark.createDataFrame([(1, 2, -1)], "s: bigint, d: bigint, w: bigint")
+    with _pytest.raises(Exception, match="negative weight"):
+        shortest_paths_bounded(neg, "s", "d", "w", seeds, max_hops=1).collect()
+
+
+def test_rrf_fusion_prefers_items_on_both_lists(spark):
+    from artigraph_spark.operators.similarity import reciprocal_rank_fusion
+
+    a = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2), (1, "z", 3)], "query_id: bigint, neighbor_id: string, rank: int"
+    )
+    b = spark.createDataFrame(
+        [(1, "y", 1), (1, "w", 2)], "query_id: bigint, neighbor_id: string, rank: int"
+    )
+    out = {r["neighbor_id"]: r for r in reciprocal_rank_fusion([a, b], top_k=4).collect()}
+    # y is on both lists: 1/62 + 1/61 beats x's 1/61 alone
+    assert out["y"]["fused_rank"] == 1
+    assert out["x"]["fused_rank"] == 2
+    assert out["y"]["rrf_r"] == pytest.approx(
+        round(round(1 / 62, 9) + round(1 / 61, 9), 9), abs=2e-6
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        reciprocal_rank_fusion([])
+
+
+def test_l2_vs_cosine_rankings_disagree_on_norms(spark):
+    from artigraph_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        l2_topk_quantized,
+    )
+
+    # neighbor 10 points the same direction as the query but far away;
+    # neighbor 11 is nearby but less aligned: cosine picks 10, L2 picks 11
+    rows = [
+        (0, [1.0, 0.0]),
+        (10, [10.0, 0.0]),
+        (11, [0.9, 0.4]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    cos1 = cosine_topk_bruteforce(df, q, k=1).collect()[0]["neighbor_id"]
+    l21 = l2_topk_quantized(df, q, k=1).collect()[0]["neighbor_id"]
+    assert cos1 == 10 and l21 == 11
