@@ -1418,8 +1418,12 @@ def mann_whitney_u(
     from pyspark.sql import Window
 
     g, v = F.col(group_col), F.col(value_col)
+    # NaN values are excluded like NULLs (standard practice; counting
+    # them would also make n_a/n_b silently include rows that carry no
+    # orderable value — both engines sort NaN last, so the histogram
+    # would stay consistent but the statistic would be wrong).
     hist = (
-        df.filter(v.isNotNull() & g.isin(group_a, group_b))
+        df.filter(v.isNotNull() & ~F.isnan(v) & g.isin(group_a, group_b))
         .groupBy(value_col)
         .agg(
             F.sum(F.when(g == group_a, 1).otherwise(0)).alias("__a"),
@@ -1505,7 +1509,9 @@ def welch_ttest(
     from artigraph_spark.functions import davg, dvar_samp
 
     g, v = F.col(group_col), F.col(value_col)
-    base = df.filter(v.isNotNull() & g.isin(group_a, group_b))
+    # NaN excluded like NULL: fxp(NaN) drops out of the fixed-point sums
+    # but F.count would still count the row — a silently wrong mean.
+    base = df.filter(v.isNotNull() & ~F.isnan(v) & g.isin(group_a, group_b))
     va_col = F.when(g == group_a, v)
     vb_col = F.when(g == group_b, v)
     s = base.agg(
@@ -1582,7 +1588,8 @@ def bootstrap_ci_mean(
     if not (0.0 < alpha < 1.0):
         raise ValueError(f"alpha must be in (0,1), got {alpha}")
     v = F.col(value_col)
-    base = df.filter(v.isNotNull()).select(
+    # NaN excluded like NULL (fxp(NaN) vanishes from sums but not counts)
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
         key.cast("bigint").alias("__k"), v.alias("__v")
     )
     full = base.agg(F.round(davg("__v"), 9).alias("mean_full_r"))
@@ -1701,13 +1708,16 @@ def quantile_normalize(
     from pyspark.sql import Window
 
     v = F.col(value_col)
+    ok = v.isNotNull() & ~F.isnan(v)  # NaN behaves like NULL throughout
     wg = Window.partitionBy(group_col)
     # NULLS LAST, the rank_normalize lesson: Spark's asc sorts NULLs
     # FIRST (DuckDB LAST), which would inflate every non-null rank by
     # the group's NULL count and shift the whole mapping cross-engine.
+    # NaN sorts LAST on both engines, but excluding it from the rank
+    # entirely (the `ok` guard below) keeps it out of n_g as well.
     wr = Window.partitionBy(group_col).orderBy(v.asc_nulls_last())
     hist = (
-        df.filter(v.isNotNull())
+        df.filter(ok)
         .groupBy(v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__f"))
     )
@@ -1721,8 +1731,10 @@ def quantile_normalize(
         F.sum("__f").over(Window.partitionBy()).alias("__N"),
     )
     ranked = df.withColumn(
-        "__rg", F.when(v.isNotNull(), F.rank().over(wr))
-    ).withColumn("__ng", F.count(v).over(wg))
+        "__rg", F.when(ok, F.rank().over(wr))
+    ).withColumn(
+        "__ng", F.sum(F.when(ok, 1).otherwise(0)).over(wg)
+    )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     a = dec(F.col("__rg")) * dec(F.col("__N"))  # r_g·N, exact
     matched = ranked.join(

@@ -1005,7 +1005,22 @@ def kaplan_meier(
         .groupBy(dur.alias("duration"))
         .agg(
             F.sum(F.when(obs == 1, 1).otherwise(0)).alias("n_event"),
-            F.sum(F.when(obs == 1, 0).otherwise(1)).alias("n_censored"),
+            # an observed flag outside {0,1} silently counting as
+            # censored would bias the curve — raise instead (the
+            # cdc_apply unknown-op convention; evaluated per input row,
+            # cheap next to the aggregate it feeds)
+            F.sum(
+                F.when(obs == 1, 0)
+                .when(obs == 0, 1)
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("kaplan_meier: observed flag must be 0/1, got "),
+                            obs.cast("string"),
+                        )
+                    )
+                )
+            ).alias("n_censored"),
         )
     )
     wo = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
@@ -1085,7 +1100,13 @@ def theil_sen_slopes(
         F.col(group_col).alias("__g"),
         F.col(x_col).cast("double").alias("__x"),
         F.col(y_col).cast("double").alias("__y"),
-    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    ).filter(
+        F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+        # NaN points would poison every pairwise slope they touch
+        & ~F.isnan(F.col("__x"))
+        & ~F.isnan(F.col("__y"))
+    )
     a = s.select("__g", F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
     b = s.select("__g", F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
     pairs = (

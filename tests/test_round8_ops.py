@@ -470,3 +470,42 @@ def test_l2_vs_cosine_rankings_disagree_on_norms(spark):
     cos1 = cosine_topk_bruteforce(df, q, k=1).collect()[0]["neighbor_id"]
     l21 = l2_topk_quantized(df, q, k=1).collect()[0]["neighbor_id"]
     assert cos1 == 10 and l21 == 11
+
+
+def test_nan_values_excluded_like_null_across_r8_stats(spark):
+    """NaN must behave like NULL in every r8 numeric operator: before the
+    guards, fxp(NaN) silently vanished from the SUMS while F.count still
+    counted the row — a wrong mean with no error."""
+    from artigraph_spark.operators.quality import (
+        bootstrap_ci_mean,
+        mann_whitney_u,
+        quantile_normalize,
+        welch_ttest,
+    )
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", nan), ("A", 3.0), ("B", 2.0), ("B", 4.0)],
+        "g: string, v: double",
+    )
+    w = welch_ttest(df, "g", "v", "A", "B").collect()[0]
+    assert w["n_a"] == 2 and w["mean_a_r"] == pytest.approx(2.0, abs=1e-6)
+    m = mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
+    assert (m["n_a"], m["n_b"]) == (2, 2)
+    kdf = df.select(F.monotonically_increasing_id().alias("k"), "v")
+    b = bootstrap_ci_mean(kdf, F.col("k"), "v", replicates=3).collect()[0]
+    assert b["mean_full_r"] == pytest.approx(2.5, abs=1e-6)  # (1+3+2+4)/4
+    qn = {
+        (r["g"], str(r["v"])): r["qn_value"]
+        for r in quantile_normalize(df, "g", "v").collect()
+    }
+    assert qn[("A", "nan")] is None  # NaN row passes through with NULL
+    assert qn[("A", "1.0")] is not None
+
+
+def test_kaplan_meier_rejects_invalid_observed_flag(spark):
+    from artigraph_spark.operators.timeseries import kaplan_meier
+
+    df = spark.createDataFrame([(1, 1), (2, 2)], "d: bigint, obs: int")
+    with pytest.raises(Exception, match="observed flag must be 0/1"):
+        kaplan_meier(df, "d", "obs").collect()
