@@ -1181,7 +1181,11 @@ def markov_stationary(
     grows linearly and needs no per-round cuts.
 
     Returns ``(state, pi_fx)`` — fixed-point occupancy at scale 2^bits
-    for every state with at least one outgoing transition.
+    for every state the final round reached as a destination. A pure
+    SINK state (inbound transitions, none outbound) holds exactly one
+    round of inbound mass and re-leaks it next round — the pagerank
+    dangling-node convention; model an absorbing state explicitly with
+    a self-loop if retention is intended.
     """
     if iterations <= 0:
         raise ValueError(f"iterations must be positive, got {iterations}")

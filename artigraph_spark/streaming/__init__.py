@@ -879,3 +879,60 @@ def _hadoop_write_text(spark, fs, hpath, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+
+
+def stateful_transitions(events: DataFrame) -> DataFrame:
+    """Stateful streaming sequence mining: per-user (src → dst) next-event
+    pairs across micro-batch boundaries via ``applyInPandasWithState`` —
+    the streaming twin of ``operators.timeseries.transition_matrix``'s
+    pair extraction. Each user's state is their LAST event
+    (µs timestamp, event id, type); a batch sorts its own rows by
+    ``(ts, event_id)`` (intra-batch disorder is fine), stitches the
+    carried last event onto the front, emits every consecutive pair in
+    append mode, and stores the new last event.
+
+    ORDER CONTRACT: across batches the source must deliver each user's
+    events in event-time order (the log-tail/CDC shape) — a later batch
+    carrying an EARLIER event would stitch a pair that never happened.
+    Within a batch, order is free. State is three scalars per user;
+    output pairs are append-only, so the downstream transition matrix is
+    a plain batch aggregate over the collected pairs.
+
+    Batch twin parity: ``transition_matrix(events, ...)``'s pair multiset
+    equals the union of emitted pairs when the order contract holds —
+    asserted over a time-sliced bounded stream in tests.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.dropna(subset=["ts", "event_type"])
+        if len(batch) == 0:
+            yield pd.DataFrame({"user_id": [], "src": [], "dst": []})
+            return
+        batch["__us"] = batch["ts"].astype("int64") // 1000
+        batch = batch.sort_values(["__us", "event_id"], kind="mergesort")
+        types = batch["event_type"].tolist()
+        if state.exists:
+            _last_us, _last_id, last_type = state.get
+            seq = [last_type, *types]
+        else:
+            seq = types
+        last = batch.iloc[-1]
+        state.update((int(last["__us"]), int(last["event_id"]), str(last["event_type"])))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * (len(seq) - 1),
+                "src": seq[:-1],
+                "dst": seq[1:],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, src string, dst string",
+        stateStructType="last_us long, last_id long, last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1019,3 +1019,65 @@ def test_stream_sink_refuses_non_epoch_layout(spark, tmp_path):
         stx.stream_to_partitioned_sink(
             events, str(out), checkpoint=str(tmp_path / "ckpt")
         )
+
+
+def test_stateful_transitions_parity_with_batch_matrix(spark, tmp_path):
+    """stateful_transitions stitches per-user next-event pairs across REAL
+    micro-batch boundaries; over a TIME-SLICED bounded stream (the order
+    contract: each user's events arrive in event-time order across
+    batches) the emitted pair multiset must equal the batch
+    transition_matrix extraction exactly."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.timeseries import transition_matrix
+    from artigraph_spark.sources import load
+
+    events = load(spark, SF_DIR, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    import datetime as dt
+
+    span = (hi - lo) / 3
+    src = tmp_path / "events_sliced"
+    src.mkdir()
+    # one file per time slice, strictly increasing mtimes so the file
+    # source triggers them in event-time order
+    import glob
+    import shutil
+
+    for k in range(3):
+        a = lo + k * span
+        b = hi + dt.timedelta(seconds=1) if k == 2 else lo + (k + 1) * span
+        part = events.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b)))
+        tmp_out = str(tmp_path / f"slice_out_{k}")
+        part.coalesce(1).write.parquet(tmp_out)
+        part_file = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        path = str(src / f"slice_{k}.parquet")
+        shutil.move(part_file, path)
+        ts = time.time() + k  # monotone mtimes, 1s apart
+        os.utime(path, (ts, ts))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    pairs = stx.run_stream_to_batch(
+        stx.stateful_transitions(stream),
+        query_name="t_transitions",
+        output_mode="append",
+    )
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in pairs.groupBy("src", "dst").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        (r["src"], r["dst"]): r["n_transitions"]
+        for r in transition_matrix(
+            events, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert got == want
