@@ -1749,3 +1749,102 @@ def quantile_normalize(
         *keep,
         F.when(F.col("__rg").isNotNull(), F.col("__v")).alias(out_col),
     )
+
+
+def lorenz_points(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    buckets: int = 10,
+    prescaled: bool = False,
+) -> DataFrame:
+    """Lorenz-curve points per group: for each population decile (by
+    ascending value), the cumulative share of the total value that the
+    bottom d/``buckets`` of units holds — the CURVE behind
+    :func:`gini_by_group`'s single number ("the bottom 50% of customers
+    carry 12% of revenue"), concentration reporting every revenue/token/
+    traffic audit plots.
+
+    Exactness: units rank by ``(value, unit id implied by input order —
+    pass pre-aggregated unique units)`` via a per-group window; decile
+    assignment is the feature_bins integer form
+    ``(buckets·rank + n − 1) div n`` (positive operands — Spark's
+    truncating div equals DuckDB's floor div); value mass rides exact
+    fixed-point int64 sums and the two shares are single divisions on
+    the guard grid.
+
+    Scale: one per-group window sort over UNITS (pre-aggregate raw rows
+    to units first — that reduction is the data-sized shuffle), then a
+    buckets-sized summary per group. Negative values are allowed (the
+    curve can dip below zero, as real Lorenz curves do for net-loss
+    units); NULL values are excluded.
+
+    Returns ``(group, bucket, n_units, pop_share_r, value_share_r)``
+    ordered within group by bucket — value_share_r is cumulative.
+    """
+    from pyspark.sql import Window
+
+    from artigraph_spark.functions import fxp
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    v = F.col(value_col)
+    # prescaled=True: the caller already delivers exact fixed-point
+    # int64 units (e.g. F.sum(fxp(x)) per unit — REQUIRED when the unit
+    # value is itself an aggregate: fxp(F.sum(double)) would quantize an
+    # order-dependent double sum and drift cross-engine).
+    unit_val = v.cast("long") if prescaled else fxp(v)
+    nan_guard = (
+        F.lit(True) if prescaled else ~F.isnan(v.cast("double"))
+    )
+    base = df.filter(v.isNotNull() & nan_guard).select(
+        F.col(group_col).alias("__g"), unit_val.alias("__vfx")
+    )
+    wg = Window.partitionBy("__g")
+    # row_number over value alone: tie ORDER is arbitrary, but tied units
+    # carry identical __vfx, so every bucket's sum and count are
+    # tie-permutation-invariant (the gini_by_group argument) — outputs
+    # are deterministic without a unit-id tiebreak column.
+    wr = Window.partitionBy("__g").orderBy("__vfx")
+    ranked = base.select(
+        "__g",
+        "__vfx",
+        F.row_number().over(wr).alias("__r"),
+        F.count(F.lit(1)).over(wg).alias("__n"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    bucketed = ranked.select(
+        "__g",
+        "__vfx",
+        "__n",
+        F.expr(f"({buckets} * __r + __n - 1) div __n").alias("__b"),
+    )
+    per_bucket = bucketed.groupBy("__g", "__b").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(dec(F.col("__vfx"))).alias("__bs"),
+        F.max("__n").alias("__n"),
+    )
+    wo = Window.partitionBy("__g").orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("__g")
+    return per_bucket.select(
+        F.col("__g").alias(group_col),
+        F.col("__b").alias("bucket"),
+        "n_units",
+        F.round(
+            F.sum("n_units").over(wo).cast("double") / F.col("__n").cast("double"),
+            9,
+        ).alias("pop_share_r"),
+        # NULL share when the group's total mass is exactly 0 (shares are
+        # undefined; the unguarded division is an ANSI abort)
+        F.when(
+            F.sum("__bs").over(wt) != 0,
+            F.round(
+                F.sum("__bs").over(wo).cast("double")
+                / F.sum("__bs").over(wt).cast("double"),
+                9,
+            ),
+        ).alias("value_share_r"),
+    )

@@ -3092,3 +3092,63 @@ def quantile_normalize_quantity(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )
     return quantile_normalize(li, "l_returnflag", "l_quantity")
+
+
+@query(
+    "lorenz_spend_by_nation",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_nationkey,
+               CAST(SUM(CAST(floor(o.o_totalprice * 1048576.0) AS BIGINT))
+                    AS BIGINT) AS vfx
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_nationkey
+    ), ranked AS (
+        SELECT n.n_name AS nation, vfx,
+               row_number() OVER (PARTITION BY n.n_name ORDER BY vfx) AS r,
+               count(*) OVER (PARTITION BY n.n_name) AS n
+        FROM cust JOIN nation n ON n.n_nationkey = cust.c_nationkey
+    ), b AS (
+        SELECT nation, vfx, n, (10 * r + n - 1) // n AS bucket FROM ranked
+    ), pb AS (
+        SELECT nation, bucket, CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(vfx) AS HUGEINT) AS bs, CAST(max(n) AS BIGINT) AS n
+        FROM b GROUP BY nation, bucket
+    )
+    SELECT nation, bucket, n_units,
+           round(CAST(sum(n_units) OVER (PARTITION BY nation ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pop_share_r,
+           CASE WHEN sum(bs) OVER (PARTITION BY nation) != 0 THEN
+               round(CAST(sum(bs) OVER (PARTITION BY nation ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS DOUBLE)
+                     / CAST(sum(bs) OVER (PARTITION BY nation) AS DOUBLE), 9)
+           END AS value_share_r
+    FROM pb
+    """,
+)
+def lorenz_spend_by_nation(spark, sf_dir):
+    """Lorenz-curve decile points of customer spend per nation — the curve
+    behind gini_spend_by_nation's single number ("the bottom 30% of
+    customers carry X% of revenue"). Units are per-customer fixed-point
+    spend totals; deciles use the feature_bins integer rank arithmetic.
+    See ``operators.quality.lorenz_points``."""
+    from artigraph_spark.operators.quality import lorenz_points
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    from artigraph_spark.functions import fxp
+
+    # per-customer spend through the fixed-point path (a raw double SUM
+    # is partial-aggregation-order-dependent — the dsum lesson); the
+    # operator consumes the already-exact fixed-point units directly.
+    cust = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(fxp("o_totalprice")).alias("spend_fx"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(F.col("n_name").alias("nation"), "spend_fx")
+    )
+    return lorenz_points(cust, "nation", "spend_fx", buckets=10, prescaled=True)

@@ -1925,3 +1925,83 @@ def rrf_hybrid_topk(spark, sf_dir):
     cos = cosine_topk_bruteforce(e, q, id_col="vec_id", vec_col="embedding", k=20)
     l2 = l2_topk_quantized(e, q, id_col="vec_id", vec_col="embedding", k=20)
     return reciprocal_rank_fusion([cos, l2], k0=60, top_k=5)
+
+
+def _mixed_lang_oracle() -> str:
+    """Chunk-level language-consistency oracle, generated from the same
+    LANG_MARKERS and the chunk_documents 32/24 window arithmetic so
+    neither lexicon nor chunking can drift from the Spark side."""
+    from artigraph_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ",\n               ".join(
+        "len(list_filter(ctoks, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], t))) AS s_{lang}"
+        for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = "\n                ".join(
+        f"WHEN s_{lang} = __m__ THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x != '') AS t
+        FROM documents
+    ), d AS (
+        SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), c AS (
+        SELECT doc_id, t, n,
+               CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END AS k
+        FROM d
+    ), chunks AS (
+        SELECT doc_id, list_slice(t, u.i * 24 + 1, u.i * 24 + 32) AS ctoks
+        FROM c, UNNEST(range(0, k)) AS u(i)
+    ), scored AS (
+        SELECT doc_id,
+               {score_exprs}
+        FROM chunks
+    ), pred AS (
+        SELECT doc_id,
+               CASE WHEN __m__ = 0 THEN 'und'
+                    {cases}
+               END AS cl
+        FROM (SELECT *, {greatest} AS __m__ FROM scored)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT CASE WHEN cl != 'und' THEN cl END)
+                AS BIGINT) AS n_langs,
+           min(CASE WHEN cl != 'und' THEN cl END) AS lang_min,
+           CAST(CASE WHEN count(DISTINCT CASE WHEN cl != 'und' THEN cl END) > 1
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+    FROM pred GROUP BY doc_id
+    """
+
+
+@query("mixed_language_docs", oracle=_mixed_lang_oracle())
+def mixed_language_docs(spark, sf_dir):
+    """Chunk-level language-consistency audit: chunk each document
+    (32-token windows, stride 24), language-ID every chunk, and flag
+    documents whose chunks disagree — concatenation/boilerplate-splice
+    detection that document-level language ID is blind to (the doc-level
+    argmax just picks the majority half). Composes chunk_documents with
+    predict_language; one explode + per-doc aggregate."""
+    from artigraph_spark.operators.text import chunk_documents, predict_language
+
+    d = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, "doc_id", "text", chunk_size=32, stride=24)
+    pred = chunks.select(
+        "doc_id", predict_language(F.col("chunk_text")).alias("cl")
+    )
+    known = F.when(F.col("cl") != "und", F.col("cl"))
+    return (
+        pred.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct(known).alias("n_langs"),
+            F.min(known).alias("lang_min"),
+        )
+        .withColumn("is_mixed", (F.col("n_langs") > 1).cast("bigint"))
+    )

@@ -509,3 +509,22 @@ def test_kaplan_meier_rejects_invalid_observed_flag(spark):
     df = spark.createDataFrame([(1, 1), (2, 2)], "d: bigint, obs: int")
     with pytest.raises(Exception, match="observed flag must be 0/1"):
         kaplan_meier(df, "d", "obs").collect()
+
+
+def test_lorenz_points_hand_computed(spark):
+    from artigraph_spark.operators.quality import lorenz_points
+
+    # one group, values 1..4, 2 buckets: bottom half holds (1+2)/10
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4)], "g: string, v: double"
+    )
+    out = {r["bucket"]: r for r in lorenz_points(df, "g", "v", buckets=2).collect()}
+    assert out[1]["pop_share_r"] == 0.5
+    assert out[1]["value_share_r"] == pytest.approx(0.3)
+    assert out[2]["pop_share_r"] == 1.0 and out[2]["value_share_r"] == pytest.approx(1.0)
+    # zero-total group: shares NULL instead of an ANSI divide-by-zero
+    z = spark.createDataFrame([("z", 0.0), ("z", 0.0)], "g: string, v: double")
+    zo = lorenz_points(z, "g", "v", buckets=2).collect()
+    assert all(r["value_share_r"] is None for r in zo)
+    with pytest.raises(ValueError, match="buckets"):
+        lorenz_points(df, "g", "v", buckets=1)
