@@ -1080,3 +1080,67 @@ def reciprocal_rank_fusion(
         rank_col="fused_rank",
     )
     return out
+
+
+def pca_explained(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 12,
+    qbits: int = 10,
+    bits: int = 20,
+) -> DataFrame:
+    """Per-vector fraction of (quantized, centered) energy explained by
+    the top principal component — the whitening diagnostic that closes
+    the PCA family: a corpus where most vectors sit near 1.0 is
+    one-dimensional (embedding collapse / dominant bias); near 0.0 the
+    component is irrelevant to that vector.
+
+    Exact arithmetic end-to-end: by Cauchy–Schwarz the explained
+    fraction is ``proj² / (‖c‖²·‖v‖²) ∈ [0,1]`` with ``proj = Σc_i·v_i``
+    — all three factors exact int64 sums, the squares and the cross
+    product widened through DECIMAL(38,0) (proj² alone reaches
+    2^(2·(qbits+bits)+2·log2(d)) ≈ 2^72 at the defaults), and ONE double
+    division on the guard grid. Zero-energy vectors (all coordinates
+    quantize to the mean) report NULL.
+
+    Plan: the pca_project join plus one more map-side-combined per-id
+    sum (‖c‖²) and a broadcast single-row ‖v‖² cross join.
+
+    Returns ``(id, frac_explained_r)``.
+    """
+    from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
+
+    centered, v = _pca_fit(
+        df, id_col=id_col, vec_col=vec_col, iterations=iterations,
+        qbits=qbits, bits=bits,
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    try:
+        vv = v.agg(F.sum(F.col("v") * F.col("v")).alias("__vv"))
+        per_id = (
+            centered.join(F.broadcast(v.withColumnRenamed("j", "__i")), "__i")
+            .groupBy(F.col("__id"))
+            .agg(
+                F.sum(F.col("__c") * F.col("v")).alias("__proj"),
+                F.sum(F.col("__c") * F.col("__c")).alias("__cc"),
+            )
+        )
+        return _ckpt(
+            per_id.crossJoin(F.broadcast(vv)).select(
+                F.col("__id").alias(id_col),
+                F.when(
+                    (F.col("__cc") > 0) & (F.col("__vv") > 0),
+                    F.round(
+                        (dec(F.col("__proj")) * dec(F.col("__proj")))
+                        .cast("double")
+                        / (dec(F.col("__cc")) * dec(F.col("__vv"))).cast("double"),
+                        9,
+                    ),
+                ).alias("frac_explained_r"),
+            ),
+            None,
+        )
+    finally:
+        centered.unpersist()

@@ -53,16 +53,16 @@ _PRIORITY: tuple[str, ...] = (
     # ROUND-8 ROTATION. Recorded-window history after r7 (computed from
     # CORRECTNESS_r0{1..7}.json at round start): 50 queries hold an r7
     # row, 47 an r6 row, 44 an r5 row, 49 an r4 row, and 28
-    # oracle-bearing queries are r3-stale. This round registered 25 new
+    # oracle-bearing queries are r3-stale. This round registered 26 new
     # oracle-bearing queries and changed 3 implementations via the
     # round-7 advice fixes (copurchase_support_pairs: DECIMAL(38,0) lift
     # widening; psi_price_drift: _clean routing; bloom_incremental_dedup:
     # stamped bits state — all value-identical on the fixtures per the
     # full oracle re-run, but the impls changed so they earn fresh rows).
-    # Window = 25 new + 3 impl-changed + 22 r3-stale (alphabetical;
-    # set_union_distinct, simhash_checked, sort_limit_topk,
-    # text_quality_score, tfidf_terms, and token_bpe_counts spill to r9
-    # with the 49 r4-stale) = exactly 50.
+    # Window = 26 new + 3 impl-changed + 21 r3-stale (alphabetical;
+    # set_union_all, set_union_distinct, simhash_checked,
+    # sort_limit_topk, text_quality_score, tfidf_terms, and
+    # token_bpe_counts spill to r9 with the 49 r4-stale) = exactly 50.
     # The monotone-staleness rule holds: the window's oldest tier (r3)
     # equals the oldest tier outside it.
     # (1) new this round — first driver rows
@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "quantile_normalize_quantity", "pca_project_embeddings",
     "shortest_paths_copurchase", "rrf_hybrid_topk",
     "lorenz_spend_by_nation", "mixed_language_docs",
+    "pca_explained_embeddings",
     # (2) implementation changed this round (r7-advice fixes)
     "copurchase_support_pairs", "psi_price_drift", "bloom_incremental_dedup",
     # (3) the 28 r3-stale oracle-bearing queries, alphabetical (all share
@@ -86,7 +87,6 @@ _PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_pairs", "proj_select_rename", "sample_deterministic",
     "scalar_cast", "scalar_conditional", "scalar_datetime", "scalar_math",
     "scalar_string", "set_except", "set_intersect", "set_intersect_all",
-    "set_union_all",
 )
 
 

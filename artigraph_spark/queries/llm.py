@@ -2005,3 +2005,43 @@ def mixed_language_docs(spark, sf_dir):
         )
         .withColumn("is_mixed", (F.col("n_langs") > 1).cast("bigint"))
     )
+
+
+def _pca_explained_oracle_sql(iterations: int, qbits: int, bits: int) -> str:
+    """The PCA CTE chain extended with per-vector explained-energy
+    fractions: proj²/(‖c‖²·‖v‖²), exact integer factors widened to
+    HUGEINT, one guard-grid division."""
+    base = _pca_oracle_sql(iterations, qbits, bits)
+    head, _, _tail = base.rpartition("SELECT j AS dim")
+    return (
+        head
+        + f"""SELECT p.vec_id,
+           CASE WHEN p.cc > 0 AND vv.vv > 0 THEN
+               round(CAST(CAST(p.proj AS HUGEINT) * CAST(p.proj AS HUGEINT)
+                          AS DOUBLE)
+                     / CAST(CAST(p.cc AS HUGEINT) * CAST(vv.vv AS HUGEINT)
+                            AS DOUBLE), 9)
+           END AS frac_explained_r
+    FROM (
+        SELECT c.vec_id,
+               CAST(SUM(c.c * xv.v) AS BIGINT) AS proj,
+               CAST(SUM(c.c * c.c) AS BIGINT) AS cc
+        FROM centered c JOIN v{iterations} xv ON xv.j = c.i
+        GROUP BY c.vec_id
+    ) p CROSS JOIN (
+        SELECT CAST(SUM(v * v) AS BIGINT) AS vv FROM v{iterations}
+    ) vv"""
+    )
+
+
+@query("pca_explained_embeddings", oracle=_pca_explained_oracle_sql(12, 10, 20))
+def pca_explained_embeddings(spark, sf_dir):
+    """Per-vector fraction of centered energy the top principal component
+    explains — the embedding-collapse diagnostic (mass near 1.0 means
+    the corpus is effectively one-dimensional). Exact integer factors,
+    one guard-grid division. See
+    ``operators.similarity.pca_explained``."""
+    from artigraph_spark.operators.similarity import pca_explained
+
+    e = load(spark, sf_dir, "embeddings")
+    return pca_explained(e, iterations=12, qbits=10, bits=20)

@@ -528,3 +528,15 @@ def test_lorenz_points_hand_computed(spark):
     assert all(r["value_share_r"] is None for r in zo)
     with pytest.raises(ValueError, match="buckets"):
         lorenz_points(df, "g", "v", buckets=1)
+
+
+def test_pca_explained_fraction_bounds_and_collapse(spark):
+    from artigraph_spark.operators.similarity import pca_explained
+
+    # perfectly one-dimensional corpus: every vector fully explained
+    rows = [(i, [float(2 * (i % 5) - 4), 0.0, 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    out = [r["frac_explained_r"] for r in pca_explained(df, iterations=6).collect()]
+    assert all(f is None or 0.0 <= f <= 1.0 for f in out)
+    explained = [f for f in out if f is not None]
+    assert explained and min(explained) > 0.999
