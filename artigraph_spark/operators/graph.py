@@ -595,10 +595,13 @@ def k_core(
     eager per-round lineage cut (frontier-loop convention; reliable
     files under ``checkpoint_dir`` for cluster runs), and an
     edge-count early exit (metadata-sized, the BFS/CC convention) —
-    peeling converges in ≤ max_rounds on any graph whose core
-    stabilizes that fast; rounds past convergence are no-ops, which is
-    exactly what makes the fixed-round oracle replay equal to the
-    early-exited Spark run.
+    rounds past convergence are no-ops, which is exactly what makes the
+    fixed-round oracle replay equal to the early-exited Spark run. If
+    the final allowed round STILL removed edges (a graph that peels one
+    layer per round, e.g. a long path at k=2, can need more than the
+    default 12), the result would contain nodes below the contract, so
+    non-convergence raises instead of silently returning them — the
+    per-round edge count makes the check free.
 
     Returns ``(node, core_deg)`` — nodes in the k-core with their
     within-core degree (≥ k by construction).
@@ -622,7 +625,10 @@ def k_core(
         checkpoint_dir,
     )
     n_edges = e.count()
+    converged = n_edges == 0
     for _ in range(max_rounds):
+        if converged:
+            break
         keep = (
             e.groupBy("__s")
             .agg(F.count(F.lit(1)).alias("__deg"))
@@ -637,9 +643,21 @@ def k_core(
         )
         n2 = e2.count()
         e = e2
-        if n2 == n_edges:
+        if n2 == n_edges or n2 == 0:
+            converged = True
             break
         n_edges = n2
+    if not converged:
+        # The last peel still removed edges, so surviving nodes may carry
+        # within-core degree < k — returning them would violate the
+        # documented ">= k by construction" contract (e.g. a long path at
+        # k=2 peels one layer per round). The per-round edge count already
+        # exists, so the check is free; fail loudly instead of silently.
+        raise RuntimeError(
+            f"k_core did not converge within max_rounds={max_rounds}: the "
+            f"final peel round still removed edges ({n_edges} remain). "
+            "Raise max_rounds (peeling needs at most one round per layer)."
+        )
     return e.groupBy(F.col("__s").alias("node")).agg(
         F.count(F.lit(1)).alias("core_deg")
     )
@@ -779,29 +797,55 @@ def shortest_paths_bounded(
     frame is consumed TWICE next round (relax + carry), so rounds are
     materialized through eager node-sized lineage cuts (the hits/k_core
     convention; reliable files under ``checkpoint_dir`` for clusters).
-    Negative weights are rejected (bounded-hop relaxation is still
-    well-defined, but "shortest within k hops" under negative weights
-    is almost always a modeling error).
+    Weights are validated per row with precise errors: NULL/NaN,
+    negative (bounded-hop relaxation is still well-defined, but
+    "shortest within k hops" under negative weights is almost always a
+    modeling error), and non-integral/out-of-long-range values each
+    raise with their own message — no silent cast('long') truncation.
 
     ``seeds`` is a one-column DataFrame of start nodes (distance 0).
     Returns ``(node, dist)`` for nodes reachable within ``max_hops``.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be non-negative, got {max_hops}")
+    # Weights must be non-null, non-NaN, non-negative, and integral —
+    # each violation gets its own branch with an accurate message (a
+    # blanket `>= 0 else "negative"` mislabels NULLs, and cast('long')
+    # would silently truncate 2.5 → 2). NaN needs an explicit test: in
+    # Spark SQL NaN compares greater than any number, so it would sail
+    # through `>= 0` and cast to NULL.
+    wv = F.col(weight)
     e = edges.select(
         F.col(src).alias("__s"),
         F.col(dst).alias("__d"),
         F.when(
-            F.col(weight) >= 0, F.col(weight).cast("long")
+            wv.isNull() | F.isnan(wv.cast("double")),
+            F.raise_error(
+                F.lit("shortest_paths_bounded: NULL or NaN weight")
+            ),
         )
-        .otherwise(
+        .when(
+            wv < 0,
             F.raise_error(
                 F.concat(
                     F.lit("shortest_paths_bounded: negative weight "),
-                    F.col(weight).cast("string"),
+                    wv.cast("string"),
                 )
-            )
+            ),
         )
+        .when(
+            wv.cast("long").isNull() | (wv.cast("long") != wv),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "shortest_paths_bounded: non-integral or out-of-range"
+                        " weight "
+                    ),
+                    wv.cast("string"),
+                )
+            ),
+        )
+        .otherwise(wv.cast("long"))
         .alias("__w"),
     )
     from pyspark import StorageLevel

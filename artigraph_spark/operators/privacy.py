@@ -174,7 +174,7 @@ def t_closeness(
     )
 
 
-def dp_noisy_counts(
+def pseudo_dp_noisy_counts(
     df: DataFrame,
     cat_col: str,
     *,
@@ -182,35 +182,41 @@ def dp_noisy_counts(
     seed: int = 0,
     sensitivity: float = 1.0,
 ) -> DataFrame:
-    """ε-differentially-private category counts via the Laplace mechanism
-    — the release-side companion to the k-anonymity/l-diversity/
-    t-closeness audit trio: a histogram safe to publish because each
-    count carries Laplace(sensitivity/ε) noise, the calibration that
-    makes any single row's presence change the output distribution by at
-    most e^ε.
+    """DP-STYLE (not ε-DP) noisy category counts: Laplace-shaped,
+    deterministically derandomized noise added to a histogram.
 
-    DERANDOMIZED for replayability: the noise draw per category is
+    **No formal differential-privacy guarantee holds.** Two properties
+    break the ε-DP inequality, stated plainly: (1) the noise draw is a
+    pure function of the category name and ``seed`` — independent of the
+    data — so it is DETERMINISTIC, and a deterministic mechanism cannot
+    be ε-DP for any finite ε (neighboring datasets map to disjoint
+    outputs); (2) the noise magnitude is BOUNDED at ``b·ln(p) ≈ 21.5·b``
+    (a true Laplace tail is unbounded), so counts farther apart than the
+    bound are perfectly distinguishable. What this operator gives you is
+    the *replayable obfuscation* half of a DP release pipeline: noise of
+    the right shape (inverse-CDF Laplace(sensitivity/ε)) whose draw
+    replays exactly run-to-run and engine-to-engine, so re-running a job
+    republishes the SAME noisy view instead of a second independent one
+    (which, in a real DP deployment, would compose budgets). Treat the
+    output as masked, not private: an adversary knowing the category
+    names and seed can subtract the noise exactly. For a real ε-DP
+    release, draw the noise from a secret entropy source at publication
+    time — outside this engine's deterministic contract by construction.
+
+    Mechanics: per category,
     ``u = (mix(content_key(cat), seed) + 0.5) / p`` — a deterministic
     uniform in (0,1) from the repo's cross-engine 60-bit content key and
     the sample_deterministic multiplicative mix — pushed through the
-    Laplace inverse CDF ``−b·sign(u−½)·ln(1−2|u−½|)``. Run-to-run and
-    engine-to-engine the release replays exactly (a pipeline requirement:
-    re-running a job must not publish a SECOND noisy view of the same
-    data, which would compose the privacy budgets). The tradeoff is
-    documented honestly: because the draw is a public function of the
-    category name and seed, an adversary knowing both can subtract the
-    noise — rotate ``seed`` per release and keep it as secret as the raw
-    counts. The +0.5 keeps u strictly inside (0,1): ln's argument is
-    never 0, and |noise| ≤ b·ln(p) ≈ 21.5·b.
-
-    The ln is snapped to the 9-decimal guard grid (the repo's ln
-    convention) so both engines agree bit-for-bit.
+    Laplace inverse CDF ``−b·sign(u−½)·ln(1−2|u−½|)``; the +0.5 keeps u
+    strictly inside (0,1) so ln's argument is never 0. The ln is snapped
+    to the 9-decimal guard grid (the repo's ln convention) so both
+    engines agree bit-for-bit.
 
     Scale shape: one map-side-combined groupBy; noise is a per-GROUP
     projection over the summary-sized result — zero extra shuffles.
 
-    Returns ``(cat, n, noise_r, noisy_n_r)`` — keep ``n`` internal and
-    publish only ``noisy_n_r`` in a real release.
+    Returns ``(cat, n, noise_r, noisy_n_r)`` — ``n`` is the exact count;
+    ``noisy_n_r`` is the masked value.
     """
     if epsilon <= 0:
         raise ValueError(f"epsilon must be positive, got {epsilon}")
@@ -242,3 +248,23 @@ def dp_noisy_counts(
         noise.alias("noise_r"),
         (F.col("n").cast("double") + noise).alias("noisy_n_r"),
     )
+
+
+def dp_noisy_counts(*args, **kwargs) -> DataFrame:
+    """Deprecated name for :func:`pseudo_dp_noisy_counts`.
+
+    The old name overstated the guarantee — the mechanism is
+    deterministic and bounded, so no formal ε-DP inequality holds (see
+    the renamed function's docstring for the full statement). Kept as a
+    warning alias so existing pipelines keep running while the callsite
+    is updated."""
+    import warnings
+
+    warnings.warn(
+        "dp_noisy_counts is renamed pseudo_dp_noisy_counts: the noise is "
+        "deterministic and bounded, so no formal epsilon-DP guarantee "
+        "holds — the output is masked, not private.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return pseudo_dp_noisy_counts(*args, **kwargs)

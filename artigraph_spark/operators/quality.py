@@ -1603,13 +1603,18 @@ def bootstrap_ci_mean(
             F.sequence(F.lit(0).cast("bigint"), F.lit(replicates - 1).cast("bigint"))
         ).alias("__b"),
     )
-    h = (
-        (F.col("__k") % p) * 2654435761
+    # pmod, not %: Spark's % follows the dividend sign, so a negative
+    # row key would make h negative and (h % 100) < keep_pct vacuously
+    # true — those rows would sit in EVERY replicate, a silent
+    # key-dependent bias. pmod keeps negative ids hashing uniformly.
+    h = F.pmod(
+        F.pmod(F.col("__k"), F.lit(p)) * 2654435761
         + F.col("__b") * 97003999
-        + F.lit(seed) * 40503
-    ) % p
+        + F.lit(seed) * 40503,
+        F.lit(p),
+    )
     means = (
-        rep.filter((h % 100) < keep_pct)
+        rep.filter(F.pmod(h, F.lit(100)) < keep_pct)
         .groupBy("__b")
         .agg(F.round(davg("__v"), 9).alias("__m"))
     )

@@ -163,9 +163,32 @@ def bloom_build(
         raise ValueError(
             f"num_bits and num_hashes must be positive, got {num_bits}/{num_hashes}"
         )
-    stamp = _bloom_stamp_value(num_bits, num_hashes, seed)
     positions = F.array(*_cells(key_col, num_hashes, num_bits, seed))
     bits = df.select(F.explode(positions).alias("bit")).distinct()
+    stampable = (
+        0 < num_bits <= _BLOOM_STAMP_MAX_BITS
+        and 0 < num_hashes < _BLOOM_STAMP_MAX_HASHES
+        and 0 <= seed < _BLOOM_STAMP_MAX_SEED
+    )
+    if not stampable:
+        # Parameters outside the sentinel packing's range were valid
+        # before stamping existed — keep them valid: build a legacy-style
+        # unstamped state (probes accept it, with parameters unknowable)
+        # instead of hard-failing at build time. The probe side already
+        # treats the same range gracefully (expected=None).
+        import warnings
+
+        warnings.warn(
+            f"bloom_build parameters (num_bits={num_bits}, "
+            f"num_hashes={num_hashes}, seed={seed}) fall outside the "
+            "stampable range — building an UNSTAMPED filter; probes "
+            "cannot validate its parameters, so a mismatched probe will "
+            "be silently wrong. Prefer seed in [0, 2^20), num_bits <= "
+            "2^34, num_hashes < 256.",
+            stacklevel=2,
+        )
+        return bits
+    stamp = _bloom_stamp_value(num_bits, num_hashes, seed)
     spark = df.sparkSession
     sentinel = spark.createDataFrame([(stamp,)], "bit: bigint")
     return bits.unionByName(sentinel)

@@ -2895,9 +2895,13 @@ def welch_ttest_price(spark, sf_dir):
                       / 1048576.0) / COUNT(v), 9) AS mean_full_r
         FROM base
     ), reps AS (
+        -- pmod form: (k % p + p) % p keeps a negative key's hash
+        -- non-negative (both engines' % follows the dividend sign);
+        -- every later summand is >= 0 so the outer % stays in [0, p).
         SELECT r.b, base.v
         FROM base, range(0, 40) r(b)
-        WHERE (((base.k % 1000000007) * 2654435761
+        WHERE ((((base.k % 1000000007 + 1000000007) % 1000000007)
+                * 2654435761
                 + r.b * 97003999 + 1 * 40503) % 1000000007) % 100 < 63
     ), means AS (
         SELECT b, round((CAST(SUM(CAST(floor(v * 1048576.0) AS BIGINT)) AS DOUBLE)
@@ -3010,7 +3014,7 @@ def cdc_time_travel_orders(spark, sf_dir):
 
 
 @query(
-    "dp_noisy_counts_events",
+    "pseudo_dp_noisy_counts_events",
     oracle="""
     WITH counts AS (
         SELECT event_type, CAST(count(*) AS BIGINT) AS n
@@ -3032,15 +3036,18 @@ def cdc_time_travel_orders(spark, sf_dir):
     FROM noised
     """,
 )
-def dp_noisy_counts_events(spark, sf_dir):
-    """ε-differentially-private event-type histogram (Laplace mechanism,
-    ε = 0.5, derandomized through the cross-engine content-key uniform so
-    a re-run republishes the SAME noisy view instead of composing privacy
-    budgets). See ``operators.privacy.dp_noisy_counts``."""
-    from artigraph_spark.operators.privacy import dp_noisy_counts
+def pseudo_dp_noisy_counts_events(spark, sf_dir):
+    """DP-STYLE (not ε-DP — the noise is deterministic and bounded, so no
+    formal guarantee holds) masked event-type histogram: Laplace-shaped
+    noise at ε = 0.5 calibration, derandomized through the cross-engine
+    content-key uniform so a re-run republishes the SAME noisy view
+    instead of a second independent one. Renamed from
+    dp_noisy_counts_events in r9 (advice: the old name overstated the
+    guarantee). See ``operators.privacy.pseudo_dp_noisy_counts``."""
+    from artigraph_spark.operators.privacy import pseudo_dp_noisy_counts
 
     e = load(spark, sf_dir, "events")
-    return dp_noisy_counts(e, "event_type", epsilon=0.5, seed=11)
+    return pseudo_dp_noisy_counts(e, "event_type", epsilon=0.5, seed=11)
 
 
 @query(

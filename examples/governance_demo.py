@@ -196,19 +196,21 @@ class ClosenessAudit(Producer):
 class NoisyRelease(Producer):
     """The release side of the privacy trio: the audits above say what
     is UNSAFE to publish raw; this publishes the priority histogram
-    under the derandomized epsilon-DP Laplace mechanism (a memoized
-    re-build republishes the SAME noisy view — re-running must not
-    compose privacy budgets, which is exactly what the content-key
-    derandomization guarantees)."""
+    under the derandomized Laplace-SHAPED mechanism (pseudo-DP: the
+    deterministic bounded noise carries NO formal epsilon-DP guarantee —
+    the output is masked, not private). A memoized re-build republishes
+    the SAME noisy view — re-running must not publish a second
+    independent draw, which is exactly what the content-key
+    derandomization guarantees."""
 
     version = SemVer(major=1)
 
     orders: Orders
 
     def build(self, orders: DataFrame) -> DataFrame:
-        from artigraph_spark.operators.privacy import dp_noisy_counts
+        from artigraph_spark.operators.privacy import pseudo_dp_noisy_counts
 
-        return dp_noisy_counts(
+        return pseudo_dp_noisy_counts(
             orders, "o_orderpriority", epsilon=DP_EPSILON, seed=DP_SEED
         )
 
@@ -312,13 +314,13 @@ def main() -> None:
     tclose = snap.read(g1.artifacts.tclose).collect()
     assert tclose and all(0.0 <= r["emd_r"] <= 1.0 for r in tclose)
 
-    # DP release: noise bounded by b*ln(p), additive consistency, and —
-    # the point of derandomization — recomputing the release NOW yields
-    # byte-identical noise to the stored artifact (a re-run republishes
-    # the same view instead of spending more privacy budget).
+    # Pseudo-DP release: noise bounded by b*ln(p), additive consistency,
+    # and — the point of derandomization — recomputing the release NOW
+    # yields byte-identical noise to the stored artifact (a re-run
+    # republishes the same masked view instead of a second draw).
     import math as _math
 
-    from artigraph_spark.operators.privacy import dp_noisy_counts
+    from artigraph_spark.operators.privacy import pseudo_dp_noisy_counts
 
     release = {r["o_orderpriority"]: r for r in snap.read(g1.artifacts.release).collect()}
     b = 1.0 / DP_EPSILON
@@ -327,7 +329,7 @@ def main() -> None:
         assert abs(r["noisy_n_r"] - (r["n"] + r["noise_r"])) < 1e-9
     recomputed = {
         r["o_orderpriority"]: r
-        for r in dp_noisy_counts(
+        for r in pseudo_dp_noisy_counts(
             orders, "o_orderpriority", epsilon=DP_EPSILON, seed=DP_SEED
         ).collect()
     }

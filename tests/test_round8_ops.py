@@ -252,15 +252,21 @@ def test_hits_star_graph_ranks_center_top(spark):
         hits(edges, "s", "d", iterations=0)
 
 
-def test_dp_noisy_counts_deterministic_and_bounded(spark):
-    from artigraph_spark.operators.privacy import dp_noisy_counts
+def test_pseudo_dp_noisy_counts_deterministic_and_bounded(spark):
+    from artigraph_spark.operators.privacy import pseudo_dp_noisy_counts
 
     df = spark.createDataFrame(
         [("x",)] * 10 + [("y",)] * 5, "c: string"
     )
     eps = 0.5
-    out1 = {r["c"]: r for r in dp_noisy_counts(df, "c", epsilon=eps, seed=3).collect()}
-    out2 = {r["c"]: r for r in dp_noisy_counts(df, "c", epsilon=eps, seed=3).collect()}
+    out1 = {
+        r["c"]: r
+        for r in pseudo_dp_noisy_counts(df, "c", epsilon=eps, seed=3).collect()
+    }
+    out2 = {
+        r["c"]: r
+        for r in pseudo_dp_noisy_counts(df, "c", epsilon=eps, seed=3).collect()
+    }
     assert {k: tuple(v) for k, v in out1.items()} == {
         k: tuple(v) for k, v in out2.items()
     }  # re-run replays the SAME release
@@ -269,10 +275,26 @@ def test_dp_noisy_counts_deterministic_and_bounded(spark):
         assert abs(r["noise_r"]) <= b * math.log(1000000007.0)
         assert r["noisy_n_r"] == pytest.approx(r["n"] + r["noise_r"])
     # a different seed draws different noise
-    out3 = {r["c"]: r for r in dp_noisy_counts(df, "c", epsilon=eps, seed=4).collect()}
+    out3 = {
+        r["c"]: r
+        for r in pseudo_dp_noisy_counts(df, "c", epsilon=eps, seed=4).collect()
+    }
     assert any(out3[k]["noise_r"] != out1[k]["noise_r"] for k in out1)
     with pytest.raises(ValueError, match="epsilon"):
-        dp_noisy_counts(df, "c", epsilon=0.0)
+        pseudo_dp_noisy_counts(df, "c", epsilon=0.0)
+
+
+def test_dp_noisy_counts_legacy_alias_warns(spark):
+    from artigraph_spark.operators.privacy import (
+        dp_noisy_counts,
+        pseudo_dp_noisy_counts,
+    )
+
+    df = spark.createDataFrame([("x",)] * 3, "c: string")
+    with pytest.warns(DeprecationWarning, match="pseudo_dp_noisy_counts"):
+        legacy = dp_noisy_counts(df, "c", epsilon=0.5, seed=3).collect()
+    current = pseudo_dp_noisy_counts(df, "c", epsilon=0.5, seed=3).collect()
+    assert [tuple(r) for r in legacy] == [tuple(r) for r in current]
 
 
 def test_pca_top_component_recovers_dominant_direction(spark):
