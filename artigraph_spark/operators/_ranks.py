@@ -1,0 +1,237 @@
+"""Distributed exact-rank primitives.
+
+The naive exact rank — ``rank().over(Window.partitionBy(g).orderBy(v))``
+— concentrates each group's ENTIRE sort on one partition: with few, huge
+groups (3 returnflag groups over a 100 TB lineitem) the job parks the
+corpus on 3 cores. These helpers compute the *same exact ranks* through
+the repo's bucketed two-phase prefix-sum technique (the
+``select_token_budget`` / ``sorted_neighborhood_pairs`` pattern):
+
+1. range-bucket the ordering value with a deterministic monotone map
+   (any monotone bucketing is rank-exact as long as ties land in the
+   same bucket — trivially true for a pure function of the value);
+2. aggregate per-bucket counts (a groups×buckets summary frame) and
+   prefix-sum them into per-bucket rank offsets;
+3. rank locally WITHIN each (group, bucket) partition — parallelism
+   groups×buckets instead of groups — and add the offset.
+
+Exactness does not depend on bucket balance: skewed buckets only cost
+parallelism, never correctness, so the bucket map can be a cheap
+float expression (floor-linear over the global min/max). Both engines
+never see the buckets — they are internal to the Spark plan — so no
+cross-engine arithmetic contract applies to them.
+
+Reference scope note: the reference framework (arti) has no ranking
+kernels at all; these primitives back the SURVEY §2 normalization /
+segmentation operators (rank_normalize, quantile_normalize,
+rfm_segments).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+_NULL_BUCKET = -1  # sorts first asc / last desc, like Spark's null ordering
+
+
+def _bucket_expr(value: Column, lo: Column, hi: Column, buckets: int) -> Column:
+    """Deterministic monotone bucket index of ``value`` in [lo, hi].
+
+    NULL → -1 (mirrors Spark's asc-nulls-first / desc-nulls-last),
+    NaN → ``buckets`` (NaN sorts above every number on both engines),
+    finite values → floor-linear into [0, buckets-1]. Monotone because
+    every step (subtract, divide by a positive range, floor) is
+    monotone non-decreasing in the value.
+    """
+    vd = value.cast("double")
+    return (
+        F.when(value.isNull(), F.lit(_NULL_BUCKET))
+        .when(F.isnan(vd), F.lit(buckets))
+        .when(
+            hi > lo,
+            F.least(
+                F.floor((vd - lo) / (hi - lo) * buckets),
+                F.lit(buckets - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+
+
+def _range_frame(base: DataFrame, value: Column) -> DataFrame:
+    """One-row frame with the non-NaN min/max of ``value`` (NULLs are
+    ignored by min/max already) — the broadcast side of the bucket map."""
+    vd = value.cast("double")
+    guard = F.when(~F.isnan(vd), vd)
+    return base.agg(F.min(guard).alias("__lo"), F.max(guard).alias("__hi"))
+
+
+def bucketed_group_value_ranks(
+    base: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Exact within-group competition (min-)ranks of each DISTINCT value,
+    never sorting a whole group on one partition.
+
+    ``base`` must already be filtered to rankable rows (the caller
+    decides whether NaN participates; NULL values must be excluded).
+    Returns ``(*group_cols, __v, __f, __rg, __ng)`` — one row per
+    distinct (group, value): its frequency, its competition rank
+    (1 + count of strictly smaller values in the group — ties share a
+    rank, exactly ``rank()`` over the raw rows), and the group's
+    rankable-row count. Join it back to the fact rows on
+    (group eq-null-safe, value ==) to attach ranks.
+
+    Plan shape: one map-side-combined groupBy(group, value) histogram
+    shuffle (the only data-sized stage), a groups×buckets offsets
+    aggregate with a per-group prefix window over ≤buckets rows, a
+    WITHIN-bucket histogram window (parallelism groups×buckets), and a
+    (group, bucket)-keyed equi-join of the two summary frames. For a
+    non-numeric value type the bucket map degenerates to one bucket —
+    still a histogram-sized (distinct-values-per-group) sort, never a
+    raw-row sort.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if not group_cols:
+        raise ValueError("bucketed_group_value_ranks needs group columns")
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    hist = base.groupBy(*gcols, v.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__f")
+    )
+    numeric = isinstance(base.schema[value_col].dataType, NumericType)
+    if numeric:
+        rng = _range_frame(base, v)
+        bexpr = _bucket_expr(F.col("__v"), F.col("__lo"), F.col("__hi"), buckets)
+        hb = hist.crossJoin(F.broadcast(rng)).select(
+            *gcols, "__v", "__f", bexpr.alias("__bk")
+        )
+    else:
+        hb = hist.select(*gcols, "__v", "__f", F.lit(0).alias("__bk"))
+    per_bucket = hb.groupBy(*gcols, "__bk").agg(F.sum("__f").alias("__bf"))
+    w_off = Window.partitionBy(*gcols).orderBy("__bk")
+    offsets = per_bucket.select(
+        *[F.col(c).alias(f"__og{i}") for i, c in enumerate(gcols)],
+        F.col("__bk").alias("__obk"),
+        F.coalesce(
+            F.sum("__bf").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__bf").over(Window.partitionBy(*gcols)).alias("__ng"),
+    )
+    w_local = Window.partitionBy(*gcols, "__bk").orderBy("__v")
+    local = hb.withColumn(
+        "__lcp",
+        F.coalesce(
+            F.sum("__f").over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    # eq-null-safe on the group keys: a NULL group is a real ranking
+    # partition (the raw-window semantics), and eq-null-safe keys stay
+    # hash-joinable.
+    cond = F.col("__bk") == F.col("__obk")
+    for i, c in enumerate(gcols):
+        cond = cond & local[c].eqNullSafe(F.col(f"__og{i}"))
+    return local.join(offsets, cond).select(
+        *gcols,
+        "__v",
+        "__f",
+        (F.col("__off") + F.col("__lcp") + F.lit(1)).cast("long").alias("__rg"),
+        F.col("__ng").cast("long").alias("__ng"),
+    )
+
+
+def bucketed_row_numbers(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: Sequence[str],
+    *,
+    descending: bool = False,
+    buckets: int = 1024,
+    out_col: str = "__rn",
+) -> DataFrame:
+    """Exact GLOBAL row_number by (value, *tiebreaks) without a global
+    single-partition window sort.
+
+    Equivalent to ``row_number().over(Window.orderBy(value[.desc()],
+    *tiebreaks))`` — Spark default null ordering (asc → nulls first,
+    desc → nulls last; NaN above every number) — but computed as
+    range-bucket offsets + within-bucket local row_numbers, so the sort
+    parallelism is ``buckets`` instead of 1. The tiebreak columns must
+    make the order total if downstream logic needs determinism (the
+    ntile/top-k convention).
+
+    Returns ``df`` with ``out_col`` (long, 1-based) appended.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    v = F.col(value_col)
+    numeric = isinstance(df.schema[value_col].dataType, NumericType)
+    if numeric:
+        rng = _range_frame(df, v)
+        bexpr = _bucket_expr(v, F.col("__lo"), F.col("__hi"), buckets)
+        rows = df.crossJoin(F.broadcast(rng)).withColumn("__bk", bexpr).drop(
+            "__lo", "__hi"
+        )
+    else:
+        rows = df.withColumn(
+            "__bk",
+            F.when(v.isNull(), F.lit(_NULL_BUCKET)).otherwise(F.lit(0)).cast("int"),
+        )
+    per_bucket = rows.groupBy("__bk").agg(F.count(F.lit(1)).alias("__bf"))
+    w_off = Window.orderBy(F.col("__bk").desc() if descending else F.col("__bk"))
+    offsets = per_bucket.select(
+        F.col("__bk").alias("__obk"),
+        F.coalesce(
+            F.sum("__bf").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    order = [v.desc_nulls_last() if descending else v.asc_nulls_first()]
+    order += [F.col(c) for c in tiebreak_cols]
+    w_local = Window.partitionBy("__bk").orderBy(*order)
+    local = rows.withColumn("__lrn", F.row_number().over(w_local))
+    return (
+        local.join(F.broadcast(offsets), F.col("__bk") == F.col("__obk"))
+        .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("long"))
+        .drop("__bk", "__obk", "__off", "__lrn")
+    )
+
+
+def ntile_from_rank(rank_col: str, n_col: str, tiles: int) -> Column:
+    """The tile ``ntile(tiles)`` assigns to the 1-based rank in column
+    ``rank_col`` within a totally ordered frame of ``n_col`` rows — both
+    engines' floor distribution (the first ``n % tiles`` tiles get one
+    extra row) as a pure integer projection, so ntile needs only a
+    distributed row_number, not a global single-partition window.
+
+    Named columns (not Column objects) because the arithmetic must be
+    int64 ``div`` — Column ``/`` is double division, which loses
+    exactness past 2^53. Everything here is exact: positive operands
+    make truncating ``div`` equal floor, and ceil(a/b) is
+    ``(a + b - 1) div b``. The else-branch denominator is guarded with
+    greatest(.., 1): when n < tiles the branch is unreachable row-wise,
+    but ANSI mode must never see a raw /0.
+    """
+    if tiles < 1:
+        raise ValueError(f"tiles must be >= 1, got {tiles}")
+    size_big = f"(({n_col} div {tiles}) + 1)"
+    rem = f"({n_col} % {tiles})"
+    big_span = f"({rem} * {size_big})"
+    small = f"greatest({size_big} - 1, 1)"
+    return F.expr(
+        f"CASE WHEN {rank_col} <= {big_span} "
+        f"THEN ({rank_col} + {size_big} - 1) div {size_big} "
+        f"ELSE {rem} + (({rank_col} - {big_span} + {small} - 1) div {small}) "
+        f"END"
+    ).cast("long")

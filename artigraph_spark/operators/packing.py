@@ -660,7 +660,7 @@ def select_token_budget(
 def upsample_domains(
     df: DataFrame,
     domain_col: str,
-    factors: dict[str, float],
+    factors: dict[str, float] | DataFrame,
     key: Column,
     *,
     denominator: int = 10_000,
@@ -673,9 +673,25 @@ def upsample_domains(
     (1-based). Rows whose domain is missing from ``factors`` are dropped;
     a factor < 1 behaves as deterministic downsampling.
 
-    Scale: a per-row sequence-explode with small factors — no shuffle; the
+    ``factors`` takes two forms:
+
+    - a **dict** (metadata-sized domain sets — languages, sources): the
+      factors compile into literal maps, zero extra plan nodes;
+    - a **DataFrame** whose first column is the domain and second the
+      factor (HIGH-cardinality domain columns — millions of registrable
+      web domains, where a driver dict is an OOM): the factors join in
+      as an ordinary equi-join (AQE broadcasts it while it stays small;
+      a genuinely huge factor table hash-joins — no driver ceiling).
+      Build one with :func:`temperature_factor_frame`.
+
+    Scale: a per-row sequence-explode with small factors — no shuffle in
+    the dict form, one (usually broadcast) join in the frame form; the
     output size is exactly sum over domains of round(r_d × rows_d).
     """
+    if isinstance(factors, DataFrame):
+        return _upsample_domains_frame(
+            df, domain_col, factors, key, denominator=denominator
+        )
     if not factors:
         raise ValueError("factors must be non-empty")
     for d, r in factors.items():
@@ -704,6 +720,53 @@ def upsample_domains(
     )
 
 
+def _upsample_domains_frame(
+    df: DataFrame,
+    domain_col: str,
+    factors: DataFrame,
+    key: Column,
+    *,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Frame-factored body of :func:`upsample_domains`: identical copy
+    arithmetic (floor(r) copies + one more when the key hash lands under
+    frac(r)·denominator), with the per-domain factor delivered by an
+    equi-join instead of literal maps. Negative factors raise lazily
+    inside the plan (the dict path validates eagerly); frac rounding is
+    half-even (``bround``) to match the dict path's Python ``round``.
+    The inner join drops missing-domain rows exactly like the dict
+    path's NULL map lookup."""
+    dcol, fcol = factors.columns[0], factors.columns[1]
+    fct = factors.select(
+        F.col(dcol).alias("__dom"),
+        F.when(
+            F.col(fcol) < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("upsample_domains: negative factor for domain "),
+                    F.col(dcol).cast("string"),
+                )
+            ),
+        )
+        .otherwise(F.col(fcol).cast("double"))
+        .alias("__r"),
+    )
+    h = F.pmod(_mul_hash(key), F.lit(denominator))
+    base = F.floor(F.col("__r")).cast("long")
+    frac_scaled = F.bround((F.col("__r") - base) * denominator, 0).cast("long")
+    copies = (base + F.when(h < frac_scaled, 1).otherwise(0)).cast("long")
+    return (
+        df.join(fct, F.col(domain_col) == F.col("__dom"), "inner")
+        .withColumn("__copies", copies)
+        .filter(F.col("__copies") >= 1)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__copies"))),
+        )
+        .drop("__copies", "__dom", "__r")
+    )
+
+
 def temperature_factors(
     df: DataFrame,
     domain_col: str,
@@ -717,11 +780,15 @@ def temperature_factors(
     repeat factors for :func:`upsample_domains` targeting ``total_rows``
     output rows (default: input size, i.e. pure re-balancing).
 
-    Driver-side by design: the per-domain count table is metadata-sized
-    (one aggregation), the factor arithmetic is a dict comprehension, and
-    the heavy lifting stays in the deterministic upsample. Not oracle-
-    checked itself (float policy math); the applied result is, through
-    upsample_domains.
+    Driver-side BY CHOICE for metadata-sized domain sets (languages,
+    sources — dozens to thousands): the per-domain count table is tiny,
+    the factor arithmetic is a dict comprehension, and the heavy lifting
+    stays in the deterministic upsample. For HIGH-cardinality domain
+    columns (millions of registrable web domains) the collect here is a
+    driver OOM — use :func:`temperature_factor_frame`, which keeps the
+    same arithmetic distributed and feeds ``upsample_domains`` directly.
+    Not oracle-checked itself (float policy math); the applied result
+    is, through upsample_domains.
     """
     counts = {
         r["d"]: int(r["c"])
@@ -735,6 +802,56 @@ def temperature_factors(
     weights = {d: c**alpha for d, c in sorted(counts.items())}
     z = sum(weights.values())
     return {d: (weights[d] / z) * target / counts[d] for d in weights}
+
+
+def temperature_factor_frame(
+    df: DataFrame,
+    domain_col: str,
+    *,
+    alpha: float = 0.5,
+    total_rows: int | None = None,
+) -> DataFrame:
+    """Distributed form of :func:`temperature_factors` for
+    HIGH-cardinality domain columns: same count^alpha flattening, but the
+    per-domain count table never leaves the cluster — no driver dict, no
+    OOM ceiling — and the result feeds :func:`upsample_domains` directly
+    as its DataFrame ``factors`` argument.
+
+    Determinism: the normalizer z = Σ count^alpha is a float sum, which
+    would be partition-order-dependent; each weight is snapped to the
+    9-decimal guard grid and summed as DECIMAL(38,9) (exact,
+    order-independent — the repo's fixed-point convention), so the
+    factors replay identically at any partitioning. Weight/z/target
+    arithmetic past the exact sum is single double operations.
+
+    Scale shape: one map-side-combined groupBy(domain) count (the only
+    data-sized stage), a one-row broadcast of (total, z), and a
+    projection over the domain-count frame.
+
+    Returns ``(domain, factor)`` — NULL domains are excluded, matching
+    the dict form.
+    """
+    w9 = F.round(F.pow(F.col("__c").cast("double"), F.lit(float(alpha))), 9)
+    counts = (
+        df.filter(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = counts.agg(
+        F.sum("__c").alias("__total"),
+        F.sum(w9.cast("decimal(38,9)")).alias("__z"),
+    )
+    target = (
+        F.col("__total").cast("double")
+        if total_rows is None
+        else F.lit(float(total_rows))
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        (
+            w9 / F.col("__z").cast("double") * target / F.col("__c").cast("double")
+        ).alias("factor"),
+    )
 
 
 def split_corpus(

@@ -1342,43 +1342,47 @@ def rank_normalize(
     polluting the ranking; a single-row group maps to 0.0 (Spark and
     DuckDB agree: percent_rank of n=1 is 0).
 
-    Scale shape: ONE per-group window sort (the exchange is on
-    ``group_cols``) appended as a column — no second pass, no driver
-    state. Exact ranks concentrate each group's sort on one partition,
-    so with FEW huge groups this is effectively |groups| serial sorts —
-    that is inherent to exact percent-rank; at that shape use
-    :func:`equi_depth_bins` (histogram-quantile mapping) as the
-    approximate, fully parallel scale path instead.
+    Scale shape (r9, the bucketed two-phase prefix-sum rank — the
+    select_token_budget technique): ties make the exact rank a function
+    of (group, value) only, so ranks are computed on the (group, value)
+    HISTOGRAM — one map-side-combined groupBy is the only data-sized
+    shuffle — with range-bucketed prefix offsets supplying the
+    cross-bucket counts, so no group is ever sorted on one partition
+    (parallelism = groups×buckets; the pre-r9 raw-row window parked a
+    3-group lineitem on 3 cores). The rank map joins back to the fact
+    rows on (group, value) — an ordinary hash-partitioned equi-join.
+    NULL ranks stay NULL through the left join; NULL group values keep
+    forming their own ranking partition (eq-null-safe join keys).
 
     Returns ``df`` with ``out_col`` appended.
     """
     if not group_cols:
         raise ValueError("rank_normalize needs at least one group column")
-    from pyspark.sql import Window
+    from artigraph_spark.operators._ranks import bucketed_group_value_ranks
 
-    # Built-in percent_rank would count NULL rows in its denominator and
-    # (worse) Spark sorts NULLS FIRST on asc while DuckDB sorts them
-    # LAST, shifting every non-null rank cross-engine. Computing
-    # (rank − 1) / (count(value) − 1) with NULLS LAST keeps NULL rows
-    # out of both the ranks and the denominator in one window pass.
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.col(value_col).asc_nulls_last()
-    )
-    wg = Window.partitionBy(*group_cols)
-    n_nn = F.count(F.col(value_col)).over(wg)
-    return df.withColumn(
-        out_col,
+    gcols = list(group_cols)
+    # NULLs stay out of ranks and denominators (the pre-r9 NULLS LAST
+    # contract); NaN remains a rankable value that sorts above every
+    # number on both engines, so it stays IN the histogram.
+    base = df.filter(F.col(value_col).isNotNull()).select(*gcols, value_col)
+    ranks = bucketed_group_value_ranks(base, gcols, value_col)
+    mapped = ranks.select(
+        *[F.col(c).alias(f"__rg{i}") for i, c in enumerate(gcols)],
+        "__v",
         F.when(
-            F.col(value_col).isNotNull(),
-            F.when(
-                n_nn > 1,
-                F.round(
-                    (F.rank().over(w) - F.lit(1)).cast("double")
-                    / (n_nn - F.lit(1)).cast("double"),
-                    9,
-                ),
-            ).otherwise(F.lit(0.0)),
-        ),
+            F.col("__ng") > 1,
+            F.round(
+                (F.col("__rg") - F.lit(1)).cast("double")
+                / (F.col("__ng") - F.lit(1)).cast("double"),
+                9,
+            ),
+        ).otherwise(F.lit(0.0)).alias("__pct"),
+    )
+    cond = df[value_col] == mapped["__v"]
+    for i, c in enumerate(gcols):
+        cond = cond & df[c].eqNullSafe(F.col(f"__rg{i}"))
+    return df.join(mapped, cond, "left").select(
+        *[df[c] for c in df.columns], F.col("__pct").alias(out_col)
     )
 
 
@@ -1701,26 +1705,26 @@ def quantile_normalize(
     condition is four DECIMAL(38,0) products of exact counts — no
     float, no decimal division rounding, engine-identical at any size.
 
-    Scale shape: one per-group window rank (the rank_normalize
-    exchange), one global value histogram (distinct-value-sized — the
-    operator's contract is a QUANTIZED metric; fxp continuous values
-    first or the dimension stops being summary-sized), and an interval
-    join of rows against the BROADCAST histogram ranges. NULL values
-    pass through with NULL output.
+    Scale shape (r9): the within-group rank rides the bucketed
+    two-phase prefix-sum histogram rank (see
+    :mod:`artigraph_spark.operators._ranks` — one map-side-combined
+    groupBy(group, value) shuffle, groups×buckets parallel local
+    windows; the pre-r9 raw-row window parked each group's sort on one
+    partition), joined back to the fact rows on (group, value). The
+    GLOBAL value histogram stays a distinct-value-sized summary walk —
+    the operator's contract is a QUANTIZED metric; fxp continuous
+    values first or the dimension stops being summary-sized — and the
+    rank→value mapping is an interval join against the BROADCAST
+    histogram ranges. NULL values pass through with NULL output.
 
     Returns ``df`` plus ``out_col``.
     """
     from pyspark.sql import Window
 
+    from artigraph_spark.operators._ranks import bucketed_group_value_ranks
+
     v = F.col(value_col)
     ok = v.isNotNull() & ~F.isnan(v)  # NaN behaves like NULL throughout
-    wg = Window.partitionBy(group_col)
-    # NULLS LAST, the rank_normalize lesson: Spark's asc sorts NULLs
-    # FIRST (DuckDB LAST), which would inflate every non-null rank by
-    # the group's NULL count and shift the whole mapping cross-engine.
-    # NaN sorts LAST on both engines, but excluding it from the rank
-    # entirely (the `ok` guard below) keeps it out of n_g as well.
-    wr = Window.partitionBy(group_col).orderBy(v.asc_nulls_last())
     hist = (
         df.filter(ok)
         .groupBy(v.alias("__v"))
@@ -1735,10 +1739,17 @@ def quantile_normalize(
         ).alias("__cumprev"),
         F.sum("__f").over(Window.partitionBy()).alias("__N"),
     )
-    ranked = df.withColumn(
-        "__rg", F.when(ok, F.rank().over(wr))
-    ).withColumn(
-        "__ng", F.sum(F.when(ok, 1).otherwise(0)).over(wg)
+    # Within-group rank of each distinct value via the bucketed prefix
+    # sum; NaN is excluded here entirely (the ok guard) so it stays out
+    # of n_g as well — matching the pre-r9 NULLS-LAST window contract.
+    base = df.filter(ok).select(group_col, value_col)
+    rmap = bucketed_group_value_ranks(base, [group_col], value_col).select(
+        F.col(group_col).alias("__qg"), F.col("__v").alias("__qv"), "__rg", "__ng"
+    )
+    ranked = df.join(
+        rmap,
+        F.col(group_col).eqNullSafe(F.col("__qg")) & (v == F.col("__qv")),
+        "left",
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     a = dec(F.col("__rg")) * dec(F.col("__N"))  # r_g·N, exact

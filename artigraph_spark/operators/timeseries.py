@@ -760,21 +760,36 @@ def rfm_segments(
 
     Exactness: recency is whole days from exact µs arithmetic
     (truncating division of non-negative int64); monetary totals are
-    fixed-point int64 sums; every ntile ORDER BY carries the user id as
+    fixed-point int64 sums; every ranking carries the user id as
     tie-break, so bucket assignment is total-ordered and replays on any
-    engine (Spark and DuckDB share the floor-distribution ntile).
+    engine (the ntile arithmetic reproduces both engines' shared
+    floor-distribution ntile exactly — verified against the native
+    ntile oracle).
 
-    Scale: one user-keyed aggregate, a broadcast one-row global-max
-    join, and three window ntiles over the USER-count-sized summary
-    (users ≪ events; same summary-walk budget as the histogram family).
+    Scale (r9): one user-keyed aggregate, a broadcast one-row
+    global-max join, then three BUCKETED distributed row_numbers
+    (:func:`operators._ranks.bucketed_row_numbers` — range-bucket
+    offsets + within-bucket local windows) with the ntile edge mapped
+    as a pure integer projection of (rank, n)
+    (:func:`operators._ranks.ntile_from_rank`). The pre-r9 form ran
+    three GLOBAL ntile windows, each a user-count-sized
+    single-partition sort — a billion-user corpus would park on one
+    core three times; now sort parallelism is ``buckets`` per ranking.
+    The per-user summary is persisted across its consuming branches
+    and released after the eager result materialization (the
+    association_rules convention).
     Returns ``(user, recency_days, frequency, monetary, r_q, f_q, m_q,
     rfm_code)``.
     """
     if quantiles < 2:
         raise ValueError(f"quantiles must be >= 2, got {quantiles}")
-    from pyspark.sql import Window
+    from pyspark import StorageLevel
 
     from artigraph_spark.functions import fxp
+    from artigraph_spark.operators._ranks import (
+        bucketed_row_numbers,
+        ntile_from_rank,
+    )
 
     v = F.col(value_col)
     clean = F.when(v.isNotNull() & ~F.isnan(v.cast("double")), v)
@@ -794,26 +809,41 @@ def rfm_segments(
         "frequency",
         (F.col("__m").cast("double") / F.lit(float(1 << bits))).alias("monetary"),
         F.col("__m"),
-    )
-    r_q = F.ntile(quantiles).over(
-        Window.orderBy(F.col("recency_days"), F.col(user_col))
-    )
-    f_q = F.ntile(quantiles).over(
-        Window.orderBy(F.col("frequency").desc(), F.col(user_col))
-    )
-    m_q = F.ntile(quantiles).over(
-        Window.orderBy(F.col("__m").desc(), F.col(user_col))
-    )
-    return scored.select(
-        user_col,
-        "recency_days",
-        "frequency",
-        "monetary",
-        r_q.cast("long").alias("r_q"),
-        f_q.cast("long").alias("f_q"),
-        m_q.cast("long").alias("m_q"),
-        (r_q * 100 + f_q * 10 + m_q).cast("long").alias("rfm_code"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_frame = scored.agg(F.count(F.lit(1)).alias("__nu"))
+
+        def rank_map(col: str, desc: bool, out: str):
+            slim = scored.select(user_col, col)
+            return bucketed_row_numbers(
+                slim, col, [user_col], descending=desc, out_col=out
+            ).select(user_col, out)
+
+        rr = rank_map("recency_days", False, "__rr")
+        rf = rank_map("frequency", True, "__rf")
+        rm = rank_map("__m", True, "__rm")
+        full = (
+            scored.join(rr, user_col)
+            .join(rf, user_col)
+            .join(rm, user_col)
+            .crossJoin(F.broadcast(n_frame))
+        )
+        r_q = ntile_from_rank("__rr", "__nu", quantiles)
+        f_q = ntile_from_rank("__rf", "__nu", quantiles)
+        m_q = ntile_from_rank("__rm", "__nu", quantiles)
+        out = full.select(
+            user_col,
+            "recency_days",
+            "frequency",
+            "monetary",
+            r_q.alias("r_q"),
+            f_q.alias("f_q"),
+            m_q.alias("m_q"),
+            (r_q * 100 + f_q * 10 + m_q).cast("long").alias("rfm_code"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        scored.unpersist()
 
 
 def seasonal_naive_mape(
