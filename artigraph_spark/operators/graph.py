@@ -114,9 +114,17 @@ def pagerank(
                 ).alias("r"),
             )
         )
-        if checkpoint_dir is not None and (it + 1) % 4 == 0 and it + 1 < iterations:
-            # bound in-flight lineage on real clusters; a no-op cost-wise
-            # at the default 8 iterations (one mid-loop cut)
+        if (it + 1) % 4 == 0 and it + 1 < iterations:
+            # Mid-loop lineage cut every 4 rounds, ALWAYS (r9): even
+            # though ranks is consumed once per round (plan nodes grow
+            # linearly, not 4^k), Catalyst's analysis/optimization cost
+            # over the unrolled 8-deep loop plan grows superlinearly —
+            # measured 1/2/4/8 iterations at 3.4/3.4/6.5/19.7 s on the
+            # sf0.1 co-purchase graph, i.e. the last 4 rounds cost 3x
+            # the first 4 under one unrolled plan. The cut is one eager
+            # node-count-sized job (~21k rows here) that caps the
+            # optimizer's working plan at 4 rounds; with checkpoint_dir
+            # it is also the cluster fault barrier.
             ranks = _ckpt(ranks, checkpoint_dir)
     # Materialize the slim (node, rank) result, then RELEASE the two
     # persisted loop frames — otherwise each pagerank() call leaks
