@@ -546,12 +546,17 @@ def interval_join(
     residual, not a post-join filter.
 
     Stream/batch parity holds only while event-time disorder stays within
-    ``watermark``: on streams, a matching right event arriving more than
-    ``watermark`` out of order is evicted and its pair silently dropped,
-    while the identical batch call keeps it. Callers passing a large
-    ``upper`` should raise ``watermark`` to at least ``upper`` (Spark
-    needs watermark ≥ the join horizon to emit leftOuter nulls at all) —
-    the defaults are aligned at 10 minutes for exactly this reason.
+    ``watermark``: beyond it, emission is BEST-EFFORT — Spark evicts the
+    matching side's state lazily at micro-batch end, so a right event
+    arriving more than ``watermark`` out of order pairs only if the left
+    row's state happens to survive physically, and is silently dropped
+    once an intervening batch has realized the eviction (pinned in
+    test_interval_join_drops_right_events_beyond_watermark). The
+    identical batch call always keeps such pairs. Callers passing a
+    large ``upper`` should raise ``watermark`` to at least ``upper``
+    (Spark needs watermark ≥ the join horizon to emit leftOuter nulls at
+    all) — the defaults are aligned at 10 minutes for exactly this
+    reason.
 
     ``key`` and the two time columns are frame-qualified internally, so
     they may share names across the sides: the key appears once in the

@@ -1081,3 +1081,97 @@ def test_stateful_transitions_parity_with_batch_matrix(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_interval_join_drops_right_events_beyond_watermark(spark, tmp_path):
+    """Pins the documented stream/batch parity caveat (interval_join
+    docstring: 'disorder <= watermark'): a right event arriving more than
+    ``watermark`` behind the global event-time watermark is dropped on
+    the stream — its pair never emits — while the IDENTICAL batch call
+    keeps it. Spark evicts join state LAZILY at micro-batch end, so the
+    drop is only realized once an intervening batch runs under the
+    advanced watermark: batch 1 advances both watermarks to ~11:50,
+    batch 2 (a second watermark-advancer) realizes the eviction of the
+    09:58 left row, batch 3 delivers the late right event back at 10:00
+    against empty state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    ldir = tmp_path / "clicks"
+    rdir = tmp_path / "purchases"
+    ldir.mkdir()
+    rdir.mkdir()
+
+    def write(path, users, tss, ns):
+        pq.write_table(
+            pa.table(
+                {
+                    "user": pa.array(users, type=pa.int64()),
+                    "ts": pa.array(tss, type=pa.timestamp("us")),
+                }
+            ),
+            path,
+        )
+        os.utime(path, ns=(ns, ns))
+
+    # left: one file — the click that SHOULD pair (user 1 @ 09:58) plus a
+    # watermark-advancer click (user 2 @ 12:00, no matching purchase)
+    write(ldir / "a.parquet", [1, 2], [_ts(9, 58), _ts(12, 0)], 10**15)
+    # right batch 1: watermark-advancer purchase (user 3 @ 12:01 — no
+    # matching click); right batch 2: a second advancer that runs under
+    # the committed 11:50 watermark and so realizes the lazy eviction of
+    # the 09:58 left row; right batch 3: the LATE purchase (user 1 @
+    # 10:00, ~1h50m behind the watermark, far past the 10-minute bound)
+    write(rdir / "b.parquet", [3], [_ts(12, 1)], 10**15)
+    write(rdir / "b2.parquet", [4], [_ts(12, 2)], 15 * 10**14)
+    write(rdir / "c.parquet", [1], [_ts(10, 0)], 2 * 10**15)
+
+    def src(d):
+        return (
+            spark.readStream.schema("user long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+
+    joined = stx.interval_join(
+        src(ldir).withColumnRenamed("ts", "lts"),
+        src(rdir).withColumnRenamed("ts", "rts"),
+        key="user",
+        left_time="lts",
+        right_time="rts",
+        upper="10 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_drop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = spark.sql("SELECT user FROM t_late_drop").collect()
+    # the late purchase's pair is silently dropped on the stream
+    assert stream_rows == []
+
+    # the identical batch call keeps it — the documented divergence
+    lbatch = spark.createDataFrame(
+        [(1, _ts(9, 58)), (2, _ts(12, 0))], "user long, lts timestamp"
+    )
+    rbatch = spark.createDataFrame(
+        [(3, _ts(12, 1)), (4, _ts(12, 2)), (1, _ts(10, 0))],
+        "user long, rts timestamp",
+    )
+    batch = stx.interval_join(
+        lbatch,
+        rbatch,
+        key="user",
+        left_time="lts",
+        right_time="rts",
+        upper="10 minutes",
+        watermark="10 minutes",
+    ).collect()
+    assert [(r["user"],) for r in batch] == [(1,)]
