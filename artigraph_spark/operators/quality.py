@@ -1864,3 +1864,156 @@ def lorenz_points(
             ),
         ).alias("value_share_r"),
     )
+
+
+def fk_integrity_audit(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    *,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity audit for one foreign-key relation: how many
+    child rows point at a parent that does not exist — the dbt-test /
+    data-contract staple that catches broken ingestion joins before they
+    silently drop rows downstream. SQL semantics: a NULL foreign key is
+    NOT a violation (it is counted separately as ``n_null_keys``).
+
+    Scale shape: one distinct-projection of the parent key (map-side
+    combined) left-joined under the child scan — Catalyst broadcasts the
+    key set while it is small and hash-joins otherwise; one
+    map-side-combined aggregate produces the single summary row. No
+    driver-side key sets.
+
+    Returns one row ``(relation, n_rows, n_null_keys, n_orphans,
+    orphan_rate_r)`` — the rate is over non-NULL keys, NULL when there
+    are none.
+    """
+    pk = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    ck = F.col(child_key)
+    joined = child.select(ck.alias("__ck")).join(
+        pk, F.col("__ck") == F.col("__pk"), "left"
+    )
+    n_nonnull = F.sum(F.when(F.col("__ck").isNotNull(), 1).otherwise(0))
+    n_orphans = F.sum(
+        F.when(F.col("__ck").isNotNull() & F.col("__pk").isNull(), 1).otherwise(0)
+    )
+    return joined.agg(
+        F.lit(relation).alias("relation"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("__ck").isNull(), 1).otherwise(0)).alias("n_null_keys"),
+        n_orphans.alias("n_orphans"),
+        F.when(
+            n_nonnull > 0,
+            F.round(n_orphans.cast("double") / n_nonnull.cast("double"), 9),
+        ).alias("orphan_rate_r"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a score against a binary outcome: equi-width
+    score bins with each bin's observed positive rate and mean score —
+    the calibration-curve data behind "does a 0.8 score mean 80%?"
+    (model monitoring's companion to AUC, which only checks ranking).
+
+    Bin assignment is ``floor((s − min)·bins/(max − min))`` capped at
+    bins−1 — double arithmetic, but both engines run the identical
+    correctly-rounded ops on identical inputs, so the assignment
+    replays (the feature_bins convention). Mean score and positive rate
+    ride fixed-point / integer sums with one rounded division each.
+    NULL/NaN scores and NULL labels are excluded.
+
+    Scale shape: one broadcast one-row (min, max) join + one map-side
+    combined groupBy(bin) — scan-linear, summary-sized output.
+
+    Returns ``(bin, n, mean_score_r, pos_rate_r)``.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    from artigraph_spark.functions import davg
+
+    s = F.col(score_col)
+    lab = F.col(label_col).cast("int")
+    base = df.filter(
+        s.isNotNull() & ~F.isnan(s.cast("double")) & lab.isNotNull()
+    ).select(s.cast("double").alias("__s"), lab.alias("__y"))
+    rng = base.agg(F.min("__s").alias("__lo"), F.max("__s").alias("__hi"))
+    bexpr = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.floor(
+                (F.col("__s") - F.col("__lo"))
+                * F.lit(float(bins))
+                / (F.col("__hi") - F.col("__lo"))
+            ),
+            F.lit(bins - 1),
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        base.crossJoin(F.broadcast(rng))
+        .select(bexpr.cast("long").alias("bin"), "__s", "__y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(davg("__s"), 9).alias("mean_score_r"),
+            F.round(
+                F.sum("__y").cast("double") / F.count(F.lit(1)).cast("double"), 9
+            ).alias("pos_rate_r"),
+        )
+    )
+
+
+def duplication_report(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-group exact-duplication report: document count, distinct
+    content count (sha256 of the text — the exact-dedup content key),
+    and the duplicate-mass rate ``1 − distinct/n`` — the corpus-health
+    readout that decides whether a source needs the dedup pass at all
+    and certifies the result afterwards (dup_rate ≈ 0).
+
+    Scale shape: one groupBy(group, hash) distinct reduction (map-side
+    combined — the same shuffle the exact dedup itself performs) and a
+    groups-sized rollup. NULL texts are counted separately, never
+    hashed.
+
+    Returns ``(group, n_docs, n_null_texts, n_distinct, dup_rate_r)``.
+    """
+    g = F.col(group_col)
+    per_hash = (
+        df.select(g.alias("__g"), F.col(text_col).alias("__t"))
+        .withColumn(
+            "__h", F.when(F.col("__t").isNotNull(), F.sha2(F.col("__t"), 256))
+        )
+        .groupBy("__g", "__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    n_docs = F.sum(F.when(F.col("__h").isNotNull(), F.col("__c")).otherwise(0))
+    n_distinct = F.sum(F.when(F.col("__h").isNotNull(), 1).otherwise(0))
+    return (
+        per_hash.groupBy(F.col("__g").alias(group_col))
+        .agg(
+            n_docs.alias("n_docs"),
+            F.sum(
+                F.when(F.col("__h").isNull(), F.col("__c")).otherwise(0)
+            ).alias("n_null_texts"),
+            n_distinct.alias("n_distinct"),
+            F.when(
+                n_docs > 0,
+                F.round(
+                    F.lit(1.0)
+                    - n_distinct.cast("double") / n_docs.cast("double"),
+                    9,
+                ),
+            ).alias("dup_rate_r"),
+        )
+    )

@@ -1276,3 +1276,186 @@ def markov_stationary(
             .agg(F.sum("__share").alias("pi"))
         )
     return pi.select("state", F.col("pi").alias("pi_fx"))
+
+
+def ccf_lags(
+    df,
+    ts_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    *,
+    bucket_seconds: int = 3600,
+    max_lag: int = 12,
+):
+    """Sample CROSS-correlation between two event types' bucketed count
+    series at lags −max_lag..+max_lag — the lead/lag detector behind
+    "do clicks drive purchases, and with what delay?": a peak at lag +k
+    means series A leads series B by k buckets (corr of a(t) with
+    b(t+k)); negative lags test the reverse direction. The two-series
+    sibling of :func:`acf_lags`.
+
+    Series alignment: the common grid is every bucket where EITHER type
+    has events (full outer join, absent side = 0) — compose with
+    gap-fill upstream if a strictly regular grid is required. With N
+    grid buckets and totals T_a/T_b, deviations ``N·y − T`` are exact
+    int64 per series; numerators are DECIMAL(38,0) sums of deviation
+    products over the overlap, the denominator is the full-series
+    ``sqrt(Σd_a²·Σd_b²)`` (the standard CCF normalization), and
+    ``ccf_r`` is one double division rounded to 9 — engine-identical.
+
+    Scale shape: one data-sized shuffle to per-(type,bucket) counts;
+    every window/lag runs over the ≤N-row summary series (the acf
+    convention). Returns ``(lag, n_pairs, ccf_r)``, one row per lag.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    if max_lag <= 0:
+        raise ValueError(f"max_lag must be positive, got {max_lag}")
+    if type_a == type_b:
+        raise ValueError("ccf_lags needs two distinct types; use acf_lags for one")
+    from pyspark.sql import Window
+
+    b = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast("long")
+        * F.lit(bucket_seconds)
+    )
+
+    def series(t):
+        return (
+            df.filter(F.col(ts_col).isNotNull() & (F.col(type_col) == t))
+            .groupBy(b.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__y"))
+        )
+
+    sa = series(type_a).withColumnRenamed("__y", "__ya")
+    sb = series(type_b).withColumnRenamed("__y", "__yb")
+    grid = (
+        sa.join(sb, "__b", "full_outer")
+        .select(
+            "__b",
+            F.coalesce(F.col("__ya"), F.lit(0)).alias("__ya"),
+            F.coalesce(F.col("__yb"), F.lit(0)).alias("__yb"),
+        )
+    )
+    w_all = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ord = Window.orderBy("__b")
+    n_all = F.count(F.lit(1)).over(w_all)
+    devs = grid.select(
+        "__b",
+        (n_all * F.col("__ya") - F.sum("__ya").over(w_all)).alias("__da"),
+        (n_all * F.col("__yb") - F.sum("__yb").over(w_all)).alias("__db"),
+    )
+    lags = list(range(-max_lag, max_lag + 1))
+    shifted = devs.select(
+        "__da",
+        "__db",
+        *[
+            (
+                F.lead("__db", k).over(w_ord) if k >= 0 else F.lag("__db", -k).over(w_ord)
+            ).alias(f"__s{k + max_lag}")
+            for k in lags
+        ],
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = shifted.agg(
+        F.sum(dec(F.col("__da")) * dec(F.col("__da"))).alias("__vda"),
+        F.sum(dec(F.col("__db")) * dec(F.col("__db"))).alias("__vdb"),
+        *[
+            F.sum(dec(F.col("__da")) * dec(F.col(f"__s{k + max_lag}"))).alias(
+                f"__num{k + max_lag}"
+            )
+            for k in lags
+        ],
+        *[
+            F.count(F.col(f"__s{k + max_lag}")).alias(f"__np{k + max_lag}")
+            for k in lags
+        ],
+    )
+    den = F.sqrt(F.col("__vda").cast("double") * F.col("__vdb").cast("double"))
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                F.col(f"__np{k + max_lag}").alias("n_pairs"),
+                F.when(
+                    den > 0,
+                    F.round(F.col(f"__num{k + max_lag}").cast("double") / den, 9),
+                ).alias("ccf_r"),
+            )
+            for k in lags
+        ]
+    )
+    return agg.select(F.explode(out).alias("__r")).select(
+        "__r.lag", "__r.n_pairs", "__r.ccf_r"
+    )
+
+
+def time_weighted_avg(
+    e,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    bits: int = 20,
+):
+    """Time-weighted average value per user over an irregular event
+    series — each reading holds until the next one (left-continuous
+    step), so ``twap = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first)``: the
+    telemetry/pricing standard when sampling is uneven and a plain mean
+    over-weights bursts.
+
+    Exactness: durations are exact µs int64 (lead over a per-user
+    window totally ordered by (ts, id)); values ride the 2^bits
+    fixed-point grid; each value×duration product is DECIMAL(38,0); the
+    single double division at the end is rounded to 9. Rows with NULL
+    ts are excluded; rows with NULL/NaN value contribute their DURATION
+    to the denominator but no mass (treated as 0 — document upstream
+    imputation if another convention is needed). Users with fewer than
+    two timestamped events have no duration and are omitted.
+
+    Scale shape: one per-user window pass (user-keyed exchange —
+    millions of partitions, fully parallel; never a global sort) and a
+    map-side-combined per-user aggregate.
+
+    Returns ``(user, n_events, span_us, twap_r)``.
+    """
+    v = F.col(value_col)
+    base = e.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
+        F.col(id_col).alias("__id"),
+        F.when(v.isNotNull() & ~F.isnan(v.cast("double")), v).alias("__v"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__u").orderBy("__t", "__id")
+    stepped = base.select(
+        "__u",
+        "__t",
+        "__v",
+        (F.lead("__t", 1).over(w) - F.col("__t")).alias("__dur"),
+    ).filter(F.col("__dur").isNotNull())
+    vfx = F.floor(F.col("__v").cast("double") * F.lit(float(1 << bits))).cast("long")
+    mass = (
+        F.coalesce(vfx, F.lit(0).cast("long")).cast("decimal(38,0)")
+        * F.col("__dur").cast("decimal(38,0)")
+    )
+    return (
+        stepped.groupBy(F.col("__u").alias(user_col))
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_events"),
+            F.sum("__dur").alias("span_us"),
+            F.round(
+                F.sum(mass).cast("double")
+                / F.lit(float(1 << bits))
+                / F.sum("__dur").cast("double"),
+                9,
+            ).alias("twap_r"),
+        )
+    )

@@ -226,6 +226,7 @@ def _load_modules() -> None:
     from artigraph_spark.queries import (  # noqa: F401
         aggregates,
         analytics,
+        exactstats,
         extras,
         joins,
         llm,

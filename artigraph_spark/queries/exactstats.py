@@ -1,0 +1,455 @@
+"""Round-9 query registrations: exact order statistics (built on the
+bucketed prefix-sum rank primitive), cross-correlation, time-weighted
+averages, and the integrity/calibration/duplication audits.
+
+Oracle-authoring conventions (FIXTURES.md + driver-contract rules):
+every aggregate that DuckDB would type HUGEINT is CAST AS BIGINT at the
+outermost level; window sums are CAST inside their CTEs; doubles ride
+the fixed-point grid with one rounded division; column aliases match
+the Spark side exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from artigraph_spark.queries import query
+from artigraph_spark.sources import load
+
+
+@query(
+    "exact_quantiles_quantity",
+    bench=True,
+    oracle="""
+    WITH hist AS (
+        SELECT l_returnflag AS g, l_quantity AS v, CAST(count(*) AS BIGINT) AS f
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT g, v, f,
+               CAST(COALESCE(sum(f) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cp,
+               CAST(sum(f) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cm,
+               CAST(sum(f) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM hist
+    ), qs(q, qn, qd) AS (
+        VALUES (CAST(0.25 AS DOUBLE), 1, 4),
+               (CAST(0.5 AS DOUBLE), 1, 2),
+               (CAST(0.75 AS DOUBLE), 3, 4)
+    )
+    SELECT g AS l_returnflag, q, n, v AS value
+    FROM cum, qs
+    WHERE CAST(qn AS HUGEINT) * CAST(n AS HUGEINT)
+          > CAST(cp AS HUGEINT) * CAST(qd AS HUGEINT)
+      AND CAST(qn AS HUGEINT) * CAST(n AS HUGEINT)
+          <= CAST(cm AS HUGEINT) * CAST(qd AS HUGEINT)
+    """,
+)
+def exact_quantiles_quantity(spark, sf_dir):
+    """Exact per-returnflag quartiles of line-item quantity (type-1, the
+    value at rank ceil(q·n)) — the reproducible counterpart of the
+    approx-quantile sketch, computed without any per-group
+    single-partition sort via the r9 bucketed prefix-sum rank. See
+    ``operators.orderstats.exact_group_quantiles``."""
+    from artigraph_spark.operators.orderstats import exact_group_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    return exact_group_quantiles(li, ["l_returnflag"], "l_quantity", [0.25, 0.5, 0.75])
+
+
+@query(
+    "trimmed_mean_price",
+    oracle="""
+    WITH hist AS (
+        SELECT l_returnflag AS g, l_extendedprice AS v,
+               CAST(count(*) AS BIGINT) AS f
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT g, v, f,
+               CAST(COALESCE(sum(f) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cp,
+               CAST(sum(f) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cm,
+               CAST(sum(f) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM hist
+    ), kept AS (
+        SELECT g, v, n,
+               greatest(0, least(cm, n - (1 * n) // 10)
+                           - greatest(cp, (1 * n) // 10)) AS kf
+        FROM cum
+    )
+    SELECT g AS l_returnflag,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(kf) AS BIGINT) AS n_kept,
+           round(CAST(sum(CAST(kf AS HUGEINT)
+                          * CAST(floor(v * 1048576.0) AS BIGINT)) AS DOUBLE)
+                 / 1048576.0 / CAST(sum(kf) AS DOUBLE), 9) AS trimmed_mean_r
+    FROM kept GROUP BY g
+    """,
+)
+def trimmed_mean_price(spark, sf_dir):
+    """Exact 10%-trimmed mean of extended price per returnflag — drop
+    exactly floor(n/10) rows from each end of the order, fixed-point mean
+    of the rest; the outlier-robust location estimate between mean and
+    median. See ``operators.orderstats.trimmed_mean_by_group``."""
+    from artigraph_spark.operators.orderstats import trimmed_mean_by_group
+
+    li = load(spark, sf_dir, "lineitem")
+    return trimmed_mean_by_group(li, ["l_returnflag"], "l_extendedprice", trim=0.1)
+
+
+@query(
+    "tukey_outliers_quantity",
+    oracle="""
+    WITH hist AS (
+        SELECT l_returnflag AS g, l_quantity AS v, CAST(count(*) AS BIGINT) AS f
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT g, v, f,
+               CAST(COALESCE(sum(f) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cp,
+               CAST(sum(f) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cm,
+               CAST(sum(f) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM hist
+    ), quarts AS (
+        SELECT g, max(n) AS n,
+               min(CASE WHEN CAST(1 AS HUGEINT) * n > CAST(cp AS HUGEINT) * 4
+                         AND CAST(1 AS HUGEINT) * n <= CAST(cm AS HUGEINT) * 4
+                        THEN v END) AS q1,
+               min(CASE WHEN CAST(3 AS HUGEINT) * n > CAST(cp AS HUGEINT) * 4
+                         AND CAST(3 AS HUGEINT) * n <= CAST(cm AS HUGEINT) * 4
+                        THEN v END) AS q3
+        FROM cum GROUP BY g
+    ), fences AS (
+        SELECT g, n, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS lo,
+               q3 + 1.5 * (q3 - q1) AS hi
+        FROM quarts
+    )
+    SELECT f.g AS l_returnflag,
+           CAST(f.n AS BIGINT) AS n,
+           f.q1, f.q3,
+           round(f.lo, 9) AS lo_fence_r,
+           round(f.hi, 9) AS hi_fence_r,
+           CAST(COALESCE(sum(CASE WHEN h.v < f.lo THEN h.f END), 0)
+                AS BIGINT) AS n_low,
+           CAST(COALESCE(sum(CASE WHEN h.v > f.hi THEN h.f END), 0)
+                AS BIGINT) AS n_high
+    FROM fences f JOIN hist h ON h.g = f.g
+    GROUP BY f.g, f.n, f.q1, f.q3, f.lo, f.hi
+    """,
+)
+def tukey_outliers_quantity(spark, sf_dir):
+    """Tukey boxplot fences for quantity per returnflag: exact quartiles,
+    Q1−1.5·IQR / Q3+1.5·IQR, and the outlier counts outside each fence —
+    the distribution-light third member of the z-score/MAD outlier-audit
+    family. See ``operators.orderstats.tukey_fences``."""
+    from artigraph_spark.operators.orderstats import tukey_fences
+
+    li = load(spark, sf_dir, "lineitem")
+    return tukey_fences(li, ["l_returnflag"], "l_quantity")
+
+
+@query(
+    "spearman_price_quantity",
+    bench=True,
+    oracle="""
+    WITH base AS (
+        SELECT l_extendedprice AS x, l_quantity AS y FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+    ), xh AS (
+        SELECT x AS v, CAST(count(*) AS BIGINT) AS f FROM base GROUP BY 1
+    ), xr AS (
+        SELECT v,
+               CAST(2 * (1 + CAST(COALESCE(sum(f) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT)) + f - 1 AS BIGINT) AS r2
+        FROM xh
+    ), yh AS (
+        SELECT y AS v, CAST(count(*) AS BIGINT) AS f FROM base GROUP BY 1
+    ), yr AS (
+        SELECT v,
+               CAST(2 * (1 + CAST(COALESCE(sum(f) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT)) + f - 1 AS BIGINT) AS r2
+        FROM yh
+    ), j AS (
+        SELECT xr.r2 AS rx, yr.r2 AS ry
+        FROM base JOIN xr ON base.x = xr.v JOIN yr ON base.y = yr.v
+    ), s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(rx AS HUGEINT)) AS sx,
+               sum(CAST(ry AS HUGEINT)) AS sy,
+               sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+               sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy,
+               sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy
+        FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+           END AS rho_r
+    FROM s
+    """,
+)
+def spearman_price_quantity(spark, sf_dir):
+    """Spearman rank correlation between extended price and quantity —
+    Pearson over tie-averaged ranks (kept exact by 2x scaling), both
+    rank maps computed by the bucketed prefix-sum histogram, never a
+    global sort. See ``operators.orderstats.spearman_corr``."""
+    from artigraph_spark.operators.orderstats import spearman_corr
+
+    li = load(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_extendedprice", "l_quantity")
+
+
+def _ccf_oracle_sql(bucket: int, max_lag: int, ta: str, tb: str) -> str:
+    lags = list(range(-max_lag, max_lag + 1))
+    shift_cols = []
+    for k in lags:
+        i = k + max_lag
+        if k >= 0:
+            shift_cols.append(f"lead(db, {k}) OVER w AS s{i}")
+        else:
+            shift_cols.append(f"lag(db, {-k}) OVER w AS s{i}")
+    sums = []
+    for k in lags:
+        i = k + max_lag
+        sums.append(
+            f"sum(CAST(da AS HUGEINT) * CAST(s{i} AS HUGEINT)) AS num{i}, "
+            f"CAST(count(s{i}) AS BIGINT) AS np{i}"
+        )
+    arms = []
+    for k in lags:
+        i = k + max_lag
+        arms.append(
+            f"SELECT CAST({k} AS BIGINT) AS lag, np{i} AS n_pairs, "
+            f"CASE WHEN sqrt(CAST(vda AS DOUBLE) * CAST(vdb AS DOUBLE)) > 0 "
+            f"THEN round(CAST(num{i} AS DOUBLE) "
+            f"/ sqrt(CAST(vda AS DOUBLE) * CAST(vdb AS DOUBLE)), 9) END AS ccf_r "
+            f"FROM agg"
+        )
+    return f"""
+    WITH ca AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // {bucket} * {bucket} AS b,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL AND event_type = '{ta}' GROUP BY 1
+    ), cb AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // {bucket} * {bucket} AS b,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL AND event_type = '{tb}' GROUP BY 1
+    ), grid AS (
+        SELECT COALESCE(ca.b, cb.b) AS b,
+               COALESCE(ca.y, 0) AS ya, COALESCE(cb.y, 0) AS yb
+        FROM ca FULL OUTER JOIN cb ON ca.b = cb.b
+    ), st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ya) AS BIGINT) AS tta, CAST(sum(yb) AS BIGINT) AS ttb
+        FROM grid
+    ), d AS (
+        SELECT b, CAST(st.n * ya - st.tta AS BIGINT) AS da,
+               CAST(st.n * yb - st.ttb AS BIGINT) AS db
+        FROM grid, st
+    ), l AS (
+        SELECT da, db, {", ".join(shift_cols)}
+        FROM d WINDOW w AS (ORDER BY b)
+    ), agg AS (
+        SELECT sum(CAST(da AS HUGEINT) * CAST(da AS HUGEINT)) AS vda,
+               sum(CAST(db AS HUGEINT) * CAST(db AS HUGEINT)) AS vdb,
+               {", ".join(sums)}
+        FROM l
+    )
+    {" UNION ALL ".join(arms)}
+    """
+
+
+@query("ccf_click_purchase", oracle=_ccf_oracle_sql(3600, 12, "click", "purchase"))
+def ccf_click_purchase(spark, sf_dir):
+    """Cross-correlation between hourly click and purchase volumes at
+    lags −12..+12 — the lead/lag detector ("clicks lead purchases by k
+    hours"); exact integer deviations over the union grid, one double
+    division per lag. See ``operators.timeseries.ccf_lags``."""
+    from artigraph_spark.operators.timeseries import ccf_lags
+
+    e = load(spark, sf_dir, "events")
+    return ccf_lags(
+        e, "ts", "event_type", "click", "purchase", bucket_seconds=3600, max_lag=12
+    )
+
+
+@query(
+    "twap_user_value",
+    oracle="""
+    WITH base AS (
+        SELECT user_id AS u, epoch_us(ts) AS t, event_id AS id,
+               CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                    THEN value END AS v
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), stepped AS (
+        SELECT u, v,
+               lead(t, 1) OVER (PARTITION BY u ORDER BY t, id) - t AS dur
+        FROM base
+    )
+    SELECT u AS user_id,
+           CAST(count(*) + 1 AS BIGINT) AS n_events,
+           CAST(sum(dur) AS BIGINT) AS span_us,
+           round(CAST(sum(CAST(COALESCE(CAST(floor(v * 1048576.0) AS BIGINT), 0)
+                               AS HUGEINT)
+                          * CAST(dur AS HUGEINT)) AS DOUBLE)
+                 / 1048576.0 / CAST(sum(dur) AS DOUBLE), 9) AS twap_r
+    FROM stepped WHERE dur IS NOT NULL GROUP BY u
+    """,
+)
+def twap_user_value(spark, sf_dir):
+    """Time-weighted average event value per user (each reading holds
+    until the next; exact µs durations × fixed-point values) — the
+    uneven-sampling mean that a plain average gets wrong. See
+    ``operators.timeseries.time_weighted_avg``."""
+    from artigraph_spark.operators.timeseries import time_weighted_avg
+
+    e = load(spark, sf_dir, "events")
+    return time_weighted_avg(e)
+
+
+@query(
+    "fk_orphans_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_keys,
+           CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+                          AND o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans,
+           CASE WHEN sum(CASE WHEN l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) > 0
+                THEN round(
+                    CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+                                   AND o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                         AS DOUBLE)
+                    / CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE), 9) END AS orphan_rate_r
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer' AS relation,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN od.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN od.o_custkey IS NOT NULL
+                          AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CASE WHEN sum(CASE WHEN od.o_custkey IS NOT NULL THEN 1 ELSE 0 END) > 0
+                THEN round(
+                    CAST(sum(CASE WHEN od.o_custkey IS NOT NULL
+                                   AND c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                         AS DOUBLE)
+                    / CAST(sum(CASE WHEN od.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE), 9) END
+    FROM orders od
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON od.o_custkey = c.c_custkey
+    """,
+)
+def fk_orphans_audit(spark, sf_dir):
+    """Referential-integrity audit of the fixture's two FK relations
+    (lineitem→orders, orders→customer): orphan counts and rates, NULL
+    keys counted separately (SQL FK semantics). See
+    ``operators.quality.fk_integrity_audit``."""
+    from artigraph_spark.operators.quality import fk_integrity_audit
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    a = fk_integrity_audit(li, "l_orderkey", o, "o_orderkey", relation="lineitem->orders")
+    b = fk_integrity_audit(o, "o_custkey", c, "c_custkey", relation="orders->customer")
+    return a.unionByName(b)
+
+
+@query(
+    "calibration_price_returns",
+    oracle="""
+    WITH base AS (
+        SELECT l_discount AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND NOT isnan(l_discount)
+    ), rng AS (
+        SELECT min(s) AS lo, max(s) AS hi FROM base
+    ), binned AS (
+        SELECT CASE WHEN rng.hi > rng.lo
+                    THEN CAST(least(floor((base.s - rng.lo) * 10.0
+                                          / (rng.hi - rng.lo)), 9) AS BIGINT)
+                    ELSE 0 END AS bin,
+               base.s, base.y
+        FROM base, rng
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round((CAST(SUM(CAST(floor(s * 1048576.0) AS BIGINT)) AS DOUBLE)
+                  / 1048576.0) / COUNT(s), 9) AS mean_score_r,
+           round(CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 9) AS pos_rate_r
+    FROM binned GROUP BY bin
+    """,
+)
+def calibration_price_returns(spark, sf_dir):
+    """Reliability table: equi-width discount bins vs the observed
+    return rate — the calibration-curve data (does a higher discount
+    coincide with more returns?), AUC's honesty companion. See
+    ``operators.quality.calibration_bins``."""
+    from artigraph_spark.operators.quality import calibration_bins
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "is_return", (F.col("l_returnflag") == "R").cast("int")
+    )
+    return calibration_bins(li, "l_discount", "is_return", bins=10)
+
+
+@query(
+    "dup_rate_by_source",
+    oracle="""
+    WITH ph AS (
+        SELECT source AS g,
+               CASE WHEN text IS NOT NULL THEN sha256(text) END AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT g AS source,
+           CAST(sum(CASE WHEN h IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h IS NULL THEN c ELSE 0 END) AS BIGINT)
+               AS n_null_texts,
+           CAST(sum(CASE WHEN h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_distinct,
+           CASE WHEN sum(CASE WHEN h IS NOT NULL THEN c ELSE 0 END) > 0 THEN
+               round(CAST(1 AS DOUBLE)
+                     - CAST(CAST(sum(CASE WHEN h IS NOT NULL THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(sum(CASE WHEN h IS NOT NULL THEN c ELSE 0 END)
+                                   AS BIGINT) AS DOUBLE), 9) END AS dup_rate_r
+    FROM ph GROUP BY g
+    """,
+)
+def dup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplication report over the documents corpus:
+    doc counts, distinct sha256 content counts, duplicate-mass rate —
+    the corpus-health readout that gates (and certifies) the dedup
+    pass. See ``operators.quality.duplication_report``."""
+    from artigraph_spark.operators.quality import duplication_report
+
+    d = load(spark, sf_dir, "documents")
+    return duplication_report(d, "source", "text")

@@ -1,0 +1,219 @@
+"""Round-9 operator tests: exact order statistics, CCF, TWAP, and the
+integrity/calibration/duplication audits — hand-checked values plus the
+edge cases (ties, NaN, single-element groups, degenerate variance)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def gdf(spark):
+    rows = [("a", float(v)) for v in range(1, 11)] + [
+        ("b", 5.0),
+        ("b", 5.0),
+        ("b", 100.0),
+    ]
+    return spark.createDataFrame(rows, "g: string, v: double")
+
+
+def test_exact_group_quantiles_type1(spark, gdf):
+    from artigraph_spark.operators.orderstats import exact_group_quantiles
+
+    q = {
+        (r["g"], r["q"]): (r["value"], r["n"])
+        for r in exact_group_quantiles(gdf, ["g"], "v", [0.25, 0.5, 0.75, 1.0]).collect()
+    }
+    # a: n=10 → ranks ceil(2.5)=3, ceil(5)=5, ceil(7.5)=8, 10
+    assert q[("a", 0.25)] == (3.0, 10)
+    assert q[("a", 0.5)] == (5.0, 10)
+    assert q[("a", 0.75)] == (8.0, 10)
+    assert q[("a", 1.0)] == (10.0, 10)
+    # b: ties share the rank — ceil(1.5)=2 lands on the tied 5.0
+    assert q[("b", 0.5)] == (5.0, 3)
+    assert q[("b", 0.75)] == (100.0, 3)
+    with pytest.raises(ValueError, match="quantiles must be"):
+        exact_group_quantiles(gdf, ["g"], "v", [0.0])
+    with pytest.raises(ValueError, match="at least one"):
+        exact_group_quantiles(gdf, ["g"], "v", [])
+
+
+def test_exact_quantiles_exclude_null_and_nan(spark):
+    from artigraph_spark.operators.orderstats import exact_group_quantiles
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", None), ("a", float("nan"))]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    q = {r["q"]: r for r in exact_group_quantiles(df, ["g"], "v", [0.5, 1.0]).collect()}
+    assert q[0.5]["n"] == 2 and q[0.5]["value"] == 1.0
+    assert q[1.0]["value"] == 2.0
+
+
+def test_trimmed_mean_exact_trim_counts(spark, gdf):
+    from artigraph_spark.operators.orderstats import trimmed_mean_by_group
+
+    tm = {r["g"]: r for r in trimmed_mean_by_group(gdf, ["g"], "v", trim=0.2).collect()}
+    # a: k=floor(2)=2 → keep ranks 3..8 → mean 5.5
+    assert tm["a"]["n_kept"] == 6
+    assert tm["a"]["trimmed_mean_r"] == pytest.approx(5.5, abs=1e-6)
+    # b: k=floor(0.6)=0 → untrimmed mean
+    assert tm["b"]["n_kept"] == 3
+    assert tm["b"]["trimmed_mean_r"] == pytest.approx(110 / 3, abs=1e-3)
+    with pytest.raises(ValueError, match="trim must be"):
+        trimmed_mean_by_group(gdf, ["g"], "v", trim=0.5)
+
+
+def test_tukey_fences_flags_outliers(spark):
+    from artigraph_spark.operators.orderstats import tukey_fences
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("a", 1000.0), ("a", -1000.0)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    r = tukey_fences(df, ["g"], "v").collect()[0]
+    # n=12 sorted: -1000, 1..10, 1000 → q1 = rank ceil(3)=3 → 2.0,
+    # q3 = rank ceil(9)=9 → 8.0, iqr=6 → fences -7 / 17
+    assert (float(r["q1"]), float(r["q3"])) == (2.0, 8.0)
+    assert r["lo_fence_r"] == pytest.approx(2.0 - 9.0)
+    assert r["hi_fence_r"] == pytest.approx(8.0 + 9.0)
+    assert (r["n_low"], r["n_high"]) == (1, 1)
+
+
+def test_spearman_matches_hand_computation_with_ties(spark):
+    from artigraph_spark.operators.orderstats import spearman_corr
+
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(1, 20)], "x: double, y: double"
+    )
+    assert spearman_corr(mono, "x", "y").collect()[0]["rho_r"] == 1.0
+    anti = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 20)], "x: double, y: double"
+    )
+    assert spearman_corr(anti, "x", "y").collect()[0]["rho_r"] == -1.0
+
+    ties = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 2.0), (3.0, 1.0), (4.0, 5.0), (5.0, 5.0)],
+        "x: double, y: double",
+    )
+    got = spearman_corr(ties, "x", "y").collect()[0]
+    xs, ys = [1, 2, 3, 4, 5], [2.5, 2.5, 1, 4.5, 4.5]  # average ranks
+    n = 5
+    sx, sy = sum(xs), sum(ys)
+    sxx, syy = sum(a * a for a in xs), sum(a * a for a in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    rho = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert got["rho_r"] == pytest.approx(rho, abs=1e-8)
+    # constant column → NULL (zero rank variance)
+    const = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0)], "x: double, y: double")
+    assert spearman_corr(const, "x", "y").collect()[0]["rho_r"] is None
+
+
+def test_ccf_detects_lead_lag(spark):
+    import datetime
+
+    from artigraph_spark.operators.timeseries import ccf_lags
+
+    def ts(h):
+        return datetime.datetime(2024, 1, 1, h)
+
+    rows, eid = [], 0
+    for h in range(6):
+        for _ in range(h + 1):
+            rows.append((eid, "click", ts(h)))
+            eid += 1
+    for h in range(6):
+        for _ in range(h + 1):
+            rows.append((eid, "purchase", ts(h + 2)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id: bigint, event_type: string, ts: timestamp")
+    out = {
+        r["lag"]: r["ccf_r"]
+        for r in ccf_lags(
+            df, "ts", "event_type", "click", "purchase", bucket_seconds=3600, max_lag=3
+        ).collect()
+    }
+    assert len(out) == 7  # lags -3..+3
+    best = max((v, k) for k, v in out.items() if v is not None)
+    assert best[1] == 2  # purchases trail clicks by exactly 2 buckets
+    with pytest.raises(ValueError, match="distinct types"):
+        ccf_lags(df, "ts", "event_type", "click", "click")
+
+
+def test_twap_weighted_by_duration(spark):
+    import datetime
+
+    from artigraph_spark.operators.timeseries import time_weighted_avg
+
+    def ts(h):
+        return datetime.datetime(2024, 1, 1, h)
+
+    rows = [
+        (1, 1, ts(0), 10.0),
+        (1, 2, ts(2), 20.0),
+        (1, 3, ts(3), 99.0),  # last value carries no weight
+        (2, 4, ts(0), 5.0),  # single event → omitted
+        (3, 5, ts(0), None),  # NULL value holds duration, no mass
+        (3, 6, ts(1), 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: bigint, event_id: bigint, ts: timestamp, value: double"
+    )
+    got = {r["user_id"]: r for r in time_weighted_avg(df).collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["twap_r"] == pytest.approx((10 * 2 + 20 * 1) / 3, abs=1e-5)
+    assert got[1]["span_us"] == 3 * 3600 * 10**6
+    assert got[3]["twap_r"] == pytest.approx(0.0, abs=1e-9)  # null value → 0 mass
+
+
+def test_fk_integrity_audit_counts(spark):
+    from artigraph_spark.operators.quality import fk_integrity_audit
+
+    child = spark.createDataFrame([(1,), (1,), (2,), (9,), (None,)], "fk: bigint")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk: bigint")
+    r = fk_integrity_audit(child, "fk", parent, "pk", relation="c->p").collect()[0]
+    assert (r["relation"], r["n_rows"], r["n_null_keys"], r["n_orphans"]) == (
+        "c->p", 5, 1, 1,
+    )
+    assert r["orphan_rate_r"] == pytest.approx(0.25)
+    # all-null keys → NULL rate, not a division error
+    nulls = spark.createDataFrame([(None,), (None,)], "fk: bigint")
+    r2 = fk_integrity_audit(nulls, "fk", parent, "pk", relation="n->p").collect()[0]
+    assert r2["n_orphans"] == 0 and r2["orphan_rate_r"] is None
+
+
+def test_calibration_bins_separates_score_ranges(spark):
+    from artigraph_spark.operators.quality import calibration_bins
+
+    rows = [(i / 10.0, 1 if i >= 5 else 0) for i in range(11)]
+    df = spark.createDataFrame(rows, "s: double, y: int")
+    cb = {r["bin"]: r for r in calibration_bins(df, "s", "y", bins=2).collect()}
+    assert cb[0]["n"] == 5 and cb[0]["pos_rate_r"] == 0.0
+    assert cb[1]["n"] == 6 and cb[1]["pos_rate_r"] == 1.0
+    with pytest.raises(ValueError, match="bins must be"):
+        calibration_bins(df, "s", "y", bins=1)
+
+
+def test_duplication_report_rates(spark):
+    from artigraph_spark.operators.quality import duplication_report
+
+    docs = [("a", "x"), ("a", "x"), ("a", "y"), ("a", None), ("b", "z")]
+    df = spark.createDataFrame(docs, "g: string, text: string")
+    dd = {r["g"]: r for r in duplication_report(df, "g", "text").collect()}
+    assert (dd["a"]["n_docs"], dd["a"]["n_distinct"], dd["a"]["n_null_texts"]) == (3, 2, 1)
+    assert dd["a"]["dup_rate_r"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert dd["b"]["dup_rate_r"] == 0.0
+
+
+def test_upsample_respects_frame_factors_at_scale_shape(spark):
+    # frame-factored upsample end-to-end with temperature_factor_frame:
+    # output size equals sum over domains of round(r_d * rows_d)
+    from artigraph_spark.operators.packing import (
+        temperature_factor_frame,
+        upsample_domains,
+    )
+
+    rows = [("w", i) for i in range(10)] + [("c", i) for i in range(90)]
+    df = spark.createDataFrame(rows, "domain: string, id: bigint")
+    frame = temperature_factor_frame(df, "domain", alpha=0.5)
+    out = upsample_domains(df, "domain", frame, F.col("id"))
+    factors = {r["domain"]: r["factor"] for r in frame.collect()}
+    expect = sum(round(factors[d] * n) for d, n in (("w", 10), ("c", 90)))
+    assert abs(out.count() - expect) <= 2  # hash rounding of the frac part
