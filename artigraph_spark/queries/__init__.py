@@ -50,7 +50,55 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 # land inside the recorded window. Everything else follows in registration
 # order; total registration is unchanged.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-8 ROTATION. Recorded-window history after r7 (computed from
+    # ROUND-9 ROTATION. Recorded-window history after r8 (computed from
+    # CORRECTNESS_r0{1..8}.json at round start): 10 oracle-bearing
+    # queries have never been recorded (the 9 new r9 exact-stats/audit
+    # queries + pseudo_dp_noisy_counts_events, renamed this round from
+    # dp_noisy_counts_events per the r8 advice — the old name's r8 row
+    # does not carry over), 9 implementations changed this round, 7
+    # queries are r3-stale and 49 r4-stale. Window = 10 never-recorded
+    # + 9 impl-changed + 7 r3-stale + 24 oldest r4-stale (alphabetical)
+    # = exactly 50; the remaining 25 r4-stale lead the r10 backlog.
+    # Impl-changed detail: kcore (non-convergence raise),
+    # shortest_paths (weight validation branches), bootstrap_ci (pmod
+    # hashing + oracle), bloom_incremental_dedup (unstamped-fallback
+    # build path), rank_normalize / quantile_normalize / rfm_segments
+    # (bucketed prefix-sum rank rewrite), upsample_domains (DataFrame
+    # factors path in the shared entry point), pagerank (unconditional
+    # every-4-rounds lineage cut) — all value-identical on the fixtures
+    # per this round's oracle runs, but the plans/impls changed, so
+    # they earn fresh rows (the r8 convention).
+    # (1) never recorded — first driver rows
+    "exact_quantiles_quantity", "trimmed_mean_price",
+    "tukey_outliers_quantity", "spearman_price_quantity",
+    "ccf_click_purchase", "twap_user_value", "fk_orphans_audit",
+    "calibration_price_returns", "dup_rate_by_source",
+    "pseudo_dp_noisy_counts_events",
+    # (2) implementation changed this round
+    "kcore_copurchase", "shortest_paths_copurchase",
+    "bootstrap_ci_quantity", "bloom_incremental_dedup",
+    "rank_normalize_lineitem", "quantile_normalize_quantity",
+    "rfm_segments_users", "upsample_domains", "pagerank_copurchase",
+    # (3) the 7 remaining r3-stale re-greens (oldest tier, alphabetical)
+    "set_union_all", "set_union_distinct", "simhash_checked",
+    "sort_limit_topk", "text_quality_score", "tfidf_terms",
+    "token_bpe_counts",
+    # (4) the 24 oldest r4-stale re-greens (alphabetical; the other 25
+    # r4-stale queries lead r10)
+    "agg_argminmax", "agg_collect", "agg_count_distinct", "agg_cube",
+    "agg_dedup_pick_first", "agg_distinct_rows", "agg_filtered",
+    "agg_global_summary", "agg_grouping_sets", "agg_histogram",
+    "agg_minmax_stats", "agg_percentiles", "agg_pivot",
+    "agg_pricing_summary", "agg_rollup", "benchmark_contamination",
+    "bm25_ranking", "conditional_distinct", "correlated_group_filter",
+    "dedup_exact", "dedup_fingerprint", "dedup_lines_in_doc",
+    "doc_rolling_hash", "domain_cap",
+)
+
+
+_PRIORITY_R8: tuple[str, ...] = (
+    # ROUND-8 ROTATION (superseded — kept for the window-audit history).
+    # Recorded-window history after r7 (computed from
     # CORRECTNESS_r0{1..7}.json at round start): 50 queries hold an r7
     # row, 47 an r6 row, 44 an r5 row, 49 an r4 row, and 28
     # oracle-bearing queries are r3-stale. This round registered 26 new
