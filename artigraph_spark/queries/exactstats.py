@@ -532,3 +532,69 @@ def hourly_conversion_bh(spark, sf_dir):
     return proportion_ztests_bh(
         e, "hour", F.col("event_type") == "purchase", alpha=0.05
     )
+
+
+@query(
+    "length_band_filter_docs",
+    oracle="""
+    WITH hist AS (
+        SELECT lang AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS f
+        FROM documents
+        WHERE n_chars IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+        SELECT g, v, f,
+               CAST(COALESCE(sum(f) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cp,
+               CAST(sum(f) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cm,
+               CAST(sum(f) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM hist
+    ), bands AS (
+        SELECT g,
+               min(CASE WHEN CAST(1 AS HUGEINT) * n > CAST(cp AS HUGEINT) * 20
+                         AND CAST(1 AS HUGEINT) * n <= CAST(cm AS HUGEINT) * 20
+                        THEN v END) AS lo,
+               min(CASE WHEN CAST(19 AS HUGEINT) * n > CAST(cp AS HUGEINT) * 20
+                         AND CAST(19 AS HUGEINT) * n <= CAST(cm AS HUGEINT) * 20
+                        THEN v END) AS hi
+        FROM cum GROUP BY g
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN bands b ON d.lang = b.g
+    WHERE d.n_chars IS NOT NULL
+      AND d.n_chars >= b.lo AND d.n_chars <= b.hi
+    """,
+)
+def length_band_filter_docs(spark, sf_dir):
+    """Per-language document length-band filter: keep documents whose
+    length sits inside the language's exact [p05, p95] band — the
+    corpus-cleaning step that drops truncation stubs and concatenation
+    monsters per language instead of with one global cutoff (a global
+    band over mixed languages mostly filters the SHORT languages). The
+    cut points are exact type-1 quantiles — reproducible across engines
+    and reruns, which a sampled approx-percentile cut is not. One
+    composition: exact_group_quantiles → per-lang band frame →
+    broadcast-sized join + pushable range filter."""
+    from artigraph_spark.operators.orderstats import exact_group_quantiles
+
+    d = load(spark, sf_dir, "documents")
+    bands = (
+        exact_group_quantiles(d, ["lang"], "n_chars", [0.05, 0.95])
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("q") == 0.05, F.col("value"))).alias("__lo"),
+            F.min(F.when(F.col("q") == 0.95, F.col("value"))).alias("__hi"),
+        )
+        .withColumnRenamed("lang", "__bl")
+    )
+    return (
+        d.filter(F.col("n_chars").isNotNull())
+        .join(bands, F.col("lang") == F.col("__bl"))
+        .filter(
+            (F.col("n_chars") >= F.col("__lo"))
+            & (F.col("n_chars") <= F.col("__hi"))
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
