@@ -528,7 +528,12 @@ def hourly_conversion_bh(spark, sf_dir):
     ``functions.phi_approx``."""
     from artigraph_spark.operators.quality import proportion_ztests_bh
 
-    e = load(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    # bigint hour: Spark's hour() yields int32 while the oracle's
+    # CAST(... AS BIGINT) is int64 — the driver's schema compare is
+    # type-exact, so align the bucket type on the Spark side.
+    e = load(spark, sf_dir, "events").withColumn(
+        "hour", F.hour("ts").cast("bigint")
+    )
     return proportion_ztests_bh(
         e, "hour", F.col("event_type") == "purchase", alpha=0.05
     )
