@@ -593,3 +593,50 @@ def test_cdc_apply_matches_merge_model(spark, base_rows, chg_rows):
         for r in cdc_apply(base, chg, "k", order_cols=["ts", "cid"]).collect()
     }
     assert got == state
+
+
+@st.composite
+def grouped_values(draw):
+    """(group, value) rows with ties, NULL groups, NaN values, and
+    single-row groups — the adversarial shapes for exact ranking."""
+    groups = draw(st.lists(st.sampled_from(["a", "b", "c", None]), min_size=1, max_size=60))
+    vals = draw(
+        st.lists(
+            st.one_of(
+                st.sampled_from([0.0, 1.0, 2.5, -3.0, float("nan")]),
+                st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+            ),
+            min_size=len(groups),
+            max_size=len(groups),
+        )
+    )
+    return list(zip(groups, vals))
+
+
+@given(grouped_values(), st.sampled_from([1, 2, 7, 1024]))
+@settings(max_examples=12, deadline=None)
+def test_bucketed_ranks_equal_window_ranks_property(spark, rows, buckets):
+    """For ANY data and ANY bucket count, the bucketed prefix-sum rank
+    must equal rank() over the raw per-group window — the invariant the
+    r9 rank_normalize/quantile_normalize/orderstats rewrites rest on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators._ranks import bucketed_group_value_ranks
+
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    w = Window.partitionBy("g").orderBy(F.col("v").asc_nulls_last())
+    ckey = lambda g, v: (g, "NaN" if v != v else v)  # noqa: E731
+    want = {
+        ckey(r["g"], r["v"]): r["rk"]
+        for r in df.withColumn("rk", F.rank().over(w)).collect()
+    }
+    got = bucketed_group_value_ranks(df, ["g"], "v", buckets=buckets).collect()
+    # every distinct (group, value) present exactly once with the raw rank
+    seen = set()
+    for r in got:
+        k = ckey(r["g"], r["__v"])
+        assert k not in seen
+        seen.add(k)
+        assert r["__rg"] == want[k], (buckets, r)
+    assert seen == set(want)
