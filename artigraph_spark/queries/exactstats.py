@@ -603,3 +603,82 @@ def length_band_filter_docs(spark, sf_dir):
         )
         .select("doc_id", "lang", "n_chars")
     )
+
+
+def _ppl_decile_oracle() -> str:
+    from artigraph_spark.functions import oracle_davg
+
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+    nll = oracle_davg("round(ln(CAST(total AS DOUBLE) / CAST(c AS DOUBLE)), 9)")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    freqs AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freqs),
+    scores AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round({nll}, 6) AS nll
+        FROM toks JOIN freqs USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    ),
+    dec AS (
+        SELECT n_tokens, nll,
+               CAST(ntile(10) OVER (ORDER BY nll, doc_id) AS BIGINT) AS decile
+        FROM scores
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round({oracle_davg("nll")}, 9) AS mean_nll_r
+    FROM dec GROUP BY decile
+    """
+
+
+@query("ppl_decile_report", oracle=_ppl_decile_oracle())
+def ppl_decile_report(spark, sf_dir):
+    """Corpus health by perplexity-proxy decile: rank every document by
+    its mean unigram NLL (the cheap stand-in for LM perplexity), cut the
+    corpus into exact deciles, and report each decile's document count,
+    TOKEN MASS, and mean NLL — the pre-training diagnostic that answers
+    "how much of my token budget sits in the noisiest tenth?" before
+    deciding a filter threshold. The decile assignment is the r9
+    distributed machinery end-to-end: bucketed row_numbers (no global
+    sort) + the integer ntile-from-rank projection, cross-validated here
+    against DuckDB's native ntile."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.functions import davg
+    from artigraph_spark.operators._ranks import (
+        bucketed_row_numbers,
+        ntile_from_rank,
+    )
+    from artigraph_spark.operators.text import unigram_logprob_scores
+    from pyspark import StorageLevel
+
+    d = load(spark, sf_dir, "documents")
+    scores = (
+        unigram_logprob_scores(d, "doc_id", "text")
+        .select("doc_id", "n_tokens", F.round("nll", 6).alias("__nll"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        nd = scores.agg(F.count(F.lit(1)).alias("__nd"))
+        ranked = bucketed_row_numbers(
+            scores, "__nll", ["doc_id"], out_col="__rn"
+        ).crossJoin(F.broadcast(nd))
+        out = (
+            ranked.select(
+                ntile_from_rank("__rn", "__nd", 10).alias("decile"),
+                "n_tokens",
+                "__nll",
+            )
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.round(davg("__nll"), 9).alias("mean_nll_r"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        scores.unpersist()
