@@ -2130,3 +2130,66 @@ def proportion_ztests_bh(
             F.col("p_adj_r").isNotNull(), F.col("p_adj_r") <= F.lit(alpha)
         ),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Cohen's d (and the small-sample Hedges' g correction) between two
+    groups of one numeric column — the EFFECT-SIZE companion to
+    :func:`welch_ttest`: a t-test says whether a difference is real, d
+    says whether it is big enough to matter (at production n, trivial
+    differences are "significant"; reporting d alongside p is the
+    standard fix). ``d = (mean_a − mean_b) / s_pooled`` with
+    ``s_pooled = √(((n_a−1)·v_a + (n_b−1)·v_b) / (n_a+n_b−2))``;
+    ``g = d·(1 − 3/(4(n_a+n_b) − 9))``.
+
+    Same exactness contract as welch_ttest: one conditional aggregate
+    computes both groups' fixed-point moments in a single scan; every
+    division past the rounded moments is plain double arithmetic both
+    engines run identically. NULL d/g when either group has <2 rows or
+    the pooled variance is 0. NaN values are excluded like NULL.
+
+    Scale shape: one map-side-combined global aggregate, one row out.
+
+    Returns one row
+    ``(n_a, n_b, mean_a_r, mean_b_r, pooled_sd_r, cohens_d_r,
+    hedges_g_r)``.
+    """
+    from artigraph_spark.functions import davg, dvar_samp
+
+    g, v = F.col(group_col), F.col(value_col)
+    base = df.filter(v.isNotNull() & ~F.isnan(v) & g.isin(group_a, group_b))
+    va_col = F.when(g == group_a, v)
+    vb_col = F.when(g == group_b, v)
+    s = base.agg(
+        F.count(va_col).alias("n_a"),
+        F.count(vb_col).alias("n_b"),
+        F.round(davg(va_col), 9).alias("mean_a_r"),
+        F.round(davg(vb_col), 9).alias("mean_b_r"),
+        F.round(dvar_samp(va_col), 9).alias("__va"),
+        F.round(dvar_samp(vb_col), 9).alias("__vb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pooled_var = (
+        (na - F.lit(1.0)) * F.col("__va") + (nb - F.lit(1.0)) * F.col("__vb")
+    ) / (na + nb - F.lit(2.0))
+    sd = F.sqrt(pooled_var)
+    d = (F.col("mean_a_r") - F.col("mean_b_r")) / sd
+    gcorr = d * (
+        F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0))
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (pooled_var > 0)
+    return s.select(
+        "n_a",
+        "n_b",
+        "mean_a_r",
+        "mean_b_r",
+        F.when(ok, F.round(sd, 9)).alias("pooled_sd_r"),
+        F.when(ok, F.round(d, 9)).alias("cohens_d_r"),
+        F.when(ok, F.round(gcorr, 9)).alias("hedges_g_r"),
+    )

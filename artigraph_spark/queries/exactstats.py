@@ -682,3 +682,53 @@ def ppl_decile_report(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         scores.unpersist()
+
+
+def _cohens_d_oracle() -> str:
+    from artigraph_spark.functions import oracle_davg, oracle_dvar_samp
+
+    va = "CASE WHEN l_returnflag = 'A' THEN l_extendedprice END"
+    vb = "CASE WHEN l_returnflag = 'R' THEN l_extendedprice END"
+    pooled = (
+        "(((CAST(n_a AS DOUBLE) - 1.0) * va + (CAST(n_b AS DOUBLE) - 1.0) * vb)"
+        " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))"
+    )
+    d = f"((mean_a_r - mean_b_r) / sqrt({pooled}))"
+    gc = (
+        f"({d} * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)"
+        f" + CAST(n_b AS DOUBLE)) - 9.0)))"
+    )
+    return f"""
+    WITH s AS (
+        SELECT CAST(COUNT({va}) AS BIGINT) AS n_a,
+               CAST(COUNT({vb}) AS BIGINT) AS n_b,
+               round({oracle_davg(va)}, 9) AS mean_a_r,
+               round({oracle_davg(vb)}, 9) AS mean_b_r,
+               round({oracle_dvar_samp(va)}, 9) AS va,
+               round({oracle_dvar_samp(vb)}, 9) AS vb
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND l_returnflag IN ('A', 'R')
+    )
+    SELECT n_a, n_b, mean_a_r, mean_b_r,
+           CASE WHEN n_a > 1 AND n_b > 1 AND {pooled} > 0
+                THEN round(sqrt({pooled}), 9) END AS pooled_sd_r,
+           CASE WHEN n_a > 1 AND n_b > 1 AND {pooled} > 0
+                THEN round({d}, 9) END AS cohens_d_r,
+           CASE WHEN n_a > 1 AND n_b > 1 AND {pooled} > 0
+                THEN round({gc}, 9) END AS hedges_g_r
+    FROM s
+    """
+
+
+@query("effect_size_price", oracle=_cohens_d_oracle())
+def effect_size_price(spark, sf_dir):
+    """Cohen's d + Hedges' g for extended price between accepted ('A')
+    and returned ('R') line items — the effect-size companion to
+    welch_ttest_price: at production n everything is "significant", so
+    the size of the standardized difference is the number that matters.
+    See ``operators.quality.cohens_d``."""
+    from artigraph_spark.operators.quality import cohens_d
+
+    li = load(spark, sf_dir, "lineitem")
+    return cohens_d(li, "l_returnflag", "l_extendedprice", "A", "R")

@@ -274,3 +274,22 @@ def test_proportion_ztests_bh_uniform_data_rejects_nothing(spark):
     assert all(r["reject"] is False for r in out)
     # identical buckets -> identical z, p (exactly, all arithmetic shared)
     assert len({r["p_r"] for r in out}) == 1
+
+
+def test_cohens_d_known_effect(spark):
+    from artigraph_spark.operators.quality import cohens_d
+
+    # group A ~ N-ish around 10, group B around 12, sd 1 → d ≈ -2
+    rows = [("A", 10.0 + (i % 3) - 1) for i in range(30)]
+    rows += [("B", 12.0 + (i % 3) - 1) for i in range(30)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    r = cohens_d(df, "g", "v", "A", "B").collect()[0]
+    assert r["n_a"] == 30 and r["n_b"] == 30
+    assert r["cohens_d_r"] == pytest.approx(-2.0 / r["pooled_sd_r"] * 1.0, rel=1e-6)
+    # Hedges correction shrinks |d| slightly
+    assert abs(r["hedges_g_r"]) < abs(r["cohens_d_r"])
+    assert abs(r["hedges_g_r"] - r["cohens_d_r"] * (1 - 3 / (4 * 60 - 9))) < 1e-8
+    # degenerate: constant values → NULL d
+    const = spark.createDataFrame([("A", 5.0), ("A", 5.0), ("B", 5.0), ("B", 5.0)], "g: string, v: double")
+    rc = cohens_d(const, "g", "v", "A", "B").collect()[0]
+    assert rc["cohens_d_r"] is None and rc["pooled_sd_r"] is None
