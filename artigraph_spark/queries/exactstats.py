@@ -732,3 +732,99 @@ def effect_size_price(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem")
     return cohens_d(li, "l_returnflag", "l_extendedprice", "A", "R")
+
+
+def _cuped_oracle() -> str:
+    from artigraph_spark.functions import oracle_davg, oracle_dsum, oracle_dvar_samp
+
+    nd = "CAST(count(*) AS DOUBLE)"
+    sxy = oracle_dsum("(x) * (y)", 10)
+    sx = oracle_dsum("x", 20)
+    sy = oracle_dsum("y", 20)
+    cov = (
+        f"CASE WHEN count(*) > 1 THEN (({sxy}) - ({sx}) * ({sy}) / ({nd}))"
+        f" / (({nd}) - 1.0) END"
+    )
+    return f"""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        AND value IS NOT NULL AND NOT isnan(value)
+                        THEN CAST(floor(value * 1048576.0) AS BIGINT) END), 0)
+                    AS BIGINT) AS xfx,
+               CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        AND value IS NOT NULL AND NOT isnan(value)
+                        THEN CAST(floor(value * 1048576.0) AS BIGINT) END), 0)
+                    AS BIGINT) AS yfx
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
+    ), u AS (
+        SELECT CAST((((user_id % 1000000007) * 2654435761) % 1000000007) % 2
+                    AS BIGINT) AS variant,
+               CAST(xfx AS DOUBLE) / 1048576.0 AS x,
+               CAST(yfx AS DOUBLE) / 1048576.0 AS y
+        FROM pu
+    ), g AS (
+        SELECT round({oracle_davg("x")}, 9) AS gx,
+               {cov} AS cov,
+               {oracle_dvar_samp("x")} AS vx,
+               {oracle_dvar_samp("y")} AS vy
+        FROM u
+    ), gt AS (
+        SELECT gx,
+               CASE WHEN vx > 0 THEN round(cov / vx, 9) ELSE 0.0 END AS theta,
+               CASE WHEN vx > 0 AND vy > 0
+                    THEN round(cov * cov / (vx * vy), 9) END AS rho2
+        FROM g
+    ), pv AS (
+        SELECT variant, CAST(count(*) AS BIGINT) AS n,
+               round({oracle_davg("y")}, 9) AS mean_y_r,
+               round({oracle_davg("x")}, 9) AS mean_x_r
+        FROM u GROUP BY variant
+    )
+    SELECT variant, n, mean_y_r, mean_x_r,
+           round(mean_y_r - gt.theta * (mean_x_r - gt.gx), 9) AS adj_mean_r,
+           gt.theta AS theta_r,
+           gt.rho2 AS rho2_r
+    FROM pv, gt
+    """
+
+
+@query("cuped_user_value", oracle=_cuped_oracle())
+def cuped_user_value(spark, sf_dir):
+    """CUPED variance-reduced A/B readout on the events fixture: each
+    user's post-cutoff value total adjusted by their pre-cutoff total
+    (the pre-experiment covariate), variants assigned by the shared
+    deterministic multiplicative hash — the experimentation-platform
+    standard that reaches significance with a fraction of the traffic.
+    Per-user totals are exact fixed-point longs divided by 2^20 (a
+    power-of-two division — exact in binary), so the whole pipeline
+    replays bit-for-bit. See ``operators.quality.cuped_adjust``."""
+    from artigraph_spark.functions import fxp
+    from artigraph_spark.operators.packing import _mul_hash
+    from artigraph_spark.operators.quality import cuped_adjust
+
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    val_ok = F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+    pre = F.when((F.col("ts") < cut) & val_ok, F.col("value"))
+    post = F.when((F.col("ts") >= cut) & val_ok, F.col("value"))
+    scale = F.lit(float(1 << 20))
+    units = (
+        e.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.coalesce(F.sum(fxp(pre)), F.lit(0).cast("long")).cast("double")
+                / scale
+            ).alias("x"),
+            (
+                F.coalesce(F.sum(fxp(post)), F.lit(0).cast("long")).cast("double")
+                / scale
+            ).alias("y"),
+        )
+        .withColumn(
+            "variant", F.pmod(_mul_hash(F.col("user_id")), F.lit(2)).cast("bigint")
+        )
+    )
+    return cuped_adjust(units, "variant", "y", "x")

@@ -293,3 +293,38 @@ def test_cohens_d_known_effect(spark):
     const = spark.createDataFrame([("A", 5.0), ("A", 5.0), ("B", 5.0), ("B", 5.0)], "g: string, v: double")
     rc = cohens_d(const, "g", "v", "A", "B").collect()[0]
     assert rc["cohens_d_r"] is None and rc["pooled_sd_r"] is None
+
+
+def test_cuped_reduces_to_plain_means_when_theta_zero(spark):
+    from artigraph_spark.operators.quality import cuped_adjust
+
+    # X independent of Y (X constant) → var_x = 0 → theta 0 → adjusted
+    # means equal plain means
+    rows = [(i % 2, float(i), 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "variant: bigint, y: double, x: double")
+    out = {r["variant"]: r for r in cuped_adjust(df, "variant", "y", "x").collect()}
+    for v in (0, 1):
+        assert out[v]["adj_mean_r"] == out[v]["mean_y_r"]
+        assert out[v]["theta_r"] == 0.0
+
+
+def test_cuped_removes_covariate_imbalance(spark):
+    from artigraph_spark.operators.quality import cuped_adjust
+
+    # Y = 2*X + variant_effect(0.5 for v=1); variant 1 got users with
+    # HIGHER X by accident — the plain mean diff is inflated, the CUPED
+    # adjustment recovers ~the true 0.5 effect
+    rows = []
+    for i in range(200):
+        x = float(i % 10)
+        rows.append((0, 2.0 * x, x))
+    for i in range(200):
+        x = float(i % 10) + 1.0  # imbalanced covariate
+        rows.append((1, 2.0 * x + 0.5, x))
+    df = spark.createDataFrame(rows, "variant: bigint, y: double, x: double")
+    out = {r["variant"]: r for r in cuped_adjust(df, "variant", "y", "x").collect()}
+    plain_diff = out[1]["mean_y_r"] - out[0]["mean_y_r"]
+    adj_diff = out[1]["adj_mean_r"] - out[0]["adj_mean_r"]
+    assert plain_diff == pytest.approx(2.5, abs=1e-6)  # inflated by 2*1
+    assert adj_diff == pytest.approx(0.5, abs=0.05)  # recovered effect
+    assert out[0]["rho2_r"] > 0.99  # Y almost fully explained by X
