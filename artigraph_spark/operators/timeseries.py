@@ -1459,3 +1459,91 @@ def time_weighted_avg(
             ).alias("twap_r"),
         )
     )
+
+
+def mann_kendall(
+    df,
+    ts_col: str,
+    *,
+    bucket_seconds: int = 3600,
+):
+    """Mann–Kendall trend test over the bucketed event-count series —
+    the nonparametric "is there a monotone trend?" significance test
+    that completes the trend family (:func:`theil_sen_slopes` estimates
+    the slope; MK says whether the trend is real): S = Σ over bucket
+    pairs (i < j in time) of sign(y_j − y_i), the tie-corrected normal
+    approximation ``var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18``,
+    the continuity-corrected z, and the two-sided p-value through the
+    engine-identical Φ polynomial (:func:`functions.phi_approx`).
+
+    Exactness: S and both variance terms are pure int64 arithmetic over
+    the summary series (counts are ints; sign() of an int difference is
+    exact); the single /18.0, the sqrt, and Φ are the only double steps,
+    each rounded to the 9-decimal grid.
+
+    Scale shape: one data-sized shuffle to per-bucket counts, then the
+    pair sum runs as a broadcast theta-join of the summary series with
+    itself — N(N−1)/2 pairs over N BUCKETS (hours/days), the same
+    summary-quadratic budget as the acf family, never over raw rows.
+
+    Returns one row ``(n_buckets, s_stat, var_s_r, z_r, p_r)``.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    from artigraph_spark.functions import phi_approx
+
+    b = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast("long")
+        * F.lit(bucket_seconds)
+    )
+    series = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__y"))
+    )
+    left = series.select(F.col("__b").alias("__b1"), F.col("__y").alias("__y1"))
+    right = series.select(F.col("__b").alias("__b2"), F.col("__y").alias("__y2"))
+    pairs = left.join(F.broadcast(right), F.col("__b1") < F.col("__b2"))
+    s_frame = pairs.agg(
+        F.coalesce(
+            F.sum(F.signum((F.col("__y2") - F.col("__y1")).cast("double")).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("s_stat")
+    )
+    ties = (
+        series.groupBy("__y")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__t")
+                    * (F.col("__t") - 1)
+                    * (2 * F.col("__t") + 5)
+                ),
+                F.lit(0).cast("long"),
+            ).alias("__tie"),
+            F.coalesce(F.sum("__t"), F.lit(0).cast("long")).alias("n_buckets"),
+        )
+    )
+    j = s_frame.crossJoin(F.broadcast(ties))
+    nn = F.col("n_buckets")
+    var_s = (
+        (nn * (nn - 1) * (2 * nn + 5) - F.col("__tie")).cast("double")
+        / F.lit(18.0)
+    )
+    s = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (s - F.lit(1.0)) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (s + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    zr = F.when(var_s > 0, F.round(z, 9)).otherwise(F.lit(0.0))
+    return j.select(
+        "n_buckets",
+        "s_stat",
+        F.round(var_s, 9).alias("var_s_r"),
+        zr.alias("z_r"),
+        F.round(
+            F.lit(2.0) * (F.lit(1.0) - phi_approx(F.abs(zr))), 9
+        ).alias("p_r"),
+    )

@@ -57,10 +57,11 @@ _PRIORITY: tuple[str, ...] = (
     # renamed this round from dp_noisy_counts_events per the r8 advice —
     # the old name's r8 row does not carry over), 9 implementations
     # changed this round, 7 queries are r3-stale and 49 r4-stale.
-    # Window = 15 never-recorded + 9 impl-changed + 7 r3-stale + 19
-    # oldest r4-stale (alphabetical) = exactly 50; the remaining 30
-    # r4-stale (dedup_exact, dedup_fingerprint, dedup_lines_in_doc,
-    # doc_rolling_hash, domain_cap, onward) lead the r10 backlog.
+    # Window = 16 never-recorded + 9 impl-changed + 7 r3-stale + 18
+    # oldest r4-stale (alphabetical) = exactly 50; the remaining 31
+    # r4-stale (correlated_group_filter, dedup_exact, dedup_fingerprint,
+    # dedup_lines_in_doc, doc_rolling_hash, domain_cap, onward) lead the
+    # r10 backlog.
     # Impl-changed detail: kcore (non-convergence raise),
     # shortest_paths (weight validation branches), bootstrap_ci (pmod
     # hashing + oracle), bloom_incremental_dedup (unstamped-fallback
@@ -77,7 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "calibration_price_returns", "dup_rate_by_source",
     "hourly_conversion_bh", "length_band_filter_docs",
     "ppl_decile_report", "effect_size_price", "cuped_user_value",
-    "pseudo_dp_noisy_counts_events",
+    "mann_kendall_hourly", "pseudo_dp_noisy_counts_events",
     # (2) implementation changed this round
     "kcore_copurchase", "shortest_paths_copurchase",
     "bootstrap_ci_quantity", "bloom_incremental_dedup",
@@ -87,14 +88,14 @@ _PRIORITY: tuple[str, ...] = (
     "set_union_all", "set_union_distinct", "simhash_checked",
     "sort_limit_topk", "text_quality_score", "tfidf_terms",
     "token_bpe_counts",
-    # (4) the 19 oldest r4-stale re-greens (alphabetical; the other 30
+    # (4) the 18 oldest r4-stale re-greens (alphabetical; the other 31
     # r4-stale queries lead r10)
     "agg_argminmax", "agg_collect", "agg_count_distinct", "agg_cube",
     "agg_dedup_pick_first", "agg_distinct_rows", "agg_filtered",
     "agg_global_summary", "agg_grouping_sets", "agg_histogram",
     "agg_minmax_stats", "agg_percentiles", "agg_pivot",
     "agg_pricing_summary", "agg_rollup", "benchmark_contamination",
-    "bm25_ranking", "conditional_distinct", "correlated_group_filter",
+    "bm25_ranking", "conditional_distinct",
 )
 
 

@@ -828,3 +828,62 @@ def cuped_user_value(spark, sf_dir):
         )
     )
     return cuped_adjust(units, "variant", "y", "x")
+
+
+def _mk_oracle() -> str:
+    from artigraph_spark.functions import oracle_phi
+
+    var_expr = (
+        "(CAST(n_buckets * (n_buckets - 1) * (2 * n_buckets + 5) - tie"
+        " AS DOUBLE) / 18.0)"
+    )
+    z_expr = (
+        f"CASE WHEN {var_expr} > 0 THEN round("
+        f"CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)"
+        f" / sqrt({var_expr}) "
+        f"WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)"
+        f" / sqrt({var_expr}) "
+        f"ELSE 0.0 END, 9) ELSE 0.0 END"
+    )
+    phi = oracle_phi("abs(z_r)")
+    return f"""
+    WITH pb AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS b,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), sp AS (
+        SELECT CAST(COALESCE(sum(CASE WHEN r.y > l.y THEN 1
+                                      WHEN r.y < l.y THEN -1
+                                      ELSE 0 END), 0) AS BIGINT) AS s_stat
+        FROM pb l JOIN pb r ON l.b < r.b
+    ), tg AS (
+        SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie,
+               CAST(COALESCE(sum(t), 0) AS BIGINT) AS n_buckets
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM pb GROUP BY y)
+    ), zc AS (
+        SELECT n_buckets, s_stat,
+               round({var_expr}, 9) AS var_s_r,
+               {z_expr} AS z_r
+        FROM sp, tg
+    )
+    SELECT n_buckets, s_stat, var_s_r, z_r,
+           round(2.0 * (1.0 - {phi}), 9) AS p_r
+    FROM zc
+    """
+
+
+@query("mann_kendall_hourly", oracle=_mk_oracle())
+def mann_kendall_hourly(spark, sf_dir):
+    """Mann–Kendall monotone-trend significance test over hourly event
+    volume — the nonparametric companion to theil_sen_daily (that one
+    estimates the slope, this one says whether the trend is real), with
+    the tie-corrected normal approximation and a two-sided p-value
+    through the engine-identical Φ polynomial. The pair sum runs over
+    the BUCKET summary (N(N−1)/2 pairs of hours, the acf-family
+    budget), never over raw events. See
+    ``operators.timeseries.mann_kendall``."""
+    from artigraph_spark.operators.timeseries import mann_kendall
+
+    e = load(spark, sf_dir, "events")
+    return mann_kendall(e, "ts", bucket_seconds=3600)

@@ -328,3 +328,48 @@ def test_cuped_removes_covariate_imbalance(spark):
     assert plain_diff == pytest.approx(2.5, abs=1e-6)  # inflated by 2*1
     assert adj_diff == pytest.approx(0.5, abs=0.05)  # recovered effect
     assert out[0]["rho2_r"] > 0.99  # Y almost fully explained by X
+
+
+def test_mann_kendall_trend_and_ties(spark):
+    import datetime
+
+    from artigraph_spark.operators.timeseries import mann_kendall
+
+    def ts(h):
+        return datetime.datetime(2024, 1, 1 + h // 24, h % 24)
+
+    rows, eid = [], 0
+    for h in range(20):
+        for _ in range(h + 1):  # strictly increasing volume
+            rows.append((eid, ts(h)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id: bigint, ts: timestamp")
+    r = mann_kendall(df, "ts").collect()[0]
+    assert (r["n_buckets"], r["s_stat"]) == (20, 190)  # all pairs concordant
+    assert r["z_r"] > 3 and r["p_r"] < 1e-6
+
+    # flat series: all tied → S=0, z=0, p=1 (tie correction zeroes var)
+    flat, eid = [], 0
+    for h in range(10):
+        for _ in range(5):
+            flat.append((eid, ts(h)))
+            eid += 1
+    fr = mann_kendall(
+        spark.createDataFrame(flat, "event_id: bigint, ts: timestamp"), "ts"
+    ).collect()[0]
+    assert (fr["s_stat"], fr["z_r"], fr["p_r"]) == (0, 0.0, 1.0)
+
+    # hand-checked S on a mixed series
+    ys = [3, 1, 4, 1, 5, 9, 2, 6]
+    mixed, eid = [], 0
+    for h, y in enumerate(ys):
+        for _ in range(y):
+            mixed.append((eid, ts(h)))
+            eid += 1
+    mr = mann_kendall(
+        spark.createDataFrame(mixed, "event_id: bigint, ts: timestamp"), "ts"
+    ).collect()[0]
+    S = sum((b > a) - (b < a) for i, a in enumerate(ys) for b in ys[i + 1:])
+    assert mr["s_stat"] == S
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        mann_kendall(df, "ts", bucket_seconds=0)
