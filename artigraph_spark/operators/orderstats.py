@@ -73,10 +73,20 @@ def exact_group_quantiles(
     """
     if not qs:
         raise ValueError("exact_group_quantiles needs at least one quantile")
-    fracs = [(float(q), *_q_fraction(q)) for q in qs]
     gcols = list(group_cols)
     base = _clean_base(df, gcols, value_col)
     ranks = bucketed_group_value_ranks(base, gcols, value_col, buckets=buckets)
+    return _quantiles_from_ranks(ranks, gcols, qs)
+
+
+def _quantiles_from_ranks(
+    ranks: DataFrame, gcols: Sequence[str], qs: Sequence[float]
+) -> DataFrame:
+    """Quantile membership filter over a PRECOMPUTED
+    :func:`bucketed_group_value_ranks` histogram — split out so callers
+    that already paid the data-sized histogram shuffle (tukey_fences)
+    reuse it instead of rebuilding the ranks frame."""
+    fracs = [(float(q), *_q_fraction(q)) for q in qs]
     qarr = F.array(
         *[
             F.struct(
@@ -94,7 +104,7 @@ def exact_group_quantiles(
     cum_prev = dec(F.col("__rg") - 1)
     cum = dec(F.col("__rg") - 1 + F.col("__f"))
     return exploded.filter((a > cum_prev * b) & (a <= cum * b)).select(
-        *gcols,
+        *list(gcols),
         F.col("__qs.q").alias("q"),
         F.col("__ng").alias("n"),
         F.col("__v").alias("value"),
@@ -171,10 +181,13 @@ def tukey_fences(
     (z-score assumes normality, MAD assumes symmetry of scale; Tukey's
     IQR rule is the distribution-light boxplot standard).
 
-    Quartiles come from :func:`exact_group_quantiles` (exact, no sort
-    concentration); the outlier counts are one more pass over the same
-    histogram joined to the per-group fences (group-keyed, summary ×
-    histogram). Fence comparisons and outputs are double (k·IQR is one
+    Quartiles come from the quantile membership filter over ONE shared
+    bucketed histogram (exact, no sort concentration); the outlier
+    counts are one more pass over the SAME histogram frame joined to the
+    per-group fences (group-keyed, summary × histogram) — both sides of
+    the plan hang off one ranks lineage, so the data-sized histogram
+    exchange is built once and reused (ReusedExchange), not recomputed.
+    Fence comparisons and outputs are double (k·IQR is one
     correctly-rounded multiply of exact inputs — engine-identical).
 
     Returns ``(*group_cols, n, q1, q3, lo_fence_r, hi_fence_r,
@@ -185,7 +198,7 @@ def tukey_fences(
     gcols = list(group_cols)
     base = _clean_base(df, gcols, value_col)
     ranks = bucketed_group_value_ranks(base, gcols, value_col, buckets=buckets)
-    quarts = exact_group_quantiles(df, gcols, value_col, [0.25, 0.75], buckets=buckets)
+    quarts = _quantiles_from_ranks(ranks, gcols, [0.25, 0.75])
     fences = (
         quarts.groupBy(*gcols)
         .agg(

@@ -1415,7 +1415,8 @@ def time_weighted_avg(
     ts are excluded; rows with NULL/NaN value contribute their DURATION
     to the denominator but no mass (treated as 0 — document upstream
     imputation if another convention is needed). Users with fewer than
-    two timestamped events have no duration and are omitted.
+    two timestamped events have no duration and are omitted; users whose
+    events all share one microsecond (span 0) get NULL ``twap_r``.
 
     Scale shape: one per-user window pass (user-keyed exchange —
     millions of partitions, fully parallel; never a global sort) and a
@@ -1451,11 +1452,17 @@ def time_weighted_avg(
         .agg(
             (F.count(F.lit(1)) + 1).alias("n_events"),
             F.sum("__dur").alias("span_us"),
-            F.round(
-                F.sum(mass).cast("double")
-                / F.lit(float(1 << bits))
-                / F.sum("__dur").cast("double"),
-                9,
+            # span can be 0 when every timestamped event of a user shares
+            # one microsecond: guard the division so both engines agree
+            # on NULL (Spark's /0 -> NULL; DuckDB doubles may give inf).
+            F.when(
+                F.sum("__dur") > 0,
+                F.round(
+                    F.sum(mass).cast("double")
+                    / F.lit(float(1 << bits))
+                    / F.sum("__dur").cast("double"),
+                    9,
+                ),
             ).alias("twap_r"),
         )
     )

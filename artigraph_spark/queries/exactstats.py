@@ -310,10 +310,11 @@ def ccf_click_purchase(spark, sf_dir):
     SELECT u AS user_id,
            CAST(count(*) + 1 AS BIGINT) AS n_events,
            CAST(sum(dur) AS BIGINT) AS span_us,
+           CASE WHEN sum(dur) > 0 THEN
            round(CAST(sum(CAST(COALESCE(CAST(floor(v * 1048576.0) AS BIGINT), 0)
                                AS HUGEINT)
                           * CAST(dur AS HUGEINT)) AS DOUBLE)
-                 / 1048576.0 / CAST(sum(dur) AS DOUBLE), 9) AS twap_r
+                 / 1048576.0 / CAST(sum(dur) AS DOUBLE), 9) END AS twap_r
     FROM stepped WHERE dur IS NOT NULL GROUP BY u
     """,
 )
@@ -388,7 +389,10 @@ def fk_orphans_audit(spark, sf_dir):
         SELECT l_discount AS s,
                CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
         FROM lineitem
+        -- NULL labels are dropped on BOTH sides: calibration_bins
+        -- excludes NULL y, so the oracle must not map NULL flag -> 0.
         WHERE l_discount IS NOT NULL AND NOT isnan(l_discount)
+          AND l_returnflag IS NOT NULL
     ), rng AS (
         SELECT min(s) AS lo, max(s) AS hi FROM base
     ), binned AS (
@@ -759,7 +763,11 @@ def _cuped_oracle() -> str:
         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         GROUP BY user_id
     ), u AS (
-        SELECT CAST((((user_id % 1000000007) * 2654435761) % 1000000007) % 2
+        -- pmod form: (k % p + p) % p keeps a negative user_id's hash
+        -- non-negative (DuckDB's % follows the dividend sign, Spark's
+        -- side uses pmod) — same convention as the bootstrap oracle.
+        SELECT CAST(((((user_id % 1000000007 + 1000000007) % 1000000007)
+                      * 2654435761) % 1000000007) % 2
                     AS BIGINT) AS variant,
                CAST(xfx AS DOUBLE) / 1048576.0 AS x,
                CAST(yfx AS DOUBLE) / 1048576.0 AS y

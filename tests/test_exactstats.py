@@ -152,15 +152,19 @@ def test_twap_weighted_by_duration(spark):
         (2, 4, ts(0), 5.0),  # single event → omitted
         (3, 5, ts(0), None),  # NULL value holds duration, no mass
         (3, 6, ts(1), 8.0),
+        (4, 7, ts(0), 1.0),  # two events on ONE microsecond → span 0
+        (4, 8, ts(0), 2.0),
     ]
     df = spark.createDataFrame(
         rows, "user_id: bigint, event_id: bigint, ts: timestamp, value: double"
     )
     got = {r["user_id"]: r for r in time_weighted_avg(df).collect()}
-    assert set(got) == {1, 3}
+    assert set(got) == {1, 3, 4}
     assert got[1]["twap_r"] == pytest.approx((10 * 2 + 20 * 1) / 3, abs=1e-5)
     assert got[1]["span_us"] == 3 * 3600 * 10**6
     assert got[3]["twap_r"] == pytest.approx(0.0, abs=1e-9)  # null value → 0 mass
+    assert got[4]["span_us"] == 0  # zero-span user: guarded NULL, not inf
+    assert got[4]["twap_r"] is None
 
 
 def test_fk_integrity_audit_counts(spark):
