@@ -77,17 +77,22 @@ def bucketed_group_value_ranks(
     value_col: str,
     *,
     buckets: int = 1024,
+    freq_col: str | None = None,
 ) -> DataFrame:
     """Exact within-group competition (min-)ranks of each DISTINCT value,
     never sorting a whole group on one partition.
 
     ``base`` must already be filtered to rankable rows (the caller
     decides whether NaN participates; NULL values must be excluded).
-    Returns ``(*group_cols, __v, __f, __rg, __ng)`` — one row per
-    distinct (group, value): its frequency, its competition rank
-    (1 + count of strictly smaller values in the group — ties share a
-    rank, exactly ``rank()`` over the raw rows), and the group's
-    rankable-row count. Join it back to the fact rows on
+    With ``freq_col``, ``base`` is a PRE-AGGREGATED histogram — each row
+    stands for ``freq_col`` occurrences of its value (callers that
+    already paid a groupBy, e.g. a joint two-column histogram, skip the
+    second data-sized shuffle; min/max are weight-blind so the bucket
+    map is unchanged). Returns ``(*group_cols, __v, __f, __rg, __ng)``
+    — one row per distinct (group, value): its frequency, its
+    competition rank (1 + count of strictly smaller values in the group
+    — ties share a rank, exactly ``rank()`` over the raw rows), and the
+    group's rankable-row count. Join it back to the fact rows on
     (group eq-null-safe, value ==) to attach ranks.
 
     Plan shape: one map-side-combined groupBy(group, value) histogram
@@ -105,9 +110,8 @@ def bucketed_group_value_ranks(
         raise ValueError("bucketed_group_value_ranks needs group columns")
     gcols = list(group_cols)
     v = F.col(value_col)
-    hist = base.groupBy(*gcols, v.alias("__v")).agg(
-        F.count(F.lit(1)).alias("__f")
-    )
+    freq = F.count(F.lit(1)) if freq_col is None else F.sum(freq_col)
+    hist = base.groupBy(*gcols, v.alias("__v")).agg(freq.alias("__f"))
     numeric = isinstance(base.schema[value_col].dataType, NumericType)
     if numeric:
         rng = _range_frame(base, v)

@@ -589,6 +589,7 @@ def k_core(
     *,
     k: int,
     max_rounds: int = 12,
+    until_convergence: bool = False,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """k-core decomposition membership: iteratively peel nodes of degree
@@ -609,7 +610,11 @@ def k_core(
     layer per round, e.g. a long path at k=2, can need more than the
     default 12), the result would contain nodes below the contract, so
     non-convergence raises instead of silently returning them — the
-    per-round edge count makes the check free.
+    per-round edge count makes the check free. For legitimately
+    deep-peel graphs pass ``until_convergence=True``: peeling continues
+    past ``max_rounds`` with the same per-round lineage cuts until the
+    fixed point (termination is guaranteed — every non-converged round
+    removes at least one edge, so rounds ≤ |E|).
 
     Returns ``(node, core_deg)`` — nodes in the k-core with their
     within-core degree (≥ k by construction).
@@ -634,9 +639,9 @@ def k_core(
     )
     n_edges = e.count()
     converged = n_edges == 0
-    for _ in range(max_rounds):
-        if converged:
-            break
+    rounds = 0
+    while not converged and (until_convergence or rounds < max_rounds):
+        rounds += 1
         keep = (
             e.groupBy("__s")
             .agg(F.count(F.lit(1)).alias("__deg"))

@@ -249,6 +249,8 @@ def spearman_corr(
     y_col: str,
     *,
     buckets: int = 1024,
+    x_quantize_bits: int | None = None,
+    y_quantize_bits: int | None = None,
 ) -> DataFrame:
     """Spearman rank correlation between two numeric columns — the
     monotone-association test (Pearson on ranks): outlier-immune,
@@ -258,17 +260,41 @@ def spearman_corr(
     Ties get AVERAGE ranks (the standard tie convention), kept exact by
     scaling every rank by 2: a distinct value with min-rank ``rg`` and
     frequency ``f`` has average rank ``rg + (f−1)/2``, i.e. scaled rank
-    ``2·rg + f − 1`` — an integer. Both rank maps ride the bucketed
-    prefix-sum histogram (no global sort); the correlation is Pearson's
-    product-moment over the scaled integer ranks with DECIMAL(38,0)
-    moment sums (exact to n ≈ 1.3e9 rows — n·Σr² ≤ 4n⁴ must fit
-    38 digits; beyond that, sample first) and ONE double square-root
-    division at the end (round 9). Rows with NULL/NaN in EITHER column
-    are excluded (pairwise-complete, the scipy default for dropped
-    data). Zero rank variance (a constant column) returns NULL.
+    ``2·rg + f − 1`` — an integer. The whole statistic is computed off
+    ONE joint (x, y) histogram: the fact table is scanned once into a
+    map-side-combined groupBy(x, y) count frame (the only data-sized
+    shuffle — its exchange is built once and reused across every
+    consumer), both marginal rank maps derive from it through the
+    frequency-weighted bucketed prefix-sum histogram (no global sort),
+    and the correlation is Pearson's product-moment over the scaled
+    integer ranks with frequency-weighted DECIMAL(38,0) moment sums
+    (exact to n ≈ 1.3e9 rows — n·Σr² ≤ 4n⁴ must fit 38 digits; beyond
+    that, sample first) and ONE double square-root division at the end
+    (round 9). Rows with NULL/NaN in EITHER column are excluded
+    (pairwise-complete, the scipy default for dropped data). Zero rank
+    variance (a constant column) returns NULL.
+
+    Near-unique columns: the joint histogram IS the data when every
+    value is distinct, so the rank-map joins scale with the distinct
+    count. ``x_quantize_bits``/``y_quantize_bits`` bound that: the
+    column is first snapped to the fixed-point grid ``floor(v·2^bits)``
+    (the kmeans/PCA quantization convention; a NEGATIVE bits coarsens —
+    bits=-4 means cells of 16), which caps the rank map at
+    range/2^-bits cells independent of row count and the joint
+    histogram at |X cells|·|Y cells|. The statistic becomes
+    Spearman over the BINNED column (ties averaged within a cell) —
+    monotone-equivalent resolution loss, exact and engine-identical
+    given the grid (double multiply + floor are IEEE-identical in both
+    engines for a power-of-two factor). Default None = exact ranks.
 
     Returns one row ``(n, rho_r)``.
     """
+
+    def _q(col, bits: int | None):
+        if bits is None:
+            return col
+        return F.floor(col.cast("double") * F.lit(float(2.0**bits))).cast("long")
+
     xv, yv = F.col(x_col), F.col(y_col)
     ok = (
         xv.isNotNull()
@@ -276,23 +302,34 @@ def spearman_corr(
         & yv.isNotNull()
         & ~F.isnan(yv.cast("double"))
     )
-    base = df.filter(ok).select(x_col, y_col).withColumn("__one", F.lit(1))
+    joint = (
+        df.filter(ok)
+        .groupBy(
+            _q(xv, x_quantize_bits).alias("__x"),
+            _q(yv, y_quantize_bits).alias("__y"),
+        )
+        .agg(F.count(F.lit(1)).alias("__jf"))
+        .withColumn("__one", F.lit(1))
+    )
     scaled = lambda: (2 * F.col("__rg") + F.col("__f") - 1).cast("long")  # noqa: E731
-    xmap = bucketed_group_value_ranks(base, ["__one"], x_col, buckets=buckets).select(
-        F.col("__v").alias("__xv"), scaled().alias("__rx")
+    xmap = bucketed_group_value_ranks(
+        joint, ["__one"], "__x", buckets=buckets, freq_col="__jf"
+    ).select(F.col("__v").alias("__xv"), scaled().alias("__rx"))
+    ymap = bucketed_group_value_ranks(
+        joint, ["__one"], "__y", buckets=buckets, freq_col="__jf"
+    ).select(F.col("__v").alias("__yv"), scaled().alias("__ry"))
+    ranked = joint.join(xmap, F.col("__x") == F.col("__xv")).join(
+        ymap, F.col("__y") == F.col("__yv")
     )
-    ymap = bucketed_group_value_ranks(base, ["__one"], y_col, buckets=buckets).select(
-        F.col("__v").alias("__yv"), scaled().alias("__ry")
-    )
-    ranked = base.join(xmap, xv == F.col("__xv")).join(ymap, yv == F.col("__yv"))
     dec = lambda c: c.cast(_DEC)  # noqa: E731
+    jf = dec(F.col("__jf"))
     sums = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dec(F.col("__rx"))).alias("__sx"),
-        F.sum(dec(F.col("__ry"))).alias("__sy"),
-        F.sum(dec(F.col("__rx")) * dec(F.col("__rx"))).alias("__sxx"),
-        F.sum(dec(F.col("__ry")) * dec(F.col("__ry"))).alias("__syy"),
-        F.sum(dec(F.col("__rx")) * dec(F.col("__ry"))).alias("__sxy"),
+        F.sum("__jf").alias("n"),
+        F.sum(jf * dec(F.col("__rx"))).alias("__sx"),
+        F.sum(jf * dec(F.col("__ry"))).alias("__sy"),
+        F.sum(jf * dec(F.col("__rx")) * dec(F.col("__rx"))).alias("__sxx"),
+        F.sum(jf * dec(F.col("__ry")) * dec(F.col("__ry"))).alias("__syy"),
+        F.sum(jf * dec(F.col("__rx")) * dec(F.col("__ry"))).alias("__sxy"),
     )
     nd = F.col("n").cast(_DEC)
     vx = (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")

@@ -220,6 +220,68 @@ def spearman_price_quantity(spark, sf_dir):
     return spearman_corr(li, "l_extendedprice", "l_quantity")
 
 
+@query(
+    "spearman_price_quantity_quantized",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(floor(l_extendedprice * 0.0625) AS BIGINT) AS x,
+               l_quantity AS y FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+    ), xh AS (
+        SELECT x AS v, CAST(count(*) AS BIGINT) AS f FROM base GROUP BY 1
+    ), xr AS (
+        SELECT v,
+               CAST(2 * (1 + CAST(COALESCE(sum(f) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT)) + f - 1 AS BIGINT) AS r2
+        FROM xh
+    ), yh AS (
+        SELECT y AS v, CAST(count(*) AS BIGINT) AS f FROM base GROUP BY 1
+    ), yr AS (
+        SELECT v,
+               CAST(2 * (1 + CAST(COALESCE(sum(f) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT)) + f - 1 AS BIGINT) AS r2
+        FROM yh
+    ), j AS (
+        SELECT xr.r2 AS rx, yr.r2 AS ry
+        FROM base JOIN xr ON base.x = xr.v JOIN yr ON base.y = yr.v
+    ), s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(rx AS HUGEINT)) AS sx,
+               sum(CAST(ry AS HUGEINT)) AS sy,
+               sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+               sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy,
+               sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy
+        FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+           END AS rho_r
+    FROM s
+    """,
+)
+def spearman_price_quantity_quantized(spark, sf_dir):
+    """Quantized-rank Spearman for the near-unique price column: price
+    is snapped to a 16-unit fixed-point grid (floor(x·2^-4) — the
+    kmeans/PCA quantization convention) BEFORE ranking, so the rank map
+    is bounded at range/16 cells independent of row count and the two
+    rank-map joins broadcast — the scale path when the value column is
+    near-unique and the exact rank map would be data-sized. The
+    statistic is Spearman over the binned price (ties averaged within a
+    cell); exact mode stays the default in ``spearman_price_quantity``.
+    See ``operators.orderstats.spearman_corr``."""
+    from artigraph_spark.operators.orderstats import spearman_corr
+
+    li = load(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_extendedprice", "l_quantity", x_quantize_bits=-4)
+
+
 def _ccf_oracle_sql(bucket: int, max_lag: int, ta: str, tb: str) -> str:
     lags = list(range(-max_lag, max_lag + 1))
     shift_cols = []

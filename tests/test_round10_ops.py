@@ -1,0 +1,60 @@
+"""Round-10 regression tests: the r9 verdict/advice follow-ups.
+
+Each test pins a behavior added or fixed in round 10 (k-core
+until_convergence escape, twap zero-span guard lives in
+test_exactstats, spearman quantized variant, …).
+"""
+
+import pytest
+
+
+def test_k_core_until_convergence_escape(spark):
+    # The r9 fix correctly raises when max_rounds is exhausted mid-peel;
+    # until_convergence=True keeps peeling past max_rounds to the fixed
+    # point instead (per-round lineage cuts make each extra round cheap,
+    # and every non-converged round removes >= 1 edge, so it terminates).
+    from artigraph_spark.operators.graph import k_core
+
+    edges = [(i, i + 1) for i in range(1, 12)]  # path 1-2-...-12
+    df = spark.createDataFrame(edges, "s: bigint, d: bigint")
+    # default still raises (the r9 contract, unchanged)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(df, "s", "d", k=2, max_rounds=2)
+    # escape hatch: converges to the (empty) fixpoint instead of raising
+    assert k_core(df, "s", "d", k=2, max_rounds=2, until_convergence=True).count() == 0
+    # deep peel with a surviving core: pendant path feeding a 4-clique
+    deep = [(10 + i, 11 + i) for i in range(8)] + [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 10),
+    ]
+    ddf = spark.createDataFrame(deep, "s: bigint, d: bigint")
+    out = {
+        r["node"]: r["core_deg"]
+        for r in k_core(
+            ddf, "s", "d", k=2, max_rounds=1, until_convergence=True
+        ).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_spearman_quantized_grid(spark):
+    # Quantization snaps x to floor(x * 2^bits): on data already on the
+    # grid the statistic is unchanged; off-grid values that share a cell
+    # collapse to tied (cell-averaged) ranks — hand-checkable n=4 case.
+    from artigraph_spark.operators.orderstats import spearman_corr
+
+    on_grid = spark.createDataFrame(
+        [(16.0, 1.0), (32.0, 2.0), (48.0, 3.0), (64.0, 4.0)], "x: double, y: double"
+    )
+    exact = spearman_corr(on_grid, "x", "y").collect()[0]
+    quant = spearman_corr(on_grid, "x", "y", x_quantize_bits=-4).collect()[0]
+    assert exact["rho_r"] == quant["rho_r"] == 1.0
+    # 17.0 and 18.0 land in cell 1 (floor(v/16)) -> tied ranks; scipy
+    # spearmanr([1,1,2,3],[1,2,3,4]) = 0.9486832980505138
+    off_grid = spark.createDataFrame(
+        [(17.0, 1.0), (18.0, 2.0), (33.0, 3.0), (49.0, 4.0)], "x: double, y: double"
+    )
+    q = spearman_corr(off_grid, "x", "y", x_quantize_bits=-4).collect()[0]
+    assert q["n"] == 4
+    assert q["rho_r"] == pytest.approx(0.948683298, abs=1e-9)
+    # and exact mode on the same data stays a perfect monotone 1.0
+    assert spearman_corr(off_grid, "x", "y").collect()[0]["rho_r"] == 1.0
