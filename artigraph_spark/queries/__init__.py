@@ -49,8 +49,63 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 # unsampled families, queries whose implementation changed, and new queries —
 # land inside the recorded window. Everything else follows in registration
 # order; total registration is unchanged.
+#
+# REGISTRY-GROWTH POLICY (r10): SURVEY §2 is 100% covered, so new operators
+# are now ELECTIVE. At 264 queries against a 50-row window, each new query
+# adds ~5 rounds of staleness debt to the rotation; from r10 on, windows are
+# ≥60% re-greens (stale-first) and new queries are added only when they cover
+# a genuine user-facing gap (a missing operator family member, a scale-path
+# variant of a weak plan) — not for count. The rotation drains oldest-first:
+# r10 clears all 31 r4-stale + the 11 oldest r5-stale; r11 should clear the
+# remaining 32 r5-stale and start on r6.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-9 ROTATION. Recorded-window history after r8 (computed from
+    # ROUND-10 ROTATION. Recorded-window history after r9 (computed from
+    # CORRECTNESS_r0{1..9}.json at round start): staleness census
+    # {r4:31, r5:43, r6:45, r7:46, r8:44, r9:50}; 1 oracle-bearing query
+    # never recorded (spearman_price_quantity_quantized, new this round);
+    # 7 implementations/oracles changed this round.
+    # Impl-changed detail: spearman_price_quantity (joint-histogram
+    # rewrite — one scan, frequency-weighted rank maps),
+    # tukey_outliers_quantity (+ exact_quantiles_quantity via the shared
+    # _quantiles_from_ranks refactor), twap_user_value (zero-span NULL
+    # guard, both engines), cuped_user_value (pmod-safe oracle hash),
+    # calibration_price_returns (oracle NULL-label filter),
+    # kcore_copurchase (peel-loop restructure for until_convergence).
+    # NOT impl-changed: the _ranks freq_col parameter is a pure addition
+    # (default path builds the identical plan), so its other consumers
+    # (rank/quantile_normalize, rfm, ppl_decile, length_band, trimmed
+    # mean) keep their fresh r9 rows.
+    # Window = 1 new + 7 impl-changed + 31 r4-stale + 11 oldest r5-stale
+    # (alphabetical) = exactly 50; re-greens 42/50 = 84%.
+    # (1) never recorded — first driver row
+    "spearman_price_quantity_quantized",
+    # (2) implementation/oracle changed this round
+    "spearman_price_quantity", "tukey_outliers_quantity",
+    "exact_quantiles_quantity", "twap_user_value", "cuped_user_value",
+    "calibration_price_returns", "kcore_copurchase",
+    # (3) all 31 r4-stale re-greens (alphabetical)
+    "correlated_group_filter", "dedup_exact", "dedup_fingerprint",
+    "dedup_lines_in_doc", "doc_rolling_hash", "domain_cap",
+    "grouped_map_pandas", "join_cross", "join_full_outer", "join_inner",
+    "join_left_anti", "join_left_outer", "join_left_semi", "join_range",
+    "join_right_outer", "join_self", "join_star_broadcast",
+    "lang_distribution", "media_decode_headers",
+    "minhash_lsh_pairs_checked", "nested_struct_access", "pack_sequences",
+    "pack_sequences_by_lang", "percent_of_total", "scalar_subquery_filter",
+    "stratified_sample_mix", "string_agg", "text_normalize",
+    "text_quality_filter", "text_stats", "weighted_sample_topk",
+    # (4) the 11 oldest r5-stale re-greens (alphabetical; the other 32
+    # r5-stale lead the r11 backlog)
+    "anomaly_zscore_hours", "bloom_prefilter_contract",
+    "calendar_functions", "chunk_documents", "clustering_coefficient",
+    "cohort_retention", "collocation_pmi", "count_min_contract",
+    "decontaminate_corpus", "dedup_minhash_end2end", "describe_summary",
+)
+
+
+_PRIORITY_R9: tuple[str, ...] = (
+    # ROUND-9 ROTATION (superseded — kept for the window-audit history).
+    # Recorded-window history after r8 (computed from
     # CORRECTNESS_r0{1..8}.json at round start): 10 oracle-bearing
     # queries have never been recorded (the 9 new r9 exact-stats/audit
     # queries + hourly_conversion_bh + pseudo_dp_noisy_counts_events,

@@ -10,6 +10,13 @@ of worker spin-up per output partition to the query). Noise control: every
 query first runs once UNTIMED (absorbs session/codegen/footer-cache
 residue — historically ~2 s billed to whichever query ran first), then the
 reported figure is the MEDIAN of 3 timed runs.
+
+The output also carries ``noise_sentinel_sec``: the median time of a FIXED
+constant-size query (a 5M-row range shuffle+sort, no file IO, no sf
+dependence) measured with the same protocol. Cross-round bench comparisons
+should normalize by it — host-noise swings of ~2x on shared hardware show
+up in the sentinel exactly as they do in the real queries (quiet-host
+reference: ~0.5-0.9 s).
 """
 
 from __future__ import annotations
@@ -59,13 +66,28 @@ def main() -> None:
         gc.collect()
         return elapsed
 
+    def sentinel(spark_, _sf_dir) -> "object":
+        # Fixed-size host-noise sentinel: shuffle + sort of a constant 5M-row
+        # range — pure CPU/shuffle, no file IO, identical work every round.
+        from pyspark.sql import functions as F
+
+        return (
+            spark_.range(5_000_000)
+            .select((F.col("id") * 2654435761 % 1000000007).alias("h"))
+            .repartition(32, "h")
+            .sortWithinPartitions("h")
+        )
+
     for _name, fn in queries:  # untimed pass: plans compiled, caches warm
         run(fn)
+    run(sentinel)
 
     samples: dict[str, list[float]] = {name: [] for name, _ in queries}
+    sentinel_ts: list[float] = []
     for _ in range(3):
         for name, fn in queries:
             samples[name].append(run(fn))
+        sentinel_ts.append(run(sentinel))
     timings = {name: round(sorted(ts)[1], 3) for name, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
@@ -76,6 +98,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "noise_sentinel_sec": round(sorted(sentinel_ts)[1], 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
