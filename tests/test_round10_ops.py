@@ -58,3 +58,38 @@ def test_spearman_quantized_grid(spark):
     assert q["rho_r"] == pytest.approx(0.948683298, abs=1e-9)
     # and exact mode on the same data stays a perfect monotone 1.0
     assert spearman_corr(off_grid, "x", "y").collect()[0]["rho_r"] == 1.0
+
+
+def test_group_value_ranks_freq_mode_equals_raw_mode(spark):
+    # The frequency-weighted histogram input (freq_col) must produce the
+    # SAME rank frame as feeding the raw rows — same adversarial data as
+    # the r9 raw-mode property test (ties, NULL group, NaN, solo group,
+    # forced bucket collisions).
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators._ranks import bucketed_group_value_ranks
+
+    rows = []
+    vals = [1.0, 1.0, 2.5, 2.5, 2.5, -3.0, 0.0, 7.25, float("nan"), 7.25]
+    for g in ["a", "b", None]:
+        for i, v in enumerate(vals):
+            rows.append((g, v, i))
+    rows.append(("solo", 42.0, 99))
+    df = spark.createDataFrame(rows, "g: string, v: double, id: bigint")
+    hist = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("w"))
+
+    ckey = lambda g, v: (g, "NaN" if v != v else v)  # noqa: E731
+    for buckets in (1, 3, 1024):
+        raw = {
+            ckey(r["g"], r["__v"]): (r["__f"], r["__rg"], r["__ng"])
+            for r in bucketed_group_value_ranks(
+                df, ["g"], "v", buckets=buckets
+            ).collect()
+        }
+        wtd = {
+            ckey(r["g"], r["__v"]): (r["__f"], r["__rg"], r["__ng"])
+            for r in bucketed_group_value_ranks(
+                hist, ["g"], "v", buckets=buckets, freq_col="w"
+            ).collect()
+        }
+        assert raw == wtd, buckets
