@@ -155,6 +155,103 @@ def bucketed_group_value_ranks(
     )
 
 
+def bucketed_prefix_sums(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    sum_cols: Sequence[str],
+    *,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Exclusive per-group running sums of ``sum_cols`` by ascending
+    ``value_col`` over a HISTOGRAM frame, plus group totals — the
+    cumulative-distribution substrate for AUC / Mann–Whitney / KS /
+    winsorize-style statistics, computed with the same range-bucket
+    two-phase pattern as :func:`bucketed_group_value_ranks` so no group
+    is ever walked on one partition.
+
+    ``hist`` must hold at most ONE row per (group, value) — the output
+    of a ``groupBy(group, value)`` — with no NULL values (NaN is fine:
+    it buckets last, Spark's ascending order). ``group_cols`` may be
+    empty for a global running sum (the offsets window then runs over a
+    single ≤buckets-row summary partition — metadata-sized by
+    construction). Appends, for each ``c`` in ``sum_cols``,
+    ``__pre_<c>`` (sum of ``c`` over STRICTLY SMALLER values in the
+    group, 0 for the smallest) and ``__tot_<c>`` (the group total);
+    every input column passes through.
+
+    Plan shape: one groups×buckets offsets aggregate with a per-group
+    prefix window over ≤buckets rows, a within-bucket prefix window
+    (parallelism groups×buckets), and a (group, bucket)-keyed equi-join
+    of the summary frames — nothing data-sized beyond the histogram the
+    caller already built.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if not sum_cols:
+        raise ValueError("bucketed_prefix_sums needs sum columns")
+    gcols = list(group_cols)
+    scols = list(sum_cols)
+    v = F.col(value_col)
+    numeric = isinstance(hist.schema[value_col].dataType, NumericType)
+    if numeric:
+        rng = _range_frame(hist, v)
+        hb = hist.crossJoin(F.broadcast(rng)).withColumn(
+            "__bk", _bucket_expr(v, F.col("__lo"), F.col("__hi"), buckets)
+        ).drop("__lo", "__hi")
+    else:
+        hb = hist.withColumn("__bk", F.lit(0).cast("int"))
+    per_bucket = hb.groupBy(*gcols, "__bk").agg(
+        *[F.sum(c).alias(f"__bs{i}") for i, c in enumerate(scols)]
+    )
+    w_off = Window.partitionBy(*gcols).orderBy("__bk")
+    offsets = per_bucket.select(
+        *[F.col(c).alias(f"__og{i}") for i, c in enumerate(gcols)],
+        F.col("__bk").alias("__obk"),
+        *[
+            F.coalesce(
+                F.sum(f"__bs{i}").over(
+                    w_off.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias(f"__off{i}")
+            for i in range(len(scols))
+        ],
+        *[
+            F.sum(f"__bs{i}")
+            .over(Window.partitionBy(*gcols))
+            .cast("long")
+            .alias(f"__tot_{c}")
+            for i, c in enumerate(scols)
+        ],
+    )
+    w_local = Window.partitionBy(*gcols, "__bk").orderBy(value_col)
+    local = hb
+    for i, c in enumerate(scols):
+        local = local.withColumn(
+            f"__lc{i}",
+            F.coalesce(
+                F.sum(c).over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    cond = F.col("__bk") == F.col("__obk")
+    for i, c in enumerate(gcols):
+        cond = cond & local[c].eqNullSafe(F.col(f"__og{i}"))
+    out = local.join(offsets, cond)
+    for i, c in enumerate(scols):
+        out = out.withColumn(
+            f"__pre_{c}", (F.col(f"__off{i}") + F.col(f"__lc{i}")).cast("long")
+        )
+    drop = (
+        ["__bk", "__obk"]
+        + [f"__og{i}" for i in range(len(gcols))]
+        + [f"__off{i}" for i in range(len(scols))]
+        + [f"__lc{i}" for i in range(len(scols))]
+    )
+    return out.drop(*drop)
+
+
 def bucketed_row_numbers(
     df: DataFrame,
     value_col: str,

@@ -461,13 +461,17 @@ def adamic_adar(
     )
     existing = e.select(F.col("__s").alias("u"), F.col("__d").alias("w"))
     nonadj = scored.join(existing, ["u", "w"], "left_anti")
-    wnd = Window.orderBy(F.col("aa").desc(), F.col("u").asc(), F.col("w").asc())
-    # Global top-k window over candidate pairs only (post-aggregation,
-    # summary-sized relative to wedges); at larger k use the two-phase
-    # per-partition top-k in operators/joins.py instead.
+    order = [F.col("aa").desc(), F.col("u").asc(), F.col("w").asc()]
+    # TakeOrderedAndProject top-k (per-partition heaps of k, a k-row
+    # exchange — never a global window/sort over the candidate pairs,
+    # which at web scale are wedge-bounded but NOT summary-sized); the
+    # rk window then runs over the ≤top_k survivors only (r10 fix —
+    # previously a global row_number window over ALL candidates).
+    wnd = Window.orderBy(*order)
     out = (
-        nonadj.withColumn("rk", F.row_number().over(wnd))
-        .filter(F.col("rk") <= top_k)
+        nonadj.orderBy(*order)
+        .limit(top_k)
+        .withColumn("rk", F.row_number().over(wnd))
         .select("u", "w", "n_common", F.round("aa", 9).alias("aa_r"), "rk")
     )
     if materialize:

@@ -368,11 +368,13 @@ def _cumulative_hist(df: DataFrame, group_col: str, value_col: str) -> DataFrame
     """Per-group value histogram with running counts: ``(group, __v, __f,
     __cum, __n)`` — the sort-free substrate for exact rank statistics
     (winsorize thresholds, medians, equi-depth bins). One (group, value)
-    count shuffle; the running sum is a window over the summary-sized
-    histogram, NOT the rows. Distinct-value cardinality per group is the
-    scale knob: for near-unique doubles at 100 TB, quantize first (e.g.
-    round to cents) or use approx quantiles instead."""
-    from pyspark.sql import Window
+    count shuffle; the running sum rides the range-bucketed two-phase
+    prefix (``bucketed_prefix_sums``), so a near-unique value column —
+    where the histogram IS the data — never parks a group's whole
+    distinct-value walk on one partition (the r10 fix; previously this
+    was a per-group window over the histogram with a documented
+    quantize-first caveat)."""
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
 
     c = F.col(value_col)
     hist = (
@@ -380,13 +382,13 @@ def _cumulative_hist(df: DataFrame, group_col: str, value_col: str) -> DataFrame
         .groupBy(group_col, c.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__f"))
     )
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return hist.withColumn("__cum", F.sum("__f").over(w)).withColumn(
-        "__n", F.sum("__f").over(Window.partitionBy(group_col))
+    ps = bucketed_prefix_sums(hist, [group_col], "__v", ["__f"])
+    return ps.select(
+        group_col,
+        "__v",
+        "__f",
+        (F.col("__pre___f") + F.col("__f")).alias("__cum"),
+        F.col("__tot___f").alias("__n"),
     )
 
 
@@ -812,16 +814,17 @@ def auc_by_group(
     positives or no negatives) return NULL auc.
 
     Scale shape: ONE data-sized shuffle to the (group, score) histogram
-    (map-side combined); the cumulative window runs over the
-    summary-sized per-group histogram, never the rows — same
-    distinct-value-cardinality caveat as ``_cumulative_hist`` (quantize
-    harder, i.e. lower ``bits``, for near-unique doubles at 100 TB).
+    (map-side combined); the cumulative-negatives walk rides the
+    range-bucketed two-phase prefix (``bucketed_prefix_sums``), so even
+    a NEAR-UNIQUE score column — model outputs usually are — never
+    parks a group's distinct-score walk on one partition (the r10 fix;
+    the quantize-harder caveat is now an accuracy knob, not a scale
+    requirement).
 
     Returns ``(group, n_pos, n_neg, auc_r)``.
     """
-    from pyspark.sql import Window
-
     from artigraph_spark.functions import fxp
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
 
     lab = F.col(label_col).cast("boolean")
     s = F.col(score_col).cast("double")
@@ -834,13 +837,8 @@ def auc_by_group(
         F.sum("__p").alias("__pos"),
         (F.count(F.lit(1)) - F.sum("__p")).alias("__neg"),
     )
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy("__s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = hist.withColumn(
-        "__cumneg", F.coalesce(F.sum("__neg").over(w), F.lit(0).cast("long"))
+    cum = bucketed_prefix_sums(hist, [group_col], "__s", ["__neg"]).withColumn(
+        "__cumneg", F.col("__pre___neg")
     )
     agg = cum.groupBy(group_col).agg(
         F.sum("__pos").alias("n_pos"),
@@ -911,20 +909,23 @@ def psi_drift(
         return _clean(df).groupBy("__v").agg(F.count(F.lit(1)).alias("__f"))
 
     hb, hc = _hist(base), _hist(cur)
-    wo = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     wg = Window.partitionBy()
-    # Global windows over the summary-sized histogram only (the
-    # sketches.py convention) — never the data rows. Everything past the
-    # two histograms is one linear pipeline per side: each row of the
+    # The base histogram's cumulative walk rides the range-bucketed
+    # two-phase prefix — near-unique columns (where the histogram IS the
+    # data) never park on one partition (the r10 fix). Everything past
+    # the two histograms is one linear pipeline per side: each row of the
     # base histogram covers ranks in (cum − f, cum], so the equi-depth
     # edges fall out of a bins-1× explode + filter — no rank self-join,
     # no raw-row re-scan (one FileScan per side plus the edge pass,
-    # whose repeated histogram exchange is runtime-reused).
-    cb = hb.select(
+    # whose repeated histogram exchange is runtime-reused). The
+    # remaining wg windows run over the ≤bins-row bin summary only.
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
+
+    cb = bucketed_prefix_sums(hb, [], "__v", ["__f"]).select(
         "__v",
         "__f",
-        F.sum("__f").over(wo).alias("__cum"),
-        F.sum("__f").over(wg).alias("__n"),
+        (F.col("__pre___f") + F.col("__f")).alias("__cum"),
+        F.col("__tot___f").alias("__n"),
     )
     er = (
         cb.select(
@@ -1164,16 +1165,18 @@ def ks_two_sample(
     DECIMAL(38,0)) — one double division at the very end, so the
     statistic replays identically on any engine/partitioning.
 
-    Scale shape: one histogram shuffle per side, a summary-sized merge +
-    cumulative window over distinct values only (quantize harder for
-    near-unique doubles at 100 TB — the `_cumulative_hist` caveat), one
-    scalar row out. NULL/NaN values are excluded.
+    Scale shape: one histogram shuffle per side, a summary-sized merge,
+    then BOTH cumulative distributions and both totals ride the
+    range-bucketed two-phase prefix (``bucketed_prefix_sums``) in one
+    pass — distributed even for near-unique doubles where the merged
+    histogram is data-sized (the r10 fix; lower ``bits`` is now an
+    accuracy knob, not a scale requirement), one scalar row out.
+    NULL/NaN values are excluded.
 
     Returns one row ``(n_base, n_cur, ks_r)``.
     """
-    from pyspark.sql import Window
-
     from artigraph_spark.functions import fxp
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
 
     def _hist(df: DataFrame, name: str) -> DataFrame:
         v = F.col(value_col).cast("double")
@@ -1193,15 +1196,14 @@ def ks_two_sample(
             F.coalesce("__fc", F.lit(0).cast("long")).alias("__fc"),
         )
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    # Global windows over the merged distinct-value summary only — the
-    # totals ride the same pipeline as the CDFs, so each input side is
-    # scanned exactly once (plan-locked).
-    cum = merged.select(
-        F.sum("__fb").over(w).alias("__cb"),
-        F.sum("__fc").over(w).alias("__cc"),
-        F.sum("__fb").over(Window.partitionBy()).alias("__nb"),
-        F.sum("__fc").over(Window.partitionBy()).alias("__nc"),
+    # Cumulative CDFs and totals in ONE bucketed-prefix pass over the
+    # merged histogram — each input side is scanned exactly once
+    # (plan-locked), and no single partition ever holds the whole walk.
+    cum = bucketed_prefix_sums(merged, [], "__v", ["__fb", "__fc"]).select(
+        (F.col("__pre___fb") + F.col("__fb")).alias("__cb"),
+        (F.col("__pre___fc") + F.col("__fc")).alias("__cc"),
+        F.col("__tot___fb").alias("__nb"),
+        F.col("__tot___fc").alias("__nc"),
     )
     num = F.abs(
         F.col("__cb").cast("decimal(38,0)") * F.col("__nc")
@@ -1403,9 +1405,10 @@ def mann_whitney_u(
     + ½·1[x_a=x_b]``, which collapses onto the VALUE HISTOGRAM —
     ``U_A = Σ_v a_v·(CB(<v) + b_v/2)`` with a_v/b_v the per-group counts
     of value v and CB the cumulative count below v. One groupBy(value)
-    shuffle, then windows over the summary-sized histogram (≤ distinct
-    values — bounded for quantized metrics like cents or integer
-    quantities; this is the same reduction ks_two_sample uses). To stay
+    shuffle, then the cumulative walk rides the range-bucketed two-phase
+    prefix (``bucketed_prefix_sums``) — distributed even when the value
+    column is near-unique and the histogram is data-sized (the r10 fix;
+    this is the same reduction ks_two_sample uses). To stay
     in exact integer arithmetic U is carried DOUBLED (2U is always
     integral); products widen through DECIMAL(38,0) per the repo's
     overflow convention (n_a·n_b alone exceeds int64 at ~3e9 rows/side).
@@ -1419,7 +1422,7 @@ def mann_whitney_u(
     Returns one row ``(n_a, n_b, u2_a, u_a_r, z_r)``; ``u2_a`` = 2·U_A.
     NULL values and rows outside the two groups are excluded.
     """
-    from pyspark.sql import Window
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
 
     g, v = F.col(group_col), F.col(value_col)
     # NaN values are excluded like NULLs (standard practice; counting
@@ -1434,12 +1437,11 @@ def mann_whitney_u(
             F.sum(F.when(g == group_b, 1).otherwise(0)).alias("__b"),
         )
     )
-    wo = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    cum = hist.select(
+    cum = bucketed_prefix_sums(hist, [], value_col, ["__b"]).select(
         "__a",
         "__b",
-        F.coalesce(F.sum("__b").over(wo), F.lit(0)).alias("__cb"),
+        F.col("__pre___b").alias("__cb"),
     )
     per_v = cum.select(
         "__a",
