@@ -921,13 +921,17 @@ def stratified_split_exact(
     duplicate key values tie on BOTH sort columns, making their label
     assignment partition-dependent.
 
-    Scale: per-stratum ranking is a window — ONE shuffle on the stratum
-    key, with each stratum's rows colocated on one partition. Exactness
-    fundamentally requires that colocation; for strata too large for a
-    partition (billions of rows in one language) use the shuffle-free
-    :func:`split_corpus`, whose ratio error at that size is negligible
-    anyway — the two operators are the two ends of that tradeoff.
+    Scale (r10): per-stratum ranking rides the grouped bucketed
+    row_number (:func:`.._ranks.bucketed_group_row_numbers` over the
+    hash — sort parallelism strata×buckets), and the stratum count
+    comes from the same offsets frame — NO stage colocates a stratum's
+    whole row set on one partition anymore (previously the documented
+    billions-of-rows-in-one-language ceiling; :func:`split_corpus`
+    remains the shuffle-free alternative when approximate ratios are
+    acceptable).
     """
+    from artigraph_spark.operators._ranks import bucketed_group_row_numbers
+
     if fractions is None:
         fractions = {"train": 0.8, "valid": 0.1, "test": 0.1}
     fractions = dict(fractions)
@@ -936,11 +940,10 @@ def stratified_split_exact(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    h = _mul_hash(key)
-    w = Window.partitionBy(stratum_col).orderBy(h, key)
-    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy(stratum_col))
-    )
+    keyed = df.withColumn("__h", _mul_hash(key)).withColumn("__k", key)
+    ranked = bucketed_group_row_numbers(
+        keyed, [stratum_col], "__h", ["__k"], out_col="__rn", count_col="__n"
+    ).drop("__h", "__k")
     names = list(fractions)
     # Integer basis points, like split_corpus: float-accumulated
     # cumulative fractions (0.1+0.2 = 0.30000000000000004) would shift
@@ -1029,17 +1032,37 @@ def curriculum_stages(
     ``id_col`` — total order, so stage membership is deterministic and
     engine-replayable. Adds ``stage``.
 
-    Scale: WITH a stratum, one exchange (the per-stratum window sort;
-    same colocation caveat as :func:`stratified_split_exact`). WITHOUT
-    one, the global ntile funnels every row through a single-partition
-    window — fine for stratum-sized frames, wrong for a whole corpus:
-    always pass ``stratum_col`` at scale.
+    Scale (r10): both forms ride the bucketed row_number machinery —
+    per-stratum through :func:`.._ranks.bucketed_group_row_numbers`
+    (sort parallelism strata×buckets), global through
+    :func:`.._ranks.bucketed_row_numbers` — with the exact integer
+    ntile projection (:func:`.._ranks.ntile_from_rank`, both engines'
+    floor distribution). Neither form funnels a stratum (or the corpus)
+    through one partition anymore; the previous global-form caveat
+    ("always pass stratum_col at scale") is gone.
     """
+    from artigraph_spark.operators._ranks import (
+        bucketed_group_row_numbers,
+        bucketed_row_numbers,
+        ntile_from_rank,
+    )
+
     if n_stages <= 0:
         raise ValueError(f"n_stages must be positive, got {n_stages}")
-    part = [F.col(stratum_col)] if stratum_col else []
-    w = Window.partitionBy(*part).orderBy(score.asc(), F.col(id_col).asc())
-    return df.withColumn("stage", F.ntile(n_stages).over(w))
+    keyed = df.withColumn("__s", score)
+    if stratum_col:
+        ranked = bucketed_group_row_numbers(
+            keyed, [stratum_col], "__s", [id_col], out_col="__rn", count_col="__n"
+        )
+    else:
+        ranked = bucketed_row_numbers(
+            keyed, "__s", [id_col], out_col="__rn"
+        ).crossJoin(
+            F.broadcast(keyed.agg(F.count(F.lit(1)).cast("long").alias("__n")))
+        )
+    return ranked.withColumn(
+        "stage", ntile_from_rank("__rn", "__n", n_stages).cast("int")
+    ).drop("__s", "__rn", "__n")
 
 
 def negative_samples(
@@ -1135,13 +1158,20 @@ def kfold_assign(
     Adds ``fold`` in ``0..n_folds-1``; the cross-validation companion to
     :func:`stratified_split_exact`'s fixed-ratio split.
 
-    Scale: one exchange (the per-stratum window sort), no data movement
-    after — same shape as curriculum_stages.
+    Scale (r10): the per-stratum row_number rides
+    :func:`.._ranks.bucketed_group_row_numbers` (sort parallelism
+    strata×buckets — a numeric ``order_col`` range-buckets; a string
+    one degenerates to the old per-stratum colocation, no worse), same
+    shape as curriculum_stages.
     """
+    from artigraph_spark.operators._ranks import bucketed_group_row_numbers
+
     if n_folds <= 0:
         raise ValueError(f"n_folds must be positive, got {n_folds}")
 
-    w = Window.partitionBy(stratum_col).orderBy(order_col)
-    return df.withColumn(
-        "fold", ((F.row_number().over(w) - 1) % n_folds).cast("long")
+    ranked = bucketed_group_row_numbers(
+        df, [stratum_col], order_col, [], out_col="__rn"
     )
+    return ranked.withColumn(
+        "fold", ((F.col("__rn") - 1) % n_folds).cast("long")
+    ).drop("__rn")

@@ -750,14 +750,19 @@ def gini_by_group(
     past int64 exactly when the audit matters). Groups with zero total
     (or all-NULL values) return NULL gini.
 
-    Scale shape: one per-group window sort (each group's rows colocate
-    — the stratified-split caveat: for groups too large for a partition,
-    pre-aggregate to a value histogram first) and a group-keyed
-    aggregate. Returns ``(group, n, gini_r)``.
+    Scale shape (r10): Σ i·x collapses onto the value HISTOGRAM — a
+    distinct value with min-rank ``rg`` and frequency ``f`` occupies the
+    rank run ``rg..rg+f−1``, so its units contribute
+    ``x·(f·rg + f·(f−1)/2)`` — and the min-ranks ride the bucketed
+    two-phase prefix-sum rank (:mod:`.._ranks`), so no group's rows ever
+    sort on one partition (previously a per-group raw-row window: a
+    25-nation audit serialized the whole fact table onto 25 cores). The
+    triangular term uses the parity-split integer halving (f·(f−1) is
+    always even) — pure int64/DECIMAL arithmetic, no division rounding.
+    Returns ``(group, n, gini_r)``.
     """
-    from pyspark.sql import Window
-
     from artigraph_spark.functions import fxp
+    from artigraph_spark.operators._ranks import bucketed_group_value_ranks
 
     v = F.col(value_col)
     clean = (
@@ -768,15 +773,21 @@ def gini_by_group(
         )
         .select(F.col(group_col).alias("__g"), fxp(v, bits).alias("__x"))
     )
-    w = Window.partitionBy("__g").orderBy("__x")
-    ranked = clean.select(
-        "__g", "__x", F.row_number().over(w).cast("long").alias("__i")
-    )
-    xd = F.col("__x").cast("decimal(38,0)")
-    agg = ranked.groupBy("__g").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(xd).alias("__sx"),
-        F.sum(xd * F.col("__i")).alias("__six"),
+    ranks = bucketed_group_value_ranks(clean, ["__g"], "__x")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    xd = dec(F.col("__v"))
+    fd, rgd = dec(F.col("__f")), dec(F.col("__rg"))
+    # f·(f−1)/2 exactly: one factor is even, halve IT before multiplying
+    # (a DECIMAL division would introduce scale; f·(f−1) in int64 would
+    # overflow first at f ≈ 3e9).
+    tri = F.when(
+        F.col("__f") % 2 == 0,
+        dec(F.expr("__f div 2")) * dec(F.col("__f") - 1),
+    ).otherwise(fd * dec(F.expr("(__f - 1) div 2")))
+    agg = ranks.groupBy(F.col("__g")).agg(
+        F.sum("__f").alias("n"),
+        F.sum(fd * xd).alias("__sx"),
+        F.sum(xd * (fd * rgd + tri)).alias("__six"),
     )
     nd = F.col("n").cast("decimal(38,0)")
     num = F.lit(2).cast("decimal(38,0)") * F.col("__six") - (nd + 1) * F.col("__sx")
@@ -1792,11 +1803,20 @@ def lorenz_points(
     fixed-point int64 sums and the two shares are single divisions on
     the guard grid.
 
-    Scale: one per-group window sort over UNITS (pre-aggregate raw rows
-    to units first — that reduction is the data-sized shuffle), then a
-    buckets-sized summary per group. Negative values are allowed (the
-    curve can dip below zero, as real Lorenz curves do for net-loss
-    units); NULL values are excluded.
+    Scale (r10): units collapse onto the per-group value HISTOGRAM with
+    bucketed prefix-sum min-ranks — a distinct value's ``f`` tied units
+    occupy the contiguous rank run ``rg..rg+f−1``, the deciles that run
+    touches are ``ceil(buckets·rg/n)..ceil(buckets·(rg+f−1)/n)`` (a
+    sequence-explode of at most run-span-in-deciles extra rows — ≤
+    buckets boundary splits per group in total), and each (run, decile)
+    overlap contributes exact integer ``count`` and fixed-point mass.
+    No group's units ever sort on one partition (previously a per-group
+    raw-row row_number window — a 25-nation audit serialized all
+    customers onto 25 cores). Tie ORDER within a run is immaterial:
+    tied units carry identical ``__vfx``, so every bucket's sum and
+    count are tie-permutation-invariant (the gini_by_group argument).
+    Negative values are allowed (the curve can dip below zero, as real
+    Lorenz curves do for net-loss units); NULL values are excluded.
 
     Returns ``(group, bucket, n_units, pop_share_r, value_share_r)``
     ordered within group by bucket — value_share_r is cumulative.
@@ -1804,6 +1824,7 @@ def lorenz_points(
     from pyspark.sql import Window
 
     from artigraph_spark.functions import fxp
+    from artigraph_spark.operators._ranks import bucketed_group_value_ranks
 
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
@@ -1819,28 +1840,35 @@ def lorenz_points(
     base = df.filter(v.isNotNull() & nan_guard).select(
         F.col(group_col).alias("__g"), unit_val.alias("__vfx")
     )
-    wg = Window.partitionBy("__g")
-    # row_number over value alone: tie ORDER is arbitrary, but tied units
-    # carry identical __vfx, so every bucket's sum and count are
-    # tie-permutation-invariant (the gini_by_group argument) — outputs
-    # are deterministic without a unit-id tiebreak column.
-    wr = Window.partitionBy("__g").orderBy("__vfx")
-    ranked = base.select(
-        "__g",
-        "__vfx",
-        F.row_number().over(wr).alias("__r"),
-        F.count(F.lit(1)).over(wg).alias("__n"),
-    )
+    ranks = bucketed_group_value_ranks(base, ["__g"], "__vfx")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    bucketed = ranked.select(
+    # decile of rank r: ceil(buckets·r/n) = (buckets·r + n − 1) div n —
+    # the feature_bins integer form; a run spans contiguous deciles.
+    b_lo = F.expr(f"({buckets} * __rg + __ng - 1) div __ng")
+    b_hi = F.expr(f"({buckets} * (__rg + __f - 1) + __ng - 1) div __ng")
+    spanned = ranks.select(
         "__g",
-        "__vfx",
-        "__n",
-        F.expr(f"({buckets} * __r + __n - 1) div __n").alias("__b"),
+        F.col("__v").alias("__vfx"),
+        "__f",
+        "__rg",
+        F.col("__ng").alias("__n"),
+        F.explode(F.sequence(b_lo, b_hi)).alias("__b"),
     )
-    per_bucket = bucketed.groupBy("__g", "__b").agg(
-        F.count(F.lit(1)).alias("n_units"),
-        F.sum(dec(F.col("__vfx"))).alias("__bs"),
+    # decile __b covers ranks [ (b−1)·n div buckets + 1, b·n div buckets ]
+    d_lo = F.expr(f"((__b - 1) * __n) div {buckets}") + 1
+    d_hi = F.expr(f"(__b * __n) div {buckets}")
+    run_hi = F.col("__rg") + F.col("__f") - 1
+    cnt = F.least(d_hi, run_hi) - F.greatest(d_lo, F.col("__rg")) + 1
+    overlapped = spanned.select(
+        "__g",
+        "__b",
+        "__n",
+        cnt.alias("__cnt"),
+        (dec(cnt) * dec(F.col("__vfx"))).alias("__mass"),
+    ).filter(F.col("__cnt") > 0)
+    per_bucket = overlapped.groupBy("__g", "__b").agg(
+        F.sum("__cnt").alias("n_units"),
+        F.sum("__mass").alias("__bs"),
         F.max("__n").alias("__n"),
     )
     wo = Window.partitionBy("__g").orderBy("__b").rowsBetween(

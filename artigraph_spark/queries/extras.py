@@ -2207,8 +2207,9 @@ def target_encode_orders(spark, sf_dir):
 def gini_spend_by_nation(spark, sf_dir):
     """Per-nation Gini concentration of order spend — how unequal the
     customer revenue distribution is, the inequality audit. Fixed-point
-    order statistics make the index engine-exact; one per-nation window
-    sort plus a broadcast nation-name join."""
+    order statistics make the index engine-exact; the rank sums ride
+    the bucketed histogram (no per-nation sort) plus a broadcast
+    nation-name join."""
     from artigraph_spark.operators.quality import gini_by_group
 
     o = load(spark, sf_dir, "orders")

@@ -331,11 +331,20 @@ def test_bloom_dedup_broadcasts_filter_not_fact(spark, qs):
 
 
 def test_stratified_split_single_stratum_shuffle(spark, qs):
-    """Exact split = ONE exchange on the stratum key; both window
-    functions (rank + count) share it."""
+    """Exact split rides the grouped bucketed row_number (r10): the sort
+    exchanges key on (stratum, range-bucket) — parallelism
+    strata×buckets, never one partition per stratum. More static
+    exchanges than the old single stratum-keyed window (offsets branch +
+    local branch + their join), but none of them colocates a whole
+    stratum; the broadcast range-frame singleton is the one sanctioned
+    BNLJ shape."""
     df = qs["stratified_split_exact"](spark, SF)
-    assert P.count_exchanges(df) == 1
-    assert "CartesianProduct" not in P.physical_plan(df, "simple")
+    plan = P.physical_plan(df, "simple")
+    assert P.count_exchanges(df) <= 6
+    assert "CartesianProduct" not in plan
+    # the old one-partition-per-stratum sort is gone: every window
+    # partitions by (stratum, bucket), never by stratum alone
+    assert "partitionBy(stratum" not in plan
 
 
 def test_windowed_sketch_queries_no_nested_loop(spark, qs):
