@@ -120,6 +120,24 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_filter",
 )
 
+# The queries whose implementation or oracle changed THIS round (the
+# window-audit "fresh" set): they hold recent driver rows but earn new
+# ones because the plan/values pipeline changed. Declared here so
+# `tools/window_audit.py` is reproducible with no arguments — the
+# previous convention (pass --fresh on the command line) made the bare
+# run fail for anyone who didn't know the list.
+ROUND_FRESH: tuple[str, ...] = (
+    "spearman_price_quantity", "tukey_outliers_quantity",
+    "exact_quantiles_quantity", "twap_user_value", "cuped_user_value",
+    "calibration_price_returns", "kcore_copurchase",
+    "auc_status_by_priority", "mann_whitney_quantity", "ks_price_drift",
+    "psi_price_drift", "mad_outliers_orders", "feature_bins_lineitem",
+    "winsorize_quantity", "adamic_adar_copurchase",
+    "gini_spend_by_nation", "lorenz_spend_by_nation",
+    "stratified_split_exact", "curriculum_stages_docs",
+    "kfold_assign_docs",
+)
+
 
 _PRIORITY_R9: tuple[str, ...] = (
     # ROUND-9 ROTATION (superseded — kept for the window-audit history).

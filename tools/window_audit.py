@@ -10,7 +10,9 @@ files and checks the current prefix against the rotation policy:
   1. every never-recorded oracle-bearing query is in the window;
   2. nothing in the window has a fresher last-recorded round than
      something outside it (monotone staleness, modulo the declared
-     fresh set — new/impl-changed queries passed via --fresh);
+     fresh set — the impl/oracle-changed queries of the CURRENT round,
+     read from ``artigraph_spark.queries.ROUND_FRESH`` so a bare run
+     is reproducible; ``--fresh`` overrides for what-if checks);
   3. the window is exactly WINDOW entries and free of rows-only
      queries whose ``*_checked`` twins carry the signal.
 
@@ -46,7 +48,9 @@ def last_recorded(repo: Path) -> dict[str, int]:
 
 
 def main() -> int:
-    fresh: set[str] = set()
+    from artigraph_spark.queries import ROUND_FRESH
+
+    fresh: set[str] = set(ROUND_FRESH)
     args = sys.argv[1:]
     if args and args[0].startswith("--fresh="):
         fresh = set(args[0][len("--fresh="):].split(","))
