@@ -985,13 +985,13 @@ def epoch_shuffle(
     ``pos`` is partition-dependent and the replay guarantee is void for
     them.
 
-    Scale: shard assignment is a per-row expression (no shuffle); the
-    within-shard position is a window partitioned by shard — ONE exchange
-    on the shard id, each shard's rows colocated (shards are sized
-    corpus/n_shards, so pick n_shards to keep shards partition-sized:
-    100 TB / 10k shards = 10 GB each). Writing the result partitioned by
-    ``shard`` with ``sortWithinPartitions(pos)`` lands ready-to-stream
-    training files.
+    Scale (r10): shard assignment is a per-row expression (no shuffle);
+    the within-shard position rides the grouped bucketed row_number
+    (:func:`.._ranks.bucketed_group_row_numbers` over the mixed hash —
+    sort parallelism shards×buckets), so a shard never needs to fit one
+    partition: n_shards is now purely an OUTPUT-layout choice, not a
+    memory constraint. Writing the result partitioned by ``shard`` with
+    ``sortWithinPartitions(pos)`` lands ready-to-stream training files.
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
@@ -1009,10 +1009,16 @@ def epoch_shuffle(
     epoch_term = (F.lit(epoch).cast("long") * F.lit(2_147_483_629).cast("long")) % p
     mixed = _mul_hash(F.pmod(key.cast("long"), p) + epoch_term)
     shard = F.pmod(mixed, F.lit(n_shards))
-    w = Window.partitionBy(shard).orderBy(mixed, key)
-    return df.withColumn("shard", shard).withColumn(
-        "pos", F.row_number().over(w)
+    from artigraph_spark.operators._ranks import bucketed_group_row_numbers
+
+    keyed = (
+        df.withColumn("shard", shard)
+        .withColumn("__mx", mixed)
+        .withColumn("__k", key)
     )
+    return bucketed_group_row_numbers(
+        keyed, ["shard"], "__mx", ["__k"], out_col="pos"
+    ).drop("__mx", "__k")
 
 
 def curriculum_stages(

@@ -56,14 +56,14 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 # ≥60% re-greens (stale-first) and new queries are added only when they cover
 # a genuine user-facing gap (a missing operator family member, a scale-path
 # variant of a weak plan) — not for count. The rotation drains oldest-first:
-# r10 clears the 29 oldest r4-stale; r11 should clear the 2 remaining
+# r10 clears the 28 oldest r4-stale; r11 should clear the 3 remaining
 # r4-stale plus the 43 r5-stale and start on r6.
 _PRIORITY: tuple[str, ...] = (
     # ROUND-10 ROTATION. Recorded-window history after r9 (computed from
     # CORRECTNESS_r0{1..9}.json at round start): staleness census
     # {r4:31, r5:43, r6:45, r7:46, r8:44, r9:50}; 1 oracle-bearing query
     # never recorded (spearman_price_quantity_quantized, new this round);
-    # 20 implementations/oracles changed this round.
+    # 21 implementations/oracles changed this round.
     # Impl-changed detail: spearman_price_quantity (joint-histogram
     # rewrite — one scan, frequency-weighted rank maps),
     # tukey_outliers_quantity (+ exact_quantiles_quantity via the shared
@@ -84,17 +84,20 @@ _PRIORITY: tuple[str, ...] = (
     # interval overlap — both previously serialized a nation's whole
     # unit list onto one core); plus the stratum-colocation removals
     # stratified_split_exact / curriculum_stages_docs /
-    # kfold_assign_docs (grouped bucketed row_number — parallelism
-    # strata×buckets instead of one partition per stratum).
+    # kfold_assign_docs / epoch_shuffle_shards (grouped bucketed
+    # row_number — parallelism strata×buckets instead of one partition
+    # per stratum/shard; n_shards is now an output-layout choice, not a
+    # memory constraint).
     # NOT impl-changed: the _ranks freq_col parameter is a pure addition
     # (default path builds the identical plan), so its other consumers
     # (rank/quantile_normalize, rfm, ppl_decile, length_band, trimmed
     # mean) keep their fresh r9 rows.
-    # Window = 1 new + 20 impl-changed + 29 oldest r4-stale = exactly
+    # Window = 1 new + 21 impl-changed + 28 oldest r4-stale = exactly
     # 50. Only ONE entry is a brand-new query; every other slot
     # re-greens an existing one (the ≥60% policy reads on new-query
-    # displacement). The 2 r4-stale that spill (text_stats,
-    # weighted_sample_topk) plus the 43 r5-stale lead the r11 backlog.
+    # displacement). The 3 r4-stale that spill (text_quality_filter,
+    # text_stats, weighted_sample_topk) plus the 43 r5-stale lead the
+    # r11 backlog.
     # (1) never recorded — first driver row
     "spearman_price_quantity_quantized",
     # (2) implementation/oracle changed this round
@@ -106,8 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     "winsorize_quantity", "adamic_adar_copurchase",
     "gini_spend_by_nation", "lorenz_spend_by_nation",
     "stratified_split_exact", "curriculum_stages_docs",
-    "kfold_assign_docs",
-    # (3) the 29 oldest r4-stale re-greens (alphabetical)
+    "kfold_assign_docs", "epoch_shuffle_shards",
+    # (3) the 28 oldest r4-stale re-greens (alphabetical)
     "correlated_group_filter", "dedup_exact", "dedup_fingerprint",
     "dedup_lines_in_doc", "doc_rolling_hash", "domain_cap",
     "grouped_map_pandas", "join_cross", "join_full_outer", "join_inner",
@@ -117,7 +120,6 @@ _PRIORITY: tuple[str, ...] = (
     "minhash_lsh_pairs_checked", "nested_struct_access", "pack_sequences",
     "pack_sequences_by_lang", "percent_of_total", "scalar_subquery_filter",
     "stratified_sample_mix", "string_agg", "text_normalize",
-    "text_quality_filter",
 )
 
 # The queries whose implementation or oracle changed THIS round (the
@@ -135,7 +137,7 @@ ROUND_FRESH: tuple[str, ...] = (
     "winsorize_quantity", "adamic_adar_copurchase",
     "gini_spend_by_nation", "lorenz_spend_by_nation",
     "stratified_split_exact", "curriculum_stages_docs",
-    "kfold_assign_docs",
+    "kfold_assign_docs", "epoch_shuffle_shards",
 )
 
 
