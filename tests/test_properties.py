@@ -640,3 +640,79 @@ def test_bucketed_ranks_equal_window_ranks_property(spark, rows, buckets):
         seen.add(k)
         assert r["__rg"] == want[k], (buckets, r)
     assert seen == set(want)
+
+
+_ps_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", None]),
+        st.one_of(
+            st.integers(min_value=-50, max_value=50).map(float),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
+        st.integers(min_value=1, max_value=5),
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_ps_rows, st.sampled_from([1, 2, 7, 64]))
+def test_bucketed_prefix_sums_property(spark, rows, buckets):
+    """For ANY (group, value, weight) histogram and ANY bucket count, the
+    range-bucketed two-phase prefix equals the naive cumulative window
+    and the totals equal the group sums (r10 primitive)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
+
+    df = spark.createDataFrame(rows or [("a", 0.0, 1)], "g string, v double, f long")
+    if not rows:
+        df = df.filter("false")
+    hist = df.groupBy("g", "v").agg(F.sum("f").alias("f"))
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        (r["g"], r["v"]): (r["p"] or 0, r["t"])
+        for r in hist.select(
+            "g", "v",
+            F.sum("f").over(w).alias("p"),
+            F.sum("f").over(Window.partitionBy("g")).alias("t"),
+        ).collect()
+    }
+    got = {
+        (r["g"], r["v"]): (r["__pre_f"], r["__tot_f"])
+        for r in bucketed_prefix_sums(hist, ["g"], "v", ["f"], buckets=buckets).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(_ps_rows, st.sampled_from([1, 3, 64]))
+def test_bucketed_group_row_numbers_property(spark, rows, buckets):
+    """For ANY input and ANY bucket count, the grouped bucketed
+    row_number equals the naive per-group window row_number under a
+    TOTAL order (value, unique id), and the count column equals the
+    group size (r10 primitive)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators._ranks import bucketed_group_row_numbers
+
+    uniq = [(g, v, i) for i, (g, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(uniq or [("a", 0.0, 0)], "g string, v double, id long")
+    if not uniq:
+        df = df.filter("false")
+    w = Window.partitionBy("g").orderBy(F.col("v").asc_nulls_first(), "id")
+    want = {
+        r["id"]: (r["rn"], r["n"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .collect()
+    }
+    got = {
+        r["id"]: (r["__rn"], r["__n"])
+        for r in bucketed_group_row_numbers(
+            df, ["g"], "v", ["id"], buckets=buckets, count_col="__n"
+        ).collect()
+    }
+    assert got == want
