@@ -33,9 +33,20 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import (
+    ByteType,
+    DecimalType,
+    IntegerType,
+    LongType,
+    NumericType,
+    ShortType,
+)
 
 _NULL_BUCKET = -1  # sorts first asc / last desc, like Spark's null ordering
+
+# Count-like sum columns normalize to long; fractional/decimal masses keep
+# Spark's natural sum type (see bucketed_prefix_sums).
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
 
 
 def _bucket_expr(value: Column, lo: Column, hi: Column, buckets: int) -> Column:
@@ -178,7 +189,14 @@ def bucketed_prefix_sums(
     construction). Appends, for each ``c`` in ``sum_cols``,
     ``__pre_<c>`` (sum of ``c`` over STRICTLY SMALLER values in the
     group, 0 for the smallest) and ``__tot_<c>`` (the group total);
-    every input column passes through.
+    every input column passes through. Output types: an INTEGRAL
+    ``sum_cols`` entry (the count-like default) comes back as long; a
+    fractional/decimal entry keeps Spark's natural sum type (e.g.
+    DECIMAL(38,9) masses stay exact decimals — never silently truncated
+    to integers). Decimal sums must fit 28 integer digits: the
+    offset+local addition narrows its operands to precision 37 so the
+    result keeps the input's full scale instead of Spark's
+    precision-capped scale-8 downgrade.
 
     Plan shape: one groups×buckets offsets aggregate with a per-group
     prefix window over ≤buckets rows, a within-bucket prefix window
@@ -192,6 +210,8 @@ def bucketed_prefix_sums(
         raise ValueError("bucketed_prefix_sums needs sum columns")
     gcols = list(group_cols)
     scols = list(sum_cols)
+    integral = [isinstance(hist.schema[c].dataType, _INTEGRAL) for c in scols]
+    out_cast = lambda col, i: col.cast("long") if integral[i] else col  # noqa: E731
     v = F.col(value_col)
     numeric = isinstance(hist.schema[value_col].dataType, NumericType)
     if numeric:
@@ -218,10 +238,9 @@ def bucketed_prefix_sums(
             for i in range(len(scols))
         ],
         *[
-            F.sum(f"__bs{i}")
-            .over(Window.partitionBy(*gcols))
-            .cast("long")
-            .alias(f"__tot_{c}")
+            out_cast(F.sum(f"__bs{i}").over(Window.partitionBy(*gcols)), i).alias(
+                f"__tot_{c}"
+            )
             for i, c in enumerate(scols)
         ],
     )
@@ -240,9 +259,18 @@ def bucketed_prefix_sums(
         cond = cond & local[c].eqNullSafe(F.col(f"__og{i}"))
     out = local.join(offsets, cond)
     for i, c in enumerate(scols):
-        out = out.withColumn(
-            f"__pre_{c}", (F.col(f"__off{i}") + F.col(f"__lc{i}")).cast("long")
-        )
+        off, lc = F.col(f"__off{i}"), F.col(f"__lc{i}")
+        dt = per_bucket.schema[f"__bs{i}"].dataType
+        if isinstance(dt, DecimalType):
+            # (38,s)+(38,s) would cap at 38 digits by dropping a scale
+            # digit — rounding the sum. Narrowing both operands to
+            # precision 37 keeps the full scale; values must fit the
+            # remaining 37-s integer digits (documented contract).
+            narrowed = DecimalType(37, dt.scale)
+            pre = off.cast(narrowed) + lc.cast(narrowed)
+        else:
+            pre = out_cast(off + lc, i)
+        out = out.withColumn(f"__pre_{c}", pre)
     drop = (
         ["__bk", "__obk"]
         + [f"__og{i}" for i in range(len(gcols))]
@@ -260,6 +288,7 @@ def bucketed_row_numbers(
     descending: bool = False,
     buckets: int = 1024,
     out_col: str = "__rn",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Exact GLOBAL row_number by (value, *tiebreaks) without a global
     single-partition window sort.
@@ -271,6 +300,11 @@ def bucketed_row_numbers(
     parallelism is ``buckets`` instead of 1. The tiebreak columns must
     make the order total if downstream logic needs determinism (the
     ntile/top-k convention).
+
+    ``count_col`` (optional) additionally appends the TOTAL row count —
+    free from the same ≤buckets-row offsets frame (a summary window, no
+    second scan of ``df``; the ntile-from-rank callers need exactly
+    this pair).
 
     Returns ``df`` with ``out_col`` (long, 1-based) appended.
     """
@@ -291,13 +325,18 @@ def bucketed_row_numbers(
         )
     per_bucket = rows.groupBy("__bk").agg(F.count(F.lit(1)).alias("__bf"))
     w_off = Window.orderBy(F.col("__bk").desc() if descending else F.col("__bk"))
-    offsets = per_bucket.select(
+    off_cols = [
         F.col("__bk").alias("__obk"),
         F.coalesce(
             F.sum("__bf").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
         ).alias("__off"),
-    )
+    ]
+    if count_col is not None:
+        off_cols.append(
+            F.sum("__bf").over(Window.partitionBy()).cast("long").alias(count_col)
+        )
+    offsets = per_bucket.select(*off_cols)
     order = [v.desc_nulls_last() if descending else v.asc_nulls_first()]
     order += [F.col(c) for c in tiebreak_cols]
     w_local = Window.partitionBy("__bk").orderBy(*order)

@@ -1061,10 +1061,11 @@ def curriculum_stages(
             keyed, [stratum_col], "__s", [id_col], out_col="__rn", count_col="__n"
         )
     else:
+        # the total rides the offsets frame (count_col) — a second
+        # keyed.agg(count) scan of the input would double the IO for a
+        # number the bucket histogram already knows
         ranked = bucketed_row_numbers(
-            keyed, "__s", [id_col], out_col="__rn"
-        ).crossJoin(
-            F.broadcast(keyed.agg(F.count(F.lit(1)).cast("long").alias("__n")))
+            keyed, "__s", [id_col], out_col="__rn", count_col="__n"
         )
     return ranked.withColumn(
         "stage", ntile_from_rank("__rn", "__n", n_stages).cast("int")

@@ -1701,6 +1701,8 @@ def quantile_normalize(
     value_col: str,
     *,
     out_col: str = "qn_value",
+    quantize_bits: int | None = None,
+    max_distinct_values: int = 10_000,
 ) -> DataFrame:
     """Quantile normalization: replace each row's value with the GLOBAL
     distribution's value at the row's within-group quantile — the
@@ -1725,27 +1727,60 @@ def quantile_normalize(
     windows; the pre-r9 raw-row window parked each group's sort on one
     partition), joined back to the fact rows on (group, value). The
     GLOBAL value histogram stays a distinct-value-sized summary walk —
-    the operator's contract is a QUANTIZED metric; fxp continuous
-    values first or the dimension stops being summary-sized — and the
-    rank→value mapping is an interval join against the BROADCAST
-    histogram ranges. NULL values pass through with NULL output.
+    the operator REQUIRES a quantized metric, and since r11 ENFORCES it:
+    the rank→value mapping is a range probe of every fact row against
+    the BROADCAST histogram, so a near-unique metric would silently blow
+    both the broadcast and the per-row probe. If the global histogram
+    exceeds ``max_distinct_values`` distinct values the job fails at
+    execution with a message naming ``quantize_bits``; pass
+    ``quantize_bits`` (the spearman fxp convention — values snap to the
+    grid ``floor(v·2^bits)/2^bits``, NEGATIVE bits coarsen, e.g. -4 →
+    cells of 16) to normalize on the binned scale, or raise the
+    threshold deliberately. NULL values pass through with NULL output.
 
-    Returns ``df`` plus ``out_col``.
+    Returns ``df`` plus ``out_col`` (grid-scale values when
+    ``quantize_bits`` is set).
     """
     from pyspark.sql import Window
 
     from artigraph_spark.operators._ranks import bucketed_group_value_ranks
 
-    v = F.col(value_col)
-    ok = v.isNotNull() & ~F.isnan(v)  # NaN behaves like NULL throughout
+    if max_distinct_values < 1:
+        raise ValueError(
+            f"max_distinct_values must be >= 1, got {max_distinct_values}"
+        )
+    raw = F.col(value_col)
+    if quantize_bits is not None:
+        scale = float(2.0**quantize_bits)
+        v = F.floor(raw.cast("double") * F.lit(scale)) / F.lit(scale)
+    else:
+        v = raw
+    ok = raw.isNotNull() & ~F.isnan(raw)  # NaN behaves like NULL throughout
     hist = (
         df.filter(ok)
         .groupBy(v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__f"))
     )
     wo = Window.orderBy("__v")
+    n_distinct = F.count(F.lit(1)).over(Window.partitionBy())
+    guard = F.assert_true(
+        n_distinct <= F.lit(max_distinct_values),
+        F.concat(
+            F.lit(
+                "quantile_normalize: the global value histogram has "
+            ),
+            n_distinct.cast("string"),
+            F.lit(
+                f" distinct values (> max_distinct_values={max_distinct_values});"
+                " the rank->value map is broadcast + range-probed per row, so a"
+                " near-unique metric must be quantized first - pass"
+                " quantize_bits (negative to coarsen) or raise"
+                " max_distinct_values deliberately"
+            ),
+        ),
+    )
     cum = hist.select(
-        "__v",
+        F.when(guard.isNull(), F.col("__v")).alias("__v"),
         F.sum("__f").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("__cum"),
         F.coalesce(
             F.sum("__f").over(wo.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
@@ -1755,8 +1790,10 @@ def quantile_normalize(
     # Within-group rank of each distinct value via the bucketed prefix
     # sum; NaN is excluded here entirely (the ok guard) so it stays out
     # of n_g as well — matching the pre-r9 NULLS-LAST window contract.
-    base = df.filter(ok).select(group_col, value_col)
-    rmap = bucketed_group_value_ranks(base, [group_col], value_col).select(
+    # Ranks run over the (possibly grid-snapped) value so the fact-row
+    # join key and the histogram key stay the same scale.
+    base = df.filter(ok).select(group_col, v.alias("__qval"))
+    rmap = bucketed_group_value_ranks(base, [group_col], "__qval").select(
         F.col(group_col).alias("__qg"), F.col("__v").alias("__qv"), "__rg", "__ng"
     )
     ranked = df.join(

@@ -1010,24 +1010,31 @@ def kaplan_meier(
     ``S(t) = Π_{u ≤ t, d_u > 0} (1 − d_u / n_u)`` with d_u the events at
     duration u and n_u the at-risk count (all rows with duration ≥ u).
 
-    Exactness: d_u and n_u are exact int64 (n_u = total − cumulative
-    exits before u, a window over the summary-sized risk table); the
-    product becomes ``exp(Σ ln(1 − d/n))`` with each log term snapped to
-    the 9-decimal guard grid (the repo's ln convention), so the curve
-    replays identically cross-engine. When d_u = n_u (everyone remaining
-    exits with an event) the survival drops to exactly 0 from that
-    duration on — carried as a cumulative flag, never ln(0).
+    Exactness: d_u and n_u are exact int64 (n_u = total − exits before
+    u, an exclusive prefix over the risk table); the product becomes
+    ``exp(Σ ln(1 − d/n))`` with each log term snapped to the 9-decimal
+    guard grid and SUMMED AS DECIMAL(38,9) (the repo's grid-sum
+    convention) — exact, order-independent addition, so the curve
+    replays identically cross-engine and under any partitioning. When
+    d_u = n_u (everyone remaining exits with an event) the survival
+    drops to exactly 0 from that duration on — carried as a cumulative
+    0/1 flag, never ln(0).
 
-    Scale shape: one groupBy(duration) shuffle collapses the data to the
-    risk table (≤ distinct durations — days/weeks, summary-sized by
-    construction); both windows run over that summary. The global
-    ORDER BY window over ≤durations rows is the documented benign
-    single-partition case.
+    Scale shape (r11): one groupBy(duration) shuffle collapses the data
+    to the risk table; BOTH cumulative walks (exit counts for n_risk,
+    then term/zero-flag for the curve) ride
+    :func:`.._ranks.bucketed_prefix_sums`, so even a µs-granular
+    duration column — where the risk table is data-sized, not
+    day-granular-summary-sized — never serializes onto one partition:
+    the only single-partition windows left are the ≤buckets-row offsets
+    frames (metadata-sized by construction). Pre-r11 this walk was a
+    documented single-partition contract gated on duration granularity;
+    the contract is gone.
 
     Returns ``(duration, n_risk, n_event, n_censored, survival_r)``
     ordered by duration.
     """
-    from pyspark.sql import Window
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
 
     dur, obs = F.col(duration_col), F.col(observed_col)
     risk = (
@@ -1052,21 +1059,20 @@ def kaplan_meier(
                 )
             ).alias("n_censored"),
         )
+        .withColumn("__exits", F.col("n_event") + F.col("n_censored"))
     )
-    wo = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
-    wc = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
-    wg = Window.partitionBy()
-    t = risk.select(
+    # pass 1: n_risk = total exits − exits at strictly smaller durations
+    t = bucketed_prefix_sums(risk, [], "duration", ["__exits"]).select(
         "duration",
         "n_event",
         "n_censored",
-        (
-            F.sum(F.col("n_event") + F.col("n_censored")).over(wg)
-            - F.coalesce(F.sum(F.col("n_event") + F.col("n_censored")).over(wo), F.lit(0))
-        ).alias("n_risk"),
+        (F.col("__tot___exits") - F.col("__pre___exits")).alias("n_risk"),
     )
+    # pass 2: the term depends on n_risk (itself a prefix), so the curve
+    # needs a second prefix over the one-row-per-duration frame pass 1
+    # already produced. Grid-snapped terms sum as exact DECIMAL(38,9).
     term = F.when(
-        F.col("n_event") > 0,
+        (F.col("n_event") > 0) & (F.col("n_event") < F.col("n_risk")),
         F.round(
             F.log(
                 F.lit(1.0)
@@ -1075,23 +1081,23 @@ def kaplan_meier(
             9,
         ),
     ).otherwise(F.lit(0.0))
-    zeroed = F.max(
-        F.when(F.col("n_event") == F.col("n_risk"), 1).otherwise(0)
-    ).over(wc)
-    return t.select(
+    seeded = t.withColumn("__term", term.cast("decimal(38,9)")).withColumn(
+        "__zf", F.when(F.col("n_event") == F.col("n_risk"), 1).otherwise(0)
+    )
+    cum = bucketed_prefix_sums(seeded, [], "duration", ["__term", "__zf"])
+    # inclusive sum = exclusive prefix + own term; both narrowed to
+    # precision 37 so the decimal add keeps scale 9 (Spark caps
+    # (38,9)+(38,9) at 38 digits by dropping a scale digit)
+    inc = F.col("__pre___term").cast("decimal(37,9)") + F.col("__term").cast(
+        "decimal(37,9)"
+    )
+    return cum.select(
         "duration",
         "n_risk",
         "n_event",
         "n_censored",
-        F.when(zeroed == 1, F.lit(0.0))
-        .otherwise(
-            F.round(
-                F.exp(
-                    F.sum(F.when(F.col("n_event") < F.col("n_risk"), term)).over(wc)
-                ),
-                9,
-            )
-        )
+        F.when(F.col("__pre___zf") + F.col("__zf") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(inc.cast("double")), 9))
         .alias("survival_r"),
     ).orderBy("duration")
 

@@ -16,6 +16,15 @@ def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def executed_plan(df: DataFrame) -> str:
+    """The FINAL (post-AQE) physical plan, after actually running the
+    query — runtime exchange reuse (ReusedExchange) is only decided at
+    execution, so single-scan contracts that rest on it must assert here,
+    not on the static plan (which duplicates the subtree per consumer)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def has_node(df: DataFrame, node: str) -> bool:
     return node in physical_plan(df, "simple")
 

@@ -59,278 +59,65 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 # r10 clears the 28 oldest r4-stale; r11 should clear the 3 remaining
 # r4-stale plus the 43 r5-stale and start on r6.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-10 ROTATION. Recorded-window history after r9 (computed from
-    # CORRECTNESS_r0{1..9}.json at round start): staleness census
-    # {r4:31, r5:43, r6:45, r7:46, r8:44, r9:50}; 1 oracle-bearing query
-    # never recorded (spearman_price_quantity_quantized, new this round);
-    # 21 implementations/oracles changed this round.
-    # Impl-changed detail: spearman_price_quantity (joint-histogram
-    # rewrite — one scan, frequency-weighted rank maps),
-    # tukey_outliers_quantity (+ exact_quantiles_quantity via the shared
-    # _quantiles_from_ranks refactor), twap_user_value (zero-span NULL
-    # guard, both engines), cuped_user_value (pmod-safe oracle hash),
-    # calibration_price_returns (oracle NULL-label filter),
-    # kcore_copurchase (peel-loop restructure for until_convergence);
-    # then the bucketed_prefix_sums sweep — every distinct-value
-    # histogram walk moved off single-partition windows onto the
-    # range-bucketed two-phase prefix: auc_status_by_priority,
-    # mann_whitney_quantity, ks_price_drift, psi_price_drift, and the
-    # _cumulative_hist consumers mad_outliers_orders,
-    # feature_bins_lineitem, winsorize_quantity; plus
-    # adamic_adar_copurchase (global top-k row_number window →
-    # TakeOrderedAndProject + ≤k-row rank window); plus the per-group
-    # raw-row sort removals gini_spend_by_nation (Σi·x collapsed onto
-    # the rank histogram) and lorenz_spend_by_nation (rank-run × decile
-    # interval overlap — both previously serialized a nation's whole
-    # unit list onto one core); plus the stratum-colocation removals
-    # stratified_split_exact / curriculum_stages_docs /
-    # kfold_assign_docs / epoch_shuffle_shards (grouped bucketed
-    # row_number — parallelism strata×buckets instead of one partition
-    # per stratum/shard; n_shards is now an output-layout choice, not a
-    # memory constraint).
-    # NOT impl-changed: the _ranks freq_col parameter is a pure addition
-    # (default path builds the identical plan), so its other consumers
-    # (rank/quantile_normalize, rfm, ppl_decile, length_band, trimmed
-    # mean) keep their fresh r9 rows.
-    # Window = 1 new + 21 impl-changed + 28 oldest r4-stale = exactly
-    # 50. Only ONE entry is a brand-new query; every other slot
-    # re-greens an existing one (the ≥60% policy reads on new-query
-    # displacement). The 3 r4-stale that spill (text_quality_filter,
-    # text_stats, weighted_sample_topk) plus the 43 r5-stale lead the
-    # r11 backlog.
-    # (1) never recorded — first driver row
-    "spearman_price_quantity_quantized",
-    # (2) implementation/oracle changed this round
-    "spearman_price_quantity", "tukey_outliers_quantity",
-    "exact_quantiles_quantity", "twap_user_value", "cuped_user_value",
-    "calibration_price_returns", "kcore_copurchase",
-    "auc_status_by_priority", "mann_whitney_quantity", "ks_price_drift",
-    "psi_price_drift", "mad_outliers_orders", "feature_bins_lineitem",
-    "winsorize_quantity", "adamic_adar_copurchase",
-    "gini_spend_by_nation", "lorenz_spend_by_nation",
-    "stratified_split_exact", "curriculum_stages_docs",
-    "kfold_assign_docs", "epoch_shuffle_shards",
-    # (3) the 28 oldest r4-stale re-greens (alphabetical)
-    "correlated_group_filter", "dedup_exact", "dedup_fingerprint",
-    "dedup_lines_in_doc", "doc_rolling_hash", "domain_cap",
-    "grouped_map_pandas", "join_cross", "join_full_outer", "join_inner",
-    "join_left_anti", "join_left_outer", "join_left_semi", "join_range",
-    "join_right_outer", "join_self", "join_star_broadcast",
-    "lang_distribution", "media_decode_headers",
-    "minhash_lsh_pairs_checked", "nested_struct_access", "pack_sequences",
-    "pack_sequences_by_lang", "percent_of_total", "scalar_subquery_filter",
-    "stratified_sample_mix", "string_agg", "text_normalize",
+    # ROUND-11 ROTATION. Recorded-window history after r10 (computed
+    # from CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json at round
+    # start): staleness census {r4:3, r5:43, r6:44, r7:36, r8:42,
+    # r9:43, r10:50}; no never-recorded oracle queries; 2
+    # implementations changed this round. Per the registry-growth
+    # policy (no new queries this round — the window is spent on
+    # re-greens), the window drains the whole r4+r5 backlog:
+    # 2 impl-changed + 3 r4-stale + 43 r5-stale + 2 oldest r6-stale
+    # (alphabetical) = exactly 50. After the driver records r11, the
+    # census should read {r6:42, r7:36, r8:42, r9:43, r10:48, r11:50}
+    # and r12 continues oldest-first into r6.
+    # Impl-changed detail: survival_km_users (kaplan_meier risk-table
+    # walk moved onto bucketed_prefix_sums — granularity-safe, with the
+    # term sum on the DECIMAL(38,9) grid in BOTH engines; the r10
+    # verdict watch item) and quantile_normalize_quantity (execution-
+    # time max_distinct_values guard on the broadcast rank->value map +
+    # quantize_bits escape; plan gains the guard column).
+    # NOT impl-changed: the _ranks type-preservation fix keeps the
+    # identical long-cast plan for every existing integral-count
+    # caller; bucketed_row_numbers' count_col is a pure addition
+    # (default None = identical plan); curriculum_stages' global-path
+    # fix does not touch curriculum_stages_docs (stratified path).
+    # (1) implementation/oracle changed this round
+    "survival_km_users", "quantile_normalize_quantity",
+    # (2) the 3 remaining r4-stale re-greens
+    "text_quality_filter", "text_stats", "weighted_sample_topk",
+    # (3) all 43 r5-stale re-greens (alphabetical)
+    "anomaly_zscore_hours", "bloom_prefilter_contract",
+    "calendar_functions", "chunk_documents", "clustering_coefficient",
+    "cohort_retention", "collocation_pmi", "count_min_contract",
+    "decontaminate_corpus", "dedup_minhash_end2end", "describe_summary",
+    "event_funnel", "grouped_quantiles_events", "hll_by_group",
+    "hll_contract", "incremental_dedup", "incremental_dedup_checked",
+    "literal_inline_table", "media_decode_mp4",
+    "quantile_sketch_contract", "quantize_embeddings", "range_source",
+    "redact_pii", "repetition_scores", "select_token_budget",
+    "split_corpus", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_relationships", "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_orders", "tpch_q22_sales_opportunity",
+    "tpch_q2_min_cost_supplier", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "triangle_counts_copurchase",
+    "unigram_logprob", "union_by_name_missing",
+    # (4) the 2 oldest r6-stale re-greens (alphabetical; the other 42
+    # r6-stale lead the r12 backlog)
+    "agg_approx", "audience_overlap_click_purchase",
 )
 
 # The queries whose implementation or oracle changed THIS round (the
 # window-audit "fresh" set): they hold recent driver rows but earn new
 # ones because the plan/values pipeline changed. Declared here so
-# `tools/window_audit.py` is reproducible with no arguments — the
-# previous convention (pass --fresh on the command line) made the bare
-# run fail for anyone who didn't know the list.
+# `tools/window_audit.py` is reproducible with no arguments.
+# (Superseded rotations _PRIORITY_R{7,8,9} were deleted in r11 — dead
+# data; the history lives in git and in the committed CORRECTNESS_r*
+# artifacts the audit recomputes from.)
 ROUND_FRESH: tuple[str, ...] = (
-    "spearman_price_quantity", "tukey_outliers_quantity",
-    "exact_quantiles_quantity", "twap_user_value", "cuped_user_value",
-    "calibration_price_returns", "kcore_copurchase",
-    "auc_status_by_priority", "mann_whitney_quantity", "ks_price_drift",
-    "psi_price_drift", "mad_outliers_orders", "feature_bins_lineitem",
-    "winsorize_quantity", "adamic_adar_copurchase",
-    "gini_spend_by_nation", "lorenz_spend_by_nation",
-    "stratified_split_exact", "curriculum_stages_docs",
-    "kfold_assign_docs", "epoch_shuffle_shards",
-)
-
-
-_PRIORITY_R9: tuple[str, ...] = (
-    # ROUND-9 ROTATION (superseded — kept for the window-audit history).
-    # Recorded-window history after r8 (computed from
-    # CORRECTNESS_r0{1..8}.json at round start): 10 oracle-bearing
-    # queries have never been recorded (the 9 new r9 exact-stats/audit
-    # queries + hourly_conversion_bh + pseudo_dp_noisy_counts_events,
-    # renamed this round from dp_noisy_counts_events per the r8 advice —
-    # the old name's r8 row does not carry over), 9 implementations
-    # changed this round, 7 queries are r3-stale and 49 r4-stale.
-    # Window = 16 never-recorded + 9 impl-changed + 7 r3-stale + 18
-    # oldest r4-stale (alphabetical) = exactly 50; the remaining 31
-    # r4-stale (correlated_group_filter, dedup_exact, dedup_fingerprint,
-    # dedup_lines_in_doc, doc_rolling_hash, domain_cap, onward) lead the
-    # r10 backlog.
-    # Impl-changed detail: kcore (non-convergence raise),
-    # shortest_paths (weight validation branches), bootstrap_ci (pmod
-    # hashing + oracle), bloom_incremental_dedup (unstamped-fallback
-    # build path), rank_normalize / quantile_normalize / rfm_segments
-    # (bucketed prefix-sum rank rewrite), upsample_domains (DataFrame
-    # factors path in the shared entry point), pagerank (unconditional
-    # every-4-rounds lineage cut) — all value-identical on the fixtures
-    # per this round's oracle runs, but the plans/impls changed, so
-    # they earn fresh rows (the r8 convention).
-    # (1) never recorded — first driver rows
-    "exact_quantiles_quantity", "trimmed_mean_price",
-    "tukey_outliers_quantity", "spearman_price_quantity",
-    "ccf_click_purchase", "twap_user_value", "fk_orphans_audit",
-    "calibration_price_returns", "dup_rate_by_source",
-    "hourly_conversion_bh", "length_band_filter_docs",
-    "ppl_decile_report", "effect_size_price", "cuped_user_value",
-    "mann_kendall_hourly", "pseudo_dp_noisy_counts_events",
-    # (2) implementation changed this round
-    "kcore_copurchase", "shortest_paths_copurchase",
-    "bootstrap_ci_quantity", "bloom_incremental_dedup",
-    "rank_normalize_lineitem", "quantile_normalize_quantity",
-    "rfm_segments_users", "upsample_domains", "pagerank_copurchase",
-    # (3) the 7 remaining r3-stale re-greens (oldest tier, alphabetical)
-    "set_union_all", "set_union_distinct", "simhash_checked",
-    "sort_limit_topk", "text_quality_score", "tfidf_terms",
-    "token_bpe_counts",
-    # (4) the 18 oldest r4-stale re-greens (alphabetical; the other 31
-    # r4-stale queries lead r10)
-    "agg_argminmax", "agg_collect", "agg_count_distinct", "agg_cube",
-    "agg_dedup_pick_first", "agg_distinct_rows", "agg_filtered",
-    "agg_global_summary", "agg_grouping_sets", "agg_histogram",
-    "agg_minmax_stats", "agg_percentiles", "agg_pivot",
-    "agg_pricing_summary", "agg_rollup", "benchmark_contamination",
-    "bm25_ranking", "conditional_distinct",
-)
-
-
-_PRIORITY_R8: tuple[str, ...] = (
-    # ROUND-8 ROTATION (superseded — kept for the window-audit history).
-    # Recorded-window history after r7 (computed from
-    # CORRECTNESS_r0{1..7}.json at round start): 50 queries hold an r7
-    # row, 47 an r6 row, 44 an r5 row, 49 an r4 row, and 28
-    # oracle-bearing queries are r3-stale. This round registered 26 new
-    # oracle-bearing queries and changed 3 implementations via the
-    # round-7 advice fixes (copurchase_support_pairs: DECIMAL(38,0) lift
-    # widening; psi_price_drift: _clean routing; bloom_incremental_dedup:
-    # stamped bits state — all value-identical on the fixtures per the
-    # full oracle re-run, but the impls changed so they earn fresh rows).
-    # Window = 26 new + 3 impl-changed + 21 r3-stale (alphabetical;
-    # set_union_all, set_union_distinct, simhash_checked,
-    # sort_limit_topk, text_quality_score, tfidf_terms, and
-    # token_bpe_counts spill to r9 with the 49 r4-stale) = exactly 50.
-    # The monotone-staleness rule holds: the window's oldest tier (r3)
-    # equals the oldest tier outside it.
-    # (1) new this round — first driver rows
-    "survival_km_users", "theil_sen_daily", "stl_outliers_daily",
-    "mann_whitney_quantity", "welch_ttest_price", "bootstrap_ci_quantity",
-    "cdc_time_travel_orders", "dp_noisy_counts_events",
-    "containment_pairs_docs", "readability_docs", "fellegi_sunter_docs",
-    "set_similarity_users", "hits_copurchase", "pca_top_component",
-    "kcore_copurchase", "bigram_logprob_docs", "association_rules_parts",
-    "markov_stationary_events", "zipf_slope_docs",
-    "quantile_normalize_quantity", "pca_project_embeddings",
-    "shortest_paths_copurchase", "rrf_hybrid_topk",
-    "lorenz_spend_by_nation", "mixed_language_docs",
-    "pca_explained_embeddings",
-    # (2) implementation changed this round (r7-advice fixes)
-    "copurchase_support_pairs", "psi_price_drift", "bloom_incremental_dedup",
-    # (3) the 28 r3-stale oracle-bearing queries, alphabetical (all share
-    # the same r3 age; a stable deterministic order beats a judgement call)
-    "array_ops", "edit_distance_pairs", "embedding_mean_pool",
-    "embedding_norms", "filter_between_isin", "filter_null_tests",
-    "json_extract", "lang_predict", "map_ops", "multimodal_features",
-    "ngram_jaccard_pairs", "proj_select_rename", "sample_deterministic",
-    "scalar_cast", "scalar_conditional", "scalar_datetime", "scalar_math",
-    "scalar_string", "set_except", "set_intersect", "set_intersect_all",
-)
-
-
-_PRIORITY_R7: tuple[str, ...] = (
-    # ROUND-7 ROTATION (superseded — kept for the window-audit history).
-    # Recorded-window history after r6 (computed from
-    # CORRECTNESS_r0{1..6}.json at round start): 50 queries have an r6
-    # row, 44 an r5 row, 49 an r4 row, 28 are r3-stale, and 2
-    # oracle-bearing queries (sliding_cms_top_users, ngram_novelty_docs)
-    # have NEVER had a driver row (registered r6 past the window — the
-    # r6 verdict's top item). This round registered 16 new oracle-bearing
-    # queries and changed 4 implementations (sliding_cms_topk candidate
-    # prune; heavy hitters' arrow-local pass 1; stratified split's exact
-    # integer division). Order: (1) the 2 never-recorded, (2) the 16 new,
-    # (3) the 3 other impl-changed, (4) all 28 r3-stale oldest-first —
-    # then (5) late-r7 review fixes changed domain_cap /
-    # weighted_sample_topk / describe_summary / agg_global_summary (and
-    # join_range, already in the r3 block) — they join the impl-changed
-    # block, displacing the last four r3-stale (set_intersect,
-    # set_except, set_intersect_all, sample_deterministic) and the
-    # single r4-stale slot (agg_pricing_summary) to r8's rotation.
-    # window_session joins too (microsecond gap arithmetic — boundary
-    # sessions could shift on future fixtures); the other
-    # operator-review fixes (join_asof null guard, salted_join salt
-    # expr, media box walker) were value-identical under the full
-    # oracle re-run. The 10 late-r7 registrations (2b) then displaced
-    # ten more r3-stale to r8, and the 3 model-evaluation additions
-    # (2c: AUC / PSI drift / categorical entropy) displaced three more
-    # (filter_between_isin, filter_null_tests, scalar_math), and the 7
-    # statistical-audit additions (2d) displaced seven more (lang_predict
-    # through proj_select_rename).
-    # The privacy-audit pair (2e: k-anonymity / l-diversity) then
-    # displaced tfidf_terms and edit_distance_pairs to r8, and the
-    # CDC-apply + seasonal-decomposition pair (2f) displaced the last
-    # two r3-stale (ngram_jaccard_pairs, simhash_checked) — all four
-    # r3 re-greens now lead r8's backlog. attribution_linear (2f) then
-    # displaced window_session from the impl-changed block: its r7
-    # change was value-identical on the fixtures (full oracle re-run),
-    # so its r6 row stays valid while a never-recorded query gains its
-    # first hard signal. knn_label_accuracy, ab_test_purchase,
-    # t_closeness_orders, and rank_normalize_lineitem (2f) likewise
-    # displaced agg_global_summary, describe_summary,
-    # weighted_sample_topk, and domain_cap (value-identical late-r7
-    # review fixes; the full oracle archive docs/ORACLE_r07.txt carries
-    # their evidence).
-    # Window = 2 + 16 + 10 + 3 + 7 + 2 + 7 + 3 = exactly 50.
-    # (1) never recorded — the only oracle-bearing queries with no hard
-    # signal ever (sliding_cms_top_users also changed impl this round)
-    "sliding_cms_top_users", "ngram_novelty_docs",
-    # (2) new this round — first driver rows
-    "salted_join_revenue", "ewma_hourly", "inter_event_gaps_users",
-    "scd2_intervals_orders", "conversion_latency", "agg_moments_quantity",
-    "copurchase_support_pairs", "snapshot_diff_orders",
-    "impute_value_group_mean", "winsorize_quantity",
-    "curriculum_stages_docs",
-    "event_transitions", "mad_outliers_orders", "feature_bins_lineitem",
-    "negative_samples_orders", "kfold_assign_docs",
-    # (2b) new in the late-r7 session — first driver rows (10 queries:
-    # changepoint/ACF/attribution/path/RFM event analytics, sorted-
-    # neighborhood blocking, BFS hops, exact k-means, LOO target
-    # encoding, per-group Gini)
-    "acf_hourly", "cusum_changepoints", "attribution_last_touch",
-    "sorted_neighborhood_docs", "bfs_hops_copurchase",
-    "kmeans_embeddings", "event_paths_top", "rfm_segments_users",
-    "target_encode_orders", "gini_spend_by_nation",
-    # (2c) model-evaluation trio added at round tail — first driver rows
-    "auc_status_by_priority", "psi_price_drift", "entropy_event_types",
-    # (2d) statistical-audit wave (chi2/MI/KS/Benford), G2 keywords,
-    # Adamic-Adar link prediction, seasonal-naive backtest — first rows
-    "chi2_priority_status", "mi_event_type_hour", "ks_price_drift",
-    "benford_price_digits", "g2_keywords_source", "adamic_adar_copurchase",
-    "seasonal_naive_mape_daily",
-    # (2e) privacy-audit pair — first driver rows
-    "k_anonymity_orders", "l_diversity_events",
-    # (2f) CDC merge-apply + classical seasonal decomposition + linear
-    # multi-touch attribution + k-NN label accuracy — first rows
-    "cdc_apply_orders", "seasonal_decompose_daily", "attribution_linear",
-    "knn_label_accuracy", "ab_test_purchase", "t_closeness_orders",
-    "rank_normalize_lineitem",
-    # (3) implementation changed this round — need fresh rows
-    "heavy_hitter_users", "grouped_heavy_hitters_events",
-    "stratified_split_exact",
-    # (4) r3-stale block: fully displaced to r8 by the 2e/2f additions
-    # (ngram_jaccard_pairs, simhash_checked, tfidf_terms,
-    # edit_distance_pairs lead r8's backlog; simhash_checked also
-    # re-greens the late-r7 simhash change — value-identical on the
-    # fixtures, re-verified through the full oracle run).
-    # Not listed: lang_predict/text_quality_score/token_bpe_counts/
-    # multimodal_features/embedding_norms/embedding_mean_pool/
-    # proj_select_rename/filter_between_isin/filter_null_tests/scalar_math/
-    # scalar_string/scalar_datetime/scalar_conditional/
-    # scalar_cast/array_ops/map_ops/json_extract/sort_limit_topk/
-    # set_union_all/set_union_distinct — displaced from the r3-stale
-    # block to r8 by the 10 late-r7 registrations and the (2c) trio
-    # (they join r8's stale-first rotation ahead of the r4-stale run),
-    # plus the
-    # remaining r4/r5/r6-green queries (registration order, past the
-    # window) and the 4 rows-only queries (minhash_lsh_pairs,
-    # dedup_clusters, simhash_fingerprints, cosine_topk_lsh) whose
-    # oracle-checked `*_checked` contract twins carry the hard signal.
+    "survival_km_users", "quantile_normalize_quantity",
 )
 
 

@@ -1053,10 +1053,13 @@ def attribution_linear(spark, sf_dir):
         FROM risk
     ), s AS (
         SELECT duration, n_risk, n_event, n_censored,
-               CASE WHEN n_event > 0 AND n_event < n_risk
-                    THEN round(ln(1.0 - CAST(n_event AS DOUBLE)
-                                      / CAST(n_risk AS DOUBLE)), 9)
-                    ELSE 0.0 END AS term,
+               -- grid-snapped log terms sum as exact DECIMAL(38,9)
+               -- (order-independent), mirroring the Spark side's
+               -- bucketed-prefix decimal sums
+               CAST(CASE WHEN n_event > 0 AND n_event < n_risk
+                         THEN round(ln(1.0 - CAST(n_event AS DOUBLE)
+                                           / CAST(n_risk AS DOUBLE)), 9)
+                         ELSE 0.0 END AS DECIMAL(38,9)) AS term,
                MAX(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER (
                    ORDER BY duration
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
@@ -1064,9 +1067,10 @@ def attribution_linear(spark, sf_dir):
     )
     SELECT duration, n_risk, n_event, n_censored,
            CASE WHEN zeroed = 1 THEN 0.0
-                ELSE round(exp(SUM(term) OVER (
+                ELSE round(exp(CAST(SUM(term) OVER (
                          ORDER BY duration
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)), 9)
            END AS survival_r
     FROM s ORDER BY duration
     """,

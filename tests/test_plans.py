@@ -447,14 +447,20 @@ def test_ks_psi_one_scan_per_side(spark, qs):
     # static count loosely and pin the hard contracts: no cartesian
     # products, and the walk itself is no longer a global
     # single-partition window over the histogram.
+    # The reuse itself is a RUNTIME decision, so the single-scan
+    # contract is machine-checked on the executed (post-AQE) plan: a
+    # regression that genuinely re-scans a side would drop the
+    # ReusedExchange nodes and fail here, not just in offline docs.
     df = qs["ks_price_drift"](spark, SF)
     plan = P.physical_plan(df, "simple")
     assert plan.count("FileScan") <= 8
     assert "CartesianProduct" not in plan
+    assert P.executed_plan(df).count("ReusedExchange") >= 3
     df = qs["psi_price_drift"](spark, SF)
     plan = P.physical_plan(df, "simple")
     assert plan.count("FileScan") <= 10
     assert "CartesianProduct" not in plan
+    assert P.executed_plan(df).count("ReusedExchange") >= 4
 
 
 def test_adamic_adar_equi_joins_only(spark):

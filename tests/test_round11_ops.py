@@ -1,0 +1,217 @@
+"""Round-11 regression tests: the r10 verdict/advice follow-ups.
+
+Each test pins a behavior added or fixed in round 11 — the
+quantile_normalize broadcast guard + quantize_bits escape, the
+kaplan_meier bucketed-prefix rewrite (granularity-safe risk-table
+walk), decimal/double type preservation in bucketed_prefix_sums, the
+bucketed_row_numbers count_col rider, and curriculum_stages' global
+path no longer re-scanning the input for its row count.
+"""
+
+import math
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+# --- quantile_normalize guard -----------------------------------------------
+
+
+def test_quantile_normalize_guard_raises_naming_quantize_bits(spark):
+    from artigraph_spark.operators.quality import quantile_normalize
+
+    rows = [("g", float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    out = quantile_normalize(df, "g", "v", max_distinct_values=50)
+    with pytest.raises(Exception, match="quantize_bits"):
+        out.collect()
+
+
+def test_quantile_normalize_quantize_bits_unblocks_and_snaps_to_grid(spark):
+    from artigraph_spark.operators.quality import quantile_normalize
+
+    # 400 distinct raw values; bits=-4 coarsens to cells of 16, inside
+    # the 50-cell budget the raw call fails above. Group b is group a
+    # shifted by a multiple of the cell size, so both groups have the
+    # IDENTICAL tie structure on the grid.
+    rows = [("a", float(i)) for i in range(200)] + [
+        ("b", float(i) + 1600.0) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    got = quantile_normalize(
+        df, "g", "v", max_distinct_values=50, quantize_bits=-4
+    ).collect()
+    grid = {r["qn_value"] for r in got if r["qn_value"] is not None}
+    assert grid  # something mapped
+    assert all(gv == math.floor(gv / 16.0) * 16.0 for gv in grid)
+    # per-group quantile semantics survive quantization: same-shape
+    # groups map onto the SAME global grid distribution
+    a = sorted(r["qn_value"] for r in got if r["g"] == "a")
+    b = sorted(r["qn_value"] for r in got if r["g"] == "b")
+    assert len(a) == len(b) == 200
+    assert a == b
+
+
+def test_quantile_normalize_default_contract_unchanged(spark):
+    from artigraph_spark.operators.quality import quantile_normalize
+
+    # the r8 hand-computed mapping still holds under the guard
+    rows = [("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 20.0)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    out = {(r["g"], r["v"]): r["qn_value"] for r in quantile_normalize(df, "g", "v").collect()}
+    # global dist {1,2,10,20}, group rank 1/2 -> global rank 2, rank 2/2 -> 4
+    assert out[("a", 1.0)] == 2.0 and out[("a", 2.0)] == 20.0
+    assert out[("b", 10.0)] == 2.0 and out[("b", 20.0)] == 20.0
+
+
+# --- bucketed_prefix_sums type preservation ----------------------------------
+
+
+def test_bucketed_prefix_sums_preserves_decimal_scale_and_values(spark):
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
+
+    rows = [(i, Decimal(f"{i}.00000000{i % 10}")) for i in range(1, 60)]
+    df = spark.createDataFrame(rows, "v: int, m: decimal(38,9)")
+    out = bucketed_prefix_sums(df, [], "v", ["m"], buckets=7)
+    sch = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    # full scale 9 preserved on both the prefix and the total
+    assert sch["__pre_m"] == "decimal(38,9)"
+    assert sch["__tot_m"] == "decimal(38,9)"
+    naive = {
+        r["v"]: (r["p"], r["t"])
+        for r in df.select(
+            "v",
+            F.coalesce(
+                F.sum("m").over(
+                    Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("p"),
+            F.sum("m").over(Window.partitionBy()).alias("t"),
+        ).collect()
+    }
+    for r in out.collect():
+        p, t = naive[r["v"]]
+        assert r["__pre_m"] == p and r["__tot_m"] == t
+
+
+def test_bucketed_prefix_sums_double_not_truncated_to_long(spark):
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
+
+    # the r10 advice failure scenario: fractional masses silently
+    # truncated to integers by the old hard long-cast
+    rows = [(1, 0.25), (2, 0.25), (3, 0.25)]
+    df = spark.createDataFrame(rows, "v: int, w: double")
+    out = {r["v"]: (r["__pre_w"], r["__tot_w"]) for r in
+           bucketed_prefix_sums(df, [], "v", ["w"], buckets=2).collect()}
+    assert out[2] == (0.25, 0.75)
+    assert out[3] == (0.5, 0.75)
+
+
+def test_bucketed_prefix_sums_counts_still_long(spark):
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "v: int, f: int")
+    out = bucketed_prefix_sums(df, [], "v", ["f"])
+    sch = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert sch["__pre_f"] == "bigint" and sch["__tot_f"] == "bigint"
+
+
+# --- bucketed_row_numbers count_col ------------------------------------------
+
+
+def test_bucketed_row_numbers_count_col_rides_offsets(spark):
+    from artigraph_spark.operators._ranks import bucketed_row_numbers
+
+    df = spark.createDataFrame([(i,) for i in range(37)], "v: int")
+    out = bucketed_row_numbers(
+        df, "v", [], out_col="rn", count_col="n", buckets=5
+    ).collect()
+    assert all(r["n"] == 37 for r in out)
+    assert sorted(r["rn"] for r in out) == list(range(1, 38))
+
+
+def test_curriculum_stages_global_path_no_second_count_scan(spark, tmp_path):
+    from artigraph_spark import plans as P
+    from artigraph_spark.operators.packing import curriculum_stages
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(100)], "id: int, score: double"
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    out = curriculum_stages(df, F.col("score"), "id", n_stages=4)
+    # static branches: range frame + per-bucket histogram + local window
+    # hold 4 scan nodes and the range-frame singleton crossJoin appears
+    # under 2 of them; the old separate keyed.agg(count) added a FIFTH
+    # scan and a THIRD broadcast nested-loop join (the one-row count
+    # crossJoin) — both must stay gone
+    plan = P.physical_plan(out, "simple")
+    assert plan.count("FileScan") == 4
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # range-frame singletons only
+    stages = [r["stage"] for r in out.collect()]
+    assert sorted(set(stages)) == [1, 2, 3, 4]
+    assert stages.count(1) == 25  # exact equal-frequency cut
+
+
+# --- kaplan_meier: bucketed-prefix rewrite ------------------------------------
+
+
+def _naive_km(rows):
+    """Driver-side KM replay with the same grid conventions."""
+    from collections import Counter
+
+    ev, cen = Counter(), Counter()
+    for d, o in rows:
+        (ev if o == 1 else cen)[d] += 1
+    durations = sorted(set(ev) | set(cen))
+    total = sum(ev.values()) + sum(cen.values())
+    out, seen, logsum, zeroed = {}, 0, Decimal(0), False
+    for d in durations:
+        n_risk = total - seen
+        d_u = ev.get(d, 0)
+        if d_u == n_risk:
+            zeroed = True
+        elif d_u > 0:
+            logsum += Decimal(repr(round(math.log(1 - d_u / n_risk), 9)))
+        out[d] = (
+            n_risk,
+            d_u,
+            cen.get(d, 0),
+            0.0 if zeroed else round(math.exp(float(logsum)), 9),
+        )
+        seen += d_u + cen.get(d, 0)
+    return out
+
+
+def test_kaplan_meier_matches_naive_replay_microsecond_granularity(spark):
+    # the r10 watch item: a near-unique (µs-granular) duration column
+    # makes the risk table data-sized — the bucketed rewrite must stay
+    # exact there, not just on day-granular curves
+    import random
+
+    from artigraph_spark.operators.timeseries import kaplan_meier
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randrange(1, 10_000_000), rng.randrange(2)) for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "d: bigint, obs: int")
+    got = {
+        r["duration"]: (r["n_risk"], r["n_event"], r["n_censored"], r["survival_r"])
+        for r in kaplan_meier(df, "d", "obs").collect()
+    }
+    assert got == _naive_km(rows)
+
+
+def test_kaplan_meier_windows_are_bucket_partitioned(spark):
+    from artigraph_spark import plans as P
+    from artigraph_spark.operators.timeseries import kaplan_meier
+
+    df = spark.createDataFrame([(i, i % 2) for i in range(1, 50)], "d: bigint, obs: int")
+    plan = P.physical_plan(kaplan_meier(df, "d", "obs"), "simple")
+    # the data-sized local windows partition by bucket; the only
+    # unpartitioned windows left are the <=buckets-row offsets frames
+    assert "hashpartitioning(__bk" in plan
