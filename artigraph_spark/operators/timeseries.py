@@ -8,6 +8,8 @@ every shuffle is keyed on the user or the (type, window) pair.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -998,12 +1000,21 @@ def kaplan_meier(
     df: DataFrame,
     duration_col: str,
     observed_col: str,
+    *,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Kaplan–Meier survival estimator over (duration, observed) rows —
     the standard churn/retention curve with right-censoring handled
     correctly (a user still active at the end of the observation window
     is CENSORED at their observed duration, not counted as churned;
     dropping them, or counting them as events, both bias the curve).
+
+    ``group_cols`` (optional) computes one INDEPENDENT curve per group —
+    the cohort/segment comparison every survival analysis ends with
+    ("does acquisition channel predict conversion speed?"). Each group
+    gets its own risk table, at-risk counts, and product; NULL group
+    keys form their own curve (eqNullSafe grouping, the window
+    partition convention).
 
     ``observed_col`` is 1 for an observed event (churn, failure,
     conversion) and 0 for a censored exit. The estimator:
@@ -1031,15 +1042,16 @@ def kaplan_meier(
     documented single-partition contract gated on duration granularity;
     the contract is gone.
 
-    Returns ``(duration, n_risk, n_event, n_censored, survival_r)``
-    ordered by duration.
+    Returns ``(*group_cols, duration, n_risk, n_event, n_censored,
+    survival_r)`` ordered by (*group_cols, duration).
     """
     from artigraph_spark.operators._ranks import bucketed_prefix_sums
 
+    gcols = list(group_cols)
     dur, obs = F.col(duration_col), F.col(observed_col)
     risk = (
         df.filter(dur.isNotNull() & obs.isNotNull())
-        .groupBy(dur.alias("duration"))
+        .groupBy(*gcols, dur.alias("duration"))
         .agg(
             F.sum(F.when(obs == 1, 1).otherwise(0)).alias("n_event"),
             # an observed flag outside {0,1} silently counting as
@@ -1061,8 +1073,18 @@ def kaplan_meier(
         )
         .withColumn("__exits", F.col("n_event") + F.col("n_censored"))
     )
+    # Lineage cuts (the pagerank convention): each prefix-sum pass fans
+    # its input into 4 static branches (range frame / offsets / local
+    # window / passthrough), and column pruning can specialize the
+    # exchanges per branch, defeating runtime reuse — without the cut,
+    # the DATA-SIZED aggregation below `risk` re-executes per branch,
+    # and pass 2 would multiply pass 1's whole tree again. Both frames
+    # are summary-sized (≤ groups×durations rows), so the lazy
+    # checkpoint is metadata-priced.
+    risk = risk.localCheckpoint(eager=False)
     # pass 1: n_risk = total exits − exits at strictly smaller durations
-    t = bucketed_prefix_sums(risk, [], "duration", ["__exits"]).select(
+    t = bucketed_prefix_sums(risk, gcols, "duration", ["__exits"]).select(
+        *gcols,
         "duration",
         "n_event",
         "n_censored",
@@ -1083,8 +1105,8 @@ def kaplan_meier(
     ).otherwise(F.lit(0.0))
     seeded = t.withColumn("__term", term.cast("decimal(38,9)")).withColumn(
         "__zf", F.when(F.col("n_event") == F.col("n_risk"), 1).otherwise(0)
-    )
-    cum = bucketed_prefix_sums(seeded, [], "duration", ["__term", "__zf"])
+    ).localCheckpoint(eager=False)
+    cum = bucketed_prefix_sums(seeded, gcols, "duration", ["__term", "__zf"])
     # inclusive sum = exclusive prefix + own term; both narrowed to
     # precision 37 so the decimal add keeps scale 9 (Spark caps
     # (38,9)+(38,9) at 38 digits by dropping a scale digit)
@@ -1092,6 +1114,7 @@ def kaplan_meier(
         "decimal(37,9)"
     )
     return cum.select(
+        *gcols,
         "duration",
         "n_risk",
         "n_event",
@@ -1099,7 +1122,7 @@ def kaplan_meier(
         F.when(F.col("__pre___zf") + F.col("__zf") > 0, F.lit(0.0))
         .otherwise(F.round(F.exp(inc.cast("double")), 9))
         .alias("survival_r"),
-    ).orderBy("duration")
+    ).orderBy(*gcols, "duration")
 
 
 def theil_sen_slopes(

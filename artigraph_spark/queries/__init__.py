@@ -62,14 +62,16 @@ _PRIORITY: tuple[str, ...] = (
     # ROUND-11 ROTATION. Recorded-window history after r10 (computed
     # from CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json at round
     # start): staleness census {r4:3, r5:43, r6:44, r7:36, r8:42,
-    # r9:43, r10:50}; no never-recorded oracle queries; 2
-    # implementations changed this round. Per the registry-growth
-    # policy (no new queries this round — the window is spent on
-    # re-greens), the window drains the whole r4+r5 backlog:
-    # 2 impl-changed + 3 r4-stale + 43 r5-stale + 2 oldest r6-stale
-    # (alphabetical) = exactly 50. After the driver records r11, the
-    # census should read {r6:42, r7:36, r8:42, r9:43, r10:48, r11:50}
-    # and r12 continues oldest-first into r6.
+    # r9:43, r10:50}; 1 oracle-bearing query never recorded
+    # (survival_km_by_first_event — the grouped Kaplan–Meier cohort
+    # curve, the round's single elective addition per the
+    # registry-growth policy: a genuine family-member gap, unlocked by
+    # the same group_cols rewrite that de-colocated kaplan_meier); 2
+    # implementations changed this round. The window drains the whole
+    # r4+r5 backlog: 1 new + 2 impl-changed + 3 r4-stale + 43 r5-stale
+    # + 1 oldest r6-stale (alphabetical) = exactly 50. After the driver
+    # records r11, the census should read {r6:43, r7:36, r8:42, r9:43,
+    # r10:48, r11:50} and r12 continues oldest-first into r6.
     # Impl-changed detail: survival_km_users (kaplan_meier risk-table
     # walk moved onto bucketed_prefix_sums — granularity-safe, with the
     # term sum on the DECIMAL(38,9) grid in BOTH engines; the r10
@@ -81,11 +83,13 @@ _PRIORITY: tuple[str, ...] = (
     # caller; bucketed_row_numbers' count_col is a pure addition
     # (default None = identical plan); curriculum_stages' global-path
     # fix does not touch curriculum_stages_docs (stratified path).
-    # (1) implementation/oracle changed this round
+    # (1) never recorded — first driver row
+    "survival_km_by_first_event",
+    # (2) implementation/oracle changed this round
     "survival_km_users", "quantile_normalize_quantity",
-    # (2) the 3 remaining r4-stale re-greens
+    # (3) the 3 remaining r4-stale re-greens
     "text_quality_filter", "text_stats", "weighted_sample_topk",
-    # (3) all 43 r5-stale re-greens (alphabetical)
+    # (4) all 43 r5-stale re-greens (alphabetical)
     "anomaly_zscore_hours", "bloom_prefilter_contract",
     "calendar_functions", "chunk_documents", "clustering_coefficient",
     "cohort_retention", "collocation_pmi", "count_min_contract",
@@ -104,9 +108,9 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "triangle_counts_copurchase",
     "unigram_logprob", "union_by_name_missing",
-    # (4) the 2 oldest r6-stale re-greens (alphabetical; the other 42
+    # (5) the oldest r6-stale re-green (alphabetical; the other 43
     # r6-stale lead the r12 backlog)
-    "agg_approx", "audience_overlap_click_purchase",
+    "agg_approx",
 )
 
 # The queries whose implementation or oracle changed THIS round (the

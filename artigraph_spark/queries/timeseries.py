@@ -1101,6 +1101,97 @@ def survival_km_users(spark, sf_dir):
 
 
 @query(
+    "survival_km_by_first_event",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ), u AS (
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS f,
+               CAST(floor(epoch(min(CASE WHEN event_type = 'signup'
+                                         THEN ts END))) AS BIGINT) AS fe,
+               min(CASE WHEN rn = 1 THEN event_type END) AS cohort
+        FROM r GROUP BY user_id
+    ), units AS (
+        SELECT cohort,
+               CASE WHEN fe IS NOT NULL AND (fe - f) // 86400 <= 7
+                    THEN (fe - f) // 86400 ELSE 7 END AS duration,
+               CASE WHEN fe IS NOT NULL AND (fe - f) // 86400 <= 7
+                    THEN 1 ELSE 0 END AS obs
+        FROM u
+    ), risk AS (
+        SELECT cohort, duration,
+               CAST(SUM(obs) AS BIGINT) AS n_event,
+               CAST(SUM(1 - obs) AS BIGINT) AS n_censored
+        FROM units GROUP BY cohort, duration
+    ), t AS (
+        SELECT cohort, duration, n_event, n_censored,
+               CAST(SUM(n_event + n_censored) OVER (PARTITION BY cohort)
+                    - COALESCE(SUM(n_event + n_censored) OVER (
+                          PARTITION BY cohort ORDER BY duration
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM risk
+    ), s AS (
+        SELECT cohort, duration, n_risk, n_event, n_censored,
+               CAST(CASE WHEN n_event > 0 AND n_event < n_risk
+                         THEN round(ln(1.0 - CAST(n_event AS DOUBLE)
+                                           / CAST(n_risk AS DOUBLE)), 9)
+                         ELSE 0.0 END AS DECIMAL(38,9)) AS term,
+               MAX(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY cohort ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+        FROM t
+    )
+    SELECT cohort, duration, n_risk, n_event, n_censored,
+           CASE WHEN zeroed = 1 THEN 0.0
+                ELSE round(exp(CAST(SUM(term) OVER (
+                         PARTITION BY cohort ORDER BY duration
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)), 9)
+           END AS survival_r
+    FROM s ORDER BY cohort, duration
+    """,
+)
+def survival_km_by_first_event(spark, sf_dir):
+    """Cohorted Kaplan–Meier: the signup-conversion curve of
+    ``survival_km_users`` computed PER ACQUISITION COHORT — the user's
+    first event type, a deterministic (ts, event_id)-ordered pick — so
+    channels can be compared on conversion speed with censoring handled
+    correctly per cohort. One user-keyed window shuffle derives the
+    cohort; the per-user aggregate reuses its partitioning (no second
+    exchange). See ``operators.timeseries.kaplan_meier(group_cols=)``."""
+    from pyspark.sql import Window
+
+    from artigraph_spark.operators.timeseries import kaplan_meier
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    u = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("__f"),
+            F.unix_timestamp(
+                F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+            ).alias("__fe"),
+            F.min(F.when(F.col("__rn") == 1, F.col("event_type"))).alias("cohort"),
+        )
+    )
+    d = F.expr("(__fe - __f) div 86400")
+    observed = F.col("__fe").isNotNull() & (d <= 7)
+    units = u.select(
+        "cohort",
+        F.when(observed, d).otherwise(F.lit(7)).alias("duration"),
+        F.when(observed, 1).otherwise(0).alias("obs"),
+    )
+    return kaplan_meier(units, "duration", "obs", group_cols=["cohort"])
+
+
+@query(
     "theil_sen_daily",
     oracle="""
     WITH s AS (

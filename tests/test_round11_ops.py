@@ -206,6 +206,38 @@ def test_kaplan_meier_matches_naive_replay_microsecond_granularity(spark):
     assert got == _naive_km(rows)
 
 
+def test_kaplan_meier_grouped_curves_are_independent(spark):
+    from artigraph_spark.operators.timeseries import kaplan_meier
+
+    rows = [("a", d, o) for d, o in [(1, 1), (1, 1), (2, 0), (3, 1), (4, 0)]] + [
+        ("b", d, o) for d, o in [(1, 1), (2, 1), (2, 1)]
+    ]
+    df = spark.createDataFrame(rows, "g: string, d: bigint, obs: int")
+    out = {
+        (r["g"], r["duration"]): r
+        for r in kaplan_meier(df, "d", "obs", group_cols=["g"]).collect()
+    }
+    # each group reproduces its own single-group curve exactly
+    for g, sub in (("a", rows[:5]), ("b", rows[5:])):
+        solo = {
+            r["duration"]: r
+            for r in kaplan_meier(
+                spark.createDataFrame(
+                    [(d, o) for _, d, o in sub], "d: bigint, obs: int"
+                ),
+                "d",
+                "obs",
+            ).collect()
+        }
+        for dur, ref in solo.items():
+            got = out[(g, dur)]
+            assert got["n_risk"] == ref["n_risk"]
+            assert got["survival_r"] == ref["survival_r"]
+    # group b's all-remaining-exit at t=2 zeroes b only, not a
+    assert out[("b", 2)]["survival_r"] == 0.0
+    assert out[("a", 2)]["survival_r"] > 0.0
+
+
 def test_kaplan_meier_windows_are_bucket_partitioned(spark):
     from artigraph_spark import plans as P
     from artigraph_spark.operators.timeseries import kaplan_meier
