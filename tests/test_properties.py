@@ -687,6 +687,43 @@ def test_bucketed_prefix_sums_property(spark, rows, buckets):
 
 
 @settings(max_examples=12, deadline=None)
+@given(_ps_rows, st.sampled_from([1, 2, 7, 64]))
+def test_bucketed_prefix_sums_decimal_property(spark, rows, buckets):
+    """The r11 type-preservation contract: DECIMAL(38,9) masses prefix-sum
+    EXACTLY (scale 9 preserved, values equal the naive cumulative window
+    bit-for-bit) for ANY histogram and ANY bucket count — the substrate
+    the kaplan_meier grid-term sums rest on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
+
+    df = spark.createDataFrame(rows or [("a", 0.0, 1)], "g string, v double, f long")
+    if not rows:
+        df = df.filter("false")
+    # a 9-decimal mass derived from the weight — exact on the grid
+    hist = df.groupBy("g", "v").agg(
+        (F.sum("f") + F.lit(0.000000001) * F.sum("f"))
+        .cast("decimal(38,9)")
+        .alias("m")
+    )
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        (r["g"], r["v"]): (r["p"] if r["p"] is not None else 0, r["t"])
+        for r in hist.select(
+            "g", "v",
+            F.sum("m").over(w).alias("p"),
+            F.sum("m").over(Window.partitionBy("g")).alias("t"),
+        ).collect()
+    }
+    out = bucketed_prefix_sums(hist, ["g"], "v", ["m"], buckets=buckets)
+    sch = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert sch["__pre_m"] == "decimal(38,9)" and sch["__tot_m"] == "decimal(38,9)"
+    got = {(r["g"], r["v"]): (r["__pre_m"], r["__tot_m"]) for r in out.collect()}
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
 @given(_ps_rows, st.sampled_from([1, 3, 64]))
 def test_bucketed_group_row_numbers_property(spark, rows, buckets):
     """For ANY input and ANY bucket count, the grouped bucketed
