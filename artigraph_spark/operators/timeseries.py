@@ -1125,6 +1125,129 @@ def kaplan_meier(
     ).orderBy(*gcols, "duration")
 
 
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample log-rank (Mantel–Cox) test: are two right-censored
+    survival curves the SAME curve? The significance companion to
+    :func:`kaplan_meier` ``group_cols`` — eyeballing two KM curves
+    cannot say whether the gap is real, and a t-test on raw durations
+    is wrong under censoring (it treats censored exits as events).
+    ``group_col`` must be 0/1 (1 = the "treatment" curve); any other
+    value raises, like a bad observed flag.
+
+    At each distinct duration t (pooled across both groups) with
+    ``d_t`` events out of ``n_t`` at risk (``n1_t`` in group 1):
+    observed ``O1 = Σ d1_t``, expected ``E1 = Σ n1_t·d_t/n_t``,
+    hypergeometric variance
+    ``V = Σ d_t·n1_t·(n_t−n1_t)·(n_t−d_t) / (n_t²·(n_t−1))``, and
+    ``Z = (O1 − E1)/√V`` is ~N(0,1) under H0; p is two-sided through
+    the engine-identical Φ polynomial (:func:`..functions.phi_approx`).
+
+    Exactness: every per-duration count is exact int64 off ONE
+    groupBy(duration) risk table; the at-risk counts ride ONE
+    :func:`.._ranks.bucketed_prefix_sums` pass (no chaining — unlike
+    kaplan_meier, the terms need only the exit prefix), E/V terms are
+    DECIMAL(38,0) integer products with a single double division each
+    (the moments convention), snapped to the 9-decimal grid and summed
+    as DECIMAL(38,9) (order-independent), and Z is one subtraction /
+    sqrt division on already-rounded inputs — engine-identical end to
+    end. No group ever sorts on one partition, whatever the duration
+    granularity.
+
+    Returns one row ``(n_treat, n_control, o1, e1_r, v_r, z_r, p_r)``
+    — z_r/p_r NULL when V = 0 (no comparable event times).
+    """
+    from artigraph_spark.functions import phi_approx
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
+
+    dur, obs, grp = F.col(duration_col), F.col(observed_col), F.col(group_col)
+    ok = dur.isNotNull() & obs.isNotNull() & grp.isNotNull()
+    obs01 = (
+        F.when(obs == 1, 1)
+        .when(obs == 0, 0)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("logrank_test: observed flag must be 0/1, got "),
+                    obs.cast("string"),
+                )
+            )
+        )
+    )
+    grp01 = (
+        F.when(grp == 1, 1)
+        .when(grp == 0, 0)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("logrank_test: group must be 0/1, got "),
+                    grp.cast("string"),
+                )
+            )
+        )
+    )
+    risk = (
+        df.filter(ok)
+        .groupBy(dur.alias("duration"))
+        .agg(
+            F.sum(obs01).alias("__d"),
+            F.sum(grp01).alias("__x1"),
+            F.sum(F.when((grp == 1) & (obs == 1), 1).otherwise(0)).alias("__d1"),
+            F.count(F.lit(1)).alias("__x"),
+        )
+    )
+    ps = bucketed_prefix_sums(risk, [], "duration", ["__x1", "__x"])
+    n1 = F.col("__tot___x1") - F.col("__pre___x1")
+    n = F.col("__tot___x") - F.col("__pre___x")
+    d = F.col("__d")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    e1_t = F.when(
+        d > 0, F.round((dec(n1) * dec(d)).cast("double") / n.cast("double"), 9)
+    ).otherwise(F.lit(0.0))
+    v_t = F.when(
+        (d > 0) & (n > 1),
+        F.round(
+            (dec(d) * dec(n1) * dec(n - n1) * dec(n - d)).cast("double")
+            / (dec(n) * dec(n) * dec(n - 1)).cast("double"),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    agg = ps.select(
+        "__d1",
+        "__x1",
+        "__x",
+        e1_t.cast("decimal(38,9)").alias("__e"),
+        v_t.cast("decimal(38,9)").alias("__v"),
+    ).agg(
+        F.sum("__x1").cast("long").alias("n_treat"),
+        (F.sum("__x") - F.sum("__x1")).cast("long").alias("n_control"),
+        F.sum("__d1").cast("long").alias("o1"),
+        F.round(F.sum("__e").cast("double"), 9).alias("e1_r"),
+        F.round(F.sum("__v").cast("double"), 9).alias("v_r"),
+    )
+    z = F.when(
+        F.col("v_r") > 0,
+        F.round(
+            (F.col("o1").cast("double") - F.col("e1_r")) / F.sqrt(F.col("v_r")),
+            9,
+        ),
+    )
+    out = agg.withColumn("z_r", z)
+    return out.withColumn(
+        "p_r",
+        F.when(
+            F.col("z_r").isNotNull(),
+            F.round(
+                F.lit(2.0) * (F.lit(1.0) - phi_approx(F.abs(F.col("z_r")))), 9
+            ),
+        ),
+    )
+
+
 def theil_sen_slopes(
     series: DataFrame,
     group_col: str,

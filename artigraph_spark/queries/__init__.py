@@ -62,16 +62,17 @@ _PRIORITY: tuple[str, ...] = (
     # ROUND-11 ROTATION. Recorded-window history after r10 (computed
     # from CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json at round
     # start): staleness census {r4:3, r5:43, r6:44, r7:36, r8:42,
-    # r9:43, r10:50}; 1 oracle-bearing query never recorded
-    # (survival_km_by_first_event — the grouped Kaplan–Meier cohort
-    # curve, the round's single elective addition per the
-    # registry-growth policy: a genuine family-member gap, unlocked by
-    # the same group_cols rewrite that de-colocated kaplan_meier); 2
+    # r9:43, r10:50}; 2 oracle-bearing queries never recorded — the
+    # round's two elective additions per the registry-growth policy,
+    # both genuine survival-family gaps unlocked by the kaplan_meier
+    # de-colocation: survival_km_by_first_event (grouped KM cohort
+    # curves) and logrank_click_vs_rest (the Mantel–Cox two-sample
+    # test — the significance readout those curves need); 2
     # implementations changed this round. The window drains the whole
-    # r4+r5 backlog: 1 new + 2 impl-changed + 3 r4-stale + 43 r5-stale
-    # + 1 oldest r6-stale (alphabetical) = exactly 50. After the driver
-    # records r11, the census should read {r6:43, r7:36, r8:42, r9:43,
-    # r10:48, r11:50} and r12 continues oldest-first into r6.
+    # r4+r5 backlog: 2 new + 2 impl-changed + 3 r4-stale + 43 r5-stale
+    # = exactly 50 (the oldest r6-stale, agg_approx, now leads r12
+    # with the other 43 r6). After the driver records r11, the census
+    # should read {r6:44, r7:36, r8:42, r9:43, r10:48, r11:50}.
     # Impl-changed detail: survival_km_users (kaplan_meier risk-table
     # walk moved onto bucketed_prefix_sums — granularity-safe, with the
     # term sum on the DECIMAL(38,9) grid in BOTH engines; the r10
@@ -83,8 +84,8 @@ _PRIORITY: tuple[str, ...] = (
     # caller; bucketed_row_numbers' count_col is a pure addition
     # (default None = identical plan); curriculum_stages' global-path
     # fix does not touch curriculum_stages_docs (stratified path).
-    # (1) never recorded — first driver row
-    "survival_km_by_first_event",
+    # (1) never recorded — first driver rows
+    "survival_km_by_first_event", "logrank_click_vs_rest",
     # (2) implementation/oracle changed this round
     "survival_km_users", "quantile_normalize_quantity",
     # (3) the 3 remaining r4-stale re-greens
@@ -108,9 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "triangle_counts_copurchase",
     "unigram_logprob", "union_by_name_missing",
-    # (5) the oldest r6-stale re-green (alphabetical; the other 43
-    # r6-stale lead the r12 backlog)
-    "agg_approx",
 )
 
 # The queries whose implementation or oracle changed THIS round (the

@@ -1191,6 +1191,120 @@ def survival_km_by_first_event(spark, sf_dir):
     return kaplan_meier(units, "duration", "obs", group_cols=["cohort"])
 
 
+def _logrank_oracle_sql() -> str:
+    from artigraph_spark.functions import oracle_phi
+
+    phi = oracle_phi("abs(z_r)")
+    return f"""
+    WITH r AS (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ), u AS (
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS f,
+               CAST(floor(epoch(min(CASE WHEN event_type = 'signup'
+                                         THEN ts END))) AS BIGINT) AS fe,
+               CASE WHEN min(CASE WHEN rn = 1 THEN event_type END) = 'click'
+                    THEN 1 ELSE 0 END AS grp
+        FROM r GROUP BY user_id
+    ), units AS (
+        SELECT grp,
+               CASE WHEN fe IS NOT NULL AND (fe - f) // 86400 <= 7
+                    THEN (fe - f) // 86400 ELSE 7 END AS duration,
+               CASE WHEN fe IS NOT NULL AND (fe - f) // 86400 <= 7
+                    THEN 1 ELSE 0 END AS obs
+        FROM u
+    ), risk AS (
+        SELECT duration,
+               CAST(SUM(obs) AS BIGINT) AS d,
+               CAST(SUM(grp) AS BIGINT) AS x1,
+               CAST(SUM(CASE WHEN grp = 1 AND obs = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(count(*) AS BIGINT) AS x
+        FROM units GROUP BY duration
+    ), t AS (
+        SELECT *,
+               CAST(SUM(x1) OVER ()
+                    - COALESCE(SUM(x1) OVER (ORDER BY duration
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n1,
+               CAST(SUM(x) OVER ()
+                    - COALESCE(SUM(x) OVER (ORDER BY duration
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n
+        FROM risk
+    ), terms AS (
+        SELECT d1, x1, x,
+               CAST(CASE WHEN d > 0 THEN round(
+                   CAST(CAST(n1 AS HUGEINT) * CAST(d AS HUGEINT) AS DOUBLE)
+                   / CAST(n AS DOUBLE), 9) ELSE 0.0 END
+                   AS DECIMAL(38,9)) AS e,
+               CAST(CASE WHEN d > 0 AND n > 1 THEN round(
+                   CAST(CAST(d AS HUGEINT) * CAST(n1 AS HUGEINT)
+                        * CAST(n - n1 AS HUGEINT) * CAST(n - d AS HUGEINT)
+                        AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                          * CAST(n - 1 AS HUGEINT) AS DOUBLE), 9)
+                   ELSE 0.0 END AS DECIMAL(38,9)) AS v
+        FROM t
+    ), agg AS (
+        SELECT CAST(SUM(x1) AS BIGINT) AS n_treat,
+               CAST(SUM(x) - SUM(x1) AS BIGINT) AS n_control,
+               CAST(SUM(d1) AS BIGINT) AS o1,
+               round(CAST(SUM(e) AS DOUBLE), 9) AS e1_r,
+               round(CAST(SUM(v) AS DOUBLE), 9) AS v_r
+        FROM terms
+    ), zt AS (
+        SELECT *,
+               CASE WHEN v_r > 0
+                    THEN round((CAST(o1 AS DOUBLE) - e1_r) / sqrt(v_r), 9)
+               END AS z_r
+        FROM agg
+    )
+    SELECT n_treat, n_control, o1, e1_r, v_r, z_r,
+           CASE WHEN z_r IS NOT NULL
+                THEN round(2.0 * (1.0 - {phi}), 9) END AS p_r
+    FROM zt
+    """
+
+
+@query("logrank_click_vs_rest", oracle=_logrank_oracle_sql())
+def logrank_click_vs_rest(spark, sf_dir):
+    """Log-rank (Mantel–Cox) test of the signup-conversion curves:
+    users acquired via a first 'click' event vs everyone else — is the
+    click cohort's time-to-signup curve genuinely different, censoring
+    handled correctly on both sides? The significance readout for
+    ``survival_km_by_first_event``'s curve comparison. See
+    ``operators.timeseries.logrank_test``."""
+    from pyspark.sql import Window
+
+    from artigraph_spark.operators.timeseries import logrank_test
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    u = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("__f"),
+            F.unix_timestamp(
+                F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+            ).alias("__fe"),
+            F.min(F.when(F.col("__rn") == 1, F.col("event_type"))).alias("__first"),
+        )
+    )
+    d = F.expr("(__fe - __f) div 86400")
+    observed = F.col("__fe").isNotNull() & (d <= 7)
+    units = u.select(
+        F.when(F.col("__first") == "click", 1).otherwise(0).alias("grp"),
+        F.when(observed, d).otherwise(F.lit(7)).alias("duration"),
+        F.when(observed, 1).otherwise(0).alias("obs"),
+    )
+    return logrank_test(units, "duration", "obs", "grp")
+
+
 @query(
     "theil_sen_daily",
     oracle="""

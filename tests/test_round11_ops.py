@@ -238,6 +238,83 @@ def test_kaplan_meier_grouped_curves_are_independent(spark):
     assert out[("a", 2)]["survival_r"] > 0.0
 
 
+def _naive_logrank(rows):
+    """Driver-side log-rank replay with the same grid conventions."""
+    from collections import Counter
+
+    d_t, x_t, d1_t, x1_t = Counter(), Counter(), Counter(), Counter()
+    for dur, obs, g in rows:
+        x_t[dur] += 1
+        if g == 1:
+            x1_t[dur] += 1
+        if obs == 1:
+            d_t[dur] += 1
+            if g == 1:
+                d1_t[dur] += 1
+    total, total1 = sum(x_t.values()), sum(x1_t.values())
+    seen = seen1 = o1 = 0
+    e_sum, v_sum = Decimal(0), Decimal(0)
+    for t in sorted(x_t):
+        n, n1, d = total - seen, total1 - seen1, d_t[t]
+        if d > 0:
+            e_sum += Decimal(repr(round(n1 * d / n, 9)))
+            if n > 1:
+                v_sum += Decimal(
+                    repr(round((d * n1 * (n - n1) * (n - d)) / (n * n * (n - 1)), 9))
+                )
+        o1 += d1_t[t]
+        seen += x_t[t]
+        seen1 += x1_t[t]
+    e1, v = round(float(e_sum), 9), round(float(v_sum), 9)
+    z = round((o1 - e1) / math.sqrt(v), 9) if v > 0 else None
+    return total1, total - total1, o1, e1, v, z
+
+
+def test_logrank_matches_naive_replay(spark):
+    import random
+
+    from artigraph_spark.operators.timeseries import logrank_test
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(1, 15), rng.randrange(2), rng.randrange(2))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "d: bigint, obs: int, g: int")
+    r = logrank_test(df, "d", "obs", "g").collect()[0]
+    n1, n0, o1, e1, v, z = _naive_logrank(rows)
+    assert (r["n_treat"], r["n_control"], r["o1"]) == (n1, n0, o1)
+    assert r["e1_r"] == e1 and r["v_r"] == v and r["z_r"] == z
+    assert 0.0 <= r["p_r"] <= 1.0
+
+
+def test_logrank_identical_curves_and_degenerate_group(spark):
+    from artigraph_spark.operators.timeseries import logrank_test
+
+    # perfectly balanced groups with identical exits -> O1 == E1, z == 0
+    rows = [(d, o, g) for g in (0, 1) for d, o in [(1, 1), (2, 0), (3, 1), (4, 1)]]
+    df = spark.createDataFrame(rows, "d: bigint, obs: int, g: int")
+    r = logrank_test(df, "d", "obs", "g").collect()[0]
+    assert r["z_r"] == 0.0 and r["p_r"] == 1.0
+    # everyone in group 1 -> n1 == n at every t -> V = 0 -> z/p NULL
+    one = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 1)], "d: bigint, obs: int, g: int"
+    )
+    r1 = logrank_test(one, "d", "obs", "g").collect()[0]
+    assert r1["z_r"] is None and r1["p_r"] is None and r1["n_control"] == 0
+
+
+def test_logrank_rejects_bad_flags(spark):
+    from artigraph_spark.operators.timeseries import logrank_test
+
+    bad_g = spark.createDataFrame([(1, 1, 2)], "d: bigint, obs: int, g: int")
+    with pytest.raises(Exception, match="group must be 0/1"):
+        logrank_test(bad_g, "d", "obs", "g").collect()
+    bad_o = spark.createDataFrame([(1, 3, 1)], "d: bigint, obs: int, g: int")
+    with pytest.raises(Exception, match="observed flag must be 0/1"):
+        logrank_test(bad_o, "d", "obs", "g").collect()
+
+
 def test_kaplan_meier_windows_are_bucket_partitioned(spark):
     from artigraph_spark import plans as P
     from artigraph_spark.operators.timeseries import kaplan_meier
