@@ -426,14 +426,24 @@ def robust_outliers(
     Scale: two summary-sized histogram shuffles (values, then
     deviations) + two broadcast joins of per-group statistics — no
     global row sort. See ``_cumulative_hist`` for the distinct-value
-    cardinality caveat.
+    cardinality caveat. Both per-group statistic frames take a lazy
+    ``localCheckpoint`` (r11, the kaplan_meier chained-pass lesson):
+    the deviation histogram's 4-branch fan-out would otherwise multiply
+    the median's whole tree statically, and column pruning can
+    specialize the duplicated exchanges enough to defeat runtime reuse
+    — measured 2× end-to-end (3.5 s → 1.8 s at sf0.1) for two
+    groups-sized checkpoints.
     """
     c = F.col(value_col)
-    med = _rank_quantile(_cumulative_hist(df, group_col, value_col), group_col, 0.5, "__med")
+    med = _rank_quantile(
+        _cumulative_hist(df, group_col, value_col), group_col, 0.5, "__med"
+    ).localCheckpoint(eager=False)
     devs = df.join(F.broadcast(med), group_col, "left").withColumn(
         "abs_dev", F.abs(c - F.col("__med"))
     )
-    mad = _rank_quantile(_cumulative_hist(devs, group_col, "abs_dev"), group_col, 0.5, "__mad")
+    mad = _rank_quantile(
+        _cumulative_hist(devs, group_col, "abs_dev"), group_col, 0.5, "__mad"
+    ).localCheckpoint(eager=False)
     return (
         devs.join(F.broadcast(mad), group_col, "left")
         .withColumn(

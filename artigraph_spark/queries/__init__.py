@@ -68,17 +68,21 @@ _PRIORITY: tuple[str, ...] = (
     # de-colocation: survival_km_by_first_event (grouped KM cohort
     # curves) and logrank_click_vs_rest (the Mantel–Cox two-sample
     # test — the significance readout those curves need); 2
-    # implementations changed this round. The window drains the whole
-    # r4+r5 backlog: 2 new + 2 impl-changed + 3 r4-stale + 43 r5-stale
-    # = exactly 50 (the oldest r6-stale, agg_approx, now leads r12
-    # with the other 43 r6). After the driver records r11, the census
-    # should read {r6:44, r7:36, r8:42, r9:43, r10:48, r11:50}.
+    # implementations changed this round. The window drains the r4
+    # backlog and all but one r5: 2 new + 3 impl-changed + 3 r4-stale
+    # + 42 r5-stale = exactly 50 (union_by_name_missing, the last
+    # alphabetical r5, spills to r12's head with the 44 r6-stale).
+    # After the driver records r11, the census should read
+    # {r5:1, r6:44, r7:36, r8:42, r9:43, r10:47, r11:50}.
     # Impl-changed detail: survival_km_users (kaplan_meier risk-table
     # walk moved onto bucketed_prefix_sums — granularity-safe, with the
     # term sum on the DECIMAL(38,9) grid in BOTH engines; the r10
     # verdict watch item) and quantile_normalize_quantity (execution-
     # time max_distinct_values guard on the broadcast rank->value map +
-    # quantize_bits escape; plan gains the guard column).
+    # quantize_bits escape; plan gains the guard column); late in the
+    # round mad_outliers_orders joined (robust_outliers' chained
+    # median->deviation passes now lineage-cut their two groups-sized
+    # statistic frames — the kaplan_meier lesson applied, measured 2x).
     # NOT impl-changed: the _ranks type-preservation fix keeps the
     # identical long-cast plan for every existing integral-count
     # caller; bucketed_row_numbers' count_col is a pure addition
@@ -88,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "survival_km_by_first_event", "logrank_click_vs_rest",
     # (2) implementation/oracle changed this round
     "survival_km_users", "quantile_normalize_quantity",
+    "mad_outliers_orders",
     # (3) the 3 remaining r4-stale re-greens
     "text_quality_filter", "text_stats", "weighted_sample_topk",
     # (4) all 43 r5-stale re-greens (alphabetical)
@@ -108,7 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q2_min_cost_supplier", "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "triangle_counts_copurchase",
-    "unigram_logprob", "union_by_name_missing",
+    "unigram_logprob",
 )
 
 # The queries whose implementation or oracle changed THIS round (the
@@ -120,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
 # artifacts the audit recomputes from.)
 ROUND_FRESH: tuple[str, ...] = (
     "survival_km_users", "quantile_normalize_quantity",
+    "mad_outliers_orders",
 )
 
 
