@@ -17,6 +17,16 @@ dependence) measured with the same protocol. Cross-round bench comparisons
 should normalize by it — host-noise swings of ~2x on shared hardware show
 up in the sentinel exactly as they do in the real queries (quiet-host
 reference: ~0.5-0.9 s).
+
+``cpu_steal_pct`` (r11) is the second noise axis the sentinel cannot see:
+hypervisor CPU steal hits WIDE parallel stages (a 32-task iterative
+pagerank round is as slow as its most-stolen core) while the narrow
+sentinel stays quiet — r11 measured pagerank 9→27 s on identical code
+with the sentinel inside its band, and a 32-thread calibration burn showed
+a 1.7x per-core throughput spread. The figure is the kernel's own steal
+accounting (/proc/stat field 8) as a percentage of all cpu time over the
+bench run; compare wide-query movements against it (quiet reference: ~0%;
+missing on non-Linux).
 """
 
 from __future__ import annotations
@@ -78,6 +88,17 @@ def main() -> None:
             .sortWithinPartitions("h")
         )
 
+    def cpu_jiffies() -> "tuple[int, int] | None":
+        # (steal, total) jiffies from the kernel's aggregate cpu line.
+        try:
+            fields = Path("/proc/stat").read_text().splitlines()[0].split()[1:]
+            vals = [int(v) for v in fields]
+            return vals[7] if len(vals) > 7 else 0, sum(vals)
+        except Exception:  # noqa: BLE001 — non-Linux: omit the gauge
+            return None
+
+    jiff0 = cpu_jiffies()
+
     for _name, fn in queries:  # untimed pass: plans compiled, caches warm
         run(fn)
     run(sentinel)
@@ -91,18 +112,20 @@ def main() -> None:
     timings = {name: round(sorted(ts)[1], 3) for name, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "noise_sentinel_sec": round(sorted(sentinel_ts)[1], 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    out = {
+        "metric": "bench_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "noise_sentinel_sec": round(sorted(sentinel_ts)[1], 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    jiff1 = cpu_jiffies()
+    if jiff0 is not None and jiff1 is not None and jiff1[1] > jiff0[1]:
+        out["cpu_steal_pct"] = round(
+            100.0 * (jiff1[0] - jiff0[0]) / (jiff1[1] - jiff0[1]), 2
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
