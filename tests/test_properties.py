@@ -753,3 +753,40 @@ def test_bucketed_group_row_numbers_property(spark, rows, buckets):
         ).collect()
     }
     assert got == want
+
+
+_km_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_km_rows)
+def test_grouped_kaplan_meier_equals_per_group_solo(spark, rows):
+    """For ANY (group, duration, observed) input, the grouped KM curves
+    equal the single-group curve computed on each group's rows alone —
+    groups are fully independent (r11 group_cols)."""
+    from artigraph_spark.operators.timeseries import kaplan_meier
+
+    df = spark.createDataFrame(rows, "g: string, d: bigint, obs: int")
+    got = {
+        (r["g"], r["duration"]): (
+            r["n_risk"], r["n_event"], r["n_censored"], r["survival_r"]
+        )
+        for r in kaplan_meier(df, "d", "obs", group_cols=["g"]).collect()
+    }
+    want = {}
+    for g in sorted({r[0] for r in rows}):
+        sub = [(d, o) for gg, d, o in rows if gg == g]
+        solo = spark.createDataFrame(sub, "d: bigint, obs: int")
+        for r in kaplan_meier(solo, "d", "obs").collect():
+            want[(g, r["duration"])] = (
+                r["n_risk"], r["n_event"], r["n_censored"], r["survival_r"]
+            )
+    assert got == want
