@@ -1223,11 +1223,15 @@ def logrank_test(
         e1_t.cast("decimal(38,9)").alias("__e"),
         v_t.cast("decimal(38,9)").alias("__v"),
     ).agg(
-        F.sum("__x1").cast("long").alias("n_treat"),
-        (F.sum("__x") - F.sum("__x1")).cast("long").alias("n_control"),
-        F.sum("__d1").cast("long").alias("o1"),
-        F.round(F.sum("__e").cast("double"), 9).alias("e1_r"),
-        F.round(F.sum("__v").cast("double"), 9).alias("v_r"),
+        # coalesce: an EMPTY input reads as 0 units / 0 events with NULL
+        # statistics, not an all-NULL row
+        F.coalesce(F.sum("__x1"), F.lit(0)).cast("long").alias("n_treat"),
+        (F.coalesce(F.sum("__x"), F.lit(0)) - F.coalesce(F.sum("__x1"), F.lit(0)))
+        .cast("long")
+        .alias("n_control"),
+        F.coalesce(F.sum("__d1"), F.lit(0)).cast("long").alias("o1"),
+        F.round(F.coalesce(F.sum("__e"), F.lit(0)).cast("double"), 9).alias("e1_r"),
+        F.round(F.coalesce(F.sum("__v"), F.lit(0)).cast("double"), 9).alias("v_r"),
     )
     z = F.when(
         F.col("v_r") > 0,

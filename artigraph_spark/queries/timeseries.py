@@ -1250,11 +1250,12 @@ def _logrank_oracle_sql() -> str:
                    ELSE 0.0 END AS DECIMAL(38,9)) AS v
         FROM t
     ), agg AS (
-        SELECT CAST(SUM(x1) AS BIGINT) AS n_treat,
-               CAST(SUM(x) - SUM(x1) AS BIGINT) AS n_control,
-               CAST(SUM(d1) AS BIGINT) AS o1,
-               round(CAST(SUM(e) AS DOUBLE), 9) AS e1_r,
-               round(CAST(SUM(v) AS DOUBLE), 9) AS v_r
+        SELECT CAST(COALESCE(SUM(x1), 0) AS BIGINT) AS n_treat,
+               CAST(COALESCE(SUM(x), 0) - COALESCE(SUM(x1), 0)
+                    AS BIGINT) AS n_control,
+               CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS o1,
+               round(CAST(COALESCE(SUM(e), 0) AS DOUBLE), 9) AS e1_r,
+               round(CAST(COALESCE(SUM(v), 0) AS DOUBLE), 9) AS v_r
         FROM terms
     ), zt AS (
         SELECT *,

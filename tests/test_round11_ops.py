@@ -304,6 +304,16 @@ def test_logrank_identical_curves_and_degenerate_group(spark):
     assert r1["z_r"] is None and r1["p_r"] is None and r1["n_control"] == 0
 
 
+def test_logrank_empty_input_reads_as_zero_counts(spark):
+    from artigraph_spark.operators.timeseries import logrank_test
+
+    empty = spark.createDataFrame([], "d: bigint, obs: int, g: int")
+    r = logrank_test(empty, "d", "obs", "g").collect()[0]
+    assert (r["n_treat"], r["n_control"], r["o1"]) == (0, 0, 0)
+    assert r["e1_r"] == 0.0 and r["v_r"] == 0.0
+    assert r["z_r"] is None and r["p_r"] is None
+
+
 def test_logrank_rejects_bad_flags(spark):
     from artigraph_spark.operators.timeseries import logrank_test
 
