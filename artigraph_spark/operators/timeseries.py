@@ -1125,6 +1125,88 @@ def kaplan_meier(
     ).orderBy(*gcols, "duration")
 
 
+def restricted_mean_survival(
+    curve: DataFrame,
+    duration_col: str,
+    survival_col: str,
+    horizon: int,
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Restricted mean survival time RMST(τ): the area under a
+    Kaplan–Meier curve up to ``horizon`` τ — "average event-free time
+    in the first τ units", the single-number effect size clinicians and
+    churn analysts report next to the curve and the log-rank p (it
+    stays meaningful when hazards cross and the hazard-ratio doesn't).
+
+    ``curve`` is a :func:`kaplan_meier` output (one row per
+    (*group_cols, duration) with the step survival value). RMST is the
+    exact step integral ``Σ S(t_i)·(min(t_{i+1},τ) − min(t_i,τ))`` plus
+    the leading ``1·min(t_1,τ)`` segment (survival is 1 before the
+    first exit). Exactness: survival values live on the 9-decimal grid
+    → DECIMAL(10,9), widths are exact int64 → DECIMAL(18,0), so every
+    product is an exact DECIMAL(29,9) and the sum is order-independent
+    (precision chosen so Spark never sheds scale digits).
+
+    Scale shape: the next-duration lookup is a (group, rank)-keyed
+    equi-join of bucketed per-group row_numbers — NOT a lead() window,
+    which would serialize each group's whole curve on one partition
+    (µs-granular durations make the curve data-sized; same hazard the
+    r11 kaplan_meier rewrite removed). The curve input is lineage-cut
+    (the chained-pass rule, docs/PLANS.md): it is itself a bucketed
+    pass's output, and the three consumers here would otherwise
+    re-execute its tree per branch.
+
+    Returns one row per group: ``(*group_cols, horizon, rmst_r)``.
+    """
+    from artigraph_spark.operators._ranks import bucketed_group_row_numbers
+
+    if horizon <= 0:
+        raise ValueError(f"horizon must be positive, got {horizon}")
+    gcols = list(group_cols)
+    curve = curve.select(
+        *gcols,
+        F.col(duration_col).alias("__t"),
+        F.col(survival_col).alias("__s"),
+    ).localCheckpoint(eager=False)
+    # constant group for the ungrouped form — the spearman __one idiom
+    keyed = curve if gcols else curve.withColumn("__one", F.lit(1))
+    kg = gcols or ["__one"]
+    rn = bucketed_group_row_numbers(keyed, kg, "__t", [], out_col="__rn")
+    tau = F.lit(int(horizon)).cast("long")
+    nxt = rn.select(
+        *[F.col(c).alias(f"__ng{i}") for i, c in enumerate(kg)],
+        (F.col("__rn") - 1).alias("__prev"),
+        F.col("__t").alias("__tn"),
+    )
+    cond = F.col("__rn") == F.col("__prev")
+    for i, c in enumerate(kg):
+        cond = cond & rn[c].eqNullSafe(F.col(f"__ng{i}"))
+    segs = rn.join(nxt, cond, "left").select(
+        *kg,
+        F.col("__s").alias("__sv"),
+        (
+            F.least(F.coalesce(F.col("__tn"), tau), tau)
+            - F.least(F.col("__t"), tau)
+        ).alias("__w"),
+    )
+    first = (
+        keyed.groupBy(*kg)
+        .agg(F.least(F.min("__t"), tau).alias("__w"))
+        .withColumn("__sv", F.lit(1.0))
+    )
+    term = F.round(F.col("__sv"), 9).cast("decimal(10,9)") * F.col("__w").cast(
+        "decimal(18,0)"
+    )
+    out = (
+        segs.unionByName(first)
+        .groupBy(*kg)
+        .agg(F.round(F.sum(term).cast("double"), 9).alias("rmst_r"))
+        .select(*kg, F.lit(int(horizon)).cast("long").alias("horizon"), "rmst_r")
+    )
+    return out if gcols else out.drop("__one")
+
+
 def logrank_test(
     df: DataFrame,
     duration_col: str,

@@ -62,18 +62,20 @@ _PRIORITY: tuple[str, ...] = (
     # ROUND-11 ROTATION. Recorded-window history after r10 (computed
     # from CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json at round
     # start): staleness census {r4:3, r5:43, r6:44, r7:36, r8:42,
-    # r9:43, r10:50}; 2 oracle-bearing queries never recorded — the
-    # round's two elective additions per the registry-growth policy,
-    # both genuine survival-family gaps unlocked by the kaplan_meier
+    # r9:43, r10:50}; 3 oracle-bearing queries never recorded — the
+    # round's elective additions per the registry-growth policy, the
+    # complete survival trio unlocked by the kaplan_meier
     # de-colocation: survival_km_by_first_event (grouped KM cohort
-    # curves) and logrank_click_vs_rest (the Mantel–Cox two-sample
-    # test — the significance readout those curves need); 2
+    # curves), logrank_click_vs_rest (the Mantel–Cox two-sample
+    # test) and rmst_signup_by_cohort (restricted mean survival time
+    # — curve, significance, effect size); 2
     # implementations changed this round. The window drains the r4
-    # backlog and all but one r5: 2 new + 3 impl-changed + 3 r4-stale
-    # + 42 r5-stale = exactly 50 (union_by_name_missing, the last
-    # alphabetical r5, spills to r12's head with the 44 r6-stale).
-    # After the driver records r11, the census should read
-    # {r5:1, r6:44, r7:36, r8:42, r9:43, r10:47, r11:50}.
+    # backlog and all but two r5: 3 new + 3 impl-changed + 3 r4-stale
+    # + 41 r5-stale = exactly 50 (unigram_logprob and
+    # union_by_name_missing, the last two alphabetical r5, spill to
+    # r12's head with the 44 r6-stale). After the driver records r11,
+    # the census should read {r5:2, r6:44, r7:36, r8:42, r9:43,
+    # r10:47, r11:50}.
     # Impl-changed detail: survival_km_users (kaplan_meier risk-table
     # walk moved onto bucketed_prefix_sums — granularity-safe, with the
     # term sum on the DECIMAL(38,9) grid in BOTH engines; the r10
@@ -90,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     # fix does not touch curriculum_stages_docs (stratified path).
     # (1) never recorded — first driver rows
     "survival_km_by_first_event", "logrank_click_vs_rest",
+    "rmst_signup_by_cohort",
     # (2) implementation/oracle changed this round
     "survival_km_users", "quantile_normalize_quantity",
     "mad_outliers_orders",
@@ -113,7 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q2_min_cost_supplier", "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "triangle_counts_copurchase",
-    "unigram_logprob",
 )
 
 # The queries whose implementation or oracle changed THIS round (the

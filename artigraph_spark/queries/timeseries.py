@@ -1191,6 +1191,117 @@ def survival_km_by_first_event(spark, sf_dir):
     return kaplan_meier(units, "duration", "obs", group_cols=["cohort"])
 
 
+@query(
+    "rmst_signup_by_cohort",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ), u AS (
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS f,
+               CAST(floor(epoch(min(CASE WHEN event_type = 'signup'
+                                         THEN ts END))) AS BIGINT) AS fe,
+               min(CASE WHEN rn = 1 THEN event_type END) AS cohort
+        FROM r GROUP BY user_id
+    ), units AS (
+        SELECT cohort,
+               CASE WHEN fe IS NOT NULL AND (fe - f) // 86400 <= 7
+                    THEN (fe - f) // 86400 ELSE 7 END AS duration,
+               CASE WHEN fe IS NOT NULL AND (fe - f) // 86400 <= 7
+                    THEN 1 ELSE 0 END AS obs
+        FROM u
+    ), risk AS (
+        SELECT cohort, duration,
+               CAST(SUM(obs) AS BIGINT) AS n_event,
+               CAST(SUM(1 - obs) AS BIGINT) AS n_censored
+        FROM units GROUP BY cohort, duration
+    ), t AS (
+        SELECT cohort, duration, n_event, n_censored,
+               CAST(SUM(n_event + n_censored) OVER (PARTITION BY cohort)
+                    - COALESCE(SUM(n_event + n_censored) OVER (
+                          PARTITION BY cohort ORDER BY duration
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM risk
+    ), s AS (
+        SELECT cohort, duration, n_risk, n_event,
+               CAST(CASE WHEN n_event > 0 AND n_event < n_risk
+                         THEN round(ln(1.0 - CAST(n_event AS DOUBLE)
+                                           / CAST(n_risk AS DOUBLE)), 9)
+                         ELSE 0.0 END AS DECIMAL(38,9)) AS term,
+               MAX(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY cohort ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+        FROM t
+    ), curve AS (
+        SELECT cohort, duration,
+               CASE WHEN zeroed = 1 THEN 0.0
+                    ELSE round(exp(CAST(SUM(term) OVER (
+                             PARTITION BY cohort ORDER BY duration
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS DOUBLE)), 9)
+               END AS survival_r
+        FROM s
+    ), segs AS (
+        SELECT cohort,
+               CAST(round(survival_r, 9) AS DECIMAL(10,9)) AS sv,
+               CAST(least(coalesce(lead(duration) OVER (
+                        PARTITION BY cohort ORDER BY duration), 7), 7)
+                    - least(duration, 7) AS DECIMAL(18,0)) AS w
+        FROM curve
+        UNION ALL
+        SELECT cohort, CAST(1.0 AS DECIMAL(10,9)),
+               CAST(least(min(duration), 7) AS DECIMAL(18,0))
+        FROM curve GROUP BY cohort
+    )
+    SELECT cohort, CAST(7 AS BIGINT) AS horizon,
+           round(CAST(SUM(sv * w) AS DOUBLE), 9) AS rmst_r
+    FROM segs GROUP BY cohort ORDER BY cohort
+    """,
+)
+def rmst_signup_by_cohort(spark, sf_dir):
+    """Restricted mean signup time per acquisition cohort: the area
+    under each cohort's Kaplan–Meier conversion curve up to the 7-day
+    horizon — "average signup-free days in the first week", the
+    single-number effect size that completes the survival trio
+    (curve → RMST → log-rank p). See
+    ``operators.timeseries.restricted_mean_survival``."""
+    from pyspark.sql import Window
+
+    from artigraph_spark.operators.timeseries import (
+        kaplan_meier,
+        restricted_mean_survival,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    u = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("__f"),
+            F.unix_timestamp(
+                F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+            ).alias("__fe"),
+            F.min(F.when(F.col("__rn") == 1, F.col("event_type"))).alias("cohort"),
+        )
+    )
+    d = F.expr("(__fe - __f) div 86400")
+    observed = F.col("__fe").isNotNull() & (d <= 7)
+    units = u.select(
+        "cohort",
+        F.when(observed, d).otherwise(F.lit(7)).alias("duration"),
+        F.when(observed, 1).otherwise(0).alias("obs"),
+    )
+    curve = kaplan_meier(units, "duration", "obs", group_cols=["cohort"])
+    return restricted_mean_survival(
+        curve, "duration", "survival_r", 7, group_cols=["cohort"]
+    ).orderBy("cohort")
+
+
 def _logrank_oracle_sql() -> str:
     from artigraph_spark.functions import oracle_phi
 

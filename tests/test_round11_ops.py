@@ -304,6 +304,58 @@ def test_logrank_identical_curves_and_degenerate_group(spark):
     assert r1["z_r"] is None and r1["p_r"] is None and r1["n_control"] == 0
 
 
+def test_rmst_hand_computed_and_horizon_clamp(spark):
+    from artigraph_spark.operators.timeseries import (
+        kaplan_meier,
+        restricted_mean_survival,
+    )
+
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1), (4, 0)]
+    curve = kaplan_meier(spark.createDataFrame(rows, "d: bigint, obs: int"), "d", "obs")
+    s1 = round(math.exp(round(math.log(1 - 2 / 5), 9)), 9)
+    s3 = round(math.exp(round(math.log(1 - 2 / 5), 9) + round(math.log(1 - 1 / 2), 9)), 9)
+    # segments: [0,1)*1 + [1,3)*s1 + [3,7)*s3
+    want7 = round(1 + 2 * s1 + 4 * s3, 9)
+    (r7,) = restricted_mean_survival(curve, "duration", "survival_r", 7).collect()
+    assert (r7["horizon"], r7["rmst_r"]) == (7, want7)
+    # horizon INSIDE the curve clamps trailing segments: [0,1)+[1,2)*s1
+    (r2,) = restricted_mean_survival(curve, "duration", "survival_r", 2).collect()
+    assert (r2["horizon"], r2["rmst_r"]) == (2, round(1 + s1, 9))
+    with pytest.raises(ValueError, match="horizon must be positive"):
+        restricted_mean_survival(curve, "duration", "survival_r", 0)
+
+
+def test_rmst_grouped_matches_solo(spark):
+    from artigraph_spark.operators.timeseries import (
+        kaplan_meier,
+        restricted_mean_survival,
+    )
+
+    rows = [("a", d, o) for d, o in [(1, 1), (1, 1), (2, 0), (3, 1), (4, 0)]] + [
+        ("b", 1, 1), ("b", 2, 1)
+    ]
+    gc = kaplan_meier(
+        spark.createDataFrame(rows, "g: string, d: bigint, obs: int"),
+        "d", "obs", group_cols=["g"],
+    )
+    got = {
+        r["g"]: r["rmst_r"]
+        for r in restricted_mean_survival(
+            gc, "duration", "survival_r", 7, group_cols=["g"]
+        ).collect()
+    }
+    # b: [0,1)*1 + [1,2)*0.5 + [2,7)*0 = 1.5; a matches the solo case above
+    assert got["b"] == 1.5
+    solo = kaplan_meier(
+        spark.createDataFrame(
+            [(d, o) for g, d, o in rows if g == "a"], "d: bigint, obs: int"
+        ),
+        "d", "obs",
+    )
+    (ra,) = restricted_mean_survival(solo, "duration", "survival_r", 7).collect()
+    assert got["a"] == ra["rmst_r"]
+
+
 def test_logrank_empty_input_reads_as_zero_counts(spark):
     from artigraph_spark.operators.timeseries import logrank_test
 
