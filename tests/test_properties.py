@@ -790,3 +790,61 @@ def test_grouped_kaplan_meier_equals_per_group_solo(spark, rows):
                 r["n_risk"], r["n_event"], r["n_censored"], r["survival_r"]
             )
     assert got == want
+
+
+_lr_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10),
+        st.integers(min_value=0, max_value=1),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_lr_rows)
+def test_logrank_matches_driver_replay_property(spark, rows):
+    """For ANY (duration, observed, group) input the distributed log-rank
+    statistic equals a driver-side sequential replay with the same grid
+    conventions — O/E/V sums, z, and the degenerate V=0 path (r11)."""
+    from tests.test_round11_ops import _naive_logrank
+
+    from artigraph_spark.operators.timeseries import logrank_test
+
+    df = spark.createDataFrame(rows, "d: bigint, obs: int, g: int")
+    r = logrank_test(df, "d", "obs", "g").collect()[0]
+    n1, n0, o1, e1, v, z = _naive_logrank(rows)
+    assert (r["n_treat"], r["n_control"], r["o1"]) == (n1, n0, o1)
+    assert r["e1_r"] == e1 and r["v_r"] == v and r["z_r"] == z
+
+
+@settings(max_examples=8, deadline=None)
+@given(_km_rows, st.integers(min_value=1, max_value=15))
+def test_rmst_grouped_equals_solo_property(spark, rows, horizon):
+    """For ANY curves and ANY horizon, grouped RMST equals each group's
+    solo RMST, and every value lies in [0, horizon] (r11)."""
+    from artigraph_spark.operators.timeseries import (
+        kaplan_meier,
+        restricted_mean_survival,
+    )
+
+    df = spark.createDataFrame(rows, "g: string, d: bigint, obs: int")
+    curve = kaplan_meier(df, "d", "obs", group_cols=["g"])
+    got = {
+        r["g"]: r["rmst_r"]
+        for r in restricted_mean_survival(
+            curve, "duration", "survival_r", horizon, group_cols=["g"]
+        ).collect()
+    }
+    for g in sorted({r[0] for r in rows}):
+        sub = [(d, o) for gg, d, o in rows if gg == g]
+        solo = kaplan_meier(
+            spark.createDataFrame(sub, "d: bigint, obs: int"), "d", "obs"
+        )
+        (r,) = restricted_mean_survival(
+            solo, "duration", "survival_r", horizon
+        ).collect()
+        assert got[g] == r["rmst_r"]
+        assert 0.0 <= got[g] <= float(horizon)
