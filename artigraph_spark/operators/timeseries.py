@@ -1159,14 +1159,42 @@ def restricted_mean_survival(
 
     Returns one row per group: ``(*group_cols, horizon, rmst_r)``.
     """
-    from artigraph_spark.operators._ranks import bucketed_group_row_numbers
+    from artigraph_spark.operators._ranks import _INTEGRAL, bucketed_group_row_numbers
 
     if horizon <= 0:
         raise ValueError(f"horizon must be positive, got {horizon}")
+    # The 'widths are exact int64' claim above is a CONTRACT, not an
+    # assumption: a fractional duration type (kaplan_meier accepts any
+    # numeric) would have each width HALF_UP-rounded by the
+    # DECIMAL(18,0) cast below — a quietly wrong RMST. Reject it here
+    # (the r11 advice item); callers with fractional durations should
+    # rescale to an integer grid (ms/µs) first, which is also what
+    # keeps the KM risk table granularity-safe.
+    dt = curve.schema[duration_col].dataType
+    if not isinstance(dt, _INTEGRAL):
+        raise TypeError(
+            "restricted_mean_survival: duration column "
+            f"{duration_col!r} must be integral (byte/short/int/long) so "
+            f"segment widths are exact — got {dt.simpleString()}; rescale "
+            "fractional durations to an integer grid (e.g. ms) first"
+        )
     gcols = list(group_cols)
+    # A negative duration would make the leading 1·min(t1,τ) segment
+    # negative — reject at execution time (the cdc_apply unknown-op
+    # convention; one comparison per curve row, summary-priced).
+    dur_in = F.col(duration_col)
+    checked = F.when(
+        dur_in < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("restricted_mean_survival: negative duration "),
+                dur_in.cast("string"),
+            )
+        ),
+    ).otherwise(dur_in)
     curve = curve.select(
         *gcols,
-        F.col(duration_col).alias("__t"),
+        checked.alias("__t"),
         F.col(survival_col).alias("__s"),
     ).localCheckpoint(eager=False)
     # constant group for the ungrouped form — the spearman __one idiom
@@ -1282,6 +1310,16 @@ def logrank_test(
             F.count(F.lit(1)).alias("__x"),
         )
     )
+    # Lineage cut (the kaplan_meier/robust_outliers chained-pass rule):
+    # `risk` can be DATA-SIZED under near-unique durations — exactly the
+    # granularity-safety this function advertises — and the prefix-sum
+    # pass fans it into 3 static branches (range frame / offsets / local
+    # window). Column pruning can specialize the exchanges per branch,
+    # defeating runtime ReusedExchange, so without the cut the
+    # groupBy(duration) tree re-executes per branch (measured 2x on
+    # robust_outliers). The frame is one row per distinct duration —
+    # the lazy checkpoint is at most histogram-priced.
+    risk = risk.localCheckpoint(eager=False)
     ps = bucketed_prefix_sums(risk, [], "duration", ["__x1", "__x"])
     n1 = F.col("__tot___x1") - F.col("__pre___x1")
     n = F.col("__tot___x") - F.col("__pre___x")

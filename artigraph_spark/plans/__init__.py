@@ -20,9 +20,18 @@ def executed_plan(df: DataFrame) -> str:
     """The FINAL (post-AQE) physical plan, after actually running the
     query — runtime exchange reuse (ReusedExchange) is only decided at
     execution, so single-scan contracts that rest on it must assert here,
-    not on the static plan (which duplicates the subtree per consumer)."""
-    df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+    not on the static plan (which duplicates the subtree per consumer).
+
+    Execution is a JVM-side row count on THIS DataFrame's own
+    QueryExecution — never ``collect()`` (which would ship the full
+    result to the driver: fine for summary frames, an OOM for a
+    data-sized assertion) and never a noop write (which builds a
+    SEPARATE QueryExecution, leaving this one's AQE plan un-finalized).
+    ``AdaptiveSparkPlanExec.execute()`` finalizes the adaptive plan, so
+    the string read afterwards carries the runtime reuse decisions."""
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    return qe.executedPlan().toString()
 
 
 def has_node(df: DataFrame, node: str) -> bool:

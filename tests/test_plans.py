@@ -451,16 +451,20 @@ def test_ks_psi_one_scan_per_side(spark, qs):
     # contract is machine-checked on the executed (post-AQE) plan: a
     # regression that genuinely re-scans a side would drop the
     # ReusedExchange nodes and fail here, not just in offline docs.
+    # The bound is the invariant itself — >= 1 reuse per shared side's
+    # histogram exchange (2 sides) — NOT the exact node count (3 and 4
+    # at Spark 4.0: an AQE/minor-version detail, not a contract; the
+    # r11 advice flagged the exact pin as flaky).
     df = qs["ks_price_drift"](spark, SF)
     plan = P.physical_plan(df, "simple")
     assert plan.count("FileScan") <= 8
     assert "CartesianProduct" not in plan
-    assert P.executed_plan(df).count("ReusedExchange") >= 3
+    assert P.executed_plan(df).count("ReusedExchange") >= 2
     df = qs["psi_price_drift"](spark, SF)
     plan = P.physical_plan(df, "simple")
     assert plan.count("FileScan") <= 10
     assert "CartesianProduct" not in plan
-    assert P.executed_plan(df).count("ReusedExchange") >= 4
+    assert P.executed_plan(df).count("ReusedExchange") >= 2
 
 
 def test_adamic_adar_equi_joins_only(spark):
