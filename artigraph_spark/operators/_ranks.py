@@ -173,6 +173,8 @@ def bucketed_prefix_sums(
     sum_cols: Sequence[str],
     *,
     buckets: int = 1024,
+    bucket_col: str | None = None,
+    keep_bucket: str | None = None,
 ) -> DataFrame:
     """Exclusive per-group running sums of ``sum_cols`` by ascending
     ``value_col`` over a HISTOGRAM frame, plus group totals — the
@@ -203,6 +205,21 @@ def bucketed_prefix_sums(
     (parallelism groups×buckets), and a (group, bucket)-keyed equi-join
     of the summary frames — nothing data-sized beyond the histogram the
     caller already built.
+
+    CHAINED PASSES (r12): a second prefix pass over a FIRST pass's
+    output — the kaplan_meier shape, where the second pass's sum
+    columns depend on the first's prefixes — keys on the identical
+    (group, value) frame, so recomputing the bucket map (a min/max
+    aggregate over the frame plus a broadcast cross join, one extra
+    branch fanning out of the input) is pure waste. Pass
+    ``keep_bucket="__kb"`` on pass 1 to retain the internal bucket id
+    under that name, and ``bucket_col="__kb"`` on pass 2 to reuse it:
+    pass 2 then skips the range-frame branch entirely, and — because
+    its groupBy / within-bucket window hash on the same (group, bucket)
+    keys pass 1's output is already partitioned AND sorted by — adds no
+    data-sized exchange or sort. ``bucket_col`` values must be a prior
+    pass's ids over the SAME value column (any monotone-in-value int
+    works; exactness never depends on bucket balance).
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
@@ -213,8 +230,9 @@ def bucketed_prefix_sums(
     integral = [isinstance(hist.schema[c].dataType, _INTEGRAL) for c in scols]
     out_cast = lambda col, i: col.cast("long") if integral[i] else col  # noqa: E731
     v = F.col(value_col)
-    numeric = isinstance(hist.schema[value_col].dataType, NumericType)
-    if numeric:
+    if bucket_col is not None:
+        hb = hist.withColumn("__bk", F.col(bucket_col).cast("int"))
+    elif isinstance(hist.schema[value_col].dataType, NumericType):
         rng = _range_frame(hist, v)
         hb = hist.crossJoin(F.broadcast(rng)).withColumn(
             "__bk", _bucket_expr(v, F.col("__lo"), F.col("__hi"), buckets)
@@ -272,11 +290,15 @@ def bucketed_prefix_sums(
             pre = out_cast(off + lc, i)
         out = out.withColumn(f"__pre_{c}", pre)
     drop = (
-        ["__bk", "__obk"]
+        ["__obk"]
         + [f"__og{i}" for i in range(len(gcols))]
         + [f"__off{i}" for i in range(len(scols))]
         + [f"__lc{i}" for i in range(len(scols))]
     )
+    if keep_bucket is not None:
+        out = out.withColumnRenamed("__bk", keep_bucket)
+    else:
+        drop.append("__bk")
     return out.drop(*drop)
 
 

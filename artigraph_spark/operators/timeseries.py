@@ -1082,12 +1082,20 @@ def kaplan_meier(
     # are summary-sized (≤ groups×durations rows), so the lazy
     # checkpoint is metadata-priced.
     risk = risk.localCheckpoint(eager=False)
-    # pass 1: n_risk = total exits − exits at strictly smaller durations
-    t = bucketed_prefix_sums(risk, gcols, "duration", ["__exits"]).select(
+    # pass 1: n_risk = total exits − exits at strictly smaller durations.
+    # keep_bucket retains the bucket id so pass 2 can ride the SAME
+    # bucketed walk (the r12 fuse — see bucketed_prefix_sums' chained-
+    # passes note): pass 2 keys on the identical (group, duration) frame,
+    # so recomputing the bucket map would re-aggregate min/max and fan a
+    # third branch out of this frame for nothing.
+    t = bucketed_prefix_sums(
+        risk, gcols, "duration", ["__exits"], keep_bucket="__kb"
+    ).select(
         *gcols,
         "duration",
         "n_event",
         "n_censored",
+        "__kb",
         (F.col("__tot___exits") - F.col("__pre___exits")).alias("n_risk"),
     )
     # pass 2: the term depends on n_risk (itself a prefix), so the curve
@@ -1106,7 +1114,9 @@ def kaplan_meier(
     seeded = t.withColumn("__term", term.cast("decimal(38,9)")).withColumn(
         "__zf", F.when(F.col("n_event") == F.col("n_risk"), 1).otherwise(0)
     ).localCheckpoint(eager=False)
-    cum = bucketed_prefix_sums(seeded, gcols, "duration", ["__term", "__zf"])
+    cum = bucketed_prefix_sums(
+        seeded, gcols, "duration", ["__term", "__zf"], bucket_col="__kb"
+    )
     # inclusive sum = exclusive prefix + own term; both narrowed to
     # precision 37 so the decimal add keeps scale 9 (Spark caps
     # (38,9)+(38,9) at 38 digits by dropping a scale digit)

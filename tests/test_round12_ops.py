@@ -88,3 +88,40 @@ def test_logrank_risk_table_is_lineage_cut(spark):
     # and the statistic itself still computes
     row = out.collect()[0]
     assert row["n_treat"] + row["n_control"] == 39
+
+
+# --- bucketed_prefix_sums chained-pass reuse (the kaplan_meier fuse) ----------
+
+
+def test_prefix_sums_bucket_reuse_matches_fresh_bucketing(spark):
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
+
+    rows = [("g%d" % (i % 3), i * 7 % 101, i % 5) for i in range(120)]
+    hist = (
+        spark.createDataFrame(rows, "g: string, v: long, m: long")
+        .groupBy("g", "v")
+        .agg(F.sum("m").alias("m"))
+    )
+    p1 = bucketed_prefix_sums(hist, ["g"], "v", ["m"], keep_bucket="__kb")
+    seeded = p1.withColumn("m2", F.col("__pre_m") + F.col("m"))
+    reused = bucketed_prefix_sums(seeded, ["g"], "v", ["m2"], bucket_col="__kb")
+    fresh = bucketed_prefix_sums(
+        seeded.drop("__kb"), ["g"], "v", ["m2"]
+    )
+    key = lambda r: (r["g"], r["v"])  # noqa: E731
+    got = {key(r): (r["__pre_m2"], r["__tot_m2"]) for r in reused.collect()}
+    want = {key(r): (r["__pre_m2"], r["__tot_m2"]) for r in fresh.collect()}
+    assert got == want
+    # the bucket column passes through under its kept name and is reusable
+    assert "__kb" in p1.columns
+
+
+def test_prefix_sums_keep_bucket_ids_are_monotone_in_value(spark):
+    from artigraph_spark.operators._ranks import bucketed_prefix_sums
+
+    hist = (
+        spark.createDataFrame([(i, 1) for i in range(50)], "v: long, m: long")
+    )
+    out = bucketed_prefix_sums(hist, [], "v", ["m"], keep_bucket="__kb").collect()
+    seq = [r["__kb"] for r in sorted(out, key=lambda r: r["v"])]
+    assert seq == sorted(seq)
