@@ -27,6 +27,16 @@ a 1.7x per-core throughput spread. The figure is the kernel's own steal
 accounting (/proc/stat field 8) as a percentage of all cpu time over the
 bench run; compare wide-query movements against it (quiet reference: ~0%;
 missing on non-Linux).
+
+``dispatch_ms_per_stage`` (r12) is the third axis: per-stage scheduler
+dispatch latency (median of 50 warm single-stage jobs), the fixed cost every
+stage pays. Stage-HEAVY queries (iterative pagerank ≈ 100+ stages; the
+localCheckpoint-routed survival/rank pipelines) scale with it while the
+single-job sentinel stays quiet — the r11 bench's apparent 1.5-3x
+"regressions" on untouched code were exactly this mode (quiet band
+~20-50 ms; the slow mode measured ~115-140 ms). Triage rule: narrow queries
+→ sentinel, wide scans → cpu_steal_pct, stage-heavy pipelines →
+dispatch_ms_per_stage.
 """
 
 from __future__ import annotations
@@ -88,6 +98,25 @@ def main() -> None:
             .sortWithinPartitions("h")
         )
 
+    def dispatch_ms_per_stage() -> float:
+        # Third noise axis (r12, after the r11 forensic in
+        # docs/SCALE.md): per-stage scheduler dispatch latency. Median
+        # wall time of 50 warm single-stage jobs (a 1000-row range
+        # count: no shuffle, no IO, ~0 compute) — this is the fixed
+        # cost EVERY stage pays, so stage-heavy queries (pagerank ≈
+        # 100+ stages, the checkpointing survival/rank pipelines) move
+        # linearly with it while the single-job sentinel barely
+        # registers. Quiet band ~20-50 ms; r11 recorded ~115 ms nights
+        # where pagerank tripled on identical code. Compare stage-heavy
+        # query swings against THIS gauge, wide-stage swings against
+        # cpu_steal_pct, and everything else against the sentinel.
+        ts: list[float] = []
+        for _ in range(50):
+            t0 = time.perf_counter()
+            spark.range(1000).count()
+            ts.append((time.perf_counter() - t0) * 1000.0)
+        return sorted(ts)[len(ts) // 2]
+
     def cpu_jiffies() -> "tuple[int, int] | None":
         # (steal, total) jiffies from the kernel's aggregate cpu line.
         try:
@@ -118,6 +147,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "noise_sentinel_sec": round(sorted(sentinel_ts)[1], 3),
+        "dispatch_ms_per_stage": round(dispatch_ms_per_stage(), 1),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     jiff1 = cpu_jiffies()
