@@ -106,11 +106,14 @@ def minhash_signatures(
     """Per-document MinHash signature columns ``mh0..mh{n-1}`` (token-set based,
     deterministic across engines via the sorted token dictionary)."""
     dictionary = token_dictionary(df, id_col, text_col)
-    doc_tokens = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
-        .distinct()
-        .join(F.broadcast(dictionary), "token")
-    )
+    # No distinct on (doc, token): MIN is idempotent over duplicate
+    # occurrences, so the token-SET semantics hold on the raw multiset —
+    # the distinct was a full data-sized shuffle bought for nothing (the
+    # broadcast dictionary join and the map-side-combined groupBy below
+    # are the only remaining per-token costs).
+    doc_tokens = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).join(F.broadcast(dictionary), "token")
     coeffs = _hash_coeffs(num_hashes, seed)
     aggs = [
         F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % F.lit(_P)).alias(f"mh{i}")
@@ -123,6 +126,101 @@ def minhash_signatures(
     # use the id value (oracle-expressible as `id % 2^31-1`); non-numeric
     # string ids fall back to an engine-independent polynomial char hash —
     # a plain cast would raise under ANSI mode.
+    str_hash = F.aggregate(
+        F.filter(F.split(F.col(id_col).cast("string"), ""), lambda ch: ch != ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 131 + F.ascii(ch)) % F.lit((1 << 31) - 1),
+    )
+    fallback_id = F.pmod(
+        F.coalesce(F.col(id_col).try_cast("long"), str_hash), F.lit((1 << 31) - 1)
+    )
+    out = df.select(F.col(id_col)).join(sigs, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        *[
+            F.coalesce(
+                F.col(f"mh{i}"), (F.lit(a) * fallback_id + F.lit(b)) % F.lit(_P)
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
+
+
+def minhash_signatures_shingled(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Shingle-based MinHash over EXACT integer arithmetic — the
+    discriminative signature (word n-grams, like `minhash_signatures_fast`)
+    that is also fully oracle-checkable (unlike the fast variant's
+    xxhash64).
+
+    Token-SET MinHash collides pathologically on natural text — shared
+    stopwords give unrelated documents high token-set Jaccard, and a
+    16-hash/4-band LSH over it emits a near-quadratic candidate set
+    (measured 80 345 pairs over 500 fixture docs, vs 101 for 3-shingles).
+    Shingles fix the statistics; the exact-integer construction keeps the
+    engine-replayability: token ids from the sorted `token_dictionary`,
+    shingle hash = positional polynomial ``Σ c_j·tid_{i+j} mod P`` folded
+    to 31 bits, then the usual ``min((a·h+b) mod P)`` transforms.
+
+    Plan shape: explode(+pos) → broadcast dictionary join → ONE shuffle on
+    the doc id for the lead() window (per-document partitions — documents
+    are KB-sized, so no skew hazard), and the final groupBy rides the same
+    partitioning with map-side combine. Documents shorter than
+    ``shingle_size`` tokens hash their available prefix (one partial
+    shingle); token-less documents get the id-derived fallback signature,
+    exactly like `minhash_signatures`.
+    """
+    from pyspark.sql import Window
+
+    if shingle_size < 2:
+        raise ValueError(f"shingle_size must be >= 2, got {shingle_size}")
+    dictionary = token_dictionary(df, id_col, text_col)
+    pos_toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "token")
+    ).join(F.broadcast(dictionary), "token")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("token_id")] + [
+        F.lead("token_id", j).over(w) for j in range(1, shingle_size)
+    ]
+    combiners = _hash_coeffs(shingle_size, seed + 7919)
+    full = None
+    partial = None
+    for j, (t, (c, _)) in enumerate(zip(leads, combiners)):
+        term = (F.lit(c) * t) % F.lit(_P)
+        full = term if full is None else (full + term) % F.lit(_P)
+        partial = (
+            F.coalesce(term, F.lit(0))
+            if partial is None
+            else (partial + F.coalesce(term, F.lit(0))) % F.lit(_P)
+        )
+    # full shingles wherever the whole window fits; the pos-0 partial
+    # covers 1..shingle_size-1 token documents (their ONLY shingle)
+    sh = F.when(leads[-1].isNotNull(), full).when(
+        (F.col("pos") == 0) & leads[-1].isNull(), partial
+    )
+    folded = sh % F.lit((1 << 31) - 1)  # keep a·h + b under 2^63
+    coeffs = _hash_coeffs(num_hashes, seed)
+    sigs = (
+        pos_toks.withColumn("__sh", folded)
+        .filter(F.col("__sh").isNotNull())
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("__sh") + F.lit(b)) % F.lit(_P)).alias(
+                    f"mh{i}"
+                )
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
+    )
+    # id-derived fallback for token-less documents (the minhash_signatures
+    # convention — dropping rows would silently lose documents downstream)
     str_hash = F.aggregate(
         F.filter(F.split(F.col(id_col).cast("string"), ""), lambda ch: ch != ""),
         F.lit(0).cast("long"),

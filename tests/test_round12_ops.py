@@ -125,3 +125,60 @@ def test_prefix_sums_keep_bucket_ids_are_monotone_in_value(spark):
     out = bucketed_prefix_sums(hist, [], "v", ["m"], keep_bucket="__kb").collect()
     seq = [r["__kb"] for r in sorted(out, key=lambda r: r["v"])]
     assert seq == sorted(seq)
+
+
+# --- minhash_signatures_shingled (the oracle-checkable shingle MinHash) -------
+
+
+def test_shingled_signatures_identical_token_streams_match(spark):
+    from artigraph_spark.operators.dedup import minhash_signatures_shingled
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha  beta\tgamma delta"),  # same tokens, odd whitespace
+            (3, "delta gamma beta alpha"),  # same set, DIFFERENT shingles
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+        for r in minhash_signatures_shingled(
+            df, "doc_id", "text", num_hashes=8
+        ).collect()
+    }
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]  # order-sensitive, unlike token-set minhash
+
+
+def test_shingled_signatures_short_and_empty_docs(spark):
+    from artigraph_spark.operators.dedup import minhash_signatures_shingled
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "one"), (4, ""), (5, None)],
+        "doc_id: long, text: string",
+    )
+    out = minhash_signatures_shingled(df, "doc_id", "text", num_hashes=4).collect()
+    assert len(out) == 5  # token-less docs still get (fallback) signatures
+    rows = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(4)) for r in out}
+    assert rows[1] == rows[2]  # identical 2-token docs share the partial shingle
+    assert rows[1] != rows[3]
+    assert rows[4] != rows[5]  # id-derived fallbacks differ per doc
+
+
+def test_shingled_lsh_is_discriminative_on_stopword_overlap(spark):
+    # Token-SET signatures collide on shared stopwords; shingles must not.
+    from artigraph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_shingled,
+    )
+
+    docs = [
+        (i, f"the quick topic{i} of a report on item{i} and the subject{i}")
+        for i in range(20)
+    ]
+    docs.append((100, "the quick topic5 of a report on item5 and the subject5"))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    sigs = minhash_signatures_shingled(df, "doc_id", "text", num_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=4).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(5, 100)}
