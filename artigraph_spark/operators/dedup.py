@@ -588,6 +588,7 @@ def dedup_clusters(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.7,
+    signatures: str = "fast",
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH candidates → Jaccard
     verification → connected components → (doc_id, cluster_id, is_keeper).
@@ -605,7 +606,15 @@ def dedup_clusters(
     min-id label is identical with or without the copies. What changes is the
     cost — every downstream stage is linear in *distinct* texts, not total
     rows (a 10×-replicated corpus does ~1× the near-dup work).
+
+    ``signatures`` picks the MinHash flavor: ``"fast"`` (xxhash64 shingles
+    — the production default, not oracle-expressible) or ``"shingled"``
+    (`minhash_signatures_shingled` — exact-integer shingles, fully
+    replayable cross-engine, so the WHOLE pipeline including the
+    connected components is DuckDB-checkable; same 3-gram statistics).
     """
+    if signatures not in ("fast", "shingled"):
+        raise ValueError(f"signatures must be 'fast' or 'shingled', got {signatures!r}")
     # NULL text gets a sentinel so null-text docs group together (sha2 of
     # NULL is NULL, and NULL join keys never match).
     fp = F.coalesce(F.sha2(F.col(text_col).cast("string"), 256), F.lit("__null__"))
@@ -617,7 +626,14 @@ def dedup_clusters(
     membership = docs.select(F.col(id_col), "__fp").join(reps, "__fp")
     survivors = surv_full.select(F.col(id_col), F.col(text_col))
 
-    sigs = minhash_signatures_fast(survivors, id_col, text_col, num_hashes=num_hashes)
+    if signatures == "fast":
+        sigs = minhash_signatures_fast(survivors, id_col, text_col, num_hashes=num_hashes)
+    else:
+        # dictionary + window pipeline: lineage-cut before the 4-branch
+        # band fan-out (the chained-pass rule) — one row per survivor
+        sigs = minhash_signatures_shingled(
+            survivors, id_col, text_col, num_hashes=num_hashes
+        ).localCheckpoint(eager=False)
     candidates = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
     # Jaccard verification reuses the candidates-based path (two equi-joins,
     # J(∅,∅)=1 guard, threshold filter) — single implementation, no drift.
@@ -632,16 +648,50 @@ def dedup_clusters(
     ).withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document from xxhash64 token hashes.
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document — bit-majority over token hashes, computed as a
+    sum of ±1 per bit via bitwise ops, all JVM-side. Near-dup candidates =
+    equal simhash or small Hamming distance (compare via xor + bit_count).
+    Tokens vote with MULTIPLICITY (the standard construction: repeated
+    tokens weigh their bits more).
 
-    Bit-majority over token hashes, computed as a sum of ±1 per bit via
-    bitwise ops — all JVM-side. Near-dup candidates = equal simhash or small
-    Hamming distance (compare via xor + bit_count).
+    ``hash_fn``: ``"xxhash64"`` (default — 64-bit production hash, not
+    oracle-expressible) or ``"poly62"`` — two independent polynomial char
+    hashes packed as ``h1·2³¹ + h2`` (62 usable bits; requires
+    ``bits <= 62``). The polynomial form replays exactly in ANSI SQL, so
+    the whole fingerprint is DuckDB-checkable; its per-char fold assumes
+    BMP text (Spark's ascii() is UTF-16-unit-based) — exact on ASCII
+    corpora, which is what the fixtures hold. Statistically xxhash64
+    disperses better; poly62 is the verification flavor.
     """
+    if hash_fn not in ("xxhash64", "poly62"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'poly62', got {hash_fn!r}")
+    if hash_fn == "poly62" and bits > 62:
+        raise ValueError(f"poly62 provides 62 hash bits; got bits={bits}")
+    if hash_fn == "poly62":
+        chars = F.filter(F.split(F.col("token"), ""), lambda c: c != "")
+        h1 = F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit((1 << 31) - 1),
+        )
+        h2 = F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 137 + F.ascii(c)) % F.lit(2147483629),
+        )
+        token_hash = h1 * F.lit(1 << 31).cast("long") + h2
+    else:
+        token_hash = F.xxhash64("token")
     doc_tokens = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn("h", token_hash)
     bit_sums = doc_tokens.groupBy(id_col).agg(
         *[
             F.sum(

@@ -201,7 +201,8 @@ def minhash_signatures_q(spark, sf_dir):
 
 
 def _shingled_minhash_oracle(
-    num_hashes: int = 16, shingle_size: int = 3, seed: int = 42
+    num_hashes: int = 16, shingle_size: int = 3, seed: int = 42,
+    source: str = "documents",
 ) -> str:
     """DuckDB twin of operators.dedup.minhash_signatures_shingled: sorted
     token dictionary, positional polynomial shingle hash (the Spark fold
@@ -238,7 +239,7 @@ def _shingled_minhash_oracle(
     WITH dt AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
-        FROM documents
+        FROM {source}
     ),
     pos_toks AS (
         SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, toks[u.i] AS token
@@ -263,7 +264,7 @@ def _shingled_minhash_oracle(
     )
     SELECT d.doc_id,
            {fallbacks}
-    FROM documents d LEFT JOIN sigs s USING (doc_id)
+    FROM {source} d LEFT JOIN sigs s USING (doc_id)
     """
 
 
@@ -349,25 +350,139 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.4, allow_quadratic=True)
 
 
-@query("dedup_clusters", oracle=None)
+def _dedup_clusters_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.7
+) -> str:
+    """DuckDB twin of the FULL dedup_clusters pipeline (shingled flavor):
+    exact-duplicate collapse (min id per text group — NULL texts are one
+    group, like the sha-sentinel) → shingled signatures → band pairs →
+    token-set Jaccard ≥ threshold → connected components via a RECURSIVE
+    transitive closure (min-label = min node id, the Spark operator's
+    convention) → membership reattach + is_keeper."""
+    rows = num_hashes // bands
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, concat_ws(':', "
+        + ", ".join(f"mh{b * rows + i}" for i in range(rows))
+        + ") AS bsig FROM sigs16"
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE
+    surv AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+    sigs16 AS ({_shingled_minhash_oracle(num_hashes, source="surv")}),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+    ),
+    tsets AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                         x -> x != '')) AS t
+        FROM surv
+    ),
+    verified AS (
+        SELECT c.a, c.b
+        FROM cand c JOIN tsets ta ON ta.doc_id = c.a
+                    JOIN tsets tb ON tb.doc_id = c.b
+        WHERE (CASE WHEN len(list_distinct(list_concat(ta.t, tb.t))) > 0
+                    THEN CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+                         / len(list_distinct(list_concat(ta.t, tb.t)))
+                    ELSE 1.0 END) >= {threshold}
+    ),
+    und AS (SELECT a AS s, b AS d FROM verified UNION SELECT b, a FROM verified),
+    reach(s, d) AS (
+        SELECT s, d FROM und
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN und e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s),
+    membership AS (
+        SELECT d.doc_id, sv.doc_id AS rep
+        FROM documents d JOIN surv sv ON d.text IS NOT DISTINCT FROM sv.text
+    )
+    SELECT m.doc_id,
+           COALESCE(c.component, m.rep) AS cluster_id,
+           m.doc_id = COALESCE(c.component, m.rep) AS is_keeper
+    FROM membership m LEFT JOIN comp c ON m.rep = c.node
+    """
+
+
+@query("dedup_clusters", oracle=_dedup_clusters_oracle())
 def dedup_clusters_q(spark, sf_dir):
-    """Full near-dup clustering pipeline: LSH candidates → Jaccard verify →
-    connected components (iterative label propagation — genuinely
-    non-SQL-expressible, so rows-only check; correctness is asserted against
-    a driver-side union-find in tests)."""
+    """Full near-dup clustering pipeline: exact collapse → LSH candidates →
+    Jaccard verify → connected components → membership reattach.
+
+    r12: runs the `signatures="shingled"` flavor (exact-integer shingle
+    MinHash), so the ENTIRE pipeline — including the iterative min-label
+    components — is DuckDB-checkable end to end (the closure runs as a
+    RECURSIVE CTE in the oracle; Spark keeps the log-diameter pointer-
+    jumping loop). The xxhash64 production flavor keeps its hard signal
+    via `dedup_minhash_end2end`."""
     from artigraph_spark.operators.dedup import dedup_clusters
 
     d = load(spark, sf_dir, "documents")
-    return dedup_clusters(d, "doc_id", "text", jaccard_threshold=0.7)
+    return dedup_clusters(
+        d, "doc_id", "text", jaccard_threshold=0.7, signatures="shingled"
+    )
 
 
-@query("simhash_fingerprints", oracle=None)
+def _simhash_oracle(bits: int = 62) -> str:
+    """DuckDB twin of operators.dedup.simhash(hash_fn='poly62'): the two
+    polynomial char hashes packed to 62 bits, per-bit ±1 majority votes
+    over the token MULTISET, bit-majority assembled back into a long.
+    Token-less docs coalesce to the all-zero fingerprint."""
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{i}"
+        for i in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN bit{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH doc_toks AS (
+        SELECT doc_id, u.t AS token
+        FROM documents,
+             UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS u(t)
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_extract_all(token, '.'), c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % 2147483647) * CAST(2147483648 AS BIGINT)
+               + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_extract_all(token, '.'), c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 137 + x) % 2147483629) AS h
+        FROM doc_toks
+    ),
+    bit_sums AS (
+        SELECT doc_id,
+               {votes}
+        FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {assemble} AS simhash FROM bit_sums)
+    SELECT d.doc_id, COALESCE(s.simhash, CAST(0 AS BIGINT)) AS simhash
+    FROM documents d LEFT JOIN sigs s USING (doc_id)
+    """
+
+
+@query("simhash_fingerprints", oracle=_simhash_oracle())
 def simhash_fingerprints_q(spark, sf_dir):
-    """64-bit SimHash per document (xxhash64-based — rows-only check)."""
+    """SimHash fingerprint per document.
+
+    r12: runs the 62-bit ``poly62`` flavor (two packed polynomial char
+    hashes), which replays exactly in the DuckDB oracle — the bit-majority
+    construction now carries a first-party hard signal (the r11 verdict's
+    rows-only gap). The 64-bit xxhash64 production flavor keeps its
+    determinism contract via `simhash_checked`."""
     from artigraph_spark.operators.dedup import simhash
 
     d = load(spark, sf_dir, "documents")
-    return simhash(d, "doc_id", "text")
+    return simhash(d, "doc_id", "text", bits=62, hash_fn="poly62")
 
 
 def _lang_predict_oracle() -> str:
@@ -515,10 +630,88 @@ def cosine_topk(spark, sf_dir):
     return cosine_topk_bruteforce(e, q, id_col="vec_id", vec_col="embedding", k=5)
 
 
-@query("cosine_topk_lsh", oracle=None)
+def _lsh_topk_oracle(
+    dim: int = 64, n_planes: int = 4, n_tables: int = 16, k: int = 5, seed: int = 42
+) -> str:
+    """DuckDB twin of operators.similarity.cosine_topk_lsh: the SAME seeded
+    hyperplane constants embedded as literals (they are Python-side values,
+    baked into the Spark plan as literals too), sign-bit buckets via the
+    identical left-fold double dot (list_reduce — NOT list_sum, whose
+    summation order could flip a near-zero sign), candidate union over
+    table-bucket equi-joins, fixed-point cosine, row_number top-k."""
+    from artigraph_spark.operators.similarity import _hyperplanes
+
+    def fold_dot(vec: str, plane: list[float]) -> str:
+        lits = ", ".join(repr(float(v)) for v in plane)
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({vec}, [{lits}]), "
+            f"z -> CAST(z[1] AS DOUBLE) * z[2])), (acc, x) -> acc + x)"
+        )
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        terms = " + ".join(
+            f"(CASE WHEN {fold_dot('embedding', planes[i])} >= 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(n_planes)
+        )
+        bucket_exprs.append(terms)
+    bks = ",\n               ".join(
+        f"({e}) AS bk{t}" for t, e in enumerate(bucket_exprs)
+    )
+    bk_list = ", ".join(f"bk{t}" for t in range(n_tables))
+    sq = (
+        "sqrt(CAST(list_sum(list_transform({v}, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1073741824.0) "
+        "AS BIGINT))) AS DOUBLE) / 1073741824.0)"
+    )
+    return f"""
+    WITH bk AS (
+        SELECT vec_id, embedding,
+               {bks}
+        FROM embeddings
+    ),
+    bexp AS (
+        SELECT vec_id, embedding, u.i AS tbl, [{bk_list}][u.i] AS bucket
+        FROM bk, UNNEST(generate_series(1, {n_tables})) AS u(i)
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv,
+                        c.vec_id AS neighbor_id, c.embedding AS cv
+        FROM bexp q JOIN bexp c
+          ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               (CAST(list_sum(list_transform(list_zip(qv, cv),
+                   p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1073741824.0)
+                        AS BIGINT))) AS DOUBLE) / 1073741824.0)
+               / ({sq.format(v="qv")} * {sq.format(v="cv")}) AS cos_sim
+        FROM cand
+        WHERE {sq.format(v="qv")} != 0 AND {sq.format(v="cv")} != 0
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("cosine_topk_lsh", oracle=_lsh_topk_oracle())
 def cosine_topk_lsh_q(spark, sf_dir):
     """LSH-bucketed approximate cosine top-k (scale path; recall vs brute
-    force asserted in unit tests)."""
+    force asserted in unit tests and in `cosine_topk_lsh_checked`).
+
+    r12: carries a FULL first-party oracle (the r11 verdict's rows-only
+    gap) — the seeded hyperplanes are Python-side constants baked into
+    both plans, the plane dots replay as identical left folds, and the
+    scoring is the fixed-point cosine, so the approximate result is a
+    deterministic value both engines agree on exactly."""
     from artigraph_spark.operators.similarity import cosine_topk_lsh
 
     e = load(spark, sf_dir, "embeddings")
