@@ -629,11 +629,15 @@ def dedup_clusters(
     if signatures == "fast":
         sigs = minhash_signatures_fast(survivors, id_col, text_col, num_hashes=num_hashes)
     else:
-        # dictionary + window pipeline: lineage-cut before the 4-branch
-        # band fan-out (the chained-pass rule) — one row per survivor
         sigs = minhash_signatures_shingled(
             survivors, id_col, text_col, num_hashes=num_hashes
-        ).localCheckpoint(eager=False)
+        )
+    # Lineage cut before the 4-branch band fan-out (the chained-pass
+    # rule): BOTH signature pipelines sit above the exact-dedup survivor
+    # aggregation, so each lsh_candidate_pairs branch would re-execute
+    # the dedup shuffle + signature transforms (measured ~2x on the fast
+    # flavor at sf0.1). One row per survivor — survivor-count-priced.
+    sigs = sigs.localCheckpoint(eager=False)
     candidates = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
     # Jaccard verification reuses the candidates-based path (two equi-joins,
     # J(∅,∅)=1 guard, threshold filter) — single implementation, no drift.
