@@ -59,75 +59,71 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 # r10 clears the 28 oldest r4-stale; r11 should clear the 3 remaining
 # r4-stale plus the 43 r5-stale and start on r6.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-11 ROTATION. Recorded-window history after r10 (computed
-    # from CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json at round
-    # start): staleness census {r4:3, r5:43, r6:44, r7:36, r8:42,
-    # r9:43, r10:50}; 3 oracle-bearing queries never recorded — the
-    # round's elective additions per the registry-growth policy, the
-    # complete survival trio unlocked by the kaplan_meier
-    # de-colocation: survival_km_by_first_event (grouped KM cohort
-    # curves), logrank_click_vs_rest (the Mantel–Cox two-sample
-    # test) and rmst_signup_by_cohort (restricted mean survival time
-    # — curve, significance, effect size); 2
-    # implementations changed this round. The window drains the r4
-    # backlog and all but two r5: 3 new + 3 impl-changed + 3 r4-stale
-    # + 41 r5-stale = exactly 50 (unigram_logprob and
-    # union_by_name_missing, the last two alphabetical r5, spill to
-    # r12's head with the 44 r6-stale). After the driver records r11,
-    # the census should read {r5:2, r6:44, r7:36, r8:42, r9:43,
-    # r10:47, r11:50}.
-    # Impl-changed detail: survival_km_users (kaplan_meier risk-table
-    # walk moved onto bucketed_prefix_sums — granularity-safe, with the
-    # term sum on the DECIMAL(38,9) grid in BOTH engines; the r10
-    # verdict watch item) and quantile_normalize_quantity (execution-
-    # time max_distinct_values guard on the broadcast rank->value map +
-    # quantize_bits escape; plan gains the guard column); late in the
-    # round mad_outliers_orders joined (robust_outliers' chained
-    # median->deviation passes now lineage-cut their two groups-sized
-    # statistic frames — the kaplan_meier lesson applied, measured 2x).
-    # NOT impl-changed: the _ranks type-preservation fix keeps the
-    # identical long-cast plan for every existing integral-count
-    # caller; bucketed_row_numbers' count_col is a pure addition
-    # (default None = identical plan); curriculum_stages' global-path
-    # fix does not touch curriculum_stages_docs (stratified path).
-    # (1) never recorded — first driver rows
-    "survival_km_by_first_event", "logrank_click_vs_rest",
-    "rmst_signup_by_cohort",
+    # ROUND-12 ROTATION. Recorded-window history after r11 (CORRECTNESS
+    # census at round start): {r5:2, r6:44, r7:36, r8:41, r9:42,
+    # r10:49, r11:50}; 4 oracle-bearing queries never recorded — the
+    # former rows-only twins, which gained FULL first-party oracles
+    # this round (minhash_lsh_pairs on exact-integer shingled
+    # signatures; dedup_clusters end-to-end incl. a RECURSIVE-CTE
+    # components oracle; simhash_fingerprints on the poly62 flavor;
+    # cosine_topk_lsh via embedded hyperplane literals + left-fold
+    # dots). No elective additions (registry-growth policy: re-greens
+    # first). Window: 4 never + 7 impl/oracle-changed + 2 r5-stale +
+    # 37 r6-stale = exactly 50; the last 6 alphabetical r6
+    # (window_running_agg, window_session, window_sliding,
+    # window_topk_per_group, window_tumbling, zorder_cluster_keys)
+    # spill to r13's head. After the driver records r12 the census
+    # should read {r6:6, r7:36, r8:41, r9:42, r10:49, r11:39, r12:50}.
+    # Impl-changed detail: survival_km_users + survival_km_by_first_event
+    # (kaplan_meier's chained prefix passes fused onto one bucketing —
+    # keep_bucket/bucket_col in bucketed_prefix_sums);
+    # rmst_signup_by_cohort (integral-duration + negative-duration
+    # guards, the r11 advice medium item); logrank_click_vs_rest
+    # (risk-table lineage cut); quantile_normalize_quantity (range
+    # probe moved to the distinct-pair level — the data-sized BNLJ is
+    # gone); minhash_signatures (wasted data-sized distinct removed);
+    # dedup_minhash_end2end (dedup_clusters' signature lineage cut —
+    # values unchanged, plan changed).
+    # (1) never recorded — first driver rows (new oracles)
+    "minhash_lsh_pairs", "dedup_clusters", "simhash_fingerprints",
+    "cosine_topk_lsh",
     # (2) implementation/oracle changed this round
-    "survival_km_users", "quantile_normalize_quantity",
-    "mad_outliers_orders",
-    # (3) the 3 remaining r4-stale re-greens
-    "text_quality_filter", "text_stats", "weighted_sample_topk",
-    # (4) all 43 r5-stale re-greens (alphabetical)
-    "anomaly_zscore_hours", "bloom_prefilter_contract",
-    "calendar_functions", "chunk_documents", "clustering_coefficient",
-    "cohort_retention", "collocation_pmi", "count_min_contract",
-    "decontaminate_corpus", "dedup_minhash_end2end", "describe_summary",
-    "event_funnel", "grouped_quantiles_events", "hll_by_group",
-    "hll_contract", "incremental_dedup", "incremental_dedup_checked",
-    "literal_inline_table", "media_decode_mp4",
-    "quantile_sketch_contract", "quantize_embeddings", "range_source",
-    "redact_pii", "repetition_scores", "select_token_budget",
-    "split_corpus", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_relationships", "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue", "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_orders", "tpch_q22_sales_opportunity",
-    "tpch_q2_min_cost_supplier", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "triangle_counts_copurchase",
+    "survival_km_users", "survival_km_by_first_event",
+    "rmst_signup_by_cohort", "logrank_click_vs_rest",
+    "quantile_normalize_quantity", "minhash_signatures",
+    "dedup_minhash_end2end",
+    # (3) the 2 remaining r5-stale re-greens
+    "unigram_logprob", "union_by_name_missing",
+    # (4) 37 of the 43 remaining r6-stale re-greens (alphabetical;
+    #     minhash_signatures moved up to group 2)
+    "agg_approx", "audience_overlap_click_purchase", "cms_decayed_topk",
+    "cms_join_size", "constraint_report", "cosine_topk",
+    "cosine_topk_ivf_checked", "cosine_topk_lsh_checked",
+    "dedup_segments_corpus", "embedding_near_dup", "explode_tokens",
+    "grouped_cms_contract", "hll_rollup_users", "in_subquery_sql",
+    "interval_join_click_purchase", "join_asof", "lateral_topk_orders",
+    "map_explode", "new_users_hourly", "profile_orders",
+    "rollup_time_hierarchy", "skew_audit_lineitem_orderkey",
+    "sliding_distinct_users", "sliding_quantiles_hourly",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q12_late_lines_by_status", "tpch_q18_large_volume_customers",
+    "tpch_q3_shipping_priority", "tpch_q4_late_orders",
+    "tpch_q9_nation_margin", "trend_slopes_hourly", "unpivot_stack",
+    "window_gap_fill", "window_lag_lead", "window_range_frame",
+    "window_rank_family",
 )
 
 # The queries whose implementation or oracle changed THIS round (the
 # window-audit "fresh" set): they hold recent driver rows but earn new
 # ones because the plan/values pipeline changed. Declared here so
 # `tools/window_audit.py` is reproducible with no arguments.
-# (Superseded rotations _PRIORITY_R{7,8,9} were deleted in r11 — dead
-# data; the history lives in git and in the committed CORRECTNESS_r*
-# artifacts the audit recomputes from.)
+# (Superseded rotations live in git history and in the committed
+# CORRECTNESS_r* artifacts the audit recomputes from.)
 ROUND_FRESH: tuple[str, ...] = (
-    "survival_km_users", "quantile_normalize_quantity",
-    "mad_outliers_orders",
+    "survival_km_users", "survival_km_by_first_event",
+    "rmst_signup_by_cohort", "logrank_click_vs_rest",
+    "quantile_normalize_quantity", "minhash_signatures",
+    "dedup_minhash_end2end",
 )
 
 

@@ -29,12 +29,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 WINDOW = 50
-ROWS_ONLY_TWINNED = {
-    "minhash_lsh_pairs",
-    "dedup_clusters",
-    "simhash_fingerprints",
-    "cosine_topk_lsh",
-}
+# r12: empty — the four former rows-only twins (minhash_lsh_pairs,
+# dedup_clusters, simhash_fingerprints, cosine_topk_lsh) gained full
+# first-party oracles, so a window slot is no longer wasted on them.
+ROWS_ONLY_TWINNED: set[str] = set()
 
 
 def last_recorded(repo: Path) -> dict[str, int]:
