@@ -848,3 +848,110 @@ def test_rmst_grouped_equals_solo_property(spark, rows, horizon):
         ).collect()
         assert got[g] == r["rmst_r"]
         assert 0.0 <= got[g] <= float(horizon)
+
+
+# --- r12: shingled MinHash / poly62 SimHash vs driver-side references --------
+
+_doc_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abcd ")),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+_P61 = (1 << 61) - 1
+_M31 = (1 << 31) - 1
+
+
+def _ref_hash_coeffs(num_hashes, seed=42):
+    from artigraph_spark.operators.dedup import _hash_coeffs
+
+    return _hash_coeffs(num_hashes, seed)
+
+
+def _ref_shingled_sigs(texts, num_hashes=4, shingle_size=3, seed=42):
+    """Pure-Python replay of minhash_signatures_shingled (doc_id = index)."""
+    toks = {i: [t for t in txt.lower().split() if t] for i, txt in enumerate(texts)}
+    vocab = sorted({t for ts in toks.values() for t in ts})
+    tid = {t: i + 1 for i, t in enumerate(vocab)}
+    comb = _ref_hash_coeffs(shingle_size, seed + 7919)
+    coeffs = _ref_hash_coeffs(num_hashes, seed)
+    out = {}
+    for i, ts in toks.items():
+        ids = [tid[t] for t in ts]
+        shingles = []
+        if len(ids) >= shingle_size:
+            for p in range(len(ids) - shingle_size + 1):
+                s = 0
+                for j in range(shingle_size):
+                    s = (s + comb[j][0] * ids[p + j] % _P61) % _P61
+                shingles.append(s % _M31)
+        elif ids:
+            s = 0
+            for j in range(shingle_size):
+                term = comb[j][0] * ids[j] % _P61 if j < len(ids) else 0
+                s = (s + term) % _P61
+            shingles.append(s % _M31)
+        if shingles:
+            out[i] = tuple(
+                min((a * sh + b) % _P61 for sh in shingles) for a, b in coeffs
+            )
+        else:
+            fid = i % _M31
+            out[i] = tuple((a * fid + b) % _P61 for a, b in coeffs)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_doc_texts)
+def test_shingled_minhash_matches_driver_replay_property(spark, texts):
+    from artigraph_spark.operators.dedup import minhash_signatures_shingled
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(4))
+        for r in minhash_signatures_shingled(
+            df, "doc_id", "text", num_hashes=4
+        ).collect()
+    }
+    assert got == _ref_shingled_sigs(texts)
+
+
+def _ref_simhash62(texts):
+    """Pure-Python replay of simhash(hash_fn='poly62') (doc_id = index)."""
+    out = {}
+    for i, txt in enumerate(texts):
+        toks = [t for t in txt.lower().split() if t]
+        if not toks:
+            out[i] = 0
+            continue
+        votes = [0] * 62
+        for t in toks:
+            h1 = h2 = 0
+            for ch in t:
+                h1 = (h1 * 131 + ord(ch)) % _M31
+                h2 = (h2 * 137 + ord(ch)) % 2147483629
+            h = h1 * (1 << 31) + h2
+            for b in range(62):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        out[i] = sum((1 << b) for b in range(62) if votes[b] > 0)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_doc_texts)
+def test_poly62_simhash_matches_driver_replay_property(spark, texts):
+    from artigraph_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(df, "doc_id", "text", bits=62, hash_fn="poly62").collect()
+    }
+    assert got == _ref_simhash62(texts)
