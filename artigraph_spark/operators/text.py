@@ -128,6 +128,126 @@ def rolling_hash(text: Column, base: int = 31, mod: int = 999_999_999_989) -> Co
     )
 
 
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 4,
+    mask_bits: int = 4,
+    base: int = 1_000_003,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS rolling-hash trick): cut
+    each document into variable-length chunks whose boundaries depend only
+    on LOCAL content — after token ``i`` whenever the rolling hash of the
+    last ``window`` tokens has ``mask_bits`` low zero bits (average chunk
+    ≈ 2^mask_bits tokens).
+
+    Why it exists next to :func:`..dedup.dedup_segments`: fixed k-token
+    segmentation is ALIGNMENT-FRAGILE — one token inserted near the top of
+    a boilerplate page shifts every downstream segment, so nothing
+    downstream matches its twin in other copies. CDC boundaries re-lock
+    onto the content within ~window tokens of an edit, so all chunks
+    outside the edited neighborhood keep their exact fingerprints — the
+    property rsync, LBFS, and every dedup store build on, and what makes
+    chunk-level dedup work on near-identical crawl snapshots.
+
+    Exactness: token hashes are the polynomial char fold (ASCII-exact,
+    the poly62/str_hash idiom), window and chunk fingerprints are
+    ``(acc·base + h) mod 2³¹−1`` folds — everything pure int64-safe
+    integer arithmetic, replayed term-for-term by the DuckDB oracle.
+
+    Scale shape: pure per-row array expressions (one O(n·window) pass per
+    document) up to the final posexplode — zero shuffles; feed the output
+    to a groupBy(chunk_fp) for corpus-level dedup, which is then the only
+    exchange. Token-less documents emit no chunks (the dedup_segments
+    empty-doc convention is NOT needed here — this is a fingerprinting
+    operator, not a rebuild).
+
+    Returns ``(id, chunk_no, chunk, chunk_tokens, chunk_fp)`` — chunk_no
+    1-based in document order.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not 0 <= mask_bits <= 20:
+        raise ValueError(f"mask_bits must be in [0, 20], got {mask_bits}")
+    m31 = (1 << 31) - 1
+    mask = (1 << mask_bits) - 1
+    tokh = F.transform(
+        F.col("__toks"),
+        lambda t: F.aggregate(
+            F.filter(F.split(t, ""), lambda c: c != ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(m31),
+        ),
+    )
+
+    def fold(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * base + h) % F.lit(m31),
+        )
+
+    n = F.size(F.col("__tokh"))
+    # boundary AFTER token i (1-based), for i in [window, n-1]: the last
+    # window-token rolling hash masks to zero. No boundary after the final
+    # token (it would emit an empty chunk).
+    bpos = F.when(
+        n - 1 >= window,
+        F.filter(
+            F.sequence(F.lit(window), n - 1),
+            lambda i: F.pmod(
+                fold(F.slice(F.col("__tokh"), i - window + 1, window)), F.lit(mask + 1)
+            )
+            == F.lit(0),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    if mask_bits == 0:
+        # every position is a boundary — keep the formula honest (2^0=1
+        # divides everything) without the filter pass
+        bpos = F.when(
+            n - 1 >= window, F.sequence(F.lit(window), n - 1)
+        ).otherwise(F.array().cast("array<int>"))
+    staged = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size(F.col("__toks")) > 0)
+        .withColumn("__tokh", tokh)
+        .withColumn(
+            "__bounds",
+            F.concat(
+                F.array(F.lit(0).cast("int")),
+                bpos.cast("array<int>"),
+                F.array(n.cast("int")),
+            ),
+        )
+    )
+    lo = lambda k: F.element_at(F.col("__bounds"), k + 1)  # noqa: E731
+    hi = lambda k: F.element_at(F.col("__bounds"), k + 2)  # noqa: E731
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("__bounds")) - 2),
+        lambda k: F.struct(
+            (k + 1).cast("long").alias("chunk_no"),
+            F.array_join(
+                F.slice(F.col("__toks"), lo(k) + 1, hi(k) - lo(k)), " "
+            ).alias("chunk"),
+            (hi(k) - lo(k)).cast("long").alias("chunk_tokens"),
+            fold(F.slice(F.col("__tokh"), lo(k) + 1, hi(k) - lo(k))).alias(
+                "chunk_fp"
+            ),
+        ),
+    )
+    return staged.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    ).select(
+        F.col(id_col),
+        F.col("__c.chunk_no").alias("chunk_no"),
+        F.col("__c.chunk").alias("chunk"),
+        F.col("__c.chunk_tokens").alias("chunk_tokens"),
+        F.col("__c.chunk_fp").alias("chunk_fp"),
+    )
+
+
 def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, token, tf): per-document term counts.
 

@@ -67,13 +67,16 @@ _PRIORITY: tuple[str, ...] = (
     # signatures; dedup_clusters end-to-end incl. a RECURSIVE-CTE
     # components oracle; simhash_fingerprints on the poly62 flavor;
     # cosine_topk_lsh via embedded hyperplane literals + left-fold
-    # dots). No elective additions (registry-growth policy: re-greens
-    # first). Window: 4 never + 7 impl/oracle-changed + 2 r5-stale +
-    # 37 r6-stale = exactly 50; the last 6 alphabetical r6
-    # (window_running_agg, window_session, window_sliding,
-    # window_topk_per_group, window_tumbling, zorder_cluster_keys)
-    # spill to r13's head. After the driver records r12 the census
-    # should read {r6:6, r7:36, r8:41, r9:42, r10:49, r11:39, r12:50}.
+    # dots) — plus ONE elective addition (cdc_chunks_docs:
+    # content-defined chunking, the shift-robust member the
+    # dedup/fingerprint family lacked; registry-growth policy allows
+    # genuine family gaps). Window: 5 never + 7 impl/oracle-changed +
+    # 2 r5-stale + 36 r6-stale = exactly 50; the last 7 alphabetical
+    # r6 (window_rank_family, window_running_agg, window_session,
+    # window_sliding, window_topk_per_group, window_tumbling,
+    # zorder_cluster_keys) spill to r13's head. After the driver
+    # records r12 the census should read {r6:7, r7:36, r8:41, r9:42,
+    # r10:49, r11:39, r12:50}.
     # Impl-changed detail: survival_km_users + survival_km_by_first_event
     # (kaplan_meier's chained prefix passes fused onto one bucketing —
     # keep_bucket/bucket_col in bucketed_prefix_sums);
@@ -84,9 +87,10 @@ _PRIORITY: tuple[str, ...] = (
     # gone); minhash_signatures (wasted data-sized distinct removed);
     # dedup_minhash_end2end (dedup_clusters' signature lineage cut —
     # values unchanged, plan changed).
-    # (1) never recorded — first driver rows (new oracles)
+    # (1) never recorded — first driver rows (new oracles + the round's
+    #     one elective addition)
     "minhash_lsh_pairs", "dedup_clusters", "simhash_fingerprints",
-    "cosine_topk_lsh",
+    "cosine_topk_lsh", "cdc_chunks_docs",
     # (2) implementation/oracle changed this round
     "survival_km_users", "survival_km_by_first_event",
     "rmst_signup_by_cohort", "logrank_click_vs_rest",
@@ -110,7 +114,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q3_shipping_priority", "tpch_q4_late_orders",
     "tpch_q9_nation_margin", "trend_slopes_hourly", "unpivot_stack",
     "window_gap_fill", "window_lag_lead", "window_range_frame",
-    "window_rank_family",
 )
 
 # The queries whose implementation or oracle changed THIS round (the

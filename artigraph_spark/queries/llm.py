@@ -156,6 +156,70 @@ def doc_rolling_hash(spark, sf_dir):
     )
 
 
+def _cdc_oracle(window: int = 4, mask_bits: int = 4, base: int = 1_000_003) -> str:
+    """DuckDB twin of operators.text.content_defined_chunks: polynomial
+    token char-hashes, the window-fold boundary rule, 1-based inclusive
+    list slices for chunk reassembly and fingerprint folds."""
+    m31 = (1 << 31) - 1
+    div = 1 << mask_bits
+    charfold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_extract_all(t, '.'), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 131 + x) % {m31})"
+    )
+    fold = lambda sl: (  # noqa: E731
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {sl}), "
+        f"(acc, h) -> (acc * {base} + h) % {m31})"
+    )
+    return f"""
+    WITH dt AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, toks,
+               list_transform(toks, t -> {charfold}) AS tokh,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM dt WHERE len(toks) > 0
+    ),
+    b AS (
+        SELECT doc_id, toks, tokh, n,
+               list_concat(
+                   list_concat(
+                       [CAST(0 AS BIGINT)],
+                       CASE WHEN n - 1 >= {window}
+                            THEN list_filter(generate_series(CAST({window} AS BIGINT), n - 1),
+                                             i -> {fold(f"tokh[i - {window} + 1 : i]")} % {div} = 0)
+                            ELSE CAST([] AS BIGINT[]) END),
+                   [n]) AS bounds
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(u.k AS BIGINT) AS chunk_no,
+           array_to_string(toks[bounds[u.k] + 1 : bounds[u.k + 1]], ' ') AS chunk,
+           CAST(bounds[u.k + 1] - bounds[u.k] AS BIGINT) AS chunk_tokens,
+           {fold("tokh[bounds[u.k] + 1 : bounds[u.k + 1]]")} AS chunk_fp
+    FROM b, UNNEST(generate_series(1, len(bounds) - 1)) AS u(k)
+    """
+
+
+@query("cdc_chunks_docs", oracle=_cdc_oracle())
+def cdc_chunks_docs(spark, sf_dir):
+    """Content-defined chunking over the corpus (NEW r12): rolling-hash
+    boundaries make chunk fingerprints SHIFT-ROBUST — an edit near the top
+    of a boilerplate page re-locks within ~window tokens, so downstream
+    chunks keep their fingerprints and chunk-level dedup still matches the
+    page's near-identical twins (dedup_segments' fixed k-token spans all
+    shift and match nothing). Pure per-row array arithmetic; the only
+    shuffle a consumer pays is its own groupBy(chunk_fp).
+    See ``operators.text.content_defined_chunks``."""
+    from artigraph_spark.operators.text import content_defined_chunks
+
+    d = load(spark, sf_dir, "documents")
+    return content_defined_chunks(d, "doc_id", "text", window=4, mask_bits=4)
+
+
 def _minhash_oracle(num_hashes: int = 8, seed: int = 42) -> str:
     from artigraph_spark.operators.dedup import _P, _hash_coeffs
 

@@ -182,3 +182,62 @@ def test_shingled_lsh_is_discriminative_on_stopword_overlap(spark):
     sigs = minhash_signatures_shingled(df, "doc_id", "text", num_hashes=16)
     pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=4).collect()
     assert {(r["a"], r["b"]) for r in pairs} == {(5, 100)}
+
+
+# --- content-defined chunking (the shift-robust dedup/fingerprint member) -----
+
+
+def test_cdc_chunks_shift_robust(spark):
+    # THE property fixed-k segmentation lacks: a prefix edit only changes
+    # the chunk(s) near the edit — downstream fingerprints survive.
+    from artigraph_spark.operators.text import content_defined_chunks
+
+    base = "the quick brown fox jumps over the lazy dog again and again until done"
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted " + base)], "doc_id: long, text: string"
+    )
+    out = content_defined_chunks(df, "doc_id", "text", window=3, mask_bits=2)
+    rows = out.collect()
+    f1 = {r["chunk_fp"] for r in rows if r["doc_id"] == 1}
+    f2 = {r["chunk_fp"] for r in rows if r["doc_id"] == 2}
+    assert len(f1) >= 2
+    assert len(f1 & f2) >= len(f1) - 1  # at most the first chunk differs
+
+
+def test_cdc_chunks_reassemble_and_count(spark):
+    from artigraph_spark.operators.text import content_defined_chunks
+
+    text = "a b c d e f g h i j k l m n o p"
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    rows = sorted(
+        content_defined_chunks(df, "doc_id", "text", window=3, mask_bits=1).collect(),
+        key=lambda r: r["chunk_no"],
+    )
+    assert " ".join(r["chunk"] for r in rows) == text
+    assert sum(r["chunk_tokens"] for r in rows) == 16
+    assert [r["chunk_no"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r["chunk_tokens"] >= 1 for r in rows)
+
+
+def test_cdc_chunks_short_and_empty_docs(spark):
+    from artigraph_spark.operators.text import content_defined_chunks
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, None)], "doc_id: long, text: string"
+    )
+    rows = content_defined_chunks(df, "doc_id", "text").collect()
+    # below-window docs are one whole-document chunk; token-less docs
+    # emit nothing (fingerprinting operator, not a rebuild)
+    assert {(r["doc_id"], r["chunk_no"], r["chunk"]) for r in rows} == {
+        (1, 1, "one two")
+    }
+
+
+def test_cdc_chunks_param_guards(spark):
+    from artigraph_spark.operators.text import content_defined_chunks
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="window"):
+        content_defined_chunks(df, "doc_id", "text", window=0)
+    with pytest.raises(ValueError, match="mask_bits"):
+        content_defined_chunks(df, "doc_id", "text", mask_bits=21)
