@@ -253,6 +253,7 @@ def minhash_signatures_fast(
     num_hashes: int = 16,
     shingle_size: int = 3,
     seed: int = 42,
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Production-scale MinHash: xxhash64 token hashes combined into shingle
     hashes with position-dependent rotations, then ``array_min`` over k
@@ -261,15 +262,22 @@ def minhash_signatures_fast(
     what you want feeding 100 TB of documents through LSH dedup. Not
     oracle-checkable (engine hash), statistically equivalent to the
     dictionary-based `minhash_signatures`.
+
+    ``keep_cols`` passes extra input columns through unchanged (the
+    streaming near-dup gate needs the event-time column to survive for
+    its watermark; the default empty tuple keeps every existing caller's
+    plan identical).
     """
     # Stage the intermediate arrays as real columns: every stage references
     # the previous one many times, and inlining (what a single select would
     # do) makes the expression tree — and the work — multiply out.
+    kc = [F.col(c) for c in keep_cols]
     staged = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col), *kc, tokens(F.col(text_col)).alias("__toks")
     )
     staged = staged.select(
         F.col(id_col),
+        *kc,
         F.transform(F.col("__toks"), lambda t: F.xxhash64(t)).alias("__tokh"),
         # short-doc fallback input: the NORMALIZED token join, so
         # token-identical documents below the shingle minimum ("Foo bar"
@@ -289,6 +297,7 @@ def minhash_signatures_fast(
     n_shingles = F.size(F.col("__tokh")) - shingle_size + 1
     staged = staged.select(
         F.col(id_col),
+        *kc,
         F.when(n_shingles >= 1, F.transform(F.sequence(F.lit(1), n_shingles), shingle_hash))
         .otherwise(F.array(F.xxhash64(F.col("__ntxt"))))
         .alias("__sh"),
@@ -296,6 +305,7 @@ def minhash_signatures_fast(
     # Fold to 31 bits so a·h + b stays under 2^63 (a < 2^31).
     staged = staged.select(
         F.col(id_col),
+        *kc,
         F.transform(F.col("__sh"), lambda h: F.pmod(h, F.lit((1 << 31) - 1))).alias("__fh"),
     )
     sig_cols = [
@@ -304,7 +314,7 @@ def minhash_signatures_fast(
         ).alias(f"mh{i}")
         for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed))
     ]
-    return staged.select(F.col(id_col), *sig_cols)
+    return staged.select(F.col(id_col), *kc, *sig_cols)
 
 
 def _null_safe_sig(name: str) -> Column:

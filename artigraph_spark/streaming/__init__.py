@@ -333,6 +333,164 @@ def stateful_exact_dedup(
     )
 
 
+def stateful_lsh_band_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    ts_col: str | None = None,
+    ttl_seconds: int | None = None,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming NEAR-dup gate primitive: the incremental member of the
+    MinHash-LSH family (`stateful_exact_dedup` only catches byte-identical
+    content; a crawl re-fetch with a changed timestamp sails through it).
+
+    Each arriving document is signed with the fast xxhash64 shingle
+    MinHash (pure per-row expressions — stream-safe, zero shuffle),
+    exploded into its ``bands`` band-signature keys, and checked against
+    per-bucket marker state: ``first_in_bucket`` is true iff no EARLIER
+    document claimed that band bucket (within a micro-batch, the id-min
+    document is "first", the deterministic arrival-tie rule of
+    `stateful_exact_dedup`). A document with ``first_in_bucket = false``
+    on ANY band shares that band with an earlier document — exactly the
+    batch `lsh_candidate_pairs` candidate rule, evaluated incrementally.
+    Gate downstream with ``groupBy(id).agg(bool_and(first_in_bucket))``
+    or route flagged docs to a verification topic.
+
+    State is one marker per DISTINCT band bucket (``bands`` per distinct
+    signature — summary-sized, spread shuffle-evenly by the band key).
+    Bounding mirrors `stateful_exact_dedup`: unbounded ``NoTimeout`` by
+    default (bounded backfills), or ``ts_col + ttl_seconds`` for a
+    sliding event-time TTL per bucket (re-admission after expiry is the
+    documented trade; pick the TTL at real duplicate locality).
+
+    Returns ``(id, [ts], band_id, band_sig, first_in_bucket)`` — one row
+    per (document, band).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from artigraph_spark.operators.dedup import (
+        _null_safe_sig,
+        minhash_signatures_fast,
+    )
+
+    if (ts_col is None) != (ttl_seconds is None):
+        raise ValueError("ts_col and ttl_seconds must be given together")
+    if bands <= 0 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes evenly (got num_hashes={num_hashes}, "
+            f"bands={bands})"
+        )
+    bounded = ts_col is not None
+    keep = (ts_col,) if bounded else ()
+    sigs = minhash_signatures_fast(
+        df, id_col, text_col, num_hashes=num_hashes,
+        shingle_size=shingle_size, keep_cols=keep,
+    )
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            _null_safe_sig(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_fields = [f"{id_col} {id_type}"]
+    if bounded:
+        out_fields.append(f"{ts_col} {df.schema[ts_col].dataType.simpleString()}")
+    out_fields += ["band_id int", "band_sig string", "first_in_bucket boolean"]
+    out_schema = ", ".join(out_fields)
+    out_cols = [id_col, *keep, "band_id", "band_sig"]
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+
+    def _epoch_ms(ts) -> int:
+        try:
+            return int(
+                ts.tz_localize(
+                    session_tz, ambiguous=True, nonexistent="shift_forward"
+                ).timestamp()
+                * 1000
+            )
+        except Exception:  # non-IANA tz string — fall back to naive-as-UTC
+            return int(ts.timestamp() * 1000)
+
+    def _flags(pdfs, already_claimed: bool):
+        parts, max_ts = [], None
+        for pdf in pdfs:
+            pdf = pdf[pdf[id_col].notna()]
+            if bounded:
+                pdf = pdf[pdf[ts_col].notna()]
+            if len(pdf):
+                parts.append(pdf)
+                if bounded:
+                    t = pdf[ts_col].max()
+                    max_ts = t if max_ts is None else max(max_ts, t)
+        if not parts:
+            return None, None
+        allp = pd.concat(parts, ignore_index=True)[out_cols]
+        if already_claimed:
+            allp["first_in_bucket"] = False
+        else:
+            allp["first_in_bucket"] = allp[id_col] == allp[id_col].min()
+        return allp, max_ts
+
+    def update(key, pdfs, state: GroupState):
+        out, _ = _flags(pdfs, state.exists)
+        if out is None:
+            return
+        state.update((True,))
+        yield out
+
+    def update_ttl(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # expiry → later duplicates re-admit (documented)
+            return
+        out, max_ts = _flags(pdfs, state.exists)
+        if out is None:
+            return
+        state.update((True,))
+        candidate = _epoch_ms(max_ts) + ttl_seconds * 1000
+        state.setTimeoutTimestamp(max(candidate, state.getCurrentWatermarkMs() + 1))
+        yield out
+
+    if bounded:
+        return (
+            banded.withWatermark(ts_col, watermark_delay)
+            .groupBy("band_id", "band_sig")
+            .applyInPandasWithState(
+                update_ttl,
+                outputStructType=out_schema,
+                stateStructType="seen boolean",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+    return banded.groupBy("band_id", "band_sig").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def has_transform_with_state() -> bool:
     """True where the ``transformWithStateInPandas`` state API is USABLE:
     the API exists (Spark 4.x) and its runtime dependency is importable

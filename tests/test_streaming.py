@@ -1175,3 +1175,171 @@ def test_interval_join_drops_right_events_beyond_watermark(spark, tmp_path):
         watermark="10 minutes",
     ).collect()
     assert [(r["user"],) for r in batch] == [(1,)]
+
+
+def _batch_band_flags(df, id_col="doc_id", num_hashes=16, bands=4):
+    """Batch twin of stateful_lsh_band_flags over one logical batch: per
+    (band_id, band_sig) bucket the id-min document is first."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.dedup import _null_safe_sig, minhash_signatures_fast
+
+    sigs = minhash_signatures_fast(df, id_col, "text", num_hashes=num_hashes)
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            _null_safe_sig(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    w = Window.partitionBy("band_id", "band_sig")
+    return banded.withColumn(
+        "first_in_bucket", F.col(id_col) == F.min(id_col).over(w)
+    )
+
+
+def test_stateful_lsh_band_flags_single_batch_parity(spark):
+    """One micro-batch: the streaming flags equal the batch min-id-per-bucket
+    rule exactly — the same candidate semantics as lsh_candidate_pairs."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.sources import load
+
+    docs = stx.read_stream(spark, SF_DIR, "documents", max_files_per_trigger=1)
+    out = stx.run_stream_to_batch(
+        stx.stateful_lsh_band_flags(docs.select("doc_id", "text"), "doc_id", "text"),
+        query_name="t_lsh_flags",
+        output_mode="append",
+    )
+    batch = _batch_band_flags(load(spark, SF_DIR, "documents"))
+    cols = ["doc_id", "band_id", "band_sig", "first_in_bucket"]
+    assert _canon(out, cols) == _canon(batch, cols)
+    # every document emits exactly `bands` rows
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert out.count() == n_docs * 4
+    # composition: the keep-gate (bool_and over bands) admits exactly the
+    # docs that share NO band bucket with an earlier (min-id) doc
+    gate = out.groupBy("doc_id").agg(F.bool_and("first_in_bucket").alias("keep"))
+    bgate = batch.groupBy("doc_id").agg(F.bool_and("first_in_bucket").alias("keep"))
+    assert _canon(gate, ["doc_id", "keep"]) == _canon(bgate, ["doc_id", "keep"])
+
+
+def test_stateful_lsh_band_flags_first_batch_wins(spark, tmp_path):
+    """A near-duplicate arriving in a LATER batch is flagged on every band it
+    shares, even when its id is smaller — the first-SEEN streaming contract."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "lsh_stream_src"
+    d.mkdir()
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    pq.write_table(pa.table({"doc_id": [10], "text": [text]}), d / "a.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [text, "completely different words entirely unrelated content here"]}),
+        d / "b.parquet",
+    )
+    os.utime(d / "a.parquet", ns=(1_000_000_000, 1_000_000_000))
+    os.utime(d / "b.parquet", ns=(2_000_000_000_000_000_000, 2_000_000_000_000_000_000))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = stx.run_stream_to_batch(
+        stx.stateful_lsh_band_flags(stream, "doc_id", "text"),
+        query_name="t_lsh_flags_batches",
+        output_mode="append",
+    )
+    gate = {
+        r["doc_id"]: r["keep"]
+        for r in out.groupBy("doc_id")
+        .agg(F.bool_and("first_in_bucket").alias("keep"))
+        .collect()
+    }
+    # doc 10 arrived first and keeps; identical doc 1 (smaller id, later
+    # batch) is flagged on every band; unrelated doc 2 keeps
+    assert gate == {10: True, 1: False, 2: True}
+
+
+def test_stateful_lsh_band_flags_param_guards(spark):
+    docs = stx.read_stream(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="bands"):
+        stx.stateful_lsh_band_flags(docs, "doc_id", "text", num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="together"):
+        stx.stateful_lsh_band_flags(docs, "doc_id", "text", ts_col="ts")
+
+
+def test_stateful_lsh_band_flags_ttl_bounded_and_readmits(spark, tmp_path):
+    """TTL mode: expired band buckets are evicted (state bounded by the TTL
+    horizon) and a near-duplicate arriving after expiry re-claims its
+    buckets — mirroring the exact-dedup TTL contract bucket-wise."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "lsh_ttl_src"
+    d.mkdir()
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    # 4 batches like the exact-dedup TTL test: evictions only fire for
+    # keys WITHOUT data in a batch, so the re-claiming duplicate needs a
+    # filler batch between watermark advance and its own arrival.
+    batches = [
+        ("a.parquet", [10], [text], [_ts(10)]),
+        ("b.parquet", [20], ["filler words to advance the watermark forward"], [_ts(12)]),
+        ("c.parquet", [25], ["more filler words advancing the watermark again"], [_ts(12, 10)]),
+        ("d.parquet", [30], [text], [_ts(12, 30)]),
+    ]
+    for i, (name, ids, texts, tss) in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts),
+                    "ts": pa.array(tss, type=pa.timestamp("us")),
+                }
+            ),
+            d / name,
+        )
+        ns = (i + 1) * 1_000_000_000_000_000
+        os.utime(d / name, ns=(ns, ns))
+
+    def run(ttl, qn):
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        out = stx.stateful_lsh_band_flags(
+            stream, "doc_id", "text", ts_col="ts", ttl_seconds=ttl
+        )
+        res = stx.run_stream_to_batch(out, query_name=qn, output_mode="append")
+        return {
+            r["doc_id"]: r["keep"]
+            for r in res.groupBy("doc_id")
+            .agg(F.bool_and("first_in_bucket").alias("keep"))
+            .collect()
+        }
+
+    # TTL beyond the stream span: the later identical doc is flagged
+    assert run(10**7, "t_lsh_ttl_long") == {10: True, 20: True, 25: True, 30: False}
+    # TTL 600 s: doc 10's buckets (ts 10:00, timeout 10:10) are evicted
+    # while batch c processes (watermark already past) — the identical
+    # doc 30 then re-claims every bucket
+    assert run(600, "t_lsh_ttl_short") == {10: True, 20: True, 25: True, 30: True}
