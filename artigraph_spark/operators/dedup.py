@@ -48,6 +48,36 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
+def poly_char_hash(
+    s: Column, mult: int = 131, mod: int = (1 << 31) - 1
+) -> Column:
+    """Engine-exact polynomial char fold ``acc = (acc·mult + codepoint(c))
+    mod mod`` — THE shared primitive under every oracle-replayable string
+    hash in the repo (minhash id fallbacks, simhash poly62, CDC token
+    hashes). One definition so the Spark expression and its DuckDB twins
+    cannot drift constant-by-constant. Assumes BMP text (Spark's ascii()
+    is UTF-16-unit-based); exact on ASCII corpora."""
+    return F.aggregate(
+        F.filter(F.split(s, ""), lambda ch: ch != ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * mult + F.ascii(ch)) % F.lit(mod),
+    )
+
+
+def _fallback_doc_id(id_col: str) -> Column:
+    """Deterministic sub-2³¹ integer for a token-less document's id-derived
+    signature: numeric ids use the value (oracle: ``id % 2147483647``),
+    non-numeric ids the polynomial char hash (a plain cast would raise
+    under ANSI mode)."""
+    return F.pmod(
+        F.coalesce(
+            F.col(id_col).try_cast("long"),
+            poly_char_hash(F.col(id_col).cast("string")),
+        ),
+        F.lit((1 << 31) - 1),
+    )
+
+
 def _hash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic universal-hash coefficients (a odd, < 2^31)."""
     coeffs = []
@@ -126,14 +156,7 @@ def minhash_signatures(
     # use the id value (oracle-expressible as `id % 2^31-1`); non-numeric
     # string ids fall back to an engine-independent polynomial char hash —
     # a plain cast would raise under ANSI mode.
-    str_hash = F.aggregate(
-        F.filter(F.split(F.col(id_col).cast("string"), ""), lambda ch: ch != ""),
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 131 + F.ascii(ch)) % F.lit((1 << 31) - 1),
-    )
-    fallback_id = F.pmod(
-        F.coalesce(F.col(id_col).try_cast("long"), str_hash), F.lit((1 << 31) - 1)
-    )
+    fallback_id = _fallback_doc_id(id_col)
     out = df.select(F.col(id_col)).join(sigs, id_col, "left")
     return out.select(
         F.col(id_col),
@@ -221,14 +244,7 @@ def minhash_signatures_shingled(
     )
     # id-derived fallback for token-less documents (the minhash_signatures
     # convention — dropping rows would silently lose documents downstream)
-    str_hash = F.aggregate(
-        F.filter(F.split(F.col(id_col).cast("string"), ""), lambda ch: ch != ""),
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 131 + F.ascii(ch)) % F.lit((1 << 31) - 1),
-    )
-    fallback_id = F.pmod(
-        F.coalesce(F.col(id_col).try_cast("long"), str_hash), F.lit((1 << 31) - 1)
-    )
+    fallback_id = _fallback_doc_id(id_col)
     out = df.select(F.col(id_col)).join(sigs, id_col, "left")
     return out.select(
         F.col(id_col),
@@ -328,6 +344,26 @@ def _signature_key(num_hashes: int) -> Column:
     return F.concat_ws("_", *[_null_safe_sig(f"mh{i}") for i in range(num_hashes)])
 
 
+def band_key_array(num_hashes: int, bands: int) -> Column:
+    """The ``bands`` LSH band-signature keys of an mh0..mh{n-1} row, as an
+    array (posexplode it for (band_id, band_sig) rows). ONE definition
+    shared by the batch `lsh_candidate_pairs` path and the streaming
+    `stateful_lsh_band_flags` gate, so their bucketing can never drift."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    _null_safe_sig(f"mh{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def _banded_signatures(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """One row per (distinct signature, band): the duplicate-collapse
     prepass both LSH variants share. Bands one representative per distinct
@@ -339,20 +375,7 @@ def _banded_signatures(sigs: DataFrame, num_hashes: int, bands: int) -> DataFram
     )
     return uniq.select(
         "__sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        *[
-                            _null_safe_sig(f"mh{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_sig"),
+        F.posexplode(band_key_array(num_hashes, bands)).alias("band_id", "band_sig"),
     )
 
 
@@ -689,17 +712,8 @@ def simhash(
     if hash_fn == "poly62" and bits > 62:
         raise ValueError(f"poly62 provides 62 hash bits; got bits={bits}")
     if hash_fn == "poly62":
-        chars = F.filter(F.split(F.col("token"), ""), lambda c: c != "")
-        h1 = F.aggregate(
-            chars,
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit((1 << 31) - 1),
-        )
-        h2 = F.aggregate(
-            chars,
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 137 + F.ascii(c)) % F.lit(2147483629),
-        )
+        h1 = poly_char_hash(F.col("token"))
+        h2 = poly_char_hash(F.col("token"), mult=137, mod=2147483629)
         token_hash = h1 * F.lit(1 << 31).cast("long") + h2
     else:
         token_hash = F.xxhash64("token")

@@ -154,8 +154,16 @@ def cosine_topk_lsh(
     same-bucket pairs, deduped before scoring. Recall ≈ 1−(1−p^k)^L where
     p = 1−θ/π — single-table LSH recalls poorly (measured 0.16 on the
     fixture); 8×4 recalls ≳0.9. The candidate join is an equi-join on
-    (table, bucket) — shuffle-partitioned, no all-pairs. Not
-    oracle-checkable (approximate); recall asserted vs brute force in tests.
+    (table, bucket) — shuffle-partitioned, no all-pairs.
+
+    ORACLE CONTRACT (r12): although approximate, the result is a
+    deterministic VALUE both engines agree on exactly — the seeded
+    hyperplanes are Python-side constants baked into the plan as
+    literals, and the DuckDB oracle for query ``cosine_topk_lsh``
+    replays each plane dot as the identical LEFT FOLD this function
+    builds with ``F.aggregate``. Do not replace that fold with a
+    reordered/pairwise sum: a near-zero plane dot could flip a sign
+    bit and the bucket sets (and the oracle) would diverge.
     """
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)

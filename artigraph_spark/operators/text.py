@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from artigraph_spark.functions import dsum
-from artigraph_spark.operators.dedup import tokens
+from artigraph_spark.operators.dedup import poly_char_hash, tokens
 from artigraph_spark.operators.packing import ngrams_from_tokens
 
 
@@ -171,16 +171,14 @@ def content_defined_chunks(
         raise ValueError(f"window must be >= 1, got {window}")
     if not 0 <= mask_bits <= 20:
         raise ValueError(f"mask_bits must be in [0, 20], got {mask_bits}")
+    # acc < 2^31 in the fold, so base must stay < 2^31 or acc·base
+    # overflows int64 (ANSI abort; silent wrap + oracle divergence
+    # otherwise)
+    if not 2 <= base < (1 << 31):
+        raise ValueError(f"base must be in [2, 2^31), got {base}")
     m31 = (1 << 31) - 1
     mask = (1 << mask_bits) - 1
-    tokh = F.transform(
-        F.col("__toks"),
-        lambda t: F.aggregate(
-            F.filter(F.split(t, ""), lambda c: c != ""),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(m31),
-        ),
-    )
+    tokh = F.transform(F.col("__toks"), lambda t: poly_char_hash(t))
 
     def fold(arr):
         return F.aggregate(

@@ -98,7 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_end2end",
     # (3) the 2 remaining r5-stale re-greens
     "unigram_logprob", "union_by_name_missing",
-    # (4) 37 of the 43 remaining r6-stale re-greens (alphabetical;
+    # (4) 36 of the 43 remaining r6-stale re-greens (alphabetical;
     #     minhash_signatures moved up to group 2)
     "agg_approx", "audience_overlap_click_purchase", "cms_decayed_topk",
     "cms_join_size", "constraint_report", "cosine_topk",

@@ -202,6 +202,36 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def _require_ttl_pair(ts_col, ttl_seconds) -> None:
+    if (ts_col is None) != (ttl_seconds is None):
+        raise ValueError("ts_col and ttl_seconds must be given together")
+
+
+def _epoch_ms_fn(session_tz):
+    """Event-time → epoch-ms converter for the TTL state operators.
+
+    Arrow hands the pandas UDF timestamps rendered in the SESSION timezone
+    and made tz-NAIVE; naive .timestamp() assumes UTC, so under a non-UTC
+    session tz the TTL horizon would shift by the UTC offset relative to
+    getCurrentWatermarkMs() (true epoch ms) and markers would expire hours
+    early. ONE definition (capture the session tz, re-localize in the UDF)
+    shared by every TTL-bounded state operator so a tz/DST fix can never
+    land in only one copy."""
+
+    def _epoch_ms(ts) -> int:
+        try:
+            return int(
+                ts.tz_localize(
+                    session_tz, ambiguous=True, nonexistent="shift_forward"
+                ).timestamp()
+                * 1000
+            )
+        except Exception:  # non-IANA tz string — fall back to naive-as-UTC
+            return int(ts.timestamp() * 1000)
+
+    return _epoch_ms
+
+
 def stateful_exact_dedup(
     df: DataFrame,
     id_col: str,
@@ -243,27 +273,10 @@ def stateful_exact_dedup(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    if (ts_col is None) != (ttl_seconds is None):
-        raise ValueError("ts_col and ttl_seconds must be given together")
+    _require_ttl_pair(ts_col, ttl_seconds)
     bounded = ts_col is not None
     columns = [f.name for f in df.schema.fields]
-    # Arrow hands the pandas UDF timestamps rendered in the SESSION timezone
-    # and made tz-NAIVE; naive .timestamp() assumes UTC, so under a non-UTC
-    # session tz the TTL horizon would shift by the UTC offset relative to
-    # getCurrentWatermarkMs() (true epoch ms) and markers would expire
-    # hours early. Capture the session tz now and re-localize in the UDF.
-    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-
-    def _epoch_ms(ts) -> int:
-        try:
-            return int(
-                ts.tz_localize(
-                    session_tz, ambiguous=True, nonexistent="shift_forward"
-                ).timestamp()
-                * 1000
-            )
-        except Exception:  # non-IANA tz string — fall back to naive-as-UTC
-            return int(ts.timestamp() * 1000)
+    _epoch_ms = _epoch_ms_fn(df.sparkSession.conf.get("spark.sql.session.timeZone"))
 
     def best_of(pdfs):
         best, max_ts = None, None
@@ -303,11 +316,15 @@ def stateful_exact_dedup(
         if best is None:
             return
         emit = not state.exists
-        state.update((True,))
-        # Sliding TTL from the last sighting; clamp above the current
-        # watermark (Spark rejects a timeout at/behind the watermark,
-        # which very-late data could otherwise produce).
-        candidate = _epoch_ms(max_ts) + ttl_seconds * 1000
+        # Sliding TTL from the last sighting — MONOTONE (r12): a late
+        # duplicate with an OLDER event time must never pull the horizon
+        # backward (it would evict the marker early and re-admit inside
+        # the documented TTL), so the horizon rides the state and only
+        # extends. Clamp above the current watermark (Spark rejects a
+        # timeout at/behind it, which very-late data could produce).
+        prev_horizon = state.get[1] if state.exists else 0
+        candidate = max(_epoch_ms(max_ts) + ttl_seconds * 1000, prev_horizon)
+        state.update((True, candidate))
         state.setTimeoutTimestamp(max(candidate, state.getCurrentWatermarkMs() + 1))
         if emit:
             yield pd.DataFrame({c: [best[c]] for c in columns})
@@ -319,7 +336,7 @@ def stateful_exact_dedup(
             .applyInPandasWithState(
                 update_ttl,
                 outputStructType=df.schema,  # full input row passes through
-                stateStructType="seen boolean",
+                stateStructType="seen boolean, horizon long",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )
@@ -374,13 +391,9 @@ def stateful_lsh_band_flags(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from artigraph_spark.operators.dedup import (
-        _null_safe_sig,
-        minhash_signatures_fast,
-    )
+    from artigraph_spark.operators.dedup import band_key_array, minhash_signatures_fast
 
-    if (ts_col is None) != (ttl_seconds is None):
-        raise ValueError("ts_col and ttl_seconds must be given together")
+    _require_ttl_pair(ts_col, ttl_seconds)
     if bands <= 0 or bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(
             f"bands must divide num_hashes evenly (got num_hashes={num_hashes}, "
@@ -392,24 +405,10 @@ def stateful_lsh_band_flags(
         df, id_col, text_col, num_hashes=num_hashes,
         shingle_size=shingle_size, keep_cols=keep,
     )
-    rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        *[
-                            _null_safe_sig(f"mh{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_sig"),
+        F.posexplode(band_key_array(num_hashes, bands)).alias("band_id", "band_sig"),
     )
     id_type = df.schema[id_col].dataType.simpleString()
     out_fields = [f"{id_col} {id_type}"]
@@ -418,18 +417,7 @@ def stateful_lsh_band_flags(
     out_fields += ["band_id int", "band_sig string", "first_in_bucket boolean"]
     out_schema = ", ".join(out_fields)
     out_cols = [id_col, *keep, "band_id", "band_sig"]
-    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-
-    def _epoch_ms(ts) -> int:
-        try:
-            return int(
-                ts.tz_localize(
-                    session_tz, ambiguous=True, nonexistent="shift_forward"
-                ).timestamp()
-                * 1000
-            )
-        except Exception:  # non-IANA tz string — fall back to naive-as-UTC
-            return int(ts.timestamp() * 1000)
+    _epoch_ms = _epoch_ms_fn(df.sparkSession.conf.get("spark.sql.session.timeZone"))
 
     def _flags(pdfs, already_claimed: bool):
         parts, max_ts = [], None
@@ -465,8 +453,13 @@ def stateful_lsh_band_flags(
         out, max_ts = _flags(pdfs, state.exists)
         if out is None:
             return
-        state.update((True,))
-        candidate = _epoch_ms(max_ts) + ttl_seconds * 1000
+        # MONOTONE sliding TTL (the stateful_exact_dedup rule): a late
+        # duplicate with an older event time never pulls the horizon
+        # backward — it would evict the bucket early, re-admitting
+        # near-dups inside the documented TTL.
+        prev_horizon = state.get[1] if state.exists else 0
+        candidate = max(_epoch_ms(max_ts) + ttl_seconds * 1000, prev_horizon)
+        state.update((True, candidate))
         state.setTimeoutTimestamp(max(candidate, state.getCurrentWatermarkMs() + 1))
         yield out
 
@@ -477,7 +470,7 @@ def stateful_lsh_band_flags(
             .applyInPandasWithState(
                 update_ttl,
                 outputStructType=out_schema,
-                stateStructType="seen boolean",
+                stateStructType="seen boolean, horizon long",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )

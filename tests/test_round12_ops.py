@@ -241,3 +241,11 @@ def test_cdc_chunks_param_guards(spark):
         content_defined_chunks(df, "doc_id", "text", window=0)
     with pytest.raises(ValueError, match="mask_bits"):
         content_defined_chunks(df, "doc_id", "text", mask_bits=21)
+
+
+def test_cdc_chunks_base_guard(spark):
+    from artigraph_spark.operators.text import content_defined_chunks
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="base"):
+        content_defined_chunks(df, "doc_id", "text", base=1 << 33)

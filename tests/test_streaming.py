@@ -1343,3 +1343,62 @@ def test_stateful_lsh_band_flags_ttl_bounded_and_readmits(spark, tmp_path):
     # while batch c processes (watermark already past) — the identical
     # doc 30 then re-claims every bucket
     assert run(600, "t_lsh_ttl_short") == {10: True, 20: True, 25: True, 30: True}
+
+
+def test_stateful_lsh_band_flags_ttl_horizon_is_monotone(spark, tmp_path):
+    """A LATE duplicate with an OLDER event time must not pull a bucket's
+    TTL horizon backward (it would evict the marker early and re-admit
+    near-dups inside the documented TTL) — the r12 monotone-horizon rule,
+    shared with stateful_exact_dedup."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "lsh_mono_src"
+    d.mkdir()
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    batches = [
+        ("a.parquet", [10], [text], [_ts(10)]),          # horizon 11:00 (ttl 1h)
+        ("b.parquet", [11], [text], [_ts(8, 30)]),        # late older dup: 9:30 must NOT win
+        ("c.parquet", [20], ["filler words to advance the watermark"], [_ts(12)]),
+        ("d.parquet", [21], ["more filler words advancing it again"], [_ts(12, 10)]),
+        ("e.parquet", [30], [text], [_ts(12, 20)]),       # horizon 11:00 already passed? no: wm 10:10 < 11:00
+    ]
+    for i, (name, ids, texts, tss) in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts),
+                    "ts": pa.array(tss, type=pa.timestamp("us")),
+                }
+            ),
+            d / name,
+        )
+        ns = (i + 1) * 1_000_000_000_000_000
+        os.utime(d / name, ns=(ns, ns))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = stx.run_stream_to_batch(
+        stx.stateful_lsh_band_flags(
+            stream, "doc_id", "text",
+            ts_col="ts", ttl_seconds=3600, watermark_delay="2 hours",
+        ),
+        query_name="t_lsh_ttl_mono",
+        output_mode="append",
+    )
+    gate = {
+        r["doc_id"]: r["keep"]
+        for r in out.groupBy("doc_id")
+        .agg(F.bool_and("first_in_bucket").alias("keep"))
+        .collect()
+    }
+    # Without the monotone rule the late older dup (doc 11) re-arms the
+    # horizon to 9:30, the filler batches evict the buckets, and doc 30
+    # would be WRONGLY re-admitted (keep=True).
+    assert gate == {10: True, 11: False, 20: True, 21: True, 30: False}
