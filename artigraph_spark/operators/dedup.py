@@ -64,6 +64,29 @@ def poly_char_hash(
     )
 
 
+def poly_char_hash2(
+    s: Column,
+    mult1: int = 131,
+    mod1: int = (1 << 31) - 1,
+    mult2: int = 137,
+    mod2: int = 2147483629,
+) -> Column:
+    """TWO independent :func:`poly_char_hash` folds of the same string in
+    ONE char traversal (struct accumulator) — same per-hash recurrence,
+    half the split/walk work where both hashes are needed (simhash
+    poly62's 62-bit packing). Returns struct(h1, h2)."""
+    return F.aggregate(
+        F.filter(F.split(s, ""), lambda ch: ch != ""),
+        F.struct(
+            F.lit(0).cast("long").alias("h1"), F.lit(0).cast("long").alias("h2")
+        ),
+        lambda acc, ch: F.struct(
+            ((acc["h1"] * mult1 + F.ascii(ch)) % F.lit(mod1)).alias("h1"),
+            ((acc["h2"] * mult2 + F.ascii(ch)) % F.lit(mod2)).alias("h2"),
+        ),
+    )
+
+
 def _fallback_doc_id(id_col: str) -> Column:
     """Deterministic sub-2³¹ integer for a token-less document's id-derived
     signature: numeric ids use the value (oracle: ``id % 2147483647``),
@@ -712,9 +735,8 @@ def simhash(
     if hash_fn == "poly62" and bits > 62:
         raise ValueError(f"poly62 provides 62 hash bits; got bits={bits}")
     if hash_fn == "poly62":
-        h1 = poly_char_hash(F.col("token"))
-        h2 = poly_char_hash(F.col("token"), mult=137, mod=2147483629)
-        token_hash = h1 * F.lit(1 << 31).cast("long") + h2
+        hh = poly_char_hash2(F.col("token"))
+        token_hash = hh["h1"] * F.lit(1 << 31).cast("long") + hh["h2"]
     else:
         token_hash = F.xxhash64("token")
     doc_tokens = df.select(
