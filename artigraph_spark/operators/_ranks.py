@@ -231,7 +231,24 @@ def bucketed_prefix_sums(
     out_cast = lambda col, i: col.cast("long") if integral[i] else col  # noqa: E731
     v = F.col(value_col)
     if bucket_col is not None:
-        hb = hist.withColumn("__bk", F.col(bucket_col).cast("int"))
+        # bucket_col is the one EXTERNALLY-supplied bucket id (the internal
+        # branch computes __bk itself, never NULL). The offsets equi-join on
+        # __bk is null-unsafe, so a NULL id would silently DROP those
+        # histogram rows — fail loudly instead.
+        hb = hist.withColumn(
+            "__bk",
+            F.when(
+                F.col(bucket_col).isNotNull(), F.col(bucket_col).cast("int")
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"bucketed_prefix_sums: NULL bucket id in bucket_col "
+                        f"{bucket_col!r} (ids must be a prior pass's non-NULL "
+                        f"keep_bucket output)"
+                    )
+                )
+            ),
+        )
     elif isinstance(hist.schema[value_col].dataType, NumericType):
         rng = _range_frame(hist, v)
         hb = hist.crossJoin(F.broadcast(rng)).withColumn(

@@ -91,7 +91,14 @@ def _fallback_doc_id(id_col: str) -> Column:
     """Deterministic sub-2³¹ integer for a token-less document's id-derived
     signature: numeric ids use the value (oracle: ``id % 2147483647``),
     non-numeric ids the polynomial char hash (a plain cast would raise
-    under ANSI mode)."""
+    under ANSI mode).
+
+    ORACLE CONTRACT: this uses ``pmod`` (always non-negative) while the
+    DuckDB oracles replay it as plain ``doc_id % 2147483647`` (sign
+    follows the dividend) — identical only for NON-NEGATIVE numeric ids,
+    which both the testdata and the documented corpus id convention
+    guarantee. A corpus with negative numeric ids needs the oracles
+    rewritten pmod-style: ``((doc_id % m) + m) % m``."""
     return F.pmod(
         F.coalesce(
             F.col(id_col).try_cast("long"),
@@ -307,6 +314,16 @@ def minhash_signatures_fast(
     its watermark; the default empty tuple keeps every existing caller's
     plan identical).
     """
+    reserved = {"__toks", "__tokh", "__ntxt", "__sh", "__fh", id_col} | {
+        f"mh{i}" for i in range(num_hashes)
+    }
+    bad = sorted(set(keep_cols) & reserved)
+    if bad:
+        raise ValueError(
+            f"minhash_signatures_fast: keep_cols {bad} collide with the "
+            f"operator's staging/output column names (reserved: internal "
+            f"__toks/__tokh/__ntxt/__sh/__fh, the id column, and mh0..mh{num_hashes - 1})"
+        )
     # Stage the intermediate arrays as real columns: every stage references
     # the previous one many times, and inlining (what a single select would
     # do) makes the expression tree — and the work — multiply out.

@@ -221,6 +221,10 @@ def cdc_chunks_docs(spark, sf_dir):
 
 
 def _minhash_oracle(num_hashes: int = 8, seed: int = 42) -> str:
+    # Fallback replay note: the engine's _fallback_doc_id uses pmod
+    # (non-negative); the `doc_id % 2147483647` below matches it only for
+    # NON-NEGATIVE ids — guaranteed by the testdata / corpus id convention
+    # (see operators.dedup._fallback_doc_id's ORACLE CONTRACT).
     from artigraph_spark.operators.dedup import _P, _hash_coeffs
 
     coeffs = _hash_coeffs(num_hashes, seed)
@@ -271,7 +275,9 @@ def _shingled_minhash_oracle(
     """DuckDB twin of operators.dedup.minhash_signatures_shingled: sorted
     token dictionary, positional polynomial shingle hash (the Spark fold
     order replayed term by term), 31-bit fold, k universal-hash min
-    transforms, id-derived fallback for token-less docs."""
+    transforms, id-derived fallback for token-less docs (the
+    ``doc_id % 2147483647`` fallback assumes NON-NEGATIVE ids — see
+    operators.dedup._fallback_doc_id's ORACLE CONTRACT)."""
     from artigraph_spark.operators.dedup import _P, _hash_coeffs
 
     combiners = _hash_coeffs(shingle_size, seed + 7919)

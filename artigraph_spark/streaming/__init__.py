@@ -207,6 +207,21 @@ def _require_ttl_pair(ts_col, ttl_seconds) -> None:
         raise ValueError("ts_col and ttl_seconds must be given together")
 
 
+def _require_timestamp(df: DataFrame, ts_col: str, op_name: str) -> None:
+    """TTL bounding needs a real event-time column: a non-timestamp ts_col
+    would only fail deep inside withWatermark / the pandas tz re-localize
+    with an opaque error, so reject it at the API boundary (the
+    restricted_mean_survival guard style)."""
+    from pyspark.sql.types import TimestampType
+
+    dt = df.schema[ts_col].dataType
+    if not isinstance(dt, TimestampType):
+        raise TypeError(
+            f"{op_name}: ts_col {ts_col!r} must be a timestamp column, "
+            f"got {dt.simpleString()}"
+        )
+
+
 def _epoch_ms_fn(session_tz):
     """Event-time → epoch-ms converter for the TTL state operators.
 
@@ -269,12 +284,23 @@ def stateful_exact_dedup(
       AFTER its hash expired is re-admitted (emitted again); pick
       ``ttl_seconds`` at the scale of real duplicate locality (crawl
       re-fetch windows), exactly the compaction the 100 TB posture needs.
+
+    **Checkpoint compatibility**: r12 widened the TTL-mode state schema
+    from ``seen boolean`` to ``seen boolean, horizon long`` (the monotone
+    sliding-TTL horizon). A TTL-bounded stream resumed from a pre-r12
+    checkpoint fails Spark's state-schema validation — restart such a
+    stream from a fresh checkpoint (the unbounded mode's schema is
+    unchanged). The state read below also len-guards the tuple so any
+    single-field state that does surface is read as horizon-0 rather
+    than misread.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     _require_ttl_pair(ts_col, ttl_seconds)
     bounded = ts_col is not None
+    if bounded:
+        _require_timestamp(df, ts_col, "stateful_exact_dedup")
     columns = [f.name for f in df.schema.fields]
     _epoch_ms = _epoch_ms_fn(df.sparkSession.conf.get("spark.sql.session.timeZone"))
 
@@ -322,7 +348,10 @@ def stateful_exact_dedup(
         # the documented TTL), so the horizon rides the state and only
         # extends. Clamp above the current watermark (Spark rejects a
         # timeout at/behind it, which very-late data could produce).
-        prev_horizon = state.get[1] if state.exists else 0
+        # len-guard: a pre-r12 single-field (seen,) state reads as
+        # horizon 0 instead of raising (see docstring).
+        prev = state.get if state.exists else ()
+        prev_horizon = prev[1] if len(prev) > 1 else 0
         candidate = max(_epoch_ms(max_ts) + ttl_seconds * 1000, prev_horizon)
         state.update((True, candidate))
         state.setTimeoutTimestamp(max(candidate, state.getCurrentWatermarkMs() + 1))
@@ -394,6 +423,8 @@ def stateful_lsh_band_flags(
     from artigraph_spark.operators.dedup import band_key_array, minhash_signatures_fast
 
     _require_ttl_pair(ts_col, ttl_seconds)
+    if ts_col is not None:
+        _require_timestamp(df, ts_col, "stateful_lsh_band_flags")
     if bands <= 0 or bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(
             f"bands must divide num_hashes evenly (got num_hashes={num_hashes}, "
@@ -457,7 +488,8 @@ def stateful_lsh_band_flags(
         # duplicate with an older event time never pulls the horizon
         # backward — it would evict the bucket early, re-admitting
         # near-dups inside the documented TTL.
-        prev_horizon = state.get[1] if state.exists else 0
+        prev = state.get if state.exists else ()
+        prev_horizon = prev[1] if len(prev) > 1 else 0
         candidate = max(_epoch_ms(max_ts) + ttl_seconds * 1000, prev_horizon)
         state.update((True, candidate))
         state.setTimeoutTimestamp(max(candidate, state.getCurrentWatermarkMs() + 1))
