@@ -856,6 +856,96 @@ def dedup_segments(
     return rebuilt
 
 
+def cdc_chunk_dedup_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 4,
+    mask_bits: int = 4,
+    base: int = 1_000_003,
+    max_df: int = 50,
+    min_shared: int = 2,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Corpus-level near-dup report over CONTENT-DEFINED chunk
+    fingerprints — the consumer shape
+    :func:`..text.content_defined_chunks` exists to feed: because CDC
+    boundaries re-lock within ~``window`` tokens of an edit, two crawl
+    snapshots that differ by one inserted paragraph still share every
+    chunk outside the edited neighborhood, so this report surfaces them
+    where ``dedup_segments``' fixed spans (all shifted) match nothing.
+
+    Pipeline: distinct (doc, chunk_fp) → per-fp document frequency →
+    drop singleton fps (nothing to pair) AND fps in more than ``max_df``
+    docs (boilerplate "stop chunks" — the set-similarity stop-member cap;
+    a fp in m docs creates m² pair candidates, so the cap bounds the
+    self-join at Σ df² ≤ max_df · Σ df, linear in corpus size) →
+    fp-keyed self-join (a < b) → per-pair rollup, keeping pairs sharing
+    at least ``min_shared`` chunks.
+
+    All integer columns, exact across engines (the chunk fingerprints are
+    the oracle-replayable poly-fold). Shuffles: two groupBys and one
+    equi-join, all on chunk_fp, plus the final pair groupBy and two
+    doc-keyed total joins — nothing all-pairs, nothing data-sized on one
+    partition.
+
+    Returns ``(doc_a, doc_b, shared_chunks, shared_tokens, chunks_a,
+    chunks_b)`` — shared_tokens sums the fp-level token length (the max
+    across occurrences, identical for non-colliding fps), chunks_a/b are
+    the docs' distinct-chunk totals for containment scoring downstream.
+    """
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2 (pairs need df >= 2), got {max_df}")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    from artigraph_spark.operators.text import content_defined_chunks
+
+    ch = content_defined_chunks(
+        df, id_col, text_col, window=window, mask_bits=mask_bits, base=base
+    )
+    # Materialize the (doc, fp) frame ONCE: four consumers hang off it
+    # (fpstats, both self-join sides, totals), and without the cut each
+    # would re-run the O(n·window) chunking scan unless exchange reuse
+    # happens to fire — at corpus scale the chunking pass dominates, so
+    # guarantee it runs once (the dedup_clusters checkpoint-routing rule;
+    # measured faster warm even at sf0.1).
+    per = _ckpt(
+        ch.groupBy(F.col(id_col), F.col("chunk_fp")).agg(
+            F.max("chunk_tokens").alias("__tok")
+        ),
+        checkpoint_dir,
+    )
+    fpstats = per.groupBy("chunk_fp").agg(
+        F.count(F.lit(1)).alias("__df"), F.max("__tok").alias("__ftok")
+    )
+    cand = per.join(
+        fpstats.filter((F.col("__df") >= 2) & (F.col("__df") <= max_df)),
+        "chunk_fp",
+    ).select(F.col(id_col), F.col("chunk_fp"), F.col("__ftok"))
+    pairs = (
+        cand.select(F.col(id_col).alias("doc_a"), "chunk_fp", "__ftok")
+        .join(cand.select(F.col(id_col).alias("doc_b"), "chunk_fp"), "chunk_fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    rep = (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_chunks"),
+            F.sum("__ftok").cast("long").alias("shared_tokens"),
+        )
+        .filter(F.col("shared_chunks") >= min_shared)
+    )
+    tot = per.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("__nch")
+    )
+    return (
+        rep.join(tot.select(F.col(id_col).alias("doc_a"), F.col("__nch").alias("chunks_a")), "doc_a")
+        .join(tot.select(F.col(id_col).alias("doc_b"), F.col("__nch").alias("chunks_b")), "doc_b")
+        .select("doc_a", "doc_b", "shared_chunks", "shared_tokens", "chunks_a", "chunks_b")
+    )
+
+
 def dedup_against(
     new_df: DataFrame,
     ref_df: DataFrame,

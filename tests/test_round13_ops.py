@@ -80,3 +80,170 @@ def test_stateful_dedup_ts_col_type_guard(spark):
     )
     with pytest.raises(TypeError, match="stateful_lsh_band_flags.*timestamp"):
         stateful_lsh_band_flags(df2, "doc_id", "text", ts_col="ts", ttl_seconds=60)
+
+
+# ------------------------------------------------- cdc_chunk_dedup_report
+
+
+def test_cdc_chunk_dedup_finds_shifted_twin(spark):
+    # Doc 2 is doc 1 with a token inserted at the top — fixed-span dedup
+    # matches nothing, but CDC chunks re-lock so the pair is reported.
+    from artigraph_spark.operators.dedup import cdc_chunk_dedup_report
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again until "
+        "done and then some more words to make several chunks appear here "
+        "finally the end of the document arrives now"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted " + base), (3, "totally unrelated words only")],
+        "doc_id: long, text: string",
+    )
+    rows = cdc_chunk_dedup_report(
+        df, "doc_id", "text", window=3, mask_bits=2, min_shared=1
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+    r = rows[0]
+    # shift-robustness: at most the chunk(s) near the edit differ
+    assert r["shared_chunks"] >= min(r["chunks_a"], r["chunks_b"]) - 1
+    assert r["shared_tokens"] >= 1
+
+
+def test_cdc_chunk_dedup_stop_chunk_cap(spark):
+    # A chunk fingerprint present in MORE than max_df docs is a stop
+    # chunk: it must not create pairs on its own.
+    from artigraph_spark.operators.dedup import cdc_chunk_dedup_report
+
+    boiler = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 6)], "doc_id: long, text: string"
+    )
+    # all 5 docs share every chunk; with max_df=4 the fps are capped out
+    rows = cdc_chunk_dedup_report(
+        df, "doc_id", "text", window=3, mask_bits=1, max_df=4, min_shared=1
+    ).collect()
+    assert rows == []
+    # with max_df=5 all 10 pairs surface
+    rows = cdc_chunk_dedup_report(
+        df, "doc_id", "text", window=3, mask_bits=1, max_df=5, min_shared=1
+    ).collect()
+    assert len(rows) == 10
+
+
+def test_cdc_chunk_dedup_param_guards(spark):
+    from artigraph_spark.operators.dedup import cdc_chunk_dedup_report
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="max_df"):
+        cdc_chunk_dedup_report(df, "doc_id", "text", max_df=1)
+    with pytest.raises(ValueError, match="min_shared"):
+        cdc_chunk_dedup_report(df, "doc_id", "text", min_shared=0)
+
+
+# ----------------------------------------------------------- semdedup
+
+
+def test_semdedup_prunes_in_cluster_twin_keeps_smaller_id(spark):
+    from artigraph_spark.operators.similarity import semdedup
+
+    # Two tight pairs far apart + one loner. k=2 puts each pair in its
+    # own cluster; within a pair cosine ≈ 1 → the larger id is pruned.
+    rows = [
+        (1, [1.0, 0.0, 0.1]),
+        (2, [0.99, 0.01, 0.1]),   # near-twin of 1
+        (10, [0.0, 1.0, -0.1]),
+        (11, [0.01, 0.99, -0.1]),  # near-twin of 10
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {r["vec_id"]: r for r in semdedup(
+        df, k=2, iterations=2, qbits=8, threshold=(9, 10)
+    ).collect()}
+    assert len(out) == 4
+    assert out[1]["pruned"] == 0 and out[2]["pruned"] == 1
+    assert out[10]["pruned"] == 0 and out[11]["pruned"] == 1
+    assert out[1]["cluster"] == out[2]["cluster"]
+    assert out[10]["cluster"] == out[11]["cluster"]
+    assert out[1]["cluster"] != out[10]["cluster"]
+
+
+def test_semdedup_cross_cluster_twins_not_pruned(spark):
+    # SemDeDup only prunes WITHIN a cluster: identical vectors forced
+    # into different clusters survive. With k=4 and 4 points, each seed
+    # is its own cluster at iteration 0; vectors stay where assignment
+    # puts them — use k = n so every point seeds a cluster.
+    from artigraph_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {r["vec_id"]: r["pruned"] for r in semdedup(
+        df, k=2, iterations=1, qbits=8, threshold=(1, 10)
+    ).collect()}
+    # orthogonal vectors: cosine 0 < any positive threshold → no prune
+    assert out == {1: 0, 2: 0}
+
+
+def test_semdedup_zero_vector_never_pruned_or_pruning(spark):
+    from artigraph_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [0.5, 0.5]),
+        (2, [0.5, 0.5]),
+        (3, [0.0, 0.0]),  # zero norm: cosine undefined → never matches
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {r["vec_id"]: r["pruned"] for r in semdedup(
+        df, k=1, iterations=1, qbits=8, threshold=(9, 10)
+    ).collect()}
+    assert out[2] == 1  # exact twin of 1, same cluster
+    assert out[3] == 0  # zero vector survives
+
+
+def test_semdedup_param_guards(spark):
+    from artigraph_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id: long, embedding: array<float>")
+    with pytest.raises(ValueError, match="threshold"):
+        semdedup(df, threshold=(0, 10))
+    with pytest.raises(ValueError, match="threshold"):
+        semdedup(df, threshold=(11, 10))
+    with pytest.raises(ValueError, match="qbits"):
+        semdedup(df, qbits=0)
+
+
+def test_kmeans_matmul_assignment_matches_unrolled(spark, monkeypatch):
+    # The two assignment strategies (literal JVM arms vs Arrow numpy
+    # matmul) must be bit-identical: same quantized ints, same (d, j)
+    # tie-break. Force the matmul path by dropping the switch to 0.
+    import artigraph_spark.operators.similarity as sim
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) / 11 - 0.4 for d in range(8)])
+            for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    a = {(r["vec_id"], r["cluster"], r["dist_q"])
+         for r in sim.kmeans_exact(df, k=5, iterations=2, qbits=10).collect()}
+    monkeypatch.setattr(sim, "_UNROLL_MAX_K", 0)
+    b = {(r["vec_id"], r["cluster"], r["dist_q"])
+         for r in sim.kmeans_exact(df, k=5, iterations=2, qbits=10).collect()}
+    assert a == b
+    assert len(a) == 40
+
+
+def test_kmeans_matmul_tie_break_prefers_lowest_cluster(spark, monkeypatch):
+    # Duplicate seed points make centroids 0 and 1 identical: every point
+    # equidistant to both must land in cluster 0 on BOTH paths.
+    import artigraph_spark.operators.similarity as sim
+
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5]), (4, [0.52, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    a = {r["vec_id"]: r["cluster"]
+         for r in sim.kmeans_exact(df, k=2, iterations=0, qbits=8).collect()}
+    monkeypatch.setattr(sim, "_UNROLL_MAX_K", 0)
+    b = {r["vec_id"]: r["cluster"]
+         for r in sim.kmeans_exact(df, k=2, iterations=0, qbits=8).collect()}
+    assert a == b
+    assert a[1] == 0 and a[2] == 0
