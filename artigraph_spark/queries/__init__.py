@@ -59,61 +59,56 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 # r10 clears the 28 oldest r4-stale; r11 should clear the 3 remaining
 # r4-stale plus the 43 r5-stale and start on r6.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-12 ROTATION. Recorded-window history after r11 (CORRECTNESS
-    # census at round start): {r5:2, r6:44, r7:36, r8:41, r9:42,
-    # r10:49, r11:50}; 4 oracle-bearing queries never recorded — the
-    # former rows-only twins, which gained FULL first-party oracles
-    # this round (minhash_lsh_pairs on exact-integer shingled
-    # signatures; dedup_clusters end-to-end incl. a RECURSIVE-CTE
-    # components oracle; simhash_fingerprints on the poly62 flavor;
-    # cosine_topk_lsh via embedded hyperplane literals + left-fold
-    # dots) — plus ONE elective addition (cdc_chunks_docs:
-    # content-defined chunking, the shift-robust member the
-    # dedup/fingerprint family lacked; registry-growth policy allows
-    # genuine family gaps). Window: 5 never + 7 impl/oracle-changed +
-    # 2 r5-stale + 36 r6-stale = exactly 50; the last 7 alphabetical
-    # r6 (window_rank_family, window_running_agg, window_session,
-    # window_sliding, window_topk_per_group, window_tumbling,
-    # zorder_cluster_keys) spill to r13's head. After the driver
-    # records r12 the census should read {r6:7, r7:36, r8:41, r9:42,
-    # r10:49, r11:39, r12:50}.
-    # Impl-changed detail: survival_km_users + survival_km_by_first_event
-    # (kaplan_meier's chained prefix passes fused onto one bucketing —
-    # keep_bucket/bucket_col in bucketed_prefix_sums);
-    # rmst_signup_by_cohort (integral-duration + negative-duration
-    # guards, the r11 advice medium item); logrank_click_vs_rest
-    # (risk-table lineage cut); quantile_normalize_quantity (range
-    # probe moved to the distinct-pair level — the data-sized BNLJ is
-    # gone); minhash_signatures (wasted data-sized distinct removed);
-    # dedup_minhash_end2end (dedup_clusters' signature lineage cut —
-    # values unchanged, plan changed).
-    # (1) never recorded — first driver rows (new oracles + the round's
-    #     one elective addition)
-    "minhash_lsh_pairs", "dedup_clusters", "simhash_fingerprints",
-    "cosine_topk_lsh", "cdc_chunks_docs",
-    # (2) implementation/oracle changed this round
+    # ROUND-13 ROTATION. Recorded-window census at round start:
+    # {r6:7, r7:36, r8:40, r9:42, r10:49, r11:44, r12:50}; no
+    # never-recorded queries. Window: 2 new + 6 impl-changed + the 7
+    # r6-stale spillovers named by the r12 policy + 35 of the 36
+    # r7-stale (alphabetical; target_encode_orders spills to r14's
+    # head) = exactly 50. Expected census after the driver records
+    # r13: {r7:1, r8:40, r9:42, r10:49, r11:44, r12:44, r13:50}.
+    # New-query rationale (registry-growth policy: genuine family
+    # gaps only): semdedup_clusters is the embedding-space dedup
+    # member (existing members are all lexical) per the r12 verdict's
+    # own #4; cdc_chunk_dedup closes the corpus-consumer loop on r12's
+    # content_defined_chunks per verdict #5.
+    # Impl-changed detail: dedup_clusters + dedup_minhash_end2end
+    # (connected_components' convergence probe became a monotone
+    # decimal-sum scan — the per-round node-keyed join+count is gone;
+    # values unchanged, plan changed); survival_km_users,
+    # survival_km_by_first_event, rmst_signup_by_cohort,
+    # logrank_click_vs_rest (bucketed_prefix_sums' external-bucket
+    # branch gained the NULL-id raise guard — kaplan_meier's pass 2
+    # rides bucket_col, so the plan expression changed; values
+    # unchanged). kmeans_embeddings is NOT counted: kmeans_exact's
+    # assignment switch only adds a k>16 branch the k=4 query never
+    # takes (plan byte-identical, equality pinned by
+    # test_round13_ops.py::test_kmeans_matmul_assignment_matches_unrolled).
+    # (1) new this round — first driver rows
+    "semdedup_clusters", "cdc_chunk_dedup",
+    # (2) implementation changed this round
+    "dedup_clusters", "dedup_minhash_end2end",
     "survival_km_users", "survival_km_by_first_event",
     "rmst_signup_by_cohort", "logrank_click_vs_rest",
-    "quantile_normalize_quantity", "minhash_signatures",
-    "dedup_minhash_end2end",
-    # (3) the 2 remaining r5-stale re-greens
-    "unigram_logprob", "union_by_name_missing",
-    # (4) 36 of the 43 remaining r6-stale re-greens (alphabetical;
-    #     minhash_signatures moved up to group 2)
-    "agg_approx", "audience_overlap_click_purchase", "cms_decayed_topk",
-    "cms_join_size", "constraint_report", "cosine_topk",
-    "cosine_topk_ivf_checked", "cosine_topk_lsh_checked",
-    "dedup_segments_corpus", "embedding_near_dup", "explode_tokens",
-    "grouped_cms_contract", "hll_rollup_users", "in_subquery_sql",
-    "interval_join_click_purchase", "join_asof", "lateral_topk_orders",
-    "map_explode", "new_users_hourly", "profile_orders",
-    "rollup_time_hierarchy", "skew_audit_lineitem_orderkey",
-    "sliding_distinct_users", "sliding_quantiles_hourly",
-    "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q12_late_lines_by_status", "tpch_q18_large_volume_customers",
-    "tpch_q3_shipping_priority", "tpch_q4_late_orders",
-    "tpch_q9_nation_margin", "trend_slopes_hourly", "unpivot_stack",
-    "window_gap_fill", "window_lag_lead", "window_range_frame",
+    # (3) the 7 r6-stale spillovers (the r12 policy's named set)
+    "window_rank_family", "window_running_agg", "window_session",
+    "window_sliding", "window_topk_per_group", "window_tumbling",
+    "zorder_cluster_keys",
+    # (4) 35 of the 36 r7-stale re-greens (alphabetical;
+    #     target_encode_orders spills to r14)
+    "ab_test_purchase", "acf_hourly", "agg_moments_quantity",
+    "attribution_last_touch", "attribution_linear",
+    "benford_price_digits", "bfs_hops_copurchase", "cdc_apply_orders",
+    "chi2_priority_status", "conversion_latency", "cusum_changepoints",
+    "entropy_event_types", "event_paths_top", "event_transitions",
+    "ewma_hourly", "g2_keywords_source", "grouped_heavy_hitters_events",
+    "heavy_hitter_users", "impute_value_group_mean",
+    "inter_event_gaps_users", "k_anonymity_orders", "kmeans_embeddings",
+    "knn_label_accuracy", "l_diversity_events", "mi_event_type_hour",
+    "negative_samples_orders", "ngram_novelty_docs", "salted_join_revenue",
+    "scd2_intervals_orders", "seasonal_decompose_daily",
+    "seasonal_naive_mape_daily", "sliding_cms_top_users",
+    "snapshot_diff_orders", "sorted_neighborhood_docs",
+    "t_closeness_orders",
 )
 
 # The queries whose implementation or oracle changed THIS round (the
@@ -123,10 +118,9 @@ _PRIORITY: tuple[str, ...] = (
 # (Superseded rotations live in git history and in the committed
 # CORRECTNESS_r* artifacts the audit recomputes from.)
 ROUND_FRESH: tuple[str, ...] = (
+    "dedup_clusters", "dedup_minhash_end2end",
     "survival_km_users", "survival_km_by_first_event",
     "rmst_signup_by_cohort", "logrank_click_vs_rest",
-    "quantile_normalize_quantity", "minhash_signatures",
-    "dedup_minhash_end2end",
 )
 
 
