@@ -552,15 +552,16 @@ def connected_components(
     minimum label over its neighborhood, then labels chase their own labels
     (label := label-of-label), which halves chain lengths — so convergence
     is O(log diameter), not O(diameter) (a 40-node path converges in ~6
-    rounds instead of 40). Each round is two shuffle-joins; convergence is
-    detected by comparing the EXACT decimal label sum between rounds — valid
-    because labels are monotone non-increasing under F.least, so an
-    unchanged sum means no node moved; one scan-aggregate over the round's
-    just-checkpointed blocks, where a join-based probe would shuffle two
-    node-count-sized frames every round. Node ids must be non-NULL (a NULL
-    endpoint has no min-label semantics; every caller feeds real keys).
-    This is the standard Spark shape for iterative graph algorithms
-    without a graph library.
+    rounds instead of 40). Each round is two shuffle-joins; for integral/
+    decimal node ids convergence is detected by comparing the EXACT decimal
+    label sum between rounds — valid because labels are monotone
+    non-increasing under F.least, so an unchanged sum means no node moved;
+    one scan-aggregate over the round's just-checkpointed blocks, where a
+    join-based probe would shuffle two node-count-sized frames every round
+    (non-summable ids — strings; floats would round — keep the join probe).
+    Node ids must be non-NULL (a NULL endpoint has no min-label semantics;
+    every caller feeds real keys). This is the standard Spark shape for
+    iterative graph algorithms without a graph library.
 
     Per-round lineage cuts route through ``operators._checkpoint``: by
     default executor-local blocks (self-releasing, ~2 rounds pinned — see
@@ -607,6 +608,11 @@ def connected_components(
     # the node ids themselves. object() is a never-equal sentinel so an
     # all-NULL/empty frame (sum NULL) still runs round 1's real compare.
     prev_sum: object = object()
+    from pyspark.sql.types import DecimalType, IntegralType
+
+    summable = isinstance(
+        edges.schema[src].dataType, (IntegralType, DecimalType)
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -631,17 +637,29 @@ def connected_components(
         # round instead of re-executing the two joins a second time.
         jumped = _ckpt(jumped, checkpoint_dir)  # cut the lineage per round
         # Convergence probe (r13): labels are MONOTONE non-increasing
-        # (both steps take F.least), so "no node changed" ⇔ "the exact
-        # label sum is unchanged" — one scan-aggregate over the blocks
-        # just materialized, replacing the old node-keyed join + count
-        # that shuffled two node-count-sized frames EVERY round. Decimal
-        # sum: exact and overflow-free at any node count × id magnitude
-        # (int64 sum would wrap on ~1e9 nodes of ~1e18 ids).
-        new_sum = jumped.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        # NULL sum = empty label frame (no edges): nothing can change.
-        changed = 0 if (new_sum is None or new_sum == prev_sum) else 1
+        # (both steps take F.least), so for EXACT-SUMMABLE node types
+        # "no node changed" ⇔ "the exact label sum is unchanged" — one
+        # scan-aggregate over the blocks just materialized, replacing a
+        # node-keyed join + count that shuffled two node-count-sized
+        # frames EVERY round. Decimal sum: exact and overflow-free at
+        # any node count × id magnitude (int64 sum would wrap on ~1e9
+        # nodes of ~1e18 ids). Non-summable ids (strings; floats would
+        # round) keep the join probe — correctness over stage count.
+        if summable:
+            new_sum = jumped.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            # NULL sum = empty label frame (no edges): nothing can change.
+            changed = 0 if (new_sum is None or new_sum == prev_sum) else 1
+            prev_sum = new_sum
+        else:
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
         # The new round is materialized and its lineage truncated, so the
         # previous round's checkpoint blocks are dead — release them NOW
         # (the convergence probe above was the last reader of `labels`).
@@ -651,7 +669,6 @@ def connected_components(
             _release(prev_id)
             prev_id = _ckpt_rdd_id(jumped)
         labels = jumped
-        prev_sum = new_sum
         if changed == 0:
             break
     else:

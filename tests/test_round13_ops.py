@@ -247,3 +247,23 @@ def test_kmeans_matmul_tie_break_prefers_lowest_cluster(spark, monkeypatch):
          for r in sim.kmeans_exact(df, k=2, iterations=0, qbits=8).collect()}
     assert a == b
     assert a[1] == 0 and a[2] == 0
+
+
+def test_connected_components_string_node_ids(spark):
+    # Non-summable node ids must ride the join-based convergence probe —
+    # the monotone decimal-sum probe only applies to integral/decimal ids.
+    from artigraph_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "a: string, b: string"
+    )
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_empty_edges(spark):
+    from artigraph_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "a: long, b: long")
+    assert connected_components(edges).collect() == []
