@@ -267,3 +267,99 @@ def test_connected_components_empty_edges(spark):
 
     edges = spark.createDataFrame([], "a: long, b: long")
     assert connected_components(edges).collect() == []
+
+
+# ---------------------------------------------------- hypothesis properties
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _embedding_rows(draw):
+    ids = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=3, max_size=14, unique=True,
+        )
+    )
+    dim = draw(st.integers(min_value=2, max_value=5))
+    vecs = [
+        [
+            round(draw(st.floats(min_value=-1.0, max_value=1.0,
+                                 allow_nan=False, allow_infinity=False)), 3)
+            for _ in range(dim)
+        ]
+        for _ in ids
+    ]
+    return list(zip(ids, vecs))
+
+
+@settings(max_examples=10, deadline=None)
+@given(_embedding_rows(), st.integers(min_value=1, max_value=3))
+def test_semdedup_invariants_property(spark, rows, k):
+    from artigraph_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    lo = semdedup(df, k=k, iterations=1, qbits=8, threshold=(1, 2)).collect()
+    # one row per input, flags boolean-shaped, clusters within range
+    assert sorted(r["vec_id"] for r in lo) == sorted(i for i, _ in rows)
+    assert all(r["pruned"] in (0, 1) for r in lo)
+    assert all(0 <= r["cluster"] < k for r in lo)
+    # keeper rule: each cluster's min id survives (no smaller cluster-mate)
+    by_cluster: dict[int, list] = {}
+    for r in lo:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        assert min(members, key=lambda r: r["vec_id"])["pruned"] == 0
+    # threshold monotonicity: pruning at cos >= 0.9 is a subset of >= 0.5
+    hi = semdedup(df, k=k, iterations=1, qbits=8, threshold=(9, 10)).collect()
+    pruned_hi = {r["vec_id"] for r in hi if r["pruned"]}
+    pruned_lo = {r["vec_id"] for r in lo if r["pruned"]}
+    assert pruned_hi <= pruned_lo
+
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+
+
+@st.composite
+def _doc_rows(draw):
+    n = draw(st.integers(min_value=2, max_value=6))
+    docs = []
+    for i in range(n):
+        toks = draw(st.lists(_words, min_size=0, max_size=30))
+        docs.append((i + 1, " ".join(toks)))
+    return docs
+
+
+@settings(max_examples=10, deadline=None)
+@given(_doc_rows())
+def test_cdc_chunk_dedup_invariants_property(spark, docs):
+    from artigraph_spark.operators.dedup import cdc_chunk_dedup_report
+
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    rows = cdc_chunk_dedup_report(
+        df, "doc_id", "text", window=2, mask_bits=1,
+        max_df=100, min_shared=1,
+    ).collect()
+    ids = {i for i, _ in docs}
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["doc_a"] in ids and r["doc_b"] in ids
+        assert 1 <= r["shared_chunks"] <= min(r["chunks_a"], r["chunks_b"])
+        assert r["shared_tokens"] >= r["shared_chunks"]  # every chunk >= 1 token
+    # exact-duplicate completeness: byte-identical non-empty docs must pair
+    # with FULL containment (every distinct chunk shared)
+    by_text: dict[str, list[int]] = {}
+    for i, t in docs:
+        if t.strip():
+            by_text.setdefault(t, []).append(i)
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    for twins in by_text.values():
+        for x in twins:
+            for y in twins:
+                if x < y:
+                    r = pairs[(x, y)]
+                    assert r["shared_chunks"] == r["chunks_a"] == r["chunks_b"]
