@@ -417,9 +417,6 @@ def stateful_lsh_band_flags(
     Returns ``(id, [ts], band_id, band_sig, first_in_bucket)`` — one row
     per (document, band).
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     from artigraph_spark.operators.dedup import band_key_array, minhash_signatures_fast
 
     _require_ttl_pair(ts_col, ttl_seconds)
@@ -430,8 +427,7 @@ def stateful_lsh_band_flags(
             f"bands must divide num_hashes evenly (got num_hashes={num_hashes}, "
             f"bands={bands})"
         )
-    bounded = ts_col is not None
-    keep = (ts_col,) if bounded else ()
+    keep = (ts_col,) if ts_col is not None else ()
     sigs = minhash_signatures_fast(
         df, id_col, text_col, num_hashes=num_hashes,
         shingle_size=shingle_size, keep_cols=keep,
@@ -441,6 +437,35 @@ def stateful_lsh_band_flags(
         *[F.col(c) for c in keep],
         F.posexplode(band_key_array(num_hashes, bands)).alias("band_id", "band_sig"),
     )
+    return _banded_first_flags(
+        df, banded, id_col,
+        ts_col=ts_col, ttl_seconds=ttl_seconds, watermark_delay=watermark_delay,
+    )
+
+
+def _banded_first_flags(
+    df: DataFrame,
+    banded: DataFrame,
+    id_col: str,
+    *,
+    ts_col: str | None,
+    ttl_seconds: int | None,
+    watermark_delay: str,
+) -> DataFrame:
+    """Shared first-claim state machinery for the banded near-dup gates
+    (lexical `stateful_lsh_band_flags`, semantic
+    `stateful_cosine_band_flags`): given a ``banded`` frame of
+    ``(id, [ts], band_id, band_sig)`` rows, flag per (band_id, band_sig)
+    bucket whether each document is the first claimant — one boolean
+    marker of state per distinct bucket, unbounded or event-time-TTL
+    bounded, the exact semantics documented on the public gates. ONE
+    implementation so a state/TTL/tz fix can never land in only one
+    gate."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bounded = ts_col is not None
+    keep = (ts_col,) if bounded else ()
     id_type = df.schema[id_col].dataType.simpleString()
     out_fields = [f"{id_col} {id_type}"]
     if bounded:
@@ -513,6 +538,71 @@ def stateful_lsh_band_flags(
         stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_cosine_band_flags(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    ts_col: str | None = None,
+    ttl_seconds: int | None = None,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming SEMANTIC near-dup gate: the embedding-space member of the
+    streaming dedup family (`stateful_exact_dedup` catches byte-identical
+    content, `stateful_lsh_band_flags` lexical near-twins; a paraphrase or
+    re-encode that shares no tokens sails through both).
+
+    Each arriving vector is signed with the batch `cosine_topk_lsh`
+    machinery — ``n_tables`` independent random-hyperplane tables of
+    ``n_planes`` sign bits each (seeded Python-side constants baked into
+    the plan as literals, pure per-row JVM expressions, zero shuffle) —
+    and checked per (table, bucket) against the same first-claim marker
+    state as the lexical gate: ``first_in_bucket`` is false iff an
+    EARLIER vector claimed that table's bucket, exactly the batch
+    multi-table candidate rule (same-bucket-in-≥1-table) evaluated
+    incrementally. Gate downstream with
+    ``groupBy(id).agg(bool_and(first_in_bucket))`` to keep only vectors
+    that collide nowhere, or route flagged ids to exact-cosine
+    verification — LSH buckets are CANDIDATES (recall ≈ 1−(1−p^k)^L,
+    the cosine_topk_lsh math), not confirmed duplicates.
+
+    State is one marker per distinct (table, bucket) — ``n_tables`` per
+    distinct signature, spread shuffle-evenly by the band key; bounding
+    (unbounded / sliding event-time TTL with re-admission after expiry)
+    is `_banded_first_flags`' shared contract. Output shape matches the
+    lexical gate: ``(id, [ts], band_id, band_sig, first_in_bucket)``
+    with band_id the table index and band_sig the packed sign-bit
+    bucket.
+    """
+    from artigraph_spark.operators.similarity import _hyperplanes, lsh_bucket
+
+    _require_ttl_pair(ts_col, ttl_seconds)
+    if ts_col is not None:
+        _require_timestamp(df, ts_col, "stateful_cosine_band_flags")
+    if n_planes < 1 or n_planes > 62:
+        raise ValueError(f"n_planes must be in [1, 62], got {n_planes}")
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+    keep = (ts_col,) if ts_col is not None else ()
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    buckets = F.array(
+        *[lsh_bucket(F.col(vec_col), planes).cast("string") for planes in tables]
+    )
+    banded = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.posexplode(buckets).alias("band_id", "band_sig"),
+    )
+    return _banded_first_flags(
+        df, banded, id_col,
+        ts_col=ts_col, ttl_seconds=ttl_seconds, watermark_delay=watermark_delay,
     )
 
 

@@ -1402,3 +1402,113 @@ def test_stateful_lsh_band_flags_ttl_horizon_is_monotone(spark, tmp_path):
     # horizon to 9:30, the filler batches evict the buckets, and doc 30
     # would be WRONGLY re-admitted (keep=True).
     assert gate == {10: True, 11: False, 20: True, 21: True, 30: False}
+
+
+def _batch_cosine_band_flags(df, id_col="vec_id", dim=64, n_planes=8, n_tables=4, seed=42):
+    """Batch twin of stateful_cosine_band_flags over one logical batch: per
+    (table, bucket) the id-min vector is first."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.similarity import _hyperplanes, lsh_bucket
+
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[lsh_bucket(F.col("embedding"), p).cast("string") for p in tables])
+        ).alias("band_id", "band_sig"),
+    )
+    w = Window.partitionBy("band_id", "band_sig")
+    return banded.withColumn(
+        "first_in_bucket", F.col(id_col) == F.min(id_col).over(w)
+    )
+
+
+def test_stateful_cosine_band_flags_single_batch_parity(spark):
+    """One micro-batch: streaming semantic flags equal the batch
+    min-id-per-(table, bucket) rule — the cosine_topk_lsh candidate
+    semantics evaluated incrementally."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.sources import load
+
+    vecs = stx.read_stream(spark, SF_DIR, "embeddings", max_files_per_trigger=1)
+    out = stx.run_stream_to_batch(
+        stx.stateful_cosine_band_flags(
+            vecs.select("vec_id", "embedding"), "vec_id", "embedding"
+        ),
+        query_name="t_cos_flags",
+        output_mode="append",
+    )
+    batch = _batch_cosine_band_flags(load(spark, SF_DIR, "embeddings"))
+    cols = ["vec_id", "band_id", "band_sig", "first_in_bucket"]
+    assert _canon(out, cols) == _canon(batch, cols)
+    n_vecs = load(spark, SF_DIR, "embeddings").count()
+    assert out.count() == n_vecs * 4
+    gate = out.groupBy("vec_id").agg(F.bool_and("first_in_bucket").alias("keep"))
+    bgate = batch.groupBy("vec_id").agg(F.bool_and("first_in_bucket").alias("keep"))
+    assert _canon(gate, ["vec_id", "keep"]) == _canon(bgate, ["vec_id", "keep"])
+
+
+def test_stateful_cosine_band_flags_first_batch_wins(spark, tmp_path):
+    """An identical vector arriving in a LATER batch is flagged on every
+    table it shares (all of them), even with a smaller id."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "cos_stream_src"
+    d.mkdir()
+    v = [0.1 * (i % 7) - 0.3 for i in range(64)]
+    other = [-0.2 * ((i * 3) % 5) + 0.4 for i in range(64)]
+    vec_t = pa.list_(pa.float32())
+    pq.write_table(
+        pa.table({"vec_id": [10], "embedding": pa.array([v], type=vec_t)}),
+        d / "a.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {"vec_id": [1, 2], "embedding": pa.array([v, other], type=vec_t)}
+        ),
+        d / "b.parquet",
+    )
+    os.utime(d / "a.parquet", ns=(1_000_000_000, 1_000_000_000))
+    os.utime(d / "b.parquet", ns=(2_000_000_000_000_000_000, 2_000_000_000_000_000_000))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = stx.run_stream_to_batch(
+        stx.stateful_cosine_band_flags(stream, "vec_id", "embedding"),
+        query_name="t_cos_first_wins",
+        output_mode="append",
+    )
+    keep = {
+        r["vec_id"]: r["keep"]
+        for r in out.groupBy("vec_id")
+        .agg(F.bool_and("first_in_bucket").alias("keep"))
+        .collect()
+    }
+    # doc 10 arrived first and keeps its claim; identical doc 1 (smaller id,
+    # later batch) is flagged on every table; doc 2 is unrelated
+    assert keep[10] is True
+    assert keep[1] is False
+    assert keep[2] is True
+
+
+def test_stateful_cosine_band_flags_guards(spark):
+    df = spark.createDataFrame(
+        [(1, [0.1] * 64, "x")], "vec_id long, embedding array<float>, ts string"
+    )
+    with pytest.raises(TypeError, match="stateful_cosine_band_flags.*timestamp"):
+        stx.stateful_cosine_band_flags(
+            df, "vec_id", "embedding", ts_col="ts", ttl_seconds=60
+        )
+    with pytest.raises(ValueError, match="n_planes"):
+        stx.stateful_cosine_band_flags(df, "vec_id", "embedding", n_planes=0)
+    with pytest.raises(ValueError, match="n_tables"):
+        stx.stateful_cosine_band_flags(df, "vec_id", "embedding", n_tables=0)
