@@ -1,0 +1,272 @@
+"""The round-13 dedup family end-to-end as an incremental Graph.
+
+documents (external parquet)   embeddings (external parquet)
+  → ChunkDedup (content-defined chunk fingerprints → doc-pair report)
+  → SemanticDedup (SemDeDup: exact k-means + intra-cluster cosine prune;
+     TWO outputs: kept vectors + the prune report)
+  → DedupSummary (one-row rollup joining both reports)
+
+Then a streaming coda: the semantic near-dup GATE
+(`stateful_cosine_band_flags`) runs over the embeddings as a bounded
+stream and its keep-set is checked against the batch
+min-id-per-(table, bucket) rule — the incremental twin of the batch
+candidate semantics.
+
+Demonstrates: two external raw artifacts feeding independent producers,
+a 2-output producer, graph memoization over the whole suite (second
+run builds nothing), and batch/stream parity for the semantic gate.
+
+Run: python examples/dedup_suite_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from artigraph_spark import types as at
+from artigraph_spark.artifacts import Artifact
+from artigraph_spark.backends import JsonFileBackend
+from artigraph_spark.executors import LocalSparkExecutor
+from artigraph_spark.formats import Parquet
+from artigraph_spark.graphs import Graph
+from artigraph_spark.producers import Producer
+from artigraph_spark.storage import LocalFile
+from artigraph_spark.versions import SemVer
+
+DOCS_TYPE = at.Collection(
+    element=at.Struct(
+        fields={
+            "doc_id": at.Int64(),
+            "text": at.String(),
+            "lang": at.String(),
+            "source": at.String(),
+            "n_chars": at.Int64(),
+        }
+    )
+)
+
+VECS_TYPE = at.Collection(
+    element=at.Struct(
+        fields={
+            "vec_id": at.Int64(),
+            "embedding": at.List(element=at.Float32()),
+            "label": at.Int32(),
+        }
+    )
+)
+
+CHUNK_PAIRS_TYPE = at.Collection(
+    element=at.Struct(
+        fields={
+            "doc_a": at.Int64(),
+            "doc_b": at.Int64(),
+            "shared_chunks": at.Int64(),
+            "shared_tokens": at.Int64(),
+            "chunks_a": at.Int64(),
+            "chunks_b": at.Int64(),
+        }
+    )
+)
+
+PRUNE_TYPE = at.Collection(
+    element=at.Struct(
+        fields={
+            "vec_id": at.Int64(),
+            "cluster": at.Int64(),
+            "pruned": at.Int64(),
+        }
+    )
+)
+
+SUMMARY_TYPE = at.Collection(
+    element=at.Struct(
+        fields={
+            "chunk_pairs": at.Int64(),
+            "chunk_docs_flagged": at.Int64(),
+            "vectors": at.Int64(),
+            "vectors_pruned": at.Int64(),
+        }
+    )
+)
+
+
+class Documents(Artifact):
+    pass
+
+
+class Embeddings(Artifact):
+    pass
+
+
+class ChunkDedup(Producer):
+    version = SemVer(major=1)
+
+    docs: Documents
+
+    def build(self, docs: DataFrame) -> DataFrame:
+        from artigraph_spark.operators.dedup import cdc_chunk_dedup_report
+
+        return cdc_chunk_dedup_report(
+            docs, "doc_id", "text", window=4, mask_bits=4, max_df=50, min_shared=2
+        )
+
+
+class SemanticDedup(Producer):
+    version = SemVer(major=1)
+
+    vecs: Embeddings
+
+    def build(self, vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        from artigraph_spark.operators.similarity import semdedup
+
+        report = semdedup(
+            vecs, k=4, iterations=2, qbits=8, threshold=(3, 10)
+        )
+        kept = vecs.join(
+            report.filter(F.col("pruned") == 0).select("vec_id"),
+            "vec_id",
+            "left_semi",
+        )
+        return kept, report
+
+    def validate_outputs(self, kept: DataFrame, report: DataFrame) -> tuple[bool, str]:
+        # the keeper rule guarantees at least one survivor per cluster
+        return (kept.limit(1).count() > 0, "semantic dedup pruned every vector")
+
+
+class DedupSummary(Producer):
+    version = SemVer(major=1)
+
+    chunk_pairs: Artifact
+    prune_report: Artifact
+
+    def build(self, chunk_pairs: DataFrame, prune_report: DataFrame) -> DataFrame:
+        flagged = chunk_pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("d")
+        ).distinct()
+        return (
+            chunk_pairs.agg(F.count(F.lit(1)).alias("chunk_pairs"))
+            .crossJoin(flagged.agg(F.count(F.lit(1)).alias("chunk_docs_flagged")))
+            .crossJoin(
+                prune_report.agg(
+                    F.count(F.lit(1)).alias("vectors"),
+                    F.sum("pruned").cast("long").alias("vectors_pruned"),
+                )
+            )
+        )
+
+
+def _check_streaming_gate(spark, sf_dir: str) -> int:
+    """Semantic gate coda: bounded-stream keep-set == batch rule."""
+    from pyspark.sql import Window
+
+    from artigraph_spark import streaming as stx
+    from artigraph_spark.operators.similarity import _hyperplanes, lsh_bucket
+    from artigraph_spark.sources import load
+
+    vecs = stx.read_stream(spark, sf_dir, "embeddings", max_files_per_trigger=1)
+    out = stx.run_stream_to_batch(
+        stx.stateful_cosine_band_flags(
+            vecs.select("vec_id", "embedding"), "vec_id", "embedding"
+        ),
+        query_name="dedup_suite_gate",
+        output_mode="append",
+    )
+    gate = {
+        r["vec_id"]: r["keep"]
+        for r in out.groupBy("vec_id")
+        .agg(F.bool_and("first_in_bucket").alias("keep"))
+        .collect()
+    }
+    tables = [_hyperplanes(64, 8, 42 + 1000 * t) for t in range(4)]
+    banded = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.posexplode(
+            F.array(*[lsh_bucket(F.col("embedding"), p).cast("string") for p in tables])
+        ).alias("band_id", "band_sig"),
+    )
+    w = Window.partitionBy("band_id", "band_sig")
+    batch = {
+        r["vec_id"]: r["keep"]
+        for r in banded.withColumn(
+            "first", F.col("vec_id") == F.min("vec_id").over(w)
+        )
+        .groupBy("vec_id")
+        .agg(F.bool_and("first").alias("keep"))
+        .collect()
+    }
+    assert gate == batch, "streaming gate diverged from the batch rule"
+    return sum(1 for k in gate.values() if not k)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    root = tempfile.mkdtemp(prefix="dedup_suite_")
+    backend = JsonFileBackend(os.path.join(root, "catalog.json"))
+
+    def build_once() -> tuple[LocalSparkExecutor, Graph]:
+        with Graph("dedup_suite", backend=backend) as g:
+            g.artifacts.docs = Documents(
+                type=DOCS_TYPE,
+                format=Parquet(),
+                storage=LocalFile(root=sf_dir, template="{root}/documents.parquet"),
+            )
+            g.artifacts.vecs = Embeddings(
+                type=VECS_TYPE,
+                format=Parquet(),
+                storage=LocalFile(root=sf_dir, template="{root}/embeddings.parquet"),
+            )
+            g.artifacts.chunk_pairs = ChunkDedup(docs=g.artifacts.docs).out(
+                Artifact(type=CHUNK_PAIRS_TYPE, storage=LocalFile(root=root))
+            )
+            kept, report = SemanticDedup(vecs=g.artifacts.vecs).out(
+                Artifact(type=VECS_TYPE, storage=LocalFile(root=root)),
+                Artifact(type=PRUNE_TYPE, storage=LocalFile(root=root)),
+            )
+            g.artifacts.kept_vecs = kept
+            g.artifacts.prune_report = report
+            g.artifacts.summary = DedupSummary(
+                chunk_pairs=g.artifacts.chunk_pairs,
+                prune_report=g.artifacts.prune_report,
+            ).out(Artifact(type=SUMMARY_TYPE, storage=LocalFile(root=root)))
+        ex = LocalSparkExecutor()
+        g.snapshot(strict_fingerprints=True).build(ex)
+        return ex, g
+
+    ex1, g1 = build_once()
+    snap = g1.snapshot(strict_fingerprints=True)
+    summary = snap.read(g1.artifacts.summary).collect()[0]
+    kept_n = snap.read(g1.artifacts.kept_vecs).count()
+    prune_n = snap.read(g1.artifacts.prune_report).count()
+    print(
+        f"build 1: built={ex1.built_partitions} chunk_pairs={summary['chunk_pairs']} "
+        f"chunk_docs_flagged={summary['chunk_docs_flagged']} "
+        f"vectors={summary['vectors']} pruned={summary['vectors_pruned']} kept={kept_n}"
+    )
+    assert ex1.built_partitions == 3  # one per producer
+    assert kept_n + summary["vectors_pruned"] == prune_n
+    assert summary["vectors_pruned"] > 0  # synthetic corpus has in-cluster twins at 0.3
+
+    ex2, _ = build_once()
+    print(f"build 2: built={ex2.built_partitions} skipped={ex2.skipped_partitions}")
+    assert ex2.built_partitions == 0
+
+    from artigraph_spark.session import get_spark
+
+    spark = get_spark("dedup_suite_demo")
+    flagged = _check_streaming_gate(spark, sf_dir)
+    print(f"streaming semantic gate: {flagged} vectors flagged, batch parity OK")
+
+    print("dedup suite demo OK:", root)
+
+
+if __name__ == "__main__":
+    main()
