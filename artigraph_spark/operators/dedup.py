@@ -552,8 +552,8 @@ def connected_components(
     minimum label over its neighborhood, then labels chase their own labels
     (label := label-of-label), which halves chain lengths — so convergence
     is O(log diameter), not O(diameter) (a 40-node path converges in ~6
-    rounds instead of 40). Each round is two shuffle-joins; for integral/
-    decimal node ids convergence is detected by comparing the EXACT decimal
+    rounds instead of 40). Each round is two shuffle-joins; for INTEGRAL
+    node ids convergence is detected by comparing the EXACT decimal
     label sum between rounds — valid because labels are monotone
     non-increasing under F.least, so an unchanged sum means no node moved;
     one scan-aggregate over the round's just-checkpointed blocks, where a
@@ -608,11 +608,17 @@ def connected_components(
     # the node ids themselves. object() is a never-equal sentinel so an
     # all-NULL/empty frame (sum NULL) still runs round 1's real compare.
     prev_sum: object = object()
-    from pyspark.sql.types import DecimalType, IntegralType
+    from pyspark.sql.types import IntegralType
 
+    # INTEGRAL ids only: n ≤ ~1e19 int64 ids sum exactly inside
+    # decimal(38,0) (max ~1e19 · 9.2e18 < 1e38). Decimal ids are routed
+    # to the join probe — a decimal(38,·) sum can overflow to NULL
+    # (read here as "converged") and fractional scales round under the
+    # (38,0) cast, both of which could mask a real label change. Both
+    # endpoint types must agree: labels take values from either column.
     summable = isinstance(
-        edges.schema[src].dataType, (IntegralType, DecimalType)
-    )
+        edges.schema[src].dataType, IntegralType
+    ) and isinstance(edges.schema[dst].dataType, IntegralType)
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -637,14 +643,15 @@ def connected_components(
         # round instead of re-executing the two joins a second time.
         jumped = _ckpt(jumped, checkpoint_dir)  # cut the lineage per round
         # Convergence probe (r13): labels are MONOTONE non-increasing
-        # (both steps take F.least), so for EXACT-SUMMABLE node types
+        # (both steps take F.least), so for integral node types
         # "no node changed" ⇔ "the exact label sum is unchanged" — one
         # scan-aggregate over the blocks just materialized, replacing a
         # node-keyed join + count that shuffled two node-count-sized
         # frames EVERY round. Decimal sum: exact and overflow-free at
         # any node count × id magnitude (int64 sum would wrap on ~1e9
-        # nodes of ~1e18 ids). Non-summable ids (strings; floats would
-        # round) keep the join probe — correctness over stage count.
+        # nodes of ~1e18 ids). Non-integral ids (strings; floats and
+        # decimals could round or overflow-to-NULL) keep the join
+        # probe — correctness over stage count.
         if summable:
             new_sum = jumped.agg(
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s")

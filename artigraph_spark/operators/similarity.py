@@ -595,13 +595,49 @@ def kmeans_exact(
             )
         cents = [list(r["__q"]) for r in seed_rows]
         dim = len(cents[0])
+        # Seeds ARE data rows and are collected before any executor-side
+        # guard can fire — validate them here so a ragged/NULL seed raises
+        # the same loud error as any other malformed vector (np.asarray on
+        # ragged centroids would otherwise fail with an opaque shape error
+        # on the matmul path only).
+        for r, c in zip(seed_rows, cents):
+            if len(c) != dim or any(v is None for v in c):
+                raise ValueError(
+                    f"kmeans_exact: vector with length {len(c)} != dim {dim} "
+                    f"or NULL coordinates (seed id {r[id_col]!r}) — fix or "
+                    f"filter malformed embeddings"
+                )
 
         id_type = df.schema[id_col].dataType.simpleString()
         out_schema = (
             f"{id_col} {id_type}, __q array<bigint>, cluster bigint, dist_q bigint"
         )
 
+        def guard_q(frame: DataFrame) -> DataFrame:
+            # Fail FAST on ragged vectors / NULL coordinates, identically on
+            # both assignment paths: the unrolled expressions would quietly
+            # zip_with-pad a short vector with NULLs (NULL arms, distorted
+            # argmin) while numpy would crash the stage on ragged input —
+            # same data must never get "an answer vs a crash" depending on k.
+            ok = (F.size(F.col("__q")) == F.lit(dim)) & ~F.exists(
+                F.col("__q"), lambda v: v.isNull()
+            )
+            return frame.withColumn(
+                "__q",
+                F.when(ok, F.col("__q")).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("kmeans_exact: vector with length "),
+                            F.size(F.col("__q")).cast("string"),
+                            F.lit(f" != dim {dim} or NULL coordinates — "
+                                  "fix or filter malformed embeddings"),
+                        )
+                    )
+                ),
+            )
+
         def assign(frame: DataFrame, cents: list[list[int]]) -> DataFrame:
+            frame = guard_q(frame)
             if len(cents) <= _UNROLL_MAX_K:
                 # Small k: k literal struct arms, whole-stage-codegen'd JVM
                 # expressions — zero Python in the hot path.
@@ -638,6 +674,12 @@ def kmeans_exact(
 
             cmat = np.asarray(cents, dtype=np.int64)
             cnorm = (cmat * cmat).sum(axis=1)
+            # Tile the batch rows so the distance matrix stays ~tile×k ≈
+            # 2^22 int64 cells (32 MB) regardless of k: at the SemDeDup
+            # regime (k = 50k) a full 10k-row Arrow batch would otherwise
+            # materialize a 4 GB dist matrix (plus the matmul intermediate)
+            # per concurrent task.
+            tile = max(1, (1 << 22) // max(len(cents), 1))
 
             def batches(it):
                 for pdf in it:
@@ -645,14 +687,24 @@ def kmeans_exact(
                         continue
                     qmat = np.asarray(pdf["__q"].tolist(), dtype=np.int64)
                     qnorm = (qmat * qmat).sum(axis=1)
-                    dist = qnorm[:, None] - 2 * (qmat @ cmat.T) + cnorm[None, :]
-                    j = dist.argmin(axis=1)
+                    js = np.empty(len(pdf), dtype=np.int64)
+                    ds = np.empty(len(pdf), dtype=np.int64)
+                    for s in range(0, len(pdf), tile):
+                        e = min(s + tile, len(pdf))
+                        dist = (
+                            qnorm[s:e, None]
+                            - 2 * (qmat[s:e] @ cmat.T)
+                            + cnorm[None, :]
+                        )
+                        j = dist.argmin(axis=1)
+                        js[s:e] = j
+                        ds[s:e] = dist[np.arange(e - s), j]
                     yield pd.DataFrame(
                         {
                             id_col: pdf[id_col].to_numpy(),
                             "__q": pdf["__q"],
-                            "cluster": j.astype(np.int64),
-                            "dist_q": dist[np.arange(len(j)), j],
+                            "cluster": js,
+                            "dist_q": ds,
                         }
                     )
 
@@ -690,6 +742,8 @@ def semdedup(
     kmeans_qbits: int = 12,
     qbits: int = 8,
     threshold: "tuple[int, int]" = (3, 10),
+    dim: int = 64,
+    max_abs: float = 2.0,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -705,10 +759,14 @@ def semdedup(
     coordinates ``floor(x·2^qbits)``; ``cos ≥ p/q`` is decided as
     ``dot > 0 AND q²·dot² ≥ p²·‖a‖²·‖b‖²`` — pure int64, so the whole
     report (cluster ids from the exact k-means loop AND the prune flags)
-    replays bit-for-bit in a DuckDB oracle. int64 bounds: with dim·4^qbits
-    ≤ 2^m, q²·dot² needs 2m + 2·log2(q) < 63 (dim 64 / qbits 8 / q ≤ 100
-    is safe by a wide margin). Zero-norm vectors never match (cosine
-    undefined — the `_safe_cos` rule) and are never pruned.
+    replays bit-for-bit in a DuckDB oracle. The int64 bound is PROVED at
+    validation, not assumed: with M = ⌈max_abs·2^qbits⌉ the worst case is
+    ``(q·dim·M²)²``, rejected up front when it reaches 2^63, and the
+    preconditions are enforced at execution (every |coordinate| ≤
+    ``max_abs``, every vector exactly ``dim`` long, no NULL coordinates —
+    violations raise instead of silently corrupting prune flags).
+    Zero-norm vectors never match (cosine undefined — the `_safe_cos`
+    rule) and are never pruned.
 
     Scale shape: never all-pairs — candidates are equi-joined on the
     cluster id, so the pair count is Σ cluster_size², controlled by
@@ -724,6 +782,8 @@ def semdedup(
     Returns ``(id, cluster, pruned)`` — one row per non-null input vector,
     ``pruned`` 0/1 (1 = drop, a smaller-id near-twin exists in-cluster).
     """
+    import math
+
     from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
 
     p, q = threshold
@@ -731,14 +791,55 @@ def semdedup(
         raise ValueError(f"threshold must be a rational in (0, 1], got {p}/{q}")
     if not 1 <= qbits <= 14:
         raise ValueError(f"qbits must be in [1, 14], got {qbits}")
+    if dim < 1 or not max_abs > 0:
+        raise ValueError(f"need dim >= 1 and max_abs > 0, got dim={dim}, max_abs={max_abs}")
+    # Overflow proof, not vibes: the int64 test below computes q²·dot² with
+    # dot ≤ dim·M² for M = ⌈max_abs·2^qbits⌉ (the coordinate bound ENFORCED
+    # per element at execution). Reject any (dim, qbits, max_abs, q) combo
+    # whose worst case exceeds 2^63 — silent wraparound would corrupt prune
+    # flags, and nothing downstream could tell.
+    m_coord = math.ceil(max_abs * (1 << qbits))
+    worst = (q * dim * m_coord * m_coord) ** 2
+    if worst >= (1 << 63):
+        raise ValueError(
+            f"semdedup: q²·dot² can overflow int64 at dim={dim}, qbits={qbits}, "
+            f"max_abs={max_abs}, threshold denominator {q} "
+            f"(worst case 2^{worst.bit_length()}); lower qbits/q or the bounds"
+        )
     assign = kmeans_exact(
         df, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations,
         qbits=kmeans_qbits,
     ).select(id_col, "cluster")
     one = 1 << qbits
-    qexpr = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(one))).cast("long"),
+    # Quantize with the proof's preconditions ENFORCED: every coordinate
+    # must sit inside ±max_abs (else the int64 bound above is void) and
+    # the vector must have exactly `dim` elements (the lsh_bucket rule:
+    # a short vector zip_with-padding to NULL would silently distort
+    # dots). Violations abort loudly instead of corrupting prune flags.
+    per_coord = lambda x: F.when(  # noqa: E731
+        F.abs(x.cast("double")) <= F.lit(float(max_abs)),
+        F.floor(x.cast("double") * F.lit(float(one))).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"semdedup: |coordinate| > max_abs={max_abs} (got "),
+                x.cast("string"),
+                F.lit(") — the int64 overflow proof requires the bound; "
+                      "raise max_abs (and re-check qbits/threshold)"),
+            )
+        ).cast("long")
+    )
+    qexpr = F.when(
+        F.size(F.col(vec_col)) == F.lit(dim),
+        F.transform(F.col(vec_col), per_coord),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("semdedup: vector length "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" != dim {dim} — pass dim= matching the embeddings"),
+            )
+        )
     )
     sdot = lambda u, v: F.aggregate(  # noqa: E731
         F.zip_with(u, v, lambda x, y: x * y),

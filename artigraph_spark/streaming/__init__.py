@@ -212,10 +212,12 @@ def _require_timestamp(df: DataFrame, ts_col: str, op_name: str) -> None:
     would only fail deep inside withWatermark / the pandas tz re-localize
     with an opaque error, so reject it at the API boundary (the
     restricted_mean_survival guard style)."""
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import TimestampNTZType, TimestampType
 
     dt = df.schema[ts_col].dataType
-    if not isinstance(dt, TimestampType):
+    # NTZ is a sibling class, not a subclass — and is watermark-supported
+    # (the _epoch_ms re-localize handles naive values), so accept both.
+    if not isinstance(dt, (TimestampType, TimestampNTZType)):
         raise TypeError(
             f"{op_name}: ts_col {ts_col!r} must be a timestamp column, "
             f"got {dt.simpleString()}"
@@ -438,13 +440,12 @@ def stateful_lsh_band_flags(
         F.posexplode(band_key_array(num_hashes, bands)).alias("band_id", "band_sig"),
     )
     return _banded_first_flags(
-        df, banded, id_col,
+        banded, id_col,
         ts_col=ts_col, ttl_seconds=ttl_seconds, watermark_delay=watermark_delay,
     )
 
 
 def _banded_first_flags(
-    df: DataFrame,
     banded: DataFrame,
     id_col: str,
     *,
@@ -466,14 +467,16 @@ def _banded_first_flags(
 
     bounded = ts_col is not None
     keep = (ts_col,) if bounded else ()
-    id_type = df.schema[id_col].dataType.simpleString()
+    id_type = banded.schema[id_col].dataType.simpleString()
     out_fields = [f"{id_col} {id_type}"]
     if bounded:
-        out_fields.append(f"{ts_col} {df.schema[ts_col].dataType.simpleString()}")
+        out_fields.append(f"{ts_col} {banded.schema[ts_col].dataType.simpleString()}")
     out_fields += ["band_id int", "band_sig string", "first_in_bucket boolean"]
     out_schema = ", ".join(out_fields)
     out_cols = [id_col, *keep, "band_id", "band_sig"]
-    _epoch_ms = _epoch_ms_fn(df.sparkSession.conf.get("spark.sql.session.timeZone"))
+    _epoch_ms = _epoch_ms_fn(
+        banded.sparkSession.conf.get("spark.sql.session.timeZone")
+    )
 
     def _flags(pdfs, already_claimed: bool):
         parts, max_ts = [], None
@@ -595,13 +598,20 @@ def stateful_cosine_band_flags(
     buckets = F.array(
         *[lsh_bucket(F.col(vec_col), planes).cast("string") for planes in tables]
     )
-    banded = df.select(
+    # Drop NULL vectors BEFORE signing: lsh_bucket's dim guard would
+    # raise_error on a NULL array, and in a stream that poison record
+    # would kill the query on every restart from the checkpoint. A NULL
+    # embedding is a data condition (failed encode) → the row is skipped,
+    # like the batch semdedup's isNotNull filter; a WRONG-LENGTH vector
+    # stays a hard error (config mismatch — silent collapse into bucket 0
+    # would be worse than the crash).
+    banded = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         *[F.col(c) for c in keep],
         F.posexplode(buckets).alias("band_id", "band_sig"),
     )
     return _banded_first_flags(
-        df, banded, id_col,
+        banded, id_col,
         ts_col=ts_col, ttl_seconds=ttl_seconds, watermark_delay=watermark_delay,
     )
 

@@ -158,7 +158,7 @@ def test_semdedup_prunes_in_cluster_twin_keeps_smaller_id(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
     out = {r["vec_id"]: r for r in semdedup(
-        df, k=2, iterations=2, qbits=8, threshold=(9, 10)
+        df, k=2, iterations=2, qbits=8, threshold=(9, 10), dim=3
     ).collect()}
     assert len(out) == 4
     assert out[1]["pruned"] == 0 and out[2]["pruned"] == 1
@@ -181,7 +181,7 @@ def test_semdedup_cross_cluster_twins_not_pruned(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
     out = {r["vec_id"]: r["pruned"] for r in semdedup(
-        df, k=2, iterations=1, qbits=8, threshold=(1, 10)
+        df, k=2, iterations=1, qbits=8, threshold=(1, 10), dim=2
     ).collect()}
     # orthogonal vectors: cosine 0 < any positive threshold → no prune
     assert out == {1: 0, 2: 0}
@@ -197,7 +197,7 @@ def test_semdedup_zero_vector_never_pruned_or_pruning(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
     out = {r["vec_id"]: r["pruned"] for r in semdedup(
-        df, k=1, iterations=1, qbits=8, threshold=(9, 10)
+        df, k=1, iterations=1, qbits=8, threshold=(9, 10), dim=2
     ).collect()}
     assert out[2] == 1  # exact twin of 1, same cluster
     assert out[3] == 0  # zero vector survives
@@ -213,6 +213,47 @@ def test_semdedup_param_guards(spark):
         semdedup(df, threshold=(11, 10))
     with pytest.raises(ValueError, match="qbits"):
         semdedup(df, qbits=0)
+    # overflow proof: a huge threshold denominator fails validation
+    with pytest.raises(ValueError, match="overflow int64"):
+        semdedup(df, dim=64, qbits=12, threshold=(999, 1000))
+
+
+def test_semdedup_enforces_dim_and_bounds(spark):
+    from artigraph_spark.operators.similarity import semdedup
+
+    # wrong length vs declared dim → loud execution-time error
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.1, 0.2])], "vec_id: long, embedding: array<float>"
+    )
+    with pytest.raises(Exception, match="!= dim 3"):
+        semdedup(df, k=1, iterations=0, dim=3).collect()
+    # out-of-bound coordinate → loud execution-time error
+    df2 = spark.createDataFrame(
+        [(1, [9.0, 0.0]), (2, [0.1, 0.2])], "vec_id: long, embedding: array<float>"
+    )
+    with pytest.raises(Exception, match="max_abs"):
+        semdedup(df2, k=1, iterations=0, dim=2).collect()
+
+
+def test_kmeans_rejects_ragged_and_null_coordinates(spark, monkeypatch):
+    # both assignment paths fail fast, identically, on malformed vectors
+    import artigraph_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3]), (3, [0.5, 0.6])],
+        "vec_id: long, embedding: array<float>",
+    )
+    with pytest.raises(Exception, match="kmeans_exact: vector"):
+        sim.kmeans_exact(df, k=2, iterations=0).collect()
+    monkeypatch.setattr(sim, "_UNROLL_MAX_K", 0)
+    with pytest.raises(Exception, match="kmeans_exact: vector"):
+        sim.kmeans_exact(df, k=2, iterations=0).collect()
+    dfn = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [None, 0.4])],
+        "vec_id: long, embedding: array<float>",
+    )
+    with pytest.raises(Exception, match="kmeans_exact: vector"):
+        sim.kmeans_exact(dfn, k=1, iterations=0).collect()
 
 
 def test_kmeans_matmul_assignment_matches_unrolled(spark, monkeypatch):
@@ -301,7 +342,8 @@ def test_semdedup_invariants_property(spark, rows, k):
     from artigraph_spark.operators.similarity import semdedup
 
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
-    lo = semdedup(df, k=k, iterations=1, qbits=8, threshold=(1, 2)).collect()
+    dim = len(rows[0][1])
+    lo = semdedup(df, k=k, iterations=1, qbits=8, threshold=(1, 2), dim=dim).collect()
     # one row per input, flags boolean-shaped, clusters within range
     assert sorted(r["vec_id"] for r in lo) == sorted(i for i, _ in rows)
     assert all(r["pruned"] in (0, 1) for r in lo)
@@ -313,7 +355,7 @@ def test_semdedup_invariants_property(spark, rows, k):
     for members in by_cluster.values():
         assert min(members, key=lambda r: r["vec_id"])["pruned"] == 0
     # threshold monotonicity: pruning at cos >= 0.9 is a subset of >= 0.5
-    hi = semdedup(df, k=k, iterations=1, qbits=8, threshold=(9, 10)).collect()
+    hi = semdedup(df, k=k, iterations=1, qbits=8, threshold=(9, 10), dim=dim).collect()
     pruned_hi = {r["vec_id"] for r in hi if r["pruned"]}
     pruned_lo = {r["vec_id"] for r in lo if r["pruned"]}
     assert pruned_hi <= pruned_lo
@@ -363,3 +405,52 @@ def test_cdc_chunk_dedup_invariants_property(spark, docs):
                 if x < y:
                     r = pairs[(x, y)]
                     assert r["shared_chunks"] == r["chunks_a"] == r["chunks_b"]
+
+
+def test_streaming_gates_accept_ntz_timestamps(spark):
+    # TimestampNTZType is watermark-supported; the boundary guard must not
+    # reject it (it is a sibling of TimestampType, not a subclass).
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.streaming import stateful_exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "h", "2024-01-01 00:00:00")], "doc_id long, h string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    # construction succeeds (no TypeError); plan-only check, no stream run
+    out = stateful_exact_dedup(df, "doc_id", "h", ts_col="ts", ttl_seconds=60)
+    assert "first" not in out.columns  # passthrough schema
+
+
+def test_cosine_gate_drops_null_vectors(spark, tmp_path):
+    # A NULL embedding is a data condition: the row is dropped, the query
+    # survives (lsh_bucket's raise_error would otherwise poison-pill the
+    # stream on every checkpoint restart).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from artigraph_spark import streaming as stx
+
+    d = tmp_path / "null_vec_src"
+    d.mkdir()
+    vec_t = pa.list_(pa.float32())
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": [1, 2],
+                "embedding": pa.array([[0.1] * 64, None], type=vec_t),
+            }
+        ),
+        d / "a.parquet",
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .parquet(str(d))
+    )
+    out = stx.run_stream_to_batch(
+        stx.stateful_cosine_band_flags(stream, "vec_id", "embedding"),
+        query_name="t_cos_null_vec",
+        output_mode="append",
+    )
+    ids = {r["vec_id"] for r in out.collect()}
+    assert ids == {1}  # null-vector row skipped, stream completed
