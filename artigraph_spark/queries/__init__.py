@@ -79,10 +79,11 @@ _PRIORITY: tuple[str, ...] = (
     # logrank_click_vs_rest (bucketed_prefix_sums' external-bucket
     # branch gained the NULL-id raise guard — kaplan_meier's pass 2
     # rides bucket_col, so the plan expression changed; values
-    # unchanged). kmeans_embeddings is NOT counted: kmeans_exact's
-    # assignment switch only adds a k>16 branch the k=4 query never
-    # takes (plan byte-identical, equality pinned by
-    # test_round13_ops.py::test_kmeans_matmul_assignment_matches_unrolled).
+    # unchanged). kmeans_embeddings ALSO changed plan late in the round
+    # (kmeans_exact gained the ragged/NULL-coordinate guard expression;
+    # values unchanged, matmul/unroll equality pinned by
+    # test_round13_ops) — it already sits in group 4 below as r7-stale,
+    # so it earns its fresh row either way.
     # (1) new this round — first driver rows
     "semdedup_clusters", "cdc_chunk_dedup",
     # (2) implementation changed this round
