@@ -640,8 +640,11 @@ def connected_components(
             F.least(F.col("label"), F.coalesce("l_label", F.col("label"))).alias("label"),
         )
         # Checkpoint FIRST so the convergence probe reuses the materialized
-        # round instead of re-executing the two joins a second time.
-        jumped = _ckpt(jumped, checkpoint_dir)  # cut the lineage per round
+        # round instead of re-executing the two joins a second time. LAZY
+        # (eager=False): the probe immediately below is the first action
+        # and materializes the blocks as it runs — an eager cut would
+        # spend one extra job per round doing the same work twice.
+        jumped = _ckpt(jumped, checkpoint_dir, eager=False)
         # Convergence probe (r13): labels are MONOTONE non-increasing
         # (both steps take F.least), so for integral node types
         # "no node changed" ⇔ "the exact label sum is unchanged" — one
