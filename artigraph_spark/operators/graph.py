@@ -121,11 +121,17 @@ def pagerank(
             # over the unrolled 8-deep loop plan grows superlinearly —
             # measured 1/2/4/8 iterations at 3.4/3.4/6.5/19.7 s on the
             # sf0.1 co-purchase graph, i.e. the last 4 rounds cost 3x
-            # the first 4 under one unrolled plan. The cut is one eager
-            # node-count-sized job (~21k rows here) that caps the
-            # optimizer's working plan at 4 rounds; with checkpoint_dir
-            # it is also the cluster fault barrier.
-            ranks = _ckpt(ranks, checkpoint_dir)
+            # the first 4 under one unrolled plan. The cut caps the
+            # optimizer's working plan at 4 rounds EITHER WAY (the
+            # Catalyst plan truncates to a LogicalRDD at cut time, not
+            # at materialization), so in local-blocks mode it is LAZY —
+            # the next action materializes it, saving one node-count-
+            # sized job per cut. With checkpoint_dir the cut stays
+            # EAGER: it is the mid-loop fault barrier, and a deferred
+            # reliable checkpoint would leave nothing durable until the
+            # final action (an executor loss would replay the whole
+            # loop — the exact failure mode reliable mode buys off).
+            ranks = _ckpt(ranks, checkpoint_dir, eager=checkpoint_dir is not None)
     # Materialize the slim (node, rank) result, then RELEASE the two
     # persisted loop frames — otherwise each pagerank() call leaks
     # disk-backed cache blocks the caller has no handle to unpersist.

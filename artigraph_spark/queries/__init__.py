@@ -63,9 +63,10 @@ _PRIORITY: tuple[str, ...] = (
     # {r6:7, r7:36, r8:40, r9:42, r10:49, r11:44, r12:50}; no
     # never-recorded queries. Window: 2 new + 6 impl-changed + the 7
     # r6-stale spillovers named by the r12 policy + 35 of the 36
-    # r7-stale (alphabetical; target_encode_orders spills to r14's
-    # head) = exactly 50. Expected census after the driver records
-    # r13: {r7:1, r8:40, r9:42, r10:49, r11:44, r12:44, r13:50}.
+    # r7-stale (alphabetical; t_closeness_orders and
+    # target_encode_orders spill to r14's head) = exactly 50. Expected
+    # census after the driver records r13:
+    # {r7:2, r8:40, r9:42, r10:49, r11:44, r12:43, r13:50}.
     # New-query rationale (registry-growth policy: genuine family
     # gaps only): semdedup_clusters is the embedding-space dedup
     # member (existing members are all lexical) per the r12 verdict's
@@ -86,16 +87,18 @@ _PRIORITY: tuple[str, ...] = (
     # so it earns its fresh row either way.
     # (1) new this round — first driver rows
     "semdedup_clusters", "cdc_chunk_dedup",
-    # (2) implementation changed this round
-    "dedup_clusters", "dedup_minhash_end2end",
+    # (2) implementation changed this round (pagerank_copurchase: the
+    #     mid-loop lineage cuts went lazy in local-blocks mode late in
+    #     the round — values unchanged, job structure changed)
+    "pagerank_copurchase", "dedup_clusters", "dedup_minhash_end2end",
     "survival_km_users", "survival_km_by_first_event",
     "rmst_signup_by_cohort", "logrank_click_vs_rest",
     # (3) the 7 r6-stale spillovers (the r12 policy's named set)
     "window_rank_family", "window_running_agg", "window_session",
     "window_sliding", "window_topk_per_group", "window_tumbling",
     "zorder_cluster_keys",
-    # (4) 35 of the 36 r7-stale re-greens (alphabetical;
-    #     target_encode_orders spills to r14)
+    # (4) 34 of the 36 r7-stale re-greens (alphabetical;
+    #     t_closeness_orders + target_encode_orders spill to r14)
     "ab_test_purchase", "acf_hourly", "agg_moments_quantity",
     "attribution_last_touch", "attribution_linear",
     "benford_price_digits", "bfs_hops_copurchase", "cdc_apply_orders",
@@ -109,7 +112,6 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_intervals_orders", "seasonal_decompose_daily",
     "seasonal_naive_mape_daily", "sliding_cms_top_users",
     "snapshot_diff_orders", "sorted_neighborhood_docs",
-    "t_closeness_orders",
 )
 
 # The queries whose implementation or oracle changed THIS round (the
@@ -119,7 +121,7 @@ _PRIORITY: tuple[str, ...] = (
 # (Superseded rotations live in git history and in the committed
 # CORRECTNESS_r* artifacts the audit recomputes from.)
 ROUND_FRESH: tuple[str, ...] = (
-    "dedup_clusters", "dedup_minhash_end2end",
+    "pagerank_copurchase", "dedup_clusters", "dedup_minhash_end2end",
     "survival_km_users", "survival_km_by_first_event",
     "rmst_signup_by_cohort", "logrank_click_vs_rest",
 )
