@@ -885,6 +885,42 @@ def semdedup(
     )
 
 
+def semdedup_auto(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cluster_size: int = 128,
+    min_k: int = 4,
+    max_k: int = 65536,
+    **kwargs,
+) -> DataFrame:
+    """:func:`semdedup` with the scale contract made EXECUTABLE: k is
+    derived from the corpus size as ``ceil(n / target_cluster_size)``
+    (clamped to [min_k, min(max_k, n)]), pinning expected cluster size —
+    and therefore the intra-cluster quadratic term — as the corpus grows.
+    A fixed k is quadratic in N (see the ×10 probe in docs/SCALE.md);
+    this wrapper is what a production caller should reach for. Costs one
+    extra count scan to size k (driver-side scalar). The oracle-checked
+    query keeps calling :func:`semdedup` directly with a pinned k so its
+    SQL twin stays static.
+
+    ``max_k`` defaults to the SemDeDup paper's LAION-scale cluster count
+    magnitude; beyond it cluster size grows again — raise it for larger
+    corpora (assignment is the Arrow-matmul path, linear in k).
+    """
+    if target_cluster_size < 1:
+        raise ValueError(
+            f"target_cluster_size must be >= 1, got {target_cluster_size}"
+        )
+    if not 1 <= min_k <= max_k:
+        raise ValueError(f"need 1 <= min_k <= max_k, got {min_k}..{max_k}")
+    n = df.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()).count()
+    k = max(min_k, -(-n // target_cluster_size))
+    k = min(k, max_k, max(n, 1))
+    return semdedup(df, id_col=id_col, vec_col=vec_col, k=k, **kwargs)
+
+
 def knn_label_accuracy(
     corpus: DataFrame,
     queries: DataFrame,

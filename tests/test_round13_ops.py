@@ -454,3 +454,28 @@ def test_cosine_gate_drops_null_vectors(spark, tmp_path):
     )
     ids = {r["vec_id"] for r in out.collect()}
     assert ids == {1}  # null-vector row skipped, stream completed
+
+
+def test_semdedup_auto_scales_k_with_corpus(spark):
+    from artigraph_spark.operators import similarity as sim
+
+    rows = [(i, [float(i % 7) / 7, float(i % 5) / 5]) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    # n=20, target 8 → k=ceil(20/8)=3; matches a direct semdedup(k=3)
+    auto = {(r["vec_id"], r["cluster"], r["pruned"])
+            for r in sim.semdedup_auto(
+                df, target_cluster_size=8, min_k=2, dim=2, iterations=1
+            ).collect()}
+    direct = {(r["vec_id"], r["cluster"], r["pruned"])
+              for r in sim.semdedup(df, k=3, dim=2, iterations=1).collect()}
+    assert auto == direct
+    # clamps: tiny corpus never exceeds n; floor at min_k
+    small = spark.createDataFrame(rows[:2], "vec_id: long, embedding: array<float>")
+    out = sim.semdedup_auto(small, target_cluster_size=1, min_k=1, dim=2,
+                            iterations=0)
+    assert out.count() == 2
+    import pytest as _pt
+    with _pt.raises(ValueError, match="target_cluster_size"):
+        sim.semdedup_auto(df, target_cluster_size=0)
+    with _pt.raises(ValueError, match="min_k"):
+        sim.semdedup_auto(df, min_k=5, max_k=2)
