@@ -1512,3 +1512,36 @@ def test_stateful_cosine_band_flags_guards(spark):
         stx.stateful_cosine_band_flags(df, "vec_id", "embedding", n_planes=0)
     with pytest.raises(ValueError, match="n_tables"):
         stx.stateful_cosine_band_flags(df, "vec_id", "embedding", n_tables=0)
+
+
+def test_cdc_chunks_compose_with_streaming_exact_dedup(spark):
+    """Chunk-level STREAMING dedup needs no new operator: content-defined
+    chunking is pure per-row array expressions (stream-safe), so its
+    posexplode output feeds stateful_exact_dedup keyed on chunk_fp — the
+    incremental form of cdc_chunk_dedup's corpus groupBy."""
+    from pyspark.sql import functions as F
+
+    from artigraph_spark.operators.text import content_defined_chunks
+    from artigraph_spark.sources import load
+
+    docs = stx.read_stream(spark, SF_DIR, "documents", max_files_per_trigger=1)
+    chunks = content_defined_chunks(
+        docs.select("doc_id", "text"), "doc_id", "text", window=4, mask_bits=4
+    ).withColumn("chunk_key", F.concat_ws("#", "doc_id", "chunk_no"))
+    out = stx.run_stream_to_batch(
+        stx.stateful_exact_dedup(chunks, "chunk_key", "chunk_fp"),
+        query_name="t_cdc_stream_dedup",
+        output_mode="append",
+    )
+    # batch twin: one survivor per distinct chunk fingerprint
+    batch = content_defined_chunks(
+        load(spark, SF_DIR, "documents").select("doc_id", "text"),
+        "doc_id", "text", window=4, mask_bits=4,
+    )
+    n_distinct = batch.select("chunk_fp").distinct().count()
+    assert out.count() == n_distinct
+    # every surviving row is a real chunk row (full passthrough schema)
+    assert {"doc_id", "chunk_no", "chunk", "chunk_tokens", "chunk_fp"} <= set(out.columns)
+    surviving_fps = {r["chunk_fp"] for r in out.select("chunk_fp").collect()}
+    batch_fps = {r["chunk_fp"] for r in batch.select("chunk_fp").distinct().collect()}
+    assert surviving_fps == batch_fps
