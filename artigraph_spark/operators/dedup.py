@@ -93,12 +93,10 @@ def _fallback_doc_id(id_col: str) -> Column:
     non-numeric ids the polynomial char hash (a plain cast would raise
     under ANSI mode).
 
-    ORACLE CONTRACT: this uses ``pmod`` (always non-negative) while the
-    DuckDB oracles replay it as plain ``doc_id % 2147483647`` (sign
-    follows the dividend) — identical only for NON-NEGATIVE numeric ids,
-    which both the testdata and the documented corpus id convention
-    guarantee. A corpus with negative numeric ids needs the oracles
-    rewritten pmod-style: ``((doc_id % m) + m) % m``."""
+    ORACLE CONTRACT: this uses ``pmod`` (always non-negative) and the
+    DuckDB oracles replay it pmod-style as ``((doc_id % m) + m) % m`` —
+    identical for ANY numeric id sign (r14: the plain ``%`` replay and
+    its non-negative-ids caveat are gone)."""
     return F.pmod(
         F.coalesce(
             F.col(id_col).try_cast("long"),
@@ -937,6 +935,12 @@ def cdc_chunk_dedup_report(
     chunks_b)`` — shared_tokens sums the fp-level token length (the max
     across occurrences, identical for non-colliding fps), chunks_a/b are
     the docs' distinct-chunk totals for containment scoring downstream.
+
+    ``shared_tokens`` is an UPPER-BOUND ESTIMATE, not an exact shared
+    count: it sums the corpus-wide max chunk_tokens per fingerprint, so
+    under a 62-bit fp collision or asymmetric chunkings a containment
+    score ``shared_tokens / doc_tokens`` can exceed 1 — consumers should
+    clamp (``LEAST(1.0, ...)``) before thresholding on it.
     """
     if max_df < 2:
         raise ValueError(f"max_df must be >= 2 (pairs need df >= 2), got {max_df}")

@@ -556,8 +556,14 @@ def kmeans_exact(
     Scale shape — the standard distributed Lloyd's: per iteration ONE
     corpus scan into a k×dim-cell aggregate (map-side partial sums of
     ``q[d]`` per cluster — no explode, no shuffle of vectors) and a
-    kilobyte-sized driver collect of the new centroids (the
-    ``train_ivf_centroids`` precedent). Assignment switches on k
+    driver collect of the new centroids that is **O(k·dim)**, NOT
+    constant: kilobytes at small k, but at the SemDeDup regime
+    (k = 50k, dim = 768) ~300 MB of Row objects plus a Python
+    nested-loop rebuild — the driver is the bound on k, not the
+    executors. Callers pushing k beyond ~10⁴·dim≈10⁶ cells should
+    budget driver memory accordingly (an Arrow/toPandas centroid
+    update is the escape hatch if that regime matters).
+    Assignment switches on k
     (``_UNROLL_MAX_K``): small k runs as pure JVM zip_with/aggregate
     expressions over literal centroids; large k (the SemDeDup regime,
     k ∝ N) runs as ONE Arrow-batched numpy matmul per batch — identical

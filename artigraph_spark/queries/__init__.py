@@ -61,10 +61,11 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 _PRIORITY: tuple[str, ...] = (
     # ROUND-13 ROTATION. Recorded-window census at round start:
     # {r6:7, r7:36, r8:40, r9:42, r10:49, r11:44, r12:50}; no
-    # never-recorded queries. Window: 2 new + 6 impl-changed + the 7
-    # r6-stale spillovers named by the r12 policy + 35 of the 36
-    # r7-stale (alphabetical; t_closeness_orders and
-    # target_encode_orders spill to r14's head) = exactly 50. Expected
+    # never-recorded queries. Window: 2 new + 7 impl-changed
+    # (pagerank_copurchase joined late) + the 7 r6-stale spillovers
+    # named by the r12 policy + 34 of the 36 r7-stale (alphabetical;
+    # t_closeness_orders and target_encode_orders spill to r14's
+    # head) = exactly 50. Expected
     # census after the driver records r13:
     # {r7:2, r8:40, r9:42, r10:49, r11:44, r12:43, r13:50}.
     # New-query rationale (registry-growth policy: genuine family

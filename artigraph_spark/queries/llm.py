@@ -274,18 +274,18 @@ def cdc_chunk_dedup(spark, sf_dir):
 
 
 def _minhash_oracle(num_hashes: int = 8, seed: int = 42) -> str:
-    # Fallback replay note: the engine's _fallback_doc_id uses pmod
-    # (non-negative); the `doc_id % 2147483647` below matches it only for
-    # NON-NEGATIVE ids — guaranteed by the testdata / corpus id convention
-    # (see operators.dedup._fallback_doc_id's ORACLE CONTRACT).
+    # Fallback replay: the engine's _fallback_doc_id uses pmod (always
+    # non-negative), replayed here as ((doc_id % m) + m) % m — identical
+    # for ANY numeric id sign (see operators.dedup._fallback_doc_id).
     from artigraph_spark.operators.dedup import _P, _hash_coeffs
 
     coeffs = _hash_coeffs(num_hashes, seed)
     mins = ",\n           ".join(
         f"MIN(({a} * token_id + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(coeffs)
     )
+    pm = "(((d.doc_id % 2147483647) + 2147483647) % 2147483647)"
     fallbacks = ",\n           ".join(
-        f"COALESCE(s.mh{i}, ({a} * (d.doc_id % 2147483647) + {b}) % {_P}) AS mh{i}"
+        f"COALESCE(s.mh{i}, ({a} * {pm} + {b}) % {_P}) AS mh{i}"
         for i, (a, b) in enumerate(coeffs)
     )
     return f"""
@@ -328,9 +328,9 @@ def _shingled_minhash_oracle(
     """DuckDB twin of operators.dedup.minhash_signatures_shingled: sorted
     token dictionary, positional polynomial shingle hash (the Spark fold
     order replayed term by term), 31-bit fold, k universal-hash min
-    transforms, id-derived fallback for token-less docs (the
-    ``doc_id % 2147483647`` fallback assumes NON-NEGATIVE ids — see
-    operators.dedup._fallback_doc_id's ORACLE CONTRACT)."""
+    transforms, id-derived fallback for token-less docs (the engine's
+    pmod replayed as ``((doc_id % m) + m) % m`` — sign-safe for any
+    numeric id; see operators.dedup._fallback_doc_id)."""
     from artigraph_spark.operators.dedup import _P, _hash_coeffs
 
     combiners = _hash_coeffs(shingle_size, seed + 7919)
@@ -354,8 +354,9 @@ def _shingled_minhash_oracle(
     mins = ",\n           ".join(
         f"MIN(({a} * s31 + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(coeffs)
     )
+    pm = "(((d.doc_id % 2147483647) + 2147483647) % 2147483647)"
     fallbacks = ",\n           ".join(
-        f"COALESCE(s.mh{i}, ({a} * (d.doc_id % 2147483647) + {b}) % {_P}) AS mh{i}"
+        f"COALESCE(s.mh{i}, ({a} * {pm} + {b}) % {_P}) AS mh{i}"
         for i, (a, b) in enumerate(coeffs)
     )
     return f"""
