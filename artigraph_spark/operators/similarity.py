@@ -751,15 +751,28 @@ def semdedup(
     dim: int = 64,
     max_abs: float = 2.0,
     checkpoint_dir: str | None = None,
+    keeper: str = "min_id",
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
     the embedding-space member of the dedup family — MinHash/SimHash/CDC
     catch lexical twins, this catches paraphrases and re-encodes that share
     no tokens at all. Cluster the corpus with :func:`kmeans_exact`, then
-    prune, WITHIN each cluster only, every point that has a smaller-id
-    cluster-mate with cosine ≥ ``threshold`` (the paper keeps one
-    representative per semantic near-dup group; smaller-id-wins is this
-    repo's deterministic keeper rule, the `dedup_exact` convention).
+    prune, WITHIN each cluster only, every point that has a
+    keeper-preceding cluster-mate with cosine ≥ ``threshold``.
+
+    ``keeper`` picks which member of a near-dup pair survives:
+
+    - ``"min_id"`` (default): smaller-id-wins — this repo's deterministic
+      `dedup_exact` convention; the oracle-checked query pins this mode.
+    - ``"min_centroid_sim"``: the SemDeDup paper's quality-aware rule —
+      keep the member LEAST similar to its cluster centroid (maximizes
+      retained diversity). The exact ordering key is the k-means
+      assignment's own int64 ``dist_q`` (quantized squared L2 to the
+      final centroid), ordered DESC with id ASC tie-break: for
+      unit-normalized embeddings squared L2 distance to a fixed point is
+      strictly decreasing in cosine similarity, so max-``dist_q`` IS
+      min-centroid-cosine, decided in already-computed exact integers
+      (no new float surface, still oracle-replayable).
 
     Exactness: the intra-cluster test runs on SIGNED fixed-point
     coordinates ``floor(x·2^qbits)``; ``cos ≥ p/q`` is decided as
@@ -812,10 +825,20 @@ def semdedup(
             f"max_abs={max_abs}, threshold denominator {q} "
             f"(worst case 2^{worst.bit_length()}); lower qbits/q or the bounds"
         )
+    if keeper not in ("min_id", "min_centroid_sim"):
+        raise ValueError(
+            f"keeper must be 'min_id' or 'min_centroid_sim', got {keeper!r}"
+        )
+    # min_id rides (id, cluster) only; min_centroid_sim also carries the
+    # assignment's dist_q as its exact ordering key — the default plan is
+    # byte-identical to pre-keeper rounds.
+    assign_cols = (
+        [id_col, "cluster"] if keeper == "min_id" else [id_col, "cluster", "dist_q"]
+    )
     assign = kmeans_exact(
         df, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations,
         qbits=kmeans_qbits,
-    ).select(id_col, "cluster")
+    ).select(*assign_cols)
     one = 1 << qbits
     # Quantize with the proof's preconditions ENFORCED: every coordinate
     # must sit inside ±max_abs (else the int64 bound above is void) and
@@ -862,17 +885,29 @@ def semdedup(
         .join(assign, id_col),
         checkpoint_dir,
     )
+    extra_a = [F.col("dist_q").alias("__da")] if keeper == "min_centroid_sim" else []
+    extra_b = [F.col("dist_q").alias("__db")] if keeper == "min_centroid_sim" else []
     a = pts.select(
         F.col(id_col).alias("__ia"), F.col("cluster"),
-        F.col("__q").alias("__qa"), F.col("__n").alias("__na"),
+        F.col("__q").alias("__qa"), F.col("__n").alias("__na"), *extra_a,
     )
     b = pts.select(
         F.col(id_col).alias("__ib"), F.col("cluster"),
-        F.col("__q").alias("__qb"), F.col("__n").alias("__nb"),
+        F.col("__q").alias("__qb"), F.col("__n").alias("__nb"), *extra_b,
     )
+    if keeper == "min_id":
+        precedes = F.col("__ia") < F.col("__ib")
+    else:
+        # a precedes b in keeper order (dist_q DESC, id ASC): farther
+        # from the centroid wins, so b is prunable when a is strictly
+        # farther, or equally far with the smaller id. Strict total
+        # order — self-pairs can never satisfy it.
+        precedes = (F.col("__da") > F.col("__db")) | (
+            (F.col("__da") == F.col("__db")) & (F.col("__ia") < F.col("__ib"))
+        )
     d = sdot(F.col("__qa"), F.col("__qb"))
     cond = (
-        (F.col("__ia") < F.col("__ib"))
+        precedes
         & (d > F.lit(0))
         & (F.lit(q * q) * d * d >= F.lit(p * p) * F.col("__na") * F.col("__nb"))
     )
