@@ -738,6 +738,79 @@ def kmeans_exact(
         pts.unpersist()
 
 
+def _cos_int64_bound_check(
+    op: str, *, dim: int, qbits: int, max_abs: float, p: int, q: int
+) -> None:
+    """Shared semdedup-family validation: threshold rational, qbits/dim
+    bounds, and the int64 overflow PROOF for the exact ``cos ≥ p/q`` test
+    (``q²·dot² ≥ p²·‖a‖²·‖b‖²`` with dot ≤ dim·M², M = ⌈max_abs·2^qbits⌉).
+    Rejects any (dim, qbits, max_abs, q) combo whose worst case reaches
+    2^63 — silent wraparound would corrupt prune flags, and nothing
+    downstream could tell."""
+    import math
+
+    if not (0 < p <= q):
+        raise ValueError(f"threshold must be a rational in (0, 1], got {p}/{q}")
+    if not 1 <= qbits <= 14:
+        raise ValueError(f"qbits must be in [1, 14], got {qbits}")
+    if dim < 1 or not max_abs > 0:
+        raise ValueError(f"need dim >= 1 and max_abs > 0, got dim={dim}, max_abs={max_abs}")
+    m_coord = math.ceil(max_abs * (1 << qbits))
+    worst = (q * dim * m_coord * m_coord) ** 2
+    if worst >= (1 << 63):
+        raise ValueError(
+            f"{op}: q²·dot² can overflow int64 at dim={dim}, qbits={qbits}, "
+            f"max_abs={max_abs}, threshold denominator {q} "
+            f"(worst case 2^{worst.bit_length()}); lower qbits/q or the bounds"
+        )
+
+
+def _fixed_point_vec(
+    vec_col: str, *, dim: int, max_abs: float, qbits: int, op: str
+) -> Column:
+    """SIGNED fixed-point quantization ``floor(x·2^qbits)`` with the
+    overflow proof's preconditions ENFORCED: every coordinate must sit
+    inside ±max_abs (else the int64 bound is void) and the vector must
+    have exactly ``dim`` elements (the lsh_bucket rule: a short vector
+    zip_with-padding to NULL would silently distort dots). Violations
+    abort loudly instead of corrupting prune flags."""
+    one = 1 << qbits
+    per_coord = lambda x: F.when(  # noqa: E731
+        F.abs(x.cast("double")) <= F.lit(float(max_abs)),
+        F.floor(x.cast("double") * F.lit(float(one))).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: |coordinate| > max_abs={max_abs} (got "),
+                x.cast("string"),
+                F.lit(") — the int64 overflow proof requires the bound; "
+                      "raise max_abs (and re-check qbits/threshold)"),
+            )
+        ).cast("long")
+    )
+    return F.when(
+        F.size(F.col(vec_col)) == F.lit(dim),
+        F.transform(F.col(vec_col), per_coord),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: vector length "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" != dim {dim} — pass dim= matching the embeddings"),
+            )
+        )
+    )
+
+
+def _sdot(u: Column, v: Column) -> Column:
+    """Exact int64 dot of two quantized long arrays."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+
+
 def semdedup(
     df: DataFrame,
     *,
@@ -801,30 +874,10 @@ def semdedup(
     Returns ``(id, cluster, pruned)`` — one row per non-null input vector,
     ``pruned`` 0/1 (1 = drop, a smaller-id near-twin exists in-cluster).
     """
-    import math
-
     from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
 
     p, q = threshold
-    if not (0 < p <= q):
-        raise ValueError(f"threshold must be a rational in (0, 1], got {p}/{q}")
-    if not 1 <= qbits <= 14:
-        raise ValueError(f"qbits must be in [1, 14], got {qbits}")
-    if dim < 1 or not max_abs > 0:
-        raise ValueError(f"need dim >= 1 and max_abs > 0, got dim={dim}, max_abs={max_abs}")
-    # Overflow proof, not vibes: the int64 test below computes q²·dot² with
-    # dot ≤ dim·M² for M = ⌈max_abs·2^qbits⌉ (the coordinate bound ENFORCED
-    # per element at execution). Reject any (dim, qbits, max_abs, q) combo
-    # whose worst case exceeds 2^63 — silent wraparound would corrupt prune
-    # flags, and nothing downstream could tell.
-    m_coord = math.ceil(max_abs * (1 << qbits))
-    worst = (q * dim * m_coord * m_coord) ** 2
-    if worst >= (1 << 63):
-        raise ValueError(
-            f"semdedup: q²·dot² can overflow int64 at dim={dim}, qbits={qbits}, "
-            f"max_abs={max_abs}, threshold denominator {q} "
-            f"(worst case 2^{worst.bit_length()}); lower qbits/q or the bounds"
-        )
+    _cos_int64_bound_check("semdedup", dim=dim, qbits=qbits, max_abs=max_abs, p=p, q=q)
     if keeper not in ("min_id", "min_centroid_sim"):
         raise ValueError(
             f"keeper must be 'min_id' or 'min_centroid_sim', got {keeper!r}"
@@ -839,42 +892,10 @@ def semdedup(
         df, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations,
         qbits=kmeans_qbits,
     ).select(*assign_cols)
-    one = 1 << qbits
-    # Quantize with the proof's preconditions ENFORCED: every coordinate
-    # must sit inside ±max_abs (else the int64 bound above is void) and
-    # the vector must have exactly `dim` elements (the lsh_bucket rule:
-    # a short vector zip_with-padding to NULL would silently distort
-    # dots). Violations abort loudly instead of corrupting prune flags.
-    per_coord = lambda x: F.when(  # noqa: E731
-        F.abs(x.cast("double")) <= F.lit(float(max_abs)),
-        F.floor(x.cast("double") * F.lit(float(one))).cast("long"),
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"semdedup: |coordinate| > max_abs={max_abs} (got "),
-                x.cast("string"),
-                F.lit(") — the int64 overflow proof requires the bound; "
-                      "raise max_abs (and re-check qbits/threshold)"),
-            )
-        ).cast("long")
+    qexpr = _fixed_point_vec(
+        vec_col, dim=dim, max_abs=max_abs, qbits=qbits, op="semdedup"
     )
-    qexpr = F.when(
-        F.size(F.col(vec_col)) == F.lit(dim),
-        F.transform(F.col(vec_col), per_coord),
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("semdedup: vector length "),
-                F.size(F.col(vec_col)).cast("string"),
-                F.lit(f" != dim {dim} — pass dim= matching the embeddings"),
-            )
-        )
-    )
-    sdot = lambda u, v: F.aggregate(  # noqa: E731
-        F.zip_with(u, v, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, w: acc + w,
-    )
+    sdot = _sdot
     # Materialize (id, q, ‖q‖², cluster) ONCE: three consumers hang off it
     # (both self-join sides + the output frame), and each would otherwise
     # re-scan the corpus and re-run the k² assignment expression.
@@ -960,6 +981,138 @@ def semdedup_auto(
     k = max(min_k, -(-n // target_cluster_size))
     k = min(k, max_k, max(n, 1))
     return semdedup(df, id_col=id_col, vec_col=vec_col, k=k, **kwargs)
+
+
+def semdedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    qbits: int = 8,
+    threshold: "tuple[int, int]" = (3, 10),
+    max_abs: float = 2.0,
+    max_ref_bucket: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Cross-snapshot SEMANTIC dedup: flag every vector in a NEW batch
+    that has a cosine near-twin in a REFERENCE corpus, WITHOUT
+    re-clustering the union — the embedding-space member of the
+    incremental-dedup trio (:func:`..dedup.dedup_against` is the exact
+    digest member, :func:`..dedup.lsh_pairs_between` the lexical one).
+    Re-running :func:`semdedup` over ref ∪ new would re-cluster and
+    re-prune the whole reference every batch; this touches the reference
+    only through bucket keys and id-keyed candidate lookups.
+
+    Candidates come from the multi-table random-hyperplane machinery
+    (:func:`cosine_topk_lsh` / the streaming semantic gate): both sides
+    are signed with the SAME ``n_tables`` seeded tables of ``n_planes``
+    sign bits, and a (table, bucket) equi-join yields cross-side pairs —
+    never all-pairs. Verification is :func:`semdedup`'s exact int64
+    fixed-point test (``cos ≥ p/q`` ⟺ ``dot > 0 ∧ q²·dot² ≥
+    p²·‖a‖²·‖b‖²`` on ``floor(x·2^qbits)`` coords, overflow-proof
+    checked up front), so the report is deterministic and replays
+    bit-for-bit in SQL with the seeded planes embedded as literals (the
+    `cosine_topk_lsh` oracle precedent).
+
+    Recall contract: a new vector BYTE-IDENTICAL in direction to a ref
+    vector shares every table's bucket (same sign bits), so exact
+    re-encodes are guaranteed candidates; near-twins at angle θ surface
+    with p ≈ 1−(1−(1−θ/π)^n_planes)^n_tables — tune tables/planes to the
+    target θ. ``max_ref_bucket`` (opt-in) drops (table, bucket) keys
+    whose REF-side occupancy exceeds the cap — the stop-member rule that
+    bounds a degenerate hot bucket (e.g. a boilerplate embedding sink)
+    at the cost of recall inside it, including the exact-twin guarantee
+    for vectors hashing there; leave None unless a skew audit says so.
+
+    Scale shape: each side is scanned once into a checkpointed
+    (id, quantized vec, ‖·‖²) frame; shuffles are the (table, bucket)
+    candidate join, two id-keyed verify joins, and one final left join —
+    all equi-joins keyed on bucket keys or ids. Zero-norm vectors never
+    match (cosine undefined — the `_safe_cos` rule); NULL ids/vectors
+    are dropped; wrong-length or out-of-bound coordinates raise.
+
+    Returns one row per non-null new vector: ``(id, pruned, ref_match)``
+    — ``pruned`` 0/1 (1 = a verified ref near-twin exists), ``ref_match``
+    the smallest matching ref id (NULL when pruned = 0).
+    """
+    from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
+
+    p, q = threshold
+    _cos_int64_bound_check(
+        "semdedup_against", dim=dim, qbits=qbits, max_abs=max_abs, p=p, q=q
+    )
+    if not 1 <= n_planes <= 62:
+        raise ValueError(f"n_planes must be in [1, 62], got {n_planes}")
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+    if max_ref_bucket is not None and max_ref_bucket < 1:
+        raise ValueError(f"max_ref_bucket must be >= 1, got {max_ref_bucket}")
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    buckets = F.array(*[lsh_bucket(F.col(vec_col), planes) for planes in tables])
+    qexpr = _fixed_point_vec(
+        vec_col, dim=dim, max_abs=max_abs, qbits=qbits, op="semdedup_against"
+    )
+
+    def prep(df: DataFrame, idname: str) -> DataFrame:
+        # One scan per side: quantized coords + norm + every table's
+        # bucket, checkpointed — three consumers (band explode, verify
+        # join, and for the new side the output frame) would otherwise
+        # each redo the n_tables×n_planes plane dots.
+        return _ckpt(
+            df.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+            .select(
+                F.col(id_col).alias(idname),
+                qexpr.alias("__q"),
+                buckets.alias("__bk"),
+            )
+            .withColumn("__n", _sdot(F.col("__q"), F.col("__q"))),
+            checkpoint_dir,
+        )
+
+    npts = prep(new_df, "__ni")
+    rpts = prep(ref_df, "__ri")
+    nb = npts.select("__ni", F.posexplode("__bk").alias("band_id", "band_sig"))
+    rb = rpts.select("__ri", F.posexplode("__bk").alias("band_id", "band_sig"))
+    if max_ref_bucket is not None:
+        hot = (
+            rb.groupBy("band_id", "band_sig")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_ref_bucket)
+            .select("band_id", "band_sig")
+        )
+        rb = rb.join(hot, ["band_id", "band_sig"], "left_anti")
+    cand = nb.join(rb, ["band_id", "band_sig"]).select("__ni", "__ri").distinct()
+    d = _sdot(F.col("__qn"), F.col("__qr"))
+    verified = (
+        cand.join(
+            npts.select("__ni", F.col("__q").alias("__qn"), F.col("__n").alias("__nn")),
+            "__ni",
+        )
+        .join(
+            rpts.select("__ri", F.col("__q").alias("__qr"), F.col("__n").alias("__nr")),
+            "__ri",
+        )
+        .filter(
+            (d > F.lit(0))
+            & (F.lit(q * q) * d * d >= F.lit(p * p) * F.col("__nn") * F.col("__nr"))
+        )
+        .groupBy("__ni")
+        .agg(F.min("__ri").alias("ref_match"))
+    )
+    return (
+        npts.select(F.col("__ni"))
+        .join(verified, "__ni", "left")
+        .select(
+            F.col("__ni").alias(id_col),
+            F.col("ref_match").isNotNull().cast("long").alias("pruned"),
+            F.col("ref_match"),
+        )
+    )
 
 
 def knn_label_accuracy(

@@ -1772,6 +1772,113 @@ def semdedup_clusters(spark, sf_dir):
     return semdedup(e, k=4, iterations=2, kmeans_qbits=12, qbits=8, threshold=(3, 10))
 
 
+def _semdedup_against_oracle(
+    dim: int = 64, n_planes: int = 4, n_tables: int = 8, seed: int = 42,
+    qbits: int = 8, p: int = 3, q: int = 10,
+) -> str:
+    """DuckDB twin of operators.similarity.semdedup_against over an
+    even/odd split of the embeddings table (ref = even vec_id, new =
+    odd): the SAME seeded hyperplane constants embedded as literals,
+    sign-bit buckets via the identical left-fold double dot (the
+    cosine_topk_lsh oracle's fold — NOT list_sum, whose summation order
+    could flip a near-zero sign), cross-side candidates from per-table
+    bucket equality, then semdedup's exact int64 fixed-point cosine
+    verify and a min-ref-id rollup per new vector."""
+    from artigraph_spark.operators.similarity import _hyperplanes
+
+    def fold_dot(vec: str, plane: list[float]) -> str:
+        lits = ", ".join(repr(float(v)) for v in plane)
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({vec}, [{lits}]), "
+            f"z -> CAST(z[1] AS DOUBLE) * z[2])), (acc, x) -> acc + x)"
+        )
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        terms = " + ".join(
+            f"(CASE WHEN {fold_dot('embedding', planes[i])} >= 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(n_planes)
+        )
+        bucket_exprs.append(terms)
+    bks = ",\n               ".join(
+        f"({e}) AS bk{t}" for t, e in enumerate(bucket_exprs)
+    )
+    bk_list = ", ".join(f"bk{t}" for t in range(n_tables))
+    one = 1 << qbits
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {dim + 1}), i -> a.qv[i] * b.qv[i])), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ),
+    bk AS (
+        SELECT vec_id,
+               {bks}
+        FROM base
+    ),
+    qn AS (
+        SELECT vec_id, qv,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(qv, v -> v * v)), (x, y) -> x + y) AS n2
+        FROM (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {float(one)!r}) AS BIGINT)) AS qv
+            FROM base
+        )
+    ),
+    bexp AS (
+        SELECT vec_id, u.i AS tbl, [{bk_list}][u.i] AS bucket
+        FROM bk, UNNEST(generate_series(1, {n_tables})) AS u(i)
+    ),
+    cand AS (
+        SELECT DISTINCT n.vec_id AS ni, r.vec_id AS ri
+        FROM bexp n JOIN bexp r ON n.tbl = r.tbl AND n.bucket = r.bucket
+        WHERE n.vec_id % 2 = 1 AND r.vec_id % 2 = 0
+    ),
+    ver AS (
+        SELECT c.ni, MIN(c.ri) AS ref_match
+        FROM cand c JOIN qn a ON a.vec_id = c.ni JOIN qn b ON b.vec_id = c.ri
+        WHERE {dot} > 0
+          AND {q * q} * {dot} * {dot} >= {p * p} * a.n2 * b.n2
+        GROUP BY c.ni
+    )
+    SELECT n.vec_id,
+           CAST(CASE WHEN v.ref_match IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS pruned,
+           v.ref_match
+    FROM (SELECT vec_id FROM base WHERE vec_id % 2 = 1) n
+    LEFT JOIN ver v ON v.ni = n.vec_id
+    """
+
+
+@query("semdedup_against", oracle=_semdedup_against_oracle())
+def semdedup_against_q(spark, sf_dir):
+    """Cross-snapshot semantic dedup (NEW r14): flag each NEW-batch
+    vector (odd vec_id) with a cosine near-twin in the REFERENCE corpus
+    (even vec_id) without re-clustering the union — hyperplane-band
+    candidates between the sides, exact int64 fixed-point verify, min
+    ref id per match. The embedding-space member of the incremental
+    dedup trio (exact digest `dedup_against` / lexical
+    `lsh_pairs_between` / semantic this). Threshold 3/10 is
+    demonstrative for the synthetic random embeddings, like
+    `semdedup_clusters`. See ``operators.similarity.semdedup_against``."""
+    from artigraph_spark.operators.similarity import semdedup_against
+
+    e = load(spark, sf_dir, "embeddings")
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    ref = e.filter(F.col("vec_id") % 2 == 0)
+    return semdedup_against(
+        new, ref, dim=64, n_planes=4, n_tables=8, qbits=8, threshold=(3, 10)
+    )
+
+
 @query(
     "g2_keywords_source",
     oracle=r"""

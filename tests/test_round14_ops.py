@@ -114,3 +114,95 @@ def test_minhash_fallback_oracle_matches_for_negative_ids(spark):
         row[0]: tuple(row[1:]) for row in con.execute(_minhash_oracle(8)).fetchall()
     }
     assert got == want
+
+
+# --------------------------------------------------- semdedup_against
+
+
+def _against_frames(spark):
+    ref = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (4, [0.0, 1.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    new = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [-1.0, 0.0]), (12, [0.0, 0.97])],
+        "vec_id: long, embedding: array<float>",
+    )
+    return new, ref
+
+
+def test_semdedup_against_exact_twin_guaranteed_and_min_ref_id(spark):
+    from artigraph_spark.operators.similarity import semdedup_against
+
+    new, ref = _against_frames(spark)
+    out = {r["vec_id"]: (r["pruned"], r["ref_match"]) for r in semdedup_against(
+        new, ref, dim=2, n_planes=3, n_tables=4, threshold=(9, 10)
+    ).collect()}
+    # 10 is byte-identical in direction to ref 1 AND 2 — guaranteed
+    # candidate (shares every table's bucket with 1), min ref id wins.
+    assert out[10] == (1, 1)
+    # 11 is anti-parallel to ref 1 (cos = -1): never a match even if
+    # bucketed together.
+    assert out[11] == (0, None)
+    # 12 is a near-twin of ref 4 (cos ≈ 1): verified when candidates
+    # surface; either way the flag must agree with ref_match.
+    assert out[12][0] == (1 if out[12][1] is not None else 0)
+
+
+def test_semdedup_against_zero_vectors_never_match(spark):
+    from artigraph_spark.operators.similarity import semdedup_against
+
+    ref = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id: long, embedding: array<float>"
+    )
+    new = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, None)], "vec_id: long, embedding: array<float>"
+    )
+    rows = semdedup_against(
+        new, ref, dim=2, n_planes=2, n_tables=2, threshold=(1, 10)
+    ).collect()
+    # identical zero vectors share every bucket, but cosine is undefined
+    # (dot = 0 fails the d > 0 arm) → never pruned; NULL vector dropped.
+    assert {r["vec_id"]: r["pruned"] for r in rows} == {10: 0}
+
+
+def test_semdedup_against_max_ref_bucket_caps_hot_bucket(spark):
+    from artigraph_spark.operators.similarity import semdedup_against
+
+    ref = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    new = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id: long, embedding: array<float>"
+    )
+    kw = dict(dim=2, n_planes=3, n_tables=4, threshold=(9, 10))
+    uncapped = semdedup_against(new, ref, **kw).collect()[0]
+    assert (uncapped["pruned"], uncapped["ref_match"]) == (1, 1)
+    # All three identical refs land in the same bucket of every table;
+    # a cap of 2 drops every one of those keys → no candidates at all
+    # (the documented recall trade, including the exact-twin guarantee).
+    capped = semdedup_against(new, ref, max_ref_bucket=2, **kw).collect()[0]
+    assert (capped["pruned"], capped["ref_match"]) == (0, None)
+
+
+def test_semdedup_against_bad_params_raise(spark):
+    from artigraph_spark.operators.similarity import semdedup_against
+
+    new, ref = _against_frames(spark)
+    with pytest.raises(ValueError, match="n_planes"):
+        semdedup_against(new, ref, dim=2, n_planes=0)
+    with pytest.raises(ValueError, match="n_tables"):
+        semdedup_against(new, ref, dim=2, n_tables=0)
+    with pytest.raises(ValueError, match="max_ref_bucket"):
+        semdedup_against(new, ref, dim=2, max_ref_bucket=0)
+    with pytest.raises(ValueError, match="threshold"):
+        semdedup_against(new, ref, dim=2, threshold=(0, 10))
+
+
+def test_semdedup_against_wrong_dim_raises_at_execution(spark):
+    from artigraph_spark.operators.similarity import semdedup_against
+
+    new, ref = _against_frames(spark)
+    with pytest.raises(Exception, match="vector length"):
+        semdedup_against(new, ref, dim=5, n_planes=2, n_tables=1).collect()
