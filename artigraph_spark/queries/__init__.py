@@ -59,60 +59,50 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 # r10 clears the 28 oldest r4-stale; r11 should clear the 3 remaining
 # r4-stale plus the 43 r5-stale and start on r6.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-13 ROTATION. Recorded-window census at round start:
-    # {r6:7, r7:36, r8:40, r9:42, r10:49, r11:44, r12:50}; no
-    # never-recorded queries. Window: 2 new + 7 impl-changed
-    # (pagerank_copurchase joined late) + the 7 r6-stale spillovers
-    # named by the r12 policy + 34 of the 36 r7-stale (alphabetical;
-    # t_closeness_orders and target_encode_orders spill to r14's
-    # head) = exactly 50. Expected
-    # census after the driver records r13:
-    # {r7:2, r8:40, r9:42, r10:49, r11:44, r12:43, r13:50}.
+    # ROUND-14 ROTATION. Recorded-window census at round start:
+    # {r7:2, r8:41*, r9:41, r10:49, r11:44, r12:44, r13:50} — the *
+    # counts the r8 ghost `dp_noisy_counts_events` (renamed to
+    # pseudo_dp_noisy_counts_events at r9; not a registry query, so it
+    # rotates nowhere). No never-recorded queries. Window: 1 new +
+    # 3 oracle-changed + the 2 r7-stale spillovers named by the r13
+    # policy + all 40 registry r8-stale (alphabetical) + the first 4
+    # r9-stale (alphabetical) = exactly 50. Expected census after the
+    # driver records r14:
+    # {r9:37, r10:49, r11:44, r12:42, r13:49, r14:50} (271 total).
     # New-query rationale (registry-growth policy: genuine family
-    # gaps only): semdedup_clusters is the embedding-space dedup
-    # member (existing members are all lexical) per the r12 verdict's
-    # own #4; cdc_chunk_dedup closes the corpus-consumer loop on r12's
-    # content_defined_chunks per verdict #5.
-    # Impl-changed detail: dedup_clusters + dedup_minhash_end2end
-    # (connected_components' convergence probe became a monotone
-    # decimal-sum scan — the per-round node-keyed join+count is gone;
-    # values unchanged, plan changed); survival_km_users,
-    # survival_km_by_first_event, rmst_signup_by_cohort,
-    # logrank_click_vs_rest (bucketed_prefix_sums' external-bucket
-    # branch gained the NULL-id raise guard — kaplan_meier's pass 2
-    # rides bucket_col, so the plan expression changed; values
-    # unchanged). kmeans_embeddings ALSO changed plan late in the round
-    # (kmeans_exact gained the ragged/NULL-coordinate guard expression;
-    # values unchanged, matmul/unroll equality pinned by
-    # test_round13_ops) — it already sits in group 4 below as r7-stale,
-    # so it earns its fresh row either way.
-    # (1) new this round — first driver rows
-    "semdedup_clusters", "cdc_chunk_dedup",
-    # (2) implementation changed this round (pagerank_copurchase: the
-    #     mid-loop lineage cuts went lazy in local-blocks mode late in
-    #     the round — values unchanged, job structure changed)
-    "pagerank_copurchase", "dedup_clusters", "dedup_minhash_end2end",
-    "survival_km_users", "survival_km_by_first_event",
-    "rmst_signup_by_cohort", "logrank_click_vs_rest",
-    # (3) the 7 r6-stale spillovers (the r12 policy's named set)
-    "window_rank_family", "window_running_agg", "window_session",
-    "window_sliding", "window_topk_per_group", "window_tumbling",
-    "zorder_cluster_keys",
-    # (4) 34 of the 36 r7-stale re-greens (alphabetical;
-    #     t_closeness_orders + target_encode_orders spill to r14)
-    "ab_test_purchase", "acf_hourly", "agg_moments_quantity",
-    "attribution_last_touch", "attribution_linear",
-    "benford_price_digits", "bfs_hops_copurchase", "cdc_apply_orders",
-    "chi2_priority_status", "conversion_latency", "cusum_changepoints",
-    "entropy_event_types", "event_paths_top", "event_transitions",
-    "ewma_hourly", "g2_keywords_source", "grouped_heavy_hitters_events",
-    "heavy_hitter_users", "impute_value_group_mean",
-    "inter_event_gaps_users", "k_anonymity_orders", "kmeans_embeddings",
-    "knn_label_accuracy", "l_diversity_events", "mi_event_type_hour",
-    "negative_samples_orders", "ngram_novelty_docs", "salted_join_revenue",
-    "scd2_intervals_orders", "seasonal_decompose_daily",
-    "seasonal_naive_mape_daily", "sliding_cms_top_users",
-    "snapshot_diff_orders", "sorted_neighborhood_docs",
+    # gaps only): semdedup_against is the embedding-space member of
+    # the INCREMENTAL dedup trio — exact digest (dedup_against) and
+    # lexical (lsh_pairs_between) existed, semantic did not — per the
+    # r13 verdict's own #4.
+    # Oracle-changed detail: dedup_clusters, minhash_signatures,
+    # minhash_lsh_pairs replay the id-derived fallback pmod-style
+    # (((doc_id % m) + m) % m) instead of plain % — values unchanged
+    # on the non-negative testdata ids, oracle TEXT changed, so each
+    # earns a fresh row under the changed SQL (the r13 verdict's #6).
+    # (1) new this round — first driver row
+    "semdedup_against",
+    # (2) oracle changed this round (pmod-style fallback replay)
+    "dedup_clusters", "minhash_signatures", "minhash_lsh_pairs",
+    # (3) the 2 r7-stale spillovers (the r13 policy's named set)
+    "t_closeness_orders", "target_encode_orders",
+    # (4) all 40 registry r8-stale re-greens (alphabetical)
+    "array_ops", "association_rules_parts", "bigram_logprob_docs",
+    "cdc_time_travel_orders", "containment_pairs_docs",
+    "copurchase_support_pairs", "edit_distance_pairs",
+    "embedding_mean_pool", "embedding_norms", "fellegi_sunter_docs",
+    "filter_between_isin", "filter_null_tests", "hits_copurchase",
+    "json_extract", "lang_predict", "map_ops",
+    "markov_stationary_events", "mixed_language_docs",
+    "multimodal_features", "ngram_jaccard_pairs",
+    "pca_explained_embeddings", "pca_project_embeddings",
+    "pca_top_component", "proj_select_rename", "readability_docs",
+    "rrf_hybrid_topk", "sample_deterministic", "scalar_cast",
+    "scalar_conditional", "scalar_datetime", "scalar_math",
+    "scalar_string", "set_except", "set_intersect",
+    "set_intersect_all", "set_similarity_users", "stl_outliers_daily",
+    "theil_sen_daily", "welch_ttest_price", "zipf_slope_docs",
+    # (5) the first 4 r9-stale (alphabetical) to fill 50
+    "agg_argminmax", "agg_collect", "agg_count_distinct", "agg_cube",
 )
 
 # The queries whose implementation or oracle changed THIS round (the
@@ -122,9 +112,7 @@ _PRIORITY: tuple[str, ...] = (
 # (Superseded rotations live in git history and in the committed
 # CORRECTNESS_r* artifacts the audit recomputes from.)
 ROUND_FRESH: tuple[str, ...] = (
-    "pagerank_copurchase", "dedup_clusters", "dedup_minhash_end2end",
-    "survival_km_users", "survival_km_by_first_event",
-    "rmst_signup_by_cohort", "logrank_click_vs_rest",
+    "dedup_clusters", "minhash_signatures", "minhash_lsh_pairs",
 )
 
 
