@@ -556,13 +556,14 @@ def kmeans_exact(
     Scale shape — the standard distributed Lloyd's: per iteration ONE
     corpus scan into a k×dim-cell aggregate (map-side partial sums of
     ``q[d]`` per cluster — no explode, no shuffle of vectors) and a
-    driver collect of the new centroids that is **O(k·dim)**, NOT
-    constant: kilobytes at small k, but at the SemDeDup regime
-    (k = 50k, dim = 768) ~300 MB of Row objects plus a Python
-    nested-loop rebuild — the driver is the bound on k, not the
-    executors. Callers pushing k beyond ~10⁴·dim≈10⁶ cells should
-    budget driver memory accordingly (an Arrow/toPandas centroid
-    update is the escape hatch if that regime matters).
+    driver fetch of the new centroids that is **O(k·dim)**, NOT
+    constant — the driver is the bound on k, not the executors. Small
+    k collects Rows (kilobytes); large k (the same ``_UNROLL_MAX_K``
+    switch) fetches the k×(dim+2) aggregate columnar via toPandas and
+    rebuilds with one vectorized floor-divide, so the SemDeDup regime
+    (k = 50k, dim = 768) moves ~300 MB as flat columns instead of Row
+    objects and skips the k·dim Python loop. Callers still budget
+    driver memory O(k·dim) at that scale.
     Assignment switches on k
     (``_UNROLL_MAX_K``): small k runs as pure JVM zip_with/aggregate
     expressions over literal centroids; large k (the SemDeDup regime,
@@ -720,19 +721,37 @@ def kmeans_exact(
 
         for _ in range(iterations):
             a = assign(pts, cents)
-            rows = (
-                a.groupBy("cluster")
-                .agg(
-                    F.count(F.lit(1)).alias("__n"),
-                    *[F.sum(F.col("__q")[d]).alias(f"__s{d}") for d in range(dim)],
-                )
-                .collect()
+            agg = a.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[F.sum(F.col("__q")[d]).alias(f"__s{d}") for d in range(dim)],
             )
-            new = [list(c) for c in cents]
-            for r in rows:
-                j, n = int(r["cluster"]), int(r["__n"])
-                new[j] = [int(r[f"__s{d}"]) // n for d in range(dim)]
-            cents = new
+            if len(cents) <= _UNROLL_MAX_K:
+                rows = agg.collect()
+                new = [list(c) for c in cents]
+                for r in rows:
+                    j, n = int(r["cluster"]), int(r["__n"])
+                    new[j] = [int(r[f"__s{d}"]) // n for d in range(dim)]
+                cents = new
+            else:
+                # Large-k (SemDeDup regime, k ∝ N): the k-Row collect plus
+                # the k·dim Python rebuild loop is the DRIVER bottleneck —
+                # ~300 MB of Row objects at k=50k, dim=768. Fetch the
+                # k×(dim+2) aggregate columnar (toPandas rides Arrow when
+                # the session enables it; either way no per-cell Python)
+                # and rebuild with one vectorized floor-divide. Arithmetic
+                # is identical: int64 sums, floor division on the
+                # non-negative shifted scale (numpy // floors like
+                # Python's), empty clusters keep their previous centroid —
+                # the matmul-vs-unrolled equality test pins both paths
+                # through this update with iterations > 0.
+                pdf = agg.toPandas()
+                cmat = np.asarray(cents, dtype=np.int64)
+                if len(pdf):
+                    js = pdf["cluster"].to_numpy(np.int64)
+                    ns = pdf["__n"].to_numpy(np.int64)
+                    sums = pdf[[f"__s{d}" for d in range(dim)]].to_numpy(np.int64)
+                    cmat[js] = sums // ns[:, None]
+                cents = [list(map(int, row)) for row in cmat]
         return assign(pts, cents).select(id_col, "cluster", "dist_q")
     finally:
         pts.unpersist()
@@ -1112,6 +1131,56 @@ def semdedup_against(
             F.col("ref_match").isNotNull().cast("long").alias("pruned"),
             F.col("ref_match"),
         )
+    )
+
+
+def semdedup_against_auto(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_bucket_size: int = 128,
+    min_planes: int = 4,
+    max_planes: int = 24,
+    **kwargs,
+) -> DataFrame:
+    """:func:`semdedup_against` with the scale contract made EXECUTABLE
+    (the :func:`semdedup_auto` pattern): ``n_planes`` is derived from the
+    REFERENCE corpus size as ``ceil(log2(n_ref / target_bucket_size))``
+    (clamped to [min_planes, max_planes]), pinning expected per-table
+    bucket occupancy — and therefore the cross-side candidate join — as
+    the reference grows. A fixed ``n_planes`` has a FIXED bucket count
+    (``n_tables·2^n_planes``), so candidates grow ~quadratically in N
+    (see the ×10 probe in docs/SCALE.md); this wrapper is what a
+    production caller should reach for. Costs one count scan of the
+    reference (driver-side scalar).
+
+    Recall trade, stated not hidden: per-table collision probability for
+    near-twins at angle θ is ``(1−θ/π)^n_planes``, so growing planes
+    with log₂ N thins per-table recall — counter by growing ``n_tables``
+    (recall ≈ 1−(1−p^planes)^tables; the exact-twin floor is
+    plane-count-independent). ``max_planes`` defaults well below the
+    62-bit pack limit because recall, not packing, binds first.
+    """
+    import math
+
+    if target_bucket_size < 1:
+        raise ValueError(f"target_bucket_size must be >= 1, got {target_bucket_size}")
+    if not 1 <= min_planes <= max_planes <= 62:
+        raise ValueError(
+            f"need 1 <= min_planes <= max_planes <= 62, got {min_planes}..{max_planes}"
+        )
+    n = ref_df.filter(
+        F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()
+    ).count()
+    if n > target_bucket_size:
+        planes = math.ceil(math.log2(n / target_bucket_size))
+    else:
+        planes = min_planes
+    planes = min(max(planes, min_planes), max_planes)
+    return semdedup_against(
+        new_df, ref_df, id_col=id_col, vec_col=vec_col, n_planes=planes, **kwargs
     )
 
 

@@ -12,6 +12,11 @@ stream and its keep-set is checked against the batch
 min-id-per-(table, bucket) rule — the incremental twin of the batch
 candidate semantics.
 
+And a cross-snapshot coda (r14): the suite's kept vectors become the
+reference corpus and `semdedup_against` checks a simulated re-crawl
+batch against it without re-clustering — asserting the exact-twin
+recall floor (every non-zero vector still in the reference re-flags).
+
 Demonstrates: two external raw artifacts feeding independent producers,
 a 2-output producer, graph memoization over the whole suite (second
 run builds nothing), and batch/stream parity for the semantic gate.
@@ -207,6 +212,35 @@ def _check_streaming_gate(spark, sf_dir: str) -> int:
     return sum(1 for k in gate.values() if not k)
 
 
+def _check_incremental_semantic(spark, sf_dir: str, kept: DataFrame) -> tuple[int, int]:
+    """Cross-snapshot coda (r14): the suite's KEPT vectors become the
+    reference corpus and the full original embedding table plays a
+    re-crawl batch — `semdedup_against` must re-flag every non-zero
+    vector that is literally present in the reference (the exact-twin
+    recall floor: identical vectors share every hyperplane bucket and
+    verify at cos = 1) WITHOUT re-clustering the union."""
+    from artigraph_spark.operators.similarity import norm, semdedup_against
+    from artigraph_spark.sources import load
+
+    new = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rep = semdedup_against(
+        new, kept, dim=64, n_planes=4, n_tables=8, qbits=8, threshold=(3, 10)
+    )
+    known = (
+        rep.join(kept.select("vec_id"), "vec_id", "left_semi")
+        .join(
+            new.filter(norm(F.col("embedding")) != 0).select("vec_id"),
+            "vec_id",
+            "left_semi",
+        )
+    )
+    missed = known.filter(F.col("pruned") == 0).count()
+    assert missed == 0, f"{missed} known reference vectors escaped the re-flag"
+    total = rep.count()
+    flagged = rep.agg(F.sum("pruned").cast("long")).collect()[0][0]
+    return int(flagged), int(total)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     root = tempfile.mkdtemp(prefix="dedup_suite_")
@@ -264,6 +298,13 @@ def main() -> None:
     spark = get_spark("dedup_suite_demo")
     flagged = _check_streaming_gate(spark, sf_dir)
     print(f"streaming semantic gate: {flagged} vectors flagged, batch parity OK")
+
+    kept_vecs = snap.read(g1.artifacts.kept_vecs).select("vec_id", "embedding")
+    inc_flagged, inc_total = _check_incremental_semantic(spark, sf_dir, kept_vecs)
+    print(
+        f"incremental semantic (semdedup_against vs kept corpus): "
+        f"{inc_flagged}/{inc_total} re-crawl vectors flagged, recall floor OK"
+    )
 
     print("dedup suite demo OK:", root)
 

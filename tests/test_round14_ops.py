@@ -206,3 +206,39 @@ def test_semdedup_against_wrong_dim_raises_at_execution(spark):
     new, ref = _against_frames(spark)
     with pytest.raises(Exception, match="vector length"):
         semdedup_against(new, ref, dim=5, n_planes=2, n_tables=1).collect()
+
+
+def test_semdedup_against_auto_derives_planes_and_matches(spark):
+    from artigraph_spark.operators.similarity import semdedup_against_auto
+
+    new, ref = _against_frames(spark)
+    # 3 ref vectors, target 128 → clamps to min_planes; result identical
+    # to the explicit call the other tests pin.
+    out = {r["vec_id"]: (r["pruned"], r["ref_match"]) for r in semdedup_against_auto(
+        new, ref, dim=2, target_bucket_size=128, min_planes=3,
+        n_tables=4, threshold=(9, 10),
+    ).collect()}
+    assert out[10] == (1, 1)
+    with pytest.raises(ValueError, match="target_bucket_size"):
+        semdedup_against_auto(new, ref, dim=2, target_bucket_size=0)
+    with pytest.raises(ValueError, match="min_planes"):
+        semdedup_against_auto(new, ref, dim=2, min_planes=0)
+
+
+def test_kmeans_large_k_centroid_update_matches_collect_path(spark, monkeypatch):
+    # The r14 columnar (toPandas + vectorized floor-divide) centroid
+    # update on the large-k arm must be bit-identical to the small-k
+    # Row-collect loop: force the large-k arm with the switch at 0 and
+    # compare full (id, cluster, dist_q) sets across >0 iterations.
+    import artigraph_spark.operators.similarity as sim
+
+    rows = [(i, [float((i * 13 + d * 5) % 17) / 17 - 0.45 for d in range(6)])
+            for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    a = {(r["vec_id"], r["cluster"], r["dist_q"])
+         for r in sim.kmeans_exact(df, k=7, iterations=3, qbits=10).collect()}
+    monkeypatch.setattr(sim, "_UNROLL_MAX_K", 0)
+    b = {(r["vec_id"], r["cluster"], r["dist_q"])
+         for r in sim.kmeans_exact(df, k=7, iterations=3, qbits=10).collect()}
+    assert a == b
+    assert len(a) == 60
