@@ -5,6 +5,8 @@ cross-snapshot semantic dedup member (`semdedup_against`)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
@@ -223,6 +225,96 @@ def test_semdedup_against_auto_derives_planes_and_matches(spark):
         semdedup_against_auto(new, ref, dim=2, target_bucket_size=0)
     with pytest.raises(ValueError, match="min_planes"):
         semdedup_against_auto(new, ref, dim=2, min_planes=0)
+
+
+_vec3 = st.lists(
+    st.floats(min_value=-1.9, max_value=1.9, allow_nan=False),
+    min_size=3, max_size=3,
+)
+
+
+def _mini_oracle_against(new_rows, ref_rows, *, n_planes, n_tables, qbits, p, q):
+    """Complete Python replay of semdedup_against: seeded planes, the
+    left-fold double plane dot (same IEEE op order as the Spark
+    aggregate), floor quantization, bucket equality in >=1 table,
+    exact-int threshold verify, min-ref-id rollup."""
+    import math
+
+    from artigraph_spark.operators.similarity import _hyperplanes
+
+    tables = [_hyperplanes(3, n_planes, 42 + 1000 * t) for t in range(n_tables)]
+
+    def buckets(vec):
+        out = []
+        for planes in tables:
+            b = 0
+            for i, pl in enumerate(planes):
+                s = 0.0
+                for x, y in zip(vec, pl):
+                    s += float(x) * y
+                if s >= 0:
+                    b |= 1 << i
+            out.append(b)
+        return out
+
+    def qv(vec):
+        return [math.floor(float(x) * (1 << qbits)) for x in vec]
+
+    ref = [(i, qv(v), buckets(v)) for i, v in ref_rows if v is not None]
+    expect = {}
+    for i, v in new_rows:
+        if v is None:
+            continue
+        nq, nb = qv(v), buckets(v)
+        nn = sum(x * x for x in nq)
+        matches = []
+        for j, rq, rb in ref:
+            if not any(a == b for a, b in zip(nb, rb)):
+                continue
+            d = sum(a * b for a, b in zip(nq, rq))
+            if d > 0 and q * q * d * d >= p * p * nn * sum(x * x for x in rq):
+                matches.append(j)
+        expect[i] = (1 if matches else 0, min(matches) if matches else None)
+    return expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.one_of(st.none(), _vec3)),
+        max_size=8, unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(100, 150), st.one_of(st.none(), _vec3)),
+        max_size=8, unique_by=lambda t: t[0],
+    ),
+)
+def test_semdedup_against_matches_python_mini_oracle(spark, new_rows, ref_rows):
+    """For ANY small corpus pair: the operator's (pruned, ref_match) per
+    new id equals a complete pure-Python replay of the pipeline —
+    buckets, fixed-point quantization, int64 verify, min-id rollup."""
+    from artigraph_spark.operators.similarity import semdedup_against
+
+    new = spark.createDataFrame(
+        new_rows or [(0, None)], "vec_id: long, embedding: array<double>"
+    )
+    ref = spark.createDataFrame(
+        ref_rows or [(0, None)], "vec_id: long, embedding: array<double>"
+    )
+    if not new_rows:
+        new = new.filter("false")
+    if not ref_rows:
+        ref = ref.filter("false")
+    got = {
+        r["vec_id"]: (r["pruned"], r["ref_match"])
+        for r in semdedup_against(
+            new, ref, dim=3, n_planes=3, n_tables=3, qbits=8, threshold=(3, 10)
+        ).collect()
+    }
+    want = _mini_oracle_against(
+        new_rows, ref_rows, n_planes=3, n_tables=3, qbits=8, p=3, q=10
+    )
+    assert got == want
 
 
 def test_kmeans_large_k_centroid_update_matches_collect_path(spark, monkeypatch):
