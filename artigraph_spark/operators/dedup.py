@@ -993,6 +993,114 @@ def cdc_chunk_dedup_report(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 8,
+    base1: int = 1_000_003,
+    base2: int = 999_983,
+) -> DataFrame:
+    """Exact-substring duplicate-SPAN detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    suffix-array use case, re-expressed for Spark): report, per document,
+    every MAXIMAL token span all of whose length-``min_tokens`` windows
+    occur at least twice in the corpus — the spans an exact-substring
+    dedup pass would cut. Counts ALL occurrences, so within-document
+    repetition (boilerplate headers repeated in one page) is flagged
+    exactly like cross-document duplication, matching the paper's
+    self-repetition behavior.
+
+    Where the rest of the family sits: `dedup_exact` needs whole-doc
+    equality, `dedup_segments`/CDC match chunk granularity, MinHash and
+    SemDeDup are probabilistic/semantic — none localizes the EXACT
+    duplicated region inside a document. This does, at token resolution,
+    without a suffix array: a stride-1 ``min_tokens``-gram fingerprint
+    per position (two independent polynomial folds over the shared
+    :func:`poly_char_hash` token hashes, packed to 62 bits —
+    fp = fold_base1 · 2³¹ + fold_base2, both < 2³¹ so the pack is
+    int64-exact; a false span needs BOTH 31-bit folds to collide on the
+    same gram, ~2⁻⁶² per pair), a corpus-wide occurrence count, and an
+    islands merge of consecutive duplicated starts. Every value is exact
+    integer arithmetic → the whole report replays in SQL.
+
+    Scale shape: one O(n·min_tokens) per-row array pass per document
+    (the CDC precedent — zero shuffle), ONE explode to token-position
+    granularity (corpus-token-count rows, linear), one map-side-combined
+    groupBy(fp) for occurrence counts, one fp-keyed semi join back, and
+    one DOC-KEYED window over duplicated positions only for the islands
+    merge. Nothing quadratic, nothing data-sized on one partition; the
+    span report is the cut-list a rewrite pass consumes.
+
+    Returns ``(id, span_start, span_end, span_tokens)`` — 1-based
+    inclusive token positions of each maximal duplicated span (length ≥
+    ``min_tokens`` by construction). Documents shorter than
+    ``min_tokens`` tokens emit nothing.
+    """
+    from pyspark.sql import Window
+
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    for b in (base1, base2):
+        if not 2 <= b < (1 << 31):
+            raise ValueError(f"bases must be in [2, 2^31), got {b}")
+    if base1 == base2:
+        raise ValueError("base1 and base2 must differ (independent folds)")
+    m31 = (1 << 31) - 1
+    k = min_tokens
+
+    def fold(arr, base):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * base + h) % F.lit(m31),
+        )
+
+    n = F.size(F.col("__tokh"))
+    gram = lambda i: (  # noqa: E731
+        fold(F.slice(F.col("__tokh"), i, k), base1) * F.lit(1 << 31)
+        + fold(F.slice(F.col("__tokh"), i, k), base2)
+    )
+    staged = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .withColumn("__tokh", F.transform(F.col("__toks"), lambda t: poly_char_hash(t)))
+        # shorter docs have no k-gram; ALSO keeps F.sequence ascending
+        # (sequence(1, n-k+1) with n < k would silently run DESCENDING)
+        .filter(n >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(F.sequence(F.lit(1), n - k + 1), gram)
+            ).alias("__p0", "__fp"),
+        )
+        .select(F.col(id_col), (F.col("__p0") + 1).alias("__pos"), F.col("__fp"))
+    )
+    dup_fps = (
+        staged.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+        .select("__fp")
+    )
+    dup_pos = staged.join(dup_fps, "__fp", "left_semi").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy(F.col("__pos").asc())
+    return (
+        dup_pos.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
+        .groupBy(F.col(id_col), F.col("__grp"))
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("span_start"),
+            F.col("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 def dedup_against(
     new_df: DataFrame,
     ref_df: DataFrame,

@@ -273,6 +273,68 @@ def cdc_chunk_dedup(spark, sf_dir):
     )
 
 
+def _duplicate_spans_oracle(
+    k: int = 8, base1: int = 1_000_003, base2: int = 999_983
+) -> str:
+    """DuckDB twin of operators.dedup.duplicate_spans: polynomial token
+    char-hashes (the shared poly_char_hash fold), two independent
+    stride-1 k-gram folds packed to 62 bits, corpus-wide occurrence
+    count >= 2, islands merge of consecutive duplicated starts."""
+    m31 = (1 << 31) - 1
+    charfold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_extract_all(t, '.'), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 131 + x) % {m31})"
+    )
+    fold = lambda base: (  # noqa: E731
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), tokh[u.i : u.i + {k - 1}]), "
+        f"(acc, h) -> (acc * {base} + h) % {m31})"
+    )
+    return f"""
+    WITH dt AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    tok AS (
+        SELECT doc_id, list_transform(toks, t -> {charfold}) AS tokh,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM dt WHERE len(toks) >= {k}
+    ),
+    g AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               ({fold(base1)}) * 2147483648 + ({fold(base2)}) AS fp
+        FROM tok, UNNEST(generate_series(1, n - {k} + 1)) AS u(i)
+    ),
+    dup AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(*) >= 2),
+    p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (fp)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {k - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """
+
+
+@query("duplicate_spans_docs", oracle=_duplicate_spans_oracle())
+def duplicate_spans_docs(spark, sf_dir):
+    """Exact-substring duplicate spans (NEW r14): per document, every
+    maximal token span whose length-8 windows occur >= 2 times in the
+    corpus (within-doc repetition counts) — the Lee et al. 2022
+    suffix-array dedup use case as stride-1 k-gram fingerprints + an
+    islands merge; the cut-list an exact-substring dedup rewrite pass
+    consumes. See ``operators.dedup.duplicate_spans``."""
+    from artigraph_spark.operators.dedup import duplicate_spans
+
+    d = load(spark, sf_dir, "documents")
+    return duplicate_spans(d, "doc_id", "text", min_tokens=8)
+
+
 def _minhash_oracle(num_hashes: int = 8, seed: int = 42) -> str:
     # Fallback replay: the engine's _fallback_doc_id uses pmod (always
     # non-negative), replayed here as ((doc_id % m) + m) % m — identical

@@ -317,6 +317,125 @@ def test_semdedup_against_matches_python_mini_oracle(spark, new_rows, ref_rows):
     assert got == want
 
 
+# ----------------------------------------------------- duplicate_spans
+
+
+def test_duplicate_spans_cross_doc_and_self_repetition(spark):
+    from artigraph_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "a b c d e f g h i j unique tail one"),
+        (2, "prefix two a b c d e f g h i j different end"),
+        (3, "no shared runs here at all whatsoever in this doc"),
+        (4, "rep rep rep rep rep rep rep rep"),  # pure self-repetition
+        (5, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(df, "doc_id", "text", min_tokens=4).collect()
+    }
+    # docs 1/2 share the 10-token run "a b c ... j" (positions 1-10 and
+    # 3-12); doc 4's every 4-gram repeats within the doc → whole doc is
+    # one span; docs 3 and 5 emit nothing.
+    assert out == {(1, 1, 10, 10), (2, 3, 12, 10), (4, 1, 8, 8)}
+
+
+def test_duplicate_spans_no_duplicates_is_empty(spark):
+    from artigraph_spark.operators.dedup import duplicate_spans
+
+    rows = [(1, "every token here is used exactly once total"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert duplicate_spans(df, "doc_id", "text", min_tokens=3).collect() == []
+
+
+def test_duplicate_spans_bad_params_raise(spark):
+    from artigraph_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_tokens"):
+        duplicate_spans(df, "doc_id", "text", min_tokens=0)
+    with pytest.raises(ValueError, match="bases"):
+        duplicate_spans(df, "doc_id", "text", base1=1)
+    with pytest.raises(ValueError, match="differ"):
+        duplicate_spans(df, "doc_id", "text", base1=131, base2=131)
+
+
+def _mini_oracle_spans(rows, k, base1=1_000_003, base2=999_983):
+    import re
+
+    m31 = (1 << 31) - 1
+
+    def tok(text):
+        return [t for t in re.split(r"\s+", text.lower()) if t != ""]
+
+    def chash(t):
+        acc = 0
+        for c in t:
+            acc = (acc * 131 + ord(c)) % m31
+        return acc
+
+    def fold(hs, base):
+        acc = 0
+        for h in hs:
+            acc = (acc * base + h) % m31
+        return acc
+
+    grams = []  # (doc, pos, fp)
+    for i, text in rows:
+        if text is None or i is None:
+            continue
+        th = [chash(t) for t in tok(text)]
+        for p in range(1, len(th) - k + 2):
+            win = th[p - 1 : p - 1 + k]
+            grams.append((i, p, fold(win, base1) * (1 << 31) + fold(win, base2)))
+    from collections import Counter
+
+    cnt = Counter(fp for _, _, fp in grams)
+    expect = set()
+    by_doc = {}
+    for i, p, fp in grams:
+        if cnt[fp] >= 2:
+            by_doc.setdefault(i, []).append(p)
+    for i, ps in by_doc.items():
+        ps.sort()
+        start = prev = ps[0]
+        for p in ps[1:] + [None]:
+            if p is not None and p == prev + 1:
+                prev = p
+                continue
+            expect.add((i, start, prev + k - 1, prev + k - 1 - start + 1))
+            if p is not None:
+                start = prev = p
+    return expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=12).map(" ".join),
+        ),
+        max_size=6, unique_by=lambda t: t[0],
+    )
+)
+def test_duplicate_spans_matches_python_mini_oracle(spark, rows):
+    """For ANY corpus over a tiny alphabet (collision-rich on purpose):
+    the span report equals a pure-Python replay of tokenization, char
+    folds, 62-bit gram packing, occurrence counting, and islands merge."""
+    from artigraph_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(rows or [(0, "")], "doc_id long, text string")
+    if not rows:
+        df = df.filter("false")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(df, "doc_id", "text", min_tokens=3).collect()
+    }
+    assert got == _mini_oracle_spans(rows, 3)
+
+
 def test_kmeans_large_k_centroid_update_matches_collect_path(spark, monkeypatch):
     # The r14 columnar (toPandas + vectorized floor-divide) centroid
     # update on the large-k arm must be bit-identical to the small-k
