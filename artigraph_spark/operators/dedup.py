@@ -1101,6 +1101,94 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 8,
+    base1: int = 1_000_003,
+    base2: int = 999_983,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The REWRITE pass that consumes :func:`duplicate_spans`' cut-list —
+    the exact-substring analogue of `cdc_chunk_dedup_report` closing the
+    CDC loop: every token position covered by a duplicated span is
+    dropped and the survivors are re-joined into deduplicated text.
+
+    Cut policy — ALL occurrences, stated not hidden: like the reference
+    ExactSubstr implementation (Lee et al. 2022's released dedup tool),
+    removal is destructive — a duplicated span is cut EVERYWHERE it
+    occurs, including the "first" copy. A keep-one-occurrence policy
+    needs a canonical keeper per duplicate cluster (cross-doc consensus
+    on which occurrence survives) and is intentionally not offered.
+
+    Output text is NORMALIZED (lowercased, whitespace collapsed to
+    single spaces) because the cut operates on the tokenizer's view;
+    byte-faithful reconstruction would need original offsets the
+    tokenizer discards. One row per non-null-id input document —
+    including token-less and fully-cut documents (empty string).
+
+    Scale shape: :func:`duplicate_spans`' linear pipeline, then ONE
+    doc-keyed groupBy collecting each doc's spans (span counts are
+    small — merged maximal spans, not grams), one broadcast-eligible
+    left join back to the corpus, and a per-row O(n·spans_per_doc)
+    rebuild — no new data-sized shuffle beyond the span aggregation.
+
+    Pass a precomputed ``spans`` frame (``duplicate_spans`` output
+    columns) to reuse a cut-list across consumers; parameters then only
+    govern tokenization of the rebuild side.
+
+    Returns ``(id, text_dedup, n_tokens, tokens_removed)``.
+    """
+    if spans is None:
+        spans = duplicate_spans(
+            df, id_col, text_col,
+            min_tokens=min_tokens, base1=base1, base2=base2,
+        )
+    per_doc = spans.groupBy(F.col(id_col)).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("__spans")
+    )
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.struct(t.alias("t"), (i + 1).cast("long").alias("i")),
+        ),
+        lambda s: ~covered(s["i"]),
+    )
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__toks"))
+        .join(per_doc, id_col, "left")
+        .withColumn(
+            "__spans",
+            F.coalesce(
+                F.col("__spans"),
+                F.array().cast("array<struct<s:bigint,e:bigint>>"),
+            ),
+        )
+        .withColumn("__kept", kept)
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["t"]), " "
+            ).alias("text_dedup"),
+            F.size(F.col("__toks")).cast("long").alias("n_tokens"),
+            (F.size(F.col("__toks")) - F.size(F.col("__kept")))
+            .cast("long")
+            .alias("tokens_removed"),
+        )
+    )
+
+
 def dedup_against(
     new_df: DataFrame,
     ref_df: DataFrame,

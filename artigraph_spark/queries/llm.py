@@ -335,6 +335,59 @@ def duplicate_spans_docs(spark, sf_dir):
     return duplicate_spans(d, "doc_id", "text", min_tokens=8)
 
 
+def _remove_spans_oracle(
+    k: int = 8, base1: int = 1_000_003, base2: int = 999_983
+) -> str:
+    """DuckDB twin of operators.dedup.remove_duplicate_spans: the full
+    duplicate-spans CTE (byte-identical to duplicate_spans_docs' oracle),
+    then the rewrite — token positions NOT covered by any span of their
+    document re-joined in order; one row per non-null-id doc, empty
+    string for token-less or fully-cut docs."""
+    return f"""
+    WITH spans AS ({_duplicate_spans_oracle(k, base1, base2)}),
+    alltok AS (
+        SELECT doc_id,
+               COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x != ''), CAST([] AS VARCHAR[])) AS toks
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    tp AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS tok
+        FROM alltok, UNNEST(generate_series(1, len(toks))) AS u(i)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM tp t
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+                          WHERE s.doc_id = t.doc_id
+                            AND t.pos BETWEEN s.span_start AND s.span_end)
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           COALESCE(g.text_dedup, '') AS text_dedup,
+           CAST(len(a.toks) AS BIGINT) AS n_tokens,
+           CAST(len(a.toks) - COALESCE(g.n_kept, 0) AS BIGINT) AS tokens_removed
+    FROM alltok a LEFT JOIN agg g USING (doc_id)
+    """
+
+
+@query("remove_duplicate_spans_docs", oracle=_remove_spans_oracle())
+def remove_duplicate_spans_docs(spark, sf_dir):
+    """Exact-substring dedup REWRITE (NEW r14): consume duplicate_spans'
+    cut-list and emit deduplicated text — every token position covered
+    by a corpus-duplicated span is dropped (ALL occurrences, the
+    reference ExactSubstr tool's destructive policy, stated in the
+    operator docstring). One row per document, normalized text. See
+    ``operators.dedup.remove_duplicate_spans``."""
+    from artigraph_spark.operators.dedup import remove_duplicate_spans
+
+    d = load(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, "doc_id", "text", min_tokens=8)
+
+
 def _minhash_oracle(num_hashes: int = 8, seed: int = 42) -> str:
     # Fallback replay: the engine's _fallback_doc_id uses pmod (always
     # non-negative), replayed here as ((doc_id % m) + m) % m — identical

@@ -436,6 +436,87 @@ def test_duplicate_spans_matches_python_mini_oracle(spark, rows):
     assert got == _mini_oracle_spans(rows, 3)
 
 
+# ---------------------------------------------- remove_duplicate_spans
+
+
+def test_remove_duplicate_spans_rewrite(spark):
+    from artigraph_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "a b c d e f g h i j unique tail one"),
+        (2, "prefix two a b c d e f g h i j different end"),
+        (3, "untouched doc with no repeats anywhere at all"),
+        (4, "rep rep rep rep rep rep rep rep"),  # fully cut
+        (6, None),  # token-less → empty string, one row still emitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["tokens_removed"])
+        for r in remove_duplicate_spans(df, "doc_id", "text", min_tokens=4).collect()
+    }
+    assert out[1] == ("unique tail one", 13, 10)
+    assert out[2] == ("prefix two different end", 14, 10)
+    assert out[3] == ("untouched doc with no repeats anywhere at all", 8, 0)
+    assert out[4] == ("", 8, 8)
+    assert out[6] == ("", 0, 0)
+
+
+def test_remove_duplicate_spans_accepts_precomputed_cutlist(spark):
+    from artigraph_spark.operators.dedup import duplicate_spans, remove_duplicate_spans
+
+    rows = [(1, "x y z x y z x y z"), (2, "x y z only once here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, "doc_id", "text", min_tokens=3)
+    a = sorted(
+        map(tuple, remove_duplicate_spans(df, "doc_id", "text", min_tokens=3).collect())
+    )
+    b = sorted(
+        map(tuple, remove_duplicate_spans(
+            df, "doc_id", "text", min_tokens=3, spans=spans
+        ).collect())
+    )
+    assert a == b
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=12).map(" ".join),
+        ),
+        max_size=6, unique_by=lambda t: t[0],
+    )
+)
+def test_remove_duplicate_spans_matches_mini_oracle(spark, rows):
+    """Rewrite = drop exactly the positions the span mini-oracle covers;
+    tokens_removed is conserved against the span report."""
+    import re
+
+    from artigraph_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(rows or [(0, "")], "doc_id long, text string")
+    if not rows:
+        df = df.filter("false")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["tokens_removed"])
+        for r in remove_duplicate_spans(df, "doc_id", "text", min_tokens=3).collect()
+    }
+    spans = _mini_oracle_spans(rows, 3)
+    by_doc = {}
+    for i, s, e, _ in spans:
+        by_doc.setdefault(i, []).append((s, e))
+    want = {}
+    for i, text in rows:
+        toks = [t for t in re.split(r"\s+", text.lower()) if t != ""]
+        cut = set()
+        for s, e in by_doc.get(i, []):
+            cut.update(range(s, e + 1))
+        kept = [t for p, t in enumerate(toks, start=1) if p not in cut]
+        want[i] = (" ".join(kept), len(toks), len(cut))
+    assert got == want
+
+
 def test_kmeans_large_k_centroid_update_matches_collect_path(spark, monkeypatch):
     # The r14 columnar (toPandas + vectorized floor-divide) centroid
     # update on the large-k arm must be bit-identical to the small-k
