@@ -1,10 +1,11 @@
-"""The round-13 dedup family end-to-end as an incremental Graph.
+"""The dedup family end-to-end as an incremental Graph (r13 + r14).
 
 documents (external parquet)   embeddings (external parquet)
   → ChunkDedup (content-defined chunk fingerprints → doc-pair report)
+  → SpanDedup (exact-substring duplicate spans → destructive rewrite)
   → SemanticDedup (SemDeDup: exact k-means + intra-cluster cosine prune;
      TWO outputs: kept vectors + the prune report)
-  → DedupSummary (one-row rollup joining both reports)
+  → DedupSummary (one-row rollup joining all three reports)
 
 Then a streaming coda: the semantic near-dup GATE
 (`stateful_cosine_band_flags`) runs over the embeddings as a bounded
@@ -91,6 +92,17 @@ PRUNE_TYPE = at.Collection(
     )
 )
 
+REWRITE_TYPE = at.Collection(
+    element=at.Struct(
+        fields={
+            "doc_id": at.Int64(),
+            "text_dedup": at.String(),
+            "n_tokens": at.Int64(),
+            "tokens_removed": at.Int64(),
+        }
+    )
+)
+
 SUMMARY_TYPE = at.Collection(
     element=at.Struct(
         fields={
@@ -98,6 +110,8 @@ SUMMARY_TYPE = at.Collection(
             "chunk_docs_flagged": at.Int64(),
             "vectors": at.Int64(),
             "vectors_pruned": at.Int64(),
+            "span_docs_cut": at.Int64(),
+            "span_tokens_removed": at.Int64(),
         }
     )
 )
@@ -147,13 +161,33 @@ class SemanticDedup(Producer):
         return (kept.limit(1).count() > 0, "semantic dedup pruned every vector")
 
 
-class DedupSummary(Producer):
+class SpanDedup(Producer):
+    """Exact-substring rewrite (r14): cut every corpus-duplicated span
+    from every document — the ExactSubstr destructive policy."""
+
     version = SemVer(major=1)
+
+    docs: Documents
+
+    def build(self, docs: DataFrame) -> DataFrame:
+        from artigraph_spark.operators.dedup import remove_duplicate_spans
+
+        return remove_duplicate_spans(docs, "doc_id", "text", min_tokens=8)
+
+
+class DedupSummary(Producer):
+    version = SemVer(major=2)
 
     chunk_pairs: Artifact
     prune_report: Artifact
+    span_rewrite: Artifact
 
-    def build(self, chunk_pairs: DataFrame, prune_report: DataFrame) -> DataFrame:
+    def build(
+        self,
+        chunk_pairs: DataFrame,
+        prune_report: DataFrame,
+        span_rewrite: DataFrame,
+    ) -> DataFrame:
         flagged = chunk_pairs.select(
             F.explode(F.array("doc_a", "doc_b")).alias("d")
         ).distinct()
@@ -164,6 +198,14 @@ class DedupSummary(Producer):
                 prune_report.agg(
                     F.count(F.lit(1)).alias("vectors"),
                     F.sum("pruned").cast("long").alias("vectors_pruned"),
+                )
+            )
+            .crossJoin(
+                span_rewrite.agg(
+                    F.sum((F.col("tokens_removed") > 0).cast("long"))
+                    .cast("long")
+                    .alias("span_docs_cut"),
+                    F.sum("tokens_removed").cast("long").alias("span_tokens_removed"),
                 )
             )
         )
@@ -267,9 +309,13 @@ def main() -> None:
             )
             g.artifacts.kept_vecs = kept
             g.artifacts.prune_report = report
+            g.artifacts.span_rewrite = SpanDedup(docs=g.artifacts.docs).out(
+                Artifact(type=REWRITE_TYPE, storage=LocalFile(root=root))
+            )
             g.artifacts.summary = DedupSummary(
                 chunk_pairs=g.artifacts.chunk_pairs,
                 prune_report=g.artifacts.prune_report,
+                span_rewrite=g.artifacts.span_rewrite,
             ).out(Artifact(type=SUMMARY_TYPE, storage=LocalFile(root=root)))
         ex = LocalSparkExecutor()
         g.snapshot(strict_fingerprints=True).build(ex)
@@ -283,11 +329,14 @@ def main() -> None:
     print(
         f"build 1: built={ex1.built_partitions} chunk_pairs={summary['chunk_pairs']} "
         f"chunk_docs_flagged={summary['chunk_docs_flagged']} "
-        f"vectors={summary['vectors']} pruned={summary['vectors_pruned']} kept={kept_n}"
+        f"vectors={summary['vectors']} pruned={summary['vectors_pruned']} kept={kept_n} "
+        f"span_docs_cut={summary['span_docs_cut']} "
+        f"span_tokens_removed={summary['span_tokens_removed']}"
     )
-    assert ex1.built_partitions == 3  # one per producer
+    assert ex1.built_partitions == 4  # one per producer
     assert kept_n + summary["vectors_pruned"] == prune_n
     assert summary["vectors_pruned"] > 0  # synthetic corpus has in-cluster twins at 0.3
+    assert summary["span_docs_cut"] > 0  # corpus carries exact duplicated runs
 
     ex2, _ = build_once()
     print(f"build 2: built={ex2.built_partitions} skipped={ex2.skipped_partitions}")
