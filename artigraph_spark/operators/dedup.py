@@ -1001,6 +1001,7 @@ def duplicate_spans(
     min_tokens: int = 8,
     base1: int = 1_000_003,
     base2: int = 999_983,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact-substring duplicate-SPAN detection (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
@@ -1026,12 +1027,16 @@ def duplicate_spans(
     integer arithmetic → the whole report replays in SQL.
 
     Scale shape: one O(n·min_tokens) per-row array pass per document
-    (the CDC precedent — zero shuffle), ONE explode to token-position
-    granularity (corpus-token-count rows, linear), one map-side-combined
-    groupBy(fp) for occurrence counts, one fp-keyed semi join back, and
-    one DOC-KEYED window over duplicated positions only for the islands
-    merge. Nothing quadratic, nothing data-sized on one partition; the
-    span report is the cut-list a rewrite pass consumes.
+    (the CDC precedent — both folds share ONE window traversal via a
+    struct accumulator, the poly_char_hash2 idiom), ONE explode to
+    token-position granularity (corpus-token-count rows, linear) that is
+    lineage-cut once for its two consumers (``checkpoint_dir`` routes
+    the cut to a reliable directory for 1000-executor runs), one
+    map-side-combined groupBy(fp) for occurrence counts, one fp-keyed
+    semi join back, and one DOC-KEYED window over duplicated positions
+    only for the islands merge. Nothing quadratic, nothing data-sized on
+    one partition; the span report is the cut-list a rewrite pass
+    consumes.
 
     Returns ``(id, span_start, span_end, span_tokens)`` — 1-based
     inclusive token positions of each maximal duplicated span (length ≥
@@ -1049,20 +1054,27 @@ def duplicate_spans(
         raise ValueError("base1 and base2 must differ (independent folds)")
     m31 = (1 << 31) - 1
     k = min_tokens
-
-    def fold(arr, base):
-        return F.aggregate(
-            arr,
-            F.lit(0).cast("long"),
-            lambda acc, h: (acc * base + h) % F.lit(m31),
-        )
-
     n = F.size(F.col("__tokh"))
-    gram = lambda i: (  # noqa: E731
-        fold(F.slice(F.col("__tokh"), i, k), base1) * F.lit(1 << 31)
-        + fold(F.slice(F.col("__tokh"), i, k), base2)
+    # BOTH folds in ONE window traversal (the poly_char_hash2 idiom:
+    # struct accumulator, same per-fold recurrence, half the slice/walk
+    # work), then the 62-bit pack.
+    gram = lambda i: F.aggregate(  # noqa: E731
+        F.slice(F.col("__tokh"), i, k),
+        F.struct(
+            F.lit(0).cast("long").alias("h1"), F.lit(0).cast("long").alias("h2")
+        ),
+        lambda acc, h: F.struct(
+            ((acc["h1"] * base1 + h) % F.lit(m31)).alias("h1"),
+            ((acc["h2"] * base2 + h) % F.lit(m31)).alias("h2"),
+        ),
+        lambda acc: acc["h1"] * F.lit(1 << 31) + acc["h2"],
     )
-    staged = (
+    # Lineage-cut the (id, pos, fp) frame ONCE: two consumers hang off it
+    # (the fp occurrence count and the semi-join probe side), and without
+    # the cut each re-runs the corpus scan + tokenization + the dominant
+    # O(n·k) gram folds (the cdc_chunk_dedup_report checkpoint-routing
+    # rule; plan audit read scans=2 before the cut).
+    staged = _ckpt(
         df.filter(F.col(id_col).isNotNull())
         .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .withColumn("__tokh", F.transform(F.col("__toks"), lambda t: poly_char_hash(t)))
@@ -1075,7 +1087,8 @@ def duplicate_spans(
                 F.transform(F.sequence(F.lit(1), n - k + 1), gram)
             ).alias("__p0", "__fp"),
         )
-        .select(F.col(id_col), (F.col("__p0") + 1).alias("__pos"), F.col("__fp"))
+        .select(F.col(id_col), (F.col("__p0") + 1).alias("__pos"), F.col("__fp")),
+        checkpoint_dir,
     )
     dup_fps = (
         staged.groupBy("__fp")
@@ -1110,6 +1123,7 @@ def remove_duplicate_spans(
     base1: int = 1_000_003,
     base2: int = 999_983,
     spans: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The REWRITE pass that consumes :func:`duplicate_spans`' cut-list —
     the exact-substring analogue of `cdc_chunk_dedup_report` closing the
@@ -1145,6 +1159,7 @@ def remove_duplicate_spans(
         spans = duplicate_spans(
             df, id_col, text_col,
             min_tokens=min_tokens, base1=base1, base2=base2,
+            checkpoint_dir=checkpoint_dir,
         )
     per_doc = spans.groupBy(F.col(id_col)).agg(
         F.collect_list(

@@ -891,7 +891,10 @@ def semdedup(
     ids.
 
     Returns ``(id, cluster, pruned)`` — one row per non-null input vector,
-    ``pruned`` 0/1 (1 = drop, a smaller-id near-twin exists in-cluster).
+    ``pruned`` 0/1 (1 = drop: a KEEPER-PRECEDING near-twin exists
+    in-cluster — a smaller-id one under the default ``min_id``, a
+    farther-from-centroid one (dist_q DESC, id ASC) under
+    ``min_centroid_sim``).
     """
     from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
 

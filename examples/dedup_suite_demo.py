@@ -261,20 +261,32 @@ def _check_incremental_semantic(spark, sf_dir: str, kept: DataFrame) -> tuple[in
     vector that is literally present in the reference (the exact-twin
     recall floor: identical vectors share every hyperplane bucket and
     verify at cos = 1) WITHOUT re-clustering the union."""
-    from artigraph_spark.operators.similarity import norm, semdedup_against
+    from artigraph_spark.operators.similarity import semdedup_against
     from artigraph_spark.sources import load
 
     new = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     rep = semdedup_against(
         new, kept, dim=64, n_planes=4, n_tables=8, qbits=8, threshold=(3, 10)
     )
+    # The non-zero filter must use the SAME qbits=8 quantization the
+    # verify arm uses: a vector with all |coords| < 2^-8 has a non-zero
+    # float norm but quantizes to the all-zero vector, whose self-dot
+    # fails the d > 0 arm — it can never re-flag and must not be
+    # asserted on.
+    qnz = (
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v * v,
+        )
+        > 0
+    )
     known = (
         rep.join(kept.select("vec_id"), "vec_id", "left_semi")
-        .join(
-            new.filter(norm(F.col("embedding")) != 0).select("vec_id"),
-            "vec_id",
-            "left_semi",
-        )
+        .join(new.filter(qnz).select("vec_id"), "vec_id", "left_semi")
     )
     missed = known.filter(F.col("pruned") == 0).count()
     assert missed == 0, f"{missed} known reference vectors escaped the re-flag"
