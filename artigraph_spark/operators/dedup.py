@@ -1043,8 +1043,27 @@ def duplicate_spans(
     ``min_tokens`` by construction). Documents shorter than
     ``min_tokens`` tokens emit nothing.
     """
-    from pyspark.sql import Window
+    _validate_span_params(min_tokens, base1, base2)
+    # Lineage-cut the (id, pos, fp) frame ONCE: two consumers hang off it
+    # (the fp occurrence count and the semi-join probe side), and without
+    # the cut each re-runs the corpus scan + tokenization + the dominant
+    # O(n·k) gram folds (the cdc_chunk_dedup_report checkpoint-routing
+    # rule; plan audit read scans=2 before the cut).
+    staged = _ckpt(
+        _span_gram_positions(df, id_col, text_col, min_tokens, base1, base2),
+        checkpoint_dir,
+    )
+    dup_fps = (
+        staged.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+        .select("__fp")
+    )
+    dup_pos = staged.join(dup_fps, "__fp", "left_semi").select(id_col, "__pos")
+    return _merge_positions_to_spans(dup_pos, id_col, min_tokens)
 
+
+def _validate_span_params(min_tokens: int, base1: int, base2: int) -> None:
     if min_tokens < 1:
         raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
     for b in (base1, base2):
@@ -1052,12 +1071,17 @@ def duplicate_spans(
             raise ValueError(f"bases must be in [2, 2^31), got {b}")
     if base1 == base2:
         raise ValueError("base1 and base2 must differ (independent folds)")
+
+
+def _span_gram_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int, base1: int, base2: int
+) -> DataFrame:
+    """(id, __pos, __fp) — the 62-bit stride-1 k-gram fingerprint at every
+    1-based token position. BOTH folds share ONE window traversal (the
+    poly_char_hash2 idiom: struct accumulator, same per-fold recurrence,
+    half the slice/walk work), then the pack fp = h1·2³¹ + h2."""
     m31 = (1 << 31) - 1
-    k = min_tokens
     n = F.size(F.col("__tokh"))
-    # BOTH folds in ONE window traversal (the poly_char_hash2 idiom:
-    # struct accumulator, same per-fold recurrence, half the slice/walk
-    # work), then the 62-bit pack.
     gram = lambda i: F.aggregate(  # noqa: E731
         F.slice(F.col("__tokh"), i, k),
         F.struct(
@@ -1069,12 +1093,7 @@ def duplicate_spans(
         ),
         lambda acc: acc["h1"] * F.lit(1 << 31) + acc["h2"],
     )
-    # Lineage-cut the (id, pos, fp) frame ONCE: two consumers hang off it
-    # (the fp occurrence count and the semi-join probe side), and without
-    # the cut each re-runs the corpus scan + tokenization + the dominant
-    # O(n·k) gram folds (the cdc_chunk_dedup_report checkpoint-routing
-    # rule; plan audit read scans=2 before the cut).
-    staged = _ckpt(
+    return (
         df.filter(F.col(id_col).isNotNull())
         .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .withColumn("__tokh", F.transform(F.col("__toks"), lambda t: poly_char_hash(t)))
@@ -1087,16 +1106,16 @@ def duplicate_spans(
                 F.transform(F.sequence(F.lit(1), n - k + 1), gram)
             ).alias("__p0", "__fp"),
         )
-        .select(F.col(id_col), (F.col("__p0") + 1).alias("__pos"), F.col("__fp")),
-        checkpoint_dir,
+        .select(F.col(id_col), (F.col("__p0") + 1).alias("__pos"), F.col("__fp"))
     )
-    dup_fps = (
-        staged.groupBy("__fp")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .filter(F.col("__cnt") >= 2)
-        .select("__fp")
-    )
-    dup_pos = staged.join(dup_fps, "__fp", "left_semi").select(id_col, "__pos")
+
+
+def _merge_positions_to_spans(dup_pos: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Islands merge: consecutive duplicated k-gram START positions fold
+    into one maximal span [min_start, max_start + k − 1] per run, windowed
+    per doc over duplicated positions only."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy(F.col("__pos").asc())
     return (
         dup_pos.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
@@ -1112,6 +1131,49 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def duplicate_spans_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 8,
+    base1: int = 1_000_003,
+    base2: int = 999_983,
+) -> DataFrame:
+    """Cross-corpus exact-substring spans — SURGICAL decontamination at
+    token resolution: report, per NEW/training document, every maximal
+    span all of whose length-``min_tokens`` windows occur ANYWHERE in a
+    REFERENCE corpus (an eval benchmark set, a previous snapshot). Where
+    :func:`..packing.benchmark_contamination` scores whole documents and
+    `decontaminate_corpus` drops them, this localizes the leaked region
+    so :func:`remove_duplicate_spans` (via ``spans=``) can cut ONLY the
+    contaminated text and keep the rest of the document — the
+    span-granular decontamination the doc-level threshold can't do.
+
+    Same fingerprints as :func:`duplicate_spans` (shared helpers, so the
+    two reports compose on identical gram identities); the reference
+    side collapses to its DISTINCT gram-fp set before the semi join —
+    at 100 TB the join carries 8-byte fingerprints, never benchmark
+    text. Each side's gram pass runs exactly once (single consumer per
+    side — no lineage cut needed). Occurrence direction is strictly
+    new-vs-ref: repetition WITHIN the new corpus alone does not flag
+    (that is :func:`duplicate_spans`' job).
+
+    Returns ``(id, span_start, span_end, span_tokens)`` over the NEW
+    side, the :func:`duplicate_spans` schema.
+    """
+    _validate_span_params(min_tokens, base1, base2)
+    new_g = _span_gram_positions(new_df, id_col, text_col, min_tokens, base1, base2)
+    ref_fps = (
+        _span_gram_positions(ref_df, id_col, text_col, min_tokens, base1, base2)
+        .select("__fp")
+        .distinct()
+    )
+    dup_pos = new_g.join(ref_fps, "__fp", "left_semi").select(id_col, "__pos")
+    return _merge_positions_to_spans(dup_pos, id_col, min_tokens)
 
 
 def remove_duplicate_spans(

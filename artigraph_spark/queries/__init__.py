@@ -63,12 +63,12 @@ _PRIORITY: tuple[str, ...] = (
     # {r7:2, r8:41*, r9:41, r10:49, r11:44, r12:44, r13:50} — the *
     # counts the r8 ghost `dp_noisy_counts_events` (renamed to
     # pseudo_dp_noisy_counts_events at r9; not a registry query, so it
-    # rotates nowhere). No never-recorded queries. Window: 3 new +
+    # rotates nowhere). No never-recorded queries. Window: 4 new +
     # 3 oracle-changed + the 2 r7-stale spillovers named by the r13
-    # policy + all 40 registry r8-stale (alphabetical) + the first 2
+    # policy + all 40 registry r8-stale (alphabetical) + the first 1
     # r9-stale (alphabetical) = exactly 50. Expected census after the
     # driver records r14:
-    # {r9:39, r10:49, r11:44, r12:42, r13:49, r14:50} (273 total).
+    # {r9:40, r10:49, r11:44, r12:42, r13:49, r14:50} (274 total).
     # New-query rationale (registry-growth policy: genuine family
     # gaps only): semdedup_against is the embedding-space member of
     # the INCREMENTAL dedup trio — exact digest (dedup_against) and
@@ -77,7 +77,10 @@ _PRIORITY: tuple[str, ...] = (
     # exact-substring SPAN member (Lee et al. 2022 suffix-array use
     # case) — no existing member localizes the duplicated region
     # INSIDE a document; remove_duplicate_spans_docs is its rewrite
-    # consumer (the cdc_chunk_dedup consumer-loop precedent).
+    # consumer (the cdc_chunk_dedup consumer-loop precedent);
+    # contaminated_spans_docs is the cross-corpus member (surgical
+    # decontamination — decontaminate_corpus drops whole documents,
+    # this cuts only the leaked span).
     # Oracle-changed detail: dedup_clusters, minhash_signatures,
     # minhash_lsh_pairs replay the id-derived fallback pmod-style
     # (((doc_id % m) + m) % m) instead of plain % — values unchanged
@@ -85,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     # earns a fresh row under the changed SQL (the r13 verdict's #6).
     # (1) new this round — first driver rows
     "semdedup_against", "duplicate_spans_docs", "remove_duplicate_spans_docs",
+    "contaminated_spans_docs",
     # (2) oracle changed this round (pmod-style fallback replay)
     "dedup_clusters", "minhash_signatures", "minhash_lsh_pairs",
     # (3) the 2 r7-stale spillovers (the r13 policy's named set)
@@ -105,8 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_string", "set_except", "set_intersect",
     "set_intersect_all", "set_similarity_users", "stl_outliers_daily",
     "theil_sen_daily", "welch_ttest_price", "zipf_slope_docs",
-    # (5) the first 2 r9-stale (alphabetical) to fill 50
-    "agg_argminmax", "agg_collect",
+    # (5) the first 1 r9-stale (alphabetical) to fill 50
+    "agg_argminmax",
 )
 
 # The queries whose implementation or oracle changed THIS round (the

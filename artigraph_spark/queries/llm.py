@@ -335,6 +335,76 @@ def duplicate_spans_docs(spark, sf_dir):
     return duplicate_spans(d, "doc_id", "text", min_tokens=8)
 
 
+def _spans_against_oracle(
+    k: int = 8, base1: int = 1_000_003, base2: int = 999_983,
+    ref_pred: str = "source = 'src0'",
+) -> str:
+    """DuckDB twin of operators.dedup.duplicate_spans_against over a
+    source split of the documents table (ref = ``ref_pred``, new = the
+    rest): the same gram CTE as duplicate_spans_docs' oracle computed
+    once over all docs carrying `source`, the ref side collapsed to its
+    distinct fp set, new positions semi-joined, islands merge."""
+    m31 = (1 << 31) - 1
+    charfold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_extract_all(t, '.'), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * 131 + x) % {m31})"
+    )
+    fold = lambda base: (  # noqa: E731
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), tokh[u.i : u.i + {k - 1}]), "
+        f"(acc, h) -> (acc * {base} + h) % {m31})"
+    )
+    return f"""
+    WITH dt AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    tok AS (
+        SELECT doc_id, source, list_transform(toks, t -> {charfold}) AS tokh,
+               CAST(len(toks) AS BIGINT) AS n
+        FROM dt WHERE len(toks) >= {k}
+    ),
+    g AS (
+        SELECT doc_id, source, CAST(u.i AS BIGINT) AS pos,
+               ({fold(base1)}) * 2147483648 + ({fold(base2)}) AS fp
+        FROM tok, UNNEST(generate_series(1, n - {k} + 1)) AS u(i)
+    ),
+    refg AS (SELECT DISTINCT fp FROM g WHERE {ref_pred}),
+    p AS (
+        SELECT g.doc_id, g.pos FROM g JOIN refg USING (fp)
+        WHERE NOT ({ref_pred})
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {k - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """
+
+
+@query("contaminated_spans_docs", oracle=_spans_against_oracle())
+def contaminated_spans_docs(spark, sf_dir):
+    """Cross-corpus exact-substring spans (NEW r14) — surgical
+    decontamination: treating source='src0' as the benchmark/reference
+    corpus, localize every maximal span in the REST of the corpus whose
+    length-8 windows occur anywhere in it. Feed the result to
+    `remove_duplicate_spans(spans=...)` to cut only the leaked text
+    where `decontaminate_corpus` would drop whole documents. See
+    ``operators.dedup.duplicate_spans_against``."""
+    from artigraph_spark.operators.dedup import duplicate_spans_against
+
+    d = load(spark, sf_dir, "documents")
+    new = d.filter(F.col("source") != "src0")
+    ref = d.filter(F.col("source") == "src0")
+    return duplicate_spans_against(new, ref, "doc_id", "text", min_tokens=8)
+
+
 def _remove_spans_oracle(
     k: int = 8, base1: int = 1_000_003, base2: int = 999_983
 ) -> str:

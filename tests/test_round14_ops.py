@@ -361,7 +361,7 @@ def test_duplicate_spans_bad_params_raise(spark):
         duplicate_spans(df, "doc_id", "text", base1=131, base2=131)
 
 
-def _mini_oracle_spans(rows, k, base1=1_000_003, base2=999_983):
+def _mini_oracle_spans(rows, k, base1=1_000_003, base2=999_983, ref_rows=None):
     import re
 
     m31 = (1 << 31) - 1
@@ -381,21 +381,30 @@ def _mini_oracle_spans(rows, k, base1=1_000_003, base2=999_983):
             acc = (acc * base + h) % m31
         return acc
 
-    grams = []  # (doc, pos, fp)
-    for i, text in rows:
-        if text is None or i is None:
-            continue
-        th = [chash(t) for t in tok(text)]
-        for p in range(1, len(th) - k + 2):
-            win = th[p - 1 : p - 1 + k]
-            grams.append((i, p, fold(win, base1) * (1 << 31) + fold(win, base2)))
+    def gram_list(side_rows):
+        out = []  # (doc, pos, fp)
+        for i, text in side_rows:
+            if text is None or i is None:
+                continue
+            th = [chash(t) for t in tok(text)]
+            for p in range(1, len(th) - k + 2):
+                win = th[p - 1 : p - 1 + k]
+                out.append((i, p, fold(win, base1) * (1 << 31) + fold(win, base2)))
+        return out
+
+    grams = gram_list(rows)
     from collections import Counter
 
-    cnt = Counter(fp for _, _, fp in grams)
+    if ref_rows is None:
+        cnt = Counter(fp for _, _, fp in grams)
+        dup = lambda fp: cnt[fp] >= 2  # noqa: E731
+    else:
+        ref_fps = {fp for _, _, fp in gram_list(ref_rows)}
+        dup = lambda fp: fp in ref_fps  # noqa: E731
     expect = set()
     by_doc = {}
     for i, p, fp in grams:
-        if cnt[fp] >= 2:
+        if dup(fp):
             by_doc.setdefault(i, []).append(p)
     for i, ps in by_doc.items():
         ps.sort()
@@ -434,6 +443,77 @@ def test_duplicate_spans_matches_python_mini_oracle(spark, rows):
         for r in duplicate_spans(df, "doc_id", "text", min_tokens=3).collect()
     }
     assert got == _mini_oracle_spans(rows, 3)
+
+
+# ---------------------------------------------- duplicate_spans_against
+
+
+def test_spans_against_localizes_leak_and_ignores_self_repetition(spark):
+    from artigraph_spark.operators.dedup import (
+        duplicate_spans_against,
+        remove_duplicate_spans,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "question what is the capital of france answer paris obviously"),
+            (2, "completely unrelated training document with its own text body"),
+            (3, "x y x y x y x y x y"),  # in-corpus repetition only
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france answer paris")],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans_against(train, bench, "doc_id", "text", min_tokens=4)
+    got = {tuple(r) for r in spans.collect()}
+    # only doc 1's leaked benchmark text flags; doc 3's self-repetition
+    # is duplicate_spans' job, not cross-corpus contamination
+    assert got == {(1, 2, 9, 8)}
+    cut = {
+        r["doc_id"]: r["text_dedup"]
+        for r in remove_duplicate_spans(
+            train, "doc_id", "text", min_tokens=4, spans=spans
+        ).collect()
+    }
+    assert cut[1] == "question obviously"
+    assert cut[3] == "x y x y x y x y x y"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=12).map(" ".join),
+        ),
+        max_size=5, unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(100, 130),
+            st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=12).map(" ".join),
+        ),
+        max_size=5, unique_by=lambda t: t[0],
+    ),
+)
+def test_spans_against_matches_python_mini_oracle(spark, new_rows, ref_rows):
+    from artigraph_spark.operators.dedup import duplicate_spans_against
+
+    new = spark.createDataFrame(new_rows or [(0, "")], "doc_id long, text string")
+    ref = spark.createDataFrame(ref_rows or [(0, "")], "doc_id long, text string")
+    if not new_rows:
+        new = new.filter("false")
+    if not ref_rows:
+        ref = ref.filter("false")
+    got = {
+        tuple(r)
+        for r in duplicate_spans_against(
+            new, ref, "doc_id", "text", min_tokens=3
+        ).collect()
+    }
+    assert got == _mini_oracle_spans(new_rows, 3, ref_rows=ref_rows)
 
 
 # ---------------------------------------------- remove_duplicate_spans
