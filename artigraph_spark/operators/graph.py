@@ -82,87 +82,91 @@ def pagerank(
     # measured 23.5 s → 9.9 s at sf0.1 co-purchase scale.
     from pyspark import StorageLevel
 
-    e = (
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .join(deg, "__s")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    base = (
-        nodes.crossJoin(F.broadcast(n_df))
-        .select(
-            "node",
-            F.floor(F.lit(float(one)) / F.col("__n")).alias("__init"),
-            F.floor(F.lit(base_num) / F.col("__n")).alias("__base"),
+    # r14: the WHOLE loop (construction + materialization) runs with AQE
+    # scoped OFF (operators._adaptive): the loop's exchange shapes are
+    # fixed and node-keyed, the edge frame's partitioning is pinned by the
+    # persist, and AQE's per-exchange re-planning barrier costs 3 driver
+    # round-trips per iteration for plans that never change between
+    # rounds — measured 24.5 s vs 59 s same-minute at sf0.1 on a noisy
+    # host (29 jobs/75 stages -> 7 jobs/27 stages). The scope must cover
+    # plan CONSTRUCTION too, not just the final action: the mid-loop
+    # lazy localCheckpoint freezes its physical plan the moment it is
+    # declared, so a cut planned outside the scope would embed (and
+    # later execute) an AQE plan regardless of the conf at action time.
+    with pinned_parallelism(edges.sparkSession):
+        e = (
+            edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+            .join(deg, "__s")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    ranks = base.select("node", F.col("__init").alias("r"))
-    for it in range(iterations):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "__s"), "__s")
-            .select("__d", F.floor(F.col("r") / F.col("__deg")).alias("__share"))
-            .groupBy("__d")
-            .agg(F.sum("__share").alias("__in"))
-        )
-        ranks = (
-            base.join(contrib.withColumnRenamed("__d", "node"), "node", "left")
+        n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
+        base = (
+            nodes.crossJoin(F.broadcast(n_df))
             .select(
                 "node",
-                (
-                    F.col("__base")
-                    + F.floor(F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0)))
-                ).alias("r"),
+                F.floor(F.lit(float(one)) / F.col("__n")).alias("__init"),
+                F.floor(F.lit(base_num) / F.col("__n")).alias("__base"),
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if (it + 1) % 4 == 0 and it + 1 < iterations:
-            # Mid-loop lineage cut every 4 rounds, ALWAYS (r9): even
-            # though ranks is consumed once per round (plan nodes grow
-            # linearly, not 4^k), Catalyst's analysis/optimization cost
-            # over the unrolled 8-deep loop plan grows superlinearly —
-            # measured 1/2/4/8 iterations at 3.4/3.4/6.5/19.7 s on the
-            # sf0.1 co-purchase graph, i.e. the last 4 rounds cost 3x
-            # the first 4 under one unrolled plan. The cut caps the
-            # optimizer's working plan at 4 rounds EITHER WAY (the
-            # Catalyst plan truncates to a LogicalRDD at cut time, not
-            # at materialization), so in local-blocks mode it is LAZY —
-            # the next action materializes it, saving one node-count-
-            # sized job per cut. With checkpoint_dir the cut stays
-            # EAGER: it is the mid-loop fault barrier, and a deferred
-            # reliable checkpoint would leave nothing durable until the
-            # final action (an executor loss would replay the whole
-            # loop — the exact failure mode reliable mode buys off).
-            if checkpoint_dir is not None:
-                # reliable-mode eager cut: same pinned-loop AQE scope as
-                # the final materialization (operators._adaptive)
-                with pinned_parallelism(ranks.sparkSession):
-                    ranks = _ckpt(ranks, checkpoint_dir, eager=True)
-            else:
-                ranks = _ckpt(ranks, checkpoint_dir, eager=False)
-    # Materialize the slim (node, rank) result, then RELEASE the two
-    # persisted loop frames — otherwise each pagerank() call leaks
-    # disk-backed cache blocks the caller has no handle to unpersist.
-    # localCheckpoint follows the connected_components precedent: the
-    # result is node-count-sized, its blocks are freed by the
-    # ContextCleaner once the returned frame is garbage-collected, and a
-    # lineage replay would re-run the whole loop anyway. The finally
-    # releases the frames even when the eager checkpoint job fails — a
-    # failed call must not leak cache blocks either.
-    #
-    # r14: the materialization runs with AQE scoped OFF
-    # (operators._adaptive): the loop's exchange shapes are fixed and
-    # node-keyed, the edge frame's partitioning is pinned by the persist,
-    # and AQE's per-exchange re-planning barrier costs 3 driver
-    # round-trips per iteration for plans that never change between
-    # rounds — measured 10.6 s -> 5.1 s at sf0.1 (131 -> ~40 stages).
-    try:
-        with pinned_parallelism(ranks.sparkSession):
+        ranks = base.select("node", F.col("__init").alias("r"))
+        for it in range(iterations):
+            contrib = (
+                e.join(ranks.withColumnRenamed("node", "__s"), "__s")
+                .select(
+                    "__d", F.floor(F.col("r") / F.col("__deg")).alias("__share")
+                )
+                .groupBy("__d")
+                .agg(F.sum("__share").alias("__in"))
+            )
+            ranks = (
+                base.join(contrib.withColumnRenamed("__d", "node"), "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.col("__base")
+                        + F.floor(
+                            F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0))
+                        )
+                    ).alias("r"),
+                )
+            )
+            if (it + 1) % 4 == 0 and it + 1 < iterations:
+                # Mid-loop lineage cut every 4 rounds, ALWAYS (r9): even
+                # though ranks is consumed once per round (plan nodes grow
+                # linearly, not 4^k), Catalyst's analysis/optimization cost
+                # over the unrolled 8-deep loop plan grows superlinearly —
+                # measured 1/2/4/8 iterations at 3.4/3.4/6.5/19.7 s on the
+                # sf0.1 co-purchase graph, i.e. the last 4 rounds cost 3x
+                # the first 4 under one unrolled plan. The cut caps the
+                # optimizer's working plan at 4 rounds EITHER WAY (the
+                # Catalyst plan truncates to a LogicalRDD at cut time, not
+                # at materialization), so in local-blocks mode it is LAZY —
+                # the next action materializes it, saving one node-count-
+                # sized job per cut. With checkpoint_dir the cut stays
+                # EAGER: it is the mid-loop fault barrier, and a deferred
+                # reliable checkpoint would leave nothing durable until the
+                # final action (an executor loss would replay the whole
+                # loop — the exact failure mode reliable mode buys off).
+                ranks = _ckpt(
+                    ranks, checkpoint_dir, eager=checkpoint_dir is not None
+                )
+        # Materialize the slim (node, rank) result, then RELEASE the two
+        # persisted loop frames — otherwise each pagerank() call leaks
+        # disk-backed cache blocks the caller has no handle to unpersist.
+        # localCheckpoint follows the connected_components precedent: the
+        # result is node-count-sized, its blocks are freed by the
+        # ContextCleaner once the returned frame is garbage-collected, and a
+        # lineage replay would re-run the whole loop anyway. The finally
+        # releases the frames even when the eager checkpoint job fails — a
+        # failed call must not leak cache blocks either.
+        try:
             return _ckpt(
                 ranks.select("node", F.col("r").alias("rank_fx")), checkpoint_dir
             )
-    finally:
-        e.unpersist()
-        base.unpersist()
+        finally:
+            e.unpersist()
+            base.unpersist()
 
 
 def triangle_counts(
@@ -203,6 +207,25 @@ def triangle_counts(
     """
     from pyspark import StorageLevel
 
+    # r14: the whole pipeline (persists included) is built and
+    # materialized with AQE scoped OFF (operators._adaptive): the wedge
+    # pipeline's skew bound is algorithmic (degree orientation caps
+    # out-degree at O(sqrt E)), so AQE's skew splitting is redundant
+    # while its per-exchange barrier serializes the deep join pipeline —
+    # measured 5.9 s -> 3.1 s at sf0.1 on the co-purchase graph. The
+    # scope must include the persist() calls: caching compiles the
+    # cached plan at cacheQuery time, so a persist created outside the
+    # scope embeds an AQE plan that runs regardless of the conf at the
+    # final action (the pagerank mid-cut lesson). With
+    # ``materialize=False`` nothing compiles inside the scope and the
+    # caller's session conf governs the returned lazy plan as before.
+    with pinned_parallelism(edges.sparkSession):
+        return _triangle_counts_impl(
+            edges, src, dst, materialize, checkpoint_dir, StorageLevel
+        )
+
+
+def _triangle_counts_impl(edges, src, dst, materialize, checkpoint_dir, StorageLevel):
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -256,15 +279,9 @@ def triangle_counts(
         return counts
     # finally-guarded like pagerank: a failed checkpoint job must not
     # leak the two persisted frames the caller has no handle to.
-    #
-    # r14: materialized with AQE scoped OFF (operators._adaptive): the
-    # wedge pipeline's skew bound is algorithmic (degree orientation caps
-    # out-degree at O(sqrt E)), so AQE's skew splitting is redundant
-    # while its per-exchange barrier serializes the deep join pipeline —
-    # measured 5.9 s -> 3.1 s at sf0.1 on the co-purchase graph.
+    # (AQE scope inherited from the triangle_counts wrapper.)
     try:
-        with pinned_parallelism(counts.sparkSession):
-            return _ckpt(counts, checkpoint_dir)
+        return _ckpt(counts, checkpoint_dir)
     finally:
         e.unpersist()
         o.unpersist()
@@ -297,6 +314,18 @@ def support_pairs(
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
+    # r14: built AND materialized under the pinned-AQE scope
+    # (operators._adaptive) — the within-basket pair join's skew is
+    # bounded by the documented basket-size precondition, so runtime
+    # skew splitting is redundant while the per-exchange barrier
+    # serializes the short pipeline; measured 2.0 s -> 1.5 s at sf0.1.
+    # The persist must sit inside the scope (caching compiles its plan
+    # at cacheQuery time — the pagerank mid-cut lesson).
+    with pinned_parallelism(df.sparkSession):
+        return _support_pairs_impl(df, basket_col, item_col, top_k, StorageLevel, F)
+
+
+def _support_pairs_impl(df, basket_col, item_col, top_k, StorageLevel, F):
     # The distinct (basket, item) frame feeds four plan branches (both
     # pair sides, the item counts, the basket total): persist it for the
     # call and release after materializing the top-k (the
@@ -355,14 +384,9 @@ def support_pairs(
         .orderBy(F.col("pair_cnt").desc(), F.col("item_a"), F.col("item_b"))
         .limit(top_k)
     )
-    # r14: AQE scoped off for the materialization (operators._adaptive) —
-    # the within-basket pair join's skew is bounded by the documented
-    # basket-size precondition, so runtime skew splitting is redundant
-    # while the per-exchange barrier serializes the short pipeline;
-    # measured 2.0 s -> 1.5 s at sf0.1.
+    # (AQE scope inherited from the support_pairs wrapper.)
     try:
-        with pinned_parallelism(out.sparkSession):
-            return out.localCheckpoint(eager=True)
+        return out.localCheckpoint(eager=True)
     finally:
         items.unpersist()
 
@@ -748,6 +772,17 @@ def association_rules(
 
     from pyspark import StorageLevel
 
+    # same pinned-AQE scope as support_pairs (identical pair join); the
+    # persist must compile inside the scope (the pagerank mid-cut lesson)
+    with pinned_parallelism(df.sparkSession):
+        return _association_rules_impl(
+            df, basket_col, item_col, min_pair_cnt, top_k, StorageLevel, F
+        )
+
+
+def _association_rules_impl(
+    df, basket_col, item_col, min_pair_cnt, top_k, StorageLevel, F
+):
     # persisted across its four consuming branches, released after the
     # top-k materializes (the set_similarity_pairs convention)
     items = (
@@ -816,10 +851,9 @@ def association_rules(
         F.col("antecedent"),
         F.col("consequent"),
     ).limit(top_k)
-    # same pinned-AQE rationale as support_pairs (identical pair join)
+    # (AQE scope inherited from the association_rules wrapper.)
     try:
-        with pinned_parallelism(ranked.sparkSession):
-            return ranked.localCheckpoint(eager=True)
+        return ranked.localCheckpoint(eager=True)
     finally:
         items.unpersist()
 

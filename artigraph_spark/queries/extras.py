@@ -1261,7 +1261,13 @@ def sliding_distinct_users(spark, sf_dir):
     est = sliding_hll_estimates(
         e, bucket, "user_id", window_buckets=24, m=256, seed=11
     )
-    keyed = e.select(bucket.alias("__b"), "user_id")
+    # r14: dedup (bucket, user) BEFORE the x24 window explode — the
+    # exact-distinct answer only needs each (hour, user) pair once, so
+    # deduping first shrinks the explode input (and the countDistinct
+    # expand behind it) by the per-hour repeat factor: at 100 TB event
+    # volume that factor is the average events-per-user-per-hour, at the
+    # sf0.1 fixture it is ~1.05 (measured neutral locally, same values).
+    keyed = e.select(bucket.alias("__b"), "user_id").distinct()
     present = keyed.select(F.col("__b").alias("bucket")).distinct()
     contrib = keyed.select(
         F.explode(
