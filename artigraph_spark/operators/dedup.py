@@ -571,9 +571,33 @@ def connected_components(
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true``) — size the
     dir for O(log diameter) node-count-sized rounds.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    # r14: the symmetrized edge list feeds EVERY round's neighbor-min
+    # join, but each round's job replayed its subtree (scan + union) from
+    # scratch — O(log diameter) re-executions of the upstream pair
+    # pipeline. Persist it for the loop and release in the finally (the
+    # pagerank e-frame convention). The whole loop also runs under the
+    # pinned-AQE scope (operators._adaptive): per-round exchange shapes
+    # are fixed and node-keyed, the per-round lazy checkpoint freezes its
+    # physical plan at declaration (so the scope must cover construction),
+    # and AQE's per-exchange barrier was costing several driver
+    # round-trips per round for plans that never change between rounds.
+    from pyspark import StorageLevel
+
+    from artigraph_spark.operators._adaptive import pinned_parallelism
+
+    with pinned_parallelism(edges.sparkSession):
+        sym = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            return _cc_loop(sym, edges, src, dst, max_iterations, checkpoint_dir)
+        finally:
+            sym.unpersist()
+
+
+def _cc_loop(sym, edges, src, dst, max_iterations, checkpoint_dir):
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
 

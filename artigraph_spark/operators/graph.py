@@ -425,6 +425,16 @@ def bfs_hops(
         raise ValueError(f"max_hops must be non-negative, got {max_hops}")
     from pyspark import StorageLevel
 
+    # pinned-AQE frontier loop (operators._adaptive): fixed node-keyed
+    # exchange shapes every round, per-round cuts freeze plans at
+    # declaration, persist compiles at cacheQuery — the pagerank scope
+    with pinned_parallelism(edges.sparkSession):
+        return _bfs_hops_impl(
+            edges, src, dst, seeds, max_hops, checkpoint_dir, StorageLevel
+        )
+
+
+def _bfs_hops_impl(edges, src, dst, seeds, max_hops, checkpoint_dir, StorageLevel):
     seed_col = seeds.columns[0]
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -591,6 +601,16 @@ def hits(
     one = float(1 << bits)
     from pyspark import StorageLevel
 
+    # pinned-AQE loop scope (operators._adaptive): per-iteration eager
+    # cuts plan inside the loop, the persist compiles at cacheQuery —
+    # both must sit inside the scope (the pagerank mid-cut lesson)
+    with pinned_parallelism(edges.sparkSession):
+        return _hits_impl(
+            edges, src, dst, iterations, one, bits, checkpoint_dir, StorageLevel
+        )
+
+
+def _hits_impl(edges, src, dst, iterations, one, bits, checkpoint_dir, StorageLevel):
     e = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .distinct()
@@ -685,6 +705,15 @@ def k_core(
         raise ValueError(f"k must be >= 1, got {k}")
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    # pinned-AQE peel loop (operators._adaptive): per-round eager cuts
+    # and counts over fixed node-keyed exchange shapes
+    with pinned_parallelism(edges.sparkSession):
+        return _k_core_impl(
+            edges, src, dst, k, max_rounds, until_convergence, checkpoint_dir
+        )
+
+
+def _k_core_impl(edges, src, dst, k, max_rounds, until_convergence, checkpoint_dir):
     pe = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("__a"),
@@ -895,6 +924,15 @@ def shortest_paths_bounded(
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be non-negative, got {max_hops}")
+    # pinned-AQE relaxation loop (operators._adaptive): per-round eager
+    # cuts over fixed node-keyed exchange shapes (the bfs_hops scope)
+    with pinned_parallelism(edges.sparkSession):
+        return _shortest_paths_impl(
+            edges, src, dst, weight, seeds, max_hops, checkpoint_dir
+        )
+
+
+def _shortest_paths_impl(edges, src, dst, weight, seeds, max_hops, checkpoint_dir):
     # Weights must be non-null, non-NaN, non-negative, and integral —
     # each violation gets its own branch with an accurate message (a
     # blanket `>= 0 else "negative"` mislabels NULLs, and cast('long')
