@@ -52,9 +52,113 @@ import os
 import threading
 from contextlib import contextmanager
 
+from pyspark.sql import DataFrame
+
 _LOCK = threading.Lock()
 
 _FLAG = "spark.sql.adaptive.enabled"
+
+# Scale-adaptive reuse threshold (bytes of estimated INPUT the fanned-out
+# subtree would re-read per extra execution). Below it the frame stays
+# lazy — at bench scale (sf0.1 lineitem ≈ 11 MB of parquet) re-running a
+# scan+aggregate twice more is cheaper than writing and reading cache
+# blocks, measured directly: a forced cut made spearman_price_quantity
+# SLOWER at sf0.1. Above it the recompute dominates by construction —
+# every extra consumer re-reads the whole input from storage — so the
+# histogram is materialized once. 256 MB is the conservative crossover:
+# ≥16x the measured break-even scale, far below any "100 TB" regime.
+_REUSE_ENV = "SPARK_GRAFT_REUSE_MIN_BYTES"
+_REUSE_DEFAULT = 256 * 1024 * 1024
+
+# Catalyst's defaultSizeInBytes for relations with no statistics is
+# Long.MaxValue (sometimes scaled); anything this large is "unknown",
+# not an actual size. 2^60 ≈ 1.15 exabytes — no real leaf estimate in
+# this engine's regime approaches it.
+_UNKNOWN_SIZE = 1 << 60
+
+
+def estimated_input_bytes(df: DataFrame) -> int | None:
+    """Sum of the Catalyst size estimates of ``df``'s LEAF relations —
+    the bytes one full execution of the frame's subtree re-reads from
+    storage.
+
+    Leaves, not the plan root: without CBO column statistics Catalyst's
+    default join estimate is the PRODUCT of the input sizes (measured:
+    a 11 MB ⋈ 3 MB join at sf0.1 reports 1.5 TB), so a root estimate
+    would wildly over-trigger. Leaf sizes are file-length-derived for
+    parquet relations (linear in scale factor) and cache-block-sized
+    for already-checkpointed upstreams (re-reading cached blocks is
+    cheap, and the estimate says so). Leaves with NO estimate (Catalyst
+    reports defaultSizeInBytes ≈ Long.MaxValue, e.g. a driver-local
+    ``createDataFrame`` relation) count as ZERO: such inputs are either
+    driver-local literals (tiny by construction) or already-materialized
+    RDDs — re-reading them is cheap, and "unknown" must not be read as
+    "huge" or every literal-seeded frame would pay a pointless cut.
+    Returns None when the JVM-side walk fails (never raises into an
+    operator)."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        sizes = [
+            int(str(leaves.apply(i).stats().sizeInBytes()))
+            for i in range(leaves.size())
+        ]
+        return sum(s for s in sizes if s < _UNKNOWN_SIZE)
+    except Exception:  # noqa: BLE001 — estimate is advisory only
+        return None
+
+
+def reuse_frame(df: DataFrame) -> DataFrame:
+    """Scale-adaptive lineage cut for a SUMMARY-SIZED frame consumed by
+    2+ downstream branches of one query.
+
+    Spark recomputes a shared subtree once per consumer unless the
+    exchanges are byte-identical — and column pruning specializes each
+    branch's aggregate (the range frame keeps only the value column,
+    the offsets branch drops it, the window keeps everything), so
+    exchange reuse never fires for the bucketed rank/prefix-sum
+    pattern: at 100 TB each extra branch is a full fact-table rescan
+    (guide §2.4 "remove shuffles outright" / §3.3 "materialising an
+    intermediate truncates the plan").
+
+    Below the ``SPARK_GRAFT_REUSE_MIN_BYTES`` input threshold (default
+    256 MB) this is a NO-OP — the declared plan, the bench timings and
+    the oracle replay at test scale are bit-identical to the lazy
+    shape. Above it the frame is cut with ``localCheckpoint(eager=
+    False)``: computed once on first action, blocks freed by the
+    ContextCleaner when the result frame is dropped (the persist()
+    alternative leaks CacheManager entries for lazy query frames no
+    caller ever unpersists), partitioning/ordering metadata preserved
+    (LogicalRDD carries both, so chained passes keep their
+    no-new-exchange property). Fault-tolerance note: a localCheckpoint
+    cannot be replayed after executor loss — callers that need a
+    durable cut at cluster scale already route through
+    ``operators._checkpoint`` with a reliable ``checkpoint_dir``.
+
+    Only hand this SUMMARY-sized frames (histograms, distinct-value
+    maps): the materialization cost is the frame's own size, which for
+    a histogram is bounded by the distinct count, not the row count."""
+    return reuse_frame_cut(df)[0]
+
+
+def reuse_frame_cut(df: DataFrame) -> "tuple[DataFrame, bool]":
+    """:func:`reuse_frame` plus a flag saying whether the cut fired —
+    for callers that restructure neighbouring branches only when the
+    frame is actually materialized (e.g. sourcing a min/max range frame
+    from the cached histogram instead of the raw rows)."""
+    threshold = int(os.environ.get(_REUSE_ENV, _REUSE_DEFAULT))
+    est = estimated_input_bytes(df)
+    if est is None or est < threshold:
+        return df, False
+    try:
+        # Already materialized (the plan is a bare leaf — e.g. a caller
+        # cut this frame before passing it down): a second cut would
+        # copy the cached blocks for nothing. Composed operators hit
+        # this when both a caller and a primitive guard the same frame.
+        if df._jdf.queryExecution().analyzed().children().isEmpty():
+            return df, True
+    except Exception:  # noqa: BLE001 — guard is advisory only
+        pass
+    return df.localCheckpoint(eager=False), True
 
 
 @contextmanager

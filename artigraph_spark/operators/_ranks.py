@@ -42,6 +42,8 @@ from pyspark.sql.types import (
     ShortType,
 )
 
+from artigraph_spark.operators._adaptive import reuse_frame, reuse_frame_cut
+
 _NULL_BUCKET = -1  # sorts first asc / last desc, like Spark's null ordering
 
 # Count-like sum columns normalize to long; fractional/decimal masses keep
@@ -122,10 +124,25 @@ def bucketed_group_value_ranks(
     gcols = list(group_cols)
     v = F.col(value_col)
     freq = F.count(F.lit(1)) if freq_col is None else F.sum(freq_col)
-    hist = base.groupBy(*gcols, v.alias("__v")).agg(freq.alias("__f"))
+    # r14: the histogram subtree fans out to 3 consumers (range frame,
+    # per-bucket offsets, within-bucket window) whose divergent column
+    # pruning defeats exchange reuse — each consumer re-executes the
+    # data-sized groupBy from the scan. reuse_frame cuts that to one
+    # execution above the input-size threshold, and is a no-op at test
+    # scale (operators._adaptive).
+    hist, cut = reuse_frame_cut(
+        base.groupBy(*gcols, v.alias("__v")).agg(freq.alias("__f"))
+    )
     numeric = isinstance(base.schema[value_col].dataType, NumericType)
     if numeric:
-        rng = _range_frame(base, v)
+        # r14: when the histogram was materialized, the range frame
+        # derives from it (min/max over the DISTINCT values equals
+        # min/max over the raw rows — bucket maps are rank-invariant
+        # anyway) so the raw-row subtree is executed ZERO extra times.
+        # When it was not (test scale), keep the original direct min/max
+        # over `base` — a map-side aggregate, cheaper than re-running
+        # the histogram exchange.
+        rng = _range_frame(hist if cut else base, F.col("__v") if cut else v)
         bexpr = _bucket_expr(F.col("__v"), F.col("__lo"), F.col("__hi"), buckets)
         hb = hist.crossJoin(F.broadcast(rng)).select(
             *gcols, "__v", "__f", bexpr.alias("__bk")
@@ -229,6 +246,14 @@ def bucketed_prefix_sums(
     scols = list(sum_cols)
     integral = [isinstance(hist.schema[c].dataType, _INTEGRAL) for c in scols]
     out_cast = lambda col, i: col.cast("long") if integral[i] else col  # noqa: E731
+    # r14: the caller's histogram fans out to 3 consumers here (range
+    # frame, per-bucket offsets, within-bucket prefix window) with
+    # divergent pruning — no exchange reuse, so each consumer re-runs
+    # the caller's whole upstream. Scale-adaptive single execution;
+    # no-op at test scale (operators._adaptive.reuse_frame). A chained
+    # second pass (bucket_col=...) keeps its no-new-exchange property:
+    # the cut preserves partitioning/ordering metadata.
+    hist = reuse_frame(hist)
     v = F.col(value_col)
     if bucket_col is not None:
         # bucket_col is the one EXTERNALLY-supplied bucket id (the internal

@@ -24,6 +24,7 @@ from fractions import Fraction
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from artigraph_spark.operators._adaptive import reuse_frame
 from artigraph_spark.operators._ranks import bucketed_group_value_ranks
 
 _DEC = "decimal(38,0)"
@@ -197,7 +198,13 @@ def tukey_fences(
         raise ValueError(f"k must be non-negative, got {k}")
     gcols = list(group_cols)
     base = _clean_base(df, gcols, value_col)
-    ranks = bucketed_group_value_ranks(base, gcols, value_col, buckets=buckets)
+    # r14: the ranks histogram feeds both the quartile filter and the
+    # outlier-count join; scale-adaptive single execution of the whole
+    # rank machinery (no-op at test scale —
+    # operators._adaptive.reuse_frame).
+    ranks = reuse_frame(
+        bucketed_group_value_ranks(base, gcols, value_col, buckets=buckets)
+    )
     quarts = _quantiles_from_ranks(ranks, gcols, [0.25, 0.75])
     fences = (
         quarts.groupBy(*gcols)
@@ -302,7 +309,13 @@ def spearman_corr(
         & yv.isNotNull()
         & ~F.isnan(yv.cast("double"))
     )
-    joint = (
+    # r14: the joint histogram fans out to 3 consumers (x rank map, y
+    # rank map, the ranked join) whose divergent column pruning defeats
+    # exchange reuse — each would re-run the fact-table scan+groupBy.
+    # Scale-adaptive single execution; no-op at test scale, where the
+    # forced cut measured SLOWER than the rescans
+    # (operators._adaptive.reuse_frame).
+    joint = reuse_frame(
         df.filter(ok)
         .groupBy(
             _q(xv, x_quantize_bits).alias("__x"),

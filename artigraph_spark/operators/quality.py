@@ -524,7 +524,14 @@ def winsorize(
     """
     if not 0.0 <= lo_q <= hi_q <= 1.0:
         raise ValueError(f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}/{hi_q}")
-    cum = _cumulative_hist(df, group_col, value_col)
+    from artigraph_spark.operators._adaptive import reuse_frame
+
+    # r14: the cumulative histogram feeds BOTH rank-quantile branches —
+    # without a cut each branch re-runs the (group, value) shuffle and
+    # the whole bucketed prefix machinery from the scan. Scale-adaptive
+    # single execution; no-op at test scale
+    # (operators._adaptive.reuse_frame).
+    cum = reuse_frame(_cumulative_hist(df, group_col, value_col))
     c = F.col(value_col)
     bounds = _rank_quantile(cum, group_col, lo_q, "__lo").join(
         _rank_quantile(cum, group_col, hi_q, "__hi"), group_col
@@ -929,7 +936,15 @@ def psi_drift(
     def _hist(df: DataFrame) -> DataFrame:
         return _clean(df).groupBy("__v").agg(F.count(F.lit(1)).alias("__f"))
 
-    hb, hc = _hist(base), _hist(cur)
+    # r14: the BASE histogram fans out to 2 consumers (the edge-deriving
+    # prefix pass and its own bin assignment), and the prefix pass prunes
+    # columns differently — no exchange reuse, so each consumer re-runs
+    # the base-side scan+groupBy. Scale-adaptive single execution; no-op
+    # at test scale (operators._adaptive.reuse_frame). The current-side
+    # histogram has one consumer and stays lazy.
+    from artigraph_spark.operators._adaptive import reuse_frame
+
+    hb, hc = reuse_frame(_hist(base)), _hist(cur)
     wg = Window.partitionBy()
     # The base histogram's cumulative walk rides the range-bucketed
     # two-phase prefix — near-unique columns (where the histogram IS the

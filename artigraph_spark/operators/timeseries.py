@@ -972,7 +972,16 @@ def seasonal_decompose(
             F.count(F.lit(1)).over(w) == period, F.sum("y").over(w)
         ).alias("__ts"),
     ).filter(F.col("__ts").isNotNull())
-    d = t.withColumn("__det", F.lit(period) * F.col("y") - F.col("__ts"))
+    # r14: the detrended series fans out to 2 consumers (the per-phase
+    # seasonal means and the final join) — each would re-run the daily
+    # bucketing shuffle (the one data-sized pass) plus the trend window.
+    # Scale-adaptive single execution of the #days-row frame; no-op at
+    # test scale (operators._adaptive.reuse_frame).
+    from artigraph_spark.operators._adaptive import reuse_frame
+
+    d = reuse_frame(
+        t.withColumn("__det", F.lit(period) * F.col("y") - F.col("__ts"))
+    )
     s = d.groupBy("phase").agg(davg("__det").alias("__s7"))
     g = s.agg(davg(F.round(F.col("__s7"), 9)).alias("__s7bar"))
     pd_ = F.lit(float(period))
@@ -1547,8 +1556,12 @@ def markov_stationary(
         F.floor(F.lit(float(1 << bits)) / F.col("__ns")).cast("long").alias("pi"),
     )
     for _ in range(iterations):
+        # π is |states| rows by construction — broadcast it explicitly
+        # (guide §3.1: pick the strategy deliberately) so no round ever
+        # shuffles the checkpointed matrix by __src; each round is one
+        # broadcast + one map-side-combined groupBy over |states|² rows.
         pi = (
-            p.join(pi.withColumnRenamed("state", "__src"), "__src")
+            p.join(F.broadcast(pi.withColumnRenamed("state", "__src")), "__src")
             .select(
                 F.col("__dst").alias("state"),
                 F.floor(

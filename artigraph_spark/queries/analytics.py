@@ -1250,15 +1250,16 @@ def clustering_coefficient(spark, sf_dir):
     the ratio is one double division of exact integers, identical in both
     engines before the round.
 
-    The degree aggregate re-derives the edge list (the triangle operator's
-    internal persist is scoped to its own call); at production scale
-    persist the pair frame and feed both consumers — noted rather than
-    wired because the pair-building aggregate, not the reuse, dominates
-    here.
+    The edge frame feeds BOTH the triangle operator and the degree
+    aggregate — r14 wires the previously-noted production fix through
+    the scale-adaptive reuse cut (operators._adaptive.reuse_frame): one
+    execution of the pair-building self-join above the input-size
+    threshold, a strict no-op at bench/test scale.
     """
+    from artigraph_spark.operators._adaptive import reuse_frame
     from artigraph_spark.operators.graph import triangle_counts
 
-    pairs = _copurchase_pairs(spark, sf_dir)
+    pairs = reuse_frame(_copurchase_pairs(spark, sf_dir))
     tc = triangle_counts(pairs, "s1", "s2")
     deg = (
         pairs.select(F.col("s1").alias("n"))

@@ -1170,11 +1170,17 @@ def simhash_checked(spark, sf_dir):
     """SimHash determinism contract: identical (token-bearing) texts must get
     bit-identical 64-bit SimHash — Hamming distance exactly 0. Token-less
     docs are excluded in BOTH engines (simhash emits no row for them)."""
+    from artigraph_spark.operators._adaptive import reuse_frame
     from artigraph_spark.operators.dedup import simhash, tokens
 
     d = _augmented_docs(load(spark, sf_dir, "documents"))
     tokful = d.filter(F.size(tokens(F.col("text"))) > 0)
-    sigs = simhash(d, "doc_id", "text")
+    # r14: the signature frame is consumed by BOTH join sides — without
+    # a cut each side re-runs the per-character simhash folds over the
+    # whole corpus. The cut materializes the narrow (doc_id, simhash)
+    # frame once above the input-size threshold; no-op at test scale
+    # (operators._adaptive.reuse_frame).
+    sigs = reuse_frame(simhash(d, "doc_id", "text"))
     sa = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("__ha"))
     sb = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("__hb"))
     hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("long")
@@ -1258,10 +1264,18 @@ def dedup_minhash_end2end(spark, sf_dir):
     signatures → LSH → Jaccard ≥ 0.7 → connected components): exact
     duplicates have Jaccard 1.0 and guaranteed candidacy, so every
     exact-duplicate pair must land in the same cluster."""
+    from artigraph_spark.operators._adaptive import reuse_frame
     from artigraph_spark.operators.dedup import dedup_clusters
 
     d = _augmented_docs(load(spark, sf_dir, "documents"))
-    clusters = dedup_clusters(d, "doc_id", "text", jaccard_threshold=0.7)
+    # r14: the cluster map feeds BOTH join sides — without a cut each
+    # side re-runs the whole signatures→LSH→Jaccard→CC pipeline. The cut
+    # materializes the narrow (doc_id, cluster_id) map once above the
+    # input-size threshold; no-op at test scale
+    # (operators._adaptive.reuse_frame).
+    clusters = reuse_frame(
+        dedup_clusters(d, "doc_id", "text", jaccard_threshold=0.7)
+    )
     ca = clusters.select(F.col("doc_id").alias("a"), F.col("cluster_id").alias("__ca"))
     cb = clusters.select(F.col("doc_id").alias("b"), F.col("cluster_id").alias("__cb"))
     return (
