@@ -1275,8 +1275,13 @@ def sliding_distinct_users(spark, sf_dir):
         ).alias("bucket"),
         "user_id",
     )
+    # present is calendar-bounded (one row per hour with data — ~9 K
+    # rows/year at ANY data scale), but its Catalyst estimate is
+    # aggregate-input-sized, so at real event volumes the planner would
+    # flip this semi-join to a shuffle of the x24-exploded frame (the
+    # biggest frame in the query). Pin the broadcast (guide §3.1).
     exact = (
-        contrib.join(present, "bucket", "left_semi")
+        contrib.join(F.broadcast(present), "bucket", "left_semi")
         .groupBy("bucket")
         .agg(F.countDistinct("user_id").alias("exact_distinct"))
     )
