@@ -451,6 +451,16 @@ def lsh_candidate_pairs(
             f"bands={bands}); otherwise trailing hashes are ignored or every "
             "document lands in one bucket"
         )
+    from artigraph_spark.operators._adaptive import reuse_frame
+
+    # r14: the signature frame fans out to 4 plan branches here (banded,
+    # ma, mb, within) — without a cut each branch re-executes the whole
+    # signature subtree, which for an un-checkpointed caller means 4 full
+    # corpus rescans at scale. The cut materializes the narrow
+    # (id, mh0..mhN) frame once above the input-size threshold; no-op at
+    # test scale, and the bare-leaf guard makes it free for callers that
+    # already checkpoint their signatures (operators._adaptive).
+    signatures = reuse_frame(signatures)
     members = signatures.select(
         _signature_key(num_hashes).alias("__sig"), F.col(id_col).alias("__id")
     )
@@ -1450,8 +1460,19 @@ def bloom_dedup_against(
         raise ValueError("verify=True needs ref_df to check suspects against")
     from artigraph_spark.operators.sketches import bloom_passing_keys
 
-    keyed = new_df.withColumn("__h", _h(F.col(text_col))).withColumn(
-        "__k", _k(F.col(text_col))
+    # r14: `keyed` fans out to up to 3 consumers (the filter probe, the
+    # clean anti-join, the verify-mode suspect semi-join) — each would
+    # re-run the batch scan plus the sha2/content_key folds. The cut
+    # materializes the batch once above the input-size threshold (the
+    # batch is the ingest INCREMENT, not the corpus — its one-shot
+    # storage is the cheap side of 3 rescans with per-row sha256);
+    # no-op at test scale (operators._adaptive.reuse_frame).
+    from artigraph_spark.operators._adaptive import reuse_frame
+
+    keyed = reuse_frame(
+        new_df.withColumn("__h", _h(F.col(text_col))).withColumn(
+            "__k", _k(F.col(text_col))
+        )
     )
     suspect_keys = bloom_passing_keys(
         keyed, "__k", ref_bits, num_bits, num_hashes, seed
