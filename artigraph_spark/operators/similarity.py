@@ -1281,23 +1281,15 @@ def set_similarity_pairs(
     bounds the shuffle). Pass None to disable (exact Jaccard over all
     members — only safe when the df distribution is known bounded).
 
-    One groupBy(member) for the df filter, then the pair enumeration:
-    with a df cap, ONE member-keyed groupBy collects each member's
-    (bounded, ≤ max_member_df) posting list and the strictly-upper-
-    triangle combinations expand in codegen straight into the (a,b)
-    overlap aggregation — no self-join at all (r14; same pair multiset,
-    one exchange of the (set, member) rows instead of two join-side
-    exchanges plus sort). Without a cap the posting lists are unbounded,
-    so the enumeration stays a member-keyed self-join, which spreads a
-    hot member's quadratic pair block across tasks instead of parking
-    it in one array. Either way the overlap counts meet a
-    broadcast-joined size table — all shuffles key-partitioned, no
-    global sort. The distinct (set, member) frame feeds several plan
-    branches (df filter, sizes, enumeration), so it is persisted for
-    the duration of the call (the adamic_adar convention — without it
-    every branch re-scans and re-distincts the input; measured 16
-    FileScans → 1 on the co-purchase query) and the result
-    localCheckpointed before release.
+    One groupBy(member) for the df filter, one member-keyed self-join,
+    one (a,b) groupBy for overlap counts, and set-keyed equi-joins of
+    the size table (AQE broadcasts them when small) — all shuffles
+    key-partitioned, no global sort. The distinct (set, member) frame
+    feeds FOUR plan branches (df filter, sizes, both self-join sides),
+    so it is persisted for the duration of the call (the adamic_adar
+    convention — without it every branch re-scans and re-distincts the
+    input; measured 16 FileScans → 1 on the co-purchase query) and the
+    result localCheckpointed before release.
 
     Returns ``(a, b, size_a, size_b, overlap, jaccard_r)`` with a < b and
     ``jaccard = overlap / (size_a + size_b − overlap)``.
@@ -1326,47 +1318,27 @@ def set_similarity_pairs(
             )
             released.append(pairs_src)
         sizes = pairs_src.groupBy("__s").agg(F.count(F.lit(1)).alias("__sz"))
-        if max_member_df is not None:
-            # r14: with the df cap in force each member's posting list is
-            # bounded (≤ max_member_df sets), so the co-occurring pairs
-            # can be enumerated from ONE member-keyed groupBy: collect
-            # the posting list, sort it, and expand the strictly-upper-
-            # triangle combinations in codegen. Same pair multiset as the
-            # member-keyed self-join (sorted unique lists make x < y
-            # exactly the a < b filter), but the plan sheds the self-join
-            # entirely — one exchange of the (set, member) rows instead
-            # of two join-side exchanges plus their sort/build, and the
-            # Σdf² pair stream is born directly in the expansion stage
-            # where the partial (a, b) aggregation consumes it (guide
-            # §2.4 "remove shuffles outright"). Without a cap the posting
-            # list of a hot member is unbounded — a single giant array on
-            # one task — so the uncapped path keeps the shuffled
-            # self-join, which spreads each member's pair block across
-            # its bucket's tasks.
-            combos = F.expr(
-                "flatten(transform(__ss, (x, i) -> "
-                "transform(slice(__ss, i + 2, size(__ss)), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-            overlap = (
-                pairs_src.groupBy("__m")
-                .agg(F.array_sort(F.collect_list("__s")).alias("__ss"))
-                .select(F.explode(combos).alias("__p"))
-                .select("__p.a", "__p.b")
-                .groupBy("a", "b")
-                .agg(F.count(F.lit(1)).alias("overlap"))
-                .filter(F.col("overlap") >= min_overlap)
-            )
-        else:
-            la = pairs_src.select(F.col("__s").alias("a"), "__m")
-            lb = pairs_src.select(F.col("__s").alias("b"), "__m")
-            overlap = (
-                la.join(lb, "__m")
-                .filter(F.col("a") < F.col("b"))
-                .groupBy("a", "b")
-                .agg(F.count(F.lit(1)).alias("overlap"))
-                .filter(F.col("overlap") >= min_overlap)
-            )
+        # r14 note: a posting-list enumeration for the capped path
+        # (groupBy(member).collect_list + sorted upper-triangle combos
+        # expanded in codegen) was built and measured — it wins on the
+        # ISOLATED enumeration stage (0.88 vs 1.01 s median at sf0.1,
+        # alternating single-session runs) and sheds 12 exchanges / 2
+        # SortMergeJoins from the full plan, but the FULL pipeline
+        # measured consistently SLOWER (4.0 vs 5.0 s clean; 3-4 of 4
+        # interleaved pairs in every protocol): collect_list aggregation
+        # degrades to sort-based past the object-hash fallback threshold
+        # and the expansion stage loses the join's pipelined partial
+        # aggregation. Reverted to the self-join (the guide §1.1
+        # "ideal-plan gotcha" case); see OPTIMIZATION_r14.md.
+        la = pairs_src.select(F.col("__s").alias("a"), "__m")
+        lb = pairs_src.select(F.col("__s").alias("b"), "__m")
+        overlap = (
+            la.join(lb, "__m")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("overlap"))
+            .filter(F.col("overlap") >= min_overlap)
+        )
         sa = sizes.select(F.col("__s").alias("a"), F.col("__sz").alias("size_a"))
         sb = sizes.select(F.col("__s").alias("b"), F.col("__sz").alias("size_b"))
         j = (

@@ -111,11 +111,12 @@ def test_spearman_identical_on_both_paths(spark, monkeypatch):
 
 
 def test_set_similarity_capped_path_matches_brute_force(spark):
-    """r14: with a df cap, pair enumeration switches from a member-keyed
-    self-join to a collect_list + sorted-combinations expansion — the
-    emitted (a, b, sizes, overlap, jaccard) rows must equal the brute
-    force computed under the same cap semantics (hot members excluded
-    from pairs AND sizes)."""
+    """r14: pins the capped-path contract while enumeration strategies
+    are A/B'd (a posting-list expansion was measured and reverted this
+    round) — the emitted (a, b, sizes, overlap, jaccard) rows must equal
+    the brute force computed under the same cap semantics (hot members
+    excluded from pairs AND sizes, min_overlap applied before the
+    threshold)."""
     import itertools
     import random
 
