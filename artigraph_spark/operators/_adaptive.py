@@ -39,11 +39,15 @@ Set ``SPARK_GRAFT_LOOP_AQE=1`` to keep AQE on inside these operators
 matters more than the barrier cost and salting is not an option).
 
 Thread-safety: Spark session conf is session-global, so the scope is
-serialized under a module lock; a *different* thread planning an
-unrelated query concurrently on the same session could still observe AQE
-off (the same session-conf caveat as ``sources.load``'s nanosAsLong
-scope). The threaded executor runs producers, not declared queries, so
-this does not arise in the build/bench paths.
+serialized under a module lock held for the WHOLE operator runtime
+(concurrent threads entering pinned operators run one at a time); a
+*different* thread planning an unrelated query concurrently on the same
+session could still observe AQE off (the same session-conf caveat as
+``sources.load``'s nanosAsLong scope). The lock is re-entrant and the
+conf toggles only at nesting depth 0, so composed pinned operators (a
+graph operator calling connected_components) neither deadlock nor
+restore the conf early. The threaded executor runs producers, not
+declared queries, so this does not arise in the build/bench paths.
 """
 
 from __future__ import annotations
@@ -54,7 +58,11 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-_LOCK = threading.Lock()
+# Re-entrant: nested pinned scopes (operator composition) must not
+# deadlock. The conf is toggled only by the outermost scope (_DEPTH 0).
+_LOCK = threading.RLock()
+_DEPTH = 0
+_PREV: "str | None" = None
 
 _FLAG = "spark.sql.adaptive.enabled"
 
@@ -69,6 +77,16 @@ _FLAG = "spark.sql.adaptive.enabled"
 # ≥16x the measured break-even scale, far below any "100 TB" regime.
 _REUSE_ENV = "SPARK_GRAFT_REUSE_MIN_BYTES"
 _REUSE_DEFAULT = 256 * 1024 * 1024
+
+# Optional reliable-checkpoint routing for the cut (r15): when set, frames
+# cut above the threshold go through ``operators._checkpoint`` into this
+# fault-tolerant directory (HDFS/object store on a cluster) instead of
+# executor-local blocks. localCheckpoint blocks cannot be replayed after
+# executor loss, and the cut only fires ABOVE the size threshold — i.e.
+# exactly at the cluster scale where executor loss is routine — so
+# production runs should point this at durable storage; local/bench runs
+# leave it unset and keep the cheap executor-local path.
+_REUSE_DIR_ENV = "SPARK_GRAFT_REUSE_DIR"
 
 # Catalyst's defaultSizeInBytes for relations with no statistics is
 # Long.MaxValue (sometimes scaled); anything this large is "unknown",
@@ -129,10 +147,12 @@ def reuse_frame(df: DataFrame) -> DataFrame:
     alternative leaks CacheManager entries for lazy query frames no
     caller ever unpersists), partitioning/ordering metadata preserved
     (LogicalRDD carries both, so chained passes keep their
-    no-new-exchange property). Fault-tolerance note: a localCheckpoint
-    cannot be replayed after executor loss — callers that need a
-    durable cut at cluster scale already route through
-    ``operators._checkpoint`` with a reliable ``checkpoint_dir``.
+    no-new-exchange property). Fault-tolerance: a localCheckpoint
+    cannot be replayed after executor loss, so cluster runs set
+    ``SPARK_GRAFT_REUSE_DIR`` to a fault-tolerant directory and the cut
+    routes through ``operators._checkpoint`` (reliable ``checkpoint``)
+    instead; iterative operators that take an explicit
+    ``checkpoint_dir`` argument keep their own routing.
 
     Only hand this SUMMARY-sized frames (histograms, distinct-value
     maps): the materialization cost is the frame's own size, which for
@@ -145,19 +165,42 @@ def reuse_frame_cut(df: DataFrame) -> "tuple[DataFrame, bool]":
     for callers that restructure neighbouring branches only when the
     frame is actually materialized (e.g. sourcing a min/max range frame
     from the cached histogram instead of the raw rows)."""
-    threshold = int(os.environ.get(_REUSE_ENV, _REUSE_DEFAULT))
+    try:
+        threshold = int(os.environ.get(_REUSE_ENV, _REUSE_DEFAULT))
+    except (TypeError, ValueError):  # malformed env must not break queries
+        threshold = _REUSE_DEFAULT
     est = estimated_input_bytes(df)
     if est is None or est < threshold:
         return df, False
     try:
-        # Already materialized (the plan is a bare leaf — e.g. a caller
-        # cut this frame before passing it down): a second cut would
-        # copy the cached blocks for nothing. Composed operators hit
-        # this when both a caller and a primitive guard the same frame.
-        if df._jdf.queryExecution().analyzed().children().isEmpty():
-            return df, True
+        # Already materialized (the plan is a bare LogicalRDD /
+        # InMemoryRelation / driver-local leaf — e.g. a caller cut this
+        # frame before passing it down): a second cut would copy the
+        # cached blocks for nothing. Composed operators hit this when
+        # both a caller and a primitive guard the same frame. A bare
+        # FILE-SCAN leaf (LogicalRelation etc.) is NOT materialized —
+        # but it is also not worth cutting: each consumer's pruned,
+        # pushdown-filtered columnar re-scan is cheaper than one
+        # full-width copy into cache, so report cut=False and let the
+        # caller keep its below-threshold shape.
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.children().isEmpty():
+            name = plan.getClass().getSimpleName()
+            if name in (
+                "LogicalRDD",
+                "InMemoryRelation",
+                "LocalRelation",
+                "OneRowRelation",
+            ):
+                return df, True
+            return df, False
     except Exception:  # noqa: BLE001 — guard is advisory only
         pass
+    reuse_dir = os.environ.get(_REUSE_DIR_ENV)
+    if reuse_dir:
+        from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
+
+        return _ckpt(df, reuse_dir, eager=False), True
     return df.localCheckpoint(eager=False), True
 
 
@@ -167,17 +210,38 @@ def pinned_parallelism(spark):
 
     No-op when ``SPARK_GRAFT_LOOP_AQE=1`` (cluster operators who want
     runtime skew handling inside iterative loops opt back in globally).
+
+    The module lock is held for the ENTIRE scope (typically a whole
+    operator run): concurrent threads entering pinned operators
+    serialize behind it, by design — the alternative is two threads
+    fighting over one session-global conf. The lock is re-entrant and
+    the conf toggles only at depth 0, so a pinned operator composing
+    another pinned operator is safe. Restore semantics: a conf the
+    session had explicitly set is restored to that value; a conf left
+    at its session default is restored by ``unset`` (never forced to
+    "true" — a session whose default is AQE-off stays AQE-off).
     """
     if os.environ.get("SPARK_GRAFT_LOOP_AQE", "0") == "1":
         yield
         return
+    global _DEPTH, _PREV
     with _LOCK:
-        try:
-            prev = spark.conf.get(_FLAG)
-        except Exception:  # noqa: BLE001 — unset: Spark default is on
-            prev = "true"
-        spark.conf.set(_FLAG, "false")
+        if _DEPTH == 0:
+            try:
+                # None <=> not explicitly set on this session (the
+                # default-bypassing two-arg get) — restored via unset.
+                _PREV = spark.conf.get(_FLAG, None)
+            except Exception:  # noqa: BLE001 — treat as unset
+                _PREV = None
+            spark.conf.set(_FLAG, "false")
+        _DEPTH += 1
         try:
             yield
         finally:
-            spark.conf.set(_FLAG, prev)
+            _DEPTH -= 1
+            if _DEPTH == 0:
+                prev, _PREV = _PREV, None
+                if prev is None:
+                    spark.conf.unset(_FLAG)
+                else:
+                    spark.conf.set(_FLAG, prev)

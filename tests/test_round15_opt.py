@@ -1,0 +1,119 @@
+"""Round-15 optimization internals: reliable-checkpoint routing for the
+scale-adaptive reuse cut (``SPARK_GRAFT_REUSE_DIR``), hardened env
+parsing, the typed bare-leaf guard, and re-entrant/unset-restoring
+``pinned_parallelism`` — results must be identical on every path."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+_FLAG = "spark.sql.adaptive.enabled"
+
+
+def _fixture(spark):
+    rows = [(g, v) for g in ("a", "b") for v in (1.0, 2.0, 2.0, 5.0, -3.0)]
+    return spark.createDataFrame(rows, "g: string, v: double")
+
+
+def test_reuse_dir_routes_to_reliable_checkpoint(spark, monkeypatch, tmp_path):
+    from artigraph_spark.operators._adaptive import reuse_frame_cut
+
+    ck = tmp_path / "reuse_ck"
+    monkeypatch.setenv("SPARK_GRAFT_REUSE_MIN_BYTES", "0")
+    monkeypatch.setenv("SPARK_GRAFT_REUSE_DIR", str(ck))
+    df = _fixture(spark).groupBy("g").count()
+    expected = sorted(map(tuple, df.collect()))
+    cut, fired = reuse_frame_cut(df)
+    assert fired and cut is not df
+    assert sorted(map(tuple, cut.collect())) == expected
+    # the cut went through the RELIABLE checkpoint dir, not executor blocks
+    files = [p for p, _, fs in os.walk(ck) for _ in fs]
+    assert files, "reliable checkpoint wrote nothing under SPARK_GRAFT_REUSE_DIR"
+
+
+def test_reuse_dir_unset_keeps_local_path(spark, monkeypatch, tmp_path):
+    from artigraph_spark.operators._adaptive import reuse_frame_cut
+
+    monkeypatch.setenv("SPARK_GRAFT_REUSE_MIN_BYTES", "0")
+    monkeypatch.delenv("SPARK_GRAFT_REUSE_DIR", raising=False)
+    df = _fixture(spark).groupBy("g").count()
+    cut, fired = reuse_frame_cut(df)
+    assert fired
+    assert "ExistingRDD" in cut._jdf.queryExecution().executedPlan().toString()
+
+
+def test_malformed_threshold_env_falls_back(spark, monkeypatch):
+    from artigraph_spark.operators._adaptive import reuse_frame
+
+    monkeypatch.setenv("SPARK_GRAFT_REUSE_MIN_BYTES", "not-a-number")
+    df = _fixture(spark).groupBy("g").count()
+    out = reuse_frame(df)  # must not raise; default threshold -> no-op here
+    assert out is df
+
+
+def test_bare_scan_leaf_reports_no_cut(spark, monkeypatch, tmp_path):
+    """A raw file-scan leaf above threshold is NOT silently counted as
+    materialized: the guard reports cut=False (each consumer's pruned
+    re-scan beats one full-width cache copy) and leaves the plan alone."""
+    from artigraph_spark.operators._adaptive import reuse_frame_cut
+
+    path = str(tmp_path / "scan.parquet")
+    _fixture(spark).write.parquet(path)
+    monkeypatch.setenv("SPARK_GRAFT_REUSE_MIN_BYTES", "0")
+    monkeypatch.delenv("SPARK_GRAFT_REUSE_DIR", raising=False)
+    scan = spark.read.parquet(path)
+    out, fired = reuse_frame_cut(scan)
+    assert out is scan and not fired
+
+
+def test_already_cut_leaf_reports_cut_without_recut(spark, monkeypatch):
+    from artigraph_spark.operators._adaptive import reuse_frame_cut
+
+    monkeypatch.setenv("SPARK_GRAFT_REUSE_MIN_BYTES", "0")
+    monkeypatch.delenv("SPARK_GRAFT_REUSE_DIR", raising=False)
+    pre = _fixture(spark).groupBy("g").count().localCheckpoint(eager=True)
+    out, fired = reuse_frame_cut(pre)
+    # eagerly materialized LogicalRDD with real stats: no second copy
+    assert fired and out is pre
+
+
+def test_pinned_parallelism_nested_scopes(spark):
+    from artigraph_spark.operators._adaptive import pinned_parallelism
+
+    spark.conf.set(_FLAG, "true")
+    try:
+        with pinned_parallelism(spark):
+            assert spark.conf.get(_FLAG) == "false"
+            with pinned_parallelism(spark):  # re-entrant: no deadlock
+                assert spark.conf.get(_FLAG) == "false"
+            # inner exit must NOT restore early
+            assert spark.conf.get(_FLAG) == "false"
+        assert spark.conf.get(_FLAG) == "true"
+    finally:
+        spark.conf.unset(_FLAG)
+
+
+def test_pinned_parallelism_restores_by_unset(spark):
+    """A session that never explicitly set AQE gets its conf key back to
+    UNSET (session default), never forced to a literal 'true'."""
+    from artigraph_spark.operators._adaptive import pinned_parallelism
+
+    spark.conf.unset(_FLAG)
+    assert spark.conf.get(_FLAG, None) is None
+    with pinned_parallelism(spark):
+        assert spark.conf.get(_FLAG) == "false"
+    assert spark.conf.get(_FLAG, None) is None
+
+
+def test_pinned_parallelism_restores_explicit_value(spark):
+    from artigraph_spark.operators._adaptive import pinned_parallelism
+
+    spark.conf.set(_FLAG, "false")
+    try:
+        with pinned_parallelism(spark):
+            assert spark.conf.get(_FLAG) == "false"
+        assert spark.conf.get(_FLAG, None) == "false"
+    finally:
+        spark.conf.unset(_FLAG)

@@ -67,7 +67,9 @@ def main() -> int:
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
-            out = Path(__file__).resolve().parent.parent / "plans" / "r14"
+            out = Path(__file__).resolve().parent.parent / "plans" / os.environ.get(
+                "SPARK_GRAFT_PLAN_ROUND", "r15"
+            )
             out.mkdir(parents=True, exist_ok=True)
             (out / f"{name}_{tag}.txt").write_text(plan)
             del df
