@@ -196,12 +196,26 @@ def reuse_frame_cut(df: DataFrame) -> "tuple[DataFrame, bool]":
             return df, False
     except Exception:  # noqa: BLE001 — guard is advisory only
         pass
+    return cut_frame(df), True
+
+
+def cut_frame(df: DataFrame) -> DataFrame:
+    """Apply the reuse cut UNCONDITIONALLY, with the same routing as
+    :func:`reuse_frame` (``SPARK_GRAFT_REUSE_DIR`` → reliable checkpoint,
+    else executor-local blocks) but no threshold check — for operators
+    that already decided the frame is above threshold from an UPSTREAM
+    estimate. The case that needs this: once an upstream cut fired, the
+    downstream frame's leaves are unknown-size RDD scans (estimated as
+    zero), so ``reuse_frame`` on it could never fire even though one
+    materialized execution is exactly as justified as the upstream one
+    (seasonal_decompose's output under stl_outliers' 3-branch fan-out).
+    """
     reuse_dir = os.environ.get(_REUSE_DIR_ENV)
     if reuse_dir:
         from artigraph_spark.operators._checkpoint import checkpoint as _ckpt
 
-        return _ckpt(df, reuse_dir, eager=False), True
-    return df.localCheckpoint(eager=False), True
+        return _ckpt(df, reuse_dir, eager=False)
+    return df.localCheckpoint(eager=False)
 
 
 @contextmanager

@@ -524,17 +524,32 @@ def winsorize(
     """
     if not 0.0 <= lo_q <= hi_q <= 1.0:
         raise ValueError(f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}/{hi_q}")
-    from artigraph_spark.operators._adaptive import reuse_frame
-
-    # r14: the cumulative histogram feeds BOTH rank-quantile branches —
-    # without a cut each branch re-runs the (group, value) shuffle and
-    # the whole bucketed prefix machinery from the scan. Scale-adaptive
-    # single execution; no-op at test scale
-    # (operators._adaptive.reuse_frame).
-    cum = reuse_frame(_cumulative_hist(df, group_col, value_col))
+    # r15: the cumulative histogram now has exactly ONE consumer (the
+    # fused bounds aggregation below), so the r14 operator-level
+    # reuse_frame cut is gone — it would materialize a frame nothing
+    # re-reads. The data-sized fan-out inside the prefix machinery is
+    # still protected by bucketed_prefix_sums' internal cut.
+    cum = _cumulative_hist(df, group_col, value_col)
     c = F.col(value_col)
-    bounds = _rank_quantile(cum, group_col, lo_q, "__lo").join(
-        _rank_quantile(cum, group_col, hi_q, "__hi"), group_col
+    # r15: BOTH thresholds from ONE conditional aggregation over the
+    # cumulative histogram instead of two filter+groupBy branches and a
+    # per-group join. min(when(cond, v)) over all rows equals min(v)
+    # over the filtered rows, and every group always matches both
+    # conditions (the last histogram row has __cum = __n >= ceil(q·n)
+    # for q <= 1), so the row set — including group membership — is
+    # identical; the histogram subtree executes once instead of twice
+    # below the reuse threshold (guide §2.4).
+    bounds = cum.groupBy(group_col).agg(
+        F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(lo_q) * F.col("__n")), F.col("__v")
+            )
+        ).alias("__lo"),
+        F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(hi_q) * F.col("__n")), F.col("__v")
+            )
+        ).alias("__hi"),
     )
     return (
         df.join(F.broadcast(bounds), group_col, "left")

@@ -911,6 +911,7 @@ def seasonal_decompose(
     ts_col: str,
     *,
     period: int = 7,
+    reuse_output: bool = False,
 ) -> DataFrame:
     """Classical additive seasonal decomposition of the daily event-count
     series: ``y = trend + seasonal + residual`` with the trend a centered
@@ -938,6 +939,10 @@ def seasonal_decompose(
     broadcast cross join.
 
     Returns ``(day_s, y, phase, trend_r, seasonal_r, resid_r)``.
+    ``reuse_output=True`` additionally materializes the RETURNED frame
+    (scale-adaptively, same threshold/routing as the internal detrended
+    cut) for callers that consume it from several plan branches —
+    below the threshold it changes nothing.
     """
     from pyspark.sql import Window
 
@@ -977,16 +982,16 @@ def seasonal_decompose(
     # bucketing shuffle (the one data-sized pass) plus the trend window.
     # Scale-adaptive single execution of the #days-row frame; no-op at
     # test scale (operators._adaptive.reuse_frame).
-    from artigraph_spark.operators._adaptive import reuse_frame
+    from artigraph_spark.operators._adaptive import cut_frame, reuse_frame_cut
 
-    d = reuse_frame(
+    d, cut = reuse_frame_cut(
         t.withColumn("__det", F.lit(period) * F.col("y") - F.col("__ts"))
     )
     s = d.groupBy("phase").agg(davg("__det").alias("__s7"))
     g = s.agg(davg(F.round(F.col("__s7"), 9)).alias("__s7bar"))
     pd_ = F.lit(float(period))
     seasonal = F.round((F.col("__s7") - F.col("__s7bar")) / pd_, 9)
-    return (
+    out = (
         d.join(F.broadcast(s), "phase")
         .crossJoin(F.broadcast(g))
         .select(
@@ -1003,6 +1008,16 @@ def seasonal_decompose(
             ).alias("resid_r"),
         )
     )
+    # r15: callers that fan the DECOMPOSED frame out to several branches
+    # (stl_outliers: median, deviation, flag) ask for one materialized
+    # execution of the whole decomposition with ``reuse_output=True``.
+    # reuse_frame on `out` itself could never fire once the `d` cut
+    # replaced the leaves with unknown-size RDD scans, so the decision
+    # rides the SAME upstream estimate that fired the d-cut: both cuts
+    # or neither — below threshold the caller keeps the lazy shape.
+    if reuse_output and cut:
+        out = cut_frame(out)
+    return out
 
 
 def kaplan_meier(
@@ -1503,7 +1518,11 @@ def markov_stationary(
     (src, dst) aggregate of transition_matrix; the quantized |states|²
     matrix is localCheckpointed once (kilobytes) and the iterations run
     on |states|-row frames — π is consumed once per round, so the plan
-    grows linearly and needs no per-round cuts.
+    grows linearly and needs no per-round cuts. Above the reuse
+    threshold the per-src totals attach via a broadcast join over the
+    materialized counts (no hash(__src) re-shuffle of the matrix
+    between the aggregate and the checkpoint — r15); below it they ride
+    a window over the single lazy consumer.
 
     Returns ``(state, pi_fx)`` — fixed-point occupancy at scale 2^bits
     for every state the final round reached as a destination. A pure
@@ -1533,10 +1552,37 @@ def markov_stationary(
         )
         .filter(F.col("__dst").isNotNull())
     )
-    counts = pairs.groupBy("__src", "__dst").agg(F.count(F.lit(1)).alias("__n"))
-    tot = Window.partitionBy("__src")
-    p = _ckpt(
-        counts.select(
+    from artigraph_spark.operators._adaptive import reuse_frame_cut
+
+    # r15: the per-src totals used to ride a Window.partitionBy(__src)
+    # sum — one more hash(__src) exchange of the |states|² matrix between
+    # the (src, dst) aggregate and the checkpoint. Above the reuse
+    # threshold the counts frame is materialized once, the totals become
+    # a tiny aggregate over the cached rows, and the probabilities
+    # attach via a broadcast join — the checkpointed matrix then carries
+    # the aggregate's partitioning with NO further shuffle (guide §2.4).
+    # Below the threshold the window path stays: it re-executes nothing
+    # (single consumer) and one |states|²-row exchange is cheaper than a
+    # second execution of the lazy pairs subtree for the totals branch.
+    counts, cut = reuse_frame_cut(
+        pairs.groupBy("__src", "__dst").agg(F.count(F.lit(1)).alias("__n"))
+    )
+    if cut:
+        tots = counts.groupBy("__src").agg(F.sum("__n").alias("__tn"))
+        quant = counts.join(F.broadcast(tots), "__src").select(
+            "__src",
+            "__dst",
+            F.floor(
+                F.col("__n").cast("double")
+                * F.lit(float(1 << pbits))
+                / F.col("__tn").cast("double")
+            )
+            .cast("long")
+            .alias("__p"),
+        )
+    else:
+        tot = Window.partitionBy("__src")
+        quant = counts.select(
             "__src",
             "__dst",
             F.floor(
@@ -1546,9 +1592,8 @@ def markov_stationary(
             )
             .cast("long")
             .alias("__p"),
-        ),
-        None,
-    )
+        )
+    p = _ckpt(quant, None)
     states = p.select(F.col("__src").alias("state")).distinct()
     n_states = states.agg(F.count(F.lit(1)).alias("__ns"))
     pi = states.crossJoin(F.broadcast(n_states)).select(

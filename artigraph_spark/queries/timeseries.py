@@ -1541,7 +1541,13 @@ def stl_outliers_daily(spark, sf_dir):
     from artigraph_spark.operators.timeseries import seasonal_decompose
 
     e = load(spark, sf_dir, "events")
-    dec = seasonal_decompose(e, "ts", period=7).select("day_s", "y", "resid_r")
+    # r15: the decomposed frame feeds 3 branches (median filter, the
+    # deviation frame, the final flags) — one scale-adaptive
+    # materialization of the whole decomposition instead of 3
+    # derivations (no-op below the reuse threshold).
+    dec = seasonal_decompose(e, "ts", period=7, reuse_output=True).select(
+        "day_s", "y", "resid_r"
+    )
 
     def _exact_median(df, value_col, out_name):
         wo = Window.orderBy(F.col(value_col), F.col("day_s"))

@@ -183,16 +183,21 @@ def main() -> None:
     print(json.dumps(out))
     # Capture-proofing (r14): the full record above outgrew 4 KB when
     # stages_per_query landed (r13's driver tail-capture clipped it to
-    # "parsed": null). Emit a SHORT trailing summary line — headline
-    # total + noise gauges only, a few hundred bytes — so any tail
+    # "parsed": null). Emit a SHORT trailing summary line so any tail
     # capture retains the machine-readable headline even if the full
-    # line is truncated. Consumers keyed on "bench_total_runtime" are
-    # unaffected; the summary uses a distinct metric name.
+    # line is truncated. r15: the summary line now ALSO carries the
+    # per-query timings (~1 KB for 37 queries — still an order of
+    # magnitude under the capture window that clipped r13) so a
+    # tail-captured record keeps enough for per-query round-over-round
+    # comparison; stages_per_query stays on the full line only.
+    # Consumers keyed on "bench_total_runtime" are unaffected; the
+    # summary uses a distinct metric name and existing keys are kept.
     summary = {
         "metric": "bench_total_runtime_summary",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        "queries": timings,
         "noise_sentinel_sec": out["noise_sentinel_sec"],
         "dispatch_ms_per_stage": out["dispatch_ms_per_stage"],
         "sf": out["sf"],

@@ -17,6 +17,7 @@ from artigraph_spark.operators.joins import asof_join
 from artigraph_spark.operators.text import avg_token_length, punct_ratio, quality_score
 
 
+@pytest.mark.slow
 def test_dedup_clusters_with_empty_docs(spark):
     """Whitespace-only duplicates are the most common near-dups in real
     corpora — must cluster, not crash with DIVIDE_BY_ZERO."""

@@ -829,6 +829,7 @@ def test_grouped_hll_rejects_bad_m(spark):
 # ---- round-6: reliable checkpoint routing, grouped/decayed CMS ----
 
 
+@pytest.mark.slow
 def test_iterative_ops_reliable_checkpoint_dir(spark, tmp_path):
     """With checkpoint_dir set, pagerank / triangle_counts /
     connected_components produce identical results to the local mode AND
@@ -1124,6 +1125,7 @@ def test_trend_slopes_recovers_known_line(spark):
     assert out["one"][1] is None
 
 
+@pytest.mark.slow
 def test_epoch_shuffle_permutation_properties(spark):
     from artigraph_spark.operators.packing import epoch_shuffle
 
@@ -1184,6 +1186,7 @@ def test_zorder_key_interleaves_and_orders_locally(spark):
         zorder_key(F.col("a"), F.col("b"), bits=0)
 
 
+@pytest.mark.slow
 def test_sliding_hll_window_merge_equals_direct_sketch(spark):
     """Merge law: the trailing-window estimate from merged per-bucket
     sketches must equal the HLL estimate of a sketch built directly over
@@ -1523,6 +1526,7 @@ def test_sliding_quantiles_window_merge_equals_direct_histogram(spark):
         )
 
 
+@pytest.mark.slow
 def test_hll_intersection_inclusion_exclusion_law(spark):
     """est_intersection must equal est_a + est_b − est_union exactly, and
     for identical inputs the intersection estimate equals each side's."""
@@ -2378,6 +2382,7 @@ def test_acf_lags_alternating_series(spark):
     assert out[3] == (7, -700.0 / 1000.0)
 
 
+@pytest.mark.slow
 def test_attribute_conversions_models(spark):
     """last/first pick the right touch with id tiebreak, linear splits
     floor(2^20/k), no-touch conversions land in 'none', and touches outside

@@ -85,6 +85,7 @@ def test_no_hugeint_in_any_oracle(duck):
     )
 
 
+@pytest.mark.slow
 def test_oracle_schema_maps_onto_spark_schema(spark, duck):
     """Name-by-name type compatibility between each oracle's DuckDB plan
     and the Spark query's analyzed schema.  Lazy on both sides — Spark

@@ -77,6 +77,7 @@ pack_rows = st.lists(
 
 @settings(max_examples=15, deadline=None)
 @given(pack_rows, st.integers(min_value=1, max_value=64))
+@pytest.mark.slow
 def test_pack_sequences_invariants(spark, rows, capacity):
     """For ANY input: tokens are conserved per doc, every bin except the
     last is exactly full, and bin ids are the contiguous prefix 0..B-1."""
@@ -282,6 +283,7 @@ def test_histogram_quantile_rank_coverage_property(spark, values, q):
 
 @settings(max_examples=8, deadline=None)
 @given(sketch_keys, sketch_keys)
+@pytest.mark.slow
 def test_hll_merge_equals_union_property(spark, a_keys, b_keys):
     """Sketch-of-union == merge-of-sketches, exactly, for arbitrary splits."""
     from pyspark.sql import functions as F
@@ -380,6 +382,7 @@ def test_triangle_counts_match_bruteforce(spark, edges):
     a_keys=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=60),
     b_keys=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=60),
 )
+@pytest.mark.slow
 def test_cms_inner_product_bounds_join_size(spark, a_keys, b_keys):
     """∀ multisets: narrow-sketch inner product ≥ exact join size; a
     collision-free-wide sketch recovers it exactly."""
@@ -768,6 +771,7 @@ _km_rows = st.lists(
 
 @settings(max_examples=10, deadline=None)
 @given(_km_rows)
+@pytest.mark.slow
 def test_grouped_kaplan_meier_equals_per_group_solo(spark, rows):
     """For ANY (group, duration, observed) input, the grouped KM curves
     equal the single-group curve computed on each group's rows alone —
@@ -822,6 +826,7 @@ def test_logrank_matches_driver_replay_property(spark, rows):
 
 @settings(max_examples=8, deadline=None)
 @given(_km_rows, st.integers(min_value=1, max_value=15))
+@pytest.mark.slow
 def test_rmst_grouped_equals_solo_property(spark, rows, horizon):
     """For ANY curves and ANY horizon, grouped RMST equals each group's
     solo RMST, and every value lies in [0, horizon] (r11)."""

@@ -338,6 +338,7 @@ def _embedding_rows(draw):
 
 @settings(max_examples=10, deadline=None)
 @given(_embedding_rows(), st.integers(min_value=1, max_value=3))
+@pytest.mark.slow
 def test_semdedup_invariants_property(spark, rows, k):
     from artigraph_spark.operators.similarity import semdedup
 

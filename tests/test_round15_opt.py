@@ -117,3 +117,62 @@ def test_pinned_parallelism_restores_explicit_value(spark):
         assert spark.conf.get(_FLAG, None) == "false"
     finally:
         spark.conf.unset(_FLAG)
+
+
+# --- r15 structural fusions: results identical on every code path ---
+# (the spearman marginal-fusion experiment was REVERTED on end-to-end
+# measurement — see OPTIMIZATION_r15.md; no fused path remains to test)
+
+
+def test_winsorize_extreme_quantiles_do_not_clip(spark):
+    """lo_q=0 / hi_q=1: the fused conditional aggregation must yield the
+    group min/max (every cum >= ceil(0*n)=0; only the last value has
+    cum = n), i.e. no row is clipped."""
+    from artigraph_spark.operators.quality import winsorize
+
+    df = _fixture(spark)
+    out = winsorize(df, "g", "v", lo_q=0.0, hi_q=1.0).collect()
+    assert all(r.value_clipped == r.v for r in out)
+
+
+def test_markov_cut_path_matches_window_path(spark, monkeypatch):
+    """The broadcast-total path (reuse cut fired) and the window path
+    (below threshold) must produce identical stationary vectors."""
+    from artigraph_spark.operators.timeseries import markov_stationary
+
+    rows = []
+    seq = ["a", "b", "a", "c", "b", "b", "a", "c", "c", "a", "b", "a"]
+    for u in range(4):
+        for i, s in enumerate(seq):
+            rows.append((f"u{u}", float(1000 + i), s, i))
+    df = spark.createDataFrame(rows, "user: string, ts: double, ev: string, eid: int")
+    monkeypatch.setenv("SPARK_GRAFT_REUSE_MIN_BYTES", str(1 << 60))
+    window_path = sorted(
+        map(tuple, markov_stationary(df, "user", "ts", "ev", "eid", iterations=6).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_REUSE_MIN_BYTES", "0")
+    cut_path = sorted(
+        map(tuple, markov_stationary(df, "user", "ts", "ev", "eid", iterations=6).collect())
+    )
+    assert window_path == cut_path and len(window_path) == 3
+
+
+def test_seasonal_reuse_output_parity(spark, monkeypatch):
+    """reuse_output=True under a forced cut returns the identical frame
+    content as the default lazy shape."""
+    import datetime
+
+    from artigraph_spark.operators.timeseries import seasonal_decompose
+
+    rows = [
+        (datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d, hours=h),)
+        for d in range(21)
+        for h in range(d % 5 + 1)
+    ]
+    df = spark.createDataFrame(rows, "ts: timestamp")
+    base = sorted(map(tuple, seasonal_decompose(df, "ts", period=7).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_REUSE_MIN_BYTES", "0")
+    fused = sorted(
+        map(tuple, seasonal_decompose(df, "ts", period=7, reuse_output=True).collect())
+    )
+    assert base == fused and len(base) > 0

@@ -260,6 +260,7 @@ def _ts(h, m=0):
     return datetime.datetime(2024, 1, 1, h, m, 0)
 
 
+@pytest.mark.slow
 def test_stateful_exact_dedup_ttl_parity_and_bounded_state(spark, tmp_path):
     """Bounded-state dedup (event-time TTL): (1) with a TTL longer than the
     stream, results match the exact NoTimeout mode; (2) expired keys are
@@ -1284,6 +1285,7 @@ def test_stateful_lsh_band_flags_param_guards(spark):
         stx.stateful_lsh_band_flags(docs, "doc_id", "text", ts_col="ts")
 
 
+@pytest.mark.slow
 def test_stateful_lsh_band_flags_ttl_bounded_and_readmits(spark, tmp_path):
     """TTL mode: expired band buckets are evicted (state bounded by the TTL
     horizon) and a near-duplicate arriving after expiry re-claims its
@@ -1345,6 +1347,7 @@ def test_stateful_lsh_band_flags_ttl_bounded_and_readmits(spark, tmp_path):
     assert run(600, "t_lsh_ttl_short") == {10: True, 20: True, 25: True, 30: True}
 
 
+@pytest.mark.slow
 def test_stateful_lsh_band_flags_ttl_horizon_is_monotone(spark, tmp_path):
     """A LATE duplicate with an OLDER event time must not pull a bucket's
     TTL horizon backward (it would evict the marker early and re-admit

@@ -9,11 +9,12 @@ change execution strategy, never the computed relation, so the captured plan
 is the honest "what work does this query do" answer). Nothing is executed.
 
 Usage: python tools/capture_plan.py TAG name [name ...]
-Writes plans/r14/<name>_<TAG>.txt.
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<name>_<TAG>.txt (default r15).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -43,7 +44,9 @@ def main() -> int:
     DataFrame.localCheckpoint = ident
     DataFrame.checkpoint = ident
 
-    out = Path(__file__).resolve().parent.parent / "plans" / "r14"
+    out = Path(__file__).resolve().parent.parent / "plans" / os.environ.get(
+        "SPARK_GRAFT_PLAN_ROUND", "r15"
+    )
     out.mkdir(parents=True, exist_ok=True)
     sf = "/root/testdata/sf0.1"
     for name in names:
