@@ -31,12 +31,16 @@ runtime is already pinned by the operator itself:
   5.9 s -> 3.1 s with AQE off.
 
 The per-exchange barrier count is scale-INDEPENDENT (it depends on plan
-shape, not data volume), so at cluster scale the same barriers cost
-scheduler round-trips while the benefit side is still zero for these
-shapes; the default therefore scopes AQE off for them at every scale.
-Set ``SPARK_GRAFT_LOOP_AQE=1`` to keep AQE on inside these operators
-(e.g. a cluster where runtime skew splitting of a pathological graph
-matters more than the barrier cost and salting is not an option).
+shape, not data volume) — but the benefit side is NOT zero at every
+scale: the r15 x30 probe (docs/SCALE_PROBE_r15.json) measured pagerank
+1.5x FASTER with AQE ON once the loop's input reached 373 MB (runtime
+partition coalescing/skew handling earns the barriers when stages do
+real data work). The scope is therefore SCALE-ADAPTIVE: it pins AQE off
+only while the operator's estimated input is below
+``SPARK_GRAFT_PIN_MAX_BYTES`` (default 256 MB — the dispatch-bound
+regime where the pin measured ~2x at sf0.1), and leaves the session's
+AQE alone above it. ``SPARK_GRAFT_LOOP_AQE=1`` never pins;
+``SPARK_GRAFT_LOOP_AQE=0`` always pins.
 
 Thread-safety: Spark session conf is session-global, so the scope is
 serialized under a module lock held for the WHOLE operator runtime
@@ -218,12 +222,32 @@ def cut_frame(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
-@contextmanager
-def pinned_parallelism(spark):
-    """Scope AQE off around an operator-managed eager materialization.
+# Scale crossover for the AQE pin (r15, measured at both ends): below
+# it the loop is DISPATCH-bound — the per-exchange re-planning barrier
+# dominates and pinning AQE off measured ~2x faster (pagerank 10.6 s ->
+# 5.1 s at sf0.1, 11 MB of input; r14). Above it the loop is DATA-bound
+# and AQE's runtime partition coalescing/skew handling wins: at x30
+# (373 MB of input, docs/SCALE_PROBE_r15.json) pagerank measured 52.8 s
+# pinned vs 35.3 s with AQE on (1.5x), results identical. The pin is
+# therefore applied only when the loop's estimated input is BELOW this
+# threshold — never a constant tuned for one deployment (guide §2).
+_PIN_MAX_ENV = "SPARK_GRAFT_PIN_MAX_BYTES"
 
-    No-op when ``SPARK_GRAFT_LOOP_AQE=1`` (cluster operators who want
-    runtime skew handling inside iterative loops opt back in globally).
+
+@contextmanager
+def pinned_parallelism(spark, frame: "DataFrame | None" = None):
+    """Scope AQE off around an operator-managed eager materialization —
+    scale-adaptively: the scope only pins when the operator's estimated
+    input (``frame``'s leaf sizes) is below ``SPARK_GRAFT_PIN_MAX_BYTES``
+    (default 256 MB), i.e. when the loop is dispatch-bound and the
+    per-exchange AQE barrier is the dominant cost. Data-bound loops
+    keep the session's AQE (runtime coalescing + skew splitting won
+    1.5x at the x30 probe scale). With ``frame=None`` the scope always
+    pins (caller opted out of the estimate).
+
+    Env overrides: ``SPARK_GRAFT_LOOP_AQE=1`` never pins (cluster
+    operators who want runtime skew handling inside every loop);
+    ``SPARK_GRAFT_LOOP_AQE=0`` always pins (measurement/debug).
 
     The module lock is held for the ENTIRE scope (typically a whole
     operator run): concurrent threads entering pinned operators
@@ -235,9 +259,21 @@ def pinned_parallelism(spark):
     at its session default is restored by ``unset`` (never forced to
     "true" — a session whose default is AQE-off stays AQE-off).
     """
-    if os.environ.get("SPARK_GRAFT_LOOP_AQE", "0") == "1":
+    mode = os.environ.get("SPARK_GRAFT_LOOP_AQE", "")
+    if mode == "1":
         yield
         return
+    if mode != "0" and frame is not None:
+        try:
+            threshold = int(os.environ.get(_PIN_MAX_ENV, _REUSE_DEFAULT))
+        except (TypeError, ValueError):  # malformed env must not break queries
+            threshold = _REUSE_DEFAULT
+        est = estimated_input_bytes(frame)
+        if est is not None and est >= threshold:
+            # Data-bound loop: AQE's runtime re-planning earns its
+            # barriers — leave the session conf alone entirely.
+            yield
+            return
     global _DEPTH, _PREV
     with _LOCK:
         if _DEPTH == 0:

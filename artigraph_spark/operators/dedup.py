@@ -595,7 +595,7 @@ def connected_components(
 
     from artigraph_spark.operators._adaptive import pinned_parallelism
 
-    with pinned_parallelism(edges.sparkSession):
+    with pinned_parallelism(edges.sparkSession, frame=edges):
         sym = (
             edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
             .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

@@ -88,12 +88,17 @@ def pagerank(
     # persist, and AQE's per-exchange re-planning barrier costs 3 driver
     # round-trips per iteration for plans that never change between
     # rounds — measured 24.5 s vs 59 s same-minute at sf0.1 on a noisy
-    # host (29 jobs/75 stages -> 7 jobs/27 stages). The scope must cover
+    # host (29 jobs/75 stages -> 7 jobs/27 stages). r15: the scope is
+    # SCALE-ADAPTIVE — it pins only while frame=edges estimates below
+    # SPARK_GRAFT_PIN_MAX_BYTES; at the x30 probe scale AQE-ON measured
+    # 1.5x faster (35.3 vs 52.8 s, docs/SCALE_PROBE_r15.json), so
+    # data-bound loops keep runtime coalescing/skew splitting and only
+    # dispatch-bound loops pay zero barriers. The scope must cover
     # plan CONSTRUCTION too, not just the final action: the mid-loop
     # lazy localCheckpoint freezes its physical plan the moment it is
     # declared, so a cut planned outside the scope would embed (and
     # later execute) an AQE plan regardless of the conf at action time.
-    with pinned_parallelism(edges.sparkSession):
+    with pinned_parallelism(edges.sparkSession, frame=edges):
         e = (
             edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
             .join(deg, "__s")
@@ -219,7 +224,7 @@ def triangle_counts(
     # final action (the pagerank mid-cut lesson). With
     # ``materialize=False`` nothing compiles inside the scope and the
     # caller's session conf governs the returned lazy plan as before.
-    with pinned_parallelism(edges.sparkSession):
+    with pinned_parallelism(edges.sparkSession, frame=edges):
         return _triangle_counts_impl(
             edges, src, dst, materialize, checkpoint_dir, StorageLevel
         )
@@ -321,7 +326,7 @@ def support_pairs(
     # serializes the short pipeline; measured 2.0 s -> 1.5 s at sf0.1.
     # The persist must sit inside the scope (caching compiles its plan
     # at cacheQuery time — the pagerank mid-cut lesson).
-    with pinned_parallelism(df.sparkSession):
+    with pinned_parallelism(df.sparkSession, frame=df):
         return _support_pairs_impl(df, basket_col, item_col, top_k, StorageLevel, F)
 
 
@@ -428,7 +433,7 @@ def bfs_hops(
     # pinned-AQE frontier loop (operators._adaptive): fixed node-keyed
     # exchange shapes every round, per-round cuts freeze plans at
     # declaration, persist compiles at cacheQuery — the pagerank scope
-    with pinned_parallelism(edges.sparkSession):
+    with pinned_parallelism(edges.sparkSession, frame=edges):
         return _bfs_hops_impl(
             edges, src, dst, seeds, max_hops, checkpoint_dir, StorageLevel
         )
@@ -604,7 +609,7 @@ def hits(
     # pinned-AQE loop scope (operators._adaptive): per-iteration eager
     # cuts plan inside the loop, the persist compiles at cacheQuery —
     # both must sit inside the scope (the pagerank mid-cut lesson)
-    with pinned_parallelism(edges.sparkSession):
+    with pinned_parallelism(edges.sparkSession, frame=edges):
         return _hits_impl(
             edges, src, dst, iterations, one, bits, checkpoint_dir, StorageLevel
         )
@@ -707,7 +712,7 @@ def k_core(
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     # pinned-AQE peel loop (operators._adaptive): per-round eager cuts
     # and counts over fixed node-keyed exchange shapes
-    with pinned_parallelism(edges.sparkSession):
+    with pinned_parallelism(edges.sparkSession, frame=edges):
         return _k_core_impl(
             edges, src, dst, k, max_rounds, until_convergence, checkpoint_dir
         )
@@ -803,7 +808,7 @@ def association_rules(
 
     # same pinned-AQE scope as support_pairs (identical pair join); the
     # persist must compile inside the scope (the pagerank mid-cut lesson)
-    with pinned_parallelism(df.sparkSession):
+    with pinned_parallelism(df.sparkSession, frame=df):
         return _association_rules_impl(
             df, basket_col, item_col, min_pair_cnt, top_k, StorageLevel, F
         )
@@ -926,7 +931,7 @@ def shortest_paths_bounded(
         raise ValueError(f"max_hops must be non-negative, got {max_hops}")
     # pinned-AQE relaxation loop (operators._adaptive): per-round eager
     # cuts over fixed node-keyed exchange shapes (the bfs_hops scope)
-    with pinned_parallelism(edges.sparkSession):
+    with pinned_parallelism(edges.sparkSession, frame=edges):
         return _shortest_paths_impl(
             edges, src, dst, weight, seeds, max_hops, checkpoint_dir
         )

@@ -176,3 +176,42 @@ def test_seasonal_reuse_output_parity(spark, monkeypatch):
         map(tuple, seasonal_decompose(df, "ts", period=7, reuse_output=True).collect())
     )
     assert base == fused and len(base) > 0
+
+
+def test_pinned_parallelism_scale_adaptive(spark, monkeypatch, tmp_path):
+    """The AQE pin fires only while the loop's estimated input is below
+    SPARK_GRAFT_PIN_MAX_BYTES; data-bound loops keep the session's AQE
+    (the r15 x30 measurement); LOOP_AQE=0/1 force either mode."""
+    from artigraph_spark.operators._adaptive import pinned_parallelism
+
+    # parquet-backed: the estimate comes from real file-length stats (a
+    # driver-local relation counts as zero by design)
+    path = str(tmp_path / "pin.parquet")
+    _fixture(spark).write.parquet(path)
+    df = spark.read.parquet(path)
+    spark.conf.set(_FLAG, "true")
+    try:
+        monkeypatch.delenv("SPARK_GRAFT_LOOP_AQE", raising=False)
+        # below threshold (default 256 MB): pinned
+        with pinned_parallelism(spark, frame=df):
+            assert spark.conf.get(_FLAG) == "false"
+        # above threshold (forced to 1 byte): NOT pinned
+        monkeypatch.setenv("SPARK_GRAFT_PIN_MAX_BYTES", "1")
+        with pinned_parallelism(spark, frame=df):
+            assert spark.conf.get(_FLAG) == "true"
+        # LOOP_AQE=0 pins at any scale
+        monkeypatch.setenv("SPARK_GRAFT_LOOP_AQE", "0")
+        with pinned_parallelism(spark, frame=df):
+            assert spark.conf.get(_FLAG) == "false"
+        # LOOP_AQE=1 never pins
+        monkeypatch.setenv("SPARK_GRAFT_LOOP_AQE", "1")
+        monkeypatch.delenv("SPARK_GRAFT_PIN_MAX_BYTES", raising=False)
+        with pinned_parallelism(spark, frame=df):
+            assert spark.conf.get(_FLAG) == "true"
+        # no frame: always pinned (caller opted out of the estimate)
+        monkeypatch.delenv("SPARK_GRAFT_LOOP_AQE", raising=False)
+        with pinned_parallelism(spark):
+            assert spark.conf.get(_FLAG) == "false"
+        assert spark.conf.get(_FLAG) == "true"
+    finally:
+        spark.conf.unset(_FLAG)
