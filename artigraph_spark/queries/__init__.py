@@ -59,58 +59,45 @@ def query(name: str, oracle: str | None, bench: bool = False) -> Callable[[Spark
 # r10 clears the 28 oldest r4-stale; r11 should clear the 3 remaining
 # r4-stale plus the 43 r5-stale and start on r6.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-14 ROTATION. Recorded-window census at round start:
-    # {r7:2, r8:41*, r9:41, r10:49, r11:44, r12:44, r13:50} — the *
-    # counts the r8 ghost `dp_noisy_counts_events` (renamed to
-    # pseudo_dp_noisy_counts_events at r9; not a registry query, so it
-    # rotates nowhere). No never-recorded queries. Window: 4 new +
-    # 3 oracle-changed + the 2 r7-stale spillovers named by the r13
-    # policy + all 40 registry r8-stale (alphabetical) + the first 1
-    # r9-stale (alphabetical) = exactly 50. Expected census after the
-    # driver records r14:
-    # {r9:40, r10:49, r11:44, r12:42, r13:49, r14:50} (274 total).
-    # New-query rationale (registry-growth policy: genuine family
-    # gaps only): semdedup_against is the embedding-space member of
-    # the INCREMENTAL dedup trio — exact digest (dedup_against) and
-    # lexical (lsh_pairs_between) existed, semantic did not — per the
-    # r13 verdict's own #4; duplicate_spans_docs is the
-    # exact-substring SPAN member (Lee et al. 2022 suffix-array use
-    # case) — no existing member localizes the duplicated region
-    # INSIDE a document; remove_duplicate_spans_docs is its rewrite
-    # consumer (the cdc_chunk_dedup consumer-loop precedent);
-    # contaminated_spans_docs is the cross-corpus member (surgical
-    # decontamination — decontaminate_corpus drops whole documents,
-    # this cuts only the leaked span).
-    # Oracle-changed detail: dedup_clusters, minhash_signatures,
-    # minhash_lsh_pairs replay the id-derived fallback pmod-style
-    # (((doc_id % m) + m) % m) instead of plain % — values unchanged
-    # on the non-negative testdata ids, oracle TEXT changed, so each
-    # earns a fresh row under the changed SQL (the r13 verdict's #6).
-    # (1) new this round — first driver rows
-    "semdedup_against", "duplicate_spans_docs", "remove_duplicate_spans_docs",
-    "contaminated_spans_docs",
-    # (2) oracle changed this round (pmod-style fallback replay)
-    "dedup_clusters", "minhash_signatures", "minhash_lsh_pairs",
-    # (3) the 2 r7-stale spillovers (the r13 policy's named set)
-    "t_closeness_orders", "target_encode_orders",
-    # (4) all 40 registry r8-stale re-greens (alphabetical)
-    "array_ops", "association_rules_parts", "bigram_logprob_docs",
-    "cdc_time_travel_orders", "containment_pairs_docs",
-    "copurchase_support_pairs", "edit_distance_pairs",
-    "embedding_mean_pool", "embedding_norms", "fellegi_sunter_docs",
-    "filter_between_isin", "filter_null_tests", "hits_copurchase",
-    "json_extract", "lang_predict", "map_ops",
-    "markov_stationary_events", "mixed_language_docs",
-    "multimodal_features", "ngram_jaccard_pairs",
-    "pca_explained_embeddings", "pca_project_embeddings",
-    "pca_top_component", "proj_select_rename", "readability_docs",
-    "rrf_hybrid_topk", "sample_deterministic", "scalar_cast",
-    "scalar_conditional", "scalar_datetime", "scalar_math",
-    "scalar_string", "set_except", "set_intersect",
-    "set_intersect_all", "set_similarity_users", "stl_outliers_daily",
-    "theil_sen_daily", "welch_ttest_price", "zipf_slope_docs",
-    # (5) the first 1 r9-stale (alphabetical) to fill 50
-    "agg_argminmax",
+    # ROUND-15 ROTATION. Recorded-window census at round start:
+    # {r9:40, r10:49, r11:44, r12:42, r13:49, r14:50} (274 total, no
+    # never-recorded queries) — exactly the census the r14 rotation
+    # predicted. No new queries this round (optimization round; the
+    # registry-growth policy adds none). Window: 4 impl-changed
+    # re-greens + ALL 40 r9-stale (alphabetical) + the first 6
+    # r10-stale (alphabetical) = exactly 50, draining the oldest
+    # stratum completely. Expected census after the driver records
+    # r15: {r10:43, r11:44, r12:42, r13:48, r14:47, r15:50}.
+    # Impl-changed rationale (values identical, plan pipeline changed
+    # — each earns a fresh hash row): winsorize_quantity (both
+    # rank-quantile thresholds fused into one conditional aggregation),
+    # stl_outliers_daily (single seasonal_decompose derivation via
+    # reuse_output), markov_stationary_events (broadcast-total path
+    # above the reuse threshold), seasonal_decompose_daily (operator
+    # internals now route through reuse_frame_cut/cut_frame).
+    # (1) impl changed this round — first driver rows
+    "winsorize_quantity", "stl_outliers_daily",
+    "markov_stationary_events", "seasonal_decompose_daily",
+    # (2) all 40 r9-stale re-greens (alphabetical)
+    "agg_collect", "agg_count_distinct", "agg_cube",
+    "agg_dedup_pick_first", "agg_distinct_rows", "agg_filtered",
+    "agg_global_summary", "agg_grouping_sets", "agg_histogram",
+    "agg_minmax_stats", "agg_percentiles", "agg_pivot",
+    "agg_pricing_summary", "agg_rollup", "benchmark_contamination",
+    "bloom_incremental_dedup", "bm25_ranking", "bootstrap_ci_quantity",
+    "ccf_click_purchase", "conditional_distinct", "dup_rate_by_source",
+    "effect_size_price", "fk_orphans_audit", "hourly_conversion_bh",
+    "length_band_filter_docs", "mann_kendall_hourly",
+    "ppl_decile_report", "pseudo_dp_noisy_counts_events",
+    "rank_normalize_lineitem", "rfm_segments_users", "set_union_all",
+    "set_union_distinct", "shortest_paths_copurchase",
+    "simhash_checked", "sort_limit_topk", "text_quality_score",
+    "tfidf_terms", "token_bpe_counts", "trimmed_mean_price",
+    "upsample_domains",
+    # (3) the first 6 r10-stale (alphabetical) to fill 50
+    "adamic_adar_copurchase", "auc_status_by_priority",
+    "calibration_price_returns", "correlated_group_filter",
+    "cuped_user_value", "curriculum_stages_docs",
 )
 
 # The queries whose implementation or oracle changed THIS round (the
@@ -120,7 +107,8 @@ _PRIORITY: tuple[str, ...] = (
 # (Superseded rotations live in git history and in the committed
 # CORRECTNESS_r* artifacts the audit recomputes from.)
 ROUND_FRESH: tuple[str, ...] = (
-    "dedup_clusters", "minhash_signatures", "minhash_lsh_pairs",
+    "winsorize_quantity", "stl_outliers_daily",
+    "markov_stationary_events", "seasonal_decompose_daily",
 )
 
 
